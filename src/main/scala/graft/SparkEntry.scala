@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Analytics
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (Analytics.q1Pricing _),
+    "q6_revenue" -> (Analytics.q6Revenue _),
+    "q3_shipping" -> (Analytics.q3Shipping _),
+    "q5_local_volume" -> (Analytics.q5LocalVolume _),
+    "q_top_orders_window" -> (Analytics.qTopOrdersWindow _),
+    "q_sessionize" -> (Analytics.qSessionize _),
+    "q_events_window" -> (Analytics.qEventsWindow _),
+    "q_running_balance" -> (Analytics.qRunningBalance _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" -> Analytics.q1PricingSql,
+    "q6_revenue" -> Analytics.q6RevenueSql,
+    "q3_shipping" -> Analytics.q3ShippingSql,
+    "q5_local_volume" -> Analytics.q5LocalVolumeSql,
+    "q_top_orders_window" -> Analytics.qTopOrdersWindowSql,
+    "q_sessionize" -> Analytics.qSessionizeSql,
+    "q_events_window" -> Analytics.qEventsWindowSql,
+    "q_running_balance" -> Analytics.qRunningBalanceSql,
+  )
 }

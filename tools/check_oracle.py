@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Runs each oracle_sql.json entry in DuckDB against the sfDir parquet
+tables, loads the Spark result parquet from verifyOutDir, sorts columns
+by name and rows by value, and compares.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # normalize dtypes for compare: timestamps to ns, floats rounded already by queries
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
+            want = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        # value compare with dtype coercion
+        mismatch = None
+        for c in got.columns:
+            a, b = got[c], want[c]
+            try:
+                if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
+                    a = pd.to_datetime(a).astype("datetime64[us]")
+                    b = pd.to_datetime(b).astype("datetime64[us]")
+                    eq = a.equals(b)
+                elif a.dtype.kind in "fc" or b.dtype.kind in "fc":
+                    eq = ((a.astype(float) - b.astype(float)).abs() < 1e-9).all()
+                else:
+                    eq = (a.astype("object") == b.astype("object")).all()
+            except Exception as e:
+                eq = False
+                mismatch = f"{c}: {e}"
+            if not eq:
+                mismatch = mismatch or c
+                break
+        if mismatch:
+            print(f"FAIL {name}: column {mismatch} differs")
+            print("  spark:", got.head(3).to_dict("records"))
+            print("  duck :", want.head(3).to_dict("records"))
+            n_fail += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows)")
+    return n_fail
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
