@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Analytics
+import graft.query.AnnQuery
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt. */
 object SparkEntry {
@@ -20,6 +21,11 @@ object SparkEntry {
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_events_window" -> (Analytics.qEventsWindow _),
     "q_running_balance" -> (Analytics.qRunningBalance _),
+    "ann_brute_topk" -> (AnnQuery.annBruteTopK _),
+    "ann_lsh_topk" -> (AnnQuery.annLshTopK _),
+    "ann_recall_eval" -> (AnnQuery.annRecallEval _),
+    "lsh_code" -> (AnnQuery.lshCode _),
+    "lsh_partition_build" -> (AnnQuery.lshPartitionBuild _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +39,7 @@ object SparkEntry {
     "q_sessionize" -> Analytics.qSessionizeSql,
     "q_events_window" -> Analytics.qEventsWindowSql,
     "q_running_balance" -> Analytics.qRunningBalanceSql,
+    "ann_brute_topk" -> AnnQuery.annBruteTopKSql,
+    "lsh_partition_build" -> AnnQuery.lshPartitionBuildSql,
   )
 }

@@ -1,0 +1,225 @@
+package graft.query
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.vec_l2
+import graft.index.LshIndex
+import graft.lsh.{Lsh, LshModel, LshParams}
+
+/**
+ * ANN query paths (re-expression of fspann
+ * `index/paper/PartitionedIndexService.lookupCandidatesWithScores`,
+ * PartitionedIndexService.java:592-715, and
+ * `query/service/QueryServiceImpl` refine).
+ *
+ * The reference's per-query driver loop (binary-search the partition
+ * list, best-first expand by Hamming on representative codes, decrypt
+ * + exact-L2 refine) becomes a join pipeline:
+ *
+ *   query codes (small)  x broadcast block summaries -> probed blocks
+ *   probed blocks        ⋈ membership (t,d,block)    -> candidates
+ *   candidates top-refinementLimit by Hamming        -> bounded set
+ *   ⋈ vectors (by id) + broadcast query vectors      -> exact L2
+ *   window row_number per query                      -> top-k
+ *
+ * Work is O(queries x probe budget x blockSize), independent of
+ * corpus size; only block summaries (rows/blockSize, no ids) are
+ * broadcast. At 100 TB membership is bucketed by (t, d, block) so the
+ * candidate join prunes to probed blocks.
+ */
+object AnnQuery {
+
+  case class QueryCode(qid: Long, t: Int, d: Int, key: Long, code: Array[Long])
+  case class ProbedBlock(qid: Long, t: Int, d: Int, block: Int, score: Long)
+
+  /** Exact brute-force top-k (GroundtruthPrecompute equivalent). */
+  def bruteTopK(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    data.join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))))
+      .withColumn("dist", vec_l2(col("embedding"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  /**
+   * Multi-probe LSH top-k. Best-first block expansion runs
+   * distributed on the (small) query side with broadcast summaries;
+   * everything row-heavy is joins + windows.
+   */
+  def lshTopK(
+      spark: SparkSession,
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      model: LshModel,
+      built: LshIndex.Built): DataFrame = {
+    import spark.implicits._
+    val p = model.params
+
+    val summB = spark.sparkContext.broadcast(LshIndex.collectSummaries(built.summaries))
+
+    val qCodes = LshIndex.codes(
+      queries.select(col("vec_id"), col("embedding")), "vec_id", "embedding", model)
+      .select(col("id").as("qid"), col("t"), col("d"), col("key"), col("code"))
+      .as[QueryCode]
+
+    val probed = qCodes.mapPartitions { it =>
+      it.flatMap { qc =>
+        summB.value.get((qc.t, qc.d)) match {
+          case None => Iterator.empty
+          case Some(s) =>
+            val center = LshIndex.findNearestBlock(s, qc.key)
+            val pq = mutable.PriorityQueue.empty[(Long, Int)](
+              Ordering.by[(Long, Int), (Long, Int)](x => (-x._1, -x._2)))
+            val visited = new Array[Boolean](s.size)
+            pq.enqueue((Lsh.hamming(qc.code, s.rep(center)), center))
+            visited(center) = true
+            val out = mutable.ArrayBuffer.empty[ProbedBlock]
+            var probes = 0
+            while (pq.nonEmpty && probes < p.maxProbes) {
+              val (score, idx) = pq.dequeue()
+              probes += 1
+              out += ProbedBlock(qc.qid, qc.t, qc.d, idx, score)
+              val left = idx - 1
+              if (left >= 0 && !visited(left)) {
+                visited(left) = true
+                pq.enqueue((Lsh.hamming(qc.code, s.rep(left)), left))
+              }
+              val right = idx + 1
+              if (right < s.size && !visited(right)) {
+                visited(right) = true
+                pq.enqueue((Lsh.hamming(qc.code, s.rep(right)), right))
+              }
+            }
+            out.iterator
+        }
+      }
+    }.toDF()
+
+    // candidate union: min Hamming across (table, division) probes
+    val candidates = probed
+      .join(built.membership, Seq("t", "d", "block"))
+      .groupBy(col("qid"), col("id"))
+      .agg(min(col("score")).as("hamming"))
+
+    // bounded refine: top refinementLimit by Hamming, then exact L2
+    val wRefine = Window.partitionBy("qid").orderBy(col("hamming"), col("id"))
+    val bounded = candidates
+      .withColumn("h_rank", row_number().over(wRefine))
+      .filter(col("h_rank") <= p.refinementLimit)
+
+    val wK = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    bounded
+      .join(data.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))), Seq("qid"))
+      .withColumn("dist", vec_l2(col("embedding"), col("qv")))
+      .select(col("qid").as("query_id"), col("id").as("vec_id"), col("dist"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  /** Recall@K of an ANN result against brute-force ground truth, per k variant. */
+  def recallEval(annResult: DataFrame, groundTruth: DataFrame, kVariants: Seq[Int]): DataFrame = {
+    val ks = kVariants.map(k => lit(k))
+    val hits = annResult.select(col("query_id"), col("vec_id"), col("rnk").as("ann_rnk"))
+      .join(groundTruth.select(col("query_id"), col("vec_id"), col("rnk").as("gt_rnk")),
+        Seq("query_id", "vec_id"))
+    hits
+      .select(col("query_id"), col("ann_rnk"), col("gt_rnk"),
+        explode(array(ks: _*)).as("k"))
+      .filter(col("ann_rnk") <= col("k") && col("gt_rnk") <= col("k"))
+      .groupBy(col("k"), col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .groupBy(col("k"))
+      .agg(
+        round(avg(col("n_hits") / col("k")), 4).as("recall"),
+        count(lit(1)).as("n_queries"))
+      .orderBy("k")
+  }
+
+  // ---- SparkEntry wiring over the embeddings table ----
+
+  val DefaultK = 10
+  val NumQueries = 20
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+
+  private def queryVecs(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).filter(col("vec_id") < NumQueries)
+
+  def annBruteTopK(spark: SparkSession, sfDir: String): DataFrame =
+    bruteTopK(emb(spark, sfDir), queryVecs(spark, sfDir), DefaultK)
+
+  val annBruteTopKSql: String =
+    s"""SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id, d.dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY d.dist, e.vec_id) AS INTEGER) AS rnk
+       |  FROM embeddings q CROSS JOIN embeddings e,
+       |    LATERAL (SELECT list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS dist) d
+       |  WHERE q.vec_id < $NumQueries)
+       |WHERE rnk <= $DefaultK""".stripMargin
+
+  private def fitModel(spark: SparkSession, sfDir: String): LshModel =
+    Lsh.fit(emb(spark, sfDir), "embedding", LshParams())
+
+  /** Full MSANNP pipeline end-to-end (rows oracle + recall spec). */
+  def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = emb(spark, sfDir)
+    val model = fitModel(spark, sfDir)
+    val built = LshIndex.build(LshIndex.codes(data, "vec_id", "embedding", model), model.params.blockSize)
+    lshTopK(spark, data, queryVecs(spark, sfDir), DefaultK, model, built)
+  }
+
+  /** Recall@K of the LSH path vs brute force on kVariants (reference eval loop). */
+  def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val kVariants = Seq(1, 5, 10)
+    val data = emb(spark, sfDir)
+    val queries = queryVecs(spark, sfDir)
+    val maxK = kVariants.max
+    val model = fitModel(spark, sfDir)
+    val built = LshIndex.build(LshIndex.codes(data, "vec_id", "embedding", model), model.params.blockSize)
+    recallEval(
+      lshTopK(spark, data, queries, maxK, model, built),
+      bruteTopK(data, queries, maxK),
+      kVariants)
+  }
+
+  /** Per-vector LSH codes (rows oracle; values spec'd in LshSpec). */
+  def lshCode(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = fitModel(spark, sfDir)
+    LshIndex.codes(emb(spark, sfDir).filter(col("vec_id") < 50), "vec_id", "embedding", model)
+      .select(col("id").as("vec_id"), col("t"), col("d"), col("key"))
+      .orderBy("vec_id", "t", "d")
+  }
+
+  /** Partition-build structural invariants, SQL-checkable from row counts alone. */
+  def lshPartitionBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = fitModel(spark, sfDir)
+    val built = LshIndex.build(
+      LshIndex.codes(emb(spark, sfDir), "vec_id", "embedding", model), model.params.blockSize)
+    built.summaries.groupBy("t", "d")
+      .agg(
+        count(lit(1)).as("n_partitions"),
+        sum(col("n")).as("n_vectors"),
+        max(col("n")).as("max_block_n"),
+        min(col("n")).as("min_block_n"))
+  }
+
+  val lshPartitionBuildSql: String =
+    """SELECT CAST(t.range AS INTEGER) AS t, CAST(d.range AS INTEGER) AS d,
+      |  CAST(CEIL(c.n / 64.0) AS BIGINT) AS n_partitions,
+      |  c.n AS n_vectors,
+      |  CAST(LEAST(c.n, 64) AS BIGINT) AS max_block_n,
+      |  CAST(CASE WHEN c.n <= 64 THEN c.n
+      |            WHEN c.n % 64 = 0 THEN 64
+      |            ELSE c.n % 64 END AS BIGINT) AS min_block_n
+      |FROM (SELECT COUNT(*) AS n FROM embeddings) c, range(8) t, range(3) d""".stripMargin
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.LshIndex
+import graft.lsh.{Lsh, LshParams}
+import graft.query.AnnQuery
+
+class LshSpec extends SparkSpecBase {
+
+  lazy val emb = Tables.embeddings(spark, sf)
+  lazy val model = Lsh.fit(emb, "embedding", LshParams())
+
+  test("model shape matches params (8 tables x 3 divisions, m=25, unit-norm alpha)") {
+    assert(model.gfs.length == 8 && model.gfs.head.length == 3)
+    val g = model.g(0, 0)
+    assert(g.m == 25)
+    g.alpha.foreach { a =>
+      val norm = math.sqrt(a.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+    g.omega.foreach(w => assert(w > 0))
+    g.r.indices.foreach(j => assert(model.g(0, 0).r(j) >= 0 && model.g(0, 0).r(j) < model.g(0, 0).omega(j)))
+  }
+
+  test("seed schedule differentiates (table, division) functions") {
+    assert(Lsh.computeSeed(13, 0, 0) != Lsh.computeSeed(13, 0, 1))
+    assert(Lsh.computeSeed(13, 1, 0) == 13 + 1000003L)
+    // different seeds -> different projections
+    assert(model.g(0, 0).alpha(0)(0) != model.g(1, 0).alpha(0)(0))
+  }
+
+  test("codes: one row per (vector, t, d); key is first 63 bits of code") {
+    val c = LshIndex.codes(emb, "vec_id", "embedding", model)
+    val n = emb.count()
+    assert(c.count() == n * 24)
+    val rows = c.limit(100).collect()
+    rows.foreach { r =>
+      val key = r.getLong(3)
+      val words = r.getSeq[Long](4)
+      assert(key == (words.head >>> 1))
+      assert(key >= 0)
+    }
+  }
+
+  test("codes are deterministic across evaluations") {
+    val a = LshIndex.codes(emb, "vec_id", "embedding", model).orderBy("id", "t", "d").collect()
+    val b = LshIndex.codes(emb, "vec_id", "embedding", model).orderBy("id", "t", "d").collect()
+    assert(a.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).sameElements(
+      b.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))))
+  }
+
+  test("partition build: blocks of <= 64, sorted non-overlapping key ranges per (t,d)") {
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val summ = built.summaries.orderBy("t", "d", "block").collect()
+    summ.foreach { r => assert(r.getLong(5) <= 64 && r.getLong(5) > 0) }
+    summ.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) <= b.getLong(3)) // prev max_key <= next min_key
+        case _ =>
+      }
+    }
+    // every vector is a member of exactly one block per (t, d)
+    val dup = built.membership.groupBy("id", "t", "d").count().filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
+  test("findNearestBlock: in-range hit, boundary fallbacks") {
+    val s = LshIndex.TdSummary(Array(10L, 50L, 100L), Array(20L, 60L, 110L),
+      Array(Array(0L), Array(0L), Array(0L)))
+    assert(LshIndex.findNearestBlock(s, 15) == 0)
+    assert(LshIndex.findNearestBlock(s, 55) == 1)
+    assert(LshIndex.findNearestBlock(s, 5) == 0)   // below all
+    assert(LshIndex.findNearestBlock(s, 200) == 2) // above all
+    assert(LshIndex.findNearestBlock(s, 30) == 0)  // gap: closer to [10,20]
+    assert(LshIndex.findNearestBlock(s, 45) == 1)  // gap: closer to [50,60]
+  }
+
+  test("hamming over packed words") {
+    assert(Lsh.hamming(Array(0L), Array(0L)) == 0)
+    assert(Lsh.hamming(Array(-1L), Array(0L)) == 64)
+    assert(Lsh.hamming(Array(5L, 3L), Array(4L, 0L)) == 3)
+  }
+
+  test("lsh top-k: self-match at rank 1 and recall@10 >= 0.8 vs brute force") {
+    val recall = AnnQuery.annRecallEval(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(recall(1) >= 0.9, s"recall@1 = ${recall(1)}")
+    assert(recall(10) >= 0.8, s"recall@10 = ${recall(10)}")
+    val topk = AnnQuery.annLshTopK(spark, sf)
+    val self = topk.filter(col("rnk") === 1).collect()
+    self.foreach { r => assert(r.getLong(0) == r.getLong(1), s"rank-1 not self: $r") }
+  }
+}
