@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Analytics
+import graft.crypto.VersionedCrypto
 import graft.query.AnnQuery
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt. */
@@ -26,6 +27,9 @@ object SparkEntry {
     "ann_recall_eval" -> (AnnQuery.annRecallEval _),
     "lsh_code" -> (AnnQuery.lshCode _),
     "lsh_partition_build" -> (AnnQuery.lshPartitionBuild _),
+    "encrypt_points" -> (VersionedCrypto.encryptPoints _),
+    "decrypt_refine" -> (VersionedCrypto.decryptRefine _),
+    "key_rotation" -> (VersionedCrypto.keyRotation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +45,8 @@ object SparkEntry {
     "q_running_balance" -> Analytics.qRunningBalanceSql,
     "ann_brute_topk" -> AnnQuery.annBruteTopKSql,
     "lsh_partition_build" -> AnnQuery.lshPartitionBuildSql,
+    "encrypt_points" -> VersionedCrypto.encryptPointsSql,
+    "decrypt_refine" -> VersionedCrypto.decryptRefineSql,
+    "key_rotation" -> VersionedCrypto.keyRotationSql,
   )
 }
