@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Analytics
 import graft.crypto.VersionedCrypto
 import graft.query.AnnQuery
+import graft.sources.LoaderQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt. */
 object SparkEntry {
@@ -30,6 +31,10 @@ object SparkEntry {
     "encrypt_points" -> (VersionedCrypto.encryptPoints _),
     "decrypt_refine" -> (VersionedCrypto.decryptRefine _),
     "key_rotation" -> (VersionedCrypto.keyRotation _),
+    "fvecs_roundtrip" -> (LoaderQueries.fvecsRoundtrip _),
+    "bvecs_roundtrip" -> (LoaderQueries.bvecsRoundtrip _),
+    "ivecs_roundtrip" -> (LoaderQueries.ivecsRoundtrip _),
+    "csv_vectors" -> (LoaderQueries.csvVectors _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +53,9 @@ object SparkEntry {
     "encrypt_points" -> VersionedCrypto.encryptPointsSql,
     "decrypt_refine" -> VersionedCrypto.decryptRefineSql,
     "key_rotation" -> VersionedCrypto.keyRotationSql,
+    "fvecs_roundtrip" -> LoaderQueries.fvecsRoundtripSql,
+    "bvecs_roundtrip" -> LoaderQueries.bvecsRoundtripSql,
+    "ivecs_roundtrip" -> LoaderQueries.ivecsRoundtripSql,
+    "csv_vectors" -> LoaderQueries.csvVectorsSql,
   )
 }

@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Roundtrip queries for the vector-file loaders: deterministic data is
+ * exported in each format (two files, to exercise the multi-file
+ * global-id prefix sum), read back through [[VecFiles]], and reduced
+ * to per-row scalars a DuckDB oracle can recompute directly from the
+ * embeddings table.
+ *
+ * The export side is driver-side and test-scale by design (the
+ * loaders are the ingest path; export of .fvecs exists in the
+ * reference only for eval dumps).
+ */
+object LoaderQueries {
+
+  private def tmpDir(kind: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"/root/repo/target/tmp/vecs/$tag/$kind"
+  }
+
+  private def clean(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
+  /** Split rows across two files to exercise cross-file id assignment. */
+  private def twoFiles[T](dir: String, ext: String, rows: Array[Array[T]])(
+      write: (String, Iterator[Array[T]]) => Unit): Unit = {
+    clean(dir)
+    val (a, b) = rows.splitAt(rows.length / 2)
+    write(s"$dir/part-000.$ext", a.iterator)
+    write(s"$dir/part-001.$ext", b.iterator)
+  }
+
+  private def summary(df: DataFrame, vec: String, asDouble: Boolean): DataFrame = {
+    val v = if (asDouble) col(vec).cast("array<double>") else col(vec).cast("array<bigint>")
+    val sum = aggregate(v, lit(0.0).cast(if (asDouble) "double" else "bigint"),
+      (acc, x) => acc + x)
+    df.select(
+      col("id"),
+      size(col(vec)).as("dim"),
+      (if (asDouble) round(sum, 3) else sum.cast("bigint")).as("v_sum"),
+      (if (asDouble) round(element_at(v, 1), 4) else element_at(v, 1)).as("v_first"),
+      (if (asDouble) round(element_at(v, -1), 4) else element_at(v, -1)).as("v_last"))
+  }
+
+  def fvecsRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("fvecs", sfDir)
+    val rows = Tables.embeddings(spark, sfDir).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    twoFiles(dir, "fvecs", rows)(VecFiles.writeFvecs)
+    summary(VecFiles.fvecs(spark, dir), "vec", asDouble = true)
+  }
+
+  val fvecsRoundtripSql: String =
+    """SELECT vec_id AS id, CAST(len(embedding) AS INTEGER) AS dim,
+      |  ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 3) AS v_sum,
+      |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS v_first,
+      |  ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS v_last
+      |FROM embeddings""".stripMargin
+
+  def csvVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("csv", sfDir)
+    clean(dir)
+    val rows = Tables.embeddings(spark, sfDir).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+    Files.createDirectories(Paths.get(dir))
+    val dim = rows.head.getSeq[Float](1).size
+    val w = Files.newBufferedWriter(Paths.get(s"$dir/vectors.csv"))
+    try rows.foreach { r =>
+      w.write(r.getLong(0).toString)
+      r.getSeq[Float](1).foreach { x => w.write(","); w.write(x.toString) }
+      w.write("\n")
+    } finally w.close()
+    summary(VecFiles.csv(spark, dir, dim).withColumnRenamed("vec", "v"), "v", asDouble = true)
+  }
+
+  val csvVectorsSql: String = fvecsRoundtripSql
+
+  /** bvecs payload: vec[j] = (id + j) % 256, dim 16 — uint8-exact. */
+  def bvecsRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("bvecs", sfDir)
+    val n = Tables.embeddings(spark, sfDir).count().toInt
+    val rows = Array.tabulate(n)(i => Array.tabulate(16)(j => (i + j) % 256))
+    twoFiles(dir, "bvecs", rows)(VecFiles.writeBvecs)
+    summary(VecFiles.bvecs(spark, dir), "vec", asDouble = false)
+  }
+
+  val bvecsRoundtripSql: String =
+    """SELECT vec_id AS id, 16 AS dim,
+      |  CAST(list_aggregate(list_transform(range(0, 16), j -> (vec_id + j) % 256), 'sum') AS BIGINT) AS v_sum,
+      |  CAST(vec_id % 256 AS BIGINT) AS v_first,
+      |  CAST((vec_id + 15) % 256 AS BIGINT) AS v_last
+      |FROM embeddings""".stripMargin
+
+  /** ivecs payload: vec[j] = id * 3 + j, dim 8 (ground-truth id lists shape). */
+  def ivecsRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("ivecs", sfDir)
+    val n = Tables.embeddings(spark, sfDir).count().toInt
+    val rows = Array.tabulate(n)(i => Array.tabulate(8)(j => i * 3 + j))
+    twoFiles(dir, "ivecs", rows)(VecFiles.writeIvecs)
+    summary(VecFiles.ivecs(spark, dir), "vec", asDouble = false)
+  }
+
+  val ivecsRoundtripSql: String =
+    """SELECT vec_id AS id, 8 AS dim,
+      |  CAST(vec_id * 3 * 8 + 28 AS BIGINT) AS v_sum,
+      |  CAST(vec_id * 3 AS BIGINT) AS v_first,
+      |  CAST(vec_id * 3 + 7 AS BIGINT) AS v_last
+      |FROM embeddings""".stripMargin
+}

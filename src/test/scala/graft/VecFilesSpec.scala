@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VecFiles
+
+class VecFilesSpec extends SparkSpecBase {
+
+  private def tmp(name: String): String = {
+    val d = s"/root/repo/target/tmp/spec-vecs/$name"
+    val p = java.nio.file.Paths.get(d)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    d
+  }
+
+  test("fvecs roundtrip is bit-exact and ids are globally sequential across files") {
+    val emb = Tables.embeddings(spark, sf).orderBy("vec_id")
+    val rows = emb.select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dir = tmp("fvecs")
+    val (a, b) = rows.splitAt(123) // uneven split on purpose
+    VecFiles.writeFvecs(s"$dir/a.fvecs", a.iterator)
+    VecFiles.writeFvecs(s"$dir/b.fvecs", b.iterator)
+    val back = VecFiles.fvecs(spark, dir)
+    assert(back.count() == rows.length)
+    // exact float equality, joined on position id == vec_id
+    val bad = emb.select(col("vec_id").as("id"), col("embedding"))
+      .join(back, "id")
+      .filter(not(col("embedding") === col("vec"))).count()
+    assert(bad == 0)
+    // ids dense 0..n-1
+    assert(back.agg(min("id"), max("id"), countDistinct("id")).head() ==
+      org.apache.spark.sql.Row(0L, rows.length - 1L, rows.length.toLong))
+  }
+
+  test("bvecs: uint8 values survive (0..255)") {
+    val dir = tmp("bvecs")
+    val rows = Array.tabulate(10)(i => Array.tabulate(4)(j => (i * 67 + j * 63) % 256))
+    VecFiles.writeBvecs(s"$dir/x.bvecs", rows.iterator)
+    val got = VecFiles.bvecs(spark, dir).orderBy("id").collect()
+      .map(_.getSeq[Int](1).toArray)
+    assert(got.length == 10)
+    got.zip(rows).foreach { case (g, w) => assert(g.sameElements(w)) }
+    assert(got.flatten.forall(x => x >= 0 && x <= 255))
+  }
+
+  test("ivecs: int32 values survive including negatives") {
+    val dir = tmp("ivecs")
+    val rows = Array(Array(1, -2, Int.MaxValue), Array(Int.MinValue, 0, 7))
+    VecFiles.writeIvecs(s"$dir/x.ivecs", rows.iterator)
+    val got = VecFiles.ivecs(spark, dir).orderBy("id").collect().map(_.getSeq[Int](1).toArray)
+    got.zip(rows).foreach { case (g, w) => assert(g.sameElements(w)) }
+  }
+
+  test("csv loader parses id + float columns") {
+    val dir = tmp("csv")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/v.csv"),
+      "0,1.5,-2.25\n1,0.125,3.0\n")
+    val got = VecFiles.csv(spark, dir, 2).orderBy("id").collect()
+    assert(got(0).getSeq[Float](1) == Seq(1.5f, -2.25f))
+    assert(got(1).getSeq[Float](1) == Seq(0.125f, 3.0f))
+  }
+}
