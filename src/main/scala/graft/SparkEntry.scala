@@ -4,8 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Analytics
 import graft.crypto.VersionedCrypto
-import graft.query.AnnQuery
+import graft.dedup.Dedup
+import graft.multimodal.BinaryMeta
+import graft.query.{AnnQuery, IvfSearch}
 import graft.sources.LoaderQueries
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt. */
 object SparkEntry {
@@ -35,6 +38,17 @@ object SparkEntry {
     "bvecs_roundtrip" -> (LoaderQueries.bvecsRoundtrip _),
     "ivecs_roundtrip" -> (LoaderQueries.ivecsRoundtrip _),
     "csv_vectors" -> (LoaderQueries.csvVectors _),
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "neardup_embedding" -> (Dedup.neardupEmbedding _),
+    "simsearch_ivf" -> (IvfSearch.simsearchIvf _),
+    "lang_id" -> (TextAnalysis.langIdQuery _),
+    "text_quality" -> (TextAnalysis.textQuality _),
+    "token_count" -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "multimodal_meta" -> (BinaryMeta.multimodalMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +71,11 @@ object SparkEntry {
     "bvecs_roundtrip" -> LoaderQueries.bvecsRoundtripSql,
     "ivecs_roundtrip" -> LoaderQueries.ivecsRoundtripSql,
     "csv_vectors" -> LoaderQueries.csvVectorsSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "neardup_embedding" -> Dedup.neardupEmbeddingSql,
+    "text_quality" -> TextAnalysis.textQualitySql,
+    "token_count" -> TextAnalysis.tokenCountSql,
+    "multimodal_meta" -> BinaryMeta.multimodalMetaSql,
   )
 }

@@ -1,0 +1,215 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.vec_cosine
+
+/**
+ * Large-scale dedup operators for training-data pipelines: exact
+ * (content hash), MinHash+LSH, SimHash, n-gram Jaccard, and
+ * embedding-cosine near-dup.
+ *
+ * All paths are declarative DataFrame plans:
+ *  - signatures are built with codegen'd built-ins (`xxhash64`,
+ *    bitwise ops) as wide aggregates over exploded shingles — fully
+ *    partial-agg (map-side combine) friendly;
+ *  - candidate generation is a band-bucket self-join (the one shuffle
+ *    that matters at 100 TB; hot buckets can be salted and the exact
+ *    verify that follows keeps false positives out);
+ *  - exact-dup grouping runs first in a real pipeline to shrink input
+ *    (SURVEY §4).
+ *
+ * The corpus in testdata has no duplicates, so the SparkEntry queries
+ * plant deterministic near-dups (id + PlantOffset, every 10th token
+ * mutated) inside the query itself — detection quality is asserted in
+ * DedupSpec, result shape by the driver's oracle.
+ */
+object Dedup {
+
+  val PlantOffset = 100000L
+
+  // ---- tokenization / shingling (single-space split: engine-portable) ----
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Word w-shingles as strings (whole text as one shingle when shorter than w). */
+  def shingles(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  // ---- MinHash + LSH banding ----
+
+  /**
+   * MinHash signatures: explode shingles, then P independent seeded
+   * xxhash64 min-aggregates (one shuffle with map-side partial mins;
+   * seeding by an extra literal argument avoids ANSI-overflow-prone
+   * affine permutations).
+   */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int, shingleWidth: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(tokens(col(textCol)), shingleWidth))).as("shingle"))
+    val mins = (0 until numPerms).map { i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"m$i")
+    }
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** (id, band, band_hash) — bands of `rowsPerBand` signature slots. */
+  def minhashBands(sigs: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
+    val bandHashes = (0 until numPerms / rowsPerBand).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+    }
+    sigs.select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate pairs (a < b) sharing >= 1 band, verified with exact shingle Jaccard. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 64, rowsPerBand: Int = 4, shingleWidth: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val bands = minhashBands(
+      minhashSignatures(docs, idCol, textCol, numPerms, shingleWidth), numPerms, rowsPerBand)
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), shingleWidth)).as("sh"))
+    cands
+      .join(sets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash per doc: sign of per-bit weighted sums over token hashes. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
+  /**
+   * Near-dup pairs with Hamming(simhash) <= maxHamming, banded into
+   * (maxHamming + 1) chunks (pigeonhole: <= maxHamming differing bits
+   * leaves >= 1 chunk equal). Default 8 chunks of 8 bits / Hamming <= 7.
+   */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 7): DataFrame = {
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1
+    val sigs = simhash(docs, idCol, textCol)
+    val chunks = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  // ---- planted near-dup corpus (used by the SparkEntry queries) ----
+
+  /** Docs with doc_id < `nPlanted` copied at id+PlantOffset with every 10th token mutated. */
+  def withPlantedNearDups(docs: DataFrame, nPlanted: Int, mutate: Boolean): DataFrame = {
+    val toks = tokens(col("text"))
+    val mutated =
+      if (mutate)
+        concat_ws(" ", transform(toks, (t, i) => when(i % 20 === 0, lit("xqzmut")).otherwise(t)))
+      else col("text")
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < nPlanted)
+        .select((col("doc_id") + PlantOffset).as("doc_id"), mutated.as("text")))
+  }
+
+  // ---- SparkEntry queries ----
+
+  /** Exact dedup by sha256(text): keeper id + copy count per content group. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    withPlantedNearDups(Tables.documents(spark, sfDir), 30, mutate = false)
+      .groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+
+  val dedupExactSql: String =
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, text FROM documents WHERE doc_id < 30)
+       |SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+       |FROM all_docs GROUP BY sha256(text)""".stripMargin
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true),
+      "doc_id", "text")
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairs(withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true),
+      "doc_id", "text")
+
+  /** Exact n-gram Jaccard for all pairs among doc_id < 40 (SQL-checkable). */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    sets.as("x").join(sets.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        round(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh"))), 4).as("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH sets AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+      |      i -> string_split(lower(text), ' ')[i] || ' ' ||
+      |           string_split(lower(text), ' ')[i+1] || ' ' ||
+      |           string_split(lower(text), ' ')[i+2])) AS sh
+      |  FROM documents WHERE doc_id < 40)
+      |SELECT x.doc_id AS a, y.doc_id AS b,
+      |  ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+      |FROM sets x JOIN sets y ON x.doc_id < y.doc_id""".stripMargin
+
+  /** Exact cosine top-20 most-similar embedding pairs (SQL-checkable). */
+  def neardupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    e.as("x").join(broadcast(e.as("y")), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(vec_cosine(col("x.embedding"), col("y.embedding")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val neardupEmbeddingSql: String =
+    """SELECT a, b, cosine FROM (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |    ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                                 CAST(y.embedding AS DOUBLE[])), 4) AS cosine
+      |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+      |ORDER BY cosine DESC, a, b LIMIT 20""".stripMargin
+}

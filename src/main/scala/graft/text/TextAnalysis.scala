@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Text-analysis operators for training-data pipelines: language ID
+ * (stopword n-gram heuristic), quality scoring, token counting, and
+ * content fingerprinting — all built from codegen'd string built-ins
+ * (no UDFs) except the fingerprint, which is a native expression.
+ *
+ * Tokenization is a single-space split everywhere so the DuckDB
+ * oracle can reproduce it verbatim (engine-portable, SURVEY §5).
+ */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  // ---- language ID ----
+
+  /** Tiny per-language stopword profiles (public-knowledge function words). */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "que", "no"),
+    "it" -> Seq("il", "la", "e", "di", "che", "un", "una", "per", "non", "sono"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  private def stopwordScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*))).cast("double") /
+      greatest(size(toks), lit(1))
+
+  /**
+   * Predicted language = argmax stopword score (ties resolve by profile
+   * order via strict > on a running max — deterministic).
+   */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = StopwordProfiles.foldLeft(
+      docs.select(col(idCol).as("doc_id"), lit("und").as("pred_lang"),
+        lit(-1.0).as("best_score"), toks.as("toks"))) {
+      case (df, (lang, words)) =>
+        val s = stopwordScore(col("toks"), words)
+        df.withColumn("pred_lang", when(s > col("best_score"), lit(lang)).otherwise(col("pred_lang")))
+          .withColumn("best_score", greatest(s, col("best_score")))
+    }
+    scored.select(col("doc_id"), col("pred_lang"), round(col("best_score"), 4).as("score"))
+  }
+
+  def langIdQuery(spark: SparkSession, sfDir: String): DataFrame =
+    langId(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  // ---- quality scoring ----
+
+  private val QualityStopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      round(aggregate(transform(toks, t => length(t)), lit(0L),
+        (acc, x) => acc + x).cast("double") / greatest(size(toks), lit(1)), 4).as("avg_token_len"),
+      round(length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
+      round(size(filter(toks, t => t.isin(QualityStopwords.map(w => w: Any): _*))).cast("double") /
+        greatest(size(toks), lit(1)), 4).as("stopword_ratio"))
+      // floor-truncate: ROUND half-way semantics differ across engines
+      .withColumn("quality_score",
+        floor((lit(0.5) * col("stopword_ratio") +
+          lit(0.5) * least(lit(1.0), col("n_tokens") / lit(400.0))) * 10000) / 10000)
+  }
+
+  val textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(text) AS INTEGER) AS n_chars,
+      |  CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  ROUND(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+      |        / GREATEST(len(toks), 1), 4) AS avg_token_len,
+      |  ROUND(CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |        / GREATEST(len(text), 1), 4) AS punct_ratio,
+      |  ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |        / GREATEST(len(toks), 1), 4) AS stopword_ratio,
+      |  FLOOR((0.5 * ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |        / GREATEST(len(toks), 1), 4)
+      |      + 0.5 * LEAST(1.0, len(toks) / 400.0)) * 10000) / 10000 AS quality_score
+      |FROM t""".stripMargin
+
+  // ---- token counting ----
+
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpeishPattern), lit(0))).as("regex_tokens"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS regex_tokens
+      |FROM documents""".stripMargin
+
+  // ---- fingerprinting ----
+
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Fingerprint.doc_fingerprints(col("text"))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(fp).as("n_fingerprints"),
+      element_at(fp, 1).as("fp_first"),
+      array_min(fp).as("fp_min"))
+  }
+}

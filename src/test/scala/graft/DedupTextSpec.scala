@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.BinaryMeta
+import graft.query.{AnnQuery, IvfSearch}
+import graft.text.{FingerprintKernels, TextAnalysis}
+
+class DedupTextSpec extends SparkSpecBase {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("dedup_exact groups planted exact copies under the original keeper") {
+    val res = Dedup.dedupExact(spark, sf).collect()
+    val dups = res.filter(_.getLong(1) == 2L)
+    assert(dups.length == 30)
+    assert(dups.forall(_.getLong(0) < 30))
+    assert(res.filter(_.getLong(1) == 1L).length == 470)
+  }
+
+  test("minhash finds planted near-dups (recall >= 0.8); all reported pairs verify >= threshold") {
+    val rows = Dedup.dedupMinhash(spark, sf).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    val planted = pairs.filter { case (a, b) => b == a + Dedup.PlantOffset }
+    assert(planted.length >= 20, s"found ${planted.length}/25 planted near-dup pairs")
+    // every reported pair passed the exact-Jaccard verify (no unverified banding hits)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+
+  test("simhash finds planted near-dups within hamming 3") {
+    val pairs = Dedup.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val planted = pairs.filter { case (a, b) => b == a + Dedup.PlantOffset }
+    assert(planted.length >= 15, s"found ${planted.length}/25 planted simhash pairs")
+  }
+
+  test("ngram jaccard: identical docs = 1.0, self-consistent range") {
+    val j = Dedup.ngramJaccard(spark, sf).collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
+
+  test("ivf recall@10 >= 0.6 vs brute force; self-match at rank 1") {
+    val ann = IvfSearch.simsearchIvf(spark, sf)
+    val gt = AnnQuery.annBruteTopK(spark, sf)
+    val hits = ann.select(col("query_id"), col("vec_id"))
+      .join(gt.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"))
+      .count()
+    val recall = hits.toDouble / (IvfSearch.NumQueries * IvfSearch.K)
+    assert(recall >= 0.6, s"ivf recall@10 = $recall")
+    ann.filter(col("rnk") === 1).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("lang_id identifies planted natural-language samples") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it is a good day for the people in the town", "en"),
+      (2L, "der hund ist ein gutes tier und die katze ist nicht zu laut in der nacht", "de"),
+      (3L, "le chat est un animal et la maison est une belle place que les gens aiment pas", "fr"),
+      (4L, "el perro es un animal y la casa es una bella plaza que no es de los gatos", "es"),
+      (5L, "il gatto e un animale che non sono per una casa e il cane e di la", "it"))
+    val df = samples.toDF("doc_id", "text", "expected")
+    val pred = TextAnalysis.langId(df, "doc_id", "text")
+      .join(df.select(col("doc_id"), col("expected")), "doc_id")
+      .collect()
+    pred.foreach { r =>
+      assert(r.getString(1) == r.getString(3), s"doc ${r.getLong(0)}: ${r.getString(1)} != ${r.getString(3)}")
+    }
+  }
+
+  test("winnow fingerprints: deterministic, shift-tolerant overlap") {
+    val t1 = UTF8String.fromString("the quick brown fox jumps over the lazy dog again and again today")
+    val t2 = UTF8String.fromString("PREFIX added the quick brown fox jumps over the lazy dog again and again today")
+    val f1 = FingerprintKernels.winnow(t1).toLongArray().toSet
+    val f1b = FingerprintKernels.winnow(t1).toLongArray().toSet
+    val f2 = FingerprintKernels.winnow(t2).toLongArray().toSet
+    assert(f1 == f1b)
+    val overlap = f1.intersect(f2).size.toDouble / f1.size
+    assert(overlap >= 0.7, s"shifted-doc fingerprint overlap = $overlap")
+    // short text -> empty fingerprints, no crash
+    assert(FingerprintKernels.winnow(UTF8String.fromString("tiny")).numElements() == 0)
+  }
+
+  test("doc_fingerprint query returns one row per doc with consistent mins") {
+    val fp = TextAnalysis.docFingerprint(spark, sf).collect()
+    assert(fp.length == docs.count())
+    fp.foreach { r =>
+      assert(r.getInt(1) > 0)
+      assert(r.getLong(3) <= r.getLong(2)) // min <= first
+    }
+  }
+
+  test("multimodal decode batches produce deterministic typed metadata") {
+    val m = BinaryMeta.multimodalMeta(spark, sf).orderBy("doc_id").collect()
+    assert(m.length == docs.count())
+    m.foreach { r =>
+      val len = r.getInt(1)
+      assert(r.getInt(2) == len % 640 + 16)
+      assert(r.getInt(3) == (len * 7) % 480 + 16)
+      assert(r.getInt(4) == 1)
+    }
+  }
+}
