@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.index.LshIndex
+import graft.lsh.{Lsh, LshParams}
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def tmp(name: String): String = {
+    val d = s"/root/repo/target/tmp/streaming/$name"
+    val p = Paths.get(d)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+    }
+    Files.createDirectories(p)
+    d
+  }
+
+  test("file-stream ingest LSH-codes vectors identically to the batch path") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Lsh.fit(emb, "embedding", LshParams())
+    val in = tmp("ingest-in")
+    val out = tmp("ingest-out")
+    val ckpt = tmp("ingest-ckpt")
+    // stage the corpus as two arriving batches
+    emb.filter(col("vec_id") < 250).write.mode("overwrite").parquet(s"$in/b0")
+    emb.filter(col("vec_id") >= 250).write.mode("append").parquet(s"$in/b0")
+    val schema = emb.schema
+    val q = StreamingIngest.codedVectorStream(spark, s"$in/b0", model, schema)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+    val batch = LshIndex.codes(emb, "vec_id", "embedding", model)
+    assert(streamed.count() == batch.count())
+    // identical (id, t, d, key) sets
+    val diff = streamed.select("id", "t", "d", "key")
+      .exceptAll(batch.select("id", "t", "d", "key")).count()
+    assert(diff == 0)
+  }
+
+  test("watermarked windowed aggregation matches the batch twin per closed window") {
+    val events = Tables.events(spark, sf)
+    val in = tmp("events-in")
+    val ckpt = tmp("events-ckpt")
+    val out = tmp("events-out")
+    events.write.mode("overwrite").parquet(s"$in/b0")
+    val stream = spark.readStream.schema(spark.read.parquet(s"$in/b0").schema)
+      .parquet(s"$in/b0")
+    val q = StreamingIngest.windowedEventCounts(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    // append mode emits only windows closed by the watermark; every
+    // emitted window must agree exactly with the batch aggregate
+    val joined = streamed.join(batch.withColumnRenamed("n_events", "n_b")
+        .withColumnRenamed("sum_value", "s_b"), Seq("hour_start", "event_type"))
+    assert(streamed.count() > 0)
+    assert(joined.count() == streamed.count())
+    assert(joined.filter(col("n_events") =!= col("n_b") || col("sum_value") =!= col("s_b")).count() == 0)
+  }
+}
