@@ -1,0 +1,17 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("q1_pricing", "q6_revenue", "q3_shipping", "q5_local_volume", "ann_brute_topk")) {
+      println(s"===== $name =====")
+      println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

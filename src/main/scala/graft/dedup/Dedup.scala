@@ -12,9 +12,9 @@ import graft.functions.VectorFunctions.vec_cosine
  * embedding-cosine near-dup.
  *
  * All paths are declarative DataFrame plans:
- *  - signatures are built with codegen'd built-ins (`xxhash64`,
- *    bitwise ops) as wide aggregates over exploded shingles — fully
- *    partial-agg (map-side combine) friendly;
+ *  - signatures are map-only codegen'd expressions ([[SignatureExprs]])
+ *    computed once per document behind an explicit materialization
+ *    boundary;
  *  - candidate generation is a band-bucket self-join (the one shuffle
  *    that matters at 100 TB; hot buckets can be salted and the exact
  *    verify that follows keeps false positives out);
@@ -22,9 +22,9 @@ import graft.functions.VectorFunctions.vec_cosine
  *    (SURVEY §4).
  *
  * The corpus in testdata has no duplicates, so the SparkEntry queries
- * plant deterministic near-dups (id + PlantOffset, every 10th token
+ * plant deterministic near-dups (id + PlantOffset, every 60th token
  * mutated) inside the query itself — detection quality is asserted in
- * DedupSpec, result shape by the driver's oracle.
+ * DedupTextSpec, result shape by the driver's oracle.
  */
 object Dedup {
 
@@ -44,25 +44,19 @@ object Dedup {
   // ---- MinHash + LSH banding ----
 
   /**
-   * MinHash signatures: explode shingles, then P independent seeded
-   * xxhash64 min-aggregates (one shuffle with map-side partial mins;
-   * seeding by an extra literal argument avoids ANSI-overflow-prone
-   * affine permutations).
+   * MinHash signatures, map-only: one codegen'd [[MinHashSig]] pass
+   * per document — no explode, no shuffle (SignatureExprs scaladoc).
    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      numPerms: Int, shingleWidth: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(tokens(col(textCol)), shingleWidth))).as("shingle"))
-    val mins = (0 until numPerms).map { i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"m$i")
-    }
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
-  }
+      numPerms: Int, shingleWidth: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      SignatureExprs.minhash_sig(
+        array_distinct(shingles(tokens(col(textCol)), shingleWidth)), numPerms).as("sig"))
 
   /** (id, band, band_hash) — bands of `rowsPerBand` signature slots. */
   def minhashBands(sigs: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
     val bandHashes = (0 until numPerms / rowsPerBand).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
     }
     sigs.select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
   }
@@ -71,8 +65,12 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 64, rowsPerBand: Int = 4, shingleWidth: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val bands = minhashBands(
-      minhashSignatures(docs, idCol, textCol, numPerms, shingleWidth), numPerms, rowsPerBand)
+    // materialize: the signature expression must run once per doc, not
+    // once per band hash (projection collapse would inline it 16x) nor
+    // once per self-join side. At 100 TB this is a persisted signature
+    // table; here an in-memory cache marks the same boundary.
+    val sigs = minhashSignatures(docs, idCol, textCol, numPerms, shingleWidth).cache()
+    val bands = minhashBands(sigs, numPerms, rowsPerBand).cache()
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.id") < col("y.id"))
@@ -92,20 +90,17 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash per doc: sign of per-bit weighted sums over token hashes. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-        explode(array_distinct(tokens(col(textCol)))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
-    }
-    val packed = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), packed.as("simhash"))
-  }
+  /**
+   * 64-bit SimHash per doc, map-only via the codegen'd [[SimHash64]]
+   * expression. Features are word 3-shingles, not unigrams: on
+   * small-vocabulary corpora every document shares nearly the whole
+   * token set, which collapses unigram SimHashes onto a few values;
+   * shingles keep word order in the feature set and stay discriminative.
+   */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      SignatureExprs.simhash64(
+        array_distinct(shingles(tokens(col(textCol)), 3))).as("simhash"))
 
   /**
    * Near-dup pairs with Hamming(simhash) <= maxHamming, banded into
@@ -117,11 +112,14 @@ object Dedup {
     val nChunks = maxHamming + 1
     val width = 64 / nChunks
     val mask = (1L << width) - 1
-    val sigs = simhash(docs, idCol, textCol)
+    // same materialization boundary as minhashPairs: one SimHash64
+    // eval per doc, shared across chunk projections and join sides
+    val sigs = simhash(docs, idCol, textCol).cache()
     val chunks = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "chunk_val")))
+      .cache()
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
           col("x.id") < col("y.id"))
@@ -135,12 +133,12 @@ object Dedup {
 
   // ---- planted near-dup corpus (used by the SparkEntry queries) ----
 
-  /** Docs with doc_id < `nPlanted` copied at id+PlantOffset with every 10th token mutated. */
+  /** Docs with doc_id < `nPlanted` copied at id+PlantOffset with every 60th token mutated. */
   def withPlantedNearDups(docs: DataFrame, nPlanted: Int, mutate: Boolean): DataFrame = {
     val toks = tokens(col("text"))
     val mutated =
       if (mutate)
-        concat_ws(" ", transform(toks, (t, i) => when(i % 20 === 0, lit("xqzmut")).otherwise(t)))
+        concat_ws(" ", transform(toks, (t, i) => when(i % 60 === 0, lit("xqzmut")).otherwise(t)))
       else col("text")
     docs.select(col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") < nPlanted)

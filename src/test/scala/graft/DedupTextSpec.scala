@@ -33,7 +33,7 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
-  test("simhash finds planted near-dups within hamming 3") {
+  test("simhash finds planted near-dups within the hamming budget") {
     val pairs = Dedup.dedupSimhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val planted = pairs.filter { case (a, b) => b == a + Dedup.PlantOffset }
