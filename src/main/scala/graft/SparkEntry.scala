@@ -12,9 +12,10 @@ import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full MSANNP ANN pipeline (code -> partition -> probe ->
+    * refine -> top-k) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
+    AnnQuery.annLshTopK(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -170,12 +170,35 @@ object AnnQuery {
   private def fitModel(spark: SparkSession, sfDir: String): LshModel =
     Lsh.fit(emb(spark, sfDir), "embedding", LshParams())
 
+  /**
+   * Adaptive wrapper (reference QueryServiceImpl retry: if a query
+   * returns fewer than k results, rerun it with probes widened to 10).
+   * The retry is a second join pass over only the starved queries —
+   * at scale that set is tiny, so the extra pass costs ~nothing.
+   */
+  def lshTopKAdaptive(spark: SparkSession, data: DataFrame, queries: DataFrame,
+      k: Int, model: LshModel, built: LshIndex.Built,
+      retryProbes: Int = 10): DataFrame = {
+    val first = lshTopK(spark, data, queries, k, model, built).cache()
+    val starved = queries.join(
+      first.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= k)
+        .select(col("query_id").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+    if (starved.isEmpty) first
+    else {
+      val widened = model.copy(params = model.params.copy(maxProbes = retryProbes))
+      first.join(starved.select(col("vec_id").as("query_id")), Seq("query_id"), "left_anti")
+        .unionByName(lshTopK(spark, data, starved, k, widened, built))
+    }
+  }
+
   /** Full MSANNP pipeline end-to-end (rows oracle + recall spec). */
   def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val data = emb(spark, sfDir)
     val model = fitModel(spark, sfDir)
     val built = LshIndex.build(LshIndex.codes(data, "vec_id", "embedding", model), model.params.blockSize)
-    lshTopK(spark, data, queryVecs(spark, sfDir), DefaultK, model, built)
+    lshTopKAdaptive(spark, data, queryVecs(spark, sfDir), DefaultK, model, built)
   }
 
   /** Recall@K of the LSH path vs brute force on kVariants (reference eval loop). */

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming sessionization with explicit keyed state
+ * (`flatMapGroupsWithState`): per user, events accumulate into an open
+ * session; a gap > 30 minutes closes the session and emits it. The
+ * same 30-minute-gap semantics as the batch `q_sessionize` operator,
+ * whose windowed lag/cumsum plan is the oracle-checked twin.
+ *
+ * State per key is O(1) (open-session aggregates only — no event
+ * buffering), so state-store size is #active-users, not #events:
+ * the posture that survives unbounded streams.
+ */
+object SessionizeStream {
+
+  val GapMicros: Long = 30L * 60 * 1000000
+
+  final case class Event(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+
+  final case class OpenSession(
+      sessionSeq: Long, startMicros: Long, lastMicros: Long, nEvents: Long, sumValue: Double)
+
+  final case class ClosedSession(
+      user_id: Long, session_seq: Long, n_events: Long,
+      start_micros: Long, end_micros: Long, session_value: Double)
+
+  /**
+   * Fold a user's new (unsorted within the micro-batch) events into
+   * the open-session state; emit every session closed by a gap.
+   */
+  def updateUser(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    val sorted = events.toArray.sortBy(e => (e.tsMicros, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+    var cur = state.getOption.orNull
+    sorted.foreach { e =>
+      if (cur == null) {
+        cur = OpenSession(1L, e.tsMicros, e.tsMicros, 1L, e.value)
+      } else if (e.tsMicros - cur.lastMicros > GapMicros) {
+        out += ClosedSession(userId, cur.sessionSeq, cur.nEvents,
+          cur.startMicros, cur.lastMicros, cur.sumValue)
+        cur = OpenSession(cur.sessionSeq + 1, e.tsMicros, e.tsMicros, 1L, e.value)
+      } else {
+        cur = cur.copy(lastMicros = e.tsMicros, nEvents = cur.nEvents + 1,
+          sumValue = cur.sumValue + e.value)
+      }
+    }
+    state.update(cur)
+    out.iterator
+  }
+
+  /** events stream (ts TIMESTAMP) -> closed sessions per user. */
+  def sessionize(spark: SparkSession, events: Dataset[org.apache.spark.sql.Row]): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("tsMicros"), col("value").cast("double"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateUser)
+  }
+}
