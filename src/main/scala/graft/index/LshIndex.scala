@@ -22,13 +22,15 @@ import graft.lsh.{Lsh, LshModel}
  *    of the rows with ids dropped — the only state that is ever
  *    collected/broadcast (KBs-MBs at 100 TB).
  *
- * Scale note: exact global block numbering per (t, d) serializes each
- * (t, d) through one window reducer (24 reducers by default). At
- * 100 TB the same plan holds by range-partitioning `key` within
- * (t, d) and offsetting local row numbers by per-range counts (a
- * driver-side prefix sum over a tiny count table); block boundaries
- * shift by at most one range — semantics (sorted runs of ~blockSize)
- * are preserved.
+ * Two numbering strategies produce identical results:
+ *  - [[build]] (default): range-partition by (t, d, key, id), sort
+ *    within partitions, then offset each partition's local row numbers
+ *    by a driver-side prefix sum over a tiny (ranges x t x d) count
+ *    table. Parallelism = number of ranges, independent of the (t, d)
+ *    fan-out — the 100 TB path.
+ *  - [[buildWindowed]]: plain row_number window per (t, d) — simple,
+ *    but serializes each (t, d) through one reducer; kept as the
+ *    cross-check oracle for the scalable path.
  */
 object LshIndex {
 
@@ -41,12 +43,64 @@ object LshIndex {
 
   final case class Built(membership: DataFrame, summaries: DataFrame)
 
+  final case class CodeRow(id: Long, t: Int, d: Int, key: Long, code: Array[Long], pid: Int)
+
+  /**
+   * Scalable exact global numbering: range-partition + local sort +
+   * driver-side prefix sum of per-(range, t, d) counts. Only the count
+   * table (ranges x tables x divisions rows) crosses the driver. The
+   * range id is materialized as a column before caching so the count
+   * pass and the numbering pass agree on it by construction.
+   */
   def build(codesDf: DataFrame, blockSize: Int): Built = {
+    val spark = codesDf.sparkSession
+    import spark.implicits._
+    val nRanges = spark.sparkContext.defaultParallelism
+    val sorted = codesDf.select("id", "t", "d", "key", "code")
+      .repartitionByRange(nRanges, col("t"), col("d"), col("key"), col("id"))
+      .sortWithinPartitions("t", "d", "key", "id")
+      .withColumn("pid", spark_partition_id())
+      .as[CodeRow]
+      .cache()
+    // tiny count table -> per-(range, t, d) starting offsets
+    val counts = sorted.groupBy("pid", "t", "d").count()
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+    val offsets: Map[(Int, Int, Int), Long] =
+      counts.groupBy { case ((_, t, d), _) => (t, d) }.flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy { case ((pid, _, _), _) => pid }.map { case ((pid, t, d), n) =>
+          val o = ((pid, t, d), acc)
+          acc += n
+          o
+        }
+      }
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    val numbered = sorted.mapPartitions { it =>
+      val local = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      it.map { r =>
+        val k = (r.t, r.d)
+        val i = local.getOrElse(k, 0L)
+        local(k) = i + 1
+        (r.id, r.t, r.d, r.key, r.code, offsetsB.value((r.pid, r.t, r.d)) + i)
+      }
+    }.toDF("id", "t", "d", "key", "code", "rn")
+      .withColumn("block", (col("rn") / blockSize).cast("int"))
+      .withColumn("local", col("rn") % blockSize)
+    finish(numbered)
+  }
+
+  /** Window-based numbering (one reducer per (t, d)); oracle for [[build]]. */
+  def buildWindowed(codesDf: DataFrame, blockSize: Int): Built = {
     val w = Window.partitionBy("t", "d").orderBy("key", "id")
     val numbered = codesDf
       .withColumn("rn", (row_number().over(w) - 1).cast("long"))
       .withColumn("block", (col("rn") / blockSize).cast("int"))
       .withColumn("local", col("rn") % blockSize)
+    finish(numbered)
+  }
+
+  private def finish(numbered: DataFrame): Built = {
     val wb = Window.partitionBy("t", "d", "block")
     val withRep = numbered
       .withColumn("bn", count(lit(1)).over(wb))

@@ -65,6 +65,18 @@ class LshSpec extends SparkSpecBase {
     assert(dup == 0)
   }
 
+  test("scalable prefix-sum build is identical to the windowed oracle build") {
+    val codes = LshIndex.codes(emb, "vec_id", "embedding", model)
+    val a = LshIndex.build(codes, 64)
+    val b = LshIndex.buildWindowed(codes, 64)
+    assert(a.membership.exceptAll(b.membership).count() == 0)
+    assert(b.membership.exceptAll(a.membership).count() == 0)
+    val sa = a.summaries.select("t", "d", "block", "min_key", "max_key", "n", "rep_code")
+    val sb = b.summaries.select("t", "d", "block", "min_key", "max_key", "n", "rep_code")
+    assert(sa.exceptAll(sb).count() == 0)
+    assert(sb.exceptAll(sa).count() == 0)
+  }
+
   test("findNearestBlock: in-range hit, boundary fallbacks") {
     val s = LshIndex.TdSummary(Array(10L, 50L, 100L), Array(20L, 60L, 110L),
       Array(Array(0L), Array(0L), Array(0L)))
