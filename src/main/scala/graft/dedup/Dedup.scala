@@ -61,16 +61,26 @@ object Dedup {
     sigs.select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
   }
 
-  /** Candidate pairs (a < b) sharing >= 1 band, verified with exact shingle Jaccard. */
+  /**
+   * Candidate pairs (a < b) sharing >= 1 band, verified with exact
+   * shingle Jaccard. Buckets larger than `maxBucket` are dropped
+   * before pairing: a bucket of b docs yields O(b^2) candidate pairs,
+   * and at corpus scale a degenerate bucket (boilerplate, empty docs)
+   * would otherwise dominate the join; near-dups lost this way still
+   * collide in their other 15 bands.
+   */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 64, rowsPerBand: Int = 4, shingleWidth: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     // materialize: the signature expression must run once per doc, not
     // once per band hash (projection collapse would inline it 16x) nor
     // once per self-join side. At 100 TB this is a persisted signature
     // table; here an in-memory cache marks the same boundary.
     val sigs = minhashSignatures(docs, idCol, textCol, numPerms, shingleWidth).cache()
-    val bands = minhashBands(sigs, numPerms, rowsPerBand).cache()
+    val allBands = minhashBands(sigs, numPerms, rowsPerBand).cache()
+    val hot = allBands.groupBy("band", "band_hash").count()
+      .filter(col("count") > maxBucket).select("band", "band_hash")
+    val bands = allBands.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.id") < col("y.id"))

@@ -58,7 +58,8 @@ object AnnQuery {
       queries: DataFrame,
       k: Int,
       model: LshModel,
-      built: LshIndex.Built): DataFrame = {
+      built: LshIndex.Built,
+      deletedIds: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val p = model.params
 
@@ -102,11 +103,15 @@ object AnnQuery {
       }
     }.toDF()
 
-    // candidate union: min Hamming across (table, division) probes
-    val candidates = probed
+    // candidate union: min Hamming across (table, division) probes.
+    // Soft deletes (reference metadata.isDeleted / loadPointIfActive)
+    // drop out here via anti-join — the index itself is not touched.
+    val candidatesAll = probed
       .join(built.membership, Seq("t", "d", "block"))
       .groupBy(col("qid"), col("id"))
       .agg(min(col("score")).as("hamming"))
+    val candidates = deletedIds.fold(candidatesAll)(del =>
+      candidatesAll.join(broadcast(del.select(col("id"))), Seq("id"), "left_anti"))
 
     // bounded refine: top refinementLimit by Hamming, then exact L2
     val wRefine = Window.partitionBy("qid").orderBy(col("hamming"), col("id"))

@@ -94,6 +94,24 @@ class LshSpec extends SparkSpecBase {
     assert(Lsh.hamming(Array(5L, 3L), Array(4L, 0L)) == 3)
   }
 
+  test("soft delete: deleted neighbor vanishes from results, k results still returned") {
+    import org.apache.spark.sql.functions._
+    val data = emb
+    val built = LshIndex.build(LshIndex.codes(data, "vec_id", "embedding", model), 64)
+    val queries = data.filter(col("vec_id") === 0)
+    val before = AnnQuery.lshTopK(spark, data, queries, 10, model, built)
+      .orderBy("rnk").collect()
+    val victim = before(1).getLong(1) // rank-2 neighbor (rank 1 is self)
+    import spark.implicits._
+    val deleted = Seq(victim).toDF("id")
+    val after = AnnQuery.lshTopK(spark, data, queries, 10, model, built, Some(deleted))
+      .orderBy("rnk").collect()
+    assert(after.length == 10)
+    assert(!after.map(_.getLong(1)).contains(victim))
+    // remaining order preserved: old rank-3 becomes rank-2
+    assert(after(1).getLong(1) == before(2).getLong(1))
+  }
+
   test("lsh top-k: self-match at rank 1 and recall@10 >= 0.8 vs brute force") {
     val recall = AnnQuery.annRecallEval(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
