@@ -47,19 +47,12 @@ object AnnQuery {
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
   }
 
-  /**
-   * Multi-probe LSH top-k. Best-first block expansion runs
-   * distributed on the (small) query side with broadcast summaries;
-   * everything row-heavy is joins + windows.
-   */
-  def lshTopK(
+  /** Best-first multi-probe block selection per (query, table, division). */
+  def probeBlocks(
       spark: SparkSession,
-      data: DataFrame,
       queries: DataFrame,
-      k: Int,
       model: LshModel,
-      built: LshIndex.Built,
-      deletedIds: Option[DataFrame] = None): DataFrame = {
+      built: LshIndex.Built): DataFrame = {
     import spark.implicits._
     val p = model.params
 
@@ -70,7 +63,7 @@ object AnnQuery {
       .select(col("id").as("qid"), col("t"), col("d"), col("key"), col("code"))
       .as[QueryCode]
 
-    val probed = qCodes.mapPartitions { it =>
+    qCodes.mapPartitions { it =>
       it.flatMap { qc =>
         summB.value.get((qc.t, qc.d)) match {
           case None => Iterator.empty
@@ -102,6 +95,23 @@ object AnnQuery {
         }
       }
     }.toDF()
+  }
+
+  /**
+   * Multi-probe LSH top-k. Best-first block expansion runs
+   * distributed on the (small) query side with broadcast summaries;
+   * everything row-heavy is joins + windows.
+   */
+  def lshTopK(
+      spark: SparkSession,
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      model: LshModel,
+      built: LshIndex.Built,
+      deletedIds: Option[DataFrame] = None): DataFrame = {
+    val p = model.params
+    val probed = probeBlocks(spark, queries, model, built)
 
     // candidate union: min Hamming across (table, division) probes.
     // Soft deletes (reference metadata.isDeleted / loadPointIfActive)
@@ -223,18 +233,35 @@ object AnnQuery {
     lshTopKAdaptive(spark, emb(spark, sfDir), queryVecs(spark, sfDir), DefaultK, model, built)
   }
 
-  /** Recall@K of the LSH path vs brute force on kVariants (reference eval loop). */
+  /**
+   * Recall@K of the LSH path vs brute force on the reference's
+   * kVariants {1,5,10,20,40,60,80,100}, plus the reference's ratio
+   * metric (mean #refined-candidates / k).
+   */
   def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val kVariants = Seq(1, 5, 10)
+    val kVariants = Seq(1, 5, 10, 20, 40, 60, 80, 100)
     val data = emb(spark, sfDir)
     val queries = queryVecs(spark, sfDir)
     val maxK = kVariants.max
     val (model, built) = setup(spark, sfDir)
+    val ratios = candidateCounts(spark, queries, model, built)
+      .select(explode(array(kVariants.map(lit): _*)).as("k"), col("n_candidates"))
+      .groupBy("k").agg(round(avg(col("n_candidates") / col("k")), 2).as("avg_ratio"))
     recallEval(
       lshTopK(spark, data, queries, maxK, model, built),
       bruteTopK(data, queries, maxK),
       kVariants)
+      .join(ratios, Seq("k"))
+      .orderBy("k")
   }
+
+  /** Unique candidates per query surfaced by the probe stage (ratio numerator). */
+  def candidateCounts(spark: SparkSession, queries: DataFrame,
+      model: LshModel, built: LshIndex.Built): DataFrame =
+    probeBlocks(spark, queries, model, built)
+      .join(built.membership, Seq("t", "d", "block"))
+      .groupBy("qid").agg(countDistinct("id").as("n_candidates"))
+      .select(col("qid").as("query_id"), col("n_candidates"))
 
   /** Per-vector LSH codes (rows oracle; values spec'd in LshSpec). */
   def lshCode(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.SignatureKernels
+import graft.functions.{BinaryPackKernels, VectorKernels}
+import graft.lsh.{GFunction, Lsh, LshParams}
+import graft.text.FingerprintKernels
+
+/**
+ * Property-style checks of the native kernels over seeded random
+ * inputs (pure JVM, no Spark session).
+ */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260812)
+  private def floats(n: Int): Array[Float] = Array.fill(n)(rnd.nextFloat() * 200 - 100)
+  private def ad(a: Array[Float]) = new GenericArrayData(a.map(x => x: Any))
+  private def utf8(ss: Seq[String]) =
+    new GenericArrayData(ss.map(s => UTF8String.fromString(s): Any).toArray)
+
+  test("pack/unpack floats roundtrips bit-exactly") {
+    (1 to 200).foreach { _ =>
+      val a = floats(rnd.nextInt(64) + 1)
+      val back = BinaryPackKernels.unpack(BinaryPackKernels.pack(ad(a)))
+      assert(back.numElements() == a.length)
+      a.indices.foreach(i => assert(
+        java.lang.Float.floatToIntBits(back.getFloat(i)) == java.lang.Float.floatToIntBits(a(i))))
+    }
+  }
+
+  test("vector kernels: metric axioms on random vectors") {
+    (1 to 200).foreach { _ =>
+      val a = floats(16)
+      val b = floats(16)
+      assert(VectorKernels.l2(ad(a), ad(b)) == VectorKernels.l2(ad(b), ad(a)))
+      assert(VectorKernels.l2(ad(a), ad(b)) >= 0)
+      assert(VectorKernels.l2(ad(a), ad(a)) == 0.0)
+      val cos = VectorKernels.cosine(ad(a), ad(b))
+      assert(cos >= -1.0000001 && cos <= 1.0000001)
+      assert(math.abs(VectorKernels.dot(ad(a), ad(a)) - a.map(x => x.toDouble * x).sum) < 1e-6)
+    }
+  }
+
+  test("hamming: identity, symmetry, triangle inequality on packed codes") {
+    (1 to 500).foreach { _ =>
+      val a = Array.fill(2)(rnd.nextLong())
+      val b = Array.fill(2)(rnd.nextLong())
+      val c = Array.fill(2)(rnd.nextLong())
+      assert(Lsh.hamming(a, a) == 0)
+      assert(Lsh.hamming(a, b) == Lsh.hamming(b, a))
+      assert(Lsh.hamming(a, c) <= Lsh.hamming(a, b) + Lsh.hamming(b, c))
+    }
+  }
+
+  test("lsh code kernel: deterministic; hamming grows with perturbation") {
+    val params = LshParams(tables = 1, divisions = 1)
+    val alpha = Array.tabulate(params.m)(j => Array.tabulate(32)(i =>
+      math.sin(j * 131 + i * 17)))
+      .map { a => val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n) }
+    val gf = GFunction(alpha, Array.fill(params.m)(0.1), Array.fill(params.m)(0.5), params.lambda)
+    def code(v: Array[Float]) = gf.codeWords(v, params.codeWords)
+    (1 to 100).foreach { _ =>
+      val base = floats(32).map(_ / 100f)
+      val c0 = code(base)
+      assert(code(base).sameElements(c0))
+      val near = base.clone(); near(rnd.nextInt(32)) += 0.005f
+      val far = base.map(x => -x)
+      assert(Lsh.hamming(c0, code(near)) <= Lsh.hamming(c0, code(far)))
+    }
+  }
+
+  test("minhash: supersets only lower mins; deterministic; permutation-family independence") {
+    (1 to 100).foreach { _ =>
+      val shingles = (1 to rnd.nextInt(30) + 4).map(_ => "s" + rnd.nextInt(10000)).distinct
+      val all = utf8(shingles)
+      val half = utf8(shingles.take(math.max(1, shingles.size / 2)))
+      val sigAll = SignatureKernels.minhash(all, 16)
+      val sigHalf = SignatureKernels.minhash(half, 16)
+      (0 until 16).foreach(i => assert(sigAll.getLong(i) <= sigHalf.getLong(i)))
+      val sigAll2 = SignatureKernels.minhash(all, 16)
+      (0 until 16).foreach(i => assert(sigAll.getLong(i) == sigAll2.getLong(i)))
+    }
+    // distinct permutation slots behave independently (not all equal)
+    val sig = SignatureKernels.minhash(utf8(Seq("a", "b", "c", "d", "e")), 16)
+    assert((0 until 16).map(sig.getLong).distinct.size > 1)
+  }
+
+  test("simhash: identical sets equal; disjoint sets differ; jaccard-monotone tendency") {
+    val s1 = (1 to 30).map(i => s"tok$i")
+    assert(SignatureKernels.simhash(utf8(s1)) == SignatureKernels.simhash(utf8(s1)))
+    assert(SignatureKernels.simhash(utf8(s1)) !=
+      SignatureKernels.simhash(utf8((100 to 130).map(i => s"zzz$i"))))
+    // small edits -> closer than disjoint sets, on average
+    val base = SignatureKernels.simhash(utf8(s1))
+    val edited = SignatureKernels.simhash(utf8(s1.updated(0, "changed")))
+    val disjoint = SignatureKernels.simhash(utf8((100 to 130).map(i => s"zzz$i")))
+    assert(java.lang.Long.bitCount(base ^ edited) < java.lang.Long.bitCount(base ^ disjoint))
+  }
+
+  test("winnow: shift-tolerant overlap and guaranteed coverage density") {
+    (1 to 50).foreach { _ =>
+      val s = (1 to 40).map(_ => ('a' + rnd.nextInt(26)).toChar.toString * (rnd.nextInt(3) + 1))
+        .mkString(" ")
+      val f1 = FingerprintKernels.winnow(UTF8String.fromString(s)).toLongArray().toSet
+      val f2 = FingerprintKernels.winnow(UTF8String.fromString("XPREFIX " + s)).toLongArray().toSet
+      assert(f1.nonEmpty)
+      assert(f1.intersect(f2).size.toDouble / f1.size >= 0.5)
+    }
+  }
+}
