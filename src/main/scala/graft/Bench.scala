@@ -20,10 +20,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // drop intermediate caches of the previous query: accumulated
-      // storage memory otherwise squeezes execution memory mid-bench
-      spark.catalog.clearCache()
+      // drop accumulated intermediate caches (both the previous query's
+      // and the warmup's): storage memory otherwise squeezes execution
+      // memory mid-bench, and the timed run should pay its own caching
       try { if (warmDir != sfDir) fn(spark, warmDir).count() } catch { case _: Throwable => }
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
