@@ -7,7 +7,8 @@ object ExplainMain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (name <- Seq("q1_pricing", "q6_revenue", "q3_shipping", "q5_local_volume", "ann_brute_topk")) {
+    for (name <- Seq("q1_pricing", "q6_revenue", "q3_shipping", "q5_local_volume",
+        "ann_brute_topk", "ann_lsh_topk", "dedup_minhash", "simsearch_ivf", "embed_quantize")) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

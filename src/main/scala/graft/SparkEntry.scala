@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Analytics
+import graft.operators.{Analytics, Embeddings}
 import graft.crypto.VersionedCrypto
 import graft.dedup.Dedup
 import graft.multimodal.BinaryMeta
@@ -50,6 +50,7 @@ object SparkEntry {
     "token_count" -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (BinaryMeta.multimodalMeta _),
+    "embed_quantize" -> (Embeddings.embedQuantize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,5 +79,6 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "multimodal_meta" -> BinaryMeta.multimodalMetaSql,
+    "embed_quantize" -> Embeddings.embedQuantizeSql,
   )
 }

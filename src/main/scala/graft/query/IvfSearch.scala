@@ -12,13 +12,12 @@ import graft.functions.VectorFunctions.vec_l2
  * coarse cells (nearest of C centroids); a query probes only its
  * `nProbe` nearest cells and refines exactly inside them.
  *
- * Spark posture: centroids are a broadcast dimension (KBs). Cell
- * assignment is a broadcast join + argmin window — one pass, no
- * shuffle of the corpus beyond the (cell) hash partitioning, which at
- * 100 TB is the layout you bucket/partition the stored table by, so a
- * probe only scans `nProbe / C` of the data. Deterministic
- * centroid choice (first C vectors) keeps the oracle reproducible;
- * k-means iterations would slot into the same plan unchanged.
+ * Spark posture: centroids are a broadcast dimension (KBs) fitted by
+ * deterministic driver-side k-means over a bounded sample (the same
+ * posture as the LSH fit: only the sample ever crosses the driver).
+ * Cell assignment is a broadcast join + argmin window — one pass; at
+ * 100 TB the stored table is bucketed by cell, so a probe only scans
+ * `nProbe / C` of the data.
  */
 object IvfSearch {
 
@@ -26,6 +25,37 @@ object IvfSearch {
   val NumProbes = 4
   val K = 10
   val NumQueries = 20
+  val MaxSample = 10000
+  val KmeansIters = 5
+
+  /** Deterministic Lloyd k-means on a driver-side sample (init = first C points). */
+  def kmeans(sample: Array[Array[Float]], c: Int, iters: Int): Array[Array[Float]] = {
+    val dim = sample.head.length
+    var centroids = sample.take(c).map(_.map(_.toDouble))
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(c)(new Array[Double](dim))
+      val counts = new Array[Long](c)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < c) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val x = v(i) - centroids(j)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0) old else sums(j).map(_ / counts(j))
+      }
+    }
+    centroids.map(_.map(_.toFloat))
+  }
 
   /** (vec_id, cell): nearest-centroid assignment via broadcast argmin. */
   def assignCells(data: DataFrame, centroids: DataFrame): DataFrame = {
@@ -39,8 +69,14 @@ object IvfSearch {
 
   def ivfTopK(spark: SparkSession, data: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    val centroids = data.orderBy("vec_id").limit(NumCentroids)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cv"))
+    import spark.implicits._
+    val sample = data.orderBy("vec_id").limit(MaxSample)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centroids = kmeans(sample, NumCentroids, KmeansIters)
+      .zipWithIndex
+      .map { case (cv, cell) => (cell, cv) }
+      .toSeq.toDF("cell", "cv")
     val cells = assignCells(data, centroids)
 
     // queries probe their nProbe nearest cells
