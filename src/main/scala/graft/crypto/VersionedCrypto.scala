@@ -103,7 +103,7 @@ object VersionedCrypto {
         length(col("iv")).as("iv_len"), length(col("ct")).as("ct_len"))
 
   val encryptPointsSql: String =
-    """SELECT vec_id AS id, 1 AS kv, len(embedding) AS dim,
+    """SELECT vec_id AS id, 1 AS kv, CAST(len(embedding) AS INTEGER) AS dim,
       |  12 AS iv_len, CAST(12 + 4 * len(embedding) + 16 AS INTEGER) AS ct_len
       |FROM embeddings""".stripMargin
 
@@ -149,7 +149,7 @@ object VersionedCrypto {
   val keyRotationSql: String =
     """SELECT vec_id AS id,
       |  CASE WHEN vec_id % 10 = 0 THEN 2 ELSE 1 END AS kv,
-      |  len(embedding) AS dim,
+      |  CAST(len(embedding) AS INTEGER) AS dim,
       |  CAST(12 + 4 * len(embedding) + 16 AS INTEGER) AS ct_len
       |FROM embeddings""".stripMargin
 }
