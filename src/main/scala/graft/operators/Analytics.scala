@@ -17,30 +17,41 @@ import graft.Tables
  */
 object Analytics {
 
+  // Money/measure aggregates run in exact DECIMAL and only convert to
+  // DOUBLE after the final ROUND: double SUMs are association-order
+  // dependent (partial aggregation in Spark, segment trees in DuckDB),
+  // so ulp drift can survive 2-dp rounding at scale; decimal addition
+  // is associative and both engines agree exactly (SURVEY §5).
+  private val price = col("l_extendedprice").cast("decimal(18,4)")
+  private val qty = col("l_quantity").cast("decimal(18,2)")
+  private val disc = col("l_discount").cast("decimal(5,4)")
+  private val oneMinusDisc = lit(1.0).cast("decimal(5,4)") - disc
+  private val onePlusTax = lit(1.0).cast("decimal(5,4)") + col("l_tax").cast("decimal(5,4)")
+
   /** Q1-shape pricing summary: scan-heavy group aggregate over lineitem. */
   def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(sum(qty), 2).cast("double").as("sum_qty"),
+        round(sum(price), 2).cast("double").as("sum_base_price"),
+        round(sum(price * oneMinusDisc), 2).cast("double").as("sum_disc_price"),
+        round(sum(price * oneMinusDisc * onePlusTax), 2).cast("double").as("sum_charge"),
+        round(sum(qty).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(price).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(sum(disc).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   val q1PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-      |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-      |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-      |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-      |  ROUND(AVG(l_discount), 4) AS avg_disc,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1.0 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4)))), 2) AS DOUBLE) AS sum_charge,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(5,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -54,11 +65,11 @@ object Analytics {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(round(sum(price * disc), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 
   val q6RevenueSql: String =
-    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(5,4))), 2) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -76,14 +87,14 @@ object Analytics {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(price * oneMinusDisc), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q3ShippingSql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -111,12 +122,12 @@ object Analytics {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(price * oneMinusDisc), 2).cast("double").as("revenue"))
   }
 
   val q5LocalVolumeSql: String =
     """SELECT n_name,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -161,14 +172,14 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        round(sum(col("value")), 2).as("session_value"))
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("session_value"))
   }
 
   val qSessionizeSql: String =
     """SELECT user_id, session_seq, COUNT(*) AS n_events,
       |  MIN(CAST(ts AS TIMESTAMP)) AS session_start,
       |  MAX(CAST(ts AS TIMESTAMP)) AS session_end,
-      |  ROUND(SUM(value), 2) AS session_value
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
       |FROM (
       |  SELECT user_id, ts, value,
       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -189,36 +200,46 @@ object Analytics {
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
   val qEventsWindowSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
-      |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
-  /** Running revenue per supplier over ship dates (cumulative window). */
+  /**
+   * Running revenue per supplier over ship dates (cumulative window).
+   * Revenue terms are exact DECIMALs: engines disagree on the
+   * floating-point association of window sums (DuckDB aggregates
+   * frames via a segment tree), so double running sums drift by ulps
+   * that occasionally survive 2-dp rounding. Decimal addition is
+   * associative — both engines produce the identical exact sum.
+   */
   def qRunningBalance(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rev = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1.0).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
     Tables.lineitem(spark, sfDir)
-      .withColumn("running_revenue",
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).over(w), 2))
+      .withColumn("running_revenue", sum(rev).over(w))
       .groupBy(col("l_suppkey"))
-      .agg(round(max(col("running_revenue")), 2).as("final_running"),
+      .agg(round(max(col("running_revenue")), 2).cast("double").as("final_running"),
         count(lit(1)).as("n_lines"))
   }
 
   val qRunningBalanceSql: String =
-    """SELECT l_suppkey, ROUND(MAX(running_revenue), 2) AS final_running,
+    """SELECT l_suppkey, CAST(ROUND(MAX(running_revenue), 2) AS DOUBLE) AS final_running,
       |  COUNT(*) AS n_lines
       |FROM (
       |  SELECT l_suppkey,
-      |    ROUND(SUM(l_extendedprice * (1.0 - l_discount)) OVER (
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |        (CAST(1.0 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) OVER (
       |      PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
       |  FROM lineitem)
       |GROUP BY l_suppkey""".stripMargin
 }
