@@ -263,6 +263,18 @@ object AnnQuery {
       .groupBy("qid").agg(countDistinct("id").as("n_candidates"))
       .select(col("qid").as("query_id"), col("n_candidates"))
 
+  /**
+   * The touched set of a query batch: every id whose record a lookup
+   * surfaced (reference `ReencryptionTracker` accumulates exactly
+   * this; selective re-encryption then migrates it to the next key
+   * version — see `VersionedCrypto.rotate`).
+   */
+  def touchedIds(spark: SparkSession, queries: DataFrame,
+      model: LshModel, built: LshIndex.Built): DataFrame =
+    probeBlocks(spark, queries, model, built)
+      .join(built.membership, Seq("t", "d", "block"))
+      .select(col("id")).distinct()
+
   /** Per-vector LSH codes (rows oracle; values spec'd in LshSpec). */
   def lshCode(spark: SparkSession, sfDir: String): DataFrame = {
     val model = fitModel(spark, sfDir)

@@ -44,6 +44,24 @@ class CryptoSpec extends SparkSpecBase {
     }
   }
 
+  test("forward-security loop: query-touched ids from real lookups drive rotation") {
+    import graft.index.LshIndex
+    import graft.lsh.{Lsh, LshParams}
+    import graft.query.AnnQuery
+    val model = Lsh.fit(emb, "embedding", LshParams())
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    // a single query with probe budget 1 touches few blocks
+    val narrow = model.copy(params = model.params.copy(maxProbes = 1))
+    val queries = emb.filter(col("vec_id") === 0)
+    val touched = AnnQuery.touchedIds(spark, queries, narrow, built).cache()
+    val nTouched = touched.count()
+    assert(nTouched > 0 && nTouched <= emb.count(), s"touched=$nTouched out of range")
+    val store = VersionedCrypto.encrypt(emb, "vec_id", "embedding", 1)
+    val rotated = VersionedCrypto.rotate(store, touched, 1)
+    assert(rotated.filter(col("kv") === 2).count() == nTouched)
+    assert(rotated.count() == emb.count())
+  }
+
   test("selective re-encryption touches exactly the touched set; untouched bytes identical") {
     val store = VersionedCrypto.encrypt(emb, "vec_id", "embedding", 1).cache()
     val touched = emb.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("id"))
