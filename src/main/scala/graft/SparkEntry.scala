@@ -47,6 +47,7 @@ object SparkEntry {
     "simsearch_ivf" -> (IvfSearch.simsearchIvf _),
     "lang_id" -> (TextAnalysis.langIdQuery _),
     "text_quality" -> (TextAnalysis.textQuality _),
+    "text_repetition" -> (TextAnalysis.textRepetition _),
     "token_count" -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (BinaryMeta.multimodalMeta _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "ngram_jaccard" -> Dedup.ngramJaccardSql,
     "neardup_embedding" -> Dedup.neardupEmbeddingSql,
     "text_quality" -> TextAnalysis.textQualitySql,
+    "text_repetition" -> TextAnalysis.textRepetitionSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "multimodal_meta" -> BinaryMeta.multimodalMetaSql,
     "embed_quantize" -> Embeddings.embedQuantizeSql,
