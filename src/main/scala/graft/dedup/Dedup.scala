@@ -86,8 +86,15 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+      .cache()
+    // exact-verify shingle sets only for docs that appear in a candidate
+    // pair — at scale the candidate set is a sliver of the corpus, so
+    // the re-tokenization cost tracks candidates, not documents
+    val candIds = cands.select(col("a").as("id"))
+      .unionByName(cands.select(col("b").as("id"))).distinct()
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleWidth)).as("sh"))
+      .join(candIds, Seq("id"), "left_semi")
     cands
       .join(sets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("sh_b")), "b")
