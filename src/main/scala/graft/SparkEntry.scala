@@ -26,6 +26,7 @@ object SparkEntry {
     "q_top_orders_window" -> (Analytics.qTopOrdersWindow _),
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_events_window" -> (Analytics.qEventsWindow _),
+    "q_events_json" -> (Analytics.qEventsJson _),
     "q_running_balance" -> (Analytics.qRunningBalance _),
     "ann_brute_topk" -> (AnnQuery.annBruteTopK _),
     "ann_lsh_topk" -> (AnnQuery.annLshTopK _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "q_top_orders_window" -> Analytics.qTopOrdersWindowSql,
     "q_sessionize" -> Analytics.qSessionizeSql,
     "q_events_window" -> Analytics.qEventsWindowSql,
+    "q_events_json" -> Analytics.qEventsJsonSql,
     "q_running_balance" -> Analytics.qRunningBalanceSql,
     "ann_brute_topk" -> AnnQuery.annBruteTopKSql,
     "lsh_partition_build" -> AnnQuery.lshPartitionBuildSql,

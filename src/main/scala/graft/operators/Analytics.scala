@@ -194,6 +194,27 @@ object Analytics {
       |      FROM events)))
       |GROUP BY user_id, session_seq""".stripMargin
 
+  /** Semi-structured extraction: parse the events' JSON props payload
+    * (codegen'd `get_json_object`, no UDF) and aggregate the extracted
+    * field per event type. */
+  def qEventsJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k") >= 50, 1)).as("n_high"))
+
+  val qEventsJsonSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 END) AS BIGINT) AS n_high
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Hourly tumbling-window event aggregates (batch twin of the streaming op). */
   def qEventsWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
