@@ -27,6 +27,7 @@ object SparkEntry {
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_events_window" -> (Analytics.qEventsWindow _),
     "q_events_json" -> (Analytics.qEventsJson _),
+    "q14_promo" -> (Analytics.q14Promo _),
     "q_running_balance" -> (Analytics.qRunningBalance _),
     "ann_brute_topk" -> (AnnQuery.annBruteTopK _),
     "ann_lsh_topk" -> (AnnQuery.annLshTopK _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q_sessionize" -> Analytics.qSessionizeSql,
     "q_events_window" -> Analytics.qEventsWindowSql,
     "q_events_json" -> Analytics.qEventsJsonSql,
+    "q14_promo" -> Analytics.q14PromoSql,
     "q_running_balance" -> Analytics.qRunningBalanceSql,
     "ann_brute_topk" -> AnnQuery.annBruteTopKSql,
     "lsh_partition_build" -> AnnQuery.lshPartitionBuildSql,

@@ -194,6 +194,30 @@ object Analytics {
       |      FROM events)))
       |GROUP BY user_id, session_seq""".stripMargin
 
+  /** Q14-shape promotion effect: conditional aggregate over a
+    * broadcast part-dimension join (promo revenue share per brand). */
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val promo = when(col("p_type").startsWith("PROMO"), price * oneMinusDisc)
+      .otherwise(lit(0).cast("decimal(24,8)"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(promo), 2).cast("double").as("promo_revenue"),
+        round(sum(price * oneMinusDisc), 2).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q14PromoSql: String =
+    """SELECT p_brand,
+      |  CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+      |    ELSE CAST(0 AS DECIMAL(24,8)) END), 2) AS DOUBLE) AS promo_revenue,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 2) AS DOUBLE) AS total_revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
   /** Semi-structured extraction: parse the events' JSON props payload
     * (codegen'd `get_json_object`, no UDF) and aggregate the extracted
     * field per event type. */
