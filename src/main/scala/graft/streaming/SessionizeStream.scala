@@ -19,7 +19,10 @@ object SessionizeStream {
 
   val GapMicros: Long = 30L * 60 * 1000000
 
-  final case class Event(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  /** `ts` carries the watermarked event-time column (required by
+    * EventTimeTimeout); `tsMicros` is its exact microsecond value. */
+  final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      tsMicros: Long, value: Double)
 
   final case class OpenSession(
       sessionSeq: Long, startMicros: Long, lastMicros: Long, nEvents: Long, sumValue: Double)
@@ -60,10 +63,45 @@ object SessionizeStream {
   def sessionize(spark: SparkSession, events: Dataset[org.apache.spark.sql.Row]): Dataset[ClosedSession] = {
     import spark.implicits._
     events
-      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+      .select(col("user_id").cast("long"), col("event_id").cast("long"), col("ts"),
         unix_micros(col("ts")).as("tsMicros"), col("value").cast("double"))
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateUser)
+  }
+
+  /** Gap fold + watermark-driven closure: an idle session is emitted
+    * once event time passes lastTs + gap, without waiting for the
+    * user's next event. Timeout closure equals gap closure in event
+    * time as long as data is within the watermark, so emitted sessions
+    * stay exactly the batch-twin sessions. */
+  def updateUserWithTimeout(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      val cur = state.get
+      state.remove()
+      Iterator(ClosedSession(userId, cur.sessionSeq, cur.nEvents,
+        cur.startMicros, cur.lastMicros, cur.sumValue))
+    } else {
+      val out = updateUser(userId, events, state)
+      state.getOption.foreach { cur =>
+        state.setTimeoutTimestamp(cur.lastMicros / 1000 + GapMicros / 1000)
+      }
+      out
+    }
+  }
+
+  /** Sessionize with event-time-timeout closure (requires a watermark on ts). */
+  def sessionizeWithTimeout(spark: SparkSession, events: Dataset[org.apache.spark.sql.Row]): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"), col("ts"),
+        unix_micros(col("ts")).as("tsMicros"), col("value").cast("double"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateUserWithTimeout)
   }
 }

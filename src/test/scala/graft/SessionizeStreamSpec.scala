@@ -19,6 +19,35 @@ class SessionizeStreamSpec extends SparkSpecBase {
     d
   }
 
+  test("event-time-timeout closure emits more sessions, all matching the batch twin") {
+    val events = Tables.events(spark, sf)
+    val in = tmp("timeout-in")
+    val ckpt = tmp("timeout-ckpt")
+    val out = tmp("timeout-out")
+    events.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = SessionizeStream.sessionizeWithTimeout(spark, stream.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() > 0)
+    val batch = graft.operators.Analytics.qSessionize(spark, sf)
+      .select(col("user_id").as("u_b"), col("session_seq").as("seq_b"),
+        col("n_events").as("n_b"), unix_micros(col("session_start")).as("start_b"))
+    val joined = streamed.join(batch,
+      col("user_id") === col("u_b") && col("session_seq") === col("seq_b") &&
+        col("start_micros") === col("start_b") && col("n_events") === col("n_b"))
+    assert(joined.count() == streamed.count(),
+      "every timeout-closed session must match a batch session exactly")
+  }
+
   test("stateful streaming sessions closed by gaps match the batch sessionize twin") {
     val events = Tables.events(spark, sf)
     val in = tmp("in")
