@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.{Dedup, SignatureKernels}
+import graft.index.LshIndex
+import graft.lsh.{Lsh, LshParams}
+import graft.query.AnnQuery
+import graft.text.TextAnalysis
+
+/** Degenerate-input behavior of the public operator surface. */
+class RobustnessSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf)
+  lazy val model = Lsh.fit(emb, "embedding", LshParams())
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private def docsOf(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), docSchema)
+
+  test("minhash/simhash pairs on an empty corpus are empty, not a crash") {
+    val empty = docsOf()
+    assert(Dedup.minhashPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(empty, "doc_id", "text").count() == 0)
+  }
+
+  test("single- and sub-shingle-width texts produce one whole-text shingle") {
+    val docs = docsOf((1L, "hello"), (2L, "two words"), (3L, "hello"))
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh")).collect()
+    sh.foreach(r => assert(r.getSeq[String](1).size == 1))
+    // identical short docs still pair up
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)))
+  }
+
+  test("signature kernels on empty arrays: defined, stable values") {
+    val empty = new GenericArrayData(Array.empty[Any])
+    val mh = SignatureKernels.minhash(empty, 8)
+    (0 until 8).foreach(i => assert(mh.getLong(i) == Long.MaxValue))
+    assert(SignatureKernels.simhash(empty) == 0L)
+  }
+
+  test("lsh fit on an empty vector set fails fast with a clear message") {
+    val ex = intercept[IllegalArgumentException] {
+      Lsh.fit(emb.filter(col("vec_id") < 0), "embedding", LshParams())
+    }
+    assert(ex.getMessage.contains("empty sample"))
+  }
+
+  test("ann queries with an empty query set return empty results") {
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val noQueries = emb.filter(col("vec_id") < 0)
+    assert(AnnQuery.lshTopK(spark, emb, noQueries, 10, model, built).count() == 0)
+    assert(AnnQuery.bruteTopK(emb, noQueries, 10).count() == 0)
+  }
+
+  test("brute top-k with k beyond corpus size returns the whole corpus ranked") {
+    val tiny = emb.filter(col("vec_id") < 5)
+    val res = AnnQuery.bruteTopK(tiny, tiny.filter(col("vec_id") === 0), 100)
+    assert(res.count() == 5)
+  }
+
+  test("text analysis handles empty and whitespace-free strings") {
+    val docs = docsOf((1L, ""), (2L, "word"), (3L, "a b"))
+    val lang = TextAnalysis.langId(docs, "doc_id", "text").collect()
+    assert(lang.length == 3) // no crash, deterministic output
+    val counts = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n")).collect()
+    assert(counts.forall(_.getInt(1) >= 1)) // split("") -> [""], documented Spark behavior
+  }
+}
