@@ -114,43 +114,42 @@ object TextAnalysis {
    * Per-document repetition: duplicate-token fraction and the share
    * of all bigrams taken by the single most frequent bigram — the
    * standard signals for filtering boilerplate/degenerate text.
-   * Ratios are floor-truncated (engine-portable, SURVEY §5).
+   * Entirely map-side: codegen'd higher-order array functions, no
+   * explode/shuffle (the O(bigrams^2) per-doc count is cheap against
+   * a shuffle of every bigram). Ratios floor-truncated (SURVEY §5).
    */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val base = Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct"),
-      explode(transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2))))).as("bigram"))
-    val counts = base.groupBy("doc_id", "n_tokens", "n_distinct", "bigram").count()
-    counts.groupBy("doc_id", "n_tokens", "n_distinct")
-      .agg(max(col("count")).as("top_bigram_n"), sum(col("count")).as("n_bigrams"))
+    val bigrams = transform(sequence(lit(0), size(toks) - 2),
+      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"), bigrams.as("b"))
       .select(
         col("doc_id"),
         col("n_tokens"),
         (floor((lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")) * 10000) / 10000)
           .as("dup_token_frac"),
-        (floor(col("top_bigram_n").cast("double") / col("n_bigrams") * 10000) / 10000)
+        (floor(array_max(transform(array_distinct(col("b")),
+            g => size(filter(col("b"), x => x === g)))).cast("double")
+          / size(col("b")) * 10000) / 10000)
           .as("top_bigram_frac"))
   }
 
   val textRepetitionSql: String =
     """WITH t AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-      |e AS (
+      |b AS (
       |  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
-      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
-      |  FROM t),
-      |c AS (
-      |  SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS n
-      |  FROM e GROUP BY 1, 2, 3, 4)
+      |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+      |  FROM t)
       |SELECT doc_id,
       |  CAST(n_tokens AS INTEGER) AS n_tokens,
       |  FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) * 10000) / 10000 AS dup_token_frac,
-      |  FLOOR(CAST(MAX(n) AS DOUBLE) / SUM(n) * 10000) / 10000 AS top_bigram_frac
-      |FROM c GROUP BY doc_id, n_tokens, n_distinct""".stripMargin
+      |  FLOOR(CAST(list_max(list_transform(list_distinct(grams),
+      |          g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
+      |        / len(grams) * 10000) / 10000 AS top_bigram_frac
+      |FROM b""".stripMargin
 
   // ---- fingerprinting ----
 
