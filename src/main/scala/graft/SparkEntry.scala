@@ -28,6 +28,7 @@ object SparkEntry {
     "q_events_window" -> (Analytics.qEventsWindow _),
     "q_events_json" -> (Analytics.qEventsJson _),
     "q14_promo" -> (Analytics.q14Promo _),
+    "q_events_approx_users" -> (Analytics.qEventsApproxUsers _),
     "q_running_balance" -> (Analytics.qRunningBalance _),
     "ann_brute_topk" -> (AnnQuery.annBruteTopK _),
     "ann_lsh_topk" -> (AnnQuery.annLshTopK _),

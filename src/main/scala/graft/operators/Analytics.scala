@@ -257,6 +257,21 @@ object Analytics {
       |GROUP BY 1, 2""".stripMargin
 
   /**
+   * Approximate distinct users per event type (HLL++ sketch). The
+   * scale path for `q_events_window`'s exact countDistinct: the
+   * sketch is mergeable (one partial-agg pass, no distinct shuffle),
+   * which is what survives at 100 TB. Register merges are
+   * commutative, so the estimate is deterministic. Accuracy vs the
+   * exact count is asserted in AnalyticsSpec (rows oracle).
+   */
+  def qEventsApproxUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
+  /**
    * Running revenue per supplier over ship dates (cumulative window).
    * Revenue terms are exact DECIMALs: engines disagree on the
    * floating-point association of window sums (DuckDB aggregates

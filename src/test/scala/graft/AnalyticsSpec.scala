@@ -13,6 +13,20 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("approx distinct users within 5% of exact per event type") {
+    import org.apache.spark.sql.functions._
+    val approx = graft.operators.Analytics.qEventsApproxUsers(spark, sf)
+      .select(col("event_type"), col("approx_users"))
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    val rows = approx.join(exact, "event_type").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: approx=$a exact=$e")
+    }
+  }
+
   test("oracle keys are a subset of query keys") {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracleSql without queries: $extra")
