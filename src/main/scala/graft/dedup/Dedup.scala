@@ -102,7 +102,7 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a"), col("b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
   }
 
   // ---- SimHash ----
@@ -187,14 +187,16 @@ object Dedup {
     simhashPairs(withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true),
       "doc_id", "text")
 
-  /** Exact n-gram Jaccard for all pairs among doc_id < 40 (SQL-checkable). */
+  /** Exact n-gram Jaccard for all pairs among doc_id < 40 (SQL-checkable).
+    * Ratio floor-truncated: int/int quotients can land on dyadic
+    * half-ties where engine ROUNDs disagree (SURVEY §5). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
       .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
     sets.as("x").join(sets.as("y"), col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        round(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-          size(array_union(col("x.sh"), col("y.sh"))), 4).as("jaccard"))
+        (floor(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh"))) * 10000) / 10000).as("jaccard"))
   }
 
   val ngramJaccardSql: String =
@@ -206,8 +208,8 @@ object Dedup {
       |           string_split(lower(text), ' ')[i+2])) AS sh
       |  FROM documents WHERE doc_id < 40)
       |SELECT x.doc_id AS a, y.doc_id AS b,
-      |  ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-      |        len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+      |  FLOOR(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 AS jaccard
       |FROM sets x JOIN sets y ON x.doc_id < y.doc_id""".stripMargin
 
   /** Exact cosine top-20 most-similar embedding pairs (SQL-checkable). */

@@ -57,19 +57,21 @@ object TextAnalysis {
 
   private val QualityStopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** All int/int ratios floor-truncated — dyadic quotients (k/32 etc.)
+    * hit ROUND half-ties where engines disagree (SURVEY §5). */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokens(col("text"))
+    def trunc4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(toks).as("n_tokens"),
-      round(aggregate(transform(toks, t => length(t)), lit(0L),
-        (acc, x) => acc + x).cast("double") / greatest(size(toks), lit(1)), 4).as("avg_token_len"),
-      round(length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
-        greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
-      round(size(filter(toks, t => t.isin(QualityStopwords.map(w => w: Any): _*))).cast("double") /
-        greatest(size(toks), lit(1)), 4).as("stopword_ratio"))
-      // floor-truncate: ROUND half-way semantics differ across engines
+      trunc4(aggregate(transform(toks, t => length(t)), lit(0L),
+        (acc, x) => acc + x).cast("double") / greatest(size(toks), lit(1))).as("avg_token_len"),
+      trunc4(length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+        greatest(length(col("text")), lit(1))).as("punct_ratio"),
+      trunc4(size(filter(toks, t => t.isin(QualityStopwords.map(w => w: Any): _*))).cast("double") /
+        greatest(size(toks), lit(1))).as("stopword_ratio"))
       .withColumn("quality_score",
         floor((lit(0.5) * col("stopword_ratio") +
           lit(0.5) * least(lit(1.0), col("n_tokens") / lit(400.0))) * 10000) / 10000)
@@ -81,14 +83,14 @@ object TextAnalysis {
       |SELECT doc_id,
       |  CAST(len(text) AS INTEGER) AS n_chars,
       |  CAST(len(toks) AS INTEGER) AS n_tokens,
-      |  ROUND(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
-      |        / GREATEST(len(toks), 1), 4) AS avg_token_len,
-      |  ROUND(CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-      |        / GREATEST(len(text), 1), 4) AS punct_ratio,
-      |  ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
-      |        / GREATEST(len(toks), 1), 4) AS stopword_ratio,
-      |  FLOOR((0.5 * ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
-      |        / GREATEST(len(toks), 1), 4)
+      |  FLOOR(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+      |        / GREATEST(len(toks), 1) * 10000) / 10000 AS avg_token_len,
+      |  FLOOR(CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |        / GREATEST(len(text), 1) * 10000) / 10000 AS punct_ratio,
+      |  FLOOR(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |        / GREATEST(len(toks), 1) * 10000) / 10000 AS stopword_ratio,
+      |  FLOOR((0.5 * (FLOOR(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |        / GREATEST(len(toks), 1) * 10000) / 10000)
       |      + 0.5 * LEAST(1.0, len(toks) / 400.0)) * 10000) / 10000 AS quality_score
       |FROM t""".stripMargin
 
