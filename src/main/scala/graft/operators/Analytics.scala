@@ -147,11 +147,11 @@ object Analytics {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("total_price"), col("rnk"))
+        (floor(col("o_totalprice") * 100) / 100).as("total_price"), col("rnk"))
   }
 
   val qTopOrdersWindowSql: String =
-    """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_price, rnk
+    """SELECT o_custkey, o_orderkey, FLOOR(o_totalprice * 100) / 100 AS total_price, rnk
       |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice, CAST(ROW_NUMBER() OVER (
       |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
