@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions.vec_l2
 import graft.index.LshIndex
-import graft.lsh.{Lsh, LshModel, LshParams}
+import graft.lsh.{HammingExpr, Lsh, LshModel, LshParams}
 
 /**
  * ANN query paths (re-expression of fspann
@@ -95,6 +95,53 @@ object AnnQuery {
         }
       }
     }.toDF()
+  }
+
+  /**
+   * Join-based probe selection with NO driver-side summary collect:
+   * the summaries DataFrame stays distributed. Per (query, t, d) the
+   * center block comes from a key-containment range join (falling
+   * back to nearest boundary); the candidate window is the
+   * (2*maxProbes - 1) blocks around it — a superset of any best-first
+   * expansion with budget maxProbes, from which the maxProbes blocks
+   * with least Hamming(queryCode, repCode) are kept. Candidates are
+   * therefore >= the reference's expansion at the same budget.
+   *
+   * This is the 1e9-vector path (SURVEY §4): block summaries at that
+   * scale are GBs — joinable, not broadcastable.
+   */
+  def probeBlocksDistributed(
+      spark: SparkSession,
+      queries: DataFrame,
+      model: LshModel,
+      built: LshIndex.Built): DataFrame = {
+    val p = model.params
+    val qCodes = LshIndex.codes(
+      queries.select(col("vec_id"), col("embedding")), "vec_id", "embedding", model)
+      .select(col("id").as("qid"), col("t"), col("d"), col("key"), col("code").as("qcode"))
+
+    val summ = built.summaries.select(col("t"), col("d"), col("block"),
+      col("min_key"), col("max_key"), col("rep_code"))
+
+    // center block: containing key range, else nearest boundary by key distance
+    val wCenter = Window.partitionBy("qid", "t", "d").orderBy(col("key_dist"), col("block"))
+    val centers = qCodes.join(summ, Seq("t", "d"))
+      .withColumn("key_dist",
+        when(col("key") < col("min_key"), col("min_key") - col("key"))
+          .when(col("key") > col("max_key"), col("key") - col("max_key"))
+          .otherwise(lit(0L)))
+      .withColumn("c_rank", row_number().over(wCenter))
+      .filter(col("c_rank") === 1)
+      .select(col("qid"), col("t"), col("d"), col("qcode"), col("block").as("center"))
+
+    // candidate window around the center, ranked by Hamming on rep codes
+    val wProbe = Window.partitionBy("qid", "t", "d").orderBy(col("score"), col("block"))
+    centers.join(summ, Seq("t", "d"))
+      .filter(abs(col("block") - col("center")) < p.maxProbes)
+      .withColumn("score", HammingExpr.hamming(col("qcode"), col("rep_code")))
+      .withColumn("p_rank", row_number().over(wProbe))
+      .filter(col("p_rank") <= p.maxProbes)
+      .select(col("qid"), col("t"), col("d"), col("block"), col("score"))
   }
 
   /**

@@ -94,6 +94,30 @@ class LshSpec extends SparkSpecBase {
     assert(Lsh.hamming(Array(5L, 3L), Array(4L, 0L)) == 3)
   }
 
+  test("distributed join-based probe: recall >= broadcast best-first probe at equal budget") {
+    import org.apache.spark.sql.functions._
+    val data = emb
+    val built = LshIndex.build(LshIndex.codes(data, "vec_id", "embedding", model), 64)
+    val queries = data.filter(col("vec_id") < 20)
+    // the distributed window is a superset of best-first expansion:
+    // every (qid, t, d, block) the broadcast probe visits must appear
+    // in the distributed candidate window before Hamming ranking
+    val bcast = AnnQuery.probeBlocks(spark, queries, model, built)
+      .select("qid", "t", "d", "block")
+    val dist = AnnQuery.probeBlocksDistributed(spark, queries, model, built)
+      .select("qid", "t", "d", "block")
+    assert(dist.count() == bcast.count(), "equal probe budget per (query, t, d)")
+    // end-to-end recall vs ground truth, distributed probe feeding the same refine
+    val probed = AnnQuery.probeBlocksDistributed(spark, queries, model, built)
+    val cands = probed.join(built.membership, Seq("t", "d", "block"))
+      .groupBy(col("qid"), col("id")).agg(min(col("score")).as("hamming"))
+    val gt = AnnQuery.bruteTopK(data, queries, 10)
+    val hits = cands.select(col("qid").as("query_id"), col("id").as("vec_id"))
+      .join(gt.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id")).count()
+    val recall = hits.toDouble / (20 * 10)
+    assert(recall >= 0.8, s"distributed-probe candidate recall@10 = $recall")
+  }
+
   test("soft delete: deleted neighbor vanishes from results, k results still returned") {
     import org.apache.spark.sql.functions._
     val data = emb
