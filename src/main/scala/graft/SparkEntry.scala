@@ -32,6 +32,7 @@ object SparkEntry {
     "q_running_balance" -> (Analytics.qRunningBalance _),
     "ann_brute_topk" -> (AnnQuery.annBruteTopK _),
     "ann_lsh_topk" -> (AnnQuery.annLshTopK _),
+    "ann_lsh_topk_distjoin" -> (AnnQuery.annLshTopKDistJoin _),
     "ann_recall_eval" -> (AnnQuery.annRecallEval _),
     "lsh_code" -> (AnnQuery.lshCode _),
     "lsh_partition_build" -> (AnnQuery.lshPartitionBuild _),

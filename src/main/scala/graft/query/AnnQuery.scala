@@ -156,9 +156,12 @@ object AnnQuery {
       k: Int,
       model: LshModel,
       built: LshIndex.Built,
-      deletedIds: Option[DataFrame] = None): DataFrame = {
+      deletedIds: Option[DataFrame] = None,
+      distributedProbe: Boolean = false): DataFrame = {
     val p = model.params
-    val probed = probeBlocks(spark, queries, model, built)
+    val probed =
+      if (distributedProbe) probeBlocksDistributed(spark, queries, model, built)
+      else probeBlocks(spark, queries, model, built)
 
     // candidate union: min Hamming across (table, division) probes.
     // Soft deletes (reference metadata.isDeleted / loadPointIfActive)
@@ -278,6 +281,13 @@ object AnnQuery {
   def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val (model, built) = setup(spark, sfDir)
     lshTopKAdaptive(spark, emb(spark, sfDir), queryVecs(spark, sfDir), DefaultK, model, built)
+  }
+
+  /** Same pipeline on the join-based probe (the summaries-too-big-to-broadcast path). */
+  def annLshTopKDistJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, built) = setup(spark, sfDir)
+    lshTopK(spark, emb(spark, sfDir), queryVecs(spark, sfDir), DefaultK, model, built,
+      distributedProbe = true)
   }
 
   /**
