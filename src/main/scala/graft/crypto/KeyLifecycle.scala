@@ -1,0 +1,35 @@
+package graft.crypto
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/**
+ * Key lifecycle bookkeeping as set-based queries over the versioned
+ * record table (reference: `key/KeyUsageTracker`,
+ * `key/SecureKeyDeletion`, `key/KeyRotationPolicy`). The RocksDB
+ * counters of the reference become aggregates over the `kv` column —
+ * partition-pruned when the table is partitioned by `kv`.
+ */
+object KeyLifecycle {
+
+  /** Records per key version (usage tracker). */
+  def keyUsage(records: DataFrame): DataFrame =
+    records.groupBy(F.col("kv")).agg(F.count(F.lit(1)).as("n_records"))
+
+  /**
+   * Versions safe to delete: strictly older than `currentVersion`
+   * and referenced by zero records (reference SafeKeyDeletion:
+   * a key may be destroyed only when nothing remains encrypted
+   * under it).
+   */
+  def deletableVersions(records: DataFrame, currentVersion: Int): Seq[Int] = {
+    val used = keyUsage(records)
+      .filter(F.col("n_records") > 0)
+      .select("kv").collect().map(_.getInt(0)).toSet
+    (1 until currentVersion).filterNot(used)
+  }
+
+  /** Rotation-due policy: version exceeded its operation budget (KeyRotationPolicy). */
+  def rotationDue(records: DataFrame, version: Int, maxOps: Long): Boolean =
+    keyUsage(records).filter(F.col("kv") === version)
+      .select("n_records").collect().headOption.exists(_.getLong(0) >= maxOps)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.crypto.{KeyLifecycle, VersionedCrypto}
+import graft.index.LshIndex
+import graft.lsh.{Lsh, LshParams}
+import graft.query.{AnnQuery, Decoys}
+
+class LifecycleDecoySpec extends SparkSpecBase {
+
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("key usage tracks records per version; deletable only when unreferenced") {
+    val store = VersionedCrypto.encrypt(emb, "vec_id", "embedding", 1)
+    val touched = emb.filter(col("vec_id") < 100).select(col("vec_id").as("id"))
+    val rotated = VersionedCrypto.rotate(store, touched, 1).cache()
+    val usage = KeyLifecycle.keyUsage(rotated).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(usage(1) == emb.count() - 100 && usage(2) == 100)
+    // v1 still referenced -> not deletable
+    assert(KeyLifecycle.deletableVersions(rotated, currentVersion = 2).isEmpty)
+    // rotate everything else -> v1 drains, becomes deletable
+    val rest = rotated.filter(col("kv") === 1).select("id")
+    val drained = VersionedCrypto.rotate(rotated, rest, 1)
+    assert(KeyLifecycle.deletableVersions(drained, currentVersion = 2) == Seq(1))
+    assert(KeyLifecycle.rotationDue(rotated, 1, maxOps = 10))
+    assert(!KeyLifecycle.rotationDue(rotated, 1, maxOps = 1000000))
+  }
+
+  test("decoy queries run the identical plan and strip cleanly from results") {
+    val model = Lsh.fit(emb, "embedding", LshParams())
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val real = emb.filter(col("vec_id") < 5)
+    val mixed = Decoys.inject(spark, real, dim = 64, nDecoys = 3, seed = 99)
+    assert(mixed.count() == 8)
+    val results = AnnQuery.lshTopK(spark, emb, mixed, 10, model, built).cache()
+    val decoyRows = results.filter(col("query_id") < 0).count()
+    assert(decoyRows > 0, "decoys must produce server-side results like real queries")
+    val stripped = Decoys.strip(results)
+    assert(stripped.filter(col("query_id") < 0).count() == 0)
+    // stripping decoys leaves real results untouched
+    val realOnly = AnnQuery.lshTopK(spark, emb, real, 10, model, built)
+    assert(stripped.exceptAll(realOnly).count() == 0)
+    assert(realOnly.exceptAll(stripped).count() == 0)
+  }
+}
