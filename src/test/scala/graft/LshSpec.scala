@@ -118,6 +118,24 @@ class LshSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"distributed-probe candidate recall@10 = $recall")
   }
 
+  test("adaptive retry: starved queries rerun with widened probes, no duplicate results") {
+    import org.apache.spark.sql.functions._
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val queries = emb.filter(col("vec_id") < 3)
+    val n = emb.count()
+    // k beyond the corpus starves every query -> the retry branch runs
+    val res = AnnQuery.lshTopKAdaptive(spark, emb, queries, n.toInt + 100, model, built).cache()
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) <= n))
+    val dup = res.groupBy("query_id", "vec_id").count().filter(col("count") > 1).count()
+    assert(dup == 0, "retry union must not duplicate (query, result) pairs")
+    assert(res.select("query_id").distinct().count() == 3)
+    // non-starved path: identical to the plain query
+    val plain = AnnQuery.lshTopK(spark, emb, queries, 10, model, built)
+    val adaptive = AnnQuery.lshTopKAdaptive(spark, emb, queries, 10, model, built)
+    assert(adaptive.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(adaptive).count() == 0)
+  }
+
   test("soft delete: deleted neighbor vanishes from results, k results still returned") {
     import org.apache.spark.sql.functions._
     val data = emb
