@@ -97,9 +97,18 @@ object Lsh {
    * Fit a model from a bounded sample of a vector column. This is the
    * ONLY place raw vectors cross the driver, and it is capped at
    * [[MaxSample]] rows — at 100 TB the sample is the same size.
+   *
+   * `orderCol` pins the sample: a bare `limit` takes whichever
+   * partitions answer first, which on a cluster makes the fitted
+   * model — and every downstream code, key, and block boundary —
+   * run-dependent. Pass the id column (default `vec_id`) for a
+   * reproducible model.
    */
-  def fit(df: DataFrame, vecCol: String, params: LshParams = LshParams()): LshModel = {
-    val sample: Array[Array[Float]] = df
+  def fit(df: DataFrame, vecCol: String, params: LshParams = LshParams(),
+      orderCol: String = "vec_id"): LshModel = {
+    val ordered =
+      if (df.columns.contains(orderCol)) df.orderBy(orderCol) else df
+    val sample: Array[Array[Float]] = ordered
       .select(col(vecCol).cast(ArrayType(FloatType)))
       .limit(MaxSample)
       .collect()

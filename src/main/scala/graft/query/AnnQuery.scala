@@ -2,7 +2,7 @@ package graft.query
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,7 +108,11 @@ object AnnQuery {
    * therefore >= the reference's expansion at the same budget.
    *
    * This is the 1e9-vector path (SURVEY §4): block summaries at that
-   * scale are GBs — joinable, not broadcastable.
+   * scale are GBs — joinable, not broadcastable. The expansion join is
+   * bucket-pruned (see below); the center-lookup join remains a range
+   * join over the (t, d) summaries — acceptable because it carries
+   * only (key, min_key, max_key), and engines with range-join
+   * optimization collapse it further.
    */
   def probeBlocksDistributed(
       spark: SparkSession,
@@ -134,9 +138,19 @@ object AnnQuery {
       .filter(col("c_rank") === 1)
       .select(col("qid"), col("t"), col("d"), col("qcode"), col("block").as("center"))
 
-    // candidate window around the center, ranked by Hamming on rep codes
+    // candidate window around the center, ranked by Hamming on rep
+    // codes. The join key carries a block BUCKET (block div maxProbes):
+    // the +-maxProbes window spans at most the 3 adjacent buckets, so
+    // the join prunes to O(3 * maxProbes) summary rows per (q, t, d)
+    // BEFORE shuffling, instead of fanning out over every block of the
+    // (t, d) and filtering after.
+    val bucketOf = (c: Column) => floor(c / p.maxProbes).cast("int")
+    val bSumm = summ.withColumn("bucket", bucketOf(col("block")))
     val wProbe = Window.partitionBy("qid", "t", "d").orderBy(col("score"), col("block"))
-    centers.join(summ, Seq("t", "d"))
+    centers
+      .select(col("qid"), col("t"), col("d"), col("qcode"), col("center"),
+        explode(array((-1 to 1).map(o => bucketOf(col("center")) + o): _*)).as("bucket"))
+      .join(bSumm, Seq("t", "d", "bucket"))
       .filter(abs(col("block") - col("center")) < p.maxProbes)
       .withColumn("score", HammingExpr.hamming(col("qcode"), col("rep_code")))
       .withColumn("p_rank", row_number().over(wProbe))
@@ -190,18 +204,25 @@ object AnnQuery {
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
   }
 
-  /** Recall@K of an ANN result against brute-force ground truth, per k variant. */
+  /**
+   * Recall@K of an ANN result against brute-force ground truth, per k
+   * variant. Averaged over the full (query x k) grid — a query with
+   * zero hits at some k contributes 0 to the mean rather than
+   * silently dropping out of it.
+   */
   def recallEval(annResult: DataFrame, groundTruth: DataFrame, kVariants: Seq[Int]): DataFrame = {
     val ks = kVariants.map(k => lit(k))
+    val grid = groundTruth.select(col("query_id")).distinct()
+      .select(col("query_id"), explode(array(ks: _*)).as("k"))
     val hits = annResult.select(col("query_id"), col("vec_id"), col("rnk").as("ann_rnk"))
       .join(groundTruth.select(col("query_id"), col("vec_id"), col("rnk").as("gt_rnk")),
         Seq("query_id", "vec_id"))
-    hits
-      .select(col("query_id"), col("ann_rnk"), col("gt_rnk"),
-        explode(array(ks: _*)).as("k"))
+      .select(col("query_id"), col("ann_rnk"), col("gt_rnk"), explode(array(ks: _*)).as("k"))
       .filter(col("ann_rnk") <= col("k") && col("gt_rnk") <= col("k"))
       .groupBy(col("k"), col("query_id"))
       .agg(count(lit(1)).as("n_hits"))
+    grid.join(hits, Seq("k", "query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .groupBy(col("k"))
       .agg(
         round(avg(col("n_hits") / col("k")), 4).as("recall"),
@@ -243,7 +264,9 @@ object AnnQuery {
     new java.util.concurrent.ConcurrentHashMap[String, (LshModel, LshIndex.Built)]()
 
   private def setup(spark: SparkSession, sfDir: String): (LshModel, LshIndex.Built) =
-    setupCache.computeIfAbsent(sfDir, { _ =>
+    // keyed by session identity too: cached DataFrames are bound to the
+    // session that built them and must not leak into a successor session
+    setupCache.computeIfAbsent(s"${System.identityHashCode(spark)}/$sfDir", { _ =>
       val data = emb(spark, sfDir)
       val model = Lsh.fit(data, "embedding", LshParams())
       val built = LshIndex.build(

@@ -34,6 +34,10 @@ object SessionizeStream {
   /**
    * Fold a user's new (unsorted within the micro-batch) events into
    * the open-session state; emit every session closed by a gap.
+   *
+   * A state row with nEvents == 0 is a TOMBSTONE left by a timeout
+   * closure: no session is open, but `sessionSeq` records the last
+   * closed sequence so numbering stays aligned with the batch twin.
    */
   def updateUser(
       userId: Long,
@@ -46,6 +50,8 @@ object SessionizeStream {
     sorted.foreach { e =>
       if (cur == null) {
         cur = OpenSession(1L, e.tsMicros, e.tsMicros, 1L, e.value)
+      } else if (cur.nEvents == 0L) { // tombstone: resume numbering after a timeout close
+        cur = OpenSession(cur.sessionSeq + 1, e.tsMicros, e.tsMicros, 1L, e.value)
       } else if (e.tsMicros - cur.lastMicros > GapMicros) {
         out += ClosedSession(userId, cur.sessionSeq, cur.nEvents,
           cur.startMicros, cur.lastMicros, cur.sumValue)
@@ -81,12 +87,16 @@ object SessionizeStream {
       state: GroupState[OpenSession]): Iterator[ClosedSession] = {
     if (state.hasTimedOut) {
       val cur = state.get
-      state.remove()
-      Iterator(ClosedSession(userId, cur.sessionSeq, cur.nEvents,
-        cur.startMicros, cur.lastMicros, cur.sumValue))
+      // tombstone (nEvents = 0) preserves sessionSeq so the user's next
+      // session continues the batch-consistent numbering
+      state.update(cur.copy(nEvents = 0L))
+      if (cur.nEvents > 0L)
+        Iterator(ClosedSession(userId, cur.sessionSeq, cur.nEvents,
+          cur.startMicros, cur.lastMicros, cur.sumValue))
+      else Iterator.empty
     } else {
       val out = updateUser(userId, events, state)
-      state.getOption.foreach { cur =>
+      state.getOption.filter(_.nEvents > 0L).foreach { cur =>
         state.setTimeoutTimestamp(cur.lastMicros / 1000 + GapMicros / 1000)
       }
       out

@@ -42,8 +42,10 @@ object StreamingIngest {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // decimal sum, matching the batch twin exactly (Analytics scaladoc:
+      // double sums are association-order dependent)
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 }

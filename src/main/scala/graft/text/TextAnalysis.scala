@@ -39,9 +39,10 @@ object TextAnalysis {
    */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
+    // seed 0.0: a doc with zero stopword signal in every profile keeps "und"
     val scored = StopwordProfiles.foldLeft(
       docs.select(col(idCol).as("doc_id"), lit("und").as("pred_lang"),
-        lit(-1.0).as("best_score"), toks.as("toks"))) {
+        lit(0.0).as("best_score"), toks.as("toks"))) {
       case (df, (lang, words)) =>
         val s = stopwordScore(col("toks"), words)
         df.withColumn("pred_lang", when(s > col("best_score"), lit(lang)).otherwise(col("pred_lang")))
@@ -122,8 +123,10 @@ object TextAnalysis {
    */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val bigrams = transform(sequence(lit(0), size(toks) - 2),
-      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    // guard: sequence(0, -1) on a 1-token doc would descend and crash slice
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"), bigrams.as("b"))
@@ -148,9 +151,11 @@ object TextAnalysis {
       |SELECT doc_id,
       |  CAST(n_tokens AS INTEGER) AS n_tokens,
       |  FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) * 10000) / 10000 AS dup_token_frac,
-      |  FLOOR(CAST(list_max(list_transform(list_distinct(grams),
-      |          g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
-      |        / len(grams) * 10000) / 10000 AS top_bigram_frac
+      |  CASE WHEN n_tokens >= 2 THEN
+      |    FLOOR(CAST(list_max(list_transform(list_distinct(grams),
+      |            g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
+      |          / len(grams) * 10000) / 10000
+      |  END AS top_bigram_frac
       |FROM b""".stripMargin
 
   // ---- fingerprinting ----

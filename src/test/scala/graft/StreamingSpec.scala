@@ -68,7 +68,8 @@ class StreamingSpec extends SparkSpecBase {
     val streamed = spark.read.parquet(out)
     val batch = events
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
     // append mode emits only windows closed by the watermark; every
     // emitted window must agree exactly with the batch aggregate
     val joined = streamed.join(batch.withColumnRenamed("n_events", "n_b")
