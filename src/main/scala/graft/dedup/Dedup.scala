@@ -95,7 +95,7 @@ object Dedup {
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleWidth)).as("sh"))
       .join(candIds, Seq("id"), "left_semi")
-    cands
+    val result = cands
       .join(sets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("sh_b")), "b")
       .withColumn("jaccard",
@@ -103,6 +103,12 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
+      .cache()
+    result.count() // materialize the (small) pair list, then release the big intermediates
+    sigs.unpersist()
+    allBands.unpersist()
+    cands.unpersist()
+    result
   }
 
   // ---- SimHash ----
@@ -137,7 +143,7 @@ object Dedup {
         shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "chunk_val")))
       .cache()
-    chunks.as("x").join(chunks.as("y"),
+    val result = chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
@@ -146,6 +152,11 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+      .cache()
+    result.count() // materialize, then release intermediates
+    sigs.unpersist()
+    chunks.unpersist()
+    result
   }
 
   // ---- planted near-dup corpus (used by the SparkEntry queries) ----

@@ -23,11 +23,11 @@ import graft.lsh.{Lsh, LshModel}
  *    collected/broadcast (KBs-MBs at 100 TB).
  *
  * Two numbering strategies produce identical results:
- *  - [[build]] (default): range-partition by (t, d, key, id), sort
- *    within partitions, then offset each partition's local row numbers
- *    by a driver-side prefix sum over a tiny (ranges x t x d) count
- *    table. Parallelism = number of ranges, independent of the (t, d)
- *    fan-out — the 100 TB path.
+ *  - [[build]] (default): deterministic key-range buckets + a
+ *    driver-side prefix sum over the tiny (t x d x bucket) count
+ *    table. Parallelism = number of populated buckets, independent of
+ *    the (t, d) fan-out, and correctness is independent of caching or
+ *    recomputation — the 100 TB path.
  *  - [[buildWindowed]]: plain row_number window per (t, d) — simple,
  *    but serializes each (t, d) through one reducer; kept as the
  *    cross-check oracle for the scalable path.
@@ -43,48 +43,55 @@ object LshIndex {
 
   final case class Built(membership: DataFrame, summaries: DataFrame)
 
-  final case class CodeRow(id: Long, t: Int, d: Int, key: Long, code: Array[Long], pid: Int)
+  final case class CodeRow(id: Long, t: Int, d: Int, key: Long, code: Array[Long], bkt: Int)
+
+  /** Key-range buckets per (t, d): the top 8 bits of the 63-bit key. */
+  private val BucketBits = 8
+  private def bucketCol: org.apache.spark.sql.Column =
+    shiftrightunsigned(col("key"), 63 - BucketBits).cast("int")
 
   /**
-   * Scalable exact global numbering: range-partition + local sort +
-   * driver-side prefix sum of per-(range, t, d) counts. Only the count
-   * table (ranges x tables x divisions rows) crosses the driver. The
-   * range id is materialized as a column before caching so the count
-   * pass and the numbering pass agree on it by construction.
+   * Scalable exact global numbering: rows are grouped by a
+   * DETERMINISTIC key-range bucket (top key bits — a pure function of
+   * the row, so counts and numbering agree across arbitrary
+   * recomputation, cache eviction, or task retry), hash-partitioned by
+   * (t, d, bucket), sorted within partitions, and offset by a
+   * driver-side prefix sum over the tiny (t x d x 256) count table.
+   * Bucket order is key order by construction, so numbering equals the
+   * global (t, d, key, id) sort order.
    */
   def build(codesDf: DataFrame, blockSize: Int): Built = {
     val spark = codesDf.sparkSession
     import spark.implicits._
     val nRanges = spark.sparkContext.defaultParallelism
-    val sorted = codesDf.select("id", "t", "d", "key", "code")
-      .repartitionByRange(nRanges, col("t"), col("d"), col("key"), col("id"))
-      .sortWithinPartitions("t", "d", "key", "id")
-      .withColumn("pid", spark_partition_id())
-      .as[CodeRow]
-      .cache()
-    // tiny count table -> per-(range, t, d) starting offsets
-    val counts = sorted.groupBy("pid", "t", "d").count()
+    val withBkt = codesDf.select(col("id"), col("t"), col("d"), col("key"), col("code"),
+      bucketCol.as("bkt"))
+    // tiny count table -> per-(t, d, bucket) starting offsets
+    val counts = withBkt.groupBy("t", "d", "bkt").count()
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
     val offsets: Map[(Int, Int, Int), Long] =
-      counts.groupBy { case ((_, t, d), _) => (t, d) }.flatMap { case (_, rows) =>
+      counts.groupBy { case ((t, d, _), _) => (t, d) }.flatMap { case (_, rows) =>
         var acc = 0L
-        rows.sortBy { case ((pid, _, _), _) => pid }.map { case ((pid, t, d), n) =>
-          val o = ((pid, t, d), acc)
+        rows.sortBy { case ((_, _, bkt), _) => bkt }.map { case (k, n) =>
+          val o = (k, acc)
           acc += n
           o
         }
       }
     val offsetsB = spark.sparkContext.broadcast(offsets)
-    val numbered = sorted.mapPartitions { it =>
-      val local = scala.collection.mutable.Map.empty[(Int, Int), Long]
-      it.map { r =>
-        val k = (r.t, r.d)
-        val i = local.getOrElse(k, 0L)
-        local(k) = i + 1
-        (r.id, r.t, r.d, r.key, r.code, offsetsB.value((r.pid, r.t, r.d)) + i)
-      }
-    }.toDF("id", "t", "d", "key", "code", "rn")
+    val numbered = withBkt.as[CodeRow]
+      .repartition(nRanges, col("t"), col("d"), col("bkt"))
+      .sortWithinPartitions("t", "d", "key", "id")
+      .mapPartitions { it =>
+        val local = scala.collection.mutable.Map.empty[(Int, Int, Int), Long]
+        it.map { r =>
+          val k = (r.t, r.d, r.bkt)
+          val i = local.getOrElse(k, 0L)
+          local(k) = i + 1
+          (r.id, r.t, r.d, r.key, r.code, offsetsB.value(k) + i)
+        }
+      }.toDF("id", "t", "d", "key", "code", "rn")
       .withColumn("block", (col("rn") / blockSize).cast("int"))
       .withColumn("local", col("rn") % blockSize)
     finish(numbered)
