@@ -133,8 +133,9 @@ object LshIndex {
   }
 
   def collectSummaries(summaries: DataFrame): Map[(Int, Int), TdSummary] =
+    // no distributed orderBy: the driver groups and sorts the (small)
+    // collected rows anyway, so a cluster-wide sort shuffle buys nothing
     summaries.select("t", "d", "block", "min_key", "max_key", "rep_code")
-      .orderBy("t", "d", "block")
       .collect()
       .groupBy(r => (r.getInt(0), r.getInt(1)))
       .map { case (td, rows: Array[Row]) =>

@@ -172,10 +172,22 @@ object AnnQuery {
       built: LshIndex.Built,
       deletedIds: Option[DataFrame] = None,
       distributedProbe: Boolean = false): DataFrame = {
-    val p = model.params
     val probed =
       if (distributedProbe) probeBlocksDistributed(spark, queries, model, built)
       else probeBlocks(spark, queries, model, built)
+    refineFromProbes(probed, data, queries, k, model, built, deletedIds)
+  }
+
+  /** Candidate union + bounded Hamming refine + exact-L2 top-k over a probe set. */
+  def refineFromProbes(
+      probed: DataFrame,
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      model: LshModel,
+      built: LshIndex.Built,
+      deletedIds: Option[DataFrame] = None): DataFrame = {
+    val p = model.params
 
     // candidate union: min Hamming across (table, division) probes.
     // Soft deletes (reference metadata.isDeleted / loadPointIfActive)
@@ -260,19 +272,24 @@ object AnnQuery {
    * holds the broadcastable model and the two index DataFrames (lazy
    * plans + a cached membership), not data copies.
    */
+  // weak keys: cached DataFrames are bound to the session that built
+  // them; when a session is garbage-collected its entry (and the pinned
+  // plans) go with it, and distinct live sessions can never collide
   private val setupCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (LshModel, LshIndex.Built)]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (LshModel, LshIndex.Built)]]()
 
   private def setup(spark: SparkSession, sfDir: String): (LshModel, LshIndex.Built) =
-    // keyed by session identity too: cached DataFrames are bound to the
-    // session that built them and must not leak into a successor session
-    setupCache.computeIfAbsent(s"${System.identityHashCode(spark)}/$sfDir", { _ =>
-      val data = emb(spark, sfDir)
-      val model = Lsh.fit(data, "embedding", LshParams())
-      val built = LshIndex.build(
-        LshIndex.codes(data, "vec_id", "embedding", model), model.params.blockSize)
-      (model, LshIndex.Built(built.membership.cache(), built.summaries.cache()))
-    })
+    setupCache.synchronized {
+      val perSession = setupCache.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)
+      perSession.getOrElseUpdate(sfDir, {
+        val data = emb(spark, sfDir)
+        val model = Lsh.fit(data, "embedding", LshParams())
+        val built = LshIndex.build(
+          LshIndex.codes(data, "vec_id", "embedding", model), model.params.blockSize)
+        (model, LshIndex.Built(built.membership.cache(), built.summaries.cache()))
+      })
+    }
 
   private def fitModel(spark: SparkSession, sfDir: String): LshModel =
     setup(spark, sfDir)._1
@@ -294,9 +311,17 @@ object AnnQuery {
       Seq("vec_id"), "left_anti")
     if (starved.isEmpty) first
     else {
-      val widened = model.copy(params = model.params.copy(maxProbes = retryProbes))
-      first.join(starved.select(col("vec_id").as("query_id")), Seq("query_id"), "left_anti")
+      // widen RELATIVE to the model: an absolute retry budget below the
+      // model's own maxProbes would narrow the search on the rerun
+      val newProbes = math.max(retryProbes, model.params.maxProbes * 2)
+      val widened = model.copy(params = model.params.copy(maxProbes = newProbes))
+      val result = first
+        .join(starved.select(col("vec_id").as("query_id")), Seq("query_id"), "left_anti")
         .unionByName(lshTopK(spark, data, starved, k, widened, built))
+        .cache()
+      result.count() // materialize, then release the first-pass cache
+      first.unpersist()
+      result
     }
   }
 
@@ -324,21 +349,22 @@ object AnnQuery {
     val queries = queryVecs(spark, sfDir)
     val maxK = kVariants.max
     val (model, built) = setup(spark, sfDir)
-    val ratios = candidateCounts(spark, queries, model, built)
+    // ONE probe pass feeds both the top-k refine and the ratio metric
+    val probed = probeBlocks(spark, queries, model, built).cache()
+    val ratios = candidateCounts(probed, built)
       .select(explode(array(kVariants.map(lit): _*)).as("k"), col("n_candidates"))
       .groupBy("k").agg(round(avg(col("n_candidates") / col("k")), 2).as("avg_ratio"))
     recallEval(
-      lshTopK(spark, data, queries, maxK, model, built),
+      refineFromProbes(probed, data, queries, maxK, model, built),
       bruteTopK(data, queries, maxK),
       kVariants)
       .join(ratios, Seq("k"))
       .orderBy("k")
   }
 
-  /** Unique candidates per query surfaced by the probe stage (ratio numerator). */
-  def candidateCounts(spark: SparkSession, queries: DataFrame,
-      model: LshModel, built: LshIndex.Built): DataFrame =
-    probeBlocks(spark, queries, model, built)
+  /** Unique candidates per query surfaced by a probe set (ratio numerator). */
+  def candidateCounts(probed: DataFrame, built: LshIndex.Built): DataFrame =
+    probed
       .join(built.membership, Seq("t", "d", "block"))
       .groupBy("qid").agg(countDistinct("id").as("n_candidates"))
       .select(col("qid").as("query_id"), col("n_candidates"))

@@ -19,6 +19,9 @@ object SessionizeStream {
 
   val GapMicros: Long = 30L * 60 * 1000000
 
+  /** Dormant-tombstone retention (ms of event time) before state eviction. */
+  val TombstoneTtlMs: Long = 7L * 24 * 3600 * 1000
+
   /** `ts` carries the watermarked event-time column (required by
     * EventTimeTimeout); `tsMicros` is its exact microsecond value. */
   final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
@@ -57,7 +60,12 @@ object SessionizeStream {
           cur.startMicros, cur.lastMicros, cur.sumValue)
         cur = OpenSession(cur.sessionSeq + 1, e.tsMicros, e.tsMicros, 1L, e.value)
       } else {
-        cur = cur.copy(lastMicros = e.tsMicros, nEvents = cur.nEvents + 1,
+        // min/max: a late (cross-batch, within-watermark) event must
+        // extend the session bounds, never regress them
+        cur = cur.copy(
+          startMicros = math.min(cur.startMicros, e.tsMicros),
+          lastMicros = math.max(cur.lastMicros, e.tsMicros),
+          nEvents = cur.nEvents + 1,
           sumValue = cur.sumValue + e.value)
       }
     }
@@ -87,17 +95,27 @@ object SessionizeStream {
       state: GroupState[OpenSession]): Iterator[ClosedSession] = {
     if (state.hasTimedOut) {
       val cur = state.get
-      // tombstone (nEvents = 0) preserves sessionSeq so the user's next
-      // session continues the batch-consistent numbering
-      state.update(cur.copy(nEvents = 0L))
-      if (cur.nEvents > 0L)
+      if (cur.nEvents > 0L) {
+        // tombstone (nEvents = 0) preserves sessionSeq so the user's
+        // next session continues the batch-consistent numbering; a TTL
+        // timeout eventually drops dormant tombstones so state tracks
+        // recently-active users, not every user ever seen (a user
+        // returning after the TTL restarts numbering at 1 — the
+        // documented divergence from an all-history batch recompute)
+        state.update(cur.copy(nEvents = 0L))
+        state.setTimeoutTimestamp(cur.lastMicros / 1000 + TombstoneTtlMs)
         Iterator(ClosedSession(userId, cur.sessionSeq, cur.nEvents,
           cur.startMicros, cur.lastMicros, cur.sumValue))
-      else Iterator.empty
+      } else {
+        state.remove() // TTL expired tombstone
+        Iterator.empty
+      }
     } else {
       val out = updateUser(userId, events, state)
       state.getOption.filter(_.nEvents > 0L).foreach { cur =>
-        state.setTimeoutTimestamp(cur.lastMicros / 1000 + GapMicros / 1000)
+        // round UP to ms: flooring would arm the timeout up to 999us
+        // early, racing an exactly-on-gap-boundary event that must merge
+        state.setTimeoutTimestamp((cur.lastMicros + GapMicros + 999) / 1000)
       }
       out
     }

@@ -35,11 +35,23 @@ class SessionStateUnitSpec extends AnyFunSuite {
     assert(s2.get.sessionSeq == 2L && s2.get.nEvents == 1L)
   }
 
-  test("a tombstone that times out again emits nothing") {
+  test("a tombstone that reaches its TTL is evicted silently") {
     val timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()
     val s = TestGroupState.create[OpenSession](
       org.apache.spark.api.java.Optional.of(OpenSession(4L, 0L, 10L, 0L, 0.0)), timeout, 0L, org.apache.spark.api.java.Optional.of(1L), true)
     assert(updateUserWithTimeout(7L, Iterator.empty, s).isEmpty)
-    assert(s.get.sessionSeq == 4L)
+    assert(s.isRemoved)
+  }
+
+  test("late within-gap events never regress session bounds") {
+    val state = TestGroupState.create[OpenSession](
+      org.apache.spark.api.java.Optional.of(OpenSession(1L, 0L, 1000000L, 2L, 2.0)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(), 0L,
+      org.apache.spark.api.java.Optional.empty(), false)
+    // a late event 500ms after start merges without pulling lastMicros back
+    val out = updateUser(7L, Iterator(ev(500000L, 9)), state).toSeq
+    assert(out.isEmpty)
+    assert(state.get.lastMicros == 1000000L && state.get.startMicros == 0L)
+    assert(state.get.nEvents == 3L)
   }
 }
