@@ -100,19 +100,30 @@ object AnnQuery {
   /**
    * Join-based probe selection with NO driver-side summary collect:
    * the summaries DataFrame stays distributed. Per (query, t, d) the
-   * center block comes from a key-containment range join (falling
-   * back to nearest boundary); the candidate window is the
+   * center block comes from a key-range-bucketed containment join
+   * (falling back to nearest boundary); the candidate window is the
    * (2*maxProbes - 1) blocks around it — a superset of any best-first
    * expansion with budget maxProbes, from which the maxProbes blocks
    * with least Hamming(queryCode, repCode) are kept. Candidates are
    * therefore >= the reference's expansion at the same budget.
    *
    * This is the 1e9-vector path (SURVEY §4): block summaries at that
-   * scale are GBs — joinable, not broadcastable. The expansion join is
-   * bucket-pruned (see below); the center-lookup join remains a range
-   * join over the (t, d) summaries — acceptable because it carries
-   * only (key, min_key, max_key), and engines with range-join
-   * optimization collapse it further.
+   * scale are GBs — joinable, not broadcastable. BOTH joins are
+   * equi-joins pruned by deterministic buckets:
+   *  - center lookup: each block is assigned a COVER range [lo, hi] =
+   *    its own key range unioned with the gaps to its neighbors
+   *    (lead/lag over the tiny summary table), so cover ranges tile
+   *    the keyspace and every block that could win the
+   *    nearest-by-key-distance rank for some query key covers that
+   *    key. Blocks explode over the key-range buckets (top key bits,
+   *    #buckets ~ #blocks, capped at 2^16) their cover spans — ~1-2
+   *    rows per block — and a query joins only its own bucket. Exact
+   *    same center semantics as ranking over every block of the
+   *    (t, d), at O(blocks/buckets) joined rows per (query, t, d)
+   *    instead of all of them (reference binary search:
+   *    GreedyPartitioner.findNearestPartition).
+   *  - expansion: block-id buckets of width maxProbes, join on
+   *    bucket +- 1 (below).
    */
   def probeBlocksDistributed(
       spark: SparkSession,
@@ -127,16 +138,7 @@ object AnnQuery {
     val summ = built.summaries.select(col("t"), col("d"), col("block"),
       col("min_key"), col("max_key"), col("rep_code"))
 
-    // center block: containing key range, else nearest boundary by key distance
-    val wCenter = Window.partitionBy("qid", "t", "d").orderBy(col("key_dist"), col("block"))
-    val centers = qCodes.join(summ, Seq("t", "d"))
-      .withColumn("key_dist",
-        when(col("key") < col("min_key"), col("min_key") - col("key"))
-          .when(col("key") > col("max_key"), col("key") - col("max_key"))
-          .otherwise(lit(0L)))
-      .withColumn("c_rank", row_number().over(wCenter))
-      .filter(col("c_rank") === 1)
-      .select(col("qid"), col("t"), col("d"), col("qcode"), col("block").as("center"))
+    val centers = centerBlocks(qCodes, summ, p)
 
     // candidate window around the center, ranked by Hamming on rep
     // codes. The join key carries a block BUCKET (block div maxProbes):
@@ -156,6 +158,53 @@ object AnnQuery {
       .withColumn("p_rank", row_number().over(wProbe))
       .filter(col("p_rank") <= p.maxProbes)
       .select(col("qid"), col("t"), col("d"), col("block"), col("score"))
+  }
+
+  /**
+   * Bucket-pruned nearest-block lookup: one (qid, t, d, qcode, center)
+   * row per query code, center = containing block, else nearest
+   * boundary by key distance (ties -> lower block). Exactly the winner
+   * of ranking EVERY block of the (t, d) by (key_dist, block), but via
+   * an equi-join on key-range buckets (CenterSpec asserts the parity).
+   */
+  private[graft] def centerBlocks(
+      qCodes: DataFrame, summ: DataFrame, p: LshParams): DataFrame = {
+    // key-bucket width sized so #buckets ~ #blocks per (t, d); the
+    // summary count is an agg over the (cached, rows/blockSize) summary
+    // table, not the corpus. Cap 2^16 buckets: worst-case fan is then
+    // blocks/2^16 rows per (query, t, d) — 238 at 1e9 vectors, not 1.5e7.
+    val nBlocksPerTd = math.max(1L, summ.count() / (p.tables.toLong * p.divisions))
+    val keyBits = math.min(16,
+      math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(nBlocksPerTd - 1)))
+    val keyBucket = (c: Column) => shiftrightunsigned(c, 63 - keyBits)
+
+    // cover range per block: own range + the gap to each neighbor, so
+    // for any query key the containing blocks AND both gap-adjacent
+    // blocks (the only possible nearest-rank winners) cover it. Cover
+    // ranges tile the keyspace, so exploding each block over the
+    // buckets its cover spans adds ~1 row per block + 1 per bucket.
+    val wB = Window.partitionBy("t", "d").orderBy("block")
+    val covered = summ
+      .withColumn("lo", greatest(lit(0L),
+        least(col("min_key"), coalesce(lag(col("max_key"), 1).over(wB) + 1, lit(0L)))))
+      .withColumn("hi", greatest(col("max_key"),
+        coalesce(lead(col("min_key"), 1).over(wB) - 1, lit(Long.MaxValue))))
+    val bucketedSumm = covered
+      .withColumn("kbucket", explode(sequence(keyBucket(col("lo")), keyBucket(col("hi")))))
+      .select(col("t"), col("d"), col("kbucket"), col("block"),
+        col("min_key"), col("max_key"), col("lo"), col("hi"))
+
+    val wCenter = Window.partitionBy("qid", "t", "d").orderBy(col("key_dist"), col("block"))
+    qCodes.withColumn("kbucket", keyBucket(col("key")))
+      .join(bucketedSumm, Seq("t", "d", "kbucket"))
+      .filter(col("key") >= col("lo") && col("key") <= col("hi"))
+      .withColumn("key_dist",
+        when(col("key") < col("min_key"), col("min_key") - col("key"))
+          .when(col("key") > col("max_key"), col("key") - col("max_key"))
+          .otherwise(lit(0L)))
+      .withColumn("c_rank", row_number().over(wCenter))
+      .filter(col("c_rank") === 1)
+      .select(col("qid"), col("t"), col("d"), col("qcode"), col("block").as("center"))
   }
 
   /**

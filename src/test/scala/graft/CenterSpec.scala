@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.index.LshIndex
+import graft.lsh.{Lsh, LshParams}
+import graft.query.AnnQuery
+
+/**
+ * The bucket-pruned center lookup (AnnQuery.centerBlocks) must pick
+ * exactly the block a full ranking over EVERY summary row of the
+ * (t, d) would pick: min key distance, ties to the lower block id.
+ */
+class CenterSpec extends SparkSpecBase {
+
+  private def fullRankingOracle(qCodes: org.apache.spark.sql.DataFrame,
+      summ: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("qid", "t", "d").orderBy(col("key_dist"), col("block"))
+    qCodes.join(summ, Seq("t", "d"))
+      .withColumn("key_dist",
+        when(col("key") < col("min_key"), col("min_key") - col("key"))
+          .when(col("key") > col("max_key"), col("key") - col("max_key"))
+          .otherwise(lit(0L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("t"), col("d"), col("block").as("center"))
+  }
+
+  test("bucketed center equals full-ranking oracle on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Lsh.fit(emb, "embedding", LshParams())
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val queries = emb.filter(col("vec_id") < 20)
+    val qCodes = LshIndex.codes(queries, "vec_id", "embedding", model)
+      .select(col("id").as("qid"), col("t"), col("d"), col("key"), col("code").as("qcode"))
+    val summ = built.summaries.select("t", "d", "block", "min_key", "max_key", "rep_code")
+
+    val got = AnnQuery.centerBlocks(qCodes, summ, model.params)
+      .select("qid", "t", "d", "center")
+    val want = fullRankingOracle(qCodes, summ)
+    assert(got.count() == 20L * 24, "one center per (query, t, d)")
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
+  test("bucketed center handles gaps, tied boundary keys, and out-of-range queries") {
+    import spark.implicits._
+    // hand-built summaries for one (t, d): tied boundary key (100),
+    // a wide gap (110..5000), and blocks crammed at the top of a
+    // sparse keyspace
+    val summ = Seq(
+      (0, 0, 0, 10L, 100L),
+      (0, 0, 1, 100L, 110L), // min_key == previous max_key (tie)
+      (0, 0, 2, 5000L, 6000L), // wide gap before
+      (0, 0, 3, 6000L, Long.MaxValue - 2) // and a near-max block
+    ).toDF("t", "d", "block", "min_key", "max_key")
+      .withColumn("rep_code", array(lit(0L)))
+    // queries: below all, inside block 0, ON the tied key, in the gap
+    // nearer left, gap midpoint (tie -> left), gap nearer right,
+    // inside block 2, on the 2/3 shared boundary, above all
+    val keys = Seq(0L, 50L, 100L, 200L, 2555L, 4000L, 5500L, 6000L, Long.MaxValue)
+    val qCodes = keys.zipWithIndex
+      .map { case (k, i) => (i.toLong, 0, 0, k) }
+      .toDF("qid", "t", "d", "key")
+      .withColumn("qcode", array(lit(0L)))
+
+    val got = AnnQuery.centerBlocks(qCodes, summ, LshParams())
+      .select("qid", "center").as[(Long, Int)].collect().toMap
+    val want = fullRankingOracle(qCodes, summ)
+      .select("qid", "center").as[(Long, Int)].collect().toMap
+    assert(got == want, s"got $got, want $want")
+    // and the oracle itself matches hand-computed nearest blocks
+    assert(want == Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2,
+      6L -> 2, 7L -> 2, 8L -> 3))
+  }
+}
