@@ -15,18 +15,37 @@ import graft.functions.VectorFunctions.vec_l2
  * Spark posture: centroids are a broadcast dimension (KBs) fitted by
  * deterministic driver-side k-means over a bounded sample (the same
  * posture as the LSH fit: only the sample ever crosses the driver).
- * Cell assignment is a broadcast join + argmin window — one pass; at
- * 100 TB the stored table is bucketed by cell, so a probe only scans
- * `nProbe / C` of the data.
+ * Cell assignment is a broadcast join + argmin aggregate — one pass;
+ * at 100 TB the stored table is bucketed by cell, so a probe only
+ * scans `nProbe / C` of the data.
+ *
+ * Cell count scales with the corpus ([[scaledCells]]: C ~ sqrt(N),
+ * the classic IVF balance point where probe work N*nProbe/C and
+ * centroid-scan work C meet) instead of a hardcoded constant — at 1e9
+ * vectors a fixed C=16 would make every probe scan a quarter of the
+ * corpus. The fit is memoized per (session, corpus key) like
+ * `AnnQuery.setup`, so repeated queries don't re-collect the sample
+ * or re-run Lloyd iterations.
  */
 object IvfSearch {
 
-  val NumCentroids = 16
   val NumProbes = 4
   val K = 10
   val NumQueries = 20
   val MaxSample = 10000
   val KmeansIters = 5
+  /** Default cell count when the corpus size is not consulted (near-dup path). */
+  val DefaultCells = 16
+
+  /**
+   * C ~ ceil(sqrt(N)), clamped to [4, 4096] and to >= 32 vectors per
+   * cell on average (tiny corpora get few cells; 1e9 vectors get the
+   * 4096 cap -> cells of ~244k, each an independently scannable
+   * bucket).
+   */
+  def scaledCells(n: Long): Int =
+    math.max(4L, math.min(math.min(4096L, n / 32L),
+      math.ceil(math.sqrt(math.max(1L, n).toDouble)).toLong)).toInt
 
   /** Deterministic Lloyd k-means on a driver-side sample (init = first C points). */
   def kmeans(sample: Array[Array[Float]], c: Int, iters: Int): Array[Array[Float]] = {
@@ -57,6 +76,41 @@ object IvfSearch {
     centroids.map(_.map(_.toFloat))
   }
 
+  // weak keys: fitted centroids die with the session that collected
+  // their sample; distinct live sessions never collide
+  private val centroidCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[(String, Int), Array[Array[Float]]]]()
+
+  /**
+   * Fit C centroids from a bounded, `vec_id`-pinned sample (run-stable
+   * on a cluster — a bare `limit` takes whichever partitions answer
+   * first). `memoKey` (e.g. the corpus directory) memoizes the fit.
+   */
+  def fitCentroids(data: DataFrame, c: Int, memoKey: Option[String] = None): Array[Array[Float]] = {
+    val spark = data.sparkSession
+    def fit(): Array[Array[Float]] = {
+      val sample = data.orderBy("vec_id").limit(MaxSample)
+        .select(col("embedding").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      require(sample.nonEmpty, "empty sample for IVF centroid fit")
+      kmeans(sample, math.min(c, sample.length), KmeansIters)
+    }
+    memoKey match {
+      case None => fit()
+      case Some(key) => centroidCache.synchronized {
+        centroidCache.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty)
+          .getOrElseUpdate((key, c), fit())
+      }
+    }
+  }
+
+  /** (cell, cv) broadcastable centroid dimension. */
+  def centroidsDf(spark: SparkSession, cents: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (cv, cell) => (cell, cv) }.toSeq.toDF("cell", "cv")
+  }
+
   /**
    * (vec_id, cell): nearest-centroid assignment via broadcast argmin.
    * `min_by` instead of a rank window: the aggregate partial-combines
@@ -71,15 +125,8 @@ object IvfSearch {
       .agg(min_by(col("cell"), struct(col("cdist"), col("cell"))).as("cell"))
 
   def ivfTopK(spark: SparkSession, data: DataFrame, queries: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
-    import spark.implicits._
-    val sample = data.orderBy("vec_id").limit(MaxSample)
-      .select(col("embedding").cast("array<float>"))
-      .collect().map(_.getSeq[Float](0).toArray)
-    val centroids = kmeans(sample, NumCentroids, KmeansIters)
-      .zipWithIndex
-      .map { case (cv, cell) => (cell, cv) }
-      .toSeq.toDF("cell", "cv")
+      k: Int, nProbe: Int, cents: Array[Array[Float]]): DataFrame = {
+    val centroids = centroidsDf(spark, cents)
     val cells = assignCells(data, centroids)
 
     // queries probe their nProbe nearest cells
@@ -106,6 +153,8 @@ object IvfSearch {
 
   def simsearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val data = Tables.embeddings(spark, sfDir)
-    ivfTopK(spark, data, data.filter(col("vec_id") < NumQueries), K, NumProbes)
+    val c = scaledCells(data.count())
+    val cents = fitCentroids(data, c, Some(s"ivf:$sfDir"))
+    ivfTopK(spark, data, data.filter(col("vec_id") < NumQueries), K, NumProbes, cents)
   }
 }

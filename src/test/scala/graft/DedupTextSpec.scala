@@ -110,4 +110,49 @@ class DedupTextSpec extends SparkSpecBase {
       assert(r.getInt(4) == 1)
     }
   }
+
+  test("neardup: bucketed path finds a planted near-dup at rank 1 under coarse cells") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    // plant a true near-dup of vec 7 (small uniform offset, cosine ~1)
+    val planted = e.filter(col("vec_id") === 7)
+      .select(lit(90001L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+    val corpus = e.unionByName(planted)
+    // coarse cells + narrow probes: a fraction of the probe volume the
+    // oracle-parity defaults use — a REAL near-dup must still co-probe
+    val cents = IvfSearch.fitCentroids(corpus, 8)
+    val top = Dedup.neardupPairs(corpus, cents, 2, 5).orderBy(col("cosine").desc).collect()
+    assert(top.head.getLong(0) == 7L && top.head.getLong(1) == 90001L,
+      s"planted pair not at rank 1: ${top.head}")
+    assert(top.head.getDouble(2) >= 0.99)
+  }
+
+  test("neardup plan has no cartesian or nested-loop join") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cents = IvfSearch.fitCentroids(e, Dedup.NeardupCells)
+    val probes = Dedup.probeCells(e, cents, Dedup.NeardupProbes)
+    val plan = Dedup.neardupPlan(e, probes, 20).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian product in neardup plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in neardup plan")
+  }
+
+  test("neardup bucketed top-20 equals the all-pairs oracle") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val allPairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(graft.functions.VectorFunctions.vec_cosine(
+          col("x.embedding"), col("y.embedding")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("a"), col("b")).limit(20).collect()
+    val bucketed = Dedup.neardupEmbedding(spark, sf).collect()
+    assert(bucketed.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      allPairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("ivf cell sizing scales as sqrt(N) within clamps") {
+    assert(IvfSearch.scaledCells(100) == 4)          // floor: n/32
+    assert(IvfSearch.scaledCells(500) == 15)         // n/32 binds below sqrt
+    assert(IvfSearch.scaledCells(1000000) == 1000)   // sqrt regime
+    assert(IvfSearch.scaledCells(1000000000L) == 4096) // cap
+    assert(IvfSearch.scaledCells(1) == 4)
+  }
 }
