@@ -129,20 +129,31 @@ object Dedup {
    * Near-dup pairs with Hamming(simhash) <= maxHamming, banded into
    * (maxHamming + 1) chunks (pigeonhole: <= maxHamming differing bits
    * leaves >= 1 chunk equal). Default 8 chunks of 8 bits / Hamming <= 7.
+   *
+   * Chunk buckets larger than `maxBucket` are dropped before pairing
+   * (same guard as [[minhashPairs]]): short/degenerate docs collapse
+   * onto few simhash values, and one hot (chunk, chunk_val) bucket of
+   * b docs would otherwise yield O(b^2) join rows. Pigeonhole gives a
+   * true near-dup pair (maxHamming + 1) chances to collide, so a
+   * dropped hot chunk rarely loses it — and wholly-identical docs
+   * belong to the exact-dedup pre-pass, not here.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7, maxBucket: Int = 1000): DataFrame = {
     val nChunks = maxHamming + 1
     val width = 64 / nChunks
     val mask = (1L << width) - 1
     // same materialization boundary as minhashPairs: one SimHash64
     // eval per doc, shared across chunk projections and join sides
     val sigs = simhash(docs, idCol, textCol).cache()
-    val chunks = sigs.select(col("id"), col("simhash"),
+    val allChunks = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "chunk_val")))
       .cache()
+    val hot = allChunks.groupBy("chunk", "chunk_val").count()
+      .filter(col("count") > maxBucket).select("chunk", "chunk_val")
+    val chunks = allChunks.join(broadcast(hot), Seq("chunk", "chunk_val"), "left_anti")
     val result = chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
           col("x.id") < col("y.id"))
@@ -155,7 +166,7 @@ object Dedup {
       .cache()
     result.count() // materialize, then release intermediates
     sigs.unpersist()
-    chunks.unpersist()
+    allChunks.unpersist()
     result
   }
 

@@ -30,10 +30,16 @@ final case class LshParams(
     seed: Long = 13L,
     blockSize: Int = 64,
     maxProbes: Int = 5,
-    refinementLimit: Int = 20000) {
+    refinementLimit: Int = 20000,
+    maxGlobalCandidates: Int = 20000) {
   require(m > 0 && lambda > 0 && tables > 0 && divisions > 0 && blockSize > 0)
   def codeBits: Int = m * lambda
   def codeWords: Int = (codeBits + 63) >>> 6
+
+  /** Per-query candidate collection bound (reference
+    * `PartitionedIndexService.lookupCandidateIds` HARD_CAP,
+    * PartitionedIndexService.java:479). */
+  def hardCap: Int = math.max(maxGlobalCandidates, refinementLimit)
 }
 
 /** One G function: m unit-norm Gaussian projections with offsets r and widths omega. */

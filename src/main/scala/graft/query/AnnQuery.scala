@@ -227,6 +227,42 @@ object AnnQuery {
     refineFromProbes(probed, data, queries, k, model, built, deletedIds)
   }
 
+  /**
+   * Candidate union bounded by the reference's HARD_CAP
+   * (PartitionedIndexService.java:479,490: collection walks (t, d) in
+   * order, best-first within each, and stops at hardCap distinct ids).
+   * Re-expressed set-wise: each distinct (qid, id) is stamped with its
+   * FIRST probe-order appearance — min over (t, d, score, block, id),
+   * the lexicographic image of the reference's collection order — and
+   * ranked; ranks beyond hardCap drop. Caps a degenerate key region's
+   * blow-up of one query's candidate partition, exactly like the
+   * reference bounds its per-query HashMap.
+   */
+  private[graft] def cappedCandidates(
+      probed: DataFrame,
+      built: LshIndex.Built,
+      p: LshParams,
+      deletedIds: Option[DataFrame] = None): DataFrame = {
+    // candidate union: min Hamming across (table, division) probes.
+    // Soft deletes (reference metadata.isDeleted / loadPointIfActive)
+    // drop out here via anti-join — the index itself is not touched;
+    // deleted ids never consume cap budget (reference skips them
+    // during collection).
+    val candidatesAll = probed
+      .join(built.membership, Seq("t", "d", "block"))
+      .groupBy(col("qid"), col("id"))
+      .agg(
+        min(col("score")).as("hamming"),
+        min(struct(col("t"), col("d"), col("score"), col("block"), col("id"))).as("first_ord"))
+    val live = deletedIds.fold(candidatesAll)(del =>
+      candidatesAll.join(broadcast(del.select(col("id"))), Seq("id"), "left_anti"))
+    val wCap = Window.partitionBy("qid").orderBy(col("first_ord"))
+    live
+      .withColumn("cap_rank", row_number().over(wCap))
+      .filter(col("cap_rank") <= p.hardCap)
+      .select(col("qid"), col("id"), col("hamming"))
+  }
+
   /** Candidate union + bounded Hamming refine + exact-L2 top-k over a probe set. */
   def refineFromProbes(
       probed: DataFrame,
@@ -237,16 +273,7 @@ object AnnQuery {
       built: LshIndex.Built,
       deletedIds: Option[DataFrame] = None): DataFrame = {
     val p = model.params
-
-    // candidate union: min Hamming across (table, division) probes.
-    // Soft deletes (reference metadata.isDeleted / loadPointIfActive)
-    // drop out here via anti-join — the index itself is not touched.
-    val candidatesAll = probed
-      .join(built.membership, Seq("t", "d", "block"))
-      .groupBy(col("qid"), col("id"))
-      .agg(min(col("score")).as("hamming"))
-    val candidates = deletedIds.fold(candidatesAll)(del =>
-      candidatesAll.join(broadcast(del.select(col("id"))), Seq("id"), "left_anti"))
+    val candidates = cappedCandidates(probed, built, p, deletedIds)
 
     // bounded refine: top refinementLimit by Hamming, then exact L2
     val wRefine = Window.partitionBy("qid").orderBy(col("hamming"), col("id"))
@@ -348,6 +375,11 @@ object AnnQuery {
    * returns fewer than k results, rerun it with probes widened to 10).
    * The retry is a second join pass over only the starved queries —
    * at scale that set is tiny, so the extra pass costs ~nothing.
+   *
+   * Exactly ONE driver-side job decides the retry: the starved-query
+   * count, computed from the (cached) first pass's own per-query
+   * aggregation. In the common no-starved case the first pass is
+   * returned as-is — no second cache, no extra materialization.
    */
   def lshTopKAdaptive(spark: SparkSession, data: DataFrame, queries: DataFrame,
       k: Int, model: LshModel, built: LshIndex.Built,
@@ -358,19 +390,17 @@ object AnnQuery {
         .filter(col("n") >= k)
         .select(col("query_id").as("vec_id")),
       Seq("vec_id"), "left_anti")
-    if (starved.isEmpty) first
+    // the one decision job; fills `first`'s cache as a side effect, so
+    // the retry branch's re-reads of `first`/`starved` scan memory
+    if (starved.count() == 0) first
     else {
       // widen RELATIVE to the model: an absolute retry budget below the
       // model's own maxProbes would narrow the search on the rerun
       val newProbes = math.max(retryProbes, model.params.maxProbes * 2)
       val widened = model.copy(params = model.params.copy(maxProbes = newProbes))
-      val result = first
+      first
         .join(starved.select(col("vec_id").as("query_id")), Seq("query_id"), "left_anti")
         .unionByName(lshTopK(spark, data, starved, k, widened, built))
-        .cache()
-      result.count() // materialize, then release the first-pass cache
-      first.unpersist()
-      result
     }
   }
 

@@ -111,6 +111,24 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("simhash hot-bucket guard: degenerate corpus completes without quadratic bucket") {
+    import spark.implicits._
+    // 1000 identical short docs collapse onto ONE simhash value: every
+    // chunk bucket holds all 1000 and would yield ~500k pairs x 8
+    // chunks without the guard
+    val junk = (0L until 1000L).map(i => (i, "spam spam spam spam spam"))
+    val base = (0 until 80).map(i => s"tok$i word$i").mkString(" ")
+    val variant = base.replace("tok40", "xqz")
+    val docs = (junk :+ (5000L, base) :+ (5001L, variant)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7, maxBucket = 100)
+      .collect()
+    // hot buckets dropped: no junk-junk pair survives
+    assert(!pairs.exists(r => r.getLong(0) < 1000 && r.getLong(1) < 1000),
+      s"quadratic junk bucket leaked ${pairs.length} pairs")
+    // the distinct near-dup pair (small buckets) is still found
+    assert(pairs.exists(r => r.getLong(0) == 5000L && r.getLong(1) == 5001L))
+  }
+
   test("neardup: bucketed path finds a planted near-dup at rank 1 under coarse cells") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     // plant a true near-dup of vec 7 (small uniform offset, cosine ~1)

@@ -154,6 +154,23 @@ class LshSpec extends SparkSpecBase {
     assert(after(1).getLong(1) == before(2).getLong(1))
   }
 
+  test("candidate HARD_CAP bounds per-query candidates; k results still returned") {
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val queries = emb.filter(col("vec_id") < 5)
+    val tiny = model.params.copy(refinementLimit = 40, maxGlobalCandidates = 40)
+    val probed = AnnQuery.probeBlocks(spark, queries, model, built)
+    // the uncapped probe surface is far larger than the cap
+    val uncapped = AnnQuery.candidateCounts(probed, built).collect()
+    assert(uncapped.forall(_.getLong(1) > 40))
+    val perQ = AnnQuery.cappedCandidates(probed, built, tiny)
+      .groupBy("qid").count().collect()
+    assert(perQ.length == 5 && perQ.forall(_.getLong(1) <= 40),
+      s"capped candidate counts: ${perQ.mkString(",")}")
+    // end-to-end under the cap: still k results per query
+    val res = AnnQuery.lshTopK(spark, emb, queries, 10, model.copy(params = tiny), built)
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
+  }
+
   test("lsh top-k: self-match at rank 1 and recall@10 >= 0.8 vs brute force") {
     val recall = AnnQuery.annRecallEval(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
