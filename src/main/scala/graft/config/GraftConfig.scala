@@ -1,0 +1,157 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.lsh.LshParams
+
+/**
+ * Driver-side configuration (re-expression of the reference's
+ * `config/SystemConfig.java:370` + `config.json`): every tunable the
+ * reference exposes — LSH shape (m, lambda, tables, divisions, seed),
+ * probe/refinement budgets, stabilization, rotation thresholds,
+ * kVariants — is readable from a JSON file instead of being compiled
+ * in. Defaults equal the reference's `config.json` base profile, so a
+ * missing/empty config is exactly the behavior shipped before config
+ * ingestion existed.
+ *
+ * Like the reference, a config may carry named `profiles` whose
+ * `overrides` overlay the base document (deep merge, reference
+ * SystemConfig profile resolution); `load(path, Some(name))` applies
+ * one.
+ *
+ * Spark posture: the config is parsed once on the driver and its
+ * values flow into plans as literals/params — executors never read
+ * files. `GraftConfig.active` picks up `-Dgraft.config=<path>` or
+ * `GRAFT_CONFIG=<path>` (optionally `graft.profile` /
+ * `GRAFT_PROFILE`) so the packaged entry points are tunable without
+ * recompiling.
+ */
+final case class StabilizationConfig(
+    enabled: Boolean = true,
+    alpha: Double = 0.10,
+    minCandidates: Int = 1200)
+
+final case class RotationConfig(
+    opsThreshold: Long = 500000000L,
+    ageThresholdMs: Long = 86400000L)
+
+final case class EvalConfig(
+    kVariants: Seq[Int] = Seq(1, 5, 10, 20, 40, 60, 80, 100))
+
+final case class QueryConfig(k: Int = 10, numQueries: Int = 20)
+
+/** `cells <= 0` means size from the corpus (`IvfSearch.scaledCells`). */
+final case class IvfConfig(cells: Int = 0, probes: Int = 4)
+
+final case class NeardupConfig(cells: Int = 16, probes: Int = 4, topN: Int = 20)
+
+final case class GraftConfig(
+    lsh: LshParams = LshParams(),
+    stabilization: StabilizationConfig = StabilizationConfig(),
+    rotation: RotationConfig = RotationConfig(),
+    eval: EvalConfig = EvalConfig(),
+    query: QueryConfig = QueryConfig(),
+    ivf: IvfConfig = IvfConfig(),
+    neardup: NeardupConfig = NeardupConfig())
+
+object GraftConfig {
+
+  /** The JVM-wide config: `-Dgraft.config` / `GRAFT_CONFIG` path, else defaults. */
+  lazy val active: GraftConfig =
+    sys.props.get("graft.config").orElse(sys.env.get("GRAFT_CONFIG")) match {
+      case Some(path) =>
+        load(path, sys.props.get("graft.profile").orElse(sys.env.get("GRAFT_PROFILE")))
+      case None => GraftConfig()
+    }
+
+  def load(path: String, profile: Option[String] = None): GraftConfig =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8), profile)
+
+  def parse(json: String, profile: Option[String] = None): GraftConfig = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(json)
+    require(root != null && root.isObject, "config root must be a JSON object")
+    val effective = profile match {
+      case None => root
+      case Some(name) =>
+        val profiles = root.path("profiles")
+        val hit = (0 until profiles.size())
+          .map(i => profiles.get(i))
+          .find(p => p.path("name").asText() == name)
+          .getOrElse(throw new IllegalArgumentException(s"no profile named '$name'"))
+        deepMerge(root.deepCopy[JsonNode](), hit.path("overrides"))
+    }
+    fromNode(effective)
+  }
+
+  /** Overlay `patch` onto `base` (objects merge recursively, scalars/arrays replace). */
+  private def deepMerge(base: JsonNode, patch: JsonNode): JsonNode = {
+    if (!base.isObject || !patch.isObject) return patch
+    val obj = base.asInstanceOf[ObjectNode]
+    patch.properties().forEach { e =>
+      val existing = obj.get(e.getKey)
+      if (existing != null && existing.isObject && e.getValue.isObject)
+        deepMerge(existing, e.getValue)
+      else obj.set(e.getKey, e.getValue)
+    }
+    obj
+  }
+
+  private def fromNode(n: JsonNode): GraftConfig = {
+    val d = GraftConfig()
+    def i(node: JsonNode, field: String, dflt: Int): Int =
+      if (node.hasNonNull(field)) node.get(field).asInt() else dflt
+    def l(node: JsonNode, field: String, dflt: Long): Long =
+      if (node.hasNonNull(field)) node.get(field).asLong() else dflt
+    def dbl(node: JsonNode, field: String, dflt: Double): Double =
+      if (node.hasNonNull(field)) node.get(field).asDouble() else dflt
+    def b(node: JsonNode, field: String, dflt: Boolean): Boolean =
+      if (node.hasNonNull(field)) node.get(field).asBoolean() else dflt
+
+    val lshN = n.path("lsh")
+    val stabN = n.path("stabilization")
+    val rotN = n.path("rotation")
+    val evalN = n.path("eval")
+    val queryN = n.path("query")
+    val ivfN = n.path("ivf")
+    val ndN = n.path("neardup")
+
+    val kVariants =
+      if (evalN.hasNonNull("kVariants")) {
+        val arr = evalN.get("kVariants")
+        (0 until arr.size()).map(arr.get(_).asInt())
+      } else d.eval.kVariants
+
+    GraftConfig(
+      lsh = LshParams(
+        m = i(lshN, "m", d.lsh.m),
+        lambda = i(lshN, "lambda", d.lsh.lambda),
+        tables = i(lshN, "tables", d.lsh.tables),
+        divisions = i(lshN, "divisions", d.lsh.divisions),
+        seed = l(lshN, "seed", d.lsh.seed),
+        blockSize = i(lshN, "blockSize", d.lsh.blockSize),
+        maxProbes = i(lshN, "maxProbes", d.lsh.maxProbes),
+        refinementLimit = i(lshN, "refinementLimit", d.lsh.refinementLimit),
+        maxGlobalCandidates = i(lshN, "maxGlobalCandidates", d.lsh.maxGlobalCandidates)),
+      stabilization = StabilizationConfig(
+        enabled = b(stabN, "enabled", d.stabilization.enabled),
+        alpha = dbl(stabN, "alpha", d.stabilization.alpha),
+        minCandidates = i(stabN, "minCandidates", d.stabilization.minCandidates)),
+      rotation = RotationConfig(
+        opsThreshold = l(rotN, "opsThreshold", d.rotation.opsThreshold),
+        ageThresholdMs = l(rotN, "ageThresholdMs", d.rotation.ageThresholdMs)),
+      eval = EvalConfig(kVariants = kVariants),
+      query = QueryConfig(
+        k = i(queryN, "k", d.query.k),
+        numQueries = i(queryN, "numQueries", d.query.numQueries)),
+      ivf = IvfConfig(
+        cells = i(ivfN, "cells", d.ivf.cells),
+        probes = i(ivfN, "probes", d.ivf.probes)),
+      neardup = NeardupConfig(
+        cells = i(ndN, "cells", d.neardup.cells),
+        probes = i(ndN, "probes", d.neardup.probes),
+        topN = i(ndN, "topN", d.neardup.topN)))
+  }
+}

@@ -32,4 +32,16 @@ object KeyLifecycle {
   def rotationDue(records: DataFrame, version: Int, maxOps: Long): Boolean =
     keyUsage(records).filter(F.col("kv") === version)
       .select("n_records").collect().headOption.exists(_.getLong(0) >= maxOps)
+
+  /**
+   * Full rotation policy: due when the version exceeded its ops budget
+   * OR its age (reference `KeyRotationServiceImpl` rotates on
+   * `opsThreshold` or `ageThresholdMs` — config.json base:
+   * 500000000 ops / 86400000 ms). `createdAtMs` is the version's
+   * creation stamp from key metadata; `nowMs` is injected so the
+   * policy is a pure, testable function.
+   */
+  def rotationDue(records: DataFrame, version: Int, maxOps: Long,
+      createdAtMs: Long, nowMs: Long, ageThresholdMs: Long): Boolean =
+    (nowMs - createdAtMs) >= ageThresholdMs || rotationDue(records, version, maxOps)
 }

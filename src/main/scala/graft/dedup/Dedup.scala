@@ -236,8 +236,8 @@ object Dedup {
 
   // ---- embedding near-dup: IVF co-probe bucketing (no all-pairs) ----
 
-  val NeardupCells = 16
-  val NeardupProbes = 4
+  val NeardupCells: Int = graft.config.GraftConfig.active.neardup.cells
+  val NeardupProbes: Int = graft.config.GraftConfig.active.neardup.probes
 
   /**
    * (vec_id, cell) — each vector's `nProbe` nearest IVF cells,
@@ -308,7 +308,7 @@ object Dedup {
   def neardupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val cents = graft.query.IvfSearch.fitCentroids(e, NeardupCells, Some(s"neardup:$sfDir"))
-    neardupPairs(e, cents, NeardupProbes, 20)
+    neardupPairs(e, cents, NeardupProbes, graft.config.GraftConfig.active.neardup.topN)
   }
 
   val neardupEmbeddingSql: String =

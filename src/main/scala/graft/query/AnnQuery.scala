@@ -320,8 +320,11 @@ object AnnQuery {
 
   // ---- SparkEntry wiring over the embeddings table ----
 
-  val DefaultK = 10
-  val NumQueries = 20
+  // all tunables flow from the (JVM-fixed) active config; defaults
+  // reproduce the pre-config behavior exactly (GraftConfig scaladoc)
+  private def cfg = graft.config.GraftConfig.active
+  val DefaultK: Int = cfg.query.k
+  val NumQueries: Int = cfg.query.numQueries
 
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -360,7 +363,7 @@ object AnnQuery {
         _ => scala.collection.mutable.Map.empty)
       perSession.getOrElseUpdate(sfDir, {
         val data = emb(spark, sfDir)
-        val model = Lsh.fit(data, "embedding", LshParams())
+        val model = Lsh.fit(data, "embedding", cfg.lsh)
         val built = LshIndex.build(
           LshIndex.codes(data, "vec_id", "embedding", model), model.params.blockSize)
         (model, LshIndex.Built(built.membership.cache(), built.summaries.cache()))
@@ -423,7 +426,7 @@ object AnnQuery {
    * metric (mean #refined-candidates / k).
    */
   def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val kVariants = Seq(1, 5, 10, 20, 40, 60, 80, 100)
+    val kVariants = cfg.eval.kVariants
     val data = emb(spark, sfDir)
     val queries = queryVecs(spark, sfDir)
     val maxK = kVariants.max

@@ -29,9 +29,10 @@ import graft.functions.VectorFunctions.vec_l2
  */
 object IvfSearch {
 
-  val NumProbes = 4
-  val K = 10
-  val NumQueries = 20
+  private def cfg = graft.config.GraftConfig.active
+  val NumProbes: Int = cfg.ivf.probes
+  val K: Int = cfg.query.k
+  val NumQueries: Int = cfg.query.numQueries
   val MaxSample = 10000
   val KmeansIters = 5
   /** Default cell count when the corpus size is not consulted (near-dup path). */
@@ -153,7 +154,8 @@ object IvfSearch {
 
   def simsearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val data = Tables.embeddings(spark, sfDir)
-    val c = scaledCells(data.count())
+    // config override wins; otherwise size cells from the corpus
+    val c = if (cfg.ivf.cells > 0) cfg.ivf.cells else scaledCells(data.count())
     val cents = fitCentroids(data, c, Some(s"ivf:$sfDir"))
     ivfTopK(spark, data, data.filter(col("vec_id") < NumQueries), K, NumProbes, cents)
   }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.config.GraftConfig
+import graft.crypto.KeyLifecycle
+import graft.lsh.{Lsh, LshParams}
+
+class GraftConfigSpec extends SparkSpecBase {
+
+  test("empty config parses to exact defaults (pre-config behavior)") {
+    assert(GraftConfig.parse("{}") == GraftConfig())
+    assert(GraftConfig.parse("""{"lsh": {}}""") == GraftConfig())
+  }
+
+  test("fields override individually; unknown fields ignored") {
+    val c = GraftConfig.parse(
+      """{"lsh": {"m": 15, "divisions": 2, "maxProbes": 7, "refinementLimit": 123},
+        |"query": {"k": 5}, "eval": {"kVariants": [1, 3]},
+        |"rotation": {"ageThresholdMs": 1000}, "mystery": {"x": 1}}""".stripMargin)
+    assert(c.lsh.m == 15 && c.lsh.divisions == 2 && c.lsh.maxProbes == 7)
+    assert(c.lsh.refinementLimit == 123 && c.lsh.tables == 8) // untouched default
+    assert(c.query.k == 5 && c.query.numQueries == 20)
+    assert(c.eval.kVariants == Seq(1, 3))
+    assert(c.rotation.ageThresholdMs == 1000L)
+  }
+
+  test("profile overrides overlay the base document (reference profiles)") {
+    val json =
+      """{"lsh": {"m": 25, "divisions": 3},
+        |"profiles": [
+        |  {"name": "fast", "overrides": {"lsh": {"m": 15, "divisions": 2},
+        |                                 "stabilization": {"alpha": 0.08}}},
+        |  {"name": "recall", "overrides": {"lsh": {"m": 30, "lambda": 3}}}]}""".stripMargin
+    val base = GraftConfig.parse(json)
+    assert(base.lsh.m == 25 && base.lsh.divisions == 3)
+    val fast = GraftConfig.parse(json, Some("fast"))
+    assert(fast.lsh.m == 15 && fast.lsh.divisions == 2)
+    assert(fast.stabilization.alpha == 0.08)
+    assert(fast.lsh.tables == 8) // base-level default survives the overlay
+    val recall = GraftConfig.parse(json, Some("recall"))
+    assert(recall.lsh.m == 30 && recall.lsh.lambda == 3 && recall.lsh.divisions == 3)
+    intercept[IllegalArgumentException](GraftConfig.parse(json, Some("nope")))
+  }
+
+  test("load reads a file from disk") {
+    val f = java.nio.file.Files.createTempFile("graft-config", ".json")
+    java.nio.file.Files.write(f, """{"query": {"k": 3}}""".getBytes)
+    try assert(GraftConfig.load(f.toString).query.k == 3)
+    finally java.nio.file.Files.delete(f)
+  }
+
+  test("a non-default config actually changes the fitted model and probe plan") {
+    val emb = Tables.embeddings(spark, sf)
+    val c = GraftConfig.parse("""{"lsh": {"m": 15, "divisions": 2, "maxProbes": 2}}""")
+    val model = Lsh.fit(emb, "embedding", c.lsh)
+    assert(model.gfs.length == 8 && model.gfs.head.length == 2) // divisions from config
+    assert(model.g(0, 0).m == 15)
+    val built = graft.index.LshIndex.build(
+      graft.index.LshIndex.codes(emb, "vec_id", "embedding", model), c.lsh.blockSize)
+    val probed = graft.query.AnnQuery.probeBlocks(
+      spark, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3), model, built)
+    // maxProbes=2 and divisions=2: exactly 2 blocks per (q, t, d), 8*2 (t,d)s
+    val perQ = probed.groupBy("qid").count().collect()
+    assert(perQ.forall(_.getLong(1) == 2L * 8 * 2), s"probe counts ${perQ.mkString(",")}")
+  }
+
+  test("age-based rotation policy: due on age even under the ops budget") {
+    import spark.implicits._
+    val records = Seq((1L, 1), (2L, 1)).toDF("id", "kv")
+    // 2 records << maxOps, but age exceeds the threshold
+    assert(KeyLifecycle.rotationDue(records, 1, maxOps = 1000,
+      createdAtMs = 0L, nowMs = 90000000L, ageThresholdMs = 86400000L))
+    // young and under budget: not due
+    assert(!KeyLifecycle.rotationDue(records, 1, maxOps = 1000,
+      createdAtMs = 0L, nowMs = 1000L, ageThresholdMs = 86400000L))
+    // ops threshold still triggers on its own
+    assert(KeyLifecycle.rotationDue(records, 1, maxOps = 2,
+      createdAtMs = 0L, nowMs = 1000L, ageThresholdMs = 86400000L))
+  }
+}
