@@ -37,6 +37,7 @@ object SparkEntry {
     "lsh_code" -> (AnnQuery.lshCode _),
     "lsh_partition_build" -> (AnnQuery.lshPartitionBuild _),
     "encrypt_points" -> (VersionedCrypto.encryptPoints _),
+    "query_token" -> (graft.crypto.QueryTokens.queryToken _),
     "decrypt_refine" -> (VersionedCrypto.decryptRefine _),
     "key_rotation" -> (VersionedCrypto.keyRotation _),
     "fvecs_roundtrip" -> (LoaderQueries.fvecsRoundtrip _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "ann_brute_topk" -> AnnQuery.annBruteTopKSql,
     "lsh_partition_build" -> AnnQuery.lshPartitionBuildSql,
     "encrypt_points" -> VersionedCrypto.encryptPointsSql,
+    "query_token" -> graft.crypto.QueryTokens.queryTokenSql,
     "decrypt_refine" -> VersionedCrypto.decryptRefineSql,
     "key_rotation" -> VersionedCrypto.keyRotationSql,
     "fvecs_roundtrip" -> LoaderQueries.fvecsRoundtripSql,

@@ -47,10 +47,26 @@ object AnnQuery {
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
   }
 
+  /** Query-side LSH codes (qid, t, d, key, code) — the plaintext-free
+    * payload a query token carries (see [[graft.crypto.QueryTokens]]). */
+  def queryCodes(queries: DataFrame, model: LshModel): DataFrame =
+    LshIndex.codes(
+      queries.select(col("vec_id"), col("embedding")), "vec_id", "embedding", model)
+      .select(col("id").as("qid"), col("t"), col("d"), col("key"), col("code"))
+
   /** Best-first multi-probe block selection per (query, table, division). */
   def probeBlocks(
       spark: SparkSession,
       queries: DataFrame,
+      model: LshModel,
+      built: LshIndex.Built): DataFrame =
+    probeBlocksCoded(spark, queryCodes(queries, model), model, built)
+
+  /** [[probeBlocks]] from precomputed query codes: the server-side half
+    * of the token path — consumes codes only, never a plaintext vector. */
+  def probeBlocksCoded(
+      spark: SparkSession,
+      codes: DataFrame,
       model: LshModel,
       built: LshIndex.Built): DataFrame = {
     import spark.implicits._
@@ -58,9 +74,7 @@ object AnnQuery {
 
     val summB = spark.sparkContext.broadcast(LshIndex.collectSummaries(built.summaries))
 
-    val qCodes = LshIndex.codes(
-      queries.select(col("vec_id"), col("embedding")), "vec_id", "embedding", model)
-      .select(col("id").as("qid"), col("t"), col("d"), col("key"), col("code"))
+    val qCodes = codes.select(col("qid"), col("t"), col("d"), col("key"), col("code"))
       .as[QueryCode]
 
     qCodes.mapPartitions { it =>
@@ -129,11 +143,17 @@ object AnnQuery {
       spark: SparkSession,
       queries: DataFrame,
       model: LshModel,
+      built: LshIndex.Built): DataFrame =
+    probeBlocksDistributedCoded(queryCodes(queries, model), model, built)
+
+  /** [[probeBlocksDistributed]] from precomputed query codes (token path). */
+  def probeBlocksDistributedCoded(
+      codes: DataFrame,
+      model: LshModel,
       built: LshIndex.Built): DataFrame = {
     val p = model.params
-    val qCodes = LshIndex.codes(
-      queries.select(col("vec_id"), col("embedding")), "vec_id", "embedding", model)
-      .select(col("id").as("qid"), col("t"), col("d"), col("key"), col("code").as("qcode"))
+    val qCodes = codes
+      .select(col("qid"), col("t"), col("d"), col("key"), col("code").as("qcode"))
 
     val summ = built.summaries.select(col("t"), col("d"), col("block"),
       col("min_key"), col("max_key"), col("rep_code"))
@@ -263,6 +283,26 @@ object AnnQuery {
       .select(col("qid"), col("id"), col("hamming"))
   }
 
+  /**
+   * Candidate union + Hamming bound, codes-only: everything the SERVER
+   * side of the token path computes. Yields (qid, id, hamming) — the
+   * per-query top-refinementLimit candidate ids, derived purely from
+   * probe scores over the index; no plaintext vector is touched.
+   */
+  private[graft] def boundedCandidates(
+      probed: DataFrame,
+      built: LshIndex.Built,
+      p: LshParams,
+      deletedIds: Option[DataFrame] = None): DataFrame = {
+    val candidates = cappedCandidates(probed, built, p, deletedIds)
+    // bounded refine: top refinementLimit by Hamming
+    val wRefine = Window.partitionBy("qid").orderBy(col("hamming"), col("id"))
+    candidates
+      .withColumn("h_rank", row_number().over(wRefine))
+      .filter(col("h_rank") <= p.refinementLimit)
+      .select(col("qid"), col("id"), col("hamming"))
+  }
+
   /** Candidate union + bounded Hamming refine + exact-L2 top-k over a probe set. */
   def refineFromProbes(
       probed: DataFrame,
@@ -273,13 +313,7 @@ object AnnQuery {
       built: LshIndex.Built,
       deletedIds: Option[DataFrame] = None): DataFrame = {
     val p = model.params
-    val candidates = cappedCandidates(probed, built, p, deletedIds)
-
-    // bounded refine: top refinementLimit by Hamming, then exact L2
-    val wRefine = Window.partitionBy("qid").orderBy(col("hamming"), col("id"))
-    val bounded = candidates
-      .withColumn("h_rank", row_number().over(wRefine))
-      .filter(col("h_rank") <= p.refinementLimit)
+    val bounded = boundedCandidates(probed, built, p, deletedIds)
 
     val wK = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     bounded
@@ -372,6 +406,13 @@ object AnnQuery {
 
   private def fitModel(spark: SparkSession, sfDir: String): LshModel =
     setup(spark, sfDir)._1
+
+  /** The memoized fitted model for a corpus (shared with the token path). */
+  def setupModel(spark: SparkSession, sfDir: String): LshModel = fitModel(spark, sfDir)
+
+  /** The memoized built index for a corpus (shared with the token path). */
+  def setupIndex(spark: SparkSession, sfDir: String): (LshModel, LshIndex.Built) =
+    setup(spark, sfDir)
 
   /**
    * Adaptive wrapper (reference QueryServiceImpl retry: if a query
