@@ -34,6 +34,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (AnnQuery.annLshTopK _),
     "ann_lsh_topk_distjoin" -> (AnnQuery.annLshTopKDistJoin _),
     "ann_recall_eval" -> (AnnQuery.annRecallEval _),
+    "ann_recall_gtfile" -> (graft.query.GtFile.annRecallGtfile _),
     "lsh_code" -> (AnnQuery.lshCode _),
     "lsh_partition_build" -> (AnnQuery.lshPartitionBuild _),
     "encrypt_points" -> (VersionedCrypto.encryptPoints _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "ngram_jaccard" -> Dedup.ngramJaccardSql,
     "neardup_embedding" -> Dedup.neardupEmbeddingSql,
+    "lang_id" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "token_count" -> TextAnalysis.tokenCountSql,

@@ -1,0 +1,88 @@
+package graft.query
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.config.GraftConfig
+import graft.sources.VecFiles
+
+/**
+ * Ground-truth files (re-expression of fspann
+ * `loader/GroundtruthManager` + `api/GroundtruthValidator`): external
+ * `.ivecs` ground truth — row i = the ordered neighbor ids of query
+ * i — can be loaded, validated against the corpus, and fed into
+ * `AnnQuery.recallEval` in place of self-computed brute force.
+ *
+ * Load + explode are distributed ([[VecFiles.ivecs]] assigns global
+ * row ids with the multi-file prefix sum); only the WRITE side is a
+ * driver loop, which is fine because a GT file is (queries x maxK)
+ * ints — KBs — regardless of corpus size.
+ */
+object GtFile {
+
+  /** Write (query_id, vec_id, rnk) ground truth as .ivecs (row order =
+    * query_id order, column order = rank order — GroundtruthManager's
+    * layout). */
+  def writeGt(gt: DataFrame, file: String): Unit = {
+    val rows = gt.select("query_id", "vec_id", "rnk").collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_.getInt(2)).map(_.getLong(1).toInt) }
+    Files.createDirectories(Paths.get(file).getParent)
+    VecFiles.writeIvecs(file, rows.iterator)
+  }
+
+  /** Load an .ivecs GT file back to (query_id, vec_id, rnk). */
+  def loadGt(spark: SparkSession, dir: String): DataFrame =
+    VecFiles.ivecs(spark, dir)
+      .select(col("id").as("query_id"), posexplode(col("vec")).as(Seq("pos", "vec_id")))
+      .select(col("query_id"), col("vec_id").cast("long").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+
+  /**
+   * GroundtruthValidator checks: every id within [0, corpusSize), no
+   * duplicate ids within a query's list, ranks contiguous from 1.
+   * Returns the number of violating rows (0 = valid).
+   */
+  def validateGt(gt: DataFrame, corpusSize: Long): Long = {
+    val badRange = gt.filter(col("vec_id") < 0 || col("vec_id") >= corpusSize).count()
+    val dupes = gt.groupBy("query_id", "vec_id").count().filter(col("count") > 1).count()
+    val badRanks = gt.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+      .count()
+    badRange + dupes + badRanks
+  }
+
+  /**
+   * Recall eval driven by a written-then-loaded GT FILE instead of the
+   * in-session brute-force DataFrame: proves external `.ivecs` ground
+   * truth wires into the same eval (spec asserts it reproduces the
+   * self-computed recall exactly).
+   */
+  def annRecallGtfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val kVariants = GraftConfig.active.eval.kVariants
+    val maxK = kVariants.max
+    val data = Tables.embeddings(spark, sfDir)
+    val queries = data.filter(col("vec_id") < AnnQuery.NumQueries)
+
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = s"/root/repo/target/tmp/gt/$tag"
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    writeGt(AnnQuery.bruteTopK(data, queries, maxK), s"$dir/gt.ivecs")
+
+    val gt = loadGt(spark, dir)
+    require(validateGt(gt, data.count()) == 0, "ground-truth file failed validation")
+
+    val (model, built) = AnnQuery.setupIndex(spark, sfDir)
+    AnnQuery.recallEval(
+      AnnQuery.lshTopK(spark, data, queries, maxK, model, built),
+      gt, kVariants)
+  }
+}

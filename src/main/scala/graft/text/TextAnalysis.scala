@@ -35,7 +35,12 @@ object TextAnalysis {
 
   /**
    * Predicted language = argmax stopword score (ties resolve by profile
-   * order via strict > on a running max — deterministic).
+   * order via strict > on a running max — deterministic). The score is
+   * FLOOR-truncated, not rounded: it is an int/int quotient that can
+   * land on dyadic half-ties where engine ROUNDs disagree (SURVEY §5).
+   *
+   * The whole scoring is list_filter/CASE logic a DuckDB oracle
+   * reproduces verbatim ([[langIdSql]]) — sql-checked, not rows-only.
    */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
@@ -48,11 +53,36 @@ object TextAnalysis {
         df.withColumn("pred_lang", when(s > col("best_score"), lit(lang)).otherwise(col("pred_lang")))
           .withColumn("best_score", greatest(s, col("best_score")))
     }
-    scored.select(col("doc_id"), col("pred_lang"), round(col("best_score"), 4).as("score"))
+    scored.select(col("doc_id"), col("pred_lang"),
+      (floor(col("best_score") * 10000) / 10000).as("score"))
   }
 
   def langIdQuery(spark: SparkSession, sfDir: String): DataFrame =
     langId(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** DuckDB twin of [[langId]]: per-language stopword ratios, first-match
+    * CASE = the fold's strict-> tie-break (first profile at the max wins). */
+  val langIdSql: String = {
+    val scores = StopwordProfiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, x -> x IN ($set))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = StopwordProfiles.map(_._1)
+    val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  $scores
+       |FROM t),
+       |b AS (SELECT *, $best AS best FROM s)
+       |SELECT doc_id,
+       |  CASE WHEN best <= 0 THEN 'und'
+       |    $cases
+       |    ELSE 'und' END AS pred_lang,
+       |  FLOOR(best * 10000) / 10000 AS score
+       |FROM b""".stripMargin
+  }
 
   // ---- quality scoring ----
 

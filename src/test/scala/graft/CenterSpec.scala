@@ -74,4 +74,47 @@ class CenterSpec extends SparkSpecBase {
     assert(want == Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2,
       6L -> 2, 7L -> 2, 8L -> 3))
   }
+
+  test("written-then-loaded GT file reproduces self-computed recall exactly") {
+    import graft.query.GtFile
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val gtComputed = AnnQuery.bruteTopK(emb, queries, 20)
+
+    val dir = "/root/repo/target/tmp/gt-spec"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    GtFile.writeGt(gtComputed, s"$dir/gt.ivecs")
+    val gtLoaded = GtFile.loadGt(spark, dir)
+
+    // the loaded file IS the computed GT, row for row
+    assert(gtLoaded.exceptAll(gtComputed.select("query_id", "vec_id", "rnk")).count() == 0)
+    assert(gtComputed.select("query_id", "vec_id", "rnk").exceptAll(gtLoaded).count() == 0)
+    assert(GtFile.validateGt(gtLoaded, emb.count()) == 0)
+
+    // recall computed against the file equals recall against the DataFrame
+    val model = Lsh.fit(emb, "embedding", LshParams())
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val ann = AnnQuery.lshTopK(spark, emb, queries, 20, model, built)
+    val ks = Seq(1, 5, 10, 20)
+    val a = AnnQuery.recallEval(ann, gtLoaded, ks).collect()
+    val b = AnnQuery.recallEval(ann, gtComputed, ks).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("GT validation catches range, duplicate, and rank violations") {
+    import spark.implicits._
+    import graft.query.GtFile
+    val good = Seq((0L, 1L, 1), (0L, 2L, 2), (1L, 3L, 1), (1L, 4L, 2))
+      .toDF("query_id", "vec_id", "rnk")
+    assert(GtFile.validateGt(good, 100) == 0)
+    assert(GtFile.validateGt(good, 3) > 0) // ids beyond corpus
+    val dup = Seq((0L, 1L, 1), (0L, 1L, 2)).toDF("query_id", "vec_id", "rnk")
+    assert(GtFile.validateGt(dup, 100) > 0)
+    val gap = Seq((0L, 1L, 2), (0L, 2L, 3)).toDF("query_id", "vec_id", "rnk")
+    assert(GtFile.validateGt(gap, 100) > 0)
+  }
 }
