@@ -30,7 +30,8 @@ import graft.lsh.LshParams
 final case class StabilizationConfig(
     enabled: Boolean = true,
     alpha: Double = 0.10,
-    minCandidates: Int = 1200)
+    minCandidates: Int = 1200,
+    targetRatio: Double = 1.25)
 
 final case class RotationConfig(
     opsThreshold: Long = 500000000L,
@@ -138,7 +139,8 @@ object GraftConfig {
       stabilization = StabilizationConfig(
         enabled = b(stabN, "enabled", d.stabilization.enabled),
         alpha = dbl(stabN, "alpha", d.stabilization.alpha),
-        minCandidates = i(stabN, "minCandidates", d.stabilization.minCandidates)),
+        minCandidates = i(stabN, "minCandidates", d.stabilization.minCandidates),
+        targetRatio = dbl(stabN, "targetRatio", d.stabilization.targetRatio)),
       rotation = RotationConfig(
         opsThreshold = l(rotN, "opsThreshold", d.rotation.opsThreshold),
         ageThresholdMs = l(rotN, "ageThresholdMs", d.rotation.ageThresholdMs)),

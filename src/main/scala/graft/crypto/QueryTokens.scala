@@ -63,7 +63,7 @@ object QueryTokens {
       deletedIds: Option[DataFrame] = None): DataFrame = {
     // server side: codes in, encrypted candidate records out
     val probed = AnnQuery.probeBlocksCoded(spark, tokenCodes, model, built)
-    val bounded = AnnQuery.boundedCandidates(probed, built, model.params, deletedIds)
+    val bounded = AnnQuery.boundedCandidates(probed, built, model.params, deletedIds, k)
     val encCandidates = bounded.join(encStore, Seq("id"))
 
     // client side: decrypt candidates + the token's own query vector

@@ -1,0 +1,75 @@
+package graft.eval
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.LshIndex
+import graft.query.AnnQuery
+
+/**
+ * Per-query work profiles and eval artifact export (re-expression of
+ * fspann `common/Profiler`, `query/core/TopKProfiler.java:199`,
+ * `EvaluationSummaryPrinter`).
+ *
+ * A batch engine profiles WORK per query, not wall time — per-query
+ * wall latency has no meaning when 10k queries share one plan (Bench
+ * reports batch timings; SURVEY §6a). What the reference's per-query
+ * CSV rows carry — candidates surfaced, refinement utilization,
+ * result distances — are all set-valued facts, so the profile is
+ * itself a DataFrame computed from the same probe pass the query
+ * ran, and the CSV artifact is a driver-side export of that (one row
+ * per query — KBs, like the reference's results dir).
+ */
+object QueryProfile {
+
+  /**
+   * (query_id, n_probes, n_candidates, n_results, best_dist,
+   * worst_dist): probe fan-out, candidate surface, and top-k distance
+   * envelope per query.
+   */
+  def profile(probed: DataFrame, built: LshIndex.Built, result: DataFrame): DataFrame = {
+    val probes = probed.groupBy(col("qid").as("query_id"))
+      .agg(count(lit(1)).as("n_probes"))
+    val cands = AnnQuery.candidateCounts(probed, built)
+    val res = result.groupBy("query_id").agg(
+      count(lit(1)).as("n_results"),
+      min("dist").as("best_dist"),
+      max("dist").as("worst_dist"))
+    probes
+      .join(cands, Seq("query_id"), "left")
+      .join(res, Seq("query_id"), "left")
+      .na.fill(0, Seq("n_candidates", "n_results"))
+      .orderBy("query_id")
+  }
+
+  /** Export a (small) eval DataFrame as a single CSV artifact
+    * (EvaluationSummaryPrinter / results-dir export). Driver-side by
+    * design: profiles and recall tables are one row per query / per k. */
+  def exportCsv(df: DataFrame, file: String): Unit = {
+    val p = Paths.get(file)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val cols = df.columns
+    val sb = new StringBuilder(cols.mkString(",")).append('\n')
+    df.collect().foreach { r =>
+      sb.append((0 until r.length).map { i =>
+        val v = r.get(i)
+        if (v == null) "" else v.toString
+      }.mkString(",")).append('\n')
+    }
+    Files.write(p, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Full eval artifact set for a corpus: per-query profile +
+    * recall/ratio summary, exported under `outDir`. */
+  def exportEvalArtifacts(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val (model, built) = AnnQuery.setupIndex(spark, sfDir)
+    val data = graft.Tables.embeddings(spark, sfDir)
+    val queries = data.filter(col("vec_id") < AnnQuery.NumQueries)
+    val probed = AnnQuery.probeBlocks(spark, queries, model, built)
+    val result = AnnQuery.refineFromProbes(probed, data, queries, AnnQuery.DefaultK, model, built)
+    exportCsv(profile(probed, built, result), s"$outDir/per_query_profile.csv")
+    exportCsv(AnnQuery.annRecallEval(spark, sfDir), s"$outDir/recall_summary.csv")
+  }
+}

@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.config.StabilizationConfig
 import graft.functions.VectorFunctions.vec_l2
 import graft.index.LshIndex
 import graft.lsh.{HammingExpr, Lsh, LshModel, LshParams}
@@ -286,20 +287,46 @@ object AnnQuery {
   /**
    * Candidate union + Hamming bound, codes-only: everything the SERVER
    * side of the token path computes. Yields (qid, id, hamming) — the
-   * per-query top-refinementLimit candidate ids, derived purely from
-   * probe scores over the index; no plaintext vector is touched.
+   * per-query top candidate ids by Hamming, derived purely from probe
+   * scores over the index; no plaintext vector is touched.
+   *
+   * The per-query bound is the reference's D1 stabilization limiter
+   * (QueryServiceImpl "decrypts a limited prefix of candidates";
+   * formula documented in query/CandidatePipelineTest PATCH-6):
+   *   finalSize = max(max(k, minCandidates), min(raw, ceil(k * targetRatio)))
+   * capped by refinementLimit; with stabilization disabled the bound
+   * is refinementLimit alone. `raw` is the per-query candidate count —
+   * a count window over the same qid partition the rank window uses,
+   * so the limiter costs no extra shuffle.
+   *
+   * The reference's ranked-Hamming threshold pre-filter with fallback
+   * fill (QueryServiceImpl.java:177-197) needs no code here: the
+   * candidate list is sorted by Hamming, so "all <= threshold, then
+   * best-ranked above it until the limit" IS the ranked prefix the
+   * bound already takes — the threshold only splits the logging
+   * counters, never the selected set.
    */
   private[graft] def boundedCandidates(
       probed: DataFrame,
       built: LshIndex.Built,
       p: LshParams,
-      deletedIds: Option[DataFrame] = None): DataFrame = {
+      deletedIds: Option[DataFrame] = None,
+      k: Int = 0,
+      stab: StabilizationConfig = graft.config.GraftConfig.active.stabilization): DataFrame = {
     val candidates = cappedCandidates(probed, built, p, deletedIds)
-    // bounded refine: top refinementLimit by Hamming
     val wRefine = Window.partitionBy("qid").orderBy(col("hamming"), col("id"))
+    val limit: Column =
+      if (!stab.enabled || k <= 0) lit(p.refinementLimit.toLong)
+      else {
+        val raw = count(lit(1)).over(Window.partitionBy("qid"))
+        least(lit(p.refinementLimit.toLong),
+          greatest(lit(math.max(k, stab.minCandidates).toLong),
+            least(raw, lit(math.ceil(k * stab.targetRatio).toLong))))
+      }
     candidates
       .withColumn("h_rank", row_number().over(wRefine))
-      .filter(col("h_rank") <= p.refinementLimit)
+      .withColumn("h_limit", limit)
+      .filter(col("h_rank") <= col("h_limit"))
       .select(col("qid"), col("id"), col("hamming"))
   }
 
@@ -313,7 +340,7 @@ object AnnQuery {
       built: LshIndex.Built,
       deletedIds: Option[DataFrame] = None): DataFrame = {
     val p = model.params
-    val bounded = boundedCandidates(probed, built, p, deletedIds)
+    val bounded = boundedCandidates(probed, built, p, deletedIds, k)
 
     val wK = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     bounded
