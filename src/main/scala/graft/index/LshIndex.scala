@@ -41,7 +41,12 @@ object LshIndex {
       .select(col("id"), col("c.t").as("t"), col("c.d").as("d"),
         col("c.key").as("key"), col("c.code").as("code"))
 
-  final case class Built(membership: DataFrame, summaries: DataFrame)
+  final case class Built(membership: DataFrame, summaries: DataFrame) {
+    /** Total block count, computed once per built index (used to size
+      * the key-range buckets of the distributed center lookup; a Long
+      * memo, so it survives cache eviction without re-counting). */
+    lazy val summaryCount: Long = summaries.count()
+  }
 
   final case class CodeRow(id: Long, t: Int, d: Int, key: Long, code: Array[Long], bkt: Int)
 

@@ -159,7 +159,7 @@ object AnnQuery {
     val summ = built.summaries.select(col("t"), col("d"), col("block"),
       col("min_key"), col("max_key"), col("rep_code"))
 
-    val centers = centerBlocks(qCodes, summ, p)
+    val centers = centerBlocks(qCodes, summ, p, Some(built.summaryCount))
 
     // candidate window around the center, ranked by Hamming on rep
     // codes. The join key carries a block BUCKET (block div maxProbes):
@@ -189,12 +189,15 @@ object AnnQuery {
    * an equi-join on key-range buckets (CenterSpec asserts the parity).
    */
   private[graft] def centerBlocks(
-      qCodes: DataFrame, summ: DataFrame, p: LshParams): DataFrame = {
+      qCodes: DataFrame, summ: DataFrame, p: LshParams,
+      summaryCount: Option[Long] = None): DataFrame = {
     // key-bucket width sized so #buckets ~ #blocks per (t, d); the
-    // summary count is an agg over the (cached, rows/blockSize) summary
-    // table, not the corpus. Cap 2^16 buckets: worst-case fan is then
-    // blocks/2^16 rows per (query, t, d) — 238 at 1e9 vectors, not 1.5e7.
-    val nBlocksPerTd = math.max(1L, summ.count() / (p.tables.toLong * p.divisions))
+    // summary count is an agg over the (rows/blockSize) summary table,
+    // not the corpus — and callers holding a Built pass its memoized
+    // count, so no job runs here. Cap 2^16 buckets: worst-case fan is
+    // then blocks/2^16 rows per (query, t, d) — 238 at 1e9, not 1.5e7.
+    val nBlocksPerTd = math.max(1L,
+      summaryCount.getOrElse(summ.count()) / (p.tables.toLong * p.divisions))
     val keyBits = math.min(16,
       math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(nBlocksPerTd - 1)))
     val keyBucket = (c: Column) => shiftrightunsigned(c, 63 - keyBits)

@@ -144,6 +144,42 @@ object VecFiles {
   def writeFvecs(file: String, rows: Iterator[Array[Float]]): Unit =
     writeRecords(file, rows)((o, x) => o.write(leF(x)))
 
+  /**
+   * Distributed .fvecs export (the ingest-scale writer; the plain
+   * writers above stay driver-side for the deterministic oracle
+   * harness): vectors are range-partitioned and sorted by id, and each
+   * non-empty partition writes one part file named by its partition
+   * index — range partitions are in id order, so lexicographic file
+   * order == global id order, exactly the layout [[fvecs]]' prefix sum
+   * assigns ids from. Vector bytes never touch the driver. Each part
+   * is written to a task-attempt temp name and renamed, so a retry
+   * cannot leave a torn file.
+   *
+   * Targets a filesystem path visible to executors (local[n] here; on
+   * a real cluster this is a shared mount — or swap the
+   * FileOutputStream in [[writeFvecs]] for a Hadoop `FileSystem`
+   * stream, the only line that knows about the destination).
+   */
+  def writeFvecsDistributed(df: DataFrame, idCol: String, vecCol: String,
+      dir: String, numFiles: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+      .repartitionByRange(numFiles, col("id"))
+      .sortWithinPartitions("id")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val file = f"$dir/part-${tc.partitionId()}%05d.fvecs"
+          val tmp = s"$file.tmp-${tc.taskAttemptId()}"
+          writeFvecs(tmp, it.map(_.getSeq[Float](1).toArray))
+          Files.move(Paths.get(tmp), Paths.get(file),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      }
+  }
+
   def writeBvecs(file: String, rows: Iterator[Array[Int]]): Unit =
     writeRecords(file, rows)((o, x) => o.write(x & 0xff))
 

@@ -35,6 +35,23 @@ class VecFilesSpec extends SparkSpecBase {
       org.apache.spark.sql.Row(0L, rows.length - 1L, rows.length.toLong))
   }
 
+  test("distributed fvecs export roundtrips without vector bytes on the driver") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = tmp("fvecs-dist")
+    VecFiles.writeFvecsDistributed(emb, "vec_id", "embedding", dir, numFiles = 3)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count()
+    assert(parts >= 2, s"expected multiple part files, got $parts")
+    val back = VecFiles.fvecs(spark, dir)
+    val n = emb.count()
+    assert(back.count() == n)
+    // loader ids are positional in file order; the writer's range
+    // partitioning + within-partition sort makes that exactly vec_id order
+    val bad = emb.select(col("vec_id").cast("long").as("id"), col("embedding"))
+      .join(back, "id")
+      .filter(not(col("embedding") === col("vec"))).count()
+    assert(bad == 0)
+  }
+
   test("bvecs: uint8 values survive (0..255)") {
     val dir = tmp("bvecs")
     val rows = Array.tabulate(10)(i => Array.tabulate(4)(j => (i * 67 + j * 63) % 256))
