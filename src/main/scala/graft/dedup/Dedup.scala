@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -77,10 +78,16 @@ object Dedup {
     // once per self-join side. At 100 TB this is a persisted signature
     // table; here an in-memory cache marks the same boundary.
     val sigs = minhashSignatures(docs, idCol, textCol, numPerms, shingleWidth).cache()
-    val allBands = minhashBands(sigs, numPerms, rowsPerBand).cache()
-    val hot = allBands.groupBy("band", "band_hash").count()
-      .filter(col("count") > maxBucket).select("band", "band_hash")
-    val bands = allBands.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    // hot-bucket drop as a count window over (band, band_hash): one
+    // shuffle that both prunes AND lands the rows partitioned by the
+    // self-join key (the identical subplans below share it via
+    // exchange reuse); band hashes recompute from cached sigs (cheap
+    // slices), so no second cache level is needed
+    val wBucket = Window.partitionBy("band", "band_hash")
+    val bands = minhashBands(sigs, numPerms, rowsPerBand)
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.id") < col("y.id"))
@@ -106,7 +113,6 @@ object Dedup {
       .cache()
     result.count() // materialize the (small) pair list, then release the big intermediates
     sigs.unpersist()
-    allBands.unpersist()
     cands.unpersist()
     result
   }
@@ -144,16 +150,18 @@ object Dedup {
     val width = 64 / nChunks
     val mask = (1L << width) - 1
     // same materialization boundary as minhashPairs: one SimHash64
-    // eval per doc, shared across chunk projections and join sides
+    // eval per doc, shared across chunk projections and join sides;
+    // the hot-bucket drop is a count window over (chunk, chunk_val) —
+    // one shuffle that prunes AND pre-partitions on the self-join key
     val sigs = simhash(docs, idCol, textCol).cache()
-    val allChunks = sigs.select(col("id"), col("simhash"),
+    val wBucket = Window.partitionBy("chunk", "chunk_val")
+    val chunks = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "chunk_val")))
-      .cache()
-    val hot = allChunks.groupBy("chunk", "chunk_val").count()
-      .filter(col("count") > maxBucket).select("chunk", "chunk_val")
-    val chunks = allChunks.join(broadcast(hot), Seq("chunk", "chunk_val"), "left_anti")
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     val result = chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
           col("x.id") < col("y.id"))
@@ -166,7 +174,6 @@ object Dedup {
       .cache()
     result.count() // materialize, then release intermediates
     sigs.unpersist()
-    allChunks.unpersist()
     result
   }
 
