@@ -35,6 +35,7 @@ object SparkEntry {
     "ann_lsh_topk_distjoin" -> (AnnQuery.annLshTopKDistJoin _),
     "ann_recall_eval" -> (AnnQuery.annRecallEval _),
     "ann_recall_gtfile" -> (graft.query.GtFile.annRecallGtfile _),
+    "ann_diagnostics" -> (graft.eval.QueryDiagnostics.annDiagnostics _),
     "lsh_code" -> (AnnQuery.lshCode _),
     "lsh_partition_build" -> (AnnQuery.lshPartitionBuild _),
     "encrypt_points" -> (VersionedCrypto.encryptPoints _),

@@ -47,6 +47,25 @@ final case class IvfConfig(cells: Int = 0, probes: Int = 4)
 
 final case class NeardupConfig(cells: Int = 16, probes: Int = 4, topN: Int = 20)
 
+/** Multi-round adaptive probe widening (reference `kAdaptive`,
+  * config.json base.kAdaptive; disabled by default like the reference). */
+final case class KAdaptiveConfig(
+    enabled: Boolean = false,
+    maxRounds: Int = 3,
+    targetReturnRate: Double = 0.80,
+    maxFanout: Double = 4000.0,
+    probeFactor: Double = 1.5)
+
+/** Sampled query diagnostics (reference `audit` config + QueryDiagnostics). */
+final case class AuditConfig(
+    enabled: Boolean = true,
+    k: Int = 100,
+    sampleEvery: Int = 250,
+    worstKeep: Int = 25,
+    failOnZeroHit: Boolean = false,
+    zeroHitRateLimit: Double = 0.8,
+    zeroHitMinQueries: Int = 5)
+
 final case class GraftConfig(
     lsh: LshParams = LshParams(),
     stabilization: StabilizationConfig = StabilizationConfig(),
@@ -54,7 +73,9 @@ final case class GraftConfig(
     eval: EvalConfig = EvalConfig(),
     query: QueryConfig = QueryConfig(),
     ivf: IvfConfig = IvfConfig(),
-    neardup: NeardupConfig = NeardupConfig())
+    neardup: NeardupConfig = NeardupConfig(),
+    kAdaptive: KAdaptiveConfig = KAdaptiveConfig(),
+    audit: AuditConfig = AuditConfig())
 
 object GraftConfig {
 
@@ -154,6 +175,26 @@ object GraftConfig {
       neardup = NeardupConfig(
         cells = i(ndN, "cells", d.neardup.cells),
         probes = i(ndN, "probes", d.neardup.probes),
-        topN = i(ndN, "topN", d.neardup.topN)))
+        topN = i(ndN, "topN", d.neardup.topN)),
+      kAdaptive = {
+        val n2 = n.path("kAdaptive")
+        KAdaptiveConfig(
+          enabled = b(n2, "enabled", d.kAdaptive.enabled),
+          maxRounds = i(n2, "maxRounds", d.kAdaptive.maxRounds),
+          targetReturnRate = dbl(n2, "targetReturnRate", d.kAdaptive.targetReturnRate),
+          maxFanout = dbl(n2, "maxFanout", d.kAdaptive.maxFanout),
+          probeFactor = dbl(n2, "probeFactor", d.kAdaptive.probeFactor))
+      },
+      audit = {
+        val n2 = n.path("audit")
+        AuditConfig(
+          enabled = b(n2, "enabled", d.audit.enabled),
+          k = i(n2, "k", d.audit.k),
+          sampleEvery = i(n2, "sampleEvery", d.audit.sampleEvery),
+          worstKeep = i(n2, "worstKeep", d.audit.worstKeep),
+          failOnZeroHit = b(n2, "failOnZeroHit", d.audit.failOnZeroHit),
+          zeroHitRateLimit = dbl(n2, "zeroHitRateLimit", d.audit.zeroHitRateLimit),
+          zeroHitMinQueries = i(n2, "zeroHitMinQueries", d.audit.zeroHitMinQueries))
+      })
   }
 }

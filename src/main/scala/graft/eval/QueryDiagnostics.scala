@@ -1,0 +1,88 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.config.{AuditConfig, GraftConfig}
+import graft.query.AnnQuery
+
+/**
+ * Sampled query audit (re-expression of fspann
+ * `api/QueryDiagnostics.record` + the config.json `audit` block):
+ * per-query precision against ground truth, zero-hit detection with a
+ * fail-fast rate gate, and a bounded worst-queries list.
+ *
+ * The reference's per-query mutable state (hit counters, a worstKeep
+ * heap, a zero-hit counter) becomes set arithmetic: one join against
+ * GT for hits, one aggregation for the gate, one ordered limit for
+ * the worst list. Sampling (`sampleEvery`) is a deterministic
+ * modulus on the query id, like the reference's query-index modulus.
+ */
+object QueryDiagnostics {
+
+  /**
+   * (query_id, n_hits, precision, zero_hit): precision@k of `result`
+   * against `gt` per query. Precision is floor-truncated (int/int
+   * quotient, SURVEY §5). Queries present in `gt` but absent from
+   * `result` count as zero-hit with 0 precision.
+   */
+  def diagnostics(result: DataFrame, gt: DataFrame, k: Int): DataFrame = {
+    val hits = result.select(col("query_id"), col("vec_id"))
+      .join(gt.select(col("query_id"), col("vec_id"), col("rnk")), Seq("query_id", "vec_id"))
+      .filter(col("rnk") <= k)
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    gt.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("precision", floor(col("n_hits") * 10000 / k) / 10000)
+      .withColumn("zero_hit", (col("n_hits") === 0).cast("int"))
+  }
+
+  /** The `worstKeep` worst queries by precision (reference heap). */
+  def worstQueries(diag: DataFrame, worstKeep: Int): DataFrame =
+    diag.orderBy(col("precision"), col("query_id")).limit(worstKeep)
+
+  /**
+   * Zero-hit fail-fast gate: returns the zero-hit rate and, when
+   * `audit.failOnZeroHit` and the batch is at least
+   * `zeroHitMinQueries`, throws past `zeroHitRateLimit` (reference:
+   * "CRITICAL: …% of queries have zero GT hits").
+   */
+  def zeroHitGate(diag: DataFrame, audit: AuditConfig): Double = {
+    val row = diag.agg(
+      count(lit(1)).as("n"),
+      sum(col("zero_hit")).as("zero")).head()
+    val n = row.getLong(0)
+    val rate = if (n == 0) 0.0 else row.getLong(1).toDouble / n
+    if (audit.failOnZeroHit && n >= audit.zeroHitMinQueries && rate > audit.zeroHitRateLimit)
+      throw new IllegalStateException(
+        f"zero-hit rate $rate%.2f exceeds ${audit.zeroHitRateLimit}%.2f over $n queries")
+    rate
+  }
+
+  // ---- SparkEntry wiring ----
+
+  /**
+   * Audit over the standard query batch: every `sampleEvery`-th query
+   * (by id) gets precision@k vs brute-force GT; output is the sampled
+   * per-query diagnostic table (worst-first).
+   */
+  def annDiagnostics(spark: SparkSession, sfDir: String): DataFrame = {
+    val audit = GraftConfig.active.audit
+    val k = AnnQuery.DefaultK
+    val data = Tables.embeddings(spark, sfDir)
+    // sampleEvery is sized for the reference's 10k-query runs; when it
+    // exceeds the batch, audit every query rather than just id 0
+    val step = if (audit.sampleEvery >= AnnQuery.NumQueries) 1
+      else math.max(1, audit.sampleEvery)
+    val queries = data.filter(col("vec_id") < AnnQuery.NumQueries &&
+      col("vec_id") % step === 0)
+    val (model, built) = AnnQuery.setupIndex(spark, sfDir)
+    val result = AnnQuery.lshTopK(spark, data, queries, k, model, built)
+    val gt = AnnQuery.bruteTopK(data, queries, k)
+    val diag = diagnostics(result, gt, k)
+    zeroHitGate(diag, audit)
+    worstQueries(diag, audit.worstKeep)
+  }
+}

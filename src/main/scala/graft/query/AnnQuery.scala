@@ -478,6 +478,52 @@ object AnnQuery {
     }
   }
 
+  /**
+   * Config-driven multi-round adaptive search (reference `kAdaptive`:
+   * maxRounds, targetReturnRate, probeFactor, maxFanout). Each round
+   * reruns ONLY the still-starved queries with probes widened by
+   * probeFactor (capped at maxFanout), stopping when the fraction of
+   * fully-served queries reaches targetReturnRate or rounds run out.
+   * One small driver-side count decides each round — the reference's
+   * per-query while-loop becomes per-ROUND set arithmetic over the
+   * starved remainder, which is the batch-engine shape of the same
+   * policy. Disabled (the reference default) delegates to the
+   * single-retry [[lshTopKAdaptive]].
+   */
+  def lshTopKAdaptiveRounds(spark: SparkSession, data: DataFrame, queries: DataFrame,
+      k: Int, model: LshModel, built: LshIndex.Built,
+      ka: graft.config.KAdaptiveConfig = graft.config.GraftConfig.active.kAdaptive): DataFrame = {
+    if (!ka.enabled) return lshTopKAdaptive(spark, data, queries, k, model, built)
+    val nQueries = queries.count()
+    var probes = model.params.maxProbes
+    var result = lshTopK(spark, data, queries, k, model, built).cache()
+    var round = 1
+    var done = false
+    while (round < ka.maxRounds && !done) {
+      val starved = queries.join(
+        result.groupBy("query_id").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= k)
+          .select(col("query_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      val nStarved = starved.count() // the round's one decision job
+      val returnRate = (nQueries - nStarved).toDouble / math.max(1L, nQueries)
+      if (nStarved == 0 || returnRate >= ka.targetReturnRate) done = true
+      else {
+        probes = math.min(math.ceil(probes * ka.probeFactor), ka.maxFanout).toInt
+        val widened = model.copy(params = model.params.copy(maxProbes = probes))
+        val next = result
+          .join(starved.select(col("vec_id").as("query_id")), Seq("query_id"), "left_anti")
+          .unionByName(lshTopK(spark, data, starved, k, widened, built))
+          .cache()
+        next.count()
+        result.unpersist()
+        result = next
+        round += 1
+      }
+    }
+    result
+  }
+
   /** Full MSANNP pipeline end-to-end (rows oracle + recall spec). */
   def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val (model, built) = setup(spark, sfDir)
