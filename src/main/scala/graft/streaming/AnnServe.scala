@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.index.LshIndex
+import graft.lsh.LshModel
+import graft.query.AnnQuery
+
+/**
+ * Streaming ANN query serving — the Spark-native answer to the
+ * reference's online query server (`QueryServiceImpl.search` loop,
+ * one request at a time): query vectors arrive on any streaming
+ * source; every micro-batch runs the SAME batch top-k plan
+ * (code -> probe -> refine -> window) via `foreachBatch` against the
+ * resident index, appending results to the sink.
+ *
+ * Posture (SURVEY §6a): the model and built index stay
+ * memoized/cached across triggers, so a trigger pays only its own
+ * queries' probe/refine work; arrivals inside a trigger amortize
+ * scheduling exactly like a hand-built query batch. Per-query wall
+ * latency = trigger interval + plan time — milliseconds of compute at
+ * reference scale, with throughput a single-node server loop cannot
+ * match. The serving plan is identical to the oracle-checked batch
+ * plan, so correctness rides on the same specs.
+ *
+ * The token path composes the same way: stream token codes instead of
+ * vectors and swap `lshTopK` for `QueryTokens.tokenTopK` — both are
+ * per-micro-batch joins with no streaming state.
+ */
+object AnnServe {
+
+  /** Parquet-file stream of (vec_id, embedding) queries. */
+  def queryStream(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(inputDir)
+
+  /**
+   * Serve a query stream against a built index: each micro-batch's
+   * results (query_id, vec_id, dist, rnk, batch_id) append to
+   * `outPath`.
+   */
+  def serve(
+      queries: DataFrame,
+      data: DataFrame,
+      k: Int,
+      model: LshModel,
+      built: LshIndex.Built,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    queries.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          AnnQuery.lshTopK(batch.sparkSession, data, batch, k, model, built)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+}

@@ -21,6 +21,28 @@ class StreamingSpec extends SparkSpecBase {
     d
   }
 
+  test("streaming query serving returns exactly the batch plan's top-k per micro-batch") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Lsh.fit(emb, "embedding", LshParams())
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val in = tmp("serve-in")
+    val out = tmp("serve-out")
+    val ckpt = tmp("serve-ckpt")
+    val queries = emb.filter(col("vec_id") < 8)
+    // queries arrive in two files (micro-batch boundaries may differ; results must not)
+    queries.filter(col("vec_id") < 4).write.mode("overwrite").parquet(s"$in/q")
+    queries.filter(col("vec_id") >= 4).write.mode("append").parquet(s"$in/q")
+    val q = graft.streaming.AnnServe.serve(
+      graft.streaming.AnnServe.queryStream(spark, s"$in/q", emb.schema),
+      emb, 10, model, built, out, ckpt)
+    q.awaitTermination(120000)
+    val served = spark.read.parquet(out).drop("batch_id")
+    val batch = graft.query.AnnQuery.lshTopK(spark, emb, queries, 10, model, built)
+    assert(served.count() == batch.count())
+    assert(served.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(served).count() == 0)
+  }
+
   test("file-stream ingest LSH-codes vectors identically to the batch path") {
     val emb = Tables.embeddings(spark, sf)
     val model = Lsh.fit(emb, "embedding", LshParams())
