@@ -67,6 +67,46 @@ class RobustnessSpec extends SparkSpecBase {
     assert(res.count() == 5)
   }
 
+  test("neardup pairs on tiny/singleton corpora: empty, not a crash") {
+    val e1 = emb.filter(col("vec_id") === 0).select("vec_id", "embedding")
+    val cents = graft.query.IvfSearch.fitCentroids(e1, 4)
+    assert(Dedup.neardupPairs(e1, cents, 2, 20).count() == 0)
+    val e2 = emb.filter(col("vec_id") < 2).select("vec_id", "embedding")
+    assert(Dedup.neardupPairs(e2, graft.query.IvfSearch.fitCentroids(e2, 4), 2, 20)
+      .count() == 1) // the single pair
+  }
+
+  test("token decrypt under the wrong key version fails loudly, not silently") {
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val queries = emb.filter(col("vec_id") < 2)
+    val encStore = graft.crypto.VersionedCrypto.encrypt(emb, "vec_id", "embedding", 1)
+    val (codes, meta) = graft.crypto.QueryTokens.createTokens(queries, model, version = 1)
+    // wrong version -> AES-GCM tag mismatch surfaces as an error
+    intercept[Exception] {
+      graft.crypto.QueryTokens.tokenTopK(spark, encStore, codes, meta, 5, model, built,
+        version = 2).collect()
+    }
+  }
+
+  test("malformed config fails fast; unknown profile names are rejected") {
+    intercept[Exception](graft.config.GraftConfig.parse("not json"))
+    intercept[Exception](graft.config.GraftConfig.parse("[1, 2]"))
+    intercept[IllegalArgumentException](
+      graft.config.GraftConfig.parse("""{"profiles": []}""", Some("missing")))
+  }
+
+  test("gt loader on a malformed ivecs dir fails with a clear message") {
+    val dir = "/root/repo/target/tmp/robust-gt"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("bad.ivecs"), Array[Byte](1, 2, 3)) // truncated
+    intercept[Exception](graft.query.GtFile.loadGt(spark, dir).collect())
+  }
+
   test("text analysis handles empty and whitespace-free strings") {
     val docs = docsOf((1L, ""), (2L, "word"), (3L, "a b"))
     val lang = TextAnalysis.langId(docs, "doc_id", "text").collect()
