@@ -11,9 +11,11 @@ import graft.lsh.LshParams
  * reference exposes — LSH shape (m, lambda, tables, divisions, seed),
  * probe/refinement budgets, stabilization, rotation thresholds,
  * kVariants — is readable from a JSON file instead of being compiled
- * in. Defaults equal the reference's `config.json` base profile, so a
- * missing/empty config is exactly the behavior shipped before config
- * ingestion existed.
+ * in. Defaults mirror the reference's `config.json` base profile and
+ * its production behavior (stabilization formula off, see
+ * [[StabilizationConfig]]); the two deliberate departures are scale
+ * fixes the VERDICT asked for: IVF cells size from the corpus when
+ * unset, and maxGlobalCandidates caps the candidate union.
  *
  * Like the reference, a config may carry named `profiles` whose
  * `overrides` overlay the base document (deep merge, reference
@@ -27,8 +29,13 @@ import graft.lsh.LshParams
  * `GRAFT_PROFILE`) so the packaged entry points are tunable without
  * recompiling.
  */
+/** D1 stabilization limiter. Disabled by default: the reference's
+  * config.json flags it on, but its production refine path applies only
+  * refinementLimit (the formula lives in CandidatePipelineTest), so the
+  * faithful default behavior is OFF — enabling it is the documented
+  * opt-in that tightens the per-query refine bound. */
 final case class StabilizationConfig(
-    enabled: Boolean = true,
+    enabled: Boolean = false,
     alpha: Double = 0.10,
     minCandidates: Int = 1200,
     targetRatio: Double = 1.25)
@@ -103,7 +110,10 @@ object GraftConfig {
           .map(i => profiles.get(i))
           .find(p => p.path("name").asText() == name)
           .getOrElse(throw new IllegalArgumentException(s"no profile named '$name'"))
-        deepMerge(root.deepCopy[JsonNode](), hit.path("overrides"))
+        val overrides = hit.path("overrides")
+        // a profile with no overrides selects the base unchanged
+        if (!overrides.isObject) root
+        else deepMerge(root.deepCopy[JsonNode](), overrides)
     }
     fromNode(effective)
   }
@@ -143,7 +153,11 @@ object GraftConfig {
     val kVariants =
       if (evalN.hasNonNull("kVariants")) {
         val arr = evalN.get("kVariants")
-        (0 until arr.size()).map(arr.get(_).asInt())
+        require(arr.isArray && arr.size() > 0,
+          "eval.kVariants must be a non-empty array of positive ints")
+        val ks = (0 until arr.size()).map(arr.get(_).asInt())
+        require(ks.forall(_ > 0), s"eval.kVariants must be positive, got $ks")
+        ks
       } else d.eval.kVariants
 
     GraftConfig(

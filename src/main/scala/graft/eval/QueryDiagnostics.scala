@@ -81,7 +81,10 @@ object QueryDiagnostics {
     val (model, built) = AnnQuery.setupIndex(spark, sfDir)
     val result = AnnQuery.lshTopK(spark, data, queries, k, model, built)
     val gt = AnnQuery.bruteTopK(data, queries, k)
-    val diag = diagnostics(result, gt, k)
+    // cache: the gate's aggregate and the returned worst list otherwise
+    // both re-run the lshTopK + brute-force GT scans (tiny table: one
+    // row per sampled query)
+    val diag = diagnostics(result, gt, k).cache()
     zeroHitGate(diag, audit)
     worstQueries(diag, audit.worstKeep)
   }

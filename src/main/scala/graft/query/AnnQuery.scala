@@ -183,10 +183,18 @@ object AnnQuery {
 
   /**
    * Bucket-pruned nearest-block lookup: one (qid, t, d, qcode, center)
-   * row per query code, center = containing block, else nearest
-   * boundary by key distance (ties -> lower block). Exactly the winner
-   * of ranking EVERY block of the (t, d) by (key_dist, block), but via
-   * an equi-join on key-range buckets (CenterSpec asserts the parity).
+   * row per query code, center = a block at MINIMUM key distance
+   * (containing, else nearest boundary), via an equi-join on key-range
+   * buckets. CenterSpec asserts distance-optimality always, and exact
+   * (key_dist, block)-rank parity whenever block key ranges are
+   * distinct. The one divergence from a global (key_dist, block) rank:
+   * a run of >= 2 blocks sharing one boundary key, with the query in
+   * the gap AFTER the run — every run block ties on distance, the
+   * global rank would pick the run's first block, the cover join picks
+   * the run's last (the gap's cover owner). All tied blocks hold the
+   * same single key, so candidate quality is identical, and the
+   * reference's own binary search (GreedyPartitioner
+   * .findNearestPartition) returns an arbitrary tied block too.
    */
   private[graft] def centerBlocks(
       qCodes: DataFrame, summ: DataFrame, p: LshParams,
@@ -472,9 +480,15 @@ object AnnQuery {
       // model's own maxProbes would narrow the search on the rerun
       val newProbes = math.max(retryProbes, model.params.maxProbes * 2)
       val widened = model.copy(params = model.params.copy(maxProbes = newProbes))
-      first
+      // materialize the combined result once (downstream actions must
+      // not re-run the widened retry joins), then drop the first pass
+      val result = first
         .join(starved.select(col("vec_id").as("query_id")), Seq("query_id"), "left_anti")
         .unionByName(lshTopK(spark, data, starved, k, widened, built))
+        .cache()
+      result.count()
+      first.unpersist()
+      result
     }
   }
 

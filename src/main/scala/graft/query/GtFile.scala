@@ -23,23 +23,45 @@ import graft.sources.VecFiles
  */
 object GtFile {
 
-  /** Write (query_id, vec_id, rnk) ground truth as .ivecs (row order =
-    * query_id order, column order = rank order — GroundtruthManager's
-    * layout). */
-  def writeGt(gt: DataFrame, file: String): Unit = {
-    val rows = gt.select("query_id", "vec_id", "rnk").collect()
+  /**
+   * Write (query_id, vec_id, rnk) ground truth as .ivecs (row order =
+   * ascending query_id, column order = rank order — GroundtruthManager's
+   * layout). The format is POSITIONAL: row i carries no query id, so
+   * the returned seq — the query ids in row order — is the sidecar a
+   * caller must keep (the reference pairs GT files with query files
+   * the same way) and hand back to [[loadGt]] when the ids are not the
+   * dense 0..n-1.
+   */
+  def writeGt(gt: DataFrame, file: String): Seq[Long] = {
+    val byQuery = gt.select("query_id", "vec_id", "rnk").collect()
       .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-      .map { case (_, rs) => rs.sortBy(_.getInt(2)).map(_.getLong(1).toInt) }
     Files.createDirectories(Paths.get(file).getParent)
-    VecFiles.writeIvecs(file, rows.iterator)
+    VecFiles.writeIvecs(file,
+      byQuery.iterator.map { case (_, rs) => rs.sortBy(_.getInt(2)).map(_.getLong(1).toInt) })
+    byQuery.map(_._1)
   }
 
-  /** Load an .ivecs GT file back to (query_id, vec_id, rnk). */
-  def loadGt(spark: SparkSession, dir: String): DataFrame =
-    VecFiles.ivecs(spark, dir)
-      .select(col("id").as("query_id"), posexplode(col("vec")).as(Seq("pos", "vec_id")))
+  /**
+   * Load an .ivecs GT file back to (query_id, vec_id, rnk).
+   * `queryIds(i)` = the real id of row i (from [[writeGt]]'s return or
+   * the paired query file); omitted = rows are queries 0..n-1.
+   */
+  def loadGt(spark: SparkSession, dir: String,
+      queryIds: Option[Seq[Long]] = None): DataFrame = {
+    val rows = VecFiles.ivecs(spark, dir)
+    val withId = queryIds match {
+      case None => rows.select(col("id").as("query_id"), col("vec"))
+      case Some(ids) =>
+        val mapping = broadcast(rows.sparkSession.createDataFrame(
+          ids.zipWithIndex.map { case (q, i) => (i.toLong, q) })
+          .toDF("id", "query_id"))
+        rows.join(mapping, Seq("id")).select(col("query_id"), col("vec"))
+    }
+    withId
+      .select(col("query_id"), posexplode(col("vec")).as(Seq("pos", "vec_id")))
       .select(col("query_id"), col("vec_id").cast("long").as("vec_id"),
         (col("pos") + 1).cast("int").as("rnk"))
+  }
 
   /**
    * GroundtruthValidator checks: every id within [0, corpusSize), no
@@ -75,9 +97,9 @@ object GtFile {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
     }
-    writeGt(AnnQuery.bruteTopK(data, queries, maxK), s"$dir/gt.ivecs")
+    val rowIds = writeGt(AnnQuery.bruteTopK(data, queries, maxK), s"$dir/gt.ivecs")
 
-    val gt = loadGt(spark, dir)
+    val gt = loadGt(spark, dir, Some(rowIds))
     require(validateGt(gt, data.count()) == 0, "ground-truth file failed validation")
 
     val (model, built) = AnnQuery.setupIndex(spark, sfDir)

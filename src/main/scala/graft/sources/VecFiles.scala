@@ -28,12 +28,16 @@ import org.apache.spark.sql.functions._
  */
 object VecFiles {
 
-  /** (path, length, baseId, nRecords) per file, sorted by path. */
+  /** (path, length, baseId, nRecords) per file, sorted by path. Only
+    * `*.ext` files count — stale temp or foreign files in the dir must
+    * not shift the global id assignment. */
   private def fileLayout(
-      spark: SparkSession, dir: String, elemBytes: Int): (Int, Seq[(String, Long)]) = {
+      spark: SparkSession, dir: String, elemBytes: Int, ext: String): (Int, Seq[(String, Long)]) = {
     val hPath = new Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(hPath).filter(_.isFile).map(f => (f.getPath.toString, f.getLen))
+    val files = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(s".$ext"))
+      .map(f => (f.getPath.toString, f.getLen))
       .sortBy(_._1).toSeq
     require(files.nonEmpty, s"no files under $dir")
     // dim from the first 4 bytes of the first file (uniform-dim formats)
@@ -57,10 +61,12 @@ object VecFiles {
   }
 
   private def records(
-      spark: SparkSession, dir: String, elemBytes: Int): (Int, DataFrame) = {
-    val (dim, layout) = fileLayout(spark, dir, elemBytes)
+      spark: SparkSession, dir: String, elemBytes: Int, ext: String): (Int, DataFrame) = {
+    val (dim, layout) = fileLayout(spark, dir, elemBytes, ext)
     val baseIds = spark.sparkContext.broadcast(layout.toMap)
-    val files = spark.read.format("binaryFile").load(dir)
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$ext") // mirror fileLayout's filter
+      .load(dir)
       .select(col("path"), col("content"))
     import spark.implicits._
     val recs = files.as[(String, Array[Byte])].mapPartitions { it =>
@@ -94,21 +100,21 @@ object VecFiles {
   /** .fvecs -> (id BIGINT, vec ARRAY<FLOAT>). */
   def fvecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, recs) = records(spark, dir, 4)
+    val (_, recs) = records(spark, dir, 4, "fvecs")
     recs.as[(Long, Array[Byte])].map { case (id, p) => (id, toFloats(p)) }.toDF("id", "vec")
   }
 
   /** .bvecs -> (id BIGINT, vec ARRAY<INT>) with uint8 element values. */
   def bvecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, recs) = records(spark, dir, 1)
+    val (_, recs) = records(spark, dir, 1, "bvecs")
     recs.as[(Long, Array[Byte])].map { case (id, p) => (id, toUBytes(p)) }.toDF("id", "vec")
   }
 
   /** .ivecs -> (id BIGINT, vec ARRAY<INT>) — ground-truth neighbor ids. */
   def ivecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, recs) = records(spark, dir, 4)
+    val (_, recs) = records(spark, dir, 4, "ivecs")
     recs.as[(Long, Array[Byte])].map { case (id, p) => (id, toInts(p)) }.toDF("id", "vec")
   }
 
@@ -163,6 +169,14 @@ object VecFiles {
   def writeFvecsDistributed(df: DataFrame, idCol: String, vecCol: String,
       dir: String, numFiles: Int): Unit = {
     Files.createDirectories(Paths.get(dir))
+    // clear prior exports AND orphaned task-attempt temps: a stale
+    // part file from a wider previous run (or a .tmp- from a killed
+    // attempt) would otherwise sit in the dir — the loaders filter by
+    // extension, but a stale *.fvecs would silently shift every base id
+    Files.list(Paths.get(dir)).forEach { f =>
+      val n = f.getFileName.toString
+      if (n.endsWith(".fvecs") || n.contains(".fvecs.tmp-")) Files.delete(f)
+    }
     df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vec"))
       .repartitionByRange(numFiles, col("id"))

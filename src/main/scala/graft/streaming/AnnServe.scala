@@ -58,9 +58,17 @@ object AnnServe {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // idempotent sink: results land in a batch_id partition with
+          // dynamic overwrite, so a micro-batch REPLAY (failure between
+          // the parquet commit and the checkpoint) rewrites its own
+          // partition instead of appending duplicates
           AnnQuery.lshTopK(batch.sparkSession, data, batch, k, model, built)
             .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outPath)
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
         }
       }
       .start()

@@ -75,6 +75,58 @@ class CenterSpec extends SparkSpecBase {
       6L -> 2, 7L -> 2, 8L -> 3))
   }
 
+  test("equal-key block runs: center is always at MINIMUM key distance") {
+    import spark.implicits._
+    // three blocks all holding the single key 5 (a >=129-duplicate-vector
+    // pathology), then a far block; queries land in the gap after the run
+    val summ = Seq(
+      (0, 0, 0, 5L, 5L), (0, 0, 1, 5L, 5L), (0, 0, 2, 5L, 5L),
+      (0, 0, 3, 100L, 110L)
+    ).toDF("t", "d", "block", "min_key", "max_key")
+      .withColumn("rep_code", array(lit(0L)))
+    val qCodes = Seq((0L, 0, 0, 5L), (1L, 0, 0, 6L), (2L, 0, 0, 60L), (3L, 0, 0, 99L))
+      .toDF("qid", "t", "d", "key")
+      .withColumn("qcode", array(lit(0L)))
+    val got = AnnQuery.centerBlocks(qCodes, summ, LshParams())
+      .select("qid", "center").as[(Long, Int)].collect().toMap
+    assert(got.size == 4, "exactly one center per query")
+    // distance-optimality: the chosen block's key_dist equals the global
+    // minimum over all blocks (tie CHOICE within an equal-key run may
+    // differ from a (key_dist, block) rank — documented divergence)
+    val ranges = Map(0 -> (5L, 5L), 1 -> (5L, 5L), 2 -> (5L, 5L), 3 -> (100L, 110L))
+    def dist(k: Long, b: Int): Long = {
+      val (lo, hi) = ranges(b)
+      if (k < lo) lo - k else if (k > hi) k - hi else 0L
+    }
+    for ((qid, key) <- Seq(0L -> 5L, 1L -> 6L, 2L -> 60L, 3L -> 99L)) {
+      val best = ranges.keys.map(dist(key, _)).min
+      assert(dist(key, got(qid)) == best,
+        s"qid $qid key $key center ${got(qid)} not distance-optimal")
+    }
+    // on-key query must land in the run, far-side query on block 3
+    assert(Set(0, 1, 2).contains(got(0L)))
+    assert(got(3L) == 3)
+  }
+
+  test("GT roundtrip with non-dense query ids via the id sidecar") {
+    import graft.query.GtFile
+    val emb = Tables.embeddings(spark, sf)
+    // sampled, non-contiguous ids — the positional format needs the sidecar
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id").isin(3L, 17L, 42L))
+    val gtComputed = AnnQuery.bruteTopK(emb, queries, 5)
+    val dir = "/root/repo/target/tmp/gt-sparse"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    val rowIds = GtFile.writeGt(gtComputed, s"$dir/gt.ivecs")
+    assert(rowIds == Seq(3L, 17L, 42L))
+    val loaded = GtFile.loadGt(spark, dir, Some(rowIds))
+    assert(loaded.exceptAll(gtComputed.select("query_id", "vec_id", "rnk")).count() == 0)
+    assert(gtComputed.select("query_id", "vec_id", "rnk").exceptAll(loaded).count() == 0)
+  }
+
   test("written-then-loaded GT file reproduces self-computed recall exactly") {
     import graft.query.GtFile
     val emb = Tables.embeddings(spark, sf)

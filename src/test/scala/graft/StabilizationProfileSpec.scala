@@ -34,8 +34,10 @@ class StabilizationProfileSpec extends SparkSpecBase {
     val perQOff = AnnQuery.boundedCandidates(probed, built, p, None, 10, off)
       .groupBy("qid").count().collect()
     perQOff.foreach(r => assert(raw(r.getLong(0)) == r.getLong(1)))
-    // large minCandidates floor (default 1200) keeps everything at this sf
+    // default config: limiter disabled (reference production behavior)
+    // -> refinementLimit bound alone, everything kept at this sf
     val dflt = StabilizationConfig()
+    assert(!dflt.enabled)
     val perQDflt = AnnQuery.boundedCandidates(probed, built, p, None, 10, dflt)
       .groupBy("qid").count().collect()
     perQDflt.foreach(r => assert(raw(r.getLong(0)) == r.getLong(1)))
