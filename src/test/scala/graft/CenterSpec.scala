@@ -108,6 +108,45 @@ class CenterSpec extends SparkSpecBase {
     assert(got(3L) == 3)
   }
 
+  test("fuzz: random block layouts — one distance-optimal center per query") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random sorted layouts with duplicate boundary keys and gaps
+    val layouts = (0 until 4).map { trial =>
+      var key = 0L
+      val blocks = (0 until 12).map { b =>
+        val lo = key + (if (rnd.nextBoolean()) 0L else rnd.nextInt(1000).toLong)
+        val hi = lo + rnd.nextInt(50)
+        key = hi // next block may reuse the boundary (tie) or jump
+        (trial, 0, b, lo, hi)
+      }
+      blocks
+    }
+    val summ = layouts.flatten.toDF("t", "d", "block", "min_key", "max_key")
+      .withColumn("rep_code", array(lit(0L)))
+    val keys = (0 until 4).flatMap { trial =>
+      (0 until 25).map(i => (trial.toLong * 100 + i, trial, 0,
+        math.abs(rnd.nextLong()) % 3000))
+    }
+    val qCodes = keys.toDF("qid", "t", "d", "key").withColumn("qcode", array(lit(0L)))
+
+    val got = AnnQuery.centerBlocks(qCodes, summ, LshParams())
+      .select("qid", "t", "center").as[(Long, Int, Int)].collect()
+    assert(got.length == keys.length, "exactly one center per (query, t, d)")
+    val ranges = layouts.flatten.map { case (t, _, b, lo, hi) => (t, b) -> (lo, hi) }.toMap
+    val byQid = got.map(r => r._1 -> (r._2, r._3)).toMap
+    keys.foreach { case (qid, trial, _, k) =>
+      val (t, center) = byQid(qid)
+      def dist(b: Int): Long = {
+        val (lo, hi) = ranges((t, b))
+        if (k < lo) lo - k else if (k > hi) k - hi else 0L
+      }
+      val best = (0 until 12).map(dist).min
+      assert(dist(center) == best,
+        s"trial $trial key $k: center $center dist ${dist(center)} != best $best")
+    }
+  }
+
   test("GT roundtrip with non-dense query ids via the id sidecar") {
     import graft.query.GtFile
     val emb = Tables.embeddings(spark, sf)

@@ -37,4 +37,37 @@ class ScaleLayoutSpec extends SparkSpecBase {
     assert(prunedFiles > 0 && prunedFiles * 24 <= allFiles + 23,
       s"pruned=$prunedFiles of $allFiles files")
   }
+
+  test("encrypted store partitioned by kv: rotation reads prune to one key version") {
+    val dir = "/root/repo/target/tmp/layout/encstore"
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+    }
+    val emb = Tables.embeddings(spark, sf)
+    // a store mid-rotation: touched ids at v2, the rest at v1
+    val touched = emb.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("id"))
+    val store = graft.crypto.VersionedCrypto.rotate(
+      graft.crypto.VersionedCrypto.encrypt(emb, "vec_id", "embedding", 1),
+      touched, fromVersion = 1)
+    store.write.partitionBy("kv").parquet(dir)
+
+    // the SURVEY §3 claim: rotation/selective-reenc jobs over one key
+    // version scan only that version's partition. (inputFiles reflects
+    // the unfiltered relation, so inspect the scan node itself.)
+    val v1Read = spark.read.parquet(dir).filter(col("kv") === 1)
+    val scan = v1Read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("kv")),
+      s"no kv partition filter on the scan: ${scan.partitionFilters}")
+    val selected = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath).toSeq
+    assert(selected.nonEmpty && selected.forall(_.contains("kv=1")),
+      s"v1 scan selected foreign partitions: ${selected.mkString(",")}")
+    // and the version census is partition-metadata-cheap
+    val census = spark.read.parquet(dir).groupBy("kv").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(census(2) == touched.count() && census(1) == emb.count() - census(2))
+  }
 }
