@@ -70,8 +70,14 @@ object QueryDiagnostics {
    */
   def annDiagnostics(spark: SparkSession, sfDir: String): DataFrame = {
     val audit = GraftConfig.active.audit
-    val k = AnnQuery.DefaultK
     val data = Tables.embeddings(spark, sfDir)
+    // audit at its own k (reference audit.k=100), bounded by the corpus
+    val k = math.min(audit.k, data.count().toInt)
+    if (!audit.enabled) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "n_hits", "precision", "zero_hit")
+    }
     // sampleEvery is sized for the reference's 10k-query runs; when it
     // exceeds the batch, audit every query rather than just id 0
     val step = if (audit.sampleEvery >= AnnQuery.NumQueries) 1
@@ -79,7 +85,9 @@ object QueryDiagnostics {
     val queries = data.filter(col("vec_id") < AnnQuery.NumQueries &&
       col("vec_id") % step === 0)
     val (model, built) = AnnQuery.setupIndex(spark, sfDir)
-    val result = AnnQuery.lshTopK(spark, data, queries, k, model, built)
+    // audit the plan production serves (the adaptive wrapper), not a
+    // plain single-pass variant the flagship entry never runs
+    val result = AnnQuery.lshTopKAdaptive(spark, data, queries, k, model, built)
     val gt = AnnQuery.bruteTopK(data, queries, k)
     // cache: the gate's aggregate and the returned worst list otherwise
     // both re-run the lshTopK + brute-force GT scans (tiny table: one

@@ -521,9 +521,15 @@ object AnnQuery {
         Seq("vec_id"), "left_anti")
       val nStarved = starved.count() // the round's one decision job
       val returnRate = (nQueries - nStarved).toDouble / math.max(1L, nQueries)
-      if (nStarved == 0 || returnRate >= ka.targetReturnRate) done = true
+      // never retry NARROWER than the current budget (same guard as
+      // lshTopKAdaptive: a capped/misconfigured fanout below the
+      // model's probes would replace results with strictly worse
+      // ones), and stop once the budget can no longer grow — further
+      // rounds would be byte-identical reruns
+      val newProbes = math.min(math.ceil(probes * ka.probeFactor), ka.maxFanout).toInt
+      if (nStarved == 0 || returnRate >= ka.targetReturnRate || newProbes <= probes) done = true
       else {
-        probes = math.min(math.ceil(probes * ka.probeFactor), ka.maxFanout).toInt
+        probes = newProbes
         val widened = model.copy(params = model.params.copy(maxProbes = probes))
         val next = result
           .join(starved.select(col("vec_id").as("query_id")), Seq("query_id"), "left_anti")

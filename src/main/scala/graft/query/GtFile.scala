@@ -52,6 +52,11 @@ object GtFile {
     val withId = queryIds match {
       case None => rows.select(col("id").as("query_id"), col("vec"))
       case Some(ids) =>
+        // a stale/short sidecar must fail, not silently drop rows in
+        // the join and sail through validation on partial ground truth
+        val n = rows.count()
+        require(ids.length == n,
+          s"queryIds sidecar has ${ids.length} entries but the GT file has $n rows")
         val mapping = broadcast(rows.sparkSession.createDataFrame(
           ids.zipWithIndex.map { case (q, i) => (i.toLong, q) })
           .toDF("id", "query_id"))

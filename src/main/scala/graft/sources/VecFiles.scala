@@ -36,7 +36,13 @@ object VecFiles {
     val hPath = new Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(hPath)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(s".$ext"))
+      // skip hidden (_/. prefixed) files too: Spark's binaryFile source
+      // always ignores them, and a file counted here but skipped there
+      // would shift every later file's base id
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && n.endsWith(s".$ext") && !n.startsWith("_") && !n.startsWith(".")
+      }
       .map(f => (f.getPath.toString, f.getLen))
       .sortBy(_._1).toSeq
     require(files.nonEmpty, s"no files under $dir")
@@ -173,10 +179,11 @@ object VecFiles {
     // part file from a wider previous run (or a .tmp- from a killed
     // attempt) would otherwise sit in the dir — the loaders filter by
     // extension, but a stale *.fvecs would silently shift every base id
-    Files.list(Paths.get(dir)).forEach { f =>
+    val listing = Files.list(Paths.get(dir))
+    try listing.forEach { f =>
       val n = f.getFileName.toString
       if (n.endsWith(".fvecs") || n.contains(".fvecs.tmp-")) Files.delete(f)
-    }
+    } finally listing.close() // Files.list holds an open DirectoryStream
     df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vec"))
       .repartitionByRange(numFiles, col("id"))

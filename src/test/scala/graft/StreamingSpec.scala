@@ -35,7 +35,7 @@ class StreamingSpec extends SparkSpecBase {
     val q = graft.streaming.AnnServe.serve(
       graft.streaming.AnnServe.queryStream(spark, s"$in/q", emb.schema),
       emb, 10, model, built, out, ckpt)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "serve stream did not finish in time")
     val served = spark.read.parquet(out).drop("batch_id")
     val batch = graft.query.AnnQuery.lshTopK(spark, emb, queries, 10, model, built)
     assert(served.count() == batch.count())
