@@ -47,6 +47,7 @@ object SparkEntry {
     "ivecs_roundtrip" -> (LoaderQueries.ivecsRoundtrip _),
     "csv_vectors" -> (LoaderQueries.csvVectors _),
     "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "ivecs_roundtrip" -> LoaderQueries.ivecsRoundtripSql,
     "csv_vectors" -> LoaderQueries.csvVectorsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_clusters" -> Dedup.dedupClustersSql,
     "ngram_jaccard" -> Dedup.ngramJaccardSql,
     "neardup_embedding" -> Dedup.neardupEmbeddingSql,
     "lang_id" -> TextAnalysis.langIdSql,

@@ -311,6 +311,112 @@ object Dedup {
     result
   }
 
+  // ---- near-dup clusters: pairs -> dedup decisions ----
+
+  /**
+   * Connected components over a near-dup pair graph by iterative
+   * min-label propagation: each iteration joins labels across the
+   * symmetric edge list and keeps the per-vertex minimum — the
+   * standard Spark CC shape (two equi-joins + a partial-agg min per
+   * round, all shuffle-partitioned by vertex id; no driver-side graph).
+   * Iterations are bounded by component DIAMETER, which for near-dup
+   * clusters is tiny (a dup cluster is near-clique); `maxIters` is a
+   * convergence backstop, not a budget that real data approaches.
+   *
+   * This is the step that turns pair lists (minhash/simhash/embedding
+   * candidates) into dedup DECISIONS: every doc gets its component's
+   * minimum id as `keeper`, exactly the keep-lowest-id policy of
+   * [[dedupExact]] extended transitively to near-dups.
+   */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var labels = vertices.select(col("id"), col("id").as("label")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("keeper"))
+  }
+
+  /**
+   * Dedup cluster assignment over a deterministic, SQL-reproducible
+   * edge set: docs < 40 plus TWO planted variants each for doc_id < 10
+   * (so components span >= 3 nodes), edges = exact 3-shingle Jaccard
+   * >= threshold. Output: every doc with its component keeper and the
+   * cluster size — the table a pipeline actually filters on.
+   */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    val toks = tokens(col("text"))
+    val mutated = concat_ws(" ",
+      transform(toks, (t, i) => when(i % 60 === 0, lit("xqzmut")).otherwise(t)))
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + PlantOffset).as("doc_id"), mutated.as("text")))
+      .unionByName(base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 2 * PlantOffset).as("doc_id"), col("text")))
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    val edges = sets.as("x").join(sets.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .filter(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+        size(array_union(col("x.sh"), col("y.sh"))) >= 0.5)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val cc = connectedComponents(edges, corpus.select(col("doc_id").as("id")))
+    val sizes = cc.groupBy("keeper").agg(count(lit(1)).as("n_cluster"))
+    cc.join(sizes, Seq("keeper"))
+      .select(col("id").as("doc_id"), col("keeper"), col("n_cluster"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 40
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset,
+       |    array_to_string(list_transform(string_split(lower(text), ' '),
+       |      (t, i) -> CASE WHEN (i - 1) % 60 = 0 THEN 'xqzmut' ELSE t END), ' ')
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + ${2 * PlantOffset}, text FROM documents WHERE doc_id < 10),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(string_split(lower(text), ' ')) - 1),
+       |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+       |         string_split(lower(text), ' ')[i+1] || ' ' ||
+       |         string_split(lower(text), ' ')[i+2])) AS sh
+       |  FROM corpus),
+       |edges AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b FROM sets x JOIN sets y
+       |  ON x.doc_id < y.doc_id
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+       |sym AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b, a FROM edges),
+       |walk(id, label) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT s.src, w.label FROM walk w JOIN sym s ON s.dst = w.id),
+       |cc AS (SELECT id, MIN(label) AS keeper FROM walk GROUP BY id)
+       |SELECT cc.id AS doc_id, cc.keeper,
+       |  COUNT(*) OVER (PARTITION BY cc.keeper) AS n_cluster
+       |FROM cc""".stripMargin
+
   /** Top-20 cosine pairs via the bucketed path (SQL oracle: all-pairs). */
   def neardupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))

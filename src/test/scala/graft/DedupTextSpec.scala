@@ -166,6 +166,45 @@ class DedupTextSpec extends SparkSpecBase {
       allPairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
 
+  test("connected components: chains, triangles, isolates, long diameters") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {5,6} (pair), {7} (isolate),
+    // {10..14} (chain of diameter 4 — needs several propagation rounds),
+    // {20,21,22} (triangle)
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (13L, 14L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a", "b")
+    val vertices = (Seq(1L, 2L, 3L, 5L, 6L, 7L) ++ (10L to 14L) ++ (20L to 22L))
+      .toDF("id")
+    val cc = Dedup.connectedComponents(edges, vertices).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1, 2L -> 1, 3L -> 1, 5L -> 5, 6L -> 5, 7L -> 7,
+      10L -> 10, 11L -> 10, 12L -> 10, 13L -> 10, 14L -> 10,
+      20L -> 20, 21L -> 20, 22L -> 20))
+  }
+
+  test("dedup_clusters: planted triple-variants land in one cluster under the original keeper") {
+    val rows = Dedup.dedupClusters(spark, sf).collect()
+    val byDoc = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact copies (2*offset) must always cluster with their original,
+    // whose cluster keeper is a real doc id <= the original (genuine
+    // near-dups among the base docs may merge clusters further)
+    (0L until 10L).foreach { d =>
+      assert(byDoc(d + 2 * Dedup.PlantOffset)._1 == byDoc(d)._1,
+        s"exact copy of $d not in its cluster")
+      assert(byDoc(d)._1 <= d, s"keeper of $d's cluster above $d")
+      assert(byDoc(d)._2 >= 3L, s"cluster of $d smaller than its planted triple")
+    }
+    // keeper is always the component minimum: no member below its keeper,
+    // and every keeper is a member of its own cluster
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0)))
+    rows.groupBy(_.getLong(1)).foreach { case (keeper, members) =>
+      assert(members.exists(_.getLong(0) == keeper), s"keeper $keeper not a member")
+      assert(members.forall(_.getLong(2) == members.length),
+        s"n_cluster mismatch for keeper $keeper")
+    }
+  }
+
   test("ivf cell sizing scales as sqrt(N) within clamps") {
     assert(IvfSearch.scaledCells(100) == 4)          // floor: n/32
     assert(IvfSearch.scaledCells(500) == 15)         // n/32 binds below sqrt
