@@ -70,4 +70,32 @@ class ScaleLayoutSpec extends SparkSpecBase {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(census(2) == touched.count() && census(1) == emb.count() - census(2))
   }
+
+  test("IVF store partitioned by cell: a probe scans only its nProbe cells") {
+    val dir = "/root/repo/target/tmp/layout/ivfstore"
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+    }
+    val emb = Tables.embeddings(spark, sf)
+    import graft.query.IvfSearch
+    val cents = IvfSearch.fitCentroids(emb, 8)
+    val store = IvfSearch.assignCells(emb, IvfSearch.centroidsDf(spark, cents))
+      .join(emb, "vec_id")
+    store.write.partitionBy("cell").parquet(dir)
+
+    // SURVEY claim: the stored table is bucketed by cell, so a probe
+    // reads nProbe/C of the data, not all of it
+    val probed = spark.read.parquet(dir).filter(col("cell").isin(0, 1))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("cell")))
+    val selected = scan.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq
+    assert(selected.nonEmpty &&
+      selected.forall(f => f.contains("cell=0") || f.contains("cell=1")),
+      s"probe scan touched foreign cells: ${selected.mkString(",")}")
+    // every vector landed in exactly one cell
+    assert(spark.read.parquet(dir).count() == emb.count())
+  }
 }
