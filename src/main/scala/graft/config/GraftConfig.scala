@@ -149,6 +149,8 @@ object GraftConfig {
     val queryN = n.path("query")
     val ivfN = n.path("ivf")
     val ndN = n.path("neardup")
+    val kaN = n.path("kAdaptive")
+    val auditN = n.path("audit")
 
     val kVariants =
       if (evalN.hasNonNull("kVariants")) {
@@ -190,25 +192,19 @@ object GraftConfig {
         cells = i(ndN, "cells", d.neardup.cells),
         probes = i(ndN, "probes", d.neardup.probes),
         topN = i(ndN, "topN", d.neardup.topN)),
-      kAdaptive = {
-        val n2 = n.path("kAdaptive")
-        KAdaptiveConfig(
-          enabled = b(n2, "enabled", d.kAdaptive.enabled),
-          maxRounds = i(n2, "maxRounds", d.kAdaptive.maxRounds),
-          targetReturnRate = dbl(n2, "targetReturnRate", d.kAdaptive.targetReturnRate),
-          maxFanout = dbl(n2, "maxFanout", d.kAdaptive.maxFanout),
-          probeFactor = dbl(n2, "probeFactor", d.kAdaptive.probeFactor))
-      },
-      audit = {
-        val n2 = n.path("audit")
-        AuditConfig(
-          enabled = b(n2, "enabled", d.audit.enabled),
-          k = i(n2, "k", d.audit.k),
-          sampleEvery = i(n2, "sampleEvery", d.audit.sampleEvery),
-          worstKeep = i(n2, "worstKeep", d.audit.worstKeep),
-          failOnZeroHit = b(n2, "failOnZeroHit", d.audit.failOnZeroHit),
-          zeroHitRateLimit = dbl(n2, "zeroHitRateLimit", d.audit.zeroHitRateLimit),
-          zeroHitMinQueries = i(n2, "zeroHitMinQueries", d.audit.zeroHitMinQueries))
-      })
+      kAdaptive = KAdaptiveConfig(
+        enabled = b(kaN, "enabled", d.kAdaptive.enabled),
+        maxRounds = i(kaN, "maxRounds", d.kAdaptive.maxRounds),
+        targetReturnRate = dbl(kaN, "targetReturnRate", d.kAdaptive.targetReturnRate),
+        maxFanout = dbl(kaN, "maxFanout", d.kAdaptive.maxFanout),
+        probeFactor = dbl(kaN, "probeFactor", d.kAdaptive.probeFactor)),
+      audit = AuditConfig(
+        enabled = b(auditN, "enabled", d.audit.enabled),
+        k = i(auditN, "k", d.audit.k),
+        sampleEvery = i(auditN, "sampleEvery", d.audit.sampleEvery),
+        worstKeep = i(auditN, "worstKeep", d.audit.worstKeep),
+        failOnZeroHit = b(auditN, "failOnZeroHit", d.audit.failOnZeroHit),
+        zeroHitRateLimit = dbl(auditN, "zeroHitRateLimit", d.audit.zeroHitRateLimit),
+        zeroHitMinQueries = i(auditN, "zeroHitMinQueries", d.audit.zeroHitMinQueries)))
   }
 }

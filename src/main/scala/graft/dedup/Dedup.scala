@@ -179,13 +179,14 @@ object Dedup {
 
   // ---- planted near-dup corpus (used by the SparkEntry queries) ----
 
+  /** `text` with every 60th token replaced (the planted near-dup mutation). */
+  private def mutatedText(text: Column): Column =
+    concat_ws(" ", transform(tokens(text),
+      (t, i) => when(i % 60 === 0, lit("xqzmut")).otherwise(t)))
+
   /** Docs with doc_id < `nPlanted` copied at id+PlantOffset with every 60th token mutated. */
   def withPlantedNearDups(docs: DataFrame, nPlanted: Int, mutate: Boolean): DataFrame = {
-    val toks = tokens(col("text"))
-    val mutated =
-      if (mutate)
-        concat_ws(" ", transform(toks, (t, i) => when(i % 60 === 0, lit("xqzmut")).otherwise(t)))
-      else col("text")
+    val mutated = if (mutate) mutatedText(col("text")) else col("text")
     docs.select(col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") < nPlanted)
         .select((col("doc_id") + PlantOffset).as("doc_id"), mutated.as("text")))
@@ -266,6 +267,21 @@ object Dedup {
       .select(col("vec_id"), col("p.cell").as("cell"))
   }
 
+  /** The lazy plan behind [[neardupPairs]] (kept separate so specs can
+    * assert its shape — no cartesian — before caching hides it). */
+  private[graft] def neardupPlan(e: DataFrame, probes: DataFrame, topN: Int): DataFrame = {
+    val cands = probes.as("x").join(probes.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
+      .select(col("a"), col("b"), round(vec_cosine(col("va"), col("vb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /**
    * Top-`topN` cosine pairs among IVF co-probe candidates: two vectors
    * are a candidate pair iff they share >= 1 of their `nProbe` nearest
@@ -283,21 +299,6 @@ object Dedup {
    * the bucketed top-20 — including the rounded-cosine tie group at
    * the sf0.1 cutoff — is identical to the exhaustive one).
    */
-  /** The lazy plan behind [[neardupPairs]] (kept separate so specs can
-    * assert its shape — no cartesian — before caching hides it). */
-  private[graft] def neardupPlan(e: DataFrame, probes: DataFrame, topN: Int): DataFrame = {
-    val cands = probes.as("x").join(probes.as("y"),
-        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-      .distinct()
-    cands
-      .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
-      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
-      .select(col("a"), col("b"), round(vec_cosine(col("va"), col("vb")), 4).as("cosine"))
-      .orderBy(col("cosine").desc, col("a"), col("b"))
-      .limit(topN)
-  }
-
   def neardupPairs(data: DataFrame, cents: Array[Array[Float]],
       nProbe: Int, topN: Int): DataFrame = {
     val e = data.select(col("vec_id"), col("embedding"))
@@ -334,9 +335,16 @@ object Dedup {
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .cache()
     var labels = vertices.select(col("id"), col("id").as("label")).cache()
-    var changed = 1L
+    // convergence check: labels only ever DECREASE (least), so the
+    // label sum strictly drops iff any vertex changed — one aggregate
+    // per round instead of a join-and-count against the previous state
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty vertex set
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    var converged = false
+    while (!converged && iter < maxIters) {
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
@@ -344,8 +352,9 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .cache()
-      changed = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1
@@ -364,12 +373,9 @@ object Dedup {
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
       .select(col("doc_id"), col("text"))
-    val toks = tokens(col("text"))
-    val mutated = concat_ws(" ",
-      transform(toks, (t, i) => when(i % 60 === 0, lit("xqzmut")).otherwise(t)))
     val corpus = base
       .unionByName(base.filter(col("doc_id") < 10)
-        .select((col("doc_id") + PlantOffset).as("doc_id"), mutated.as("text")))
+        .select((col("doc_id") + PlantOffset).as("doc_id"), mutatedText(col("text")).as("text")))
       .unionByName(base.filter(col("doc_id") < 10)
         .select((col("doc_id") + 2 * PlantOffset).as("doc_id"), col("text")))
     val sets = corpus.select(col("doc_id"),

@@ -70,14 +70,14 @@ object QueryDiagnostics {
    */
   def annDiagnostics(spark: SparkSession, sfDir: String): DataFrame = {
     val audit = GraftConfig.active.audit
-    val data = Tables.embeddings(spark, sfDir)
-    // audit at its own k (reference audit.k=100), bounded by the corpus
-    val k = math.min(audit.k, data.count().toInt)
     if (!audit.enabled) {
       import spark.implicits._
       return Seq.empty[(Long, Long, Double, Int)]
         .toDF("query_id", "n_hits", "precision", "zero_hit")
     }
+    val data = Tables.embeddings(spark, sfDir)
+    // audit at its own k (reference audit.k=100), bounded by the corpus
+    val k = math.min(audit.k, data.count().toInt)
     // sampleEvery is sized for the reference's 10k-query runs; when it
     // exceeds the batch, audit every query rather than just id 0
     val step = if (audit.sampleEvery >= AnnQuery.NumQueries) 1

@@ -97,11 +97,7 @@ object GtFile {
 
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val dir = s"/root/repo/target/tmp/gt/$tag"
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
+    graft.util.Io.deleteRecursively(dir)
     val rowIds = writeGt(AnnQuery.bruteTopK(data, queries, maxK), s"$dir/gt.ivecs")
 
     val gt = loadGt(spark, dir, Some(rowIds))

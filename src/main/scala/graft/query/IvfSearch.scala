@@ -82,6 +82,18 @@ object IvfSearch {
   private val centroidCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[(String, Int), Array[Array[Float]]]]()
 
+  // corpus counts memoized alongside: the sqrt-N sizing should not pay
+  // a count job on every repeated query over the same corpus
+  private val countCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Long]]()
+
+  private def memoCount(data: DataFrame, key: String): Long =
+    countCache.synchronized {
+      countCache.computeIfAbsent(data.sparkSession,
+        _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(key, data.count())
+    }
+
   /**
    * Fit C centroids from a bounded, `vec_id`-pinned sample (run-stable
    * on a cluster — a bare `limit` takes whichever partitions answer
@@ -155,7 +167,8 @@ object IvfSearch {
   def simsearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val data = Tables.embeddings(spark, sfDir)
     // config override wins; otherwise size cells from the corpus
-    val c = if (cfg.ivf.cells > 0) cfg.ivf.cells else scaledCells(data.count())
+    val c = if (cfg.ivf.cells > 0) cfg.ivf.cells
+      else scaledCells(memoCount(data, s"ivf:$sfDir"))
     val cents = fitCentroids(data, c, Some(s"ivf:$sfDir"))
     ivfTopK(spark, data, data.filter(col("vec_id") < NumQueries), K, NumProbes, cents)
   }

@@ -25,13 +25,7 @@ object LoaderQueries {
     s"/root/repo/target/tmp/vecs/$tag/$kind"
   }
 
-  private def clean(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
-  }
+  private def clean(dir: String): Unit = graft.util.Io.deleteRecursively(dir)
 
   /** Split rows across two files to exercise cross-file id assignment. */
   private def twoFiles[T](dir: String, ext: String, rows: Array[Array[T]])(
