@@ -41,6 +41,15 @@ class GraftConfigSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](GraftConfig.parse(json, Some("nope")))
   }
 
+  test("the shipped example config parses, defaults-equal, and both profiles resolve") {
+    val path = "/root/repo/conf/config.example.json"
+    assert(GraftConfig.load(path) == GraftConfig()) // example base == defaults
+    val fast = GraftConfig.load(path, Some("fast_m15_d2"))
+    assert(fast.lsh.m == 15 && fast.lsh.divisions == 2 && fast.stabilization.enabled)
+    val hr = GraftConfig.load(path, Some("highrecall_m30_l3_d4"))
+    assert(hr.lsh.m == 30 && hr.lsh.lambda == 3 && hr.lsh.maxProbes == 10)
+  }
+
   test("load reads a file from disk") {
     val f = java.nio.file.Files.createTempFile("graft-config", ".json")
     java.nio.file.Files.write(f, """{"query": {"k": 3}}""".getBytes)
