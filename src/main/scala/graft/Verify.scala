@@ -16,7 +16,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      spark.catalog.clearCache() // keep storage memory flat across 33 queries
+      spark.catalog.clearCache() // keep storage memory flat across the query sweep
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
