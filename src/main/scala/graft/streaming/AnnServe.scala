@@ -40,6 +40,46 @@ object AnnServe {
       .parquet(inputDir)
 
   /**
+   * Serve a stream of ENCRYPTED query tokens: micro-batches of token
+   * codes (qid, t, d, key, code) run the codes-only server plan against
+   * the encrypted store, and the exact-L2 finish decrypts with the
+   * static token metadata — the privacy posture of
+   * [[graft.crypto.QueryTokens.tokenTopK]] on a stream. No plaintext
+   * query ever appears in the streaming source or the serving plan.
+   *
+   * A token is one message: all of a query's code rows must arrive in
+   * the same micro-batch (one file/record per token), else the probe
+   * union would split across triggers.
+   */
+  def serveTokens(
+      tokenCodes: DataFrame,
+      tokenMeta: DataFrame,
+      encStore: DataFrame,
+      k: Int,
+      model: LshModel,
+      built: LshIndex.Built,
+      version: Int,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    tokenCodes.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.crypto.QueryTokens.tokenTopK(
+            batch.sparkSession, encStore, batch, tokenMeta, k, model, built, version)
+            .withColumn("batch_id", lit(batchId))
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+
+  /**
    * Serve a query stream against a built index: each micro-batch's
    * results (query_id, vec_id, dist, rnk, batch_id) append to
    * `outPath`.

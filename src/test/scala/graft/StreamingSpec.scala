@@ -43,6 +43,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.exceptAll(served).count() == 0)
   }
 
+  test("streaming token serving equals batch tokenTopK across micro-batches") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Lsh.fit(emb, "embedding", LshParams())
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val in = tmp("tserve-in")
+    val out = tmp("tserve-out")
+    val ckpt = tmp("tserve-ckpt")
+    val queries = emb.filter(col("vec_id") < 6)
+    val encStore = graft.crypto.VersionedCrypto.encrypt(emb, "vec_id", "embedding", 1)
+    val (codes, meta) = graft.crypto.QueryTokens.createTokens(queries, model, version = 1)
+    // tokens arrive as two files; a token's code rows stay together
+    codes.filter(col("qid") < 3).coalesce(1).write.mode("overwrite").parquet(s"$in/c")
+    codes.filter(col("qid") >= 3).coalesce(1).write.mode("append").parquet(s"$in/c")
+    val codeStream = spark.readStream.schema(codes.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/c")
+    val q = graft.streaming.AnnServe.serveTokens(
+      codeStream, meta, encStore, 10, model, built, 1, out, ckpt)
+    assert(q.awaitTermination(120000), "token serve stream did not finish in time")
+    val served = spark.read.parquet(out).drop("batch_id")
+    val batch = graft.crypto.QueryTokens.tokenTopK(
+      spark, encStore, codes, meta, 10, model, built, 1)
+    assert(served.count() == batch.count())
+    assert(served.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(served).count() == 0)
+  }
+
   test("file-stream ingest LSH-codes vectors identically to the batch path") {
     val emb = Tables.embeddings(spark, sf)
     val model = Lsh.fit(emb, "embedding", LshParams())
