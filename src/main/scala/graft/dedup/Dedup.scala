@@ -229,18 +229,25 @@ object Dedup {
           size(array_union(col("x.sh"), col("y.sh"))) * 10000) / 10000).as("jaccard"))
   }
 
+  /** DuckDB twin of [[shingles]]: w=3 word shingles, whole-text
+    * fallback below 3 tokens (without it a <3-token doc yields an empty
+    * list and 0/0 = NaN Jaccard, which DuckDB orders ABOVE thresholds —
+    * a phantom edge Spark's fallback never produces). */
+  private val shingleSetSql: String =
+    """CASE WHEN len(toks) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
   val ngramJaccardSql: String =
-    """WITH sets AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
-      |      i -> string_split(lower(text), ' ')[i] || ' ' ||
-      |           string_split(lower(text), ' ')[i+1] || ' ' ||
-      |           string_split(lower(text), ' ')[i+2])) AS sh
-      |  FROM documents WHERE doc_id < 40)
-      |SELECT x.doc_id AS a, y.doc_id AS b,
-      |  FLOOR(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-      |        len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 AS jaccard
-      |FROM sets x JOIN sets y ON x.doc_id < y.doc_id""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM documents WHERE doc_id < 40),
+       |sets AS (SELECT doc_id, $shingleSetSql AS sh FROM tok)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  FLOOR(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 AS jaccard
+       |FROM sets x JOIN sets y ON x.doc_id < y.doc_id""".stripMargin
 
   // ---- embedding near-dup: IVF co-probe bucketing (no all-pairs) ----
 
@@ -334,23 +341,23 @@ object Dedup {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    var labels = vertices.select(col("id"), col("id").as("label")).cache()
+    var labels = vertices.select(col("id"), col("id").as("keeper")).cache()
     // convergence check: labels only ever DECREASE (least), so the
     // label sum strictly drops iff any vertex changed — one aggregate
     // per round instead of a join-and-count against the previous state
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+      Option(df.agg(sum(col("keeper").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty vertex set
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val neighborMin = sym
-        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
+        .join(labels.select(col("id").as("dst"), col("keeper")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("keeper").as("nkeeper"))
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("keeper"), coalesce(col("nkeeper"), col("keeper"))).as("keeper"))
         .cache()
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
@@ -360,7 +367,14 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    labels.select(col("id"), col("label").as("keeper"))
+    // partial labels masquerading as components would silently corrupt
+    // every downstream keeper — fail loudly instead (raise maxIters for
+    // pathological >maxIters-diameter graphs)
+    require(converged,
+      s"connected components did not converge within $maxIters iterations")
+    // the returned (id, keeper) frame IS the final cached label table:
+    // callers can (and should) .unpersist() it once consumed
+    labels
   }
 
   /**
@@ -386,8 +400,12 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     val cc = connectedComponents(edges, corpus.select(col("doc_id").as("id")))
     val sizes = cc.groupBy("keeper").agg(count(lit(1)).as("n_cluster"))
-    cc.join(sizes, Seq("keeper"))
+    val out = cc.join(sizes, Seq("keeper"))
       .select(col("id").as("doc_id"), col("keeper"), col("n_cluster"))
+      .cache()
+    out.count() // materialize the (tiny) cluster table, release the label cache
+    cc.unpersist()
+    out
   }
 
   val dedupClustersSql: String =
@@ -400,13 +418,8 @@ object Dedup {
        |  FROM documents WHERE doc_id < 10
        |  UNION ALL
        |  SELECT doc_id + ${2 * PlantOffset}, text FROM documents WHERE doc_id < 10),
-       |sets AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    range(1, len(string_split(lower(text), ' ')) - 1),
-       |    i -> string_split(lower(text), ' ')[i] || ' ' ||
-       |         string_split(lower(text), ' ')[i+1] || ' ' ||
-       |         string_split(lower(text), ' ')[i+2])) AS sh
-       |  FROM corpus),
+       |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+       |sets AS (SELECT doc_id, $shingleSetSql AS sh FROM tok),
        |edges AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b FROM sets x JOIN sets y
        |  ON x.doc_id < y.doc_id

@@ -40,6 +40,31 @@ object AnnServe {
       .parquet(inputDir)
 
   /**
+   * The shared serving sink: run `plan` on each non-empty micro-batch
+   * and land the results in a batch_id partition with dynamic
+   * overwrite. Idempotent by construction — a micro-batch REPLAY
+   * (failure between the parquet commit and the checkpoint) rewrites
+   * its own partition instead of appending duplicates.
+   */
+  private def servedSink(source: DataFrame, outPath: String, checkpoint: String,
+      trigger: Trigger)(plan: DataFrame => DataFrame): StreamingQuery =
+    source.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          plan(batch)
+            .withColumn("batch_id", lit(batchId))
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+
+  /**
    * Serve a stream of ENCRYPTED query tokens: micro-batches of token
    * codes (qid, t, d, key, code) run the codes-only server plan against
    * the encrypted store, and the exact-L2 finish decrypts with the
@@ -62,27 +87,14 @@ object AnnServe {
       outPath: String,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    tokenCodes.writeStream
-      .trigger(trigger)
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.crypto.QueryTokens.tokenTopK(
-            batch.sparkSession, encStore, batch, tokenMeta, k, model, built, version)
-            .withColumn("batch_id", lit(batchId))
-            .write
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(outPath)
-        }
-      }
-      .start()
+    servedSink(tokenCodes, outPath, checkpoint, trigger) { batch =>
+      graft.crypto.QueryTokens.tokenTopK(
+        batch.sparkSession, encStore, batch, tokenMeta, k, model, built, version)
+    }
 
   /**
    * Serve a query stream against a built index: each micro-batch's
-   * results (query_id, vec_id, dist, rnk, batch_id) append to
-   * `outPath`.
+   * results (query_id, vec_id, dist, rnk, batch_id) land in the sink.
    */
   def serve(
       queries: DataFrame,
@@ -93,23 +105,7 @@ object AnnServe {
       outPath: String,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    queries.writeStream
-      .trigger(trigger)
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // idempotent sink: results land in a batch_id partition with
-          // dynamic overwrite, so a micro-batch REPLAY (failure between
-          // the parquet commit and the checkpoint) rewrites its own
-          // partition instead of appending duplicates
-          AnnQuery.lshTopK(batch.sparkSession, data, batch, k, model, built)
-            .withColumn("batch_id", lit(batchId))
-            .write
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(outPath)
-        }
-      }
-      .start()
+    servedSink(queries, outPath, checkpoint, trigger) { batch =>
+      AnnQuery.lshTopK(batch.sparkSession, data, batch, k, model, built)
+    }
 }

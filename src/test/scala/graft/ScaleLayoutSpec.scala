@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.functions._
 
 import graft.index.LshIndex
@@ -17,10 +15,7 @@ class ScaleLayoutSpec extends SparkSpecBase {
 
   test("membership partitioned by (t, d) serves probe reads with partition pruning") {
     val dir = "/root/repo/target/tmp/layout/membership"
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
-    }
+    graft.util.Io.deleteRecursively(dir)
     val emb = Tables.embeddings(spark, sf)
     val model = Lsh.fit(emb, "embedding", LshParams())
     val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
@@ -40,10 +35,7 @@ class ScaleLayoutSpec extends SparkSpecBase {
 
   test("encrypted store partitioned by kv: rotation reads prune to one key version") {
     val dir = "/root/repo/target/tmp/layout/encstore"
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
-    }
+    graft.util.Io.deleteRecursively(dir)
     val emb = Tables.embeddings(spark, sf)
     // a store mid-rotation: touched ids at v2, the rest at v1
     val touched = emb.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("id"))
@@ -73,10 +65,7 @@ class ScaleLayoutSpec extends SparkSpecBase {
 
   test("IVF store partitioned by cell: a probe scans only its nProbe cells") {
     val dir = "/root/repo/target/tmp/layout/ivfstore"
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
-    }
+    graft.util.Io.deleteRecursively(dir)
     val emb = Tables.embeddings(spark, sf)
     import graft.query.IvfSearch
     val cents = IvfSearch.fitCentroids(emb, 8)
