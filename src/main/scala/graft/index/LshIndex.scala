@@ -46,6 +46,13 @@ object LshIndex {
       * the key-range buckets of the distributed center lookup; a Long
       * memo, so it survives cache eviction without re-counting). */
     lazy val summaryCount: Long = summaries.count()
+
+    /** Driver-side probe map for the broadcast probe path, collected
+      * once per built index (the reference keeps its partition list
+      * resident in the server for the system's lifetime — re-collecting
+      * it per query batch would re-pay a job every call). Deterministic
+      * re-derivable state, so surviving cache eviction is safe. */
+    lazy val collected: Map[(Int, Int), TdSummary] = collectSummaries(summaries)
   }
 
   final case class CodeRow(id: Long, t: Int, d: Int, key: Long, code: Array[Long], bkt: Int)
