@@ -38,10 +38,12 @@ object SparkEntry {
     "ann_diagnostics" -> (graft.eval.QueryDiagnostics.annDiagnostics _),
     "lsh_code" -> (AnnQuery.lshCode _),
     "lsh_partition_build" -> (AnnQuery.lshPartitionBuild _),
+    "index_insert" -> (graft.index.IndexMaintenance.indexInsert _),
     "encrypt_points" -> (VersionedCrypto.encryptPoints _),
     "query_token" -> (graft.crypto.QueryTokens.queryToken _),
     "decrypt_refine" -> (VersionedCrypto.decryptRefine _),
     "key_rotation" -> (VersionedCrypto.keyRotation _),
+    "key_deletion" -> (VersionedCrypto.keyDeletion _),
     "fvecs_roundtrip" -> (LoaderQueries.fvecsRoundtrip _),
     "bvecs_roundtrip" -> (LoaderQueries.bvecsRoundtrip _),
     "ivecs_roundtrip" -> (LoaderQueries.ivecsRoundtrip _),
@@ -77,10 +79,12 @@ object SparkEntry {
     "q_running_balance" -> Analytics.qRunningBalanceSql,
     "ann_brute_topk" -> AnnQuery.annBruteTopKSql,
     "lsh_partition_build" -> AnnQuery.lshPartitionBuildSql,
+    "index_insert" -> graft.index.IndexMaintenance.indexInsertSql,
     "encrypt_points" -> VersionedCrypto.encryptPointsSql,
     "query_token" -> graft.crypto.QueryTokens.queryTokenSql,
     "decrypt_refine" -> VersionedCrypto.decryptRefineSql,
     "key_rotation" -> VersionedCrypto.keyRotationSql,
+    "key_deletion" -> VersionedCrypto.keyDeletionSql,
     "fvecs_roundtrip" -> LoaderQueries.fvecsRoundtripSql,
     "bvecs_roundtrip" -> LoaderQueries.bvecsRoundtripSql,
     "ivecs_roundtrip" -> LoaderQueries.ivecsRoundtripSql,

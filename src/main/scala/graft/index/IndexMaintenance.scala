@@ -1,0 +1,125 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.lsh.LshModel
+import graft.query.AnnQuery
+
+/**
+ * Incremental index maintenance (re-expression of fspann's staged
+ * insert lifecycle: `index/paper/PartitionedIndexService.insert`
+ * stages encrypted points + codes, PartitionedIndexService.java:266,342;
+ * `finalizeForSearch` builds the staged set into greedy partitions,
+ * PartitionedIndexService.java:789,837).
+ *
+ * The reference freezes after one build — points inserted later stay
+ * staged and unsearchable. The Spark-first shape is LSM-ish and keeps
+ * serving continuous:
+ *  - a staged batch is coded and DELTA-BUILT into its own (small)
+ *    partition list — same greedy layout, just over the batch;
+ *  - queries probe the main and delta indexes as two partition lists
+ *    (each with its own probe budget) and refine over the candidate
+ *    union, so fresh inserts are visible without touching the main
+ *    index — at 100 TB re-sorting the corpus per insert batch is not
+ *    an option;
+ *  - `compact` merges: one standard build over the code union, which
+ *    is BYTE-IDENTICAL to a from-scratch build of the full corpus
+ *    (asserted in IndexMaintenanceSpec), so delta chains never
+ *    degrade the steady-state layout.
+ *
+ * Delta block ids are offset by [[DeltaBlockOffset]] when the two
+ * memberships union, so (t, d, block) stays a unique join key across
+ * the combined index.
+ */
+object IndexMaintenance {
+
+  /** Delta blocks live above this id; main indexes stay far below it
+    * (2^30 blocks/(t,d) = 6.9e10 vectors at blockSize 64). */
+  val DeltaBlockOffset: Int = 1 << 30
+
+  /** Code a staged vector batch (the reference's insert-time
+    * `Coding.C` over all (table, division), PartitionedIndexService.java:334). */
+  def stageCodes(staged: DataFrame, idCol: String, vecCol: String,
+      model: LshModel): DataFrame =
+    LshIndex.codes(staged, idCol, vecCol, model)
+
+  /** Greedy-build a staged batch into its own delta partition list. */
+  def buildDelta(stagedCodes: DataFrame, blockSize: Int): LshIndex.Built =
+    LshIndex.build(stagedCodes, blockSize)
+
+  /** The combined (main + delta) index: memberships and summaries
+    * unioned with delta block ids offset. Candidate joins against it
+    * behave exactly like a single index. */
+  def combined(main: LshIndex.Built, delta: LshIndex.Built): LshIndex.Built =
+    LshIndex.Built(
+      main.membership.unionByName(
+        delta.membership.withColumn("block", col("block") + DeltaBlockOffset)),
+      main.summaries.unionByName(
+        delta.summaries.withColumn("block", col("block") + DeltaBlockOffset)))
+
+  /**
+   * Top-k over main + staged delta: each side is probed as its own
+   * partition list (best-first, budget maxProbes each — the delta is
+   * small, so its probes are nearly free), then ONE candidate union,
+   * Hamming bound, and exact refine over the combined membership.
+   * Fresh inserts are searchable immediately; results for vectors in
+   * the main index are unchanged (their probes are identical).
+   */
+  def lshTopKWithDelta(spark: SparkSession, mainData: DataFrame, deltaData: DataFrame,
+      queries: DataFrame, k: Int, model: LshModel,
+      main: LshIndex.Built, delta: LshIndex.Built): DataFrame = {
+    val codes = AnnQuery.queryCodes(queries, model)
+    val probed = AnnQuery.probeBlocksCoded(spark, codes, model, main)
+      .unionByName(
+        AnnQuery.probeBlocksCoded(spark, codes, model, delta)
+          .withColumn("block", col("block") + DeltaBlockOffset))
+    AnnQuery.refineFromProbes(probed, mainData.unionByName(deltaData), queries, k,
+      model, combined(main, delta))
+  }
+
+  /** Merge a staged batch into the main index: one standard build over
+    * the code union — provably identical to building the full corpus
+    * from scratch (build() is a deterministic function of the row set). */
+  def compact(mainCodes: DataFrame, stagedCodes: DataFrame, blockSize: Int): LshIndex.Built =
+    LshIndex.build(mainCodes.unionByName(stagedCodes), blockSize)
+
+  // ---- SparkEntry wiring ----
+
+  /**
+   * Insert lifecycle over the embeddings table: the corpus minus the
+   * first 100 vectors is the main index, the first 100 arrive as a
+   * staged batch, delta-built, then compacted. Output: per (t, d)
+   * partition counts of all three layouts — SQL-checkable from row
+   * counts alone (compaction must land exactly the full-corpus
+   * layout).
+   */
+  def indexInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = AnnQuery.setupModel(spark, sfDir)
+    val mainCodes = stageCodes(emb.filter(col("vec_id") >= 100), "vec_id", "embedding", model)
+    val stagedCodes = stageCodes(emb.filter(col("vec_id") < 100), "vec_id", "embedding", model)
+    val blockSize = model.params.blockSize
+    val main = LshIndex.build(mainCodes, blockSize)
+    val delta = buildDelta(stagedCodes, blockSize)
+    val compacted = compact(mainCodes, stagedCodes, blockSize)
+    def counts(b: LshIndex.Built, prefix: String): DataFrame =
+      b.summaries.groupBy("t", "d").agg(
+        count(lit(1)).as(s"${prefix}_partitions"),
+        sum(col("n")).as(s"${prefix}_vectors"))
+    counts(main, "main")
+      .join(counts(delta, "delta"), Seq("t", "d"))
+      .join(counts(compacted, "compacted"), Seq("t", "d"))
+  }
+
+  val indexInsertSql: String =
+    """SELECT CAST(t.range AS INTEGER) AS t, CAST(d.range AS INTEGER) AS d,
+      |  CAST(CEIL(m.n / 64.0) AS BIGINT) AS main_partitions, m.n AS main_vectors,
+      |  CAST(CEIL(s.n / 64.0) AS BIGINT) AS delta_partitions, s.n AS delta_vectors,
+      |  CAST(CEIL(c.n / 64.0) AS BIGINT) AS compacted_partitions, c.n AS compacted_vectors
+      |FROM (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id >= 100) m,
+      |     (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 100) s,
+      |     (SELECT COUNT(*) AS n FROM embeddings) c,
+      |     range(8) t, range(3) d""".stripMargin
+}

@@ -62,6 +62,37 @@ class CryptoSpec extends SparkSpecBase {
     assert(rotated.count() == emb.count())
   }
 
+  test("safe key deletion: versions with bound vectors are skipped, released versions deleted") {
+    import spark.implicits._
+    val store = VersionedCrypto.encrypt(emb, "vec_id", "embedding", 1)
+    val touched = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id").as("id"))
+    val rotated = VersionedCrypto.rotate(store, touched, 1).cache()
+
+    // before any purge: v1 still binds the odd ids -> NOT safe, NOT deleted
+    // even though it is older than keepVersion
+    val before = VersionedCrypto.safeKeyDeletion(rotated, Seq(1, 2), keepVersion = 2)
+      .as[(Int, Long, Int, Int)].collect().sortBy(_._1)
+    val nOdd = emb.filter(col("vec_id") % 2 === 1).count()
+    val nEven = emb.count() - nOdd
+    assert(before(0) == ((1, nOdd, 0, 0)), s"v1 must be skipped while bound: ${before(0)}")
+    assert(before(1) == ((2, nEven, 0, 0)))
+
+    // after the odd ids are purged from the store, v1 is released -> deleted;
+    // v2 is never a candidate (not < keepVersion) even when release-able
+    val purged = rotated.filter(col("id") % 2 === 0)
+    val after = VersionedCrypto.safeKeyDeletion(purged, Seq(1, 2), keepVersion = 2)
+      .as[(Int, Long, Int, Int)].collect().sortBy(_._1)
+    assert(after(0) == ((1, 0L, 1, 1)), s"released v1 must delete: ${after(0)}")
+    assert(after(1) == ((2, nEven, 0, 0)))
+
+    // survivors still decrypt under v2 after v1 is gone (master-key
+    // derivation does not depend on deleted session keys)
+    val back = VersionedCrypto.decrypt(purged.filter(col("kv") === 2), 2)
+      .select(col("id").as("vec_id"), col("vec"))
+    val bad = emb.join(back, "vec_id").filter(not(col("embedding") === col("vec"))).count()
+    assert(bad == 0)
+  }
+
   test("selective re-encryption touches exactly the touched set; untouched bytes identical") {
     val store = VersionedCrypto.encrypt(emb, "vec_id", "embedding", 1).cache()
     val touched = emb.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("id"))

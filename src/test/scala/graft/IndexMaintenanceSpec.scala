@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexMaintenance, LshIndex}
+import graft.lsh.{Lsh, LshParams}
+import graft.query.AnnQuery
+
+/**
+ * Staged insert -> delta serving -> compact (IndexMaintenance):
+ * inserts must be searchable through the delta path, main-index
+ * results must not change, and compaction must reproduce the
+ * from-scratch build bit-for-bit.
+ */
+class IndexMaintenanceSpec extends SparkSpecBase {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val model = Lsh.fit(emb, "embedding", LshParams())
+  private val blockSize = 64
+
+  private lazy val mainData = emb.filter(col("vec_id") >= 50)
+  private lazy val deltaData = emb.filter(col("vec_id") < 50)
+  private lazy val mainCodes = IndexMaintenance.stageCodes(mainData, "vec_id", "embedding", model)
+  private lazy val deltaCodes = IndexMaintenance.stageCodes(deltaData, "vec_id", "embedding", model)
+
+  test("compact equals a from-scratch build of the full corpus exactly") {
+    val compacted = IndexMaintenance.compact(mainCodes, deltaCodes, blockSize)
+    val fresh = LshIndex.build(
+      LshIndex.codes(emb, "vec_id", "embedding", model), blockSize)
+    assert(compacted.membership.exceptAll(fresh.membership).count() == 0)
+    assert(fresh.membership.exceptAll(compacted.membership).count() == 0)
+    val cs = compacted.summaries.select("t", "d", "block", "min_key", "max_key", "n")
+    val fs = fresh.summaries.select("t", "d", "block", "min_key", "max_key", "n")
+    assert(cs.exceptAll(fs).count() == 0)
+    assert(fs.exceptAll(cs).count() == 0)
+  }
+
+  test("staged vectors are searchable via the delta; main results unchanged") {
+    val main = LshIndex.build(mainCodes, blockSize)
+    val delta = IndexMaintenance.buildDelta(deltaCodes, blockSize)
+
+    // query a vector that exists ONLY in the staged batch: the delta
+    // path must surface it as its own nearest neighbor (dist 0, rank 1)
+    val q = emb.filter(col("vec_id") === 7)
+    val served = IndexMaintenance.lshTopKWithDelta(
+      spark, mainData, deltaData, q, 5, model, main, delta)
+    val top = served.filter(col("rnk") === 1).head()
+    assert(top.getLong(1) == 7L, s"staged vector must be its own top-1, got $top")
+    assert(top.getDouble(2) == 0.0)
+
+    // the same query against the main index alone cannot return it
+    val mainOnly = AnnQuery.lshTopK(spark, mainData, q, 5, model, main)
+    assert(mainOnly.filter(col("vec_id") === 7).count() == 0)
+
+    // queries already answerable by the main index return the same
+    // top-k through the delta path whenever no staged vector outranks
+    // a main result (delta probes only ADD candidates; the refine
+    // window re-ranks the union)
+    val q2 = emb.filter(col("vec_id") === 1500)
+    val before = AnnQuery.lshTopK(spark, mainData, q2, 5, model, main)
+      .select("query_id", "vec_id", "rnk").collect().toSet
+    val after = IndexMaintenance.lshTopKWithDelta(
+      spark, mainData, deltaData, q2, 5, model, main, delta)
+      .filter(col("vec_id") >= 50)
+      .select("query_id", "vec_id", "rnk").collect().toSet
+    // delta candidates that beat main ones can shift ranks; compare sets
+    // of surviving main ids instead of positions
+    assert(after.map(r => r.getLong(1)).subsetOf(before.map(r => r.getLong(1))))
+  }
+
+  test("post-compact serving equals fresh-build serving exactly") {
+    val compacted = IndexMaintenance.compact(mainCodes, deltaCodes, blockSize)
+    val fresh = LshIndex.build(
+      LshIndex.codes(emb, "vec_id", "embedding", model), blockSize)
+    val q = emb.filter(col("vec_id") < 10)
+    val a = AnnQuery.lshTopK(spark, emb, q, 10, model, compacted)
+    val b = AnnQuery.lshTopK(spark, emb, q, 10, model, fresh)
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
+
+  test("combined membership keeps (t, d, block) unique across main and delta") {
+    val main = LshIndex.build(mainCodes, blockSize)
+    val delta = IndexMaintenance.buildDelta(deltaCodes, blockSize)
+    val comb = IndexMaintenance.combined(main, delta)
+    val dupBlocks = comb.summaries.groupBy("t", "d", "block")
+      .count().filter(col("count") > 1).count()
+    assert(dupBlocks == 0)
+    assert(comb.membership.count() == emb.count() * 24)
+  }
+}
