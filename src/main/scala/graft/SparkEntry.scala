@@ -97,6 +97,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "token_count" -> TextAnalysis.tokenCountSql,
+    "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "multimodal_meta" -> BinaryMeta.multimodalMetaSql,
     "embed_quantize" -> Embeddings.embedQuantizeSql,
   )

@@ -198,4 +198,46 @@ object TextAnalysis {
       element_at(fp, 1).as("fp_first"),
       array_min(fp).as("fp_min"))
   }
+
+  /**
+   * DuckDB twin of the winnowing kernel (ASCII corpora: `ascii` per
+   * char == the UTF-8 byte the Scala kernel hashes). The rolling
+   * mod-2^64 hash is re-derived as a direct 8-byte polynomial fold in
+   * HUGEINT with an explicit modulus, then shifted to signed BIGINT so
+   * comparisons match JVM `Long` ordering. The winnow selection uses
+   * the invariant that each window's pick IS its rightmost argmin
+   * (`<=` update rule), so "collapse consecutive repeats" ==
+   * sort-distinct of the per-window rightmost-argmin indices.
+   */
+  val docFingerprintSql: String = {
+    // ((...(b0*257 + b1) % 2^64 ...)*257 + b7) % 2^64 over bytes i..i+7
+    val hh = (1 until FingerprintKernels.K).foldLeft(
+      "CAST(ascii(substr(text, i, 1)) AS HUGEINT)") { (acc, j) =>
+      s"(($acc) * ${FingerprintKernels.Base} + ascii(substr(text, i+$j, 1))) % 18446744073709551616::HUGEINT"
+    }
+    val w = FingerprintKernels.W
+    val k = FingerprintKernels.K
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(text) - $k + 2), i ->
+       |      CAST(CASE WHEN ($hh) >= 9223372036854775808::HUGEINT
+       |                THEN ($hh) - 18446744073709551616::HUGEINT
+       |                ELSE ($hh) END AS BIGINT)) AS hs
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, hs,
+       |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+       |      WHEN len(hs) <= $w
+       |      THEN [len(hs) - list_position(list_reverse(hs), list_aggregate(hs, 'min')) + 1]
+       |      ELSE list_transform(range(1, len(hs) - $w + 2), s ->
+       |        s - 1 + ($w - list_position(list_reverse(hs[s:s+${w - 1}]),
+       |                                    list_aggregate(hs[s:s+${w - 1}], 'min')) + 1))
+       |    END AS sel
+       |  FROM h),
+       |f AS (SELECT doc_id, list_sort(list_distinct(sel)) AS sel2, hs FROM w)
+       |SELECT doc_id, CAST(len(sel2) AS INTEGER) AS n_fingerprints,
+       |  hs[sel2[1]] AS fp_first,
+       |  list_aggregate(list_transform(sel2, i -> hs[i]), 'min') AS fp_min
+       |FROM f""".stripMargin
+  }
 }
