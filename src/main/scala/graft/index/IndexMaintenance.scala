@@ -85,6 +85,18 @@ object IndexMaintenance {
   def compact(mainCodes: DataFrame, stagedCodes: DataFrame, blockSize: Int): LshIndex.Built =
     LshIndex.build(mainCodes.unionByName(stagedCodes), blockSize)
 
+  /**
+   * The staged-codes table accumulated by a streaming insert ingest
+   * ([[graft.streaming.StreamingIngest.codedVectorStream]] appended
+   * through the exactly-once parquet file sink): continuous inserts
+   * land here coded, [[buildDelta]] makes each accumulation servable,
+   * and [[compact]] periodically folds it into the main index — the
+   * full insert lifecycle with no stop-the-world rebuild on the
+   * ingest path.
+   */
+  def deltaCodesFrom(spark: SparkSession, deltaDir: String): DataFrame =
+    spark.read.parquet(deltaDir).select("id", "t", "d", "key", "code")
+
   // ---- SparkEntry wiring ----
 
   /**

@@ -79,6 +79,49 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     assert(b.exceptAll(a).count() == 0)
   }
 
+  test("streamed staged batches are searchable via the delta and compact to the fresh build") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    def tmp(name: String): String = {
+      val d = s"/root/repo/target/tmp/insert-stream/$name"
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      }
+      Files.createDirectories(p)
+      d
+    }
+    val in = tmp("in"); val delta = tmp("delta"); val ckpt = tmp("ckpt")
+    // staged vectors arrive as two files (two micro-batches)
+    deltaData.filter(col("vec_id") < 25).write.mode("overwrite").parquet(s"$in/b")
+    deltaData.filter(col("vec_id") >= 25).write.mode("append").parquet(s"$in/b")
+    val q = graft.streaming.StreamingIngest
+      .codedVectorStream(spark, s"$in/b", model, emb.schema)
+      .writeStream.format("parquet")
+      .option("path", delta)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "insert ingest did not finish in time")
+
+    val streamedCodes = IndexMaintenance.deltaCodesFrom(spark, delta)
+    assert(streamedCodes.count() == deltaData.count() * 24)
+
+    // the streamed delta serves: a staged-only vector is its own top-1
+    val main = LshIndex.build(mainCodes, blockSize)
+    val dBuilt = IndexMaintenance.buildDelta(streamedCodes, blockSize)
+    val served = IndexMaintenance.lshTopKWithDelta(
+      spark, mainData, deltaData, emb.filter(col("vec_id") === 7), 5, model, main, dBuilt)
+    val top = served.filter(col("rnk") === 1).head()
+    assert(top.getLong(1) == 7L && top.getDouble(2) == 0.0)
+
+    // and compacting the STREAMED codes reproduces the fresh build
+    val compacted = IndexMaintenance.compact(mainCodes, streamedCodes, blockSize)
+    val fresh = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), blockSize)
+    assert(compacted.membership.exceptAll(fresh.membership).count() == 0)
+    assert(fresh.membership.exceptAll(compacted.membership).count() == 0)
+  }
+
   test("combined membership keeps (t, d, block) unique across main and delta") {
     val main = LshIndex.build(mainCodes, blockSize)
     val delta = IndexMaintenance.buildDelta(deltaCodes, blockSize)
