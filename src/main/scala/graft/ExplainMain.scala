@@ -8,7 +8,8 @@ object ExplainMain {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
     for (name <- Seq("q1_pricing", "q6_revenue", "q3_shipping", "q5_local_volume",
-        "ann_brute_topk", "ann_lsh_topk", "ann_lsh_topk_distjoin", "dedup_minhash", "neardup_embedding", "simsearch_ivf", "query_token", "embed_quantize")) {
+        "ann_brute_topk", "ann_lsh_topk", "ann_lsh_topk_distjoin", "dedup_minhash", "neardup_embedding", "simsearch_ivf", "query_token", "embed_quantize",
+        "index_insert", "key_deletion", "dedup_clusters", "ann_diagnostics")) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

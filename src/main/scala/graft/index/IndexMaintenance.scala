@@ -86,6 +86,23 @@ object IndexMaintenance {
     LshIndex.build(mainCodes.unionByName(stagedCodes), blockSize)
 
   /**
+   * Rebuild the index from the encrypted store (re-expression of
+   * `ForwardSecureANNSystem.restoreIndexFromDisk`: decrypt every
+   * stored point of a key version, re-insert, finalize — recovery
+   * after the serving state is lost while the versioned ciphertext
+   * store survives). One decrypt projection feeding the standard
+   * build; the store is the system of record, the index is always
+   * re-derivable from it.
+   */
+  def restoreFromStore(encStore: DataFrame, version: Int, model: LshModel,
+      blockSize: Int): LshIndex.Built = {
+    val vecs = graft.crypto.VersionedCrypto.decrypt(
+        encStore.filter(col("kv") === version), version)
+      .select(col("id").as("vec_id"), col("vec").as("embedding"))
+    LshIndex.build(LshIndex.codes(vecs, "vec_id", "embedding", model), blockSize)
+  }
+
+  /**
    * The staged-codes table accumulated by a streaming insert ingest
    * ([[graft.streaming.StreamingIngest.codedVectorStream]] appended
    * through the exactly-once parquet file sink): continuous inserts

@@ -122,6 +122,20 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     assert(fresh.membership.exceptAll(compacted.membership).count() == 0)
   }
 
+  test("index restore from the encrypted store equals the plaintext build") {
+    val store = graft.crypto.VersionedCrypto.encrypt(emb, "vec_id", "embedding", 1)
+    val restored = IndexMaintenance.restoreFromStore(store, 1, model, blockSize)
+    val fresh = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), blockSize)
+    assert(restored.membership.exceptAll(fresh.membership).count() == 0)
+    assert(fresh.membership.exceptAll(restored.membership).count() == 0)
+    // and it serves identically
+    val q = emb.filter(col("vec_id") < 5)
+    val a = AnnQuery.lshTopK(spark, emb, q, 10, model, restored)
+    val b = AnnQuery.lshTopK(spark, emb, q, 10, model, fresh)
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
+
   test("combined membership keeps (t, d, block) unique across main and delta") {
     val main = LshIndex.build(mainCodes, blockSize)
     val delta = IndexMaintenance.buildDelta(deltaCodes, blockSize)
