@@ -49,10 +49,18 @@ final case class EvalConfig(
 
 final case class QueryConfig(k: Int = 10, numQueries: Int = 20)
 
-/** `cells <= 0` means size from the corpus (`IvfSearch.scaledCells`). */
-final case class IvfConfig(cells: Int = 0, probes: Int = 4)
+/** `cells <= 0` means size from the corpus (`IvfSearch.scaledCells`).
+  * `maxCandidates` caps each query's candidate union before the exact
+  * refine (the IVF twin of the LSH path's HARD_CAP): cells kept in
+  * cell-distance probe order. */
+final case class IvfConfig(cells: Int = 0, probes: Int = 4, maxCandidates: Int = 20000)
 
-final case class NeardupConfig(cells: Int = 16, probes: Int = 4, topN: Int = 20)
+/** `maxCell` drops cells larger than the bound from the co-probe
+  * self-join (same posture as dedup's `maxBucket`: one degenerate hot
+  * cell of b vectors is O(b^2) join rows; near-dups dropped with a
+  * hot cell still co-probe in their other probe cells). */
+final case class NeardupConfig(cells: Int = 16, probes: Int = 4, topN: Int = 20,
+    maxCell: Int = 100000)
 
 /** Multi-round adaptive probe widening (reference `kAdaptive`,
   * config.json base.kAdaptive; disabled by default like the reference). */
@@ -187,11 +195,13 @@ object GraftConfig {
         numQueries = i(queryN, "numQueries", d.query.numQueries)),
       ivf = IvfConfig(
         cells = i(ivfN, "cells", d.ivf.cells),
-        probes = i(ivfN, "probes", d.ivf.probes)),
+        probes = i(ivfN, "probes", d.ivf.probes),
+        maxCandidates = i(ivfN, "maxCandidates", d.ivf.maxCandidates)),
       neardup = NeardupConfig(
         cells = i(ndN, "cells", d.neardup.cells),
         probes = i(ndN, "probes", d.neardup.probes),
-        topN = i(ndN, "topN", d.neardup.topN)),
+        topN = i(ndN, "topN", d.neardup.topN),
+        maxCell = i(ndN, "maxCell", d.neardup.maxCell)),
       kAdaptive = KAdaptiveConfig(
         enabled = b(kaN, "enabled", d.kAdaptive.enabled),
         maxRounds = i(kaN, "maxRounds", d.kAdaptive.maxRounds),

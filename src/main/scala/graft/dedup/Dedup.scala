@@ -275,9 +275,21 @@ object Dedup {
   }
 
   /** The lazy plan behind [[neardupPairs]] (kept separate so specs can
-    * assert its shape — no cartesian — before caching hides it). */
-  private[graft] def neardupPlan(e: DataFrame, probes: DataFrame, topN: Int): DataFrame = {
-    val cands = probes.as("x").join(probes.as("y"),
+    * assert its shape — no cartesian — before caching hides it).
+    * Cells larger than `maxCell` drop before pairing (dedup's
+    * `maxBucket` posture: a degenerate hot cell — near-identical
+    * boilerplate embeddings — would contribute O(cell^2) join rows;
+    * with `nProbe` probes per vector a pair dropped with one hot cell
+    * still collides in any other shared cell). The drop is a count
+    * window over `cell` — the same shuffle the self-join needs. */
+  private[graft] def neardupPlan(e: DataFrame, probes: DataFrame, topN: Int,
+      maxCell: Int = graft.config.GraftConfig.active.neardup.maxCell): DataFrame = {
+    val wCell = Window.partitionBy("cell")
+    val guarded = probes
+      .withColumn("csz", count(lit(1)).over(wCell))
+      .filter(col("csz") <= maxCell)
+      .drop("csz")
+    val cands = guarded.as("x").join(guarded.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()

@@ -121,6 +121,13 @@ object Lsh {
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, s"empty sample for LSH fit on $vecCol")
     val dim = sample(0).length
+    // reference parity (PartitionedIndexService.insert: "Mixed
+    // dimensions not supported in single index"): a mixed-dim corpus
+    // must fail loudly at fit, not silently truncate projections
+    val badDim = sample.indexWhere(_.length != dim)
+    require(badDim < 0,
+      s"mixed dimensions not supported in a single index: sample row 0 has dim $dim, " +
+        s"row $badDim has dim ${sample(badDim).length}")
     val gfs = Array.tabulate(params.tables, params.divisions) { (t, d) =>
       fitG(sample, dim, params.m, params.lambda, computeSeed(params.seed, t, d))
     }

@@ -138,7 +138,8 @@ object IvfSearch {
       .agg(min_by(col("cell"), struct(col("cdist"), col("cell"))).as("cell"))
 
   def ivfTopK(spark: SparkSession, data: DataFrame, queries: DataFrame,
-      k: Int, nProbe: Int, cents: Array[Array[Float]]): DataFrame = {
+      k: Int, nProbe: Int, cents: Array[Array[Float]],
+      maxCandidates: Int = cfg.ivf.maxCandidates): DataFrame = {
     val centroids = centroidsDf(spark, cents)
     val cells = assignCells(data, centroids)
 
@@ -149,12 +150,18 @@ object IvfSearch {
       .withColumn("cdist", vec_l2(col("qv"), col("cv")))
       .withColumn("crnk", row_number().over(wp))
       .filter(col("crnk") <= nProbe)
-      .select(col("query_id"), col("cell"))
+      .select(col("query_id"), col("cell"), col("crnk"))
 
-    // scan only probed cells, refine exactly
+    // scan only probed cells; cap each query's candidate union BEFORE
+    // fetching embeddings (the IVF twin of the LSH path's HARD_CAP:
+    // one skewed hot cell cannot blow up a query's partition — cells
+    // kept in probe order, ids within a cell in id order)
+    val wCap = Window.partitionBy("query_id").orderBy(col("crnk"), col("vec_id"))
     val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     probes
       .join(cells, "cell")
+      .withColumn("cap_rank", row_number().over(wCap))
+      .filter(col("cap_rank") <= maxCandidates)
       .join(data.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
         "query_id")

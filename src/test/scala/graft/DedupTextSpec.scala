@@ -61,6 +61,56 @@ class DedupTextSpec extends SparkSpecBase {
       .foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("neardup hot-cell guard drops degenerate cells; pairs survive via other probes") {
+    import spark.implicits._
+    // 200 identical vectors all land in ONE cell: without the guard the
+    // co-probe join yields ~20k pairs from that cell alone
+    val e = (0 until 200).map(i => (i.toLong, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(1.0f), Array.fill(8)(-1.0f))
+    val probes = Dedup.probeCells(e, cents, 1).cache()
+    val guardedPairs = Dedup.neardupPlan(e, probes, 100000, maxCell = 100)
+    assert(guardedPairs.count() == 0, "hot cell must drop from the join")
+    val unguarded = Dedup.neardupPlan(e, probes, 100000, maxCell = 1000000)
+    assert(unguarded.count() == 200L * 199 / 2)
+    probes.unpersist()
+
+    // a pair sharing a SECOND (cold) probe cell survives the hot-cell drop
+    val mixed = ((0 until 200).map(i => (i.toLong, Array.fill(8)(1.0f))) ++
+      Seq((900L, Array.fill(8)(-1.0f)), (901L, Array.fill(8)(-1.0f))))
+      .toDF("vec_id", "embedding")
+    val p2 = Dedup.probeCells(mixed, cents, 1)
+    val survived = Dedup.neardupPlan(mixed, p2, 100000, maxCell = 100)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(survived == Set((900L, 901L)), s"cold-cell pair must survive: $survived")
+  }
+
+  test("ivf per-query candidate cap still returns k results in probe order") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = IvfSearch.fitCentroids(emb, 16)
+    val q = emb.filter(col("vec_id") < 5)
+    // tiny cap: every query still yields k rows (cap >= k candidates kept)
+    val capped = IvfSearch.ivfTopK(spark, emb, q, 10, 4, cents, maxCandidates = 10)
+    val perQ = capped.groupBy("query_id").count().collect()
+    assert(perQ.length == 5)
+    perQ.foreach(r => assert(r.getLong(1) == 10L, s"capped query returned ${r.getLong(1)}"))
+    // default cap is far above the test corpus: results identical to uncapped
+    val dflt = IvfSearch.ivfTopK(spark, emb, q, 10, 4, cents)
+    val uncapped = IvfSearch.ivfTopK(spark, emb, q, 10, 4, cents, maxCandidates = Int.MaxValue)
+    assert(dflt.exceptAll(uncapped).count() == 0)
+    assert(uncapped.exceptAll(dflt).count() == 0)
+  }
+
+  test("mixed-dimension corpus fails the LSH fit loudly") {
+    import spark.implicits._
+    val mixed = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(6)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.lsh.Lsh.fit(mixed, "embedding")
+    }
+    assert(e.getMessage.contains("mixed dimensions"))
+  }
+
   test("lang_id identifies planted natural-language samples") {
     import spark.implicits._
     val samples = Seq(
