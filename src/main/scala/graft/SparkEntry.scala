@@ -61,6 +61,7 @@ object SparkEntry {
     "token_count" -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (BinaryMeta.multimodalMeta _),
+    "multimodal_embed" -> (BinaryMeta.multimodalEmbed _),
     "embed_quantize" -> (Embeddings.embedQuantize _),
   )
 
@@ -99,6 +100,7 @@ object SparkEntry {
     "token_count" -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "multimodal_meta" -> BinaryMeta.multimodalMetaSql,
+    "multimodal_embed" -> BinaryMeta.multimodalEmbedSql,
     "embed_quantize" -> Embeddings.embedQuantizeSql,
   )
 }

@@ -60,4 +60,48 @@ object BinaryMeta {
       |  CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INTEGER) AS height,
       |  1 AS n_frames
       |FROM documents""".stripMargin
+
+  // ---- stub feature extraction: media -> embedding ----
+
+  /** Fixed stub-embedding dimensionality (one sha-256 digest = 8 x 32 bits). */
+  val EmbedDim = 8
+
+  /**
+   * Deterministic STUB feature extractor: media bytes -> 8-dim float
+   * embedding (8 x 32-bit digest words of sha-256, scaled to [0, 1)).
+   * The real deployment swaps the digest for a model forward pass with
+   * the identical contract (BINARY in, ARRAY<FLOAT> out, map-only);
+   * everything downstream — `Dedup.neardupPairs`, `IvfSearch`, the
+   * full ANN stack — consumes it unchanged, which is the point: the
+   * multimodal column feeds the similarity pipeline through the same
+   * plumbing text embeddings use. Pure codegen built-ins (sha2 + conv),
+   * no UDF.
+   */
+  def embedStub(mediaDf: DataFrame): DataFrame = {
+    val sha = sha2(col("media"), 256)
+    val feats = (0 until EmbedDim).map { j =>
+      (conv(substring(sha, j * 8 + 1, 8), 16, 10).cast("long") / lit(4294967296.0))
+        .cast("float")
+    }
+    mediaDf.select(col("doc_id"), array(feats: _*).as("embedding"))
+  }
+
+  /** SparkEntry query: stub features as scalar columns (exact dyadic
+    * doubles — engine-portable without rounding). */
+  def multimodalEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val sha = sha2(col("media"), 256)
+    media.select(col("doc_id") +:
+      (0 until EmbedDim).map(j =>
+        (conv(substring(sha, j * 8 + 1, 8), 16, 10).cast("long") / lit(4294967296.0))
+          .as(s"f$j")): _*)
+  }
+
+  val multimodalEmbedSql: String = {
+    val feats = (0 until EmbedDim).map(j =>
+      s"('0x' || substr(sha256(text), ${j * 8 + 1}, 8))::UBIGINT / 4294967296.0 AS f$j")
+    s"""SELECT doc_id, ${feats.mkString(",\n  ")}
+       |FROM documents""".stripMargin
+  }
 }

@@ -161,6 +161,24 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal stub embeddings feed the near-dup pipeline end-to-end") {
+    import spark.implicits._
+    // two identical media payloads + distinct ones; the stub features
+    // must route the identical pair through neardupPairs at cosine 1
+    val media = ((0 until 30).map(i => (i.toLong, s"payload number $i with content $i")) :+
+      (900L, "payload number 3 with content 3"))
+      .toDF("doc_id", "media_text")
+      .select(col("doc_id"), col("media_text").cast("binary").as("media"))
+    val e = BinaryMeta.embedStub(media).select(col("doc_id").as("vec_id"), col("embedding"))
+    // determinism: identical payloads -> identical embeddings
+    val e3 = e.filter(col("vec_id").isin(3L, 900L)).select("embedding").collect()
+    assert(e3(0).getSeq[Float](0) == e3(1).getSeq[Float](0))
+    val cents = IvfSearch.fitCentroids(e, 4)
+    val top = Dedup.neardupPairs(e, cents, 2, 5)
+      .filter(col("cosine") >= 0.9999).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(top.contains((3L, 900L)), s"identical-payload pair missing from $top")
+  }
+
   test("simhash hot-bucket guard: degenerate corpus completes without quadratic bucket") {
     import spark.implicits._
     // 1000 identical short docs collapse onto ONE simhash value: every
