@@ -77,7 +77,7 @@ object QueryDiagnostics {
     }
     val data = Tables.embeddings(spark, sfDir)
     // audit at its own k (reference audit.k=100), bounded by the corpus
-    val k = math.min(audit.k, data.count().toInt)
+    val k = AnnQuery.auditK(spark, sfDir)
     // sampleEvery is sized for the reference's 10k-query runs; when it
     // exceeds the batch, audit every query rather than just id 0
     val step = if (audit.sampleEvery >= AnnQuery.NumQueries) 1
@@ -88,7 +88,10 @@ object QueryDiagnostics {
     // audit the plan production serves (the adaptive wrapper), not a
     // plain single-pass variant the flagship entry never runs
     val result = AnnQuery.lshTopKAdaptive(spark, data, queries, k, model, built)
-    val gt = AnnQuery.bruteTopK(data, queries, k)
+    // SETUP-phase GT (precomputed once per corpus), cut to the sampled
+    // queries — the GT's query set defines the diagnostic rows
+    val gt = AnnQuery.groundTruth(spark, sfDir, k)
+      .filter(col("query_id") < AnnQuery.NumQueries && col("query_id") % step === 0)
     // cache: the gate's aggregate and the returned worst list otherwise
     // both re-run the lshTopK + brute-force GT scans (tiny table: one
     // row per sampled query)

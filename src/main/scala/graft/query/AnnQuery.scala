@@ -497,9 +497,10 @@ object AnnQuery {
    * SETUP -> INDEX -> FINALIZE: the server builds once and then serves
    * every query from the resident index). Re-marks the index caches if
    * an external `clearCache` dropped them, fills them, and warms the
-   * driver probe map — after this, a query entry pays only QUERY-phase
-   * work. Used by the bench between queries so per-query timings
-   * measure serving, not corpus re-indexing.
+   * driver probe map and the precomputed ground truth — after this, a
+   * query entry pays only QUERY-phase work. Used by the bench between
+   * queries so per-query timings measure serving, not corpus
+   * re-indexing.
    */
   def ensureResident(spark: SparkSession, sfDir: String): Unit = {
     val (_, built) = setup(spark, sfDir)
@@ -511,7 +512,52 @@ object AnnQuery {
     built.summaries.count()
     built.summaryCount
     built.collected
+    groundTruth(spark, sfDir, cfg.eval.kVariants.max)
+    if (cfg.audit.enabled) groundTruth(spark, sfDir, auditK(spark, sfDir))
     ()
+  }
+
+  // corpus row counts, memoized like the model fit (sizing decisions
+  // should not re-pay a count job per query over the same corpus)
+  private val countCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Long]]()
+
+  /** Memoized corpus size for a sf directory. */
+  def corpusCount(spark: SparkSession, sfDir: String): Long =
+    countCache.synchronized {
+      countCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(sfDir, emb(spark, sfDir).count())
+    }
+
+  /** The audit's effective k: `audit.k` bounded by the corpus. */
+  def auditK(spark: SparkSession, sfDir: String): Int =
+    math.min(cfg.audit.k.toLong, corpusCount(spark, sfDir)).toInt
+
+  /**
+   * SETUP-phase ground truth (reference `GroundtruthPrecompute`: exact
+   * kNN computed ONCE, then held in memory / exported to .ivecs —
+   * GroundtruthManager loads the whole file driver-side). The brute
+   * pass runs distributed; the result — numQueries x k rows, KBs-MBs
+   * by construction like the reference's GT files — is memoized
+   * driver-side per (session, corpus, k), so eval entries
+   * (diagnostics, recall, GT export) stop re-paying the exact scan and
+   * the memo survives external cache clears.
+   */
+  private val gtCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[(String, Int), Seq[(Long, Long, Double, Int)]]]()
+
+  def groundTruth(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val rows = gtCache.synchronized {
+      gtCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate((sfDir, k), {
+          bruteTopK(emb(spark, sfDir), queryVecs(spark, sfDir), k)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+            .toSeq
+        })
+    }
+    import spark.implicits._
+    rows.toDF("query_id", "vec_id", "dist", "rnk")
   }
 
   /**
@@ -637,7 +683,7 @@ object AnnQuery {
       .groupBy("k").agg(round(avg(col("n_candidates") / col("k")), 2).as("avg_ratio"))
     recallEval(
       refineFromProbes(probed, data, queries, maxK, model, built),
-      bruteTopK(data, queries, maxK),
+      groundTruth(spark, sfDir, maxK),
       kVariants)
       .join(ratios, Seq("k"))
       .orderBy("k")

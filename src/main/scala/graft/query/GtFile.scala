@@ -98,10 +98,11 @@ object GtFile {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val dir = s"/root/repo/target/tmp/gt/$tag"
     graft.util.Io.deleteRecursively(dir)
-    val rowIds = writeGt(AnnQuery.bruteTopK(data, queries, maxK), s"$dir/gt.ivecs")
+    val rowIds = writeGt(AnnQuery.groundTruth(spark, sfDir, maxK), s"$dir/gt.ivecs")
 
     val gt = loadGt(spark, dir, Some(rowIds))
-    require(validateGt(gt, data.count()) == 0, "ground-truth file failed validation")
+    require(validateGt(gt, AnnQuery.corpusCount(spark, sfDir)) == 0,
+      "ground-truth file failed validation")
 
     val (model, built) = AnnQuery.setupIndex(spark, sfDir)
     AnnQuery.recallEval(
