@@ -76,8 +76,11 @@ object Dedup {
     // materialize: the signature expression must run once per doc, not
     // once per band hash (projection collapse would inline it 16x) nor
     // once per self-join side. At 100 TB this is a persisted signature
-    // table; here an in-memory cache marks the same boundary.
-    val sigs = minhashSignatures(docs, idCol, textCol, numPerms, shingleWidth).cache()
+    // table; here an in-memory cache marks the same boundary. The
+    // spread unblocks map parallelism on few-split sources (no-op at
+    // scale, LshIndex.spread scaladoc).
+    val sigs = minhashSignatures(graft.index.LshIndex.spread(docs),
+      idCol, textCol, numPerms, shingleWidth).cache()
     // hot-bucket drop as a count window over (band, band_hash): one
     // shuffle that both prunes AND lands the rows partitioned by the
     // self-join key (the identical subplans below share it via
@@ -96,12 +99,17 @@ object Dedup {
       .cache()
     // exact-verify shingle sets only for docs that appear in a candidate
     // pair — at scale the candidate set is a sliver of the corpus, so
-    // the re-tokenization cost tracks candidates, not documents
+    // the re-tokenization cost tracks candidates, not documents. The
+    // semi-join runs BELOW the shingle projection by construction
+    // (joining first guarantees the pruning instead of relying on the
+    // optimizer to push the join through the planted-corpus union).
     val candIds = cands.select(col("a").as("id"))
       .unionByName(cands.select(col("b").as("id"))).distinct()
-    val sets = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)), shingleWidth)).as("sh"))
+    val sets = graft.index.LshIndex.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(shingles(tokens(col("__text")), shingleWidth)).as("sh"))
     val result = cands
       .join(sets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("sh_b")), "b")
@@ -153,7 +161,7 @@ object Dedup {
     // eval per doc, shared across chunk projections and join sides;
     // the hot-bucket drop is a count window over (chunk, chunk_val) —
     // one shuffle that prunes AND pre-partitions on the self-join key
-    val sigs = simhash(docs, idCol, textCol).cache()
+    val sigs = simhash(graft.index.LshIndex.spread(docs), idCol, textCol).cache()
     val wBucket = Window.partitionBy("chunk", "chunk_val")
     val chunks = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until nChunks).map(c =>
@@ -324,7 +332,7 @@ object Dedup {
     // materialization boundary: one probe-assignment pass per vector,
     // shared by both self-join sides (projection collapse would inline
     // the C-centroid scan into each side)
-    val probes = probeCells(e, cents, nProbe).cache()
+    val probes = probeCells(graft.index.LshIndex.spread(e), cents, nProbe).cache()
     val result = neardupPlan(e, probes, topN).cache()
     result.count() // materialize the (tiny) top list, then release the probe table
     probes.unpersist()

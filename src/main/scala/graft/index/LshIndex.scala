@@ -34,6 +34,21 @@ import graft.lsh.{Lsh, LshModel}
  */
 object LshIndex {
 
+  /**
+   * Spread a small-split source across the cluster before an
+   * expensive map stage (LSH coding, dedup signatures): a corpus that
+   * arrives as fewer parquet splits than cores would serialize the
+   * whole map stage on those few tasks. Real corpora have orders of
+   * magnitude more splits than cores, so the branch is a no-op there —
+   * this never adds a shuffle at scale, it only unblocks parallelism
+   * when the source is a handful of files.
+   */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
   /** (id, t, d, key, code) — one row per vector per (table, division). */
   def codes(df: DataFrame, idCol: String, vecCol: String, model: LshModel): DataFrame =
     df.select(col(idCol).cast("long").as("id"), Lsh.lshCodes(col(vecCol), model).as("tdc"))

@@ -476,8 +476,11 @@ object AnnQuery {
       perSession.getOrElseUpdate(sfDir, {
         val data = emb(spark, sfDir)
         val model = Lsh.fit(data, "embedding", cfg.lsh)
+        // spread: the coding map stage must not serialize on a
+        // few-split source (no-op at scale, LshIndex.spread scaladoc)
         val built = LshIndex.build(
-          LshIndex.codes(data, "vec_id", "embedding", model), model.params.blockSize)
+          LshIndex.codes(LshIndex.spread(data), "vec_id", "embedding", model),
+          model.params.blockSize)
         (model, LshIndex.Built(built.membership.cache(), built.summaries.cache()))
       })
     }
