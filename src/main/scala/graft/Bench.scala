@@ -39,6 +39,9 @@ object Bench {
       if (residentIndex(name))
         try graft.query.AnnQuery.ensureResident(spark, sfDir)
         catch { case _: Throwable => }
+      if (name == "ann_lsh_topk_delta")
+        try graft.index.IndexMaintenance.ensureResidentDelta(spark, sfDir)
+        catch { case _: Throwable => }
       val t0 = System.nanoTime()
       // a failed query reports -1, not a bogus tiny wall time
       val sec =

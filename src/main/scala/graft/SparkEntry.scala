@@ -39,6 +39,7 @@ object SparkEntry {
     "lsh_code" -> (AnnQuery.lshCode _),
     "lsh_partition_build" -> (AnnQuery.lshPartitionBuild _),
     "index_insert" -> (graft.index.IndexMaintenance.indexInsert _),
+    "ann_lsh_topk_delta" -> (graft.index.IndexMaintenance.annLshTopKDelta _),
     "encrypt_points" -> (VersionedCrypto.encryptPoints _),
     "query_token" -> (graft.crypto.QueryTokens.queryToken _),
     "decrypt_refine" -> (VersionedCrypto.decryptRefine _),

@@ -117,6 +117,59 @@ object IndexMaintenance {
   // ---- SparkEntry wiring ----
 
   /**
+   * Delta SERVING end-to-end: the standard query batch answered by
+   * main (corpus minus the staged batch) + delta (the staged batch)
+   * probed as two partition lists. Rows-only entry — the equality and
+   * visibility semantics are spec'd in IndexMaintenanceSpec; this
+   * exercises the serving path itself through the driver.
+   */
+  def annLshTopKDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = AnnQuery.setupModel(spark, sfDir)
+    val (main, delta) = setupDelta(spark, sfDir)
+    lshTopKWithDelta(spark,
+      emb.filter(col("vec_id") >= 100), emb.filter(col("vec_id") < 100),
+      emb.filter(col("vec_id") < graft.config.GraftConfig.active.query.numQueries),
+      graft.config.GraftConfig.active.query.k, model, main, delta)
+  }
+
+  // SETUP-once memo for the split scenario's two indexes (the main
+  // index is long-lived state and each staged batch is delta-built
+  // once when it lands — queries serve from both, they don't rebuild)
+  private val deltaSetupCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (LshIndex.Built, LshIndex.Built)]]()
+
+  private def setupDelta(spark: SparkSession, sfDir: String): (LshIndex.Built, LshIndex.Built) =
+    deltaSetupCache.synchronized {
+      deltaSetupCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(sfDir, {
+          val emb = Tables.embeddings(spark, sfDir)
+          val model = AnnQuery.setupModel(spark, sfDir)
+          val blockSize = model.params.blockSize
+          def cached(b: LshIndex.Built) =
+            LshIndex.Built(b.membership.cache(), b.summaries.cache())
+          (cached(LshIndex.build(stageCodes(
+              LshIndex.spread(emb.filter(col("vec_id") >= 100)),
+              "vec_id", "embedding", model), blockSize)),
+            cached(buildDelta(stageCodes(emb.filter(col("vec_id") < 100),
+              "vec_id", "embedding", model), blockSize)))
+        })
+    }
+
+  /** Re-materialize the split-scenario indexes after an external cache
+    * clear (bench prep; same contract as `AnnQuery.ensureResident`). */
+  def ensureResidentDelta(spark: SparkSession, sfDir: String): Unit = {
+    val (main, delta) = setupDelta(spark, sfDir)
+    Seq(main, delta).foreach { b =>
+      Seq(b.membership, b.summaries).foreach { df =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+        df.count()
+      }
+      b.collected
+    }
+  }
+
+  /**
    * Insert lifecycle over the embeddings table: the corpus minus the
    * first 100 vectors is the main index, the first 100 arrive as a
    * staged batch, delta-built, then compacted. Output: per (t, d)

