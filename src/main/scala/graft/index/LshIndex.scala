@@ -68,6 +68,11 @@ object LshIndex {
       * it per query batch would re-pay a job every call). Deterministic
       * re-derivable state, so surviving cache eviction is safe. */
     lazy val collected: Map[(Int, Int), TdSummary] = collectSummaries(summaries)
+
+    /** The probe map's broadcast handle, created once per built index —
+      * repeated probe calls must not re-serialize and re-ship the map. */
+    @transient lazy val collectedBc: org.apache.spark.broadcast.Broadcast[Map[(Int, Int), TdSummary]] =
+      summaries.sparkSession.sparkContext.broadcast(collected)
   }
 
   final case class CodeRow(id: Long, t: Int, d: Int, key: Long, code: Array[Long], bkt: Int)

@@ -73,7 +73,7 @@ object AnnQuery {
     import spark.implicits._
     val p = model.params
 
-    val summB = spark.sparkContext.broadcast(built.collected)
+    val summB = built.collectedBc
 
     val qCodes = codes.select(col("qid"), col("t"), col("d"), col("key"), col("code"))
       .as[QueryCode]
