@@ -29,7 +29,7 @@ object Bench {
     // the cache clear. Build cost itself stays measured cold by
     // `lsh_partition_build` (deliberately NOT in this set).
     val residentIndex = Set("ann_lsh_topk", "ann_lsh_topk_distjoin", "ann_recall_eval",
-      "ann_recall_gtfile", "ann_diagnostics", "query_token")
+      "ann_recall_gtfile", "ann_diagnostics", "query_token", "ann_lsh_filtered_topk")
     val results = selected.map { case (name, fn) =>
       // drop accumulated intermediate caches (both the previous query's
       // and the warmup's): storage memory otherwise squeezes execution

@@ -31,6 +31,8 @@ object SparkEntry {
     "q_events_approx_users" -> (Analytics.qEventsApproxUsers _),
     "q_running_balance" -> (Analytics.qRunningBalance _),
     "ann_brute_topk" -> (AnnQuery.annBruteTopK _),
+    "ann_filtered_topk" -> (AnnQuery.annFilteredTopK _),
+    "ann_lsh_filtered_topk" -> (AnnQuery.annLshFilteredTopK _),
     "ann_lsh_topk" -> (AnnQuery.annLshTopK _),
     "ann_lsh_topk_distjoin" -> (AnnQuery.annLshTopKDistJoin _),
     "ann_recall_eval" -> (AnnQuery.annRecallEval _),
@@ -80,6 +82,7 @@ object SparkEntry {
     "q14_promo" -> Analytics.q14PromoSql,
     "q_running_balance" -> Analytics.qRunningBalanceSql,
     "ann_brute_topk" -> AnnQuery.annBruteTopKSql,
+    "ann_filtered_topk" -> AnnQuery.annFilteredTopKSql,
     "lsh_partition_build" -> AnnQuery.lshPartitionBuildSql,
     "index_insert" -> graft.index.IndexMaintenance.indexInsertSql,
     "encrypt_points" -> VersionedCrypto.encryptPointsSql,

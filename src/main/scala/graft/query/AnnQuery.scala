@@ -668,6 +668,72 @@ object AnnQuery {
       distributedProbe = true)
   }
 
+  // ---- filtered (predicate-constrained) vector search ----
+
+  /**
+   * Exact filtered top-k: nearest neighbors AMONG rows sharing the
+   * query's `label` (the metadata-filtered search every vector store
+   * needs for category-constrained retrieval). The equality filter
+   * sits between the broadcast join and the rank window, so Catalyst
+   * evaluates it before any distance work survives it.
+   */
+  def bruteTopKSameLabel(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    data.join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("label").as("qlabel"))))
+      .filter(col("label") === col("qlabel"))
+      .withColumn("dist", vec_l2(col("embedding"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  /**
+   * LSH filtered top-k: probe and bound as usual, then the label
+   * predicate prunes candidates BEFORE the exact refine window — every
+   * returned row satisfies it. Selectivity eats into the candidate
+   * budget, so production pairs this with a widened `maxProbes`
+   * (`overProbe`); the adaptive retry machinery composes unchanged.
+   */
+  def lshTopKSameLabel(spark: SparkSession, data: DataFrame, queries: DataFrame,
+      k: Int, model: LshModel, built: LshIndex.Built, overProbe: Int = 2): DataFrame = {
+    val widened =
+      if (overProbe <= 1) model
+      else model.copy(params = model.params.copy(maxProbes = model.params.maxProbes * overProbe))
+    val probed = probeBlocks(spark, queries, widened, built)
+    val bounded = boundedCandidates(probed, built, widened.params, None, k)
+    val wK = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    bounded
+      .join(data.select(col("vec_id").as("id"), col("embedding"), col("label")), Seq("id"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("label").as("qlabel"))), Seq("qid"))
+      .filter(col("label") === col("qlabel"))
+      .withColumn("dist", vec_l2(col("embedding"), col("qv")))
+      .select(col("qid").as("query_id"), col("id").as("vec_id"), col("dist"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  /** Exact same-label top-k over the standard query batch (sql oracle). */
+  def annFilteredTopK(spark: SparkSession, sfDir: String): DataFrame =
+    bruteTopKSameLabel(emb(spark, sfDir), queryVecs(spark, sfDir), DefaultK)
+
+  val annFilteredTopKSql: String =
+    s"""SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id, d.dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY d.dist, e.vec_id) AS INTEGER) AS rnk
+       |  FROM embeddings q JOIN embeddings e ON e.label = q.label,
+       |    LATERAL (SELECT list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS dist) d
+       |  WHERE q.vec_id < $NumQueries)
+       |WHERE rnk <= $DefaultK""".stripMargin
+
+  /** LSH same-label top-k over the standard batch (rows; spec-verified). */
+  def annLshFilteredTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, built) = setup(spark, sfDir)
+    lshTopKSameLabel(spark, emb(spark, sfDir), queryVecs(spark, sfDir), DefaultK, model, built)
+  }
+
   /**
    * Recall@K of the LSH path vs brute force on the reference's
    * kVariants {1,5,10,20,40,60,80,100}, plus the reference's ratio

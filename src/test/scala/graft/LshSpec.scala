@@ -171,6 +171,29 @@ class LshSpec extends SparkSpecBase {
     assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
   }
 
+  test("filtered search: every result matches the query's label; recall vs filtered brute") {
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val queries = emb.filter(col("vec_id") < 20)
+    val got = AnnQuery.lshTopKSameLabel(spark, emb, queries, 10, model, built).cache()
+    // predicate holds on every row
+    val labels = emb.select(col("vec_id"), col("label"))
+    val violations = got
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("qlabel")), "query_id")
+      .join(labels, "vec_id")
+      .filter(col("label") =!= col("qlabel")).count()
+    assert(violations == 0, s"$violations results violate the label filter")
+    // self still rank 1 (a query trivially shares its own label)
+    got.filter(col("rnk") === 1).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // recall@10 against the exact filtered oracle
+    val gt = AnnQuery.bruteTopKSameLabel(emb, queries, 10)
+    val hits = got.select("query_id", "vec_id")
+      .join(gt.select("query_id", "vec_id"), Seq("query_id", "vec_id")).count()
+    val recall = hits.toDouble / gt.count()
+    assert(recall >= 0.7, s"filtered recall@10 = $recall")
+    got.unpersist()
+  }
+
   test("lsh top-k: self-match at rank 1 and recall@10 >= 0.8 vs brute force") {
     val recall = AnnQuery.annRecallEval(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
