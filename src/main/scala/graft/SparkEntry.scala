@@ -66,6 +66,8 @@ object SparkEntry {
     "multimodal_meta" -> (BinaryMeta.multimodalMeta _),
     "multimodal_embed" -> (BinaryMeta.multimodalEmbed _),
     "embed_quantize" -> (Embeddings.embedQuantize _),
+    "sample_stratified" -> (graft.operators.Corpus.sampleStratifiedQuery _),
+    "seq_pack" -> (graft.operators.Corpus.seqPackQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,5 +108,7 @@ object SparkEntry {
     "multimodal_meta" -> BinaryMeta.multimodalMetaSql,
     "multimodal_embed" -> BinaryMeta.multimodalEmbedSql,
     "embed_quantize" -> Embeddings.embedQuantizeSql,
+    "sample_stratified" -> graft.operators.Corpus.sampleStratifiedSql,
+    "seq_pack" -> graft.operators.Corpus.seqPackSql,
   )
 }

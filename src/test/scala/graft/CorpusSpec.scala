@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+/** Corpus-assembly invariants: stratified sampling and sequence packing. */
+class CorpusSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("stratified sample: exactly min(quota, stratum size) per stratum, deterministic") {
+    val s = Corpus.sampleStratified(docs, "lang", 50).cache()
+    val got = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(got(lang) == math.min(50L, n), s"$lang: ${got(lang)} != min(50, $n)")
+    }
+    // reruns draw the identical sample (hash order, no RNG)
+    val again = Corpus.sampleStratified(docs, "lang", 50)
+    assert(s.exceptAll(again).count() == 0)
+    assert(again.exceptAll(s).count() == 0)
+    s.unpersist()
+  }
+
+  test("stratified sample is unbiased across the id range (hash order, not id order)") {
+    val s = Corpus.sampleStratified(docs, "lang", 50)
+    val n = docs.count()
+    // a head-of-table bias (e.g. ordering by doc_id) would put every
+    // draw below the midpoint; hash order spreads them
+    val above = s.filter(col("doc_id") >= n / 2).count()
+    val total = s.count()
+    assert(above > total / 4 && above < 3 * total / 4,
+      s"$above/$total draws above the id midpoint")
+  }
+
+  test("seq packing: offsets in range, streams contiguous, budget respected") {
+    val budget = 2048
+    val p = Corpus.seqPack(docs, "lang", budget).cache()
+    assert(p.count() == docs.count())
+    // every offset inside the pack budget
+    assert(p.filter(col("pack_offset") < 0 || col("pack_offset") >= budget).count() == 0)
+    // the token stream is contiguous: per stratum, cum tokens == sum
+    val check = p.groupBy("lang").agg(
+      sum("n_tokens").as("toks"),
+      max(col("pack_id") * budget + col("pack_offset") + col("n_tokens")).as("stream_end"))
+    // the last doc's end == the stratum's total token count
+    assert(check.filter(col("toks") =!= col("stream_end")).count() == 0)
+    // pack ids dense from 0 per stratum
+    val packs = p.groupBy("lang").agg(
+      min("pack_id").as("lo"), countDistinct("pack_id").as("n_packs"), max("pack_id").as("hi"))
+    assert(packs.filter(col("lo") =!= 0).count() == 0)
+    assert(packs.filter(col("hi") =!= col("n_packs") - 1).count() == 0)
+    p.unpersist()
+  }
+}
