@@ -15,6 +15,34 @@ object KeyLifecycle {
   def keyUsage(records: DataFrame): DataFrame =
     records.groupBy(F.col("kv")).agg(F.count(F.lit(1)).as("n_records"))
 
+  /** [[keyUsage]] for an explicit version list: versions with no rows
+    * report 0 bound vectors (a tracker entry whose bindings are all
+    * released), which the deletion audit below needs to see. */
+  def keyUsage(records: DataFrame, versions: Seq[Int]): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    versions.toDF("kv")
+      .join(records.groupBy("kv").agg(F.count(F.lit(1)).as("n_bound")), Seq("kv"), "left")
+      .withColumn("n_bound", F.coalesce(F.col("n_bound"), F.lit(0L)))
+  }
+
+  /**
+   * Safe deletion audit of key versions strictly below `keepVersion`
+   * (reference `KeyManager.deleteKeysOlderThan` guarded by
+   * `KeyUsageTracker.isSafeToDelete`): a version is deleted only when
+   * NO vector is still bound to it — otherwise it is skipped with its
+   * binding count, never breaking decryptability. The master key is
+   * out of scope exactly as in the reference (stored separately, never
+   * deleted, so any K_v stays re-derivable). Set-based: one groupBy
+   * over the store replaces the tracker's mutable counters; the
+   * decision is a pure column formula over the usage table.
+   */
+  def safeKeyDeletion(records: DataFrame, versions: Seq[Int], keepVersion: Int): DataFrame =
+    keyUsage(records, versions)
+      .withColumn("safe_to_delete", (F.col("n_bound") === 0).cast("int"))
+      .withColumn("deleted",
+        (F.col("kv") < keepVersion && F.col("n_bound") === 0).cast("int"))
+
   /**
    * Versions safe to delete: strictly older than `currentVersion`
    * and referenced by zero records (reference SafeKeyDeletion:

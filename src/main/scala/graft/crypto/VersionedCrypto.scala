@@ -153,39 +153,7 @@ object VersionedCrypto {
       |  CAST(12 + 4 * len(embedding) + 16 AS INTEGER) AS ct_len
       |FROM embeddings""".stripMargin
 
-  // ---- safe key deletion ----
-
-  /** Bound-vector counts per key version (reference `KeyUsageTracker`:
-    * the tracker's per-version vector counts are exactly the `kv`
-    * histogram of the encrypted store — a partial-agg groupBy, not
-    * driver-side counters). Versions in `versions` with no rows report
-    * 0 (a tracker entry with every binding released). */
-  def keyUsage(records: DataFrame, versions: Seq[Int]): DataFrame = {
-    val spark = records.sparkSession
-    import spark.implicits._
-    versions.toDF("kv")
-      .join(records.groupBy("kv").agg(count(lit(1)).as("n_bound")), Seq("kv"), "left")
-      .withColumn("n_bound", coalesce(col("n_bound"), lit(0L)))
-  }
-
-  /**
-   * Safe deletion audit of key versions strictly below `keepVersion`
-   * (reference `KeyManager.deleteKeysOlderThan` guarded by
-   * `KeyUsageTracker.isSafeToDelete`): a version is deleted only when
-   * NO vector is still bound to it — otherwise it is skipped with its
-   * binding count, never breaking decryptability. The master key is
-   * out of scope here exactly as in the reference (stored separately,
-   * never deleted, so any K_v remains re-derivable).
-   *
-   * Set-based: one groupBy over the store replaces the tracker's
-   * mutable counters; the deletion decision is a pure column formula
-   * over the usage table.
-   */
-  def safeKeyDeletion(records: DataFrame, versions: Seq[Int], keepVersion: Int): DataFrame =
-    keyUsage(records, versions)
-      .withColumn("safe_to_delete", (col("n_bound") === 0).cast("int"))
-      .withColumn("deleted",
-        (col("kv") < keepVersion && col("n_bound") === 0).cast("int"))
+  // ---- safe key deletion (audit logic lives in [[KeyLifecycle]]) ----
 
   /**
    * Deterministic lifecycle scenario for the audit: encrypt all at v1,
@@ -199,7 +167,7 @@ object VersionedCrypto {
     val store = encrypt(emb, "vec_id", "embedding", 1)
     val rotated = rotate(store, emb.filter(col("vec_id") % 2 === 0).select(col("vec_id").as("id")), 1)
     val purged = rotated.filter(col("id") % 2 === 0)
-    safeKeyDeletion(purged, versions = Seq(1, 2), keepVersion = 2)
+    KeyLifecycle.safeKeyDeletion(purged, versions = Seq(1, 2), keepVersion = 2)
       .orderBy("kv")
   }
 

@@ -70,7 +70,7 @@ class CryptoSpec extends SparkSpecBase {
 
     // before any purge: v1 still binds the odd ids -> NOT safe, NOT deleted
     // even though it is older than keepVersion
-    val before = VersionedCrypto.safeKeyDeletion(rotated, Seq(1, 2), keepVersion = 2)
+    val before = graft.crypto.KeyLifecycle.safeKeyDeletion(rotated, Seq(1, 2), keepVersion = 2)
       .as[(Int, Long, Int, Int)].collect().sortBy(_._1)
     val nOdd = emb.filter(col("vec_id") % 2 === 1).count()
     val nEven = emb.count() - nOdd
@@ -80,7 +80,7 @@ class CryptoSpec extends SparkSpecBase {
     // after the odd ids are purged from the store, v1 is released -> deleted;
     // v2 is never a candidate (not < keepVersion) even when release-able
     val purged = rotated.filter(col("id") % 2 === 0)
-    val after = VersionedCrypto.safeKeyDeletion(purged, Seq(1, 2), keepVersion = 2)
+    val after = graft.crypto.KeyLifecycle.safeKeyDeletion(purged, Seq(1, 2), keepVersion = 2)
       .as[(Int, Long, Int, Int)].collect().sortBy(_._1)
     assert(after(0) == ((1, 0L, 1, 1)), s"released v1 must delete: ${after(0)}")
     assert(after(1) == ((2, nEven, 0, 0)))
