@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/**
+ * Structural plan assertions: the scale posture (pushdown, broadcast,
+ * no accidental cartesians) is part of each operator's contract, not
+ * an accident of the current optimizer mood. These read the formatted
+ * physical plan the same way a human plan review does.
+ */
+class PlanPostureSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q6: filters push down to the parquet scan") {
+    val p = plan("q6_revenue")
+    assert(p.contains("PushedFilters:") &&
+      p.split("PushedFilters:")(1).takeWhile(_ != '\n').contains("l_shipdate"),
+      s"q6 scan must push the shipdate range:\n$p")
+    // column pruning: the wide lineitem scan reads only what q6 needs
+    val read = p.split("ReadSchema:")(1).takeWhile(_ != '\n')
+    assert(!read.contains("l_orderkey"), s"q6 must not read l_orderkey: $read")
+  }
+
+  test("q3/q5: dimension joins broadcast") {
+    assert(plan("q3_shipping").contains("BroadcastHashJoin"))
+    val p5 = plan("q5_local_volume")
+    assert(p5.contains("BroadcastHashJoin"))
+  }
+
+  test("ANN serving plans contain no cartesian product") {
+    for (name <- Seq("ann_lsh_topk", "ann_lsh_topk_distjoin", "ann_lsh_filtered_topk",
+        "query_token", "ann_lsh_topk_delta")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian:\n$p")
+    }
+  }
+
+  test("dedup band joins are equi-joins (hash-partitioned), not nested loops") {
+    // the lazy plan (pre-materialization) of the band self-join: build it
+    // directly so the cache/count inside the query entries doesn't hide it
+    import org.apache.spark.sql.functions._
+    val docs = graft.dedup.Dedup.withPlantedNearDups(
+      Tables.documents(spark, sf), 5, mutate = true)
+    val sigs = graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", 64, 3)
+    val bands = graft.dedup.Dedup.minhashBands(sigs, 64, 4)
+    val selfJoin = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+        col("x.id") < col("y.id"))
+    val p = planOf(selfJoin)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"band join must be an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("streaming coded ingest stays stateless (no state store in the plan)") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = graft.query.AnnQuery.setupModel(spark, sf)
+    val stream = graft.streaming.StreamingIngest.codedVectorStream(
+      spark, sf.replace("sf0.001", "sf0.001") + "/embeddings.parquet", model, emb.schema)
+    // analyzed logical plan: a pure projection chain — no aggregation,
+    // no flatMapGroupsWithState
+    val lp = stream.queryExecution.analyzed.toString()
+    assert(!lp.contains("Aggregate") && !lp.contains("FlatMapGroupsWithState"), lp)
+  }
+}
