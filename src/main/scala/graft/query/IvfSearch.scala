@@ -179,4 +179,17 @@ object IvfSearch {
     val cents = fitCentroids(data, c, Some(s"ivf:$sfDir"))
     ivfTopK(spark, data, data.filter(col("vec_id") < NumQueries), K, NumProbes, cents)
   }
+
+  /** Warm the SETUP-phase centroid fits for a corpus (the IVF and
+    * near-dup models are fitted once and held, like the LSH model —
+    * bench prep so timed runs measure the query, not model fitting). */
+  def ensureFitted(spark: SparkSession, sfDir: String): Unit = {
+    val data = Tables.embeddings(spark, sfDir)
+    val c = if (cfg.ivf.cells > 0) cfg.ivf.cells
+      else scaledCells(memoCount(data, s"ivf:$sfDir"))
+    fitCentroids(data, c, Some(s"ivf:$sfDir"))
+    fitCentroids(data.select(col("vec_id"), col("embedding")),
+      graft.config.GraftConfig.active.neardup.cells, Some(s"neardup:$sfDir"))
+    ()
+  }
 }
