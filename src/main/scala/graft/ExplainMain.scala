@@ -9,7 +9,9 @@ object ExplainMain {
     val sf = "/root/testdata/sf0.001"
     for (name <- Seq("q1_pricing", "q6_revenue", "q3_shipping", "q5_local_volume",
         "ann_brute_topk", "ann_lsh_topk", "ann_lsh_topk_distjoin", "dedup_minhash", "neardup_embedding", "simsearch_ivf", "query_token", "embed_quantize",
-        "index_insert", "key_deletion", "dedup_clusters", "ann_diagnostics")) {
+        "index_insert", "key_deletion", "dedup_clusters", "ann_diagnostics",
+        "ann_filtered_topk", "ann_lsh_filtered_topk", "sample_stratified", "seq_pack",
+        "multimodal_embed")) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

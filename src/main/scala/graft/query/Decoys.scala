@@ -36,4 +36,34 @@ object Decoys {
   /** Drop decoy results (negative query ids) before returning to the caller. */
   def strip(results: DataFrame): DataFrame =
     results.filter(col("query_id") >= 0)
+
+  /**
+   * Data-side decoys (reference
+   * `ForwardSecureANNSystem.insertFakePointsInBatches`): synthetic
+   * points mixed into the CORPUS before indexing, so the stored set's
+   * size and content are obfuscated the same way [[inject]] obfuscates
+   * the query stream. Fake ids are negative — disjoint from real ids —
+   * and [[stripPoints]] removes them from any result or export. The
+   * union is a plain plan node: indexing, encryption, and serving all
+   * treat fakes identically to real points, which is the point.
+   */
+  def injectPoints(spark: SparkSession, data: DataFrame, dim: Int,
+      nFakes: Int, seed: Long): DataFrame = {
+    import spark.implicits._
+    val fakes = (1 to nFakes).map { i =>
+      val rnd = new java.util.SplittableRandom(seed ^ (0x9e3779b97f4a7c15L * i))
+      def gaussian(): Float = {
+        var u = 0.0; var v = 0.0; var s = 0.0
+        while ({ u = rnd.nextDouble() * 2 - 1; v = rnd.nextDouble() * 2 - 1; s = u * u + v * v; s >= 1.0 || s == 0.0 }) ()
+        (u * math.sqrt(-2.0 * math.log(s) / s)).toFloat
+      }
+      (-i.toLong, Array.fill(dim)(gaussian()))
+    }.toDF("vec_id", "embedding")
+    data.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .unionByName(fakes)
+  }
+
+  /** Drop fake points (negative vec ids) from results or exports. */
+  def stripPoints(results: DataFrame): DataFrame =
+    results.filter(col("vec_id") >= 0)
 }

@@ -44,4 +44,20 @@ class LifecycleDecoySpec extends SparkSpecBase {
     assert(stripped.exceptAll(realOnly).count() == 0)
     assert(realOnly.exceptAll(stripped).count() == 0)
   }
+
+  test("fake corpus points index and serve like real ones, then strip from results") {
+    val padded = Decoys.injectPoints(spark, emb, dim = 64, nFakes = 50, seed = 7)
+    assert(padded.count() == emb.count() + 50)
+    val model = Lsh.fit(padded, "embedding", LshParams())
+    val built = LshIndex.build(LshIndex.codes(padded, "vec_id", "embedding", model), 64)
+    // fakes are indexed (obfuscation: the stored set is padded)
+    assert(built.membership.filter(col("id") < 0).count() == 50L * 24)
+    val queries = emb.filter(col("vec_id") < 5)
+    val results = AnnQuery.lshTopK(spark, padded, queries, 10, model, built)
+    val clean = Decoys.stripPoints(results)
+    assert(clean.filter(col("vec_id") < 0).count() == 0)
+    // real self-match survives the padding
+    clean.filter(col("rnk") === 1).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
