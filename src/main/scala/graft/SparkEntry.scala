@@ -47,6 +47,8 @@ object SparkEntry {
     "decrypt_refine" -> (VersionedCrypto.decryptRefine _),
     "key_rotation" -> (VersionedCrypto.keyRotation _),
     "key_deletion" -> (VersionedCrypto.keyDeletion _),
+    "storage_report" -> (VersionedCrypto.storageReportQuery _),
+    "reenc_report" -> (VersionedCrypto.reencReportQuery _),
     "fvecs_roundtrip" -> (LoaderQueries.fvecsRoundtrip _),
     "bvecs_roundtrip" -> (LoaderQueries.bvecsRoundtrip _),
     "ivecs_roundtrip" -> (LoaderQueries.ivecsRoundtrip _),
@@ -92,6 +94,8 @@ object SparkEntry {
     "decrypt_refine" -> VersionedCrypto.decryptRefineSql,
     "key_rotation" -> VersionedCrypto.keyRotationSql,
     "key_deletion" -> VersionedCrypto.keyDeletionSql,
+    "storage_report" -> VersionedCrypto.storageReportSql,
+    "reenc_report" -> VersionedCrypto.reencReportSql,
     "fvecs_roundtrip" -> LoaderQueries.fvecsRoundtripSql,
     "bvecs_roundtrip" -> LoaderQueries.bvecsRoundtripSql,
     "ivecs_roundtrip" -> LoaderQueries.ivecsRoundtripSql,

@@ -175,4 +175,64 @@ object VersionedCrypto {
     """SELECT 1 AS kv, 0 AS n_bound, 1 AS safe_to_delete, 1 AS deleted
       |UNION ALL
       |SELECT 2, COUNT(*), 0, 0 FROM embeddings WHERE vec_id % 2 = 0""".stripMargin
+
+  // ---- storage accounting + re-encryption reporting ----
+
+  /**
+   * Storage accounting per key version (reference `StorageMetrics` /
+   * `PathStorageSizer`: the RocksDB sizer walks files; here storage IS
+   * the versioned table, so sizing is a partition-pruned aggregate —
+   * record counts and ciphertext/IV byte totals per `kv`).
+   */
+  def storageReport(records: DataFrame): DataFrame =
+    records.groupBy("kv").agg(
+      count(lit(1)).as("n_records"),
+      sum(length(col("ct")).cast("long")).as("ct_bytes"),
+      sum(length(col("iv")).cast("long")).as("iv_bytes"))
+
+  /** [[storageReport]] over the standard rotation scenario (sql oracle). */
+  def storageReportQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val store = encrypt(emb, "vec_id", "embedding", 1)
+    val touched = emb.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("id"))
+    storageReport(rotate(store, touched, fromVersion = 1)).orderBy("kv")
+  }
+
+  val storageReportSql: String =
+    """SELECT CASE WHEN vec_id % 10 = 0 THEN 2 ELSE 1 END AS kv,
+      |  COUNT(*) AS n_records,
+      |  SUM(12 + 4 * len(embedding) + 16) AS ct_bytes,
+      |  SUM(12) AS iv_bytes
+      |FROM embeddings GROUP BY 1""".stripMargin
+
+  /**
+   * One-row summary of a selective re-encryption run (reference
+   * `common/ReencryptReport`): how many records the touched set
+   * migrated to the new version and how many carried over — the
+   * numbers an operator checks after a rotation job.
+   */
+  def reencReport(after: DataFrame, fromVersion: Int): DataFrame = {
+    val toVersion = fromVersion + 1
+    after.agg(
+      lit(fromVersion).as("from_version"),
+      lit(toVersion).as("to_version"),
+      sum((col("kv") === toVersion).cast("long")).as("migrated"),
+      sum((col("kv") === fromVersion).cast("long")).as("untouched"),
+      count(lit(1)).as("total"))
+  }
+
+  /** [[reencReport]] over the standard rotation scenario (sql oracle). */
+  def reencReportQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val store = encrypt(emb, "vec_id", "embedding", 1)
+    val touched = emb.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("id"))
+    reencReport(rotate(store, touched, fromVersion = 1), fromVersion = 1)
+  }
+
+  val reencReportSql: String =
+    """SELECT 1 AS from_version, 2 AS to_version,
+      |  COUNT(*) FILTER (WHERE vec_id % 10 = 0) AS migrated,
+      |  COUNT(*) FILTER (WHERE vec_id % 10 != 0) AS untouched,
+      |  COUNT(*) AS total
+      |FROM embeddings""".stripMargin
 }
