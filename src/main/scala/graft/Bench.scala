@@ -34,17 +34,20 @@ object Bench {
       // drop accumulated intermediate caches (both the previous query's
       // and the warmup's): storage memory otherwise squeezes execution
       // memory mid-bench, and the timed run should pay its own caching
-      try { if (warmDir != sfDir) fn(spark, warmDir).count() } catch { case _: Throwable => }
+      // prep failures are LOGGED, never fatal: a cold-path timing must be
+      // distinguishable from the documented warm/resident one
+      def prep(step: String)(body: => Unit): Unit =
+        try body catch { case e: Throwable =>
+          System.err.println(s"[bench] $name prep '$step' failed (timing will be cold): $e")
+        }
+      if (warmDir != sfDir) prep("warmup")(fn(spark, warmDir).count())
       spark.catalog.clearCache()
       if (residentIndex(name))
-        try graft.query.AnnQuery.ensureResident(spark, sfDir)
-        catch { case _: Throwable => }
+        prep("ensureResident")(graft.query.AnnQuery.ensureResident(spark, sfDir))
       if (name == "ann_lsh_topk_delta")
-        try graft.index.IndexMaintenance.ensureResidentDelta(spark, sfDir)
-        catch { case _: Throwable => }
+        prep("ensureResidentDelta")(graft.index.IndexMaintenance.ensureResidentDelta(spark, sfDir))
       if (name == "simsearch_ivf" || name == "neardup_embedding")
-        try graft.query.IvfSearch.ensureFitted(spark, sfDir)
-        catch { case _: Throwable => }
+        prep("ensureFitted")(graft.query.IvfSearch.ensureFitted(spark, sfDir))
       val t0 = System.nanoTime()
       // a failed query reports -1, not a bogus tiny wall time
       val sec =

@@ -201,8 +201,8 @@ object VersionedCrypto {
   val storageReportSql: String =
     """SELECT CASE WHEN vec_id % 10 = 0 THEN 2 ELSE 1 END AS kv,
       |  COUNT(*) AS n_records,
-      |  SUM(12 + 4 * len(embedding) + 16) AS ct_bytes,
-      |  SUM(12) AS iv_bytes
+      |  CAST(SUM(12 + 4 * len(embedding) + 16) AS BIGINT) AS ct_bytes,
+      |  CAST(SUM(12) AS BIGINT) AS iv_bytes
       |FROM embeddings GROUP BY 1""".stripMargin
 
   /**

@@ -195,13 +195,18 @@ object IndexMaintenance {
       .join(counts(compacted, "compacted"), Seq("t", "d"))
   }
 
-  val indexInsertSql: String =
-    """SELECT CAST(t.range AS INTEGER) AS t, CAST(d.range AS INTEGER) AS d,
-      |  CAST(CEIL(m.n / 64.0) AS BIGINT) AS main_partitions, m.n AS main_vectors,
-      |  CAST(CEIL(s.n / 64.0) AS BIGINT) AS delta_partitions, s.n AS delta_vectors,
-      |  CAST(CEIL(c.n / 64.0) AS BIGINT) AS compacted_partitions, c.n AS compacted_vectors
-      |FROM (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id >= 100) m,
-      |     (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 100) s,
-      |     (SELECT COUNT(*) AS n FROM embeddings) c,
-      |     range(8) t, range(3) d""".stripMargin
+  // the oracle derives from the SAME active config as the Spark side
+  // (blockSize / tables / divisions), so a config override cannot
+  // silently break oracle parity
+  val indexInsertSql: String = {
+    val p = graft.config.GraftConfig.active.lsh
+    s"""SELECT CAST(t.range AS INTEGER) AS t, CAST(d.range AS INTEGER) AS d,
+       |  CAST(CEIL(m.n / ${p.blockSize}.0) AS BIGINT) AS main_partitions, m.n AS main_vectors,
+       |  CAST(CEIL(s.n / ${p.blockSize}.0) AS BIGINT) AS delta_partitions, s.n AS delta_vectors,
+       |  CAST(CEIL(c.n / ${p.blockSize}.0) AS BIGINT) AS compacted_partitions, c.n AS compacted_vectors
+       |FROM (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id >= 100) m,
+       |     (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 100) s,
+       |     (SELECT COUNT(*) AS n FROM embeddings) c,
+       |     range(${p.tables}) t, range(${p.divisions}) d""".stripMargin
+  }
 }

@@ -81,7 +81,7 @@ object Corpus {
   val seqPackSql: String =
     """SELECT doc_id, lang, n_tokens,
       |  CAST(FLOOR(CAST(cum_after - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
-      |  (cum_after - n_tokens) % 2048 AS pack_offset
+      |  CAST((cum_after - n_tokens) % 2048 AS BIGINT) AS pack_offset
       |FROM (
       |  SELECT doc_id, lang,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -796,13 +796,18 @@ object AnnQuery {
         min(col("n")).as("min_block_n"))
   }
 
-  val lshPartitionBuildSql: String =
-    """SELECT CAST(t.range AS INTEGER) AS t, CAST(d.range AS INTEGER) AS d,
-      |  CAST(CEIL(c.n / 64.0) AS BIGINT) AS n_partitions,
-      |  c.n AS n_vectors,
-      |  CAST(LEAST(c.n, 64) AS BIGINT) AS max_block_n,
-      |  CAST(CASE WHEN c.n <= 64 THEN c.n
-      |            WHEN c.n % 64 = 0 THEN 64
-      |            ELSE c.n % 64 END AS BIGINT) AS min_block_n
-      |FROM (SELECT COUNT(*) AS n FROM embeddings) c, range(8) t, range(3) d""".stripMargin
+  // interpolated from the active config (blockSize / tables /
+  // divisions) so config overrides keep oracle parity
+  val lshPartitionBuildSql: String = {
+    val p = cfg.lsh
+    val b = p.blockSize
+    s"""SELECT CAST(t.range AS INTEGER) AS t, CAST(d.range AS INTEGER) AS d,
+       |  CAST(CEIL(c.n / $b.0) AS BIGINT) AS n_partitions,
+       |  c.n AS n_vectors,
+       |  CAST(LEAST(c.n, $b) AS BIGINT) AS max_block_n,
+       |  CAST(CASE WHEN c.n <= $b THEN c.n
+       |            WHEN c.n % $b = 0 THEN $b
+       |            ELSE c.n % $b END AS BIGINT) AS min_block_n
+       |FROM (SELECT COUNT(*) AS n FROM embeddings) c, range(${p.tables}) t, range(${p.divisions}) d""".stripMargin
+  }
 }

@@ -46,20 +46,37 @@ object Decoys {
    * and [[stripPoints]] removes them from any result or export. The
    * union is a plain plan node: indexing, encryption, and serving all
    * treat fakes identically to real points, which is the point.
+   *
+   * Metadata columns (label, …) are PRESERVED: each fake borrows the
+   * metadata of a real row (deterministic vec_id-order sample, bounded
+   * at nFakes rows collected) so fakes blend in with the filtered
+   * search paths instead of carrying give-away nulls.
    */
   def injectPoints(spark: SparkSession, data: DataFrame, dim: Int,
       nFakes: Int, seed: Long): DataFrame = {
-    import spark.implicits._
-    val fakes = (1 to nFakes).map { i =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val metaCols = data.columns.toSeq.filterNot(c => c == "vec_id" || c == "embedding")
+    val metaRows: Array[Row] =
+      if (metaCols.isEmpty) Array.empty
+      else data.orderBy("vec_id").select(metaCols.map(col): _*)
+        .limit(math.max(nFakes, 1)).collect()
+    val rows = (1 to nFakes).map { i =>
       val rnd = new java.util.SplittableRandom(seed ^ (0x9e3779b97f4a7c15L * i))
       def gaussian(): Float = {
         var u = 0.0; var v = 0.0; var s = 0.0
         while ({ u = rnd.nextDouble() * 2 - 1; v = rnd.nextDouble() * 2 - 1; s = u * u + v * v; s >= 1.0 || s == 0.0 }) ()
         (u * math.sqrt(-2.0 * math.log(s) / s)).toFloat
       }
-      (-i.toLong, Array.fill(dim)(gaussian()))
-    }.toDF("vec_id", "embedding")
-    data.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      val meta = if (metaRows.isEmpty) Seq.empty else metaRows((i - 1) % metaRows.length).toSeq
+      Row.fromSeq(Seq(-i.toLong, Array.fill(dim)(gaussian()).toSeq) ++ meta)
+    }
+    val schema = StructType(
+      StructField("vec_id", LongType) +: StructField("embedding", ArrayType(FloatType)) +:
+        metaCols.map(c => data.schema(c)))
+    val fakes = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    data.select(col("vec_id").cast("long") +: col("embedding").cast("array<float>") +:
+        metaCols.map(col): _*)
       .unionByName(fakes)
   }
 

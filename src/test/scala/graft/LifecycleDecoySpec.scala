@@ -60,4 +60,20 @@ class LifecycleDecoySpec extends SparkSpecBase {
     clean.filter(col("rnk") === 1).collect()
       .foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("fake corpus points carry blend-in metadata and feed the filtered path") {
+    val padded = Decoys.injectPoints(spark, emb, dim = 64, nFakes = 20, seed = 7)
+    // metadata columns survive injection, and fakes carry real-looking
+    // (borrowed, non-null) values rather than give-away nulls
+    assert(padded.columns.contains("label"))
+    assert(padded.filter(col("vec_id") < 0 && col("label").isNull).count() == 0)
+    val realLabels = emb.select("label").distinct().collect().map(_.getInt(0)).toSet
+    padded.filter(col("vec_id") < 0).select("label").collect()
+      .foreach(r => assert(realLabels.contains(r.getInt(0))))
+    // the padded corpus runs the metadata-filtered exact search unchanged
+    val queries = emb.filter(col("vec_id") < 3)
+    val res = AnnQuery.bruteTopKSameLabel(padded, queries, 5)
+    assert(res.count() == 15)
+    assert(Decoys.stripPoints(res).filter(col("vec_id") < 0).count() == 0)
+  }
 }
