@@ -70,6 +70,10 @@ object SparkEntry {
     "embed_quantize" -> (Embeddings.embedQuantize _),
     "sample_stratified" -> (graft.operators.Corpus.sampleStratifiedQuery _),
     "seq_pack" -> (graft.operators.Corpus.seqPackQuery _),
+    "data_mix" -> (graft.operators.Corpus.dataMixQuery _),
+    "decontaminate" -> (graft.operators.Decontaminate.decontaminateQuery _),
+    "pii_scrub" -> (graft.text.TextFilters.piiScrubQuery _),
+    "quality_filter" -> (graft.text.TextFilters.qualityFilterQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +118,9 @@ object SparkEntry {
     "embed_quantize" -> Embeddings.embedQuantizeSql,
     "sample_stratified" -> graft.operators.Corpus.sampleStratifiedSql,
     "seq_pack" -> graft.operators.Corpus.seqPackSql,
+    "data_mix" -> graft.operators.Corpus.dataMixSql,
+    "decontaminate" -> graft.operators.Decontaminate.decontaminateSql,
+    "pii_scrub" -> graft.text.TextFilters.piiScrubSql,
+    "quality_filter" -> graft.text.TextFilters.qualityFilterSql,
   )
 }

@@ -60,6 +60,32 @@ object Corpus {
         (col("cum_before") % budget).as("pack_offset"))
   }
 
+  /**
+   * Token-budget mixture sampling (data mixing): each stratum gets
+   * `floor(weight · budget)` tokens; docs are drawn in deterministic
+   * hash order until the stratum's budget is reached (the doc that
+   * crosses the boundary is included — greedy fill). The pretraining
+   * "mix sources to target proportions" step, as one window per
+   * stratum: parallelism = #strata, no global sort, no shuffle beyond
+   * the window's hash partitioning.
+   */
+  def dataMix(docs: DataFrame, stratumCol: String, weights: Map[String, Double],
+      budget: Long): DataFrame = {
+    val budgets = weights.map { case (s, w) => s -> math.floor(w * budget).toLong }
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
+      when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(stratumCol).orderBy(col("u"), col("doc_id"))
+    docs.select(col("doc_id"), col(stratumCol),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        hashUniform(col("doc_id")).as("u"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budgetCol)
+      .select(col("doc_id"), col(stratumCol), col("n_tokens"),
+        row_number().over(w).as("mix_rank"))
+  }
+
   // ---- SparkEntry wiring ----
 
   def sampleStratifiedQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -74,6 +100,34 @@ object Corpus {
       |      AS draw_rank
       |  FROM documents)
       |WHERE draw_rank <= 50""".stripMargin
+
+  /** Standard mixture: half the token budget to `en`, the rest split
+    * evenly — a non-uniform target so the op demonstrably reweights. */
+  val MixWeights: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.125, "fr" -> 0.125, "es" -> 0.125, "zh" -> 0.125)
+  val MixBudget: Long = 8000L
+
+  def dataMixQuery(spark: SparkSession, sfDir: String): DataFrame =
+    dataMix(Tables.documents(spark, sfDir), "lang", MixWeights, MixBudget)
+
+  val dataMixSql: String = {
+    val cases = MixWeights.toSeq.sortBy(_._1).map { case (s, w) =>
+      s"WHEN '$s' THEN ${math.floor(w * MixBudget).toLong}"
+    }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS u
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS mix_rank
+       |  FROM d)
+       |SELECT doc_id, lang, n_tokens, CAST(mix_rank AS INTEGER) AS mix_rank
+       |FROM c WHERE cum_before < CASE lang $cases ELSE 0 END""".stripMargin
+  }
 
   def seqPackQuery(spark: SparkSession, sfDir: String): DataFrame =
     seqPack(Tables.documents(spark, sfDir), "lang", budget = 2048)

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Decontaminate}
+import graft.text.TextFilters
+
+/** Ground truth for the round-4 pipeline operators: decontamination,
+  * PII scrubbing, composite quality filtering, token-budget mixing. */
+class PipelineFiltersSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("decontaminate: planted benchmark prefixes are flagged, clean docs are not") {
+    import spark.implicits._
+    val bench = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val train = Seq(
+      // carries benchmark doc 0's 5-gram run -> contaminated
+      (10L, "xx yy alpha beta gamma delta epsilon zz ww vv uu tt"),
+      // no shared 5-gram (only a 3-token run from bench doc 1)
+      (11L, "one two three banana apple pear plum cherry grape fig"),
+      // fully disjoint
+      (12L, "red green blue cyan magenta yellow black white gray pink"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.decontaminate(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(4))).toMap
+    assert(out(10L)._2 == 1 && out(10L)._1 >= 1, s"planted doc not flagged: $out")
+    assert(out(11L)._2 == 0, s"3-token run must not trip 5-gram decontamination: $out")
+    assert(out(12L)._2 == 0)
+  }
+
+  test("decontaminate query: every planted doc flagged; corpus not all-contaminated") {
+    val out = Decontaminate.decontaminateQuery(spark, sf).cache()
+    val planted = out.filter(col("doc_id") % 23 === 5 && col("doc_id") % 17 =!= 0)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("contaminated") === 0).count() == 0,
+      "planted benchmark prefix must always be caught")
+    val total = out.count()
+    val flagged = out.filter(col("contaminated") === 1).count()
+    assert(flagged < total / 2, s"$flagged/$total contaminated — planting overwhelmed the corpus")
+    out.unpersist()
+  }
+
+  test("pii_scrub: every planted PII string is redacted; clean text has zero matches") {
+    val out = TextFilters.piiScrubQuery(spark, sf).cache()
+    // type routing by doc_id mod 7
+    assert(out.filter(col("doc_id") % 7 === 0 && col("n_emails") < 1).count() == 0)
+    assert(out.filter(col("doc_id") % 7 === 1 && col("n_phones") < 1).count() == 0)
+    assert(out.filter(col("doc_id") % 7 === 2 && col("n_ips") < 1).count() == 0)
+    // redaction is complete: re-scrubbing the cleaned text finds nothing
+    val rescrub = TextFilters.piiScrub(
+      out.select(col("doc_id"), col("text_clean").as("text")), "doc_id", "text")
+    assert(rescrub.filter(col("n_emails") + col("n_phones") + col("n_ips") > 0).count() == 0)
+    // placeholders landed
+    assert(out.filter(col("doc_id") % 7 === 0 && !col("text_clean").contains("<EMAIL>")).count() == 0)
+    out.unpersist()
+  }
+
+  test("quality filter: each rule fires on a crafted doc, reasons in fixed order") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away to the old barn in town tonight"), // ok (21 tokens)
+      (2L, "short text only"),                                            // too_short
+      (3L, Seq.fill(30)("the").mkString(" ")),                            // repetitive (dup frac ~0.97)
+      (4L, (1 to 25).map(i => s"w$i").mkString(" ")),                     // no_stopwords
+      (5L, "the " * 10 + (1 to 15).map(_ => "zz").mkString(" ")))         // repetitive beats later rules
+      .toDF("doc_id", "text")
+    val out = TextFilters.qualityFilter(crafted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(5), r.getInt(6))).toMap
+    assert(out(1L) == ("ok", 1), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ("too_short", 0))
+    assert(out(3L) == ("repetitive", 0))
+    assert(out(4L) == ("no_stopwords", 0))
+    assert(out(5L)._2 == 0)
+    // corpus splits: both outcomes occur at sf
+    val q = TextFilters.qualityFilterQuery(spark, sf)
+    val keeps = q.groupBy("keep").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(keeps.getOrElse(1, 0L) > 0 && keeps.getOrElse(0, 0L) > 0, s"degenerate split: $keeps")
+  }
+
+  test("data mix: greedy budget fill per stratum, deterministic, unknown strata excluded") {
+    val out = Corpus.dataMixQuery(spark, sf).cache()
+    val budgets = Corpus.MixWeights.map { case (s, w) =>
+      s -> math.floor(w * Corpus.MixBudget).toLong }
+    val totals = docs.groupBy("lang")
+      .agg(sum(size(split(col("text"), " "))).as("avail")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy("lang").agg(
+        sum("n_tokens").as("toks"), max("n_tokens").as("max_doc"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    budgets.foreach { case (lang, b) =>
+      val (toks, maxDoc, _) = got(lang)
+      if (totals(lang) >= b + maxDoc) {
+        // enough supply: selection reaches the budget and overshoots by
+        // less than one document (greedy crossing-doc rule)
+        assert(toks >= b, s"$lang: $toks < budget $b")
+        assert(toks - maxDoc < b, s"$lang: overshoot exceeds one doc ($toks, max $maxDoc, budget $b)")
+      } else assert(toks == totals(lang) || toks >= b,
+        s"$lang: took $toks of ${totals(lang)} available, budget $b")
+    }
+    // only configured strata appear
+    assert(out.filter(!col("lang").isin(budgets.keys.toSeq.map(x => x: Any): _*)).count() == 0)
+    // en gets ~4x the tokens of any 0.125-weight stratum with full supply
+    val again = Corpus.dataMixQuery(spark, sf)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+}

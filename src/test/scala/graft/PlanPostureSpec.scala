@@ -58,6 +58,30 @@ class PlanPostureSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("decontaminate: benchmark n-gram set broadcasts; no cartesian anywhere") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark gram set must broadcast (eval sets are small):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pii_scrub and quality_filter are map-only (no exchange in the plan)") {
+    for (name <- Seq("pii_scrub", "quality_filter")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+      assert(p.contains("codegen id"), s"$name should stay codegen'd:\n$p")
+    }
+  }
+
+  test("data_mix shuffles once (stratum window), no global sort") {
+    val p = plan("data_mix")
+    // one hash-partitioned exchange for the per-stratum window; a global
+    // order-by would show a rangepartitioning exchange
+    assert(p.split("\\) Exchange").length == 2, s"expected exactly one exchange:\n$p")
+    assert(p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"data_mix must hash-partition by stratum, never sort globally:\n$p")
+  }
+
   test("streaming coded ingest stays stateless (no state store in the plan)") {
     val emb = Tables.embeddings(spark, sf)
     val model = graft.query.AnnQuery.setupModel(spark, sf)
