@@ -84,14 +84,27 @@ object VersionedCrypto {
    * union with untouched rows carried over unchanged.
    */
   def rotate(records: DataFrame, touched: DataFrame, fromVersion: Int): DataFrame = {
-    val toVersion = fromVersion + 1
     val t = touched.select(col("id")).distinct()
-    val touchedRows = records.join(t, Seq("id"), "left_semi")
-    val untouched = records.join(t, Seq("id"), "left_anti")
-    val reenc = encrypt(
+    // rows at other versions are never candidates; fromVersion rows
+    // outside the touched set carry over byte-identical
+    val carried = records.filter(col("kv") =!= fromVersion)
+      .unionByName(records.filter(col("kv") === fromVersion).join(t, Seq("id"), "left_anti"))
+    carried.unionByName(reencryptOnly(records, touched, fromVersion))
+  }
+
+  /**
+   * ONLY the migrated rows for `touched`: decrypt under v, re-encrypt
+   * under v+1. The unit of work of the lazy background drain
+   * ([[graft.streaming.ReencryptionDrain]]); [[rotate]] = this plus
+   * the untouched carry-over. Rows not at `fromVersion` are left out
+   * (they cannot be decrypted under v's key).
+   */
+  def reencryptOnly(records: DataFrame, touched: DataFrame, fromVersion: Int): DataFrame = {
+    val touchedRows = records.filter(col("kv") === fromVersion)
+      .join(touched.select(col("id")).distinct(), Seq("id"), "left_semi")
+    encrypt(
       decrypt(touchedRows, fromVersion).select(col("id"), col("vec")),
-      "id", "vec", toVersion)
-    untouched.unionByName(reenc)
+      "id", "vec", fromVersion + 1)
   }
 
   // ---- SparkEntry wiring over the embeddings table ----

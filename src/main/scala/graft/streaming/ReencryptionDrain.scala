@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.crypto.VersionedCrypto
+
+/**
+ * Background selective re-encryption, re-expressed from the reference's
+ * `keymanagement/BackgroundReencryptionScheduler.java` (rate-limited,
+ * batched, query-load-aware lazy migration that "minimizes query
+ * latency impact"):
+ *
+ *  - the TOUCHED-ID set arrives as a stream; `maxFilesPerTrigger` on
+ *    the file source is the rate limiter (points/trigger, the batched
+ *    analogue of the reference's points/sec budget);
+ *  - each micro-batch re-encrypts only its own ids and lands them in a
+ *    batch_id-partitioned MIGRATIONS overlay (dynamic overwrite —
+ *    idempotent under micro-batch replay, like [[AnnServe]]'s sink);
+ *    the base store is never rewritten in place, which is the lazy
+ *    posture: rotation stays O(touched), reads stay available;
+ *  - a `loadGate` checked per trigger mirrors "skips re-encryption if
+ *    query load is high": a gated batch's ids are RE-EMITTED into the
+ *    watched directory, so they re-enter the stream at a later trigger
+ *    instead of being dropped (the reference's tracker keeps them);
+ *  - [[servedStore]] is the read view (base minus migrated ids, plus
+ *    migrations); [[drainStats]] is the reference's totalReencrypted
+ *    counter as a per-batch table.
+ */
+object ReencryptionDrain {
+
+  /** Parquet-file stream of touched ids; `maxFilesPerTrigger` bounds
+    * how many id files (= points, for fixed-size files) one trigger
+    * migrates — the rate limit. */
+  def touchedStream(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema("id LONG")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+
+  /**
+   * Drain the touched stream against `store` (records at
+   * `fromVersion`): each non-gated micro-batch decrypts its ids under
+   * v and appends them re-encrypted under v+1 to the migrations
+   * overlay at `outPath`.
+   */
+  def drain(
+      touched: DataFrame,
+      store: DataFrame,
+      fromVersion: Int,
+      outPath: String,
+      checkpoint: String,
+      inputDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      loadGate: () => Boolean = () => false): StreamingQuery =
+    touched.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (loadGate()) {
+            // deferred, not dropped: re-emitted ids are new files in the
+            // watched dir and come back when the load gate opens
+            batch.select(col("id")).write.mode("append").parquet(inputDir)
+          } else {
+            VersionedCrypto.reencryptOnly(store, batch, fromVersion)
+              .withColumn("batch_id", lit(batchId))
+              .write
+              .mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outPath)
+          }
+        }
+      }
+      .start()
+
+  /** Read view while the drain runs: base store with the migrated
+    * overlay applied (a migrated id serves its v+1 record). An id can
+    * appear in several batches (deferred replay); encryption is
+    * deterministic (IV = PRF(id, kv)), so the duplicates are
+    * byte-identical and dedup-by-id is exact. */
+  def servedStore(base: DataFrame, migrations: DataFrame): DataFrame =
+    base.join(migrations.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(migrations.drop("batch_id").dropDuplicates("id"))
+
+  /** Per-batch + running migration counts (the reference's
+    * totalReencrypted stat, as a table). */
+  def drainStats(migrations: DataFrame): DataFrame =
+    migrations.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_migrated"))
+      .withColumn("total_migrated",
+        sum(col("n_migrated")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("batch_id")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .orderBy("batch_id")
+}

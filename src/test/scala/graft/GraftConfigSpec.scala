@@ -48,6 +48,12 @@ class GraftConfigSpec extends SparkSpecBase {
     assert(fast.lsh.m == 15 && fast.lsh.divisions == 2 && fast.stabilization.enabled)
     val hr = GraftConfig.load(path, Some("highrecall_m30_l3_d4"))
     assert(hr.lsh.m == 30 && hr.lsh.lambda == 3 && hr.lsh.maxProbes == 10)
+    // reference SearchMode pair: PAPER_BASELINE strips the heuristics,
+    // OPTIMIZED turns them on
+    val base = GraftConfig.load(path, Some("paper_baseline"))
+    assert(!base.stabilization.enabled && !base.kAdaptive.enabled && base.lsh.maxProbes == 5)
+    val opt = GraftConfig.load(path, Some("optimized"))
+    assert(opt.stabilization.enabled && opt.kAdaptive.enabled && opt.lsh.maxProbes == 8)
   }
 
   test("load reads a file from disk") {
