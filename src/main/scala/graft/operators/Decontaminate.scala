@@ -33,11 +33,14 @@ object Decontaminate {
     val grams = array_distinct(shingles(tokens(col(textCol)), n))
     val benchGrams = bench.select(explode(grams).as("g")).distinct()
       .withColumn("hit", lit(1L))
-    train.select(col(idCol).as("doc_id"), grams.as("gs"))
-      .select(col("doc_id"), size(col("gs")).as("n_ngrams"), explode(col("gs")).as("g"))
+    // n_ngrams = count(*) after the explode (grams are distinct, and the
+    // shingle fallback guarantees >= 1 per doc) — carrying a size(gs)
+    // column through the explode would collapse into the same projection
+    // and evaluate the expensive shingle expression TWICE per doc
+    train.select(col(idCol).as("doc_id"), explode(grams).as("g"))
       .join(broadcast(benchGrams), Seq("g"), "left")
-      .groupBy("doc_id", "n_ngrams")
-      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_ngrams"), count(col("hit")).as("n_hits"))
       .select(col("doc_id"), col("n_ngrams"), col("n_hits"),
         (floor(col("n_hits").cast("double") / greatest(col("n_ngrams"), lit(1)) * 10000) / 10000)
           .as("contam_ratio"),
