@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
 
-import graft.dedup.{MinHashSig, SimHash64}
+import graft.dedup.{MinHashShingleSig, MinHashSig, SimHash64, SimHashShingleSig}
 import graft.functions.{CosineSimilarity, DotProduct, L2Distance, PackFloats, UnpackFloats}
 import graft.lsh.HammingDistance
 import graft.text.WinnowFingerprint
@@ -68,6 +68,19 @@ object GraftFunctions {
     fd("simhash64", classOf[SimHash64],
       "simhash64(tokens) - 64-bit SimHash of an ARRAY<STRING>") { es =>
       arity(es, 1, "simhash64"); SimHash64(es(0))
+    },
+    fd("minhash_shingle_sig", classOf[MinHashShingleSig],
+      "minhash_shingle_sig(tokens, w, numPerms) - MinHash signature over " +
+        "w-shingles of an ARRAY<STRING>, fused (no shingle materialization)") { es =>
+      arity(es, 3, "minhash_shingle_sig")
+      MinHashShingleSig(es(0), intLit(es(1), "minhash_shingle_sig"),
+        intLit(es(2), "minhash_shingle_sig"))
+    },
+    fd("simhash_shingles", classOf[SimHashShingleSig],
+      "simhash_shingles(tokens, w) - 64-bit SimHash over distinct w-shingles " +
+        "of an ARRAY<STRING>, fused") { es =>
+      arity(es, 2, "simhash_shingles")
+      SimHashShingleSig(es(0), intLit(es(1), "simhash_shingles"))
     },
     fd("winnow_fp", classOf[WinnowFingerprint],
       "winnow_fp(text) - winnowing rolling-hash fingerprints of a STRING") { es =>

@@ -45,14 +45,16 @@ object Dedup {
   // ---- MinHash + LSH banding ----
 
   /**
-   * MinHash signatures, map-only: one codegen'd [[MinHashSig]] pass
-   * per document — no explode, no shuffle (SignatureExprs scaladoc).
+   * MinHash signatures, map-only: one codegen'd [[MinHashShingleSig]]
+   * pass per document — shingles are hashed straight off the token
+   * array (no shingle strings, no explode, no shuffle; SignatureExprs
+   * scaladoc).
    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int, shingleWidth: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-      SignatureExprs.minhash_sig(
-        array_distinct(shingles(tokens(col(textCol)), shingleWidth)), numPerms).as("sig"))
+      SignatureExprs.minhash_shingle_sig(
+        tokens(col(textCol)), shingleWidth, numPerms).as("sig"))
 
   /** (id, band, band_hash) — bands of `rowsPerBand` signature slots. */
   def minhashBands(sigs: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
@@ -128,16 +130,15 @@ object Dedup {
   // ---- SimHash ----
 
   /**
-   * 64-bit SimHash per doc, map-only via the codegen'd [[SimHash64]]
-   * expression. Features are word 3-shingles, not unigrams: on
+   * 64-bit SimHash per doc, map-only via the codegen'd fused
+   * [[SimHashShingleSig]] expression. Features are word 3-shingles, not unigrams: on
    * small-vocabulary corpora every document shares nearly the whole
    * token set, which collapses unigram SimHashes onto a few values;
    * shingles keep word order in the feature set and stay discriminative.
    */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
-      SignatureExprs.simhash64(
-        array_distinct(shingles(tokens(col(textCol)), 3))).as("simhash"))
+      SignatureExprs.simhash_shingles(tokens(col(textCol)), 3).as("simhash"))
 
   /**
    * Near-dup pairs with Hamming(simhash) <= maxHamming, banded into

@@ -70,7 +70,8 @@ class ExtensionsSpec extends SparkSpecBase {
     // the injection list is exactly the shared function list
     assert(GraftFunctions.all.map(_._1.funcName).toSet ==
       Set("vec_dot", "vec_l2", "vec_cosine", "hamming64", "minhash_sig",
-        "simhash64", "winnow_fp", "pack_floats", "unpack_floats"))
+        "simhash64", "minhash_shingle_sig", "simhash_shingles",
+        "winnow_fp", "pack_floats", "unpack_floats"))
   }
 
   test("bad arity and non-literal numPerms fail loudly") {

@@ -88,6 +88,25 @@ class KernelPropertySpec extends AnyFunSuite {
     assert((0 until 16).map(sig.getLong).distinct.size > 1)
   }
 
+  test("fused shingle kernels == string-materializing path on random token streams") {
+    // the fused kernels hash exactly the bytes of concat_ws(" ", window),
+    // so they must reproduce the unfused signatures bit-for-bit
+    def shingleStrings(toks: Seq[String], w: Int): Seq[String] =
+      if (toks.size >= w) toks.sliding(w).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    (1 to 100).foreach { _ =>
+      val w = rnd.nextInt(4) + 2
+      // small vocab => duplicate shingles occur, exercising the
+      // distinct-free minhash claim and simhash's hash-set dedup
+      val toks = (1 to rnd.nextInt(60) + 1).map(_ => "t" + rnd.nextInt(12))
+      val fusedMh = SignatureKernels.minhashShingles(utf8(toks), w, 16)
+      val strMh = SignatureKernels.minhash(utf8(shingleStrings(toks, w).distinct), 16)
+      (0 until 16).foreach(i => assert(fusedMh.getLong(i) == strMh.getLong(i)))
+      assert(SignatureKernels.simhashShingles(utf8(toks), w) ==
+        SignatureKernels.simhash(utf8(shingleStrings(toks, w).distinct)))
+    }
+  }
+
   test("simhash: identical sets equal; disjoint sets differ; jaccard-monotone tendency") {
     val s1 = (1 to 30).map(i => s"tok$i")
     assert(SignatureKernels.simhash(utf8(s1)) == SignatureKernels.simhash(utf8(s1)))
