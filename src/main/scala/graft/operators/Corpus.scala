@@ -11,6 +11,20 @@ import graft.Tables
  * sampling (data mixing) and sequence packing (token binning). Both
  * are deterministic — sampling order comes from a cross-engine hash,
  * not an RNG — so runs are reproducible and DuckDB-checkable.
+ *
+ * Scale posture: none of these operators sorts a whole stratum in one
+ * shuffle partition. A 100 TB corpus with ~5 language strata would
+ * otherwise put ~20 TB through a single reducer per stratum:
+ *  - [[seqPack]] numbers tokens with deterministic doc_id-range
+ *    buckets + a prefix sum over the tiny per-bucket count table (the
+ *    same recipe as [[graft.index.LshIndex.build]]), so parallelism is
+ *    strata x buckets;
+ *  - [[sampleStratified]] / [[dataMix]] bound their per-stratum sort
+ *    input with a one-pass u-histogram prefix ([[admitPrefix]]): only
+ *    the provably-sufficient sliver of each stratum (≈ quota +
+ *    stratum/nBins rows) reaches the ranking window.
+ * Windowed twins ([[seqPackWindowed]] etc.) are kept as cross-check
+ * oracles for the scalable paths, mirroring `LshIndex.buildWindowed`.
  */
 object Corpus {
 
@@ -20,16 +34,65 @@ object Corpus {
     conv(substring(sha2(key.cast("string"), 256), 1, 8), 16, 10).cast("long") /
       lit(4294967296.0)
 
+  /** Histogram bins for the u-prefix bound: a stratum of N rows sends
+    * ≈ target + N/1024 rows into the ranking window instead of N. */
+  private val UBins = 1024
+
+  /**
+   * Bound the per-stratum window input: keep, per stratum, every row in
+   * u-histogram bins up to the FIRST bin where the cumulative weight
+   * reaches that stratum's target — a u-order prefix that provably
+   * contains every row the full window would keep (the target-th
+   * smallest u lies inside the first cumulative-weight >= target bins,
+   * and any row past them has prefix weight >= target). One extra
+   * column-pruned scan builds the histogram (strata x [[UBins]] rows —
+   * tiny); the threshold bin is picked with a window over that tiny
+   * table, and rows join it broadcast. Ranks and running sums computed
+   * on the kept prefix equal the global ones, because the prefix is
+   * closed under the (u, doc_id) order.
+   *
+   * `weight` is 1 per row for count quotas, `n_tokens` for token
+   * budgets; `targetOf` maps the stratum column to its target. A
+   * stratum whose total weight never reaches its target keeps all rows
+   * (its threshold bin is absent -> no filter).
+   */
+  private[graft] def admitPrefix(base: DataFrame, stratumCol: String,
+      weight: Column, targetOf: Column => Column): DataFrame = {
+    val bin = floor(col("u") * UBins).cast("int")
+    val hist = base
+      .groupBy(col(stratumCol).as("_sk"), bin.as("_b"))
+      .agg(sum(weight).as("_w"))
+    val wCum = Window.partitionBy("_sk").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("_cum", sum(col("_w")).over(wCum))
+      .filter(col("_cum") >= targetOf(col("_sk")))
+      .groupBy("_sk").agg(min("_b").as("_bstar"))
+    base.join(broadcast(thr), col(stratumCol) <=> col("_sk"), "left")
+      .filter(col("_bstar").isNull || bin <= col("_bstar"))
+      .drop("_sk", "_bstar")
+  }
+
   /**
    * Stratified quota sampling: up to `quota` docs per stratum, chosen
    * by hash order — a uniform without-replacement draw per stratum
-   * that every engine and every rerun reproduces. The window
-   * partitions by stratum, so parallelism = number of strata and no
-   * global sort exists; at 100 TB each stratum's sort is its own
-   * shuffle partition (skewed strata: pre-filter `u < k * quota /
-   * est_size` bounds the sorted set before ranking).
+   * that every engine and every rerun reproduces. The ranking window
+   * partitions by stratum, but its input is first bounded by
+   * [[admitPrefix]] to ≈ quota + stratum/1024 rows, so no reducer ever
+   * sorts a whole stratum.
    */
   def sampleStratified(docs: DataFrame, stratumCol: String, quota: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col(stratumCol),
+      hashUniform(col("doc_id")).as("u"))
+    val kept = admitPrefix(base, stratumCol, lit(1L), _ => lit(quota.toLong))
+    val w = Window.partitionBy(stratumCol).orderBy(col("u"), col("doc_id"))
+    kept.withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= quota)
+  }
+
+  /** Unbounded-window twin of [[sampleStratified]]; cross-check oracle. */
+  private[graft] def sampleStratifiedWindowed(docs: DataFrame, stratumCol: String,
+      quota: Int): DataFrame = {
     val w = Window.partitionBy(stratumCol).orderBy(col("u"), col("doc_id"))
     docs.select(col("doc_id"), col(stratumCol),
         hashUniform(col("doc_id")).as("u"))
@@ -37,17 +100,67 @@ object Corpus {
       .filter(col("draw_rank") <= quota)
   }
 
+  /** Deterministic doc_id-range bucket per stratum: `n` equal-width
+    * ranges over the stratum's [min, max] doc_id span (per-stratum
+    * bounds broadcast-joined from a tiny agg). Monotone in doc_id, a
+    * pure function of the row — counts and numbering agree across
+    * recomputation, cache eviction, or task retry. */
+  private[graft] def withRangeBucket(df: DataFrame, stratumCol: String, n: Int): DataFrame = {
+    val stats = df.groupBy(col(stratumCol).as("_sk"))
+      .agg(min("doc_id").as("_lo"), max("doc_id").as("_hi"))
+    val span = col("_hi").cast("double") - col("_lo").cast("double") + 1.0
+    val b = least(
+      floor((col("doc_id").cast("double") - col("_lo").cast("double")) * n / span),
+      lit((n - 1).toLong))
+    df.join(broadcast(stats), col(stratumCol) <=> col("_sk"))
+      .withColumn("bkt", b.cast("int"))
+      .drop("_sk", "_lo", "_hi")
+  }
+
   /**
    * Sequence packing (concat-then-chunk): lay every stratum's token
    * stream end to end and cut a pack every `budget` tokens — the
    * block-packing step a GPT-style pretraining pipeline runs after
    * filtering/dedup. Per doc: its pack id and offset, from an exact
-   * integer running sum. Packing is PER STRATUM (window partitions by
-   * the stratum column): parallel across strata, deterministic within
-   * one — a single global concat order would serialize the window at
-   * scale.
+   * integer running sum.
+   *
+   * Scalable numbering (the `LshIndex.build` recipe): docs get a
+   * deterministic doc_id-range bucket within their stratum; a tiny
+   * (stratum x bucket) token-sum table yields each bucket's starting
+   * offset via an exclusive prefix sum (a window over that tiny table);
+   * the running sum then needs only a per-(stratum, bucket) window —
+   * parallelism = strata x buckets, not strata. Bucket order is doc_id
+   * order by construction, so `base + within-bucket running sum` equals
+   * the global per-stratum running sum exactly.
    */
   def seqPack(docs: DataFrame, stratumCol: String, budget: Int): DataFrame = {
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    val sized = docs.select(col("doc_id"), col(stratumCol),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bucketed = withRangeBucket(sized, stratumCol, n)
+    // tiny (stratum x bucket) token sums -> per-bucket starting offsets
+    val wOff = Window.partitionBy("_sk").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed
+      .groupBy(col(stratumCol).as("_sk"), col("bkt"))
+      .agg(sum("n_tokens").as("_bt"))
+      .withColumn("_base", coalesce(sum(col("_bt")).over(wOff), lit(0L)))
+      .select(col("_sk"), col("bkt").as("_bkt"), col("_base"))
+    val wRun = Window.partitionBy(stratumCol, "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets),
+        col(stratumCol) <=> col("_sk") && col("bkt") === col("_bkt"))
+      .withColumn("cum_before",
+        col("_base") + sum(col("n_tokens")).over(wRun) - col("n_tokens"))
+      .select(col("doc_id"), col(stratumCol), col("n_tokens"),
+        (col("cum_before") / budget).cast("long").as("pack_id"),
+        (col("cum_before") % budget).as("pack_offset"))
+  }
+
+  /** Per-stratum running-sum-window twin of [[seqPack]]; cross-check oracle. */
+  private[graft] def seqPackWindowed(docs: DataFrame, stratumCol: String,
+      budget: Int): DataFrame = {
     val w = Window.partitionBy(stratumCol).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
@@ -65,12 +178,35 @@ object Corpus {
    * `floor(weight · budget)` tokens; docs are drawn in deterministic
    * hash order until the stratum's budget is reached (the doc that
    * crosses the boundary is included — greedy fill). The pretraining
-   * "mix sources to target proportions" step, as one window per
-   * stratum: parallelism = #strata, no global sort, no shuffle beyond
-   * the window's hash partitioning.
+   * "mix sources to target proportions" step. The running-sum window
+   * partitions by stratum, but [[admitPrefix]] (weighted by n_tokens)
+   * first bounds its input to the u-prefix whose token mass covers the
+   * stratum budget — the boundary-crossing doc is inside that prefix by
+   * construction, so ranks and running sums are unchanged.
    */
   def dataMix(docs: DataFrame, stratumCol: String, weights: Map[String, Double],
       budget: Long): DataFrame = {
+    val budgets = weights.map { case (s, w) => s -> math.floor(w * budget).toLong }
+    def budgetOf(stratum: Column): Column =
+      budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
+        when(stratum === s, lit(b)).otherwise(acc)
+      }
+    val base = docs.select(col("doc_id"), col(stratumCol),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      hashUniform(col("doc_id")).as("u"))
+    val kept = admitPrefix(base, stratumCol, col("n_tokens"), budgetOf)
+    val w = Window.partitionBy(stratumCol).orderBy(col("u"), col("doc_id"))
+    kept
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budgetOf(col(stratumCol)))
+      .select(col("doc_id"), col(stratumCol), col("n_tokens"),
+        row_number().over(w).as("mix_rank"))
+  }
+
+  /** Unbounded-window twin of [[dataMix]]; cross-check oracle. */
+  private[graft] def dataMixWindowed(docs: DataFrame, stratumCol: String,
+      weights: Map[String, Double], budget: Long): DataFrame = {
     val budgets = weights.map { case (s, w) => s -> math.floor(w * budget).toLong }
     val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
       when(col(stratumCol) === s, lit(b)).otherwise(acc)

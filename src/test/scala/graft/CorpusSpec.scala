@@ -36,6 +36,61 @@ class CorpusSpec extends SparkSpecBase {
       s"$above/$total draws above the id midpoint")
   }
 
+  // ---- scalable paths == windowed twins (exact row equality) ----
+
+  private def assertSameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("scalable seq_pack equals the per-stratum window twin") {
+    assertSameRows(
+      Corpus.seqPack(docs, "lang", 2048),
+      Corpus.seqPackWindowed(docs, "lang", 2048))
+  }
+
+  test("bounded sample/mix equal their unbounded window twins") {
+    assertSameRows(
+      Corpus.sampleStratified(docs, "lang", 50),
+      Corpus.sampleStratifiedWindowed(docs, "lang", 50))
+    assertSameRows(
+      Corpus.dataMixQuery(spark, sf),
+      Corpus.dataMixWindowed(Tables.documents(spark, sf), "lang",
+        Corpus.MixWeights, Corpus.MixBudget))
+  }
+
+  test("skewed stratum: u-prefix bound shrinks the window input >= 10x") {
+    import spark.implicits._
+    // one 20k-doc stratum vs one 200-doc stratum; quota 50
+    val skewed = ((0 until 20000).map(i => (i.toLong, "big")) ++
+      (20000 until 20200).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+      .select(col("doc_id"), col("lang"),
+        Corpus.hashUniform(col("doc_id")).as("u"))
+    val kept = Corpus.admitPrefix(skewed, "lang", lit(1L), _ => lit(50L))
+    val n = kept.count()
+    assert(n < 20200 / 10, s"admit-prefix kept $n of 20200 rows")
+    // and the bound is sufficient: ranking the kept prefix == ranking all
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("u"), col("doc_id"))
+    val bounded = kept.withColumn("r", row_number().over(w)).filter(col("r") <= 50)
+    val full = skewed.withColumn("r", row_number().over(w)).filter(col("r") <= 50)
+    assertSameRows(bounded, full)
+  }
+
+  test("seq_pack doc_id-range buckets spread each stratum over >1 task") {
+    import spark.implicits._
+    val many = (0 until 5000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", "x y z"))
+      .toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val perStratum = Corpus.withRangeBucket(many, "lang", 16)
+      .groupBy("lang").agg(countDistinct("bkt").as("nb")).collect()
+    perStratum.foreach { r =>
+      assert(r.getLong(1) > 1, s"stratum ${r.getString(0)} landed in one bucket")
+    }
+  }
+
   test("seq packing: offsets in range, streams contiguous, budget respected") {
     val budget = 2048
     val p = Corpus.seqPack(docs, "lang", budget).cache()

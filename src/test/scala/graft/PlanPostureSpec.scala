@@ -73,13 +73,28 @@ class PlanPostureSpec extends SparkSpecBase {
     }
   }
 
-  test("data_mix shuffles once (stratum window), no global sort") {
+  test("data_mix: no global sort; u-prefix threshold joins broadcast") {
     val p = plan("data_mix")
-    // one hash-partitioned exchange for the per-stratum window; a global
-    // order-by would show a rangepartitioning exchange
-    assert(p.split("\\) Exchange").length == 2, s"expected exactly one exchange:\n$p")
+    // the stratum window (and the tiny histogram aggs) hash-partition;
+    // a global order-by would show a rangepartitioning exchange
     assert(p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
       s"data_mix must hash-partition by stratum, never sort globally:\n$p")
+    // the per-stratum threshold-bin table reaches the corpus side broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"the admit-prefix threshold table must broadcast:\n$p")
+  }
+
+  test("seq_pack: running-sum window partitions by (stratum, bucket), not stratum alone") {
+    val p = plan("seq_pack")
+    assert(!p.contains("rangepartitioning"),
+      s"seq_pack must not sort globally:\n$p")
+    // the big-side window keys include the doc_id-range bucket — the
+    // guarantee that no reducer sees a whole stratum
+    val windowed = p.split("windowspecdefinition\\(").toSeq.tail
+    assert(windowed.exists { w =>
+      val head = w.takeWhile(_ != ')')
+      head.contains("lang") && head.contains("bkt")
+    }, s"seq_pack running-sum window must partition by (stratum, bkt):\n$p")
   }
 
   test("streaming coded ingest stays stateless (no state store in the plan)") {
