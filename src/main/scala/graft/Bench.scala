@@ -30,10 +30,11 @@ object Bench {
     // `lsh_partition_build` (deliberately NOT in this set).
     val residentIndex = Set("ann_lsh_topk", "ann_lsh_topk_distjoin", "ann_recall_eval",
       "ann_recall_gtfile", "ann_diagnostics", "query_token", "ann_lsh_filtered_topk")
+    // Reported time = MINIMUM over `reps` timed runs: machine contention
+    // only ever ADDS time, so the min is the least-contaminated estimate
+    // and one noisy rep cannot poison a round artifact.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      // drop accumulated intermediate caches (both the previous query's
-      // and the warmup's): storage memory otherwise squeezes execution
-      // memory mid-bench, and the timed run should pay its own caching
       // prep failures are LOGGED, never fatal: a cold-path timing must be
       // distinguishable from the documented warm/resident one
       def prep(step: String)(body: => Unit): Unit =
@@ -41,22 +42,27 @@ object Bench {
           System.err.println(s"[bench] $name prep '$step' failed (timing will be cold): $e")
         }
       if (warmDir != sfDir) prep("warmup")(fn(spark, warmDir).count())
-      spark.catalog.clearCache()
-      if (residentIndex(name))
-        prep("ensureResident")(graft.query.AnnQuery.ensureResident(spark, sfDir))
-      if (name == "ann_lsh_topk_delta")
-        prep("ensureResidentDelta")(graft.index.IndexMaintenance.ensureResidentDelta(spark, sfDir))
-      if (name == "simsearch_ivf" || name == "neardup_embedding")
-        prep("ensureFitted")(graft.query.IvfSearch.ensureFitted(spark, sfDir))
-      val t0 = System.nanoTime()
-      // a failed query reports -1, not a bogus tiny wall time
-      val sec =
+      val secs = (1 to reps).map { _ =>
+        // drop accumulated intermediate caches (both the previous rep's
+        // and the warmup's): storage memory otherwise squeezes execution
+        // memory mid-bench, and each timed rep should pay its own caching
+        spark.catalog.clearCache()
+        if (residentIndex(name))
+          prep("ensureResident")(graft.query.AnnQuery.ensureResident(spark, sfDir))
+        if (name == "ann_lsh_topk_delta")
+          prep("ensureResidentDelta")(graft.index.IndexMaintenance.ensureResidentDelta(spark, sfDir))
+        if (name == "simsearch_ivf" || name == "neardup_embedding")
+          prep("ensureFitted")(graft.query.IvfSearch.ensureFitted(spark, sfDir))
+        val t0 = System.nanoTime()
+        // a failed rep reports -1, not a bogus tiny wall time
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
-      name -> sec
+      }
+      System.err.println(s"[bench] $name reps: ${secs.map(s => f"$s%.3f").mkString(", ")}")
+      name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
