@@ -320,12 +320,24 @@ object AnnQuery {
     // drop out here via anti-join — the index itself is not touched;
     // deleted ids never consume cap budget (reference skips them
     // during collection).
+    // the probe-order stamp is BIT-PACKED into one long (t | d | score |
+    // block, 8+6+13+36 bits, each clamped to its field): its long min is
+    // the lexicographic min over (t, d, score, block) — id is constant
+    // within a (qid, id) group, so the struct's id tiebreak was inert —
+    // and a numeric min keeps the aggregate hash-based with map-side
+    // partial combine (min over a struct forces a SortAggregate, which
+    // re-sorts the whole candidate union twice)
+    val firstOrd =
+      shiftleft(least(col("t").cast("long"), lit(255L)), 55) +
+        shiftleft(least(col("d").cast("long"), lit(63L)), 49) +
+        shiftleft(least(col("score").cast("long"), lit((1L << 13) - 1)), 36) +
+        least(col("block").cast("long"), lit((1L << 36) - 1))
     val candidatesAll = probed
       .join(built.membership, Seq("t", "d", "block"))
       .groupBy(col("qid"), col("id"))
       .agg(
         min(col("score")).as("hamming"),
-        min(struct(col("t"), col("d"), col("score"), col("block"), col("id"))).as("first_ord"))
+        min(firstOrd).as("first_ord"))
     val live = deletedIds.fold(candidatesAll)(del =>
       candidatesAll.join(broadcast(del.select(col("id"))), Seq("id"), "left_anti"))
     val wCap = Window.partitionBy("qid").orderBy(col("first_ord"))
