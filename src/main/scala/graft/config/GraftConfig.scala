@@ -81,6 +81,21 @@ final case class AuditConfig(
     zeroHitRateLimit: Double = 0.8,
     zeroHitMinQueries: Int = 5)
 
+/** Distance-ratio denominator source (reference RatioSource enum,
+  * ForwardSecureANNSystem.java:72, resolved at :232-236 from
+  * `ratio.source`): `gt` trusts the ground-truth distances as given
+  * (self-computed exact kNN — the most expensive job in the system at
+  * corpus scale); `base` takes only the GT IDS and recomputes both
+  * ratio distances against the loaded base vectors (an id equi-join,
+  * no exact-kNN job — the reference's `-Dbase.path` BaseVectorReader,
+  * :416-432); `auto` behaves as `gt` when trusted ground truth is in
+  * hand, else `base` (the reference's `gt(auto)`/`base(auto)` label,
+  * :1402-1407). */
+final case class RatioConfig(source: String = "auto") {
+  require(Seq("auto", "gt", "base").contains(source),
+    s"ratio.source must be auto|gt|base, got '$source'")
+}
+
 final case class GraftConfig(
     lsh: LshParams = LshParams(),
     stabilization: StabilizationConfig = StabilizationConfig(),
@@ -90,7 +105,8 @@ final case class GraftConfig(
     ivf: IvfConfig = IvfConfig(),
     neardup: NeardupConfig = NeardupConfig(),
     kAdaptive: KAdaptiveConfig = KAdaptiveConfig(),
-    audit: AuditConfig = AuditConfig())
+    audit: AuditConfig = AuditConfig(),
+    ratio: RatioConfig = RatioConfig())
 
 object GraftConfig {
 
@@ -159,6 +175,9 @@ object GraftConfig {
     val ndN = n.path("neardup")
     val kaN = n.path("kAdaptive")
     val auditN = n.path("audit")
+    val ratioN = n.path("ratio")
+    def s(node: JsonNode, field: String, dflt: String): String =
+      if (node.hasNonNull(field)) node.get(field).asText() else dflt
 
     val kVariants =
       if (evalN.hasNonNull("kVariants")) {
@@ -215,6 +234,7 @@ object GraftConfig {
         worstKeep = i(auditN, "worstKeep", d.audit.worstKeep),
         failOnZeroHit = b(auditN, "failOnZeroHit", d.audit.failOnZeroHit),
         zeroHitRateLimit = dbl(auditN, "zeroHitRateLimit", d.audit.zeroHitRateLimit),
-        zeroHitMinQueries = i(auditN, "zeroHitMinQueries", d.audit.zeroHitMinQueries)))
+        zeroHitMinQueries = i(auditN, "zeroHitMinQueries", d.audit.zeroHitMinQueries)),
+      ratio = RatioConfig(source = s(ratioN, "source", d.ratio.source)))
   }
 }

@@ -69,7 +69,13 @@ object QueryProfile {
     val queries = data.filter(col("vec_id") < AnnQuery.NumQueries)
     val probed = AnnQuery.probeBlocks(spark, queries, model, built)
     val result = AnnQuery.refineFromProbes(probed, data, queries, AnnQuery.DefaultK, model, built)
-    exportCsv(profile(probed, built, result), s"$outDir/per_query_profile.csv")
+    // per-query row carries the PAPER METRIC at the serving k, like the
+    // reference's profiler.recordQueryRow(distanceRatioAtK, ...) (:710)
+    val gt = AnnQuery.groundTruth(spark, sfDir, AnnQuery.DefaultK)
+    val ratios = AnnQuery.distRatioByQuery(result, gt, Seq(AnnQuery.DefaultK))
+      .select(col("query_id"), round(col("dist_ratio"), 4).as("dist_ratio"))
+    exportCsv(profile(probed, built, result).join(ratios, Seq("query_id"), "left")
+      .orderBy("query_id"), s"$outDir/per_query_profile.csv")
     exportCsv(AnnQuery.annRecallEval(spark, sfDir), s"$outDir/recall_summary.csv")
   }
 }

@@ -747,9 +747,76 @@ object AnnQuery {
   }
 
   /**
+   * Distance-ratio@K — the reference's "PAPER METRIC"
+   * (ForwardSecureANNSystem.java:797-832, surfaced at :710 and :1206
+   * as the canonical ratio): per query, the mean over ranks i <= k of
+   * dist_ann,i / dist_gt,i, pairing the ANN result and the ground
+   * truth BY RANK. Reference guards re-expressed: a query must have
+   * all k result pairs present (an ANN result shorter than k yields
+   * null, reference NaN at :799/:818) and pairs whose GT distance is
+   * <= 0 are skipped (:811). Where every pair is usable this is
+   * exactly (1/k)·Σ — one departure: the reference voids a query when
+   * ANY pair was skipped (used != k, :818); here the mean is over the
+   * usable pairs, because graft's bench queries are corpus members, so
+   * GT rank 1 is the query itself at distance 0 for EVERY query — a
+   * case the reference's disjoint SIFT/GIST query files never hit. On
+   * the reference's defined domain (used == k) the two normalizations
+   * coincide.
+   */
+  private[graft] def distRatioByQuery(annResult: DataFrame, groundTruth: DataFrame,
+      kVariants: Seq[Int]): DataFrame = {
+    val pairs = annResult.select(col("query_id"), col("rnk"), col("dist").as("d_ann"))
+      .join(groundTruth.select(col("query_id"), col("rnk"), col("dist").as("d_gt")),
+        Seq("query_id", "rnk"))
+    pairs
+      .select(col("query_id"), col("rnk"), col("d_ann"), col("d_gt"),
+        explode(array(kVariants.map(lit): _*)).as("k"))
+      .filter(col("rnk") <= col("k"))
+      .groupBy(col("k"), col("query_id"))
+      .agg(
+        sum(when(col("d_gt") > 0, col("d_ann") / col("d_gt"))).as("ratio_sum"),
+        count(when(col("d_gt") > 0, lit(1))).as("used"),
+        count(lit(1)).as("n_pairs"))
+      .withColumn("dist_ratio",
+        when(col("n_pairs") === col("k") && col("used") > 0,
+          col("ratio_sum") / col("used")))
+      .select(col("k"), col("query_id"), col("dist_ratio"))
+  }
+
+  /** Mean distance-ratio@K over queries, per k variant (null-ratio
+    * queries — reference NaN — drop out of the mean, like the
+    * reference's aggregate over non-NaN profiler rows). */
+  def distanceRatioEval(annResult: DataFrame, groundTruth: DataFrame,
+      kVariants: Seq[Int]): DataFrame =
+    distRatioByQuery(annResult, groundTruth, kVariants)
+      .groupBy("k")
+      .agg(round(avg(col("dist_ratio")), 4).as("avg_dist_ratio"))
+
+  /**
+   * Re-derive result-pair distances from BASE VECTORS (reference
+   * `ratio.source = base`: BaseVectorReader.l2 recomputes both ratio
+   * distances from the mapped base file, ForwardSecureANNSystem
+   * .java:416-432, :810-813). An id equi-join against the base table
+   * plus one broadcast of the query vectors — NO exact-kNN job, which
+   * at corpus scale is the most expensive job in the system. This is
+   * how a GT file that carries only ids (.ivecs) feeds the ratio.
+   */
+  def distancesFromBase(pairs: DataFrame, base: DataFrame, queries: DataFrame): DataFrame =
+    pairs.select(col("query_id"), col("vec_id"), col("rnk"))
+      .join(base.select(col("vec_id"), col("embedding").as("bv")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(vec_l2(col("bv"), col("qv")), 4).as("dist"), col("rnk"))
+
+  /**
    * Recall@K of the LSH path vs brute force on the reference's
-   * kVariants {1,5,10,20,40,60,80,100}, plus the reference's ratio
-   * metric (mean #refined-candidates / k).
+   * kVariants {1,5,10,20,40,60,80,100}, plus the reference's two
+   * ratio metrics: avg_ratio (mean #candidates / k, SEARCH COST) and
+   * avg_dist_ratio (the paper metric, [[distRatioByQuery]]). The
+   * distance-ratio denominator follows `ratio.source`: `gt`/`auto`
+   * trust the self-computed exact GT distances already in hand;
+   * `base` re-derives them from base vectors ([[distancesFromBase]]).
    */
   def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
     val kVariants = cfg.eval.kVariants
@@ -757,16 +824,20 @@ object AnnQuery {
     val queries = queryVecs(spark, sfDir)
     val maxK = kVariants.max
     val (model, built) = setup(spark, sfDir)
-    // ONE probe pass feeds both the top-k refine and the ratio metric
+    // ONE probe pass feeds the top-k refine and both ratio metrics
     val probed = probeBlocks(spark, queries, model, built).cache()
     val ratios = candidateCounts(probed, built)
       .select(explode(array(kVariants.map(lit): _*)).as("k"), col("n_candidates"))
       .groupBy("k").agg(round(avg(col("n_candidates") / col("k")), 2).as("avg_ratio"))
-    recallEval(
-      refineFromProbes(probed, data, queries, maxK, model, built),
-      groundTruth(spark, sfDir, maxK),
-      kVariants)
+    val ann = refineFromProbes(probed, data, queries, maxK, model, built).cache()
+    val gt = groundTruth(spark, sfDir, maxK)
+    val gtForRatio =
+      if (cfg.ratio.source == "base")
+        distancesFromBase(gt.select("query_id", "vec_id", "rnk"), data, queries)
+      else gt // gt | auto: trusted exact GT distances are in hand
+    recallEval(ann, gt, kVariants)
       .join(ratios, Seq("k"))
+      .join(distanceRatioEval(ann, gtForRatio, kVariants), Seq("k"), "left")
       .orderBy("k")
   }
 
@@ -809,8 +880,10 @@ object AnnQuery {
   }
 
   // interpolated from the active config (blockSize / tables /
-  // divisions) so config overrides keep oracle parity
-  val lshPartitionBuildSql: String = {
+  // divisions) so config overrides keep oracle parity; a def so the
+  // SQL always reads the config the Spark side currently runs (a val
+  // would freeze the object-init snapshot across any future reload)
+  def lshPartitionBuildSql: String = {
     val p = cfg.lsh
     val b = p.blockSize
     s"""SELECT CAST(t.range AS INTEGER) AS t, CAST(d.range AS INTEGER) AS d,

@@ -87,7 +87,11 @@ object GtFile {
    * Recall eval driven by a written-then-loaded GT FILE instead of the
    * in-session brute-force DataFrame: proves external `.ivecs` ground
    * truth wires into the same eval (spec asserts it reproduces the
-   * self-computed recall exactly).
+   * self-computed recall exactly). An .ivecs file carries only IDS —
+   * the reference's exact `ratio.source = base` scenario — so the
+   * distance-ratio denominators are re-derived from the base vectors
+   * ([[AnnQuery.distancesFromBase]]; `gt` mode would have nothing to
+   * trust here): no exact-kNN job runs for the ratio column.
    */
   def annRecallGtfile(spark: SparkSession, sfDir: String): DataFrame = {
     val kVariants = GraftConfig.active.eval.kVariants
@@ -105,8 +109,10 @@ object GtFile {
       "ground-truth file failed validation")
 
     val (model, built) = AnnQuery.setupIndex(spark, sfDir)
-    AnnQuery.recallEval(
-      AnnQuery.lshTopK(spark, data, queries, maxK, model, built),
-      gt, kVariants)
+    val ann = AnnQuery.lshTopK(spark, data, queries, maxK, model, built).cache()
+    val gtWithDist = AnnQuery.distancesFromBase(gt, data, queries)
+    AnnQuery.recallEval(ann, gt, kVariants)
+      .join(AnnQuery.distanceRatioEval(ann, gtWithDist, kVariants), Seq("k"), "left")
+      .orderBy("k")
   }
 }

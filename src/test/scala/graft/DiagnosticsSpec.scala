@@ -82,4 +82,84 @@ class DiagnosticsSpec extends SparkSpecBase {
     val single = AnnQuery.lshTopKAdaptive(spark, emb, queries, 10, model, built)
     assert(off.exceptAll(single).count() == 0 && single.exceptAll(off).count() == 0)
   }
+
+  // ---- distance-ratio@K (the reference's PAPER METRIC) ----
+
+  test("distance ratio is exactly 1.0 when the ANN result equals GT, > 1.0 on a planted miss") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val gt = AnnQuery.bruteTopK(emb, queries, 10).cache()
+    val perfect = AnnQuery.distanceRatioEval(gt, gt, Seq(1, 5, 10)).collect()
+    assert(perfect.length == 3)
+    perfect.foreach { r =>
+      // k=1's only pair is the self-match at distance 0 — the reference
+      // guard skips it, leaving no usable pair: undefined (NaN -> null)
+      if (r.getInt(0) == 1) assert(r.isNullAt(1), s"k=1 must be undefined: $r")
+      else assert(r.getDouble(1) == 1.0, s"perfect ratio != 1.0: $r")
+    }
+    // plant a miss: rank 10 of every query answers with a farther point
+    val planted = gt.withColumn("dist",
+      when(col("rnk") === 10, col("dist") * 3 + 1).otherwise(col("dist")))
+    val withMiss = AnnQuery.distanceRatioEval(planted, gt, Seq(5, 10)).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(withMiss(5) == 1.0, "miss planted at rank 10 must not touch k=5")
+    assert(withMiss(10) > 1.0, s"ratio@10 with planted miss = ${withMiss(10)}")
+    gt.unpersist()
+  }
+
+  test("distance ratio guards: short ANN result voids the query; zero-dist GT pairs skip") {
+    import spark.implicits._
+    // gt with nonzero distances everywhere; ann returns only 2 of k=3 rows
+    val gt = Seq((1L, 11L, 2.0, 1), (1L, 12L, 3.0, 2), (1L, 13L, 4.0, 3))
+      .toDF("query_id", "vec_id", "dist", "rnk")
+    val short = gt.filter(col("rnk") <= 2)
+    val voided = AnnQuery.distRatioByQuery(short, gt, Seq(3)).collect()
+    assert(voided.length == 1 && voided(0).isNullAt(2),
+      s"short result must void the ratio (reference NaN): ${voided.toSeq}")
+    // the self-match pair (d_gt = 0) is skipped, not poisoning the mean:
+    // remaining pairs are exact matches, so the ratio stays exactly 1.0
+    val gtSelf = Seq((1L, 10L, 0.0, 1), (1L, 12L, 3.0, 2), (1L, 13L, 4.0, 3))
+      .toDF("query_id", "vec_id", "dist", "rnk")
+    val selfEval = AnnQuery.distanceRatioEval(gtSelf, gtSelf, Seq(3)).collect()
+    assert(selfEval.length == 1 && selfEval(0).getDouble(1) == 1.0, selfEval.toSeq.toString)
+  }
+
+  test("ratio.source base: base-vector distances reproduce the GT-mode ratio exactly") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val gt = AnnQuery.bruteTopK(emb, queries, 10).cache()
+    val ann = AnnQuery.lshTopKAdaptive(spark, emb, queries, 10, model, built).cache()
+    // BASE mode re-derives the pair distances from the corpus (base ==
+    // corpus here) with the same rounding — the two modes must agree
+    val gtFromBase = AnnQuery.distancesFromBase(
+      gt.select("query_id", "vec_id", "rnk"), emb, queries)
+    assert(gtFromBase.exceptAll(gt.select("query_id", "vec_id", "dist", "rnk")).count() == 0)
+    val viaGt = AnnQuery.distanceRatioEval(ann, gt, Seq(1, 5, 10))
+    val viaBase = AnnQuery.distanceRatioEval(ann, gtFromBase, Seq(1, 5, 10))
+    assert(viaGt.exceptAll(viaBase).count() == 0 && viaBase.exceptAll(viaGt).count() == 0)
+    gt.unpersist(); ann.unpersist()
+  }
+
+  test("ann_recall_eval and ann_recall_gtfile carry the avg_dist_ratio column") {
+    for (name <- Seq("ann_recall_eval", "ann_recall_gtfile")) {
+      val out = SparkEntry.queries(name)(spark, sf)
+      assert(out.columns.contains("avg_dist_ratio"), s"$name: ${out.columns.toSeq}")
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      // queries are corpus members (self at gt rank 1, dist 0): the guard
+      // skips that pair and the remaining ANN hits keep the ratio >= 1.
+      // At large k a query may return < k rows (reference NaN -> null);
+      // small k must always be defined.
+      val idx = rows.head.fieldIndex("avg_dist_ratio")
+      rows.foreach { r =>
+        val k = r.getInt(0)
+        // k=1 is always undefined here (its one pair is the self-match at
+        // distance 0, skipped by the guard); large k may be (short results)
+        if (r.isNullAt(idx)) assert(k == 1 || k > 10,
+          s"$name: ratio undefined at small k=$k")
+        else {
+          val v = r.getDouble(idx)
+          assert(v >= 1.0 && v < 10.0, s"$name k=$k: avg_dist_ratio=$v")
+        }
+      }
+    }
+  }
 }
