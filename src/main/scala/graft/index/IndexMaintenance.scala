@@ -197,8 +197,10 @@ object IndexMaintenance {
 
   // the oracle derives from the SAME active config as the Spark side
   // (blockSize / tables / divisions), so a config override cannot
-  // silently break oracle parity
-  val indexInsertSql: String = {
+  // silently break oracle parity; a def — not a val — so a future
+  // runtime config reload could never leave the SQL capturing a stale
+  // snapshot of a config the Spark side no longer runs
+  def indexInsertSql: String = {
     val p = graft.config.GraftConfig.active.lsh
     s"""SELECT CAST(t.range AS INTEGER) AS t, CAST(d.range AS INTEGER) AS d,
        |  CAST(CEIL(m.n / ${p.blockSize}.0) AS BIGINT) AS main_partitions, m.n AS main_vectors,

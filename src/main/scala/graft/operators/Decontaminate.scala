@@ -54,7 +54,16 @@ object Decontaminate {
     * every training doc with doc_id ≡ 5 (mod 23) gets the first 6 tokens
     * of benchmark doc (doc_id mod 3)·17 appended — those docs must carry
     * ≥ 2 shared 5-grams. The planting is part of the query (mirrored in
-    * the oracle SQL), not of the data. */
+    * the oracle SQL), not of the data.
+    *
+    * DEMO-scale caveat: carving the bench set out of the corpus itself
+    * (~6% of it) means the broadcast gram set here grows WITH the
+    * corpus — broadcast-safe only at test scale factors. That is a
+    * property of this self-contained demo wiring, not of
+    * [[decontaminate]], whose contract is a real benchmark suite:
+    * fixed eval files, MBs by construction, corpus-size-independent. A
+    * deployment passes that as `bench`; it never derives bench from
+    * the training corpus. */
   def decontaminateQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val bench = docs.filter(col("doc_id") % 17 === 0)

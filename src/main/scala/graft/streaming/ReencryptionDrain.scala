@@ -32,12 +32,18 @@ object ReencryptionDrain {
 
   /** Parquet-file stream of touched ids; `maxFilesPerTrigger` bounds
     * how many id files (= points, for fixed-size files) one trigger
-    * migrates — the rate limit. */
+    * migrates — the rate limit. `cleanSource = "delete"` removes each
+    * processed file after its micro-batch commits, which bounds the
+    * watched directory under long-running drains (deferral re-emits
+    * would otherwise accumulate alongside their processed originals);
+    * the default keeps files, matching one-shot AvailableNow usage
+    * where the input set is an artifact the caller owns. */
   def touchedStream(spark: SparkSession, inputDir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame =
+      maxFilesPerTrigger: Int = 1, cleanSource: String = "off"): DataFrame =
     spark.readStream
       .schema("id LONG")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("cleanSource", cleanSource)
       .parquet(inputDir)
 
   /**
@@ -45,6 +51,17 @@ object ReencryptionDrain {
    * `fromVersion`): each non-gated micro-batch decrypts its ids under
    * v and appends them re-encrypted under v+1 to the migrations
    * overlay at `outPath`.
+   *
+   * Deferral semantics by trigger: a gated batch's ids re-enter as new
+   * files in the watched directory. Under a processing-time trigger
+   * they are picked up by a later trigger of the SAME run; under the
+   * default `Trigger.AvailableNow()` the run processes only the files
+   * present at start, so deferred ids are drained by the NEXT drain
+   * invocation (the reference's scheduler is likewise periodic — a
+   * deferred point waits for a later scheduler pass, not the current
+   * one). Long-running gated drains should pair a processing-time
+   * trigger with `cleanSource = "delete"` so the directory stays
+   * bounded.
    */
   def drain(
       touched: DataFrame,

@@ -27,15 +27,22 @@ object TextFilters {
    * Redact emails, phone numbers, and IPv4 addresses; report per-type
    * match counts. Order matters and is fixed (email → phone → ip):
    * an email is redacted before its digit runs could half-match the
-   * phone/ip patterns.
+   * phone/ip patterns. Each count is taken on the text AFTER the prior
+   * redactions — the same text its own replace pass sees — so
+   * n_phones/n_ips are exact replacement counts (a phone-shaped
+   * substring inside an email is redacted as <EMAIL> and counts as
+   * neither a phone nor an ip).
    */
   def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    def n(re: String): Column = size(regexp_extract_all(t, lit(re), lit(0)))
-    val cleaned = regexp_replace(regexp_replace(regexp_replace(
-      t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
+    def n(on: Column, re: String): Column = size(regexp_extract_all(on, lit(re), lit(0)))
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    val cleaned = regexp_replace(afterPhone, Ipv4Re, "<IP>")
     docs.select(col(idCol).as("doc_id"),
-      n(EmailRe).as("n_emails"), n(PhoneRe).as("n_phones"), n(Ipv4Re).as("n_ips"),
+      n(t, EmailRe).as("n_emails"),
+      n(afterEmail, PhoneRe).as("n_phones"),
+      n(afterPhone, Ipv4Re).as("n_ips"),
       cleaned.as("text_clean"))
   }
 
@@ -69,8 +76,11 @@ object TextFilters {
        |  FROM documents)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
-       |  CAST(len(regexp_extract_all(text, '$phone')) AS INTEGER) AS n_phones,
-       |  CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ips,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(text, '$email', '<EMAIL>', 'g'), '$phone')) AS INTEGER) AS n_phones,
+       |  CAST(len(regexp_extract_all(regexp_replace(
+       |    regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |      '$phone', '<PHONE>', 'g'), '$ip')) AS INTEGER) AS n_ips,
        |  regexp_replace(regexp_replace(regexp_replace(text,
        |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS text_clean
        |FROM planted""".stripMargin

@@ -61,6 +61,36 @@ class LifecycleDecoySpec extends SparkSpecBase {
       .foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("decoy distributions: uniform and gaussian both serve and strip; empty input safe") {
+    val model = Lsh.fit(emb, "embedding", LshParams())
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val real = emb.filter(col("vec_id") < 5)
+    for (dist <- Seq("gaussian", "uniform", "clustered")) {
+      val mixed = Decoys.inject(spark, real, dim = 64, nDecoys = 3, seed = 99, dist)
+      assert(mixed.count() == 8, dist)
+      val results = AnnQuery.lshTopK(spark, emb, mixed, 10, model, built)
+      val stripped = Decoys.strip(results)
+      assert(stripped.filter(col("query_id") < 0).count() == 0, dist)
+      val realOnly = AnnQuery.lshTopK(spark, emb, real, 10, model, built)
+      assert(stripped.exceptAll(realOnly).count() == 0
+        && realOnly.exceptAll(stripped).count() == 0, dist)
+    }
+    // uniform components live in [-1, 1]; the gaussian tail exceeds it
+    val uni = Decoys.inject(spark, real.limit(0), 8, 50, 31L, "uniform")
+      .select(explode(col("embedding")).as("c"))
+    assert(uni.filter(abs(col("c")) > 1).count() == 0)
+    val gau = Decoys.inject(spark, real.limit(0), 8, 50, 31L, "gaussian")
+      .select(explode(col("embedding")).as("c"))
+    assert(gau.filter(abs(col("c")) > 1).count() > 0)
+    intercept[IllegalArgumentException](
+      Decoys.inject(spark, real, 8, 1, 1L, "bogus"))
+    // empty input + metadata columns: fakes still match the schema
+    val emptyPadded = Decoys.injectPoints(spark, emb.limit(0), dim = 64,
+      nFakes = 5, seed = 7, distribution = "uniform")
+    assert(emptyPadded.count() == 5)
+    assert(emptyPadded.filter(col("vec_id") < 0 && col("label").isNull).count() == 5)
+  }
+
   test("fake corpus points carry blend-in metadata and feed the filtered path") {
     val padded = Decoys.injectPoints(spark, emb, dim = 64, nFakes = 20, seed = 7)
     // metadata columns survive injection, and fakes carry real-looking

@@ -58,6 +58,21 @@ class PipelineFiltersSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("pii_scrub counts are redaction counts: a phone-shaped run inside an email is neither") {
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "mail 555-123-4567@host.com please"), // phone-shaped local part, one EMAIL redaction
+      (2L, "call 555-123-4567 please"),          // a real phone
+      (3L, "both x@y.io and 10.1.2.3 here"))     // independent types both count
+      .toDF("doc_id", "text")
+    val out = TextFilters.piiScrub(tricky, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 0 && out(1L)._3 == 0, s"doc 1: ${out(1L)}")
+    assert(out(1L)._4 == "mail <EMAIL> please")
+    assert(out(2L)._2 == 1 && out(2L)._4 == "call <PHONE> please")
+    assert(out(3L)._1 == 1 && out(3L)._3 == 1)
+  }
+
   test("quality filter: each rule fires on a crafted doc, reasons in fixed order") {
     import spark.implicits._
     val crafted = Seq(
