@@ -35,6 +35,8 @@ object SparkEntry {
     "ann_lsh_filtered_topk" -> (AnnQuery.annLshFilteredTopK _),
     "ann_lsh_topk" -> (AnnQuery.annLshTopK _),
     "ann_lsh_topk_distjoin" -> (AnnQuery.annLshTopKDistJoin _),
+    "ann_multidim_topk" -> (graft.query.DimRegistry.annMultidimTopK _),
+    "ann_multidim_brute" -> (graft.query.DimRegistry.annMultidimBrute _),
     "ann_recall_eval" -> (AnnQuery.annRecallEval _),
     "ann_recall_gtfile" -> (graft.query.GtFile.annRecallGtfile _),
     "ann_diagnostics" -> (graft.eval.QueryDiagnostics.annDiagnostics _),
@@ -91,6 +93,7 @@ object SparkEntry {
     "q_running_balance" -> Analytics.qRunningBalanceSql,
     "ann_brute_topk" -> AnnQuery.annBruteTopKSql,
     "ann_filtered_topk" -> AnnQuery.annFilteredTopKSql,
+    "ann_multidim_brute" -> graft.query.DimRegistry.annMultidimBruteSql,
     "lsh_partition_build" -> AnnQuery.lshPartitionBuildSql,
     "index_insert" -> graft.index.IndexMaintenance.indexInsertSql,
     "encrypt_points" -> VersionedCrypto.encryptPointsSql,

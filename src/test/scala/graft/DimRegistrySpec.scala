@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lsh.LshParams
+import graft.query.{AnnQuery, DimRegistry}
+
+/** Per-dimension model/index registry: mixed-dim corpora served with
+  * per-dim routing (reference tokenFactories.get(dim)). */
+class DimRegistrySpec extends SparkSpecBase {
+
+  private lazy val corpus = DimRegistry.twoDimCorpus(spark, sf).cache()
+  private lazy val registry = DimRegistry.build(corpus, "vec_id", "embedding", LshParams())
+
+  test("registry fits and builds one index per distinct dimension") {
+    assert(registry.keySet == Set(32, 64), registry.keySet.toString)
+    // each per-dim index holds exactly its dim's vectors
+    val n = corpus.count()
+    val perDim = registry.map { case (d, e) =>
+      d -> e.built.membership.select("id").distinct().count()
+    }
+    assert(perDim(64) + perDim(32) == n, perDim.toString)
+    // ids route by parity (even = full dim, odd = truncated)
+    assert(registry(64).built.membership.filter(col("id") % 2 =!= 0).count() == 0)
+    assert(registry(32).built.membership.filter(col("id") % 2 === 0).count() == 0)
+  }
+
+  test("each query's top-k matches its own-dim brute force; results never cross dims") {
+    val queries = corpus.filter(col("vec_id") < 10)
+    val got = DimRegistry.topK(spark, corpus, queries, 10, registry).cache()
+    // no result crosses dimensions: parity of result id == parity of query id
+    assert(got.filter(col("query_id") % 2 =!= col("vec_id") % 2).count() == 0)
+    // self-match at rank 1 in both dims
+    got.filter(col("rnk") === 1).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // recall vs the own-dim exact oracle, per dim
+    for (d <- Seq(32, 64)) {
+      val qd = queries.filter(size(col("embedding")) === d)
+      val gt = AnnQuery.bruteTopK(corpus.filter(size(col("embedding")) === d), qd, 10)
+      val hits = got.join(gt.select("query_id", "vec_id"), Seq("query_id", "vec_id")).count()
+      val recall = hits.toDouble / gt.count()
+      assert(recall >= 0.8, s"dim $d recall@10 = $recall")
+    }
+    got.unpersist()
+  }
+
+  test("a query dimension with no registered index fails loudly") {
+    import spark.implicits._
+    val alien = Seq((999999L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      DimRegistry.topK(spark, corpus, alien, 5, registry))
+    assert(e.getMessage.contains("16"), e.getMessage)
+  }
+
+  test("single-dim entries are untouched: registry over a pure corpus == plain lshTopK") {
+    val emb = Tables.embeddings(spark, sf)
+    val reg1 = DimRegistry.build(emb, "vec_id", "embedding", LshParams())
+    assert(reg1.keySet.size == 1)
+    val queries = emb.filter(col("vec_id") < 5)
+    val viaRegistry = DimRegistry.topK(spark, emb, queries, 10, reg1)
+    val (model, built) = AnnQuery.setupIndex(spark, sf)
+    val plain = AnnQuery.lshTopK(spark, emb, queries, 10, model, built)
+    assert(viaRegistry.exceptAll(plain).count() == 0
+      && plain.exceptAll(viaRegistry).count() == 0)
+  }
+}
