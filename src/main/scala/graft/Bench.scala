@@ -51,6 +51,8 @@ object Bench {
           prep("ensureResident")(graft.query.AnnQuery.ensureResident(spark, sfDir))
         if (name == "ann_lsh_topk_delta")
           prep("ensureResidentDelta")(graft.index.IndexMaintenance.ensureResidentDelta(spark, sfDir))
+        if (name == "ann_multidim_topk")
+          prep("ensureResidentTwoDim")(graft.query.DimRegistry.ensureResidentTwoDim(spark, sfDir))
         if (name == "simsearch_ivf" || name == "neardup_embedding")
           prep("ensureFitted")(graft.query.IvfSearch.ensureFitted(spark, sfDir))
         val t0 = System.nanoTime()

@@ -30,7 +30,9 @@ object DimRegistry {
 
   final case class Entry(dim: Int, model: LshModel, built: LshIndex.Built)
 
-  /** One fitted model + built index per distinct dimension in `data`. */
+  /** One fitted model + built index per distinct dimension in `data`.
+    * Index DataFrames are cache-marked like `AnnQuery.setup`'s: the
+    * registry is SETUP-phase state the server holds resident. */
   def build(data: DataFrame, idCol: String, vecCol: String,
       params: LshParams = LshParams()): Map[Int, Entry] = {
     val dims = data.select(size(col(vecCol)).as("d")).distinct()
@@ -42,7 +44,8 @@ object DimRegistry {
       val built = LshIndex.build(
         LshIndex.codes(LshIndex.spread(slice), idCol, vecCol, model),
         params.blockSize)
-      d -> Entry(d, model, built)
+      d -> Entry(d, model,
+        LshIndex.Built(built.membership.cache(), built.summaries.cache()))
     }.toMap
   }
 
@@ -94,6 +97,21 @@ object DimRegistry {
         .getOrElseUpdate(sfDir,
           build(twoDimCorpus(spark, sfDir), "vec_id", "embedding",
             graft.config.GraftConfig.active.lsh))
+    }
+
+  /** Re-materialize the resident registry after an external cache
+    * clear (the multi-dim twin of `AnnQuery.ensureResident`): query
+    * entries then pay only QUERY-phase work, like the reference's
+    * always-resident per-dim indexes. */
+  def ensureResidentTwoDim(spark: SparkSession, sfDir: String): Unit =
+    setupTwoDim(spark, sfDir).values.foreach { e =>
+      if (e.built.membership.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        e.built.membership.cache()
+      if (e.built.summaries.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        e.built.summaries.cache()
+      e.built.membership.count()
+      e.built.summaries.count()
+      e.built.collected
     }
 
   /** Registry-routed LSH top-k over the 2-dim demo corpus (rows
