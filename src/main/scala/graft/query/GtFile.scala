@@ -68,6 +68,46 @@ object GtFile {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  final case class GtValidation(sampleSize: Long, mismatches: Long,
+      mismatchRate: Double, valid: Boolean)
+
+  /**
+   * Distance-level GT validation (reference `GroundtruthValidator
+   * .validate`, GroundtruthValidator.java:86-183: for a bounded
+   * deterministic sample of queries, the TRUE top-1 — brute force
+   * against the base vectors — must equal the GT's top-1; a mismatch
+   * rate above `tolerance` means "groundtruth may be corrupted or
+   * computed for a different dataset" and fails before any query
+   * runs). Defaults mirror the reference's gtSampleSize=100 /
+   * gtTolerance=0.05.
+   *
+   * Batch re-expression: the reference samples indices with a fixed
+   * seed and scans a mapped base file per query; here the sample is
+   * the `sampleSize` smallest query ids (deterministic without an
+   * RNG), and `trueTop1` is any exact rank-1 set computed from base —
+   * the memoized SETUP ground truth, or `AnnQuery.bruteTopK(base,
+   * sampledQueries, 1)` when validating a foreign file. A query absent
+   * from `trueTop1` counts as a mismatch; an empty GT fails outright
+   * (reference :100-103).
+   */
+  def validateGtTop1(gt: DataFrame, trueTop1: DataFrame,
+      sampleSize: Int = 100, tolerance: Double = 0.05): GtValidation = {
+    val sampled = gt.filter(col("rnk") === 1)
+      .orderBy("query_id").limit(sampleSize)
+      .select(col("query_id"), col("vec_id").as("gt_top1"))
+    val agg = sampled.join(
+        trueTop1.filter(col("rnk") === 1)
+          .select(col("query_id"), col("vec_id").as("true_top1")),
+        Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("true_top1").isNull ||
+          col("gt_top1") =!= col("true_top1"), lit(1))).as("bad"))
+      .collect()(0)
+    val (n, bad) = (agg.getLong(0), agg.getLong(1))
+    val rate = if (n == 0) 1.0 else bad.toDouble / n
+    GtValidation(n, bad, rate, n > 0 && rate <= tolerance)
+  }
+
   /**
    * GroundtruthValidator checks: every id within [0, corpusSize), no
    * duplicate ids within a query's list, ranks contiguous from 1.
@@ -107,6 +147,11 @@ object GtFile {
     val gt = loadGt(spark, dir, Some(rowIds))
     require(validateGt(gt, AnnQuery.corpusCount(spark, sfDir)) == 0,
       "ground-truth file failed validation")
+    // distance-level trust check before serving (the reference
+    // validates BEFORE runQueries): true top-1 comes from the memoized
+    // SETUP ground truth, so no extra brute-force job runs here
+    val v = validateGtTop1(gt, AnnQuery.groundTruth(spark, sfDir, maxK))
+    require(v.valid, s"GT top-1 validation failed: $v")
 
     val (model, built) = AnnQuery.setupIndex(spark, sfDir)
     val ann = AnnQuery.lshTopK(spark, data, queries, maxK, model, built).cache()

@@ -208,4 +208,31 @@ class CenterSpec extends SparkSpecBase {
     val gap = Seq((0L, 1L, 2), (0L, 2L, 3)).toDF("query_id", "vec_id", "rnk")
     assert(GtFile.validateGt(gap, 100) > 0)
   }
+
+  test("distance-level GT validation: clean GT passes, offset GT fails, empty GT fails") {
+    import graft.query.GtFile
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val gt = AnnQuery.bruteTopK(emb, queries, 5)
+    val clean = GtFile.validateGtTop1(gt, gt)
+    assert(clean.valid && clean.mismatches == 0 && clean.sampleSize == 10, clean.toString)
+    // the classic failure the reference guards: GT ids carry an offset
+    // (computed for a different dataset layout) — every top-1 misses
+    val shifted = gt.withColumn("vec_id",
+      org.apache.spark.sql.functions.col("vec_id") + 1)
+    val off = GtFile.validateGtTop1(shifted, gt)
+    assert(!off.valid && off.mismatchRate == 1.0, off.toString)
+    // a small corruption under the tolerance still passes
+    val oneBad = gt.withColumn("vec_id",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("query_id") === 0 &&
+          org.apache.spark.sql.functions.col("rnk") === 1,
+        org.apache.spark.sql.functions.lit(999999L))
+        .otherwise(org.apache.spark.sql.functions.col("vec_id")))
+    val tol = GtFile.validateGtTop1(oneBad, gt, tolerance = 0.2)
+    assert(tol.valid && tol.mismatches == 1, tol.toString)
+    // empty GT fails outright (reference :100-103)
+    val empty = GtFile.validateGtTop1(gt.limit(0), gt)
+    assert(!empty.valid && empty.sampleSize == 0, empty.toString)
+  }
 }
