@@ -91,6 +91,42 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("randomized trials: scalable paths == windowed twins on adversarial corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    for (trial <- 1 to 3) {
+      // adversarial shapes: skewed strata, a 1-doc stratum, duplicate-ish
+      // texts (u ties impossible — u is keyed on doc_id — but token ties
+      // abound), sparse ids with gaps
+      val nStrata = rnd.nextInt(4) + 2
+      val rows = (0 until nStrata).flatMap { s =>
+        val size = if (s == 0) 1 else rnd.nextInt(400) + 1
+        (0 until size).map { i =>
+          val id = s * 100000L + i * (rnd.nextInt(7) + 1) + i
+          (id, s"s$s", Seq.fill(rnd.nextInt(30) + 1)("w").mkString(" "))
+        }
+      }
+      val docs = rows.toDF("doc_id", "lang", "text")
+      val quota = rnd.nextInt(60) + 1
+      val budget = rnd.nextInt(4000) + 1
+      val weights = (0 until nStrata).map(s => s"s$s" -> rnd.nextDouble()).toMap
+      assertSameRows(
+        Corpus.sampleStratified(docs, "lang", quota),
+        Corpus.sampleStratifiedWindowed(docs, "lang", quota))
+      assertSameRows(
+        Corpus.seqPack(docs, "lang", budget),
+        Corpus.seqPackWindowed(docs, "lang", budget))
+      assertSameRows(
+        Corpus.dataMix(docs, "lang", weights, budget),
+        Corpus.dataMixWindowed(docs, "lang", weights, budget))
+      // a stratum absent from the weights map gets budget 0 -> no rows
+      val partial = weights - "s0"
+      assertSameRows(
+        Corpus.dataMix(docs, "lang", partial, budget),
+        Corpus.dataMixWindowed(docs, "lang", partial, budget))
+    }
+  }
+
   test("seq packing: offsets in range, streams contiguous, budget respected") {
     val budget = 2048
     val p = Corpus.seqPack(docs, "lang", budget).cache()
