@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Decontaminate
+import graft.text.TextFilters
+
+/**
+ * Continuous corpus intake: the training-data hygiene chain — PII
+ * scrub → quality filter → benchmark decontamination — applied to
+ * documents AS THEY ARRIVE, instead of as a nightly batch over the
+ * accumulated corpus.
+ *
+ * Every verdict depends only on the document itself and the FIXED
+ * benchmark gram set, so the chain is stateless across micro-batches:
+ * `foreachBatch` runs the exact batch operators on each arrival batch
+ * (their per-doc outputs are independent of batch boundaries by
+ * construction) and lands results under a batch_id partition with
+ * dynamic overwrite — idempotent under micro-batch replay, the same
+ * sink posture as [[AnnServe]] and [[ReencryptionDrain]]. At 100 TB
+ * this is the shape that lets intake keep up with arrival rate: no
+ * state store, no watermark, per-batch work proportional to the batch.
+ */
+object StreamingIntake {
+
+  /**
+   * Per-doc intake verdict over one (micro-)batch: PII counts +
+   * scrubbed text + quality signals/decision + contamination flag —
+   * quality and contamination are judged on the SCRUBBED text (the
+   * text that would enter training).
+   */
+  def intakeBatch(docs: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    val scrubbed = TextFilters.piiScrub(docs, "doc_id", "text")
+    val clean = scrubbed.select(col("doc_id"), col("text_clean").as("text"))
+    val scored = TextFilters.qualityFilter(clean, "doc_id", "text")
+    val contam = Decontaminate.decontaminate(clean, bench, "doc_id", "text", n)
+    scrubbed.select("doc_id", "n_emails", "n_phones", "n_ips", "text_clean")
+      .join(scored, Seq("doc_id"))
+      .join(contam.select("doc_id", "n_hits", "contaminated"), Seq("doc_id"))
+  }
+
+  /**
+   * Run the intake chain on a document stream. `bench` is a STATIC
+   * DataFrame (eval suites are fixed MB-sized artifacts — the
+   * broadcast side of the decontamination join every batch reuses).
+   */
+  def intakeStream(docs: DataFrame, bench: DataFrame, n: Int,
+      outPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          intakeBatch(batch, bench, n)
+            .withColumn("batch_id", lit(batchId))
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        }
+      }
+      .start()
+}
