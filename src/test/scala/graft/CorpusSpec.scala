@@ -125,6 +125,17 @@ class CorpusSpec extends SparkSpecBase {
         Corpus.dataMix(docs, "lang", partial, budget),
         Corpus.dataMixWindowed(docs, "lang", partial, budget))
     }
+    // null stratum: its own partition in a window; the bucketed/bounded
+    // paths must treat it identically (null-safe joins throughout)
+    val withNulls = (0 until 300).map { i =>
+      (i.toLong, if (i % 3 == 0) null else s"s${i % 2}", "a b c d e")
+    }.toDF("doc_id", "lang", "text")
+    assertSameRows(
+      Corpus.sampleStratified(withNulls, "lang", 40),
+      Corpus.sampleStratifiedWindowed(withNulls, "lang", 40))
+    assertSameRows(
+      Corpus.seqPack(withNulls, "lang", 64),
+      Corpus.seqPackWindowed(withNulls, "lang", 64))
   }
 
   test("seq packing: offsets in range, streams contiguous, budget respected") {
