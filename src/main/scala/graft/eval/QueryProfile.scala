@@ -25,20 +25,31 @@ import graft.query.AnnQuery
 object QueryProfile {
 
   /**
-   * (query_id, n_probes, n_candidates, n_results, best_dist,
-   * worst_dist): probe fan-out, candidate surface, and top-k distance
-   * envelope per query.
+   * (query_id, n_probes, n_candidates, fanout_per_table, n_results,
+   * best_dist, worst_dist): probe fan-out, candidate surface, per-table
+   * contribution, and top-k distance envelope per query.
+   * `fanout_per_table` is the reference's `SearchDiagnostics
+   * .fanoutPerTable` record (common/SearchDiagnostics.java:5-9:
+   * tableId -> #unique ids contributed) as a map column — entries
+   * sorted by table id so the artifact is deterministic.
    */
   def profile(probed: DataFrame, built: LshIndex.Built, result: DataFrame): DataFrame = {
     val probes = probed.groupBy(col("qid").as("query_id"))
       .agg(count(lit(1)).as("n_probes"))
     val cands = AnnQuery.candidateCounts(probed, built)
+    val fanout = probed.join(built.membership, Seq("t", "d", "block"))
+      .groupBy(col("qid").as("query_id"), col("t"))
+      .agg(countDistinct("id").as("n"))
+      .groupBy("query_id")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("t"), col("n"))))).as("fanout_per_table"))
     val res = result.groupBy("query_id").agg(
       count(lit(1)).as("n_results"),
       min("dist").as("best_dist"),
       max("dist").as("worst_dist"))
     probes
       .join(cands, Seq("query_id"), "left")
+      .join(fanout, Seq("query_id"), "left")
       .join(res, Seq("query_id"), "left")
       .na.fill(0, Seq("n_candidates", "n_results"))
       .orderBy("query_id")

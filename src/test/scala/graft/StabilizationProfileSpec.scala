@@ -59,8 +59,14 @@ class StabilizationProfileSpec extends SparkSpecBase {
       assert(r.getLong(1) == model.params.tables.toLong * model.params.divisions *
         model.params.maxProbes, s"n_probes ${r.getLong(1)}")
       assert(r.getLong(2) > 0) // candidates
-      assert(r.getLong(3) == 10) // results
-      assert(r.getDouble(4) <= r.getDouble(5)) // best <= worst
+      // per-table fanout (SearchDiagnostics.fanoutPerTable): tables in
+      // range, and per-table unique ids cover the distinct union
+      val fanout = r.getMap[Int, Long](3)
+      assert(fanout.nonEmpty && fanout.keys.forall(t => t >= 0 && t < model.params.tables))
+      assert(fanout.values.sum >= r.getLong(2), s"fanout $fanout < union ${r.getLong(2)}")
+      assert(fanout.values.forall(_ <= r.getLong(2)))
+      assert(r.getLong(4) == 10) // results
+      assert(r.getDouble(5) <= r.getDouble(6)) // best <= worst
     }
   }
 
