@@ -11,7 +11,9 @@ object ExplainMain {
         "ann_brute_topk", "ann_lsh_topk", "ann_lsh_topk_distjoin", "dedup_minhash", "neardup_embedding", "simsearch_ivf", "query_token", "embed_quantize",
         "index_insert", "key_deletion", "dedup_clusters", "ann_diagnostics",
         "ann_filtered_topk", "ann_lsh_filtered_topk", "sample_stratified", "seq_pack",
-        "multimodal_embed")) {
+        "multimodal_embed", "data_mix", "decontaminate", "pii_scrub",
+        "quality_filter", "ann_multidim_topk", "ann_multidim_brute",
+        "ann_recall_eval")) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
