@@ -108,4 +108,25 @@ object AnnServe {
     servedSink(queries, outPath, checkpoint, trigger) { batch =>
       AnnQuery.lshTopK(batch.sparkSession, data, batch, k, model, built)
     }
+
+  /**
+   * Serve a MIXED-DIMENSION query stream: each micro-batch routes its
+   * queries through the per-dimension registry
+   * ([[graft.query.DimRegistry.topK]]) — the streaming form of the
+   * reference's per-dim `tokenFactories.get(dim)` lookup on its query
+   * loop. The registry (fitted models + cached per-dim indexes) stays
+   * resident across triggers; a batch containing an unregistered
+   * dimension fails that trigger loudly rather than dropping queries.
+   */
+  def serveMultidim(
+      queries: DataFrame,
+      data: DataFrame,
+      k: Int,
+      registry: Map[Int, graft.query.DimRegistry.Entry],
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    servedSink(queries, outPath, checkpoint, trigger) { batch =>
+      graft.query.DimRegistry.topK(batch.sparkSession, data, batch, k, registry)
+    }
 }

@@ -52,6 +52,35 @@ class DimRegistrySpec extends SparkSpecBase {
     assert(e.getMessage.contains("16"), e.getMessage)
   }
 
+  test("streamed mixed-dim serving equals batch routing across micro-batch boundaries") {
+    import java.nio.file.{Files, Paths}
+    def tmp(name: String): String = {
+      val d = s"/root/repo/target/tmp/multidim-serve/$name"
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      }
+      Files.createDirectories(p)
+      d
+    }
+    val queries = corpus.filter(col("vec_id") < 8)
+    val in = tmp("in"); val out = tmp("out"); val ckpt = tmp("ckpt")
+    // split so each micro-batch carries BOTH dims (routing per batch)
+    queries.filter(col("vec_id") < 4).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/batch=0")
+    queries.filter(col("vec_id") >= 4).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/batch=1")
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/batch=*")
+    val q = graft.streaming.AnnServe.serveMultidim(
+      stream.toDF(), corpus, 10, registry, out, ckpt)
+    q.awaitTermination(120000)
+    val served = spark.read.parquet(out).drop("batch_id")
+    val batch = graft.query.DimRegistry.topK(spark, corpus, queries, 10, registry)
+    assert(served.exceptAll(batch).count() == 0
+      && batch.exceptAll(served).count() == 0)
+  }
+
   test("single-dim entries are untouched: registry over a pure corpus == plain lshTopK") {
     val emb = Tables.embeddings(spark, sf)
     val reg1 = DimRegistry.build(emb, "vec_id", "embedding", LshParams())
