@@ -40,7 +40,9 @@ object GraftFunctions {
 
   private def fd(name: String, clazz: Class[_], usage: String)(
       builder: Seq[Expression] => Expression): FunctionDescription =
-    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, null, name, usage, ""), builder)
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in"),
+      builder)
 
   /** Every graft SQL function (the model-bearing LSH coder is Column-API
     * only: its fitted model is session state, not a literal argument). */

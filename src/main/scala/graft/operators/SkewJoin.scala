@@ -25,7 +25,7 @@ object SkewJoin {
       saltFactor: Int = 16): DataFrame = {
     require(saltFactor > 0)
     val bigSalted = big.withColumn(SaltCol,
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)).cast("int"))
     val smallReplicated = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(saltFactor - 1))))
     bigSalted.join(smallReplicated, Seq(key, SaltCol)).drop(SaltCol)
