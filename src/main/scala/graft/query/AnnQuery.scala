@@ -323,10 +323,13 @@ object AnnQuery {
     // the probe-order stamp is BIT-PACKED into one long (t | d | score |
     // block, 8+6+13+36 bits, each clamped to its field): its long min is
     // the lexicographic min over (t, d, score, block) — id is constant
-    // within a (qid, id) group, so the struct's id tiebreak was inert —
-    // and a numeric min keeps the aggregate hash-based with map-side
-    // partial combine (min over a struct forces a SortAggregate, which
-    // re-sorts the whole candidate union twice)
+    // within a (qid, id) group, so the old struct's trailing id field
+    // was inert INSIDE the min — and a numeric min keeps the aggregate
+    // hash-based with map-side partial combine (min over a struct
+    // forces a SortAggregate, which re-sorts the whole candidate union
+    // twice). The cap window below re-adds id as the explicit tiebreak:
+    // distinct ids sharing a (t, d, score, block) stamp must still rank
+    // in a TOTAL order, or the hardCap cut would be run-dependent.
     val firstOrd =
       shiftleft(least(col("t").cast("long"), lit(255L)), 55) +
         shiftleft(least(col("d").cast("long"), lit(63L)), 49) +
@@ -340,7 +343,7 @@ object AnnQuery {
         min(firstOrd).as("first_ord"))
     val live = deletedIds.fold(candidatesAll)(del =>
       candidatesAll.join(broadcast(del.select(col("id"))), Seq("id"), "left_anti"))
-    val wCap = Window.partitionBy("qid").orderBy(col("first_ord"))
+    val wCap = Window.partitionBy("qid").orderBy(col("first_ord"), col("id"))
     live
       .withColumn("cap_rank", row_number().over(wCap))
       .filter(col("cap_rank") <= p.hardCap)
