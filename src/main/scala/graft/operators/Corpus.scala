@@ -104,7 +104,15 @@ object Corpus {
     * ranges over the stratum's [min, max] doc_id span (per-stratum
     * bounds broadcast-joined from a tiny agg). Monotone in doc_id, a
     * pure function of the row — counts and numbering agree across
-    * recomputation, cache eviction, or task retry. */
+    * recomputation, cache eviction, or task retry (the property a
+    * sampled range partitioner would NOT give, since this plan is
+    * executed twice: once for the offsets table, once for the window).
+    *
+    * Ids clustered in a sliver of their stratum's span degrade bucket
+    * balance — parallelism, never correctness. If a real corpus hits
+    * that, swap equal-width bounds for once-collected per-stratum
+    * quantile boundaries embedded as literals (collect once so both
+    * executions see identical buckets; the tiny-table size is the same). */
   private[graft] def withRangeBucket(df: DataFrame, stratumCol: String, n: Int): DataFrame = {
     val stats = df.groupBy(col(stratumCol).as("_sk"))
       .agg(min("doc_id").as("_lo"), max("doc_id").as("_hi"))
