@@ -57,17 +57,23 @@ object QueryProfile {
 
   /** Export a (small) eval DataFrame as a single CSV artifact
     * (EvaluationSummaryPrinter / results-dir export). Driver-side by
-    * design: profiles and recall tables are one row per query / per k. */
+    * design: profiles and recall tables are one row per query / per k.
+    * Values whose rendering contains a comma, quote, or newline (e.g.
+    * the fanout map column) are RFC-4180-quoted. */
   def exportCsv(df: DataFrame, file: String): Unit = {
     val p = Paths.get(file)
     if (p.getParent != null) Files.createDirectories(p.getParent)
+    def cell(v: Any): String = {
+      if (v == null) return ""
+      val s = v.toString
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
     val cols = df.columns
     val sb = new StringBuilder(cols.mkString(",")).append('\n')
     df.collect().foreach { r =>
-      sb.append((0 until r.length).map { i =>
-        val v = r.get(i)
-        if (v == null) "" else v.toString
-      }.mkString(",")).append('\n')
+      sb.append((0 until r.length).map(i => cell(r.get(i))).mkString(",")).append('\n')
     }
     Files.write(p, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }

@@ -62,7 +62,13 @@ object DimRegistry {
     val missing = qDims.filterNot(registry.contains)
     require(missing.isEmpty,
       s"no index registered for dimension(s) ${missing.mkString(", ")}")
-    qDims.map { d =>
+    if (qDims.isEmpty) {
+      // empty query batch: the result shape without running any probe
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType), StructField("vec_id", LongType),
+          StructField("dist", DoubleType), StructField("rnk", IntegerType))))
+    } else qDims.map { d =>
       val e = registry(d)
       AnnQuery.lshTopK(spark,
         data.filter(size(col(vecCol)) === d),

@@ -50,6 +50,10 @@ class DimRegistrySpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](
       DimRegistry.topK(spark, corpus, alien, 5, registry))
     assert(e.getMessage.contains("16"), e.getMessage)
+    // an empty query batch yields an empty, correctly-shaped result
+    val empty = DimRegistry.topK(spark, corpus, corpus.filter(col("vec_id") < 0), 5, registry)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("query_id", "vec_id", "dist", "rnk"))
   }
 
   test("streamed mixed-dim serving equals batch routing across micro-batch boundaries") {

@@ -76,6 +76,14 @@ class StabilizationProfileSpec extends SparkSpecBase {
     QueryProfile.exportCsv(QueryProfile.profile(probed, built, result), file)
     val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(file))
     assert(lines.size == 6) // header + 5 queries
-    assert(lines.get(0).startsWith("query_id,n_probes,n_candidates"))
+    assert(lines.get(0).startsWith("query_id,n_probes,n_candidates,fanout_per_table"))
+    // the map column renders with commas: every row must still carry
+    // exactly the header's field count once quoted segments collapse
+    val nFields = lines.get(0).split(",").length
+    (1 until lines.size).foreach { i =>
+      val outsideQuotes = lines.get(i).split("\"").zipWithIndex
+        .collect { case (seg, idx) if idx % 2 == 0 => seg }.mkString
+      assert(outsideQuotes.count(_ == ',') == nFields - 1, s"row $i: ${lines.get(i)}")
+    }
   }
 }
