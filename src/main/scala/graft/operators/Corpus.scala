@@ -38,6 +38,15 @@ object Corpus {
     * ≈ target + N/1024 rows into the ranking window instead of N. */
   private val UBins = 1024
 
+  /** Whitespace token count WITHOUT materializing the token array:
+    * spaces + 1 == size(split(text, " ")) exactly (single-space split
+    * keeps empty fields in Spark and DuckDB alike, so both count
+    * separators + 1). The corpus operators only need the COUNT, and
+    * at corpus scale allocating a substring array per doc just to take
+    * its length is pure GC pressure. */
+  private def nTokens(text: Column): Column =
+    (length(text) - length(translate(text, " ", "")) + 1).cast("long")
+
   /**
    * Bound the per-stratum window input: keep, per stratum, every row in
    * u-histogram bins up to the FIRST bin where the cumulative weight
@@ -144,7 +153,7 @@ object Corpus {
   def seqPack(docs: DataFrame, stratumCol: String, budget: Int): DataFrame = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
     val sized = docs.select(col("doc_id"), col(stratumCol),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      nTokens(col("text")).as("n_tokens"))
     val bucketed = withRangeBucket(sized, stratumCol, n)
     // tiny (stratum x bucket) token sums -> per-bucket starting offsets
     val wOff = Window.partitionBy("_sk").orderBy("bkt")
@@ -173,7 +182,7 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), col(stratumCol),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        nTokens(col("text")).as("n_tokens"))
       .withColumn("cum_after", sum(col("n_tokens")).over(w))
       .withColumn("cum_before", col("cum_after") - col("n_tokens"))
       .select(col("doc_id"), col(stratumCol), col("n_tokens"),
@@ -200,7 +209,7 @@ object Corpus {
         when(stratum === s, lit(b)).otherwise(acc)
       }
     val base = docs.select(col("doc_id"), col(stratumCol),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      nTokens(col("text")).as("n_tokens"),
       hashUniform(col("doc_id")).as("u"))
     val kept = admitPrefix(base, stratumCol, col("n_tokens"), budgetOf)
     val w = Window.partitionBy(stratumCol).orderBy(col("u"), col("doc_id"))
@@ -221,7 +230,7 @@ object Corpus {
     }
     val w = Window.partitionBy(stratumCol).orderBy(col("u"), col("doc_id"))
     docs.select(col("doc_id"), col(stratumCol),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        nTokens(col("text")).as("n_tokens"),
         hashUniform(col("doc_id")).as("u"))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
