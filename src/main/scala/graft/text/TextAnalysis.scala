@@ -132,7 +132,10 @@ object TextAnalysis {
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
-      size(split(col("text"), " ")).as("ws_tokens"),
+      // spaces + 1 == size(split(text, " ")) with zero allocation
+      // (Corpus.nTokens rationale); the regex count genuinely needs
+      // the match pass
+      (length(col("text")) - length(translate(col("text"), " ", "")) + 1).as("ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit(BpeishPattern), lit(0))).as("regex_tokens"))
 
   val tokenCountSql: String =
