@@ -88,6 +88,11 @@ object GraftFunctions {
       "winnow_fp(text) - winnowing rolling-hash fingerprints of a STRING") { es =>
       arity(es, 1, "winnow_fp"); WinnowFingerprint(es(0))
     },
+    fd("regexp_count_fast", classOf[graft.text.RegexpCountFast],
+      "regexp_count_fast(text, pattern) - match count without materializing " +
+        "matches (pattern must be a literal)") { es =>
+      arity(es, 2, "regexp_count_fast"); graft.text.RegexpCountFast(es(0), es(1))
+    },
     fd("pack_floats", classOf[PackFloats],
       "pack_floats(vec) - little-endian float32 BINARY of a vector column") { es =>
       arity(es, 1, "pack_floats"); PackFloats(castVec(es(0)))

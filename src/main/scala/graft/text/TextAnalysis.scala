@@ -133,10 +133,10 @@ object TextAnalysis {
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
       // spaces + 1 == size(split(text, " ")) with zero allocation
-      // (Corpus.nTokens rationale); the regex count genuinely needs
-      // the match pass
+      // (Corpus.nTokens rationale); the regex count runs the native
+      // counting matcher instead of materializing every match
       (length(col("text")) - length(translate(col("text"), " ", "")) + 1).as("ws_tokens"),
-      size(regexp_extract_all(lower(col("text")), lit(BpeishPattern), lit(0))).as("regex_tokens"))
+      RegexpCount.re_count(lower(col("text")), BpeishPattern).as("regex_tokens"))
 
   val tokenCountSql: String =
     """SELECT doc_id,

@@ -71,7 +71,28 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(GraftFunctions.all.map(_._1.funcName).toSet ==
       Set("vec_dot", "vec_l2", "vec_cosine", "hamming64", "minhash_sig",
         "simhash64", "minhash_shingle_sig", "simhash_shingles",
-        "winnow_fp", "pack_floats", "unpack_floats"))
+        "winnow_fp", "regexp_count_fast", "pack_floats", "unpack_floats"))
+  }
+
+  test("regexp_count_fast equals size(regexp_extract_all) from SQL and the Column API") {
+    val docs = Tables.documents(spark, sf).limit(100).cache()
+    docs.createOrReplaceTempView("d_rc")
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    val viaSql = spark.sql(
+      s"SELECT doc_id, regexp_count_fast(lower(text), '${pat.replace("\\", "\\\\")}') AS n FROM d_rc")
+    val builtin = docs.select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))).as("n"))
+    val viaCol = docs.select(col("doc_id"),
+      graft.text.RegexpCount.re_count(lower(col("text")), pat).as("n"))
+    assert(viaSql.exceptAll(builtin).count() == 0 && builtin.exceptAll(viaSql).count() == 0)
+    assert(viaCol.exceptAll(builtin).count() == 0 && builtin.exceptAll(viaCol).count() == 0)
+    // zero-width-adjacent and empty-string edges match the built-in too
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "aaa bbb"), (3L, "!!!"), (4L, "a1b2")).toDF("doc_id", "text")
+    val a = graft.text.RegexpCount.re_count(col("text"), pat)
+    val b = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+    assert(edge.filter(a =!= b).count() == 0)
+    docs.unpersist()
   }
 
   test("bad arity and non-literal numPerms fail loudly") {
