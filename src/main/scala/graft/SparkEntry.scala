@@ -69,6 +69,8 @@ object SparkEntry {
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (BinaryMeta.multimodalMeta _),
     "multimodal_embed" -> (BinaryMeta.multimodalEmbed _),
+    "multimodal_resize" -> (BinaryMeta.multimodalResize _),
+    "multimodal_frames" -> (BinaryMeta.multimodalFrames _),
     "embed_quantize" -> (Embeddings.embedQuantize _),
     "sample_stratified" -> (graft.operators.Corpus.sampleStratifiedQuery _),
     "seq_pack" -> (graft.operators.Corpus.seqPackQuery _),
@@ -118,6 +120,8 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "multimodal_meta" -> BinaryMeta.multimodalMetaSql,
     "multimodal_embed" -> BinaryMeta.multimodalEmbedSql,
+    "multimodal_resize" -> BinaryMeta.multimodalResizeSql,
+    "multimodal_frames" -> BinaryMeta.multimodalFramesSql,
     "embed_quantize" -> Embeddings.embedQuantizeSql,
     "sample_stratified" -> graft.operators.Corpus.sampleStratifiedSql,
     "seq_pack" -> graft.operators.Corpus.seqPackSql,

@@ -28,14 +28,47 @@ object BinaryMeta {
   val BatchSize = 256
 
   /**
-   * STUB decode of one batch. A real deployment swaps the body for a
-   * codec call (e.g. JPEG header parse / ffprobe) with identical
-   * batching and signature; the rest of the pipeline is unchanged.
+   * The stub container format produced by [[resize]] / [[asVideo]]:
+   * magic "GRFT" + width/height/n_frames as big-endian int32, then the
+   * frame body. A real deployment's codec replaces this 16-byte header
+   * parse with a JPEG/MP4 probe — same signature, same batching.
+   */
+  private val Magic = Array[Byte]('G', 'R', 'F', 'T')
+  private val HeaderLen = 16
+
+  private def putInt(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+    a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+  }
+  private def getInt(a: Array[Byte], off: Int): Int =
+    ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) |
+      ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
+
+  private def hasHeader(m: Array[Byte]): Boolean =
+    m.length >= HeaderLen && m(0) == Magic(0) && m(1) == Magic(1) &&
+      m(2) == Magic(2) && m(3) == Magic(3)
+
+  private[multimodal] def header(w: Int, h: Int, frames: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](HeaderLen + body.length)
+    Magic.copyToArray(out)
+    putInt(out, 4, w); putInt(out, 8, h); putInt(out, 12, frames)
+    body.copyToArray(out, HeaderLen)
+    out
+  }
+
+  /**
+   * STUB decode of one batch: payloads carrying the stub container
+   * header report its true fields (what a codec's header probe does);
+   * raw payloads fall back to deterministic header math. A real
+   * deployment swaps the body for a codec call with identical batching
+   * and signature; the rest of the pipeline is unchanged.
    */
   def decodeBatch(batch: Seq[MediaRow]): Seq[MetaRow] =
     batch.map { r =>
       val len = r.media.length
-      MetaRow(r.doc_id, len, len % 640 + 16, (len * 7) % 480 + 16, 1)
+      if (hasHeader(r.media))
+        MetaRow(r.doc_id, len, getInt(r.media, 4), getInt(r.media, 8), getInt(r.media, 12))
+      else MetaRow(r.doc_id, len, len % 640 + 16, (len * 7) % 480 + 16, 1)
     }
 
   /** Batched decode over a (doc_id, media BINARY) DataFrame. */
@@ -60,6 +93,104 @@ object BinaryMeta {
       |  CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INTEGER) AS height,
       |  1 AS n_frames
       |FROM documents""".stripMargin
+
+  // ---- resize / frame-sample (stub codec, real batch plumbing) ----
+
+  /**
+   * STUB resize: media -> a stub-container payload declaring the
+   * target dimensions, body "downsampled" to every 4th byte — the
+   * deterministic stand-in for an image scaler. Contract (the real
+   * part): BINARY in, BINARY out, map-only over iterator batches;
+   * [[decode]] of the output reports exactly (w, h).
+   */
+  def resizeBatch(batch: Seq[MediaRow], w: Int, h: Int): Seq[MediaRow] =
+    batch.map { r =>
+      val body = Array.tabulate(r.media.length / 4)(i => r.media(i * 4))
+      MediaRow(r.doc_id, header(w, h, 1, body))
+    }
+
+  def resize(spark: SparkSession, mediaDf: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    mediaDf.select(col("doc_id").cast("long"), col("media")).as[MediaRow]
+      .mapPartitions(_.grouped(BatchSize).flatMap(resizeBatch(_, w, h)))
+      .toDF()
+  }
+
+  /** STUB video wrap: payload -> stub container with `len % 7 + 1`
+    * frames (variety without changing raw-payload decode semantics);
+    * frames are the equal byte slices of the body, remainder to the
+    * last frame. */
+  def asVideoBatch(batch: Seq[MediaRow]): Seq[MediaRow] =
+    batch.map { r =>
+      MediaRow(r.doc_id, header(0, 0, r.media.length % 7 + 1, r.media))
+    }
+
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_len: Int)
+
+  /**
+   * Frame sampling: keep every `everyN`-th frame of each stub-container
+   * video. One output row per sampled frame (doc_id, frame_idx,
+   * frame_len) — the real contract a vision pipeline needs before
+   * per-frame feature extraction; swapping the slice math for a codec's
+   * frame iterator keeps the batching and the explode shape.
+   */
+  def frameSampleBatch(batch: Seq[MediaRow], everyN: Int): Seq[FrameRow] =
+    batch.flatMap { r =>
+      if (!hasHeader(r.media)) Seq.empty
+      else {
+        val frames = getInt(r.media, 12)
+        val bodyLen = r.media.length - HeaderLen
+        val per = bodyLen / math.max(frames, 1)
+        (0 until frames by everyN).map { idx =>
+          val len = if (idx == frames - 1) bodyLen - per * (frames - 1) else per
+          FrameRow(r.doc_id, idx, len)
+        }
+      }
+    }
+
+  def frameSample(spark: SparkSession, mediaDf: DataFrame, everyN: Int): DataFrame = {
+    import spark.implicits._
+    mediaDf.select(col("doc_id").cast("long"), col("media")).as[MediaRow]
+      .mapPartitions(_.grouped(BatchSize).flatMap(frameSampleBatch(_, everyN)))
+      .toDF()
+  }
+
+  /** SparkEntry query: resize the text-byte payloads to 224x224 and
+    * decode the result — the decoded metadata proves the header
+    * roundtrip (body = every 4th byte of the original). */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    decode(spark, resize(spark, media, 224, 224))
+  }
+
+  val multimodalResizeSql: String =
+    """SELECT doc_id,
+      |  CAST(16 + octet_length(encode(text)) // 4 AS INTEGER) AS media_len,
+      |  224 AS width, 224 AS height, 1 AS n_frames
+      |FROM documents""".stripMargin
+
+  /** SparkEntry query: wrap payloads as stub videos (len%7+1 frames),
+    * sample every 2nd frame. */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions(_.grouped(BatchSize).flatMap(asVideoBatch))
+      .toDF()
+    frameSample(spark, media, everyN = 2)
+  }
+
+  val multimodalFramesSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS blen,
+      |    octet_length(encode(text)) % 7 + 1 AS frames
+      |  FROM documents)
+      |SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,
+      |  CAST(CASE WHEN idx = frames - 1 THEN blen - (blen // frames) * (frames - 1)
+      |       ELSE blen // frames END AS INTEGER) AS frame_len
+      |FROM v, LATERAL (SELECT unnest(range(0, frames, 2)) AS idx)""".stripMargin
 
   // ---- stub feature extraction: media -> embedding ----
 

@@ -280,4 +280,39 @@ class DedupTextSpec extends SparkSpecBase {
     assert(IvfSearch.scaledCells(1000000000L) == 4096) // cap
     assert(IvfSearch.scaledCells(1) == 4)
   }
+
+  test("multimodal resize: decode of the resized payload reports the target dims") {
+    val media = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val resized = BinaryMeta.resize(spark, media, 224, 128)
+    val meta = BinaryMeta.decode(spark, resized).collect()
+    assert(meta.length == 50)
+    meta.foreach { r =>
+      assert(r.getInt(2) == 224 && r.getInt(3) == 128 && r.getInt(4) == 1, r.toString)
+    }
+    // the body really shrank to every 4th byte (+16-byte header)
+    val lens = resized.select(col("doc_id"), length(col("media")).as("rl"))
+      .join(media.select(col("doc_id"), length(col("media")).as("ol")), "doc_id")
+      .collect()
+    lens.foreach(r => assert(r.getInt(1) == 16 + r.getInt(2) / 4, r.toString))
+  }
+
+  test("multimodal frame sampling: every-N indexes, slice lengths rebuild the body") {
+    import spark.implicits._
+    val media = Seq((1L, Array.fill[Byte](100)(7)), (2L, Array.fill[Byte](33)(1)))
+      .toDF("doc_id", "media").as[BinaryMeta.MediaRow]
+      .mapPartitions(_.grouped(16).flatMap(BinaryMeta.asVideoBatch)).toDF()
+    // everyN = 1: all frames, lengths sum to the body
+    val all = BinaryMeta.frameSample(spark, media, 1)
+    val sums = all.groupBy("doc_id").agg(
+      sum("frame_len").as("s"), count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sums(1L) == ((100L, (100 % 7 + 1).toLong)), sums.toString) // 3 frames
+    assert(sums(2L) == ((33L, (33 % 7 + 1).toLong)), sums.toString)   // 6 frames
+    // everyN = 2: exactly the even indexes survive
+    val sampled = BinaryMeta.frameSample(spark, media, 2)
+    assert(sampled.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    assert(sampled.filter(col("doc_id") === 2L).count() ==
+      (0 until 33 % 7 + 1 by 2).size)
+  }
 }
