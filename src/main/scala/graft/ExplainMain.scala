@@ -13,7 +13,7 @@ object ExplainMain {
         "ann_filtered_topk", "ann_lsh_filtered_topk", "sample_stratified", "seq_pack",
         "multimodal_embed", "data_mix", "decontaminate", "pii_scrub",
         "quality_filter", "ann_multidim_topk", "ann_multidim_brute",
-        "ann_recall_eval")) {
+        "ann_recall_eval", "multimodal_resize", "multimodal_frames")) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
