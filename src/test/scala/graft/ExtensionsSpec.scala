@@ -89,9 +89,11 @@ class ExtensionsSpec extends SparkSpecBase {
     // zero-width-adjacent and empty-string edges match the built-in too
     import spark.implicits._
     val edge = Seq((1L, ""), (2L, "aaa bbb"), (3L, "!!!"), (4L, "a1b2")).toDF("doc_id", "text")
-    val a = graft.text.RegexpCount.re_count(col("text"), pat)
-    val b = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
-    assert(edge.filter(a =!= b).count() == 0)
+    for (p <- Seq(pat, "^a", "\\ba\\w*", "a*", "(?i)AAA")) {
+      val a = graft.text.RegexpCount.re_count(col("text"), p)
+      val b = size(regexp_extract_all(col("text"), lit(p), lit(0)))
+      assert(edge.filter(a =!= b).count() == 0, s"pattern '$p' disagrees with the built-in")
+    }
     docs.unpersist()
   }
 

@@ -47,5 +47,18 @@ class StreamingIntakeSpec extends SparkSpecBase {
     // the chain's stages are all visible in the verdict: some docs carry
     // quality failures and the planted bench overlap flags contamination
     assert(spark.read.parquet(out).filter(col("keep") === 0).count() > 0)
+
+    // restart against the same checkpoint: the committed batches do not
+    // re-run, the sink stays byte-identical (exactly-once surface)
+    val stream2 = spark.readStream
+      .schema(train.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/batch=*")
+    val q2 = StreamingIntake.intakeStream(stream2.toDF(), bench, n = 5, out, ckpt,
+      Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val after = spark.read.parquet(out).drop("batch_id")
+    assert(after.count() == train.count())
+    assert(after.exceptAll(batch).count() == 0 && batch.exceptAll(after).count() == 0)
   }
 }
