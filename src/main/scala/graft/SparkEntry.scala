@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_brute_topk" -> AnnQuery.annBruteTopKSql,
     "ann_filtered_topk" -> AnnQuery.annFilteredTopKSql,
     "ann_multidim_brute" -> graft.query.DimRegistry.annMultidimBruteSql,
+    "lsh_code" -> AnnQuery.lshCodeSql,
     "lsh_partition_build" -> AnnQuery.lshPartitionBuildSql,
     "index_insert" -> graft.index.IndexMaintenance.indexInsertSql,
     "encrypt_points" -> VersionedCrypto.encryptPointsSql,

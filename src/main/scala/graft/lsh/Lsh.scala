@@ -33,6 +33,13 @@ final case class LshParams(
     refinementLimit: Int = 20000,
     maxGlobalCandidates: Int = 20000) {
   require(m > 0 && lambda > 0 && tables > 0 && divisions > 0 && blockSize > 0)
+  // bit-pack field widths (AnnQuery.packedOrd: t:8 d:6 score:13 block:36
+  // bits): a config exceeding a field would silently reorder the
+  // hard-cap cut instead of matching the reference's lexicographic
+  // struct-min — fail loudly at construction instead
+  require(tables <= 256, s"tables=$tables exceeds the 8-bit pack field (max 256)")
+  require(divisions <= 64, s"divisions=$divisions exceeds the 6-bit pack field (max 64)")
+  require(m * lambda <= 8191, s"m*lambda=${m * lambda} exceeds the 13-bit hamming pack field (max 8191)")
   def codeBits: Int = m * lambda
   def codeWords: Int = (codeBits + 63) >>> 6
 

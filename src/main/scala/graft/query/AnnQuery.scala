@@ -863,12 +863,66 @@ object AnnQuery {
       .join(built.membership, Seq("t", "d", "block"))
       .select(col("id")).distinct()
 
-  /** Per-vector LSH codes (rows oracle; values spec'd in LshSpec). */
+  /** Where [[lshCode]] exports the fitted model for the DuckDB oracle. */
+  val ModelExportPath = "/root/repo/tmp/oracle_fixtures/lsh_model.parquet"
+
+  /**
+   * Export the fitted model constants — one row per (t, d, projection j)
+   * with `alpha` (unit Gaussian direction), offset `r`, width `omega` —
+   * so an external engine can recompute the full code→key chain from
+   * first principles (reference Coding.java:184-241,285-301 semantics).
+   * tables*divisions*m rows ≈ 600: driver-side by construction.
+   */
+  def exportModel(spark: SparkSession, model: LshModel, path: String = ModelExportPath): Unit = {
+    import spark.implicits._
+    val p = model.params
+    val rows = for {
+      t <- 0 until p.tables
+      d <- 0 until p.divisions
+      j <- 0 until p.m
+      g = model.g(t, d)
+    } yield (t, d, j, g.alpha(j).toSeq, g.r(j), g.omega(j))
+    rows.toDF("t", "d", "j", "alpha", "r", "omega")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-vector LSH codes; hash-checked against [[lshCodeSql]], which
+    * recomputes `floor((alpha.v + r) / omega)`, the sign-flip, and the
+    * MSB-first interleaved 63-bit key from the exported model. */
   def lshCode(spark: SparkSession, sfDir: String): DataFrame = {
     val model = fitModel(spark, sfDir)
+    exportModel(spark, model)
     LshIndex.codes(emb(spark, sfDir).filter(col("vec_id") < 50), "vec_id", "embedding", model)
       .select(col("id").as("vec_id"), col("t"), col("d"), col("key"))
       .orderBy("vec_id", "t", "d")
+  }
+
+  /**
+   * DuckDB twin of the code→key chain over the exported model: per
+   * projection j, `h = floor((alpha.v + r) / omega)` XOR Int.MinValue
+   * (offset-binary sign-flip), then the m*lambda code bits interleave
+   * MSB-first — code position p = (lambda-1-bit)*m + j holds bit `bit`
+   * of h_j — and the key is the first 63 code bits (key bit 62-p).
+   * Each position lands via `((h >> bit) & 1) << (62 - p)`; positions
+   * past bit 62 fall off the key exactly as in `Lsh.key`.
+   */
+  def lshCodeSql: String = {
+    val p = cfg.lsh
+    // one summand per interleave block b (= lambda-1-bit); j is a column
+    val terms = (0 until p.lambda).map { b =>
+      val bit = p.lambda - 1 - b
+      val off = 62 - b * p.m // shift for j=0 in this block
+      s"(CASE WHEN $off - j >= 0 THEN ((hu >> $bit) & 1) << ($off - j) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH m AS (SELECT * FROM read_parquet('$ModelExportPath/*.parquet')),
+       |h AS (
+       |  SELECT e.vec_id, m.t, m.d, m.j,
+       |    CAST(xor(CAST(FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), m.alpha) + m.r) / m.omega) AS INTEGER),
+       |             -2147483648) AS BIGINT) & 4294967295 AS hu
+       |  FROM embeddings e CROSS JOIN m
+       |  WHERE e.vec_id < 50)
+       |SELECT vec_id, t, d, CAST(SUM($terms) AS BIGINT) AS key
+       |FROM h GROUP BY vec_id, t, d""".stripMargin
   }
 
   /** Partition-build structural invariants, SQL-checkable from row counts alone. */
