@@ -57,6 +57,7 @@ object SparkEntry {
     "csv_vectors" -> (LoaderQueries.csvVectors _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    "dedup_apply" -> (Dedup.dedupApplyQuery _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "csv_vectors" -> LoaderQueries.csvVectorsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
+    "dedup_apply" -> Dedup.dedupApplySql,
     "ngram_jaccard" -> Dedup.ngramJaccardSql,
     "neardup_embedding" -> Dedup.neardupEmbeddingSql,
     "lang_id" -> TextAnalysis.langIdSql,

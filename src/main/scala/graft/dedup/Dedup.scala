@@ -405,14 +405,20 @@ object Dedup {
    * >= threshold. Output: every doc with its component keeper and the
    * cluster size — the table a pipeline actually filters on.
    */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The deterministic cluster demo corpus: docs < 40 plus two planted
+    * variants each for doc_id < 10 (components span >= 3 nodes). */
+  private def clusterCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
       .select(col("doc_id"), col("text"))
-    val corpus = base
+    base
       .unionByName(base.filter(col("doc_id") < 10)
         .select((col("doc_id") + PlantOffset).as("doc_id"), mutatedText(col("text")).as("text")))
       .unionByName(base.filter(col("doc_id") < 10)
         .select((col("doc_id") + 2 * PlantOffset).as("doc_id"), col("text")))
+  }
+
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = clusterCorpus(spark, sfDir)
     val sets = corpus.select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
     val edges = sets.as("x").join(sets.as("y"), col("x.doc_id") < col("y.doc_id"))
@@ -429,7 +435,9 @@ object Dedup {
     out
   }
 
-  val dedupClustersSql: String =
+  /** Shared recursive-CTE prefix: demo corpus -> exact-Jaccard edges ->
+    * transitive closure -> per-vertex min-label components. */
+  private val clustersCte: String =
     s"""WITH RECURSIVE corpus AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id < 40
        |  UNION ALL
@@ -452,10 +460,40 @@ object Dedup {
        |  SELECT doc_id, doc_id FROM corpus
        |  UNION
        |  SELECT s.src, w.label FROM walk w JOIN sym s ON s.dst = w.id),
-       |cc AS (SELECT id, MIN(label) AS keeper FROM walk GROUP BY id)
+       |cc AS (SELECT id, MIN(label) AS keeper FROM walk GROUP BY id)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""$clustersCte
        |SELECT cc.id AS doc_id, cc.keeper,
        |  COUNT(*) OVER (PARTITION BY cc.keeper) AS n_cluster
        |FROM cc""".stripMargin
+
+  /**
+   * Apply dedup decisions: the corpus minus every non-keeper — the join
+   * each dedup user runs right after clustering. 100 TB posture: the
+   * non-keeper list is (dup_rate * corpus) rows of bare ids — far
+   * smaller than the corpus — so the anti-join broadcasts at moderate
+   * dup rates and degrades to a shuffle anti-join on the id key (never
+   * a full-corpus comparison) when it doesn't fit.
+   */
+  def dedupApply(docs: DataFrame, decisions: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      decisions.filter(col(idCol) =!= col("keeper")).select(idCol),
+      Seq(idCol), "left_anti")
+
+  /** [[dedupApply]] over the cluster demo corpus; hash-checked against
+    * the recursive-CTE closure extended one join further. */
+  def dedupApplyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = clusterCorpus(spark, sfDir)
+    val decisions = dedupClusters(spark, sfDir)
+    dedupApply(corpus, decisions)
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+  }
+
+  val dedupApplySql: String =
+    s"""$clustersCte
+       |SELECT c.doc_id, CAST(length(c.text) AS INTEGER) AS n_chars
+       |FROM corpus c JOIN cc ON cc.id = c.doc_id AND cc.id = cc.keeper""".stripMargin
 
   /** Top-20 cosine pairs via the bucketed path (SQL oracle: all-pairs). */
   def neardupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {

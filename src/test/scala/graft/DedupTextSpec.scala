@@ -273,6 +273,19 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_apply keeps exactly the keepers: corpus minus (cluster sizes - clusters)") {
+    val decisions = Dedup.dedupClusters(spark, sf).collect()
+    val kept = Dedup.dedupApplyQuery(spark, sf).collect().map(_.getLong(0)).toSet
+    val keepers = decisions.map(_.getLong(1)).toSet
+    assert(kept == keepers, "applied corpus != keeper set")
+    // row count = docs - (sum of cluster sizes - number of clusters)
+    val nClusters = decisions.map(_.getLong(1)).distinct.length
+    assert(kept.size == decisions.length - (decisions.length - nClusters))
+    // no kept doc is a non-keeper member
+    decisions.filter(r => r.getLong(0) != r.getLong(1))
+      .foreach(r => assert(!kept.contains(r.getLong(0)), s"non-keeper ${r.getLong(0)} kept"))
+  }
+
   test("ivf cell sizing scales as sqrt(N) within clamps") {
     assert(IvfSearch.scaledCells(100) == 4)          // floor: n/32
     assert(IvfSearch.scaledCells(500) == 15)         // n/32 binds below sqrt
