@@ -67,6 +67,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "token_count" -> (TextAnalysis.tokenCount _),
+    "token_count_bpe" -> (graft.text.Bpe.tokenCountBpe _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "multimodal_meta" -> (BinaryMeta.multimodalMeta _),
     "multimodal_embed" -> (BinaryMeta.multimodalEmbed _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "token_count" -> TextAnalysis.tokenCountSql,
+    "token_count_bpe" -> graft.text.Bpe.tokenCountBpeSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "multimodal_meta" -> BinaryMeta.multimodalMetaSql,
     "multimodal_embed" -> BinaryMeta.multimodalEmbedSql,

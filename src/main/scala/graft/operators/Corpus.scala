@@ -44,7 +44,7 @@ object Corpus {
     * separators + 1). The corpus operators only need the COUNT, and
     * at corpus scale allocating a substring array per doc just to take
     * its length is pure GC pressure. */
-  private def nTokens(text: Column): Column =
+  private[graft] def nTokens(text: Column): Column =
     (length(text) - length(translate(text, " ", "")) + 1).cast("long")
 
   /**
@@ -149,11 +149,15 @@ object Corpus {
    * parallelism = strata x buckets, not strata. Bucket order is doc_id
    * order by construction, so `base + within-bucket running sum` equals
    * the global per-stratum running sum exactly.
+   *
+   * `counter` picks the token-count semantics (default: whitespace;
+   * pass `Bpe.bpe_count(_, model)` to pack by subword tokens).
    */
-  def seqPack(docs: DataFrame, stratumCol: String, budget: Int): DataFrame = {
+  def seqPack(docs: DataFrame, stratumCol: String, budget: Int,
+      counter: Column => Column = nTokens): DataFrame = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
     val sized = docs.select(col("doc_id"), col(stratumCol),
-      nTokens(col("text")).as("n_tokens"))
+      counter(col("text")).as("n_tokens"))
     val bucketed = withRangeBucket(sized, stratumCol, n)
     // tiny (stratum x bucket) token sums -> per-bucket starting offsets
     val wOff = Window.partitionBy("_sk").orderBy("bkt")
@@ -177,12 +181,12 @@ object Corpus {
 
   /** Per-stratum running-sum-window twin of [[seqPack]]; cross-check oracle. */
   private[graft] def seqPackWindowed(docs: DataFrame, stratumCol: String,
-      budget: Int): DataFrame = {
+      budget: Int, counter: Column => Column = nTokens): DataFrame = {
     val w = Window.partitionBy(stratumCol).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), col(stratumCol),
-        nTokens(col("text")).as("n_tokens"))
+        counter(col("text")).as("n_tokens"))
       .withColumn("cum_after", sum(col("n_tokens")).over(w))
       .withColumn("cum_before", col("cum_after") - col("n_tokens"))
       .select(col("doc_id"), col(stratumCol), col("n_tokens"),
@@ -200,16 +204,20 @@ object Corpus {
    * first bounds its input to the u-prefix whose token mass covers the
    * stratum budget — the boundary-crossing doc is inside that prefix by
    * construction, so ranks and running sums are unchanged.
+   *
+   * `counter` picks the token-count semantics (default: whitespace;
+   * pass `Bpe.bpe_count(_, model)` to budget by subword tokens — a
+   * whitespace count mispacks real text 2-4x against tokenizer tokens).
    */
   def dataMix(docs: DataFrame, stratumCol: String, weights: Map[String, Double],
-      budget: Long): DataFrame = {
+      budget: Long, counter: Column => Column = nTokens): DataFrame = {
     val budgets = weights.map { case (s, w) => s -> math.floor(w * budget).toLong }
     def budgetOf(stratum: Column): Column =
       budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
         when(stratum === s, lit(b)).otherwise(acc)
       }
     val base = docs.select(col("doc_id"), col(stratumCol),
-      nTokens(col("text")).as("n_tokens"),
+      counter(col("text")).as("n_tokens"),
       hashUniform(col("doc_id")).as("u"))
     val kept = admitPrefix(base, stratumCol, col("n_tokens"), budgetOf)
     val w = Window.partitionBy(stratumCol).orderBy(col("u"), col("doc_id"))
