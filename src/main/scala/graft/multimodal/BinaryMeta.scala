@@ -44,11 +44,22 @@ object BinaryMeta {
     ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) |
       ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
 
+  /** Field-sanity bound: a raw payload that happens to start with the
+    * magic bytes carries arbitrary data in the int fields — printable
+    * ASCII there decodes to >= 0x20202020, far above any sane stub
+    * dimension — so bounding w/h/frames rejects the collision instead
+    * of reporting garbage metadata (and diverging from the len-math
+    * oracle for that row). */
+  private val MaxDim = 32768
+
   private def hasHeader(m: Array[Byte]): Boolean =
     m.length >= HeaderLen && m(0) == Magic(0) && m(1) == Magic(1) &&
-      m(2) == Magic(2) && m(3) == Magic(3)
+      m(2) == Magic(2) && m(3) == Magic(3) && {
+        val w = getInt(m, 4); val h = getInt(m, 8); val f = getInt(m, 12)
+        w >= 0 && w <= MaxDim && h >= 0 && h <= MaxDim && f >= 1 && f <= MaxDim
+      }
 
-  private[multimodal] def header(w: Int, h: Int, frames: Int, body: Array[Byte]): Array[Byte] = {
+  private[graft] def header(w: Int, h: Int, frames: Int, body: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](HeaderLen + body.length)
     Magic.copyToArray(out)
     putInt(out, 4, w); putInt(out, 8, h); putInt(out, 12, frames)
@@ -79,11 +90,44 @@ object BinaryMeta {
       .toDF()
   }
 
+  // ---- columnar header decode (no object round-trip) ----
+
+  /** Big-endian int32 at byte offset `off` of a BINARY column, read as
+    * LONG (unsigned-safe) via codegen'd built-ins: slice -> hex -> conv. */
+  private def beInt(media: org.apache.spark.sql.Column, off: Int): org.apache.spark.sql.Column =
+    conv(hex(substring(media, off + 1, 4)), 16, 10).cast("long")
+
+  /**
+   * Header-only decode as pure columnar expressions — the metadata
+   * read needs no codec, so it should not pay the typed-row round-trip
+   * [[decode]]'s mapPartitions contract costs (DeserializeToObject
+   * breaks whole-stage codegen): slice/hex/conv built-ins with the
+   * SAME validation as [[hasHeader]], identical output row-for-row
+   * (asserted in MultimodalSpec; plan shape in PlanPostureSpec).
+   * [[decode]] remains the batch contract where a real codec runs
+   * (frames, embed, resize bodies).
+   */
+  def decodeMeta(mediaDf: DataFrame): DataFrame = {
+    val m = col("media")
+    val len = length(m)
+    val w = beInt(m, 4)
+    val h = beInt(m, 8)
+    val f = beInt(m, 12)
+    val valid = len >= HeaderLen && substring(m, 1, 4) === lit(Magic) &&
+      w.between(0, MaxDim) && h.between(0, MaxDim) && f.between(1, MaxDim)
+    mediaDf.select(
+      col("doc_id").cast("long"),
+      len.as("media_len"),
+      when(valid, w).otherwise(len % 640 + 16).cast("int").as("width"),
+      when(valid, h).otherwise((len * 7) % 480 + 16).cast("int").as("height"),
+      when(valid, f).otherwise(1L).cast("int").as("n_frames"))
+  }
+
   /** SparkEntry query: documents' text bytes standing in for media payloads. */
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
-    decode(spark, media)
+    decodeMeta(media)
   }
 
   val multimodalMetaSql: String =
@@ -161,7 +205,9 @@ object BinaryMeta {
   def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
-    decode(spark, resize(spark, media, 224, 224))
+    // the resize body is codec work (batched mapPartitions); reading the
+    // result's header back is not — columnar decode on the output
+    decodeMeta(resize(spark, media, 224, 224))
   }
 
   val multimodalResizeSql: String =

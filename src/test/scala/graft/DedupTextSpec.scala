@@ -161,6 +161,34 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("columnar header decode == batch decode, incl. a GRFT-prefixed raw payload") {
+    import spark.implicits._
+    val grft = BinaryMeta.header(64, 32, 3, Array.tabulate(20)(_.toByte))
+    val crafted = Seq(
+      (0L, "plain text payload".getBytes("UTF-8")),
+      // raw doc that happens to start with the magic: the int fields
+      // hold printable ASCII (>= 0x20202020), so validation must send
+      // BOTH paths to the len-math fallback, not garbage dimensions
+      (1L, "GRFT is a fine acronym for a query engine".getBytes("UTF-8")),
+      (2L, grft),                       // genuine stub container
+      (3L, Array[Byte]('G', 'R', 'F')), // shorter than the magic
+      (4L, Array.empty[Byte]))
+    val mediaDf = crafted.toDF("doc_id", "media")
+    val viaExpr = BinaryMeta.decodeMeta(mediaDf).orderBy("doc_id").collect()
+    val viaBatch = BinaryMeta.decode(spark, mediaDf).orderBy("doc_id").collect()
+    assert(viaExpr.toSeq == viaBatch.toSeq)
+    val collision = viaExpr(1)
+    assert(collision.getInt(2) == collision.getInt(1) % 640 + 16,
+      s"GRFT-prefixed raw payload must fall back to len-math, got $collision")
+    assert(viaExpr(2).getInt(2) == 64 && viaExpr(2).getInt(3) == 32 &&
+      viaExpr(2).getInt(4) == 3)
+    // and on the real corpus, row-for-row equality
+    val media = docs.select(col("doc_id"), col("text").cast("binary").as("media"))
+    val a = BinaryMeta.decodeMeta(media).orderBy("doc_id").collect()
+    val b = BinaryMeta.decode(spark, media).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("multimodal stub embeddings feed the near-dup pipeline end-to-end") {
     import spark.implicits._
     // two identical media payloads + distinct ones; the stub features

@@ -97,6 +97,20 @@ class PlanPostureSpec extends SparkSpecBase {
     }, s"seq_pack running-sum window must partition by (stratum, bkt):\n$p")
   }
 
+  test("multimodal header decode is columnar: no object round-trip for meta; one codec stage for resize") {
+    val pMeta = plan("multimodal_meta")
+    assert(!pMeta.contains("DeserializeToObject") && !pMeta.contains("MapPartitions"),
+      s"multimodal_meta's header read must not leave codegen:\n$pMeta")
+    // resize keeps exactly its codec stage (the batched mapPartitions
+    // contract); the header read-back of its OUTPUT is columnar
+    val pResize = plan("multimodal_resize")
+    // formatted plans print each operator twice (tree + detail section);
+    // count the detail headers "(n) DeserializeToObject"
+    val boundaries = "\\(\\d+\\) DeserializeToObject".r.findAllIn(pResize).length
+    assert(boundaries == 1,
+      s"multimodal_resize must pay the object boundary once (the codec), not twice:\n$pResize")
+  }
+
   test("streaming coded ingest stays stateless (no state store in the plan)") {
     val emb = Tables.embeddings(spark, sf)
     val model = graft.query.AnnQuery.setupModel(spark, sf)
