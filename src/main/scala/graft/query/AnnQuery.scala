@@ -838,10 +838,19 @@ object AnnQuery {
       if (cfg.ratio.source == "base")
         distancesFromBase(gt.select("query_id", "vec_id", "rnk"), data, queries)
       else gt // gt | auto: trusted exact GT distances are in hand
-    recallEval(ann, gt, kVariants)
+    val eval = recallEval(ann, gt, kVariants)
       .join(ratios, Seq("k"))
       .join(distanceRatioEval(ann, gtForRatio, kVariants), Seq("k"), "left")
       .orderBy("k")
+      .cache()
+    // materialize the (k-variants-sized) eval, then drop the probe and
+    // top-k caches — repeated evals in one session must not accumulate
+    // storage memory until an external clearCache (the eval itself
+    // stays cached; it is a handful of rows)
+    eval.count()
+    probed.unpersist()
+    ann.unpersist()
+    eval
   }
 
   /** Unique candidates per query surfaced by a probe set (ratio numerator). */

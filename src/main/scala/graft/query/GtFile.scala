@@ -156,8 +156,14 @@ object GtFile {
     val (model, built) = AnnQuery.setupIndex(spark, sfDir)
     val ann = AnnQuery.lshTopK(spark, data, queries, maxK, model, built).cache()
     val gtWithDist = AnnQuery.distancesFromBase(gt, data, queries)
-    AnnQuery.recallEval(ann, gt, kVariants)
+    val eval = AnnQuery.recallEval(ann, gt, kVariants)
       .join(AnnQuery.distanceRatioEval(ann, gtWithDist, kVariants), Seq("k"), "left")
       .orderBy("k")
+      .cache()
+    // materialize the tiny eval, then release the top-k cache (repeat
+    // invocations must not grow storage memory across a session)
+    eval.count()
+    ann.unpersist()
+    eval
   }
 }
