@@ -96,6 +96,17 @@ final case class RatioConfig(source: String = "auto") {
     s"ratio.source must be auto|gt|base, got '$source'")
 }
 
+/** Corpus-assembly knobs: `bucketBoundaries` picks how [[graft.operators.Corpus]]
+  * draws its doc_id-range buckets — `width` (equal-width spans, zero
+  * extra passes) or `quantile` (once-collected per-stratum
+  * approx-quantile bounds embedded as literals, for corpora whose ids
+  * cluster in a sliver of their span; balance only — numbering is
+  * bucket-invariant either way). */
+final case class CorpusConfig(bucketBoundaries: String = "width") {
+  require(Seq("width", "quantile").contains(bucketBoundaries),
+    s"corpus.bucketBoundaries must be width|quantile, got '$bucketBoundaries'")
+}
+
 final case class GraftConfig(
     lsh: LshParams = LshParams(),
     stabilization: StabilizationConfig = StabilizationConfig(),
@@ -106,7 +117,8 @@ final case class GraftConfig(
     neardup: NeardupConfig = NeardupConfig(),
     kAdaptive: KAdaptiveConfig = KAdaptiveConfig(),
     audit: AuditConfig = AuditConfig(),
-    ratio: RatioConfig = RatioConfig())
+    ratio: RatioConfig = RatioConfig(),
+    corpus: CorpusConfig = CorpusConfig())
 
 object GraftConfig {
 
@@ -235,6 +247,9 @@ object GraftConfig {
         failOnZeroHit = b(auditN, "failOnZeroHit", d.audit.failOnZeroHit),
         zeroHitRateLimit = dbl(auditN, "zeroHitRateLimit", d.audit.zeroHitRateLimit),
         zeroHitMinQueries = i(auditN, "zeroHitMinQueries", d.audit.zeroHitMinQueries)),
-      ratio = RatioConfig(source = s(ratioN, "source", d.ratio.source)))
+      ratio = RatioConfig(source = s(ratioN, "source", d.ratio.source)),
+      corpus = CorpusConfig(
+        bucketBoundaries =
+          s(n.path("corpus"), "bucketBoundaries", d.corpus.bucketBoundaries)))
   }
 }

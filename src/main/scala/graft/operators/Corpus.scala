@@ -122,7 +122,12 @@ object Corpus {
     * that, swap equal-width bounds for once-collected per-stratum
     * quantile boundaries embedded as literals (collect once so both
     * executions see identical buckets; the tiny-table size is the same). */
-  private[graft] def withRangeBucket(df: DataFrame, stratumCol: String, n: Int): DataFrame = {
+  private[graft] def withRangeBucket(df: DataFrame, stratumCol: String, n: Int): DataFrame =
+    if (graft.config.GraftConfig.active.corpus.bucketBoundaries == "quantile")
+      withRangeBucketQuantile(df, stratumCol, n)
+    else withRangeBucketWidth(df, stratumCol, n)
+
+  private[graft] def withRangeBucketWidth(df: DataFrame, stratumCol: String, n: Int): DataFrame = {
     val stats = df.groupBy(col(stratumCol).as("_sk"))
       .agg(min("doc_id").as("_lo"), max("doc_id").as("_hi"))
     val span = col("_hi").cast("double") - col("_lo").cast("double") + 1.0
@@ -132,6 +137,36 @@ object Corpus {
     df.join(broadcast(stats), col(stratumCol) <=> col("_sk"))
       .withColumn("bkt", b.cast("int"))
       .drop("_sk", "_lo", "_hi")
+  }
+
+  /** The quantile-boundary variant (config `corpus.bucketBoundaries =
+    * quantile`), for corpora whose ids cluster in a sliver of their
+    * stratum's span: per-stratum approx-quantile bounds are collected
+    * ONCE and re-enter the plan as a broadcast LOCAL relation of
+    * literals — both executions of the downstream plan (offsets table
+    * + window) see identical buckets by construction, which is the
+    * invariant the equal-width variant gets from being a pure function
+    * of the row. Still monotone in doc_id within a stratum (bucket =
+    * count of bounds below the id), so numbering is unchanged; only
+    * balance differs. One extra column-pruned pass at build time. */
+  private[graft] def withRangeBucketQuantile(df: DataFrame, stratumCol: String, n: Int): DataFrame = {
+    if (n <= 1) return df.withColumn("bkt", lit(0))
+    val spark = df.sparkSession
+    val probs = (1 until n).map(p => p.toDouble / n)
+    val collected = df.groupBy(col(stratumCol).as("_sk"))
+      .agg(expr(s"approx_percentile(doc_id, array(${probs.mkString(", ")}), 10000)")
+        .as("_bounds"))
+      .collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_sk", df.schema(stratumCol).dataType),
+      org.apache.spark.sql.types.StructField("_bounds",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), schema)
+    df.join(broadcast(local), col(stratumCol) <=> col("_sk"))
+      .withColumn("bkt",
+        expr("CAST(aggregate(_bounds, 0, (a, b) -> a + IF(doc_id > b, 1, 0)) AS INT)"))
+      .drop("_sk", "_bounds")
   }
 
   /**
@@ -154,11 +189,16 @@ object Corpus {
    * pass `Bpe.bpe_count(_, model)` to pack by subword tokens).
    */
   def seqPack(docs: DataFrame, stratumCol: String, budget: Int,
-      counter: Column => Column = nTokens): DataFrame = {
+      counter: Column => Column = nTokens): DataFrame =
+    seqPackWith(docs, stratumCol, budget, counter, withRangeBucket)
+
+  private[graft] def seqPackWith(docs: DataFrame, stratumCol: String, budget: Int,
+      counter: Column => Column,
+      bucketer: (DataFrame, String, Int) => DataFrame): DataFrame = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
     val sized = docs.select(col("doc_id"), col(stratumCol),
       counter(col("text")).as("n_tokens"))
-    val bucketed = withRangeBucket(sized, stratumCol, n)
+    val bucketed = bucketer(sized, stratumCol, n)
     // tiny (stratum x bucket) token sums -> per-bucket starting offsets
     val wOff = Window.partitionBy("_sk").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -91,6 +91,46 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("quantile buckets balance clustered ids; packing is bucket-boundary-invariant") {
+    import spark.implicits._
+    // ids cluster in two slivers of a huge span: equal-width collapses
+    // to the edge buckets, quantile bounds spread the mass
+    val ids = (0L until 400L) ++ (4000000000L until 4000000400L)
+    val docs = ids.map(i => (i, "a", "some text " + i)).toDF("doc_id", "lang", "text")
+    val sized = docs.select(col("doc_id"), col("lang"), lit(2L).as("n_tokens"))
+    val n = 8
+    def counts(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      df.groupBy("bkt").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val width = counts(Corpus.withRangeBucketWidth(sized, "lang", n))
+    val quant = counts(Corpus.withRangeBucketQuantile(sized, "lang", n))
+    assert(width.size <= 2, s"clustered ids should collapse equal-width buckets: $width")
+    assert(quant.size >= n - 1, s"quantile bounds should populate ~all buckets: $quant")
+    assert(quant.values.max <= 2L * quant.values.min,
+      s"quantile buckets should be balanced: $quant")
+    // monotonicity in doc_id (the numbering invariant): bucket of a
+    // smaller id never exceeds the bucket of a larger one
+    val ordered = Corpus.withRangeBucketQuantile(sized, "lang", n)
+      .orderBy("doc_id").select("bkt").collect().map(_.getInt(0))
+    assert(ordered.sameElements(ordered.sorted), "quantile buckets must be monotone in doc_id")
+    // and the packing output is identical under either bucketing
+    val viaQuantile = Corpus.seqPackWith(docs, "lang", 64, Corpus.nTokens _,
+        Corpus.withRangeBucketQuantile).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val viaWindow = Corpus.seqPackWindowed(docs, "lang", 64).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(viaQuantile == viaWindow, "packing must not depend on bucket boundaries")
+  }
+
+  test("corpus.bucketBoundaries config: parse + validation") {
+    val c = graft.config.GraftConfig.parse(
+      """{"corpus": {"bucketBoundaries": "quantile"}}""")
+    assert(c.corpus.bucketBoundaries == "quantile")
+    assert(graft.config.GraftConfig.parse("{}").corpus.bucketBoundaries == "width")
+    intercept[IllegalArgumentException] {
+      graft.config.GraftConfig.parse("""{"corpus": {"bucketBoundaries": "zipf"}}""")
+    }
+  }
+
   test("randomized trials: scalable paths == windowed twins on adversarial corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812)
