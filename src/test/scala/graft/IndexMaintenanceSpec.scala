@@ -122,6 +122,49 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     assert(fresh.membership.exceptAll(compacted.membership).count() == 0)
   }
 
+  test("auto-compact triggers at the staged threshold; serving holds across the boundary") {
+    import java.nio.file.{Files, Paths}
+    def tmp(name: String): String = {
+      val d = s"/root/repo/target/tmp/lifecycle/$name"
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      }
+      Files.createDirectories(p)
+      d
+    }
+    val in = tmp("in"); val staged = tmp("staged"); val ckpt = tmp("ckpt")
+    // 50 staged vectors arrive as two files; maxFilesPerTrigger=4 may
+    // coalesce them, so assert on the threshold INVARIANT, not a count
+    deltaData.filter(col("vec_id") < 25).write.mode("overwrite").parquet(s"$in/b")
+    deltaData.filter(col("vec_id") >= 25).write.mode("append").parquet(s"$in/b")
+    val lc = new graft.streaming.InsertLifecycle(
+      spark, model, mainCodes, staged, compactEveryVectors = 30)
+    val q = lc.sink(
+      graft.streaming.StreamingIngest.codedVectorStream(spark, s"$in/b", model, emb.schema),
+      ckpt)
+    assert(q.awaitTermination(120000), "lifecycle ingest did not finish in time")
+
+    // 50 staged >= threshold 30 somewhere along the way: must have compacted,
+    // and the staged set can never end a batch at or above the threshold
+    assert(lc.compactions >= 1, "threshold crossing must trigger a compaction")
+    assert(lc.stagedVectors < 30, s"staged=${lc.stagedVectors} must sit below the threshold")
+
+    // post-compaction main == fresh full-corpus build, and serving a
+    // staged-then-compacted vector still returns itself at distance 0
+    val fresh = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), blockSize)
+    assert(lc.main.membership.exceptAll(fresh.membership).count() == 0)
+    assert(fresh.membership.exceptAll(lc.main.membership).count() == 0)
+    val served = lc.serve(emb, emb.filter(col("vec_id") === 7), 5)
+    val top = served.filter(col("rnk") === 1).head()
+    assert(top.getLong(1) == 7L && top.getDouble(2) == 0.0)
+    // and equality with the one-shot serving plan over the fresh build
+    val expect = AnnQuery.lshTopK(spark, emb, emb.filter(col("vec_id") < 10), 10, model, fresh)
+    val got = lc.serve(emb, emb.filter(col("vec_id") < 10), 10)
+    assert(got.exceptAll(expect).count() == 0)
+    assert(expect.exceptAll(got).count() == 0)
+  }
+
   test("index restore from the encrypted store equals the plaintext build") {
     val store = graft.crypto.VersionedCrypto.encrypt(emb, "vec_id", "embedding", 1)
     val restored = IndexMaintenance.restoreFromStore(store, 1, model, blockSize)
