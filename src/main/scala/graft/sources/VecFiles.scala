@@ -173,27 +173,43 @@ object VecFiles {
    * stream, the only line that knows about the destination).
    */
   def writeFvecsDistributed(df: DataFrame, idCol: String, vecCol: String,
-      dir: String, numFiles: Int): Unit = {
+      dir: String, numFiles: Int): Unit =
+    writeDistributed(df, idCol, vecCol, dir, numFiles, "fvecs", "array<float>",
+      (tmp, it) => writeFvecs(tmp, it.map(_.getSeq[Float](1).toArray)))
+
+  /** Distributed .bvecs export — the same layout contract as
+    * [[writeFvecsDistributed]] with uint8 payloads; values are masked
+    * to a byte exactly as [[writeBvecs]] frames them, so
+    * [[bvecs]]-loading an export roundtrips (id, value) for any input
+    * in [0, 255]. */
+  def writeBvecsDistributed(df: DataFrame, idCol: String, vecCol: String,
+      dir: String, numFiles: Int): Unit =
+    writeDistributed(df, idCol, vecCol, dir, numFiles, "bvecs", "array<int>",
+      (tmp, it) => writeBvecs(tmp, it.map(_.getSeq[Int](1).toArray)))
+
+  private def writeDistributed(df: DataFrame, idCol: String, vecCol: String,
+      dir: String, numFiles: Int, ext: String, castTo: String,
+      writePart: (String, Iterator[org.apache.spark.sql.Row]) => Unit): Unit = {
     Files.createDirectories(Paths.get(dir))
     // clear prior exports AND orphaned task-attempt temps: a stale
     // part file from a wider previous run (or a .tmp- from a killed
     // attempt) would otherwise sit in the dir — the loaders filter by
-    // extension, but a stale *.fvecs would silently shift every base id
+    // extension, but a stale part file would silently shift every base id
     val listing = Files.list(Paths.get(dir))
     try listing.forEach { f =>
       val n = f.getFileName.toString
-      if (n.endsWith(".fvecs") || n.contains(".fvecs.tmp-")) Files.delete(f)
+      if (n.endsWith(s".$ext") || n.contains(s".$ext.tmp-")) Files.delete(f)
     } finally listing.close() // Files.list holds an open DirectoryStream
     df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<float>").as("vec"))
+      col(vecCol).cast(castTo).as("vec"))
       .repartitionByRange(numFiles, col("id"))
       .sortWithinPartitions("id")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val tc = org.apache.spark.TaskContext.get()
-          val file = f"$dir/part-${tc.partitionId()}%05d.fvecs"
+          val file = f"$dir/part-${tc.partitionId()}%05d.$ext"
           val tmp = s"$file.tmp-${tc.taskAttemptId()}"
-          writeFvecs(tmp, it.map(_.getSeq[Float](1).toArray))
+          writePart(tmp, it)
           Files.move(Paths.get(tmp), Paths.get(file),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           ()

@@ -52,6 +52,24 @@ class VecFilesSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("distributed bvecs export roundtrips through the loader") {
+    import spark.implicits._
+    val dir = tmp("bvecs-dist")
+    // full uint8 range across a few hundred vectors, uneven last file
+    val df = (0 until 500).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 31 + j * 97) % 256)))
+      .toDF("vec_id", "vec")
+    VecFiles.writeBvecsDistributed(df, "vec_id", "vec", dir, numFiles = 3)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count()
+    assert(parts >= 2, s"expected multiple part files, got $parts")
+    val back = VecFiles.bvecs(spark, dir)
+    assert(back.count() == 500)
+    val bad = df.select(col("vec_id").as("id"), col("vec").as("want"))
+      .join(back, "id")
+      .filter(not(col("want") === col("vec"))).count()
+    assert(bad == 0)
+  }
+
   test("bvecs: uint8 values survive (0..255)") {
     val dir = tmp("bvecs")
     val rows = Array.tabulate(10)(i => Array.tabulate(4)(j => (i * 67 + j * 63) % 256))
