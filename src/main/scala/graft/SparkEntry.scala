@@ -42,6 +42,7 @@ object SparkEntry {
     "ann_diagnostics" -> (graft.eval.QueryDiagnostics.annDiagnostics _),
     "lsh_code" -> (AnnQuery.lshCode _),
     "lsh_partition_build" -> (AnnQuery.lshPartitionBuild _),
+    "lsh_blocks" -> (AnnQuery.lshBlocks _),
     "index_insert" -> (graft.index.IndexMaintenance.indexInsert _),
     "ann_lsh_topk_delta" -> (graft.index.IndexMaintenance.annLshTopKDelta _),
     "encrypt_points" -> (VersionedCrypto.encryptPoints _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "ann_filtered_topk" -> AnnQuery.annFilteredTopKSql,
     "ann_multidim_brute" -> graft.query.DimRegistry.annMultidimBruteSql,
     "lsh_code" -> AnnQuery.lshCodeSql,
+    "lsh_blocks" -> AnnQuery.lshBlocksSql,
     "lsh_partition_build" -> AnnQuery.lshPartitionBuildSql,
     "index_insert" -> graft.index.IndexMaintenance.indexInsertSql,
     "encrypt_points" -> VersionedCrypto.encryptPointsSql,

@@ -914,8 +914,10 @@ object AnnQuery {
    * of h_j — and the key is the first 63 code bits (key bit 62-p).
    * Each position lands via `((h >> bit) & 1) << (62 - p)`; positions
    * past bit 62 fall off the key exactly as in `Lsh.key`.
+   * `vecFilter` bounds the vector set (`lsh_code` checks 50 vectors;
+   * `lsh_blocks` re-derives the whole corpus layout).
    */
-  def lshCodeSql: String = {
+  private def codeKeyCte(vecFilter: String): String = {
     val p = cfg.lsh
     // one summand per interleave block b (= lambda-1-bit); j is a column
     val terms = (0 until p.lambda).map { b =>
@@ -929,9 +931,43 @@ object AnnQuery {
        |    CAST(xor(CAST(FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), m.alpha) + m.r) / m.omega) AS INTEGER),
        |             -2147483648) AS BIGINT) & 4294967295 AS hu
        |  FROM embeddings e CROSS JOIN m
-       |  WHERE e.vec_id < 50)
-       |SELECT vec_id, t, d, CAST(SUM($terms) AS BIGINT) AS key
-       |FROM h GROUP BY vec_id, t, d""".stripMargin
+       |  $vecFilter),
+       |kk AS (
+       |  SELECT vec_id, t, d, CAST(SUM($terms) AS BIGINT) AS key
+       |  FROM h GROUP BY vec_id, t, d)""".stripMargin
+  }
+
+  def lshCodeSql: String =
+    s"""${codeKeyCte("WHERE e.vec_id < 50")}
+       |SELECT vec_id, t, d, key FROM kk""".stripMargin
+
+  /**
+   * The full greedy-partition LAYOUT, hash-checked: per-(t, d, block)
+   * summaries of the resident index. The oracle re-derives every code
+   * and key from the exported model, reproduces the deterministic
+   * (t, d, key, id) global sort (`LshIndex.build` numbering ==
+   * `row_number` by construction, LshIndex.scala:95,133), cuts blocks
+   * of `blockSize`, and aggregates the summary columns — anchoring the
+   * exact block boundaries every probe and candidate join serves from
+   * (`lsh_partition_build` checks the same table's counts; this checks
+   * the layout itself).
+   */
+  def lshBlocks(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, built) = setup(spark, sfDir)
+    exportModel(spark, model)
+    built.summaries.select(col("t"), col("d"), col("block"),
+      col("min_key"), col("max_key"), col("n"))
+  }
+
+  def lshBlocksSql: String = {
+    val b = cfg.lsh.blockSize
+    s"""${codeKeyCte("")}
+       |SELECT t, d, CAST((rn // $b) AS INTEGER) AS block,
+       |  MIN(key) AS min_key, MAX(key) AS max_key, COUNT(*) AS n
+       |FROM (SELECT t, d, key,
+       |        ROW_NUMBER() OVER (PARTITION BY t, d ORDER BY key, vec_id) - 1 AS rn
+       |      FROM kk)
+       |GROUP BY t, d, block""".stripMargin
   }
 
   /** Partition-build structural invariants, SQL-checkable from row counts alone. */
