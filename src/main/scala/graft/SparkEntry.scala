@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_apply" -> Dedup.dedupApplySql,
     "ngram_jaccard" -> Dedup.ngramJaccardSql,
     "neardup_embedding" -> Dedup.neardupEmbeddingSql,
+    "simsearch_ivf" -> IvfSearch.simsearchIvfSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,

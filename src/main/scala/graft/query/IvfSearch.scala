@@ -171,14 +171,63 @@ object IvfSearch {
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
   }
 
+  /** Where [[simsearchIvf]] exports the fitted centroids for the
+    * DuckDB oracle (cells x dim floats — KBs by construction). */
+  val CentroidExportPath = "/root/repo/tmp/oracle_fixtures/ivf_centroids.parquet"
+
   def simsearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val data = Tables.embeddings(spark, sfDir)
     // config override wins; otherwise size cells from the corpus
     val c = if (cfg.ivf.cells > 0) cfg.ivf.cells
       else scaledCells(memoCount(data, s"ivf:$sfDir"))
     val cents = fitCentroids(data, c, Some(s"ivf:$sfDir"))
+    centroidsDf(spark, cents)
+      .coalesce(1).write.mode("overwrite").parquet(CentroidExportPath)
     ivfTopK(spark, data, data.filter(col("vec_id") < NumQueries), K, NumProbes, cents)
   }
+
+  /**
+   * DuckDB twin of the full IVF serving chain over the exported
+   * centroids: nearest-centroid assignment (argmin by (dist, cell) —
+   * `assignCells`' min_by tie-break), nProbe probe selection per
+   * query, candidate cap in (probe-order, id) order, exact refine,
+   * top-k by (dist, vec_id). Distance parity with `vec_l2` (double
+   * accumulation over floats) is the same contract `ann_brute_topk`
+   * already hash-checks via `list_distance`.
+   */
+  def simsearchIvfSql: String =
+    s"""WITH c AS (SELECT cell, cv FROM read_parquet('$CentroidExportPath/*.parquet')),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, cell, crnk FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS crnk
+       |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < $NumQueries)
+       |  WHERE crnk <= $NumProbes),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT p.query_id, a.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY p.crnk, a.vec_id) AS cap_rank
+       |    FROM probes p JOIN assign a ON a.cell = p.cell)
+       |  WHERE cap_rank <= ${cfg.ivf.maxCandidates}),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist
+       |  FROM cand
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  JOIN embeddings q ON q.vec_id = cand.query_id)
+       |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT query_id, vec_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INTEGER) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $K""".stripMargin
 
   /** Warm the SETUP-phase centroid fits for a corpus (the IVF and
     * near-dup models are fitted once and held, like the LSH model —
