@@ -85,7 +85,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    // the flagship oracle is valid only while codes fit one word
+    // (code == key << 1); a wider config drops back to the rows check
+    AnnQuery.annLshTopKSqlOpt.map("ann_lsh_topk" -> _).toMap ++ Map(
     "q1_pricing" -> Analytics.q1PricingSql,
     "q6_revenue" -> Analytics.q6RevenueSql,
     "q3_shipping" -> Analytics.q3ShippingSql,

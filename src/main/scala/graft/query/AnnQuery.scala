@@ -491,6 +491,9 @@ object AnnQuery {
       perSession.getOrElseUpdate(sfDir, {
         val data = emb(spark, sfDir)
         val model = Lsh.fit(data, "embedding", cfg.lsh)
+        // oracle fixture rides the SETUP memo: exported once per
+        // (session, corpus), outside any timed query region
+        exportModel(spark, model)
         // spread: the coding map stage must not serialize on a
         // few-split source (no-op at scale, LshIndex.spread scaladoc)
         val built = LshIndex.build(
@@ -899,8 +902,7 @@ object AnnQuery {
     * recomputes `floor((alpha.v + r) / omega)`, the sign-flip, and the
     * MSB-first interleaved 63-bit key from the exported model. */
   def lshCode(spark: SparkSession, sfDir: String): DataFrame = {
-    val model = fitModel(spark, sfDir)
-    exportModel(spark, model)
+    val model = fitModel(spark, sfDir) // setup exports the model fixture
     LshIndex.codes(emb(spark, sfDir).filter(col("vec_id") < 50), "vec_id", "embedding", model)
       .select(col("id").as("vec_id"), col("t"), col("d"), col("key"))
       .orderBy("vec_id", "t", "d")
@@ -917,7 +919,7 @@ object AnnQuery {
    * `vecFilter` bounds the vector set (`lsh_code` checks 50 vectors;
    * `lsh_blocks` re-derives the whole corpus layout).
    */
-  private def codeKeyCte(vecFilter: String): String = {
+  private def codeKeyCte(vecFilter: String, recursive: Boolean = false): String = {
     val p = cfg.lsh
     // one summand per interleave block b (= lambda-1-bit); j is a column
     val terms = (0 until p.lambda).map { b =>
@@ -925,7 +927,7 @@ object AnnQuery {
       val off = 62 - b * p.m // shift for j=0 in this block
       s"(CASE WHEN $off - j >= 0 THEN ((hu >> $bit) & 1) << ($off - j) ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH m AS (SELECT * FROM read_parquet('$ModelExportPath/*.parquet')),
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}m AS (SELECT * FROM read_parquet('$ModelExportPath/*.parquet')),
        |h AS (
        |  SELECT e.vec_id, m.t, m.d, m.j,
        |    CAST(xor(CAST(FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), m.alpha) + m.r) / m.omega) AS INTEGER),
@@ -953,8 +955,7 @@ object AnnQuery {
    * the layout itself).
    */
   def lshBlocks(spark: SparkSession, sfDir: String): DataFrame = {
-    val (model, built) = setup(spark, sfDir)
-    exportModel(spark, model)
+    val (_, built) = setup(spark, sfDir) // setup exports the model fixture
     built.summaries.select(col("t"), col("d"), col("block"),
       col("min_key"), col("max_key"), col("n"))
   }
@@ -968,6 +969,111 @@ object AnnQuery {
        |        ROW_NUMBER() OVER (PARTITION BY t, d ORDER BY key, vec_id) - 1 AS rn
        |      FROM kk)
        |GROUP BY t, d, block""".stripMargin
+  }
+
+  /**
+   * The FLAGSHIP chain, hash-checked end to end in DuckDB: codes/keys
+   * from the exported model, the deterministic block layout, cover
+   * windows -> nearest-by-key center (`findNearestBlock`'s gap
+   * semantics == rank by (key_dist, block)), the best-first probe
+   * expansion — the probed set is always a contiguous block interval
+   * whose two frontier ends compete by (rep-hamming, block), so a
+   * recursive CTE over (l, r) state reproduces the priority queue
+   * exactly — the bit-packed first-appearance cap stamp, the
+   * stabilization refine bound, and the exact-L2 top-k.
+   *
+   * Valid only while the code fits one word (m*lambda <= 63): then
+   * code == key << 1, so rep-Hamming == bit_count(xor(keys)).
+   * [[SparkEntry.oracleSql]] includes the entry conditionally.
+   */
+  def annLshTopKSqlOpt: Option[String] = {
+    val p = cfg.lsh
+    if (p.codeWords != 1) None
+    else {
+      val stab = graft.config.GraftConfig.active.stabilization
+      val hLimit =
+        if (!stab.enabled) s"${p.refinementLimit}"
+        else s"LEAST(${p.refinementLimit}, GREATEST(${math.max(DefaultK, stab.minCandidates)}, " +
+          s"LEAST(COUNT(*) OVER (PARTITION BY qid), ${math.ceil(DefaultK * stab.targetRatio).toLong})))"
+      Some(s"""${codeKeyCte("", recursive = true)},
+       |mem AS (
+       |  SELECT vec_id, t, d, key,
+       |    CAST(rn // ${p.blockSize} AS INTEGER) AS block, rn % ${p.blockSize} AS local
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY t, d ORDER BY key, vec_id) - 1 AS rn FROM kk)),
+       |blocks AS (
+       |  SELECT t, d, block, MIN(key) AS min_key, MAX(key) AS max_key, COUNT(*) AS n
+       |  FROM mem GROUP BY t, d, block),
+       |summ AS (
+       |  SELECT b.t, b.d, b.block, b.min_key, b.max_key, r.rep_key,
+       |    GREATEST(0, LEAST(b.min_key, COALESCE(LAG(b.max_key) OVER w + 1, 0))) AS lo,
+       |    GREATEST(b.max_key, COALESCE(LEAD(b.min_key) OVER w - 1, 9223372036854775807)) AS hi
+       |  FROM blocks b JOIN (
+       |    SELECT m.t, m.d, m.block, m.key AS rep_key
+       |    FROM mem m JOIN blocks bb USING (t, d, block) WHERE m.local = (bb.n - 1) // 2) r
+       |    USING (t, d, block)
+       |  WINDOW w AS (PARTITION BY b.t, b.d ORDER BY b.block)),
+       |qk AS (SELECT vec_id AS qid, t, d, key AS qkey FROM kk WHERE vec_id < $NumQueries),
+       |centers AS (
+       |  SELECT qid, t, d, qkey, block AS center FROM (
+       |    SELECT q.qid, q.t, q.d, q.qkey, s.block,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid, q.t, q.d ORDER BY
+       |        CASE WHEN q.qkey < s.min_key THEN s.min_key - q.qkey
+       |             WHEN q.qkey > s.max_key THEN q.qkey - s.max_key ELSE 0 END, s.block) AS cr
+       |    FROM qk q JOIN summ s ON s.t = q.t AND s.d = q.d AND q.qkey BETWEEN s.lo AND s.hi)
+       |  WHERE cr = 1),
+       |scored AS (
+       |  SELECT c.qid, c.t, c.d, c.center, s.block,
+       |    bit_count(xor(c.qkey, s.rep_key)) AS h
+       |  FROM centers c JOIN summ s ON s.t = c.t AND s.d = c.d
+       |    AND abs(s.block - c.center) < ${p.maxProbes}),
+       |walk(qid, t, d, l, r, step) AS (
+       |  SELECT qid, t, d, center, center, 1 FROM centers
+       |  UNION ALL
+       |  SELECT w.qid, w.t, w.d,
+       |    CASE WHEN sl.block IS NOT NULL AND (sr.block IS NULL OR sl.h <= sr.h)
+       |         THEN w.l - 1 ELSE w.l END,
+       |    CASE WHEN sl.block IS NOT NULL AND (sr.block IS NULL OR sl.h <= sr.h)
+       |         THEN w.r ELSE w.r + 1 END,
+       |    w.step + 1
+       |  FROM walk w
+       |  LEFT JOIN scored sl ON sl.qid = w.qid AND sl.t = w.t AND sl.d = w.d AND sl.block = w.l - 1
+       |  LEFT JOIN scored sr ON sr.qid = w.qid AND sr.t = w.t AND sr.d = w.d AND sr.block = w.r + 1
+       |  WHERE w.step < ${p.maxProbes} AND (sl.block IS NOT NULL OR sr.block IS NOT NULL)),
+       |probed AS (
+       |  SELECT s.qid, s.t, s.d, s.block, s.h AS score
+       |  FROM (SELECT * FROM (
+       |          SELECT w.*, ROW_NUMBER() OVER (PARTITION BY qid, t, d ORDER BY step DESC) AS wr
+       |          FROM walk w) WHERE wr = 1) f
+       |  JOIN scored s ON s.qid = f.qid AND s.t = f.t AND s.d = f.d
+       |    AND s.block BETWEEN f.l AND f.r),
+       |cand AS (
+       |  SELECT p.qid, m.vec_id AS id, MIN(p.score) AS hamming,
+       |    MIN((CAST(p.t AS BIGINT) << 55) + (CAST(p.d AS BIGINT) << 49)
+       |      + (LEAST(CAST(p.score AS BIGINT), 8191) << 36)
+       |      + LEAST(CAST(p.block AS BIGINT), 68719476735)) AS first_ord
+       |  FROM probed p JOIN mem m ON m.t = p.t AND m.d = p.d AND m.block = p.block
+       |  GROUP BY p.qid, m.vec_id),
+       |capped AS (
+       |  SELECT qid, id, hamming FROM (
+       |    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY first_ord, id) AS cr
+       |    FROM cand c) WHERE cr <= ${p.hardCap}),
+       |bounded AS (
+       |  SELECT qid, id FROM (
+       |    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, id) AS hr,
+       |      $hLimit AS h_limit
+       |    FROM capped c) WHERE hr <= h_limit),
+       |refined AS (
+       |  SELECT b.qid AS query_id, b.id AS vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist
+       |  FROM bounded b
+       |  JOIN embeddings e ON e.vec_id = b.id
+       |  JOIN embeddings q ON q.vec_id = b.qid)
+       |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT query_id, vec_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INTEGER) AS rnk
+       |  FROM refined)
+       |WHERE rnk <= $DefaultK""".stripMargin)
+    }
   }
 
   /** Partition-build structural invariants, SQL-checkable from row counts alone. */
