@@ -986,7 +986,21 @@ object AnnQuery {
    * code == key << 1, so rep-Hamming == bit_count(xor(keys)).
    * [[SparkEntry.oracleSql]] includes the entry conditionally.
    */
-  def annLshTopKSqlOpt: Option[String] = {
+  def annLshTopKSqlOpt: Option[String] =
+    annChainSqlOpt(cfg.lsh.maxProbes, bestFirst = true, sameLabel = false)
+
+  /** Same chain, widened probes + equality filter at the refine
+    * (`lshTopKSameLabel`, overProbe = 2). */
+  def annLshFilteredTopKSqlOpt: Option[String] =
+    annChainSqlOpt(cfg.lsh.maxProbes * 2, bestFirst = true, sameLabel = true)
+
+  /** The distributed-probe twin: same centers, but the probed set is
+    * the top maxProbes by (rep-hamming, block) within the
+    * +-maxProbes window — no recursion needed. */
+  def annLshTopKDistJoinSqlOpt: Option[String] =
+    annChainSqlOpt(cfg.lsh.maxProbes, bestFirst = false, sameLabel = false)
+
+  private def annChainSqlOpt(mp: Int, bestFirst: Boolean, sameLabel: Boolean): Option[String] = {
     val p = cfg.lsh
     if (p.codeWords != 1) None
     else {
@@ -995,7 +1009,43 @@ object AnnQuery {
         if (!stab.enabled) s"${p.refinementLimit}"
         else s"LEAST(${p.refinementLimit}, GREATEST(${math.max(DefaultK, stab.minCandidates)}, " +
           s"LEAST(COUNT(*) OVER (PARTITION BY qid), ${math.ceil(DefaultK * stab.targetRatio).toLong})))"
-      Some(s"""${codeKeyCte("", recursive = true)},
+      val probedCte =
+        if (bestFirst)
+          s"""walk(qid, t, d, l, r, step) AS (
+             |  SELECT qid, t, d, center, center, 1 FROM centers
+             |  UNION ALL
+             |  SELECT w.qid, w.t, w.d,
+             |    CASE WHEN sl.block IS NOT NULL AND (sr.block IS NULL OR sl.h <= sr.h)
+             |         THEN w.l - 1 ELSE w.l END,
+             |    CASE WHEN sl.block IS NOT NULL AND (sr.block IS NULL OR sl.h <= sr.h)
+             |         THEN w.r ELSE w.r + 1 END,
+             |    w.step + 1
+             |  FROM walk w
+             |  LEFT JOIN scored sl ON sl.qid = w.qid AND sl.t = w.t AND sl.d = w.d AND sl.block = w.l - 1
+             |  LEFT JOIN scored sr ON sr.qid = w.qid AND sr.t = w.t AND sr.d = w.d AND sr.block = w.r + 1
+             |  WHERE w.step < $mp AND (sl.block IS NOT NULL OR sr.block IS NOT NULL)),
+             |probed AS (
+             |  SELECT s.qid, s.t, s.d, s.block, s.h AS score
+             |  FROM (SELECT * FROM (
+             |          SELECT w.*, ROW_NUMBER() OVER (PARTITION BY qid, t, d ORDER BY step DESC) AS wr
+             |          FROM walk w) WHERE wr = 1) f
+             |  JOIN scored s ON s.qid = f.qid AND s.t = f.t AND s.d = f.d
+             |    AND s.block BETWEEN f.l AND f.r)""".stripMargin
+        else
+          s"""probed AS (
+             |  SELECT qid, t, d, block, h AS score FROM (
+             |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY qid, t, d ORDER BY h, block) AS pr
+             |    FROM scored s) WHERE pr <= $mp)""".stripMargin
+      val refineJoin =
+        if (sameLabel)
+          s"""  FROM bounded b
+             |  JOIN embeddings e ON e.vec_id = b.id
+             |  JOIN embeddings q ON q.vec_id = b.qid AND q.label = e.label""".stripMargin
+        else
+          s"""  FROM bounded b
+             |  JOIN embeddings e ON e.vec_id = b.id
+             |  JOIN embeddings q ON q.vec_id = b.qid""".stripMargin
+      Some(s"""${codeKeyCte("", recursive = bestFirst)},
        |mem AS (
        |  SELECT vec_id, t, d, key,
        |    CAST(rn // ${p.blockSize} AS INTEGER) AS block, rn % ${p.blockSize} AS local
@@ -1025,27 +1075,8 @@ object AnnQuery {
        |  SELECT c.qid, c.t, c.d, c.center, s.block,
        |    bit_count(xor(c.qkey, s.rep_key)) AS h
        |  FROM centers c JOIN summ s ON s.t = c.t AND s.d = c.d
-       |    AND abs(s.block - c.center) < ${p.maxProbes}),
-       |walk(qid, t, d, l, r, step) AS (
-       |  SELECT qid, t, d, center, center, 1 FROM centers
-       |  UNION ALL
-       |  SELECT w.qid, w.t, w.d,
-       |    CASE WHEN sl.block IS NOT NULL AND (sr.block IS NULL OR sl.h <= sr.h)
-       |         THEN w.l - 1 ELSE w.l END,
-       |    CASE WHEN sl.block IS NOT NULL AND (sr.block IS NULL OR sl.h <= sr.h)
-       |         THEN w.r ELSE w.r + 1 END,
-       |    w.step + 1
-       |  FROM walk w
-       |  LEFT JOIN scored sl ON sl.qid = w.qid AND sl.t = w.t AND sl.d = w.d AND sl.block = w.l - 1
-       |  LEFT JOIN scored sr ON sr.qid = w.qid AND sr.t = w.t AND sr.d = w.d AND sr.block = w.r + 1
-       |  WHERE w.step < ${p.maxProbes} AND (sl.block IS NOT NULL OR sr.block IS NOT NULL)),
-       |probed AS (
-       |  SELECT s.qid, s.t, s.d, s.block, s.h AS score
-       |  FROM (SELECT * FROM (
-       |          SELECT w.*, ROW_NUMBER() OVER (PARTITION BY qid, t, d ORDER BY step DESC) AS wr
-       |          FROM walk w) WHERE wr = 1) f
-       |  JOIN scored s ON s.qid = f.qid AND s.t = f.t AND s.d = f.d
-       |    AND s.block BETWEEN f.l AND f.r),
+       |    AND abs(s.block - c.center) < $mp),
+       |$probedCte,
        |cand AS (
        |  SELECT p.qid, m.vec_id AS id, MIN(p.score) AS hamming,
        |    MIN((CAST(p.t AS BIGINT) << 55) + (CAST(p.d AS BIGINT) << 49)
@@ -1065,9 +1096,7 @@ object AnnQuery {
        |refined AS (
        |  SELECT b.qid AS query_id, b.id AS vec_id,
        |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist
-       |  FROM bounded b
-       |  JOIN embeddings e ON e.vec_id = b.id
-       |  JOIN embeddings q ON q.vec_id = b.qid)
+       |$refineJoin)
        |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
        |  SELECT query_id, vec_id, dist,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INTEGER) AS rnk
