@@ -90,7 +90,8 @@ object SparkEntry {
     // (code == key << 1); a wider config drops back to the rows check
     AnnQuery.annLshTopKSqlOpt.map("ann_lsh_topk" -> _).toMap ++
     AnnQuery.annLshFilteredTopKSqlOpt.map("ann_lsh_filtered_topk" -> _).toMap ++
-    AnnQuery.annLshTopKDistJoinSqlOpt.map("ann_lsh_topk_distjoin" -> _).toMap ++ Map(
+    AnnQuery.annLshTopKDistJoinSqlOpt.map("ann_lsh_topk_distjoin" -> _).toMap ++
+    AnnQuery.annLshTopKDeltaSqlOpt.map("ann_lsh_topk_delta" -> _).toMap ++ Map(
     "q1_pricing" -> Analytics.q1PricingSql,
     "q6_revenue" -> Analytics.q6RevenueSql,
     "q3_shipping" -> Analytics.q3ShippingSql,

@@ -1000,41 +1000,54 @@ object AnnQuery {
   def annLshTopKDistJoinSqlOpt: Option[String] =
     annChainSqlOpt(cfg.lsh.maxProbes, bestFirst = false, sameLabel = false)
 
-  private def annChainSqlOpt(mp: Int, bestFirst: Boolean, sameLabel: Boolean): Option[String] = {
+  /** Main + staged-delta serving (`IndexMaintenance.lshTopKWithDelta`):
+    * vectors split into two independently-built index layouts (idx 0 =
+    * main, 1 = delta), each probed with its own budget; the candidate
+    * union's cap stamp offsets delta blocks by 2^30 exactly like
+    * `IndexMaintenance.combined`. */
+  def annLshTopKDeltaSqlOpt: Option[String] =
+    annChainSqlOpt(cfg.lsh.maxProbes, bestFirst = true, sameLabel = false,
+      splitAt = Some(100))
+
+  private def annChainSqlOpt(mp: Int, bestFirst: Boolean, sameLabel: Boolean,
+      splitAt: Option[Int] = None): Option[String] = {
     val p = cfg.lsh
     if (p.codeWords != 1) None
     else {
       val stab = graft.config.GraftConfig.active.stabilization
+      // idx = which index layout a vector belongs to (always 0 without
+      // a split; 1 = the staged delta) — rides every partition key
+      val idxExpr = splitAt.fold("0")(th => s"CASE WHEN vec_id < $th THEN 1 ELSE 0 END")
       val hLimit =
         if (!stab.enabled) s"${p.refinementLimit}"
         else s"LEAST(${p.refinementLimit}, GREATEST(${math.max(DefaultK, stab.minCandidates)}, " +
           s"LEAST(COUNT(*) OVER (PARTITION BY qid), ${math.ceil(DefaultK * stab.targetRatio).toLong})))"
       val probedCte =
         if (bestFirst)
-          s"""walk(qid, t, d, l, r, step) AS (
-             |  SELECT qid, t, d, center, center, 1 FROM centers
+          s"""walk(qid, idx, t, d, l, r, step) AS (
+             |  SELECT qid, idx, t, d, center, center, 1 FROM centers
              |  UNION ALL
-             |  SELECT w.qid, w.t, w.d,
+             |  SELECT w.qid, w.idx, w.t, w.d,
              |    CASE WHEN sl.block IS NOT NULL AND (sr.block IS NULL OR sl.h <= sr.h)
              |         THEN w.l - 1 ELSE w.l END,
              |    CASE WHEN sl.block IS NOT NULL AND (sr.block IS NULL OR sl.h <= sr.h)
              |         THEN w.r ELSE w.r + 1 END,
              |    w.step + 1
              |  FROM walk w
-             |  LEFT JOIN scored sl ON sl.qid = w.qid AND sl.t = w.t AND sl.d = w.d AND sl.block = w.l - 1
-             |  LEFT JOIN scored sr ON sr.qid = w.qid AND sr.t = w.t AND sr.d = w.d AND sr.block = w.r + 1
+             |  LEFT JOIN scored sl ON sl.qid = w.qid AND sl.idx = w.idx AND sl.t = w.t AND sl.d = w.d AND sl.block = w.l - 1
+             |  LEFT JOIN scored sr ON sr.qid = w.qid AND sr.idx = w.idx AND sr.t = w.t AND sr.d = w.d AND sr.block = w.r + 1
              |  WHERE w.step < $mp AND (sl.block IS NOT NULL OR sr.block IS NOT NULL)),
              |probed AS (
-             |  SELECT s.qid, s.t, s.d, s.block, s.h AS score
+             |  SELECT s.qid, s.idx, s.t, s.d, s.block, s.h AS score
              |  FROM (SELECT * FROM (
-             |          SELECT w.*, ROW_NUMBER() OVER (PARTITION BY qid, t, d ORDER BY step DESC) AS wr
+             |          SELECT w.*, ROW_NUMBER() OVER (PARTITION BY qid, idx, t, d ORDER BY step DESC) AS wr
              |          FROM walk w) WHERE wr = 1) f
-             |  JOIN scored s ON s.qid = f.qid AND s.t = f.t AND s.d = f.d
+             |  JOIN scored s ON s.qid = f.qid AND s.idx = f.idx AND s.t = f.t AND s.d = f.d
              |    AND s.block BETWEEN f.l AND f.r)""".stripMargin
         else
           s"""probed AS (
-             |  SELECT qid, t, d, block, h AS score FROM (
-             |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY qid, t, d ORDER BY h, block) AS pr
+             |  SELECT qid, idx, t, d, block, h AS score FROM (
+             |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY qid, idx, t, d ORDER BY h, block) AS pr
              |    FROM scored s) WHERE pr <= $mp)""".stripMargin
       val refineJoin =
         if (sameLabel)
@@ -1047,42 +1060,43 @@ object AnnQuery {
              |  JOIN embeddings q ON q.vec_id = b.qid""".stripMargin
       Some(s"""${codeKeyCte("", recursive = bestFirst)},
        |mem AS (
-       |  SELECT vec_id, t, d, key,
+       |  SELECT vec_id, idx, t, d, key,
        |    CAST(rn // ${p.blockSize} AS INTEGER) AS block, rn % ${p.blockSize} AS local
-       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY t, d ORDER BY key, vec_id) - 1 AS rn FROM kk)),
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY idx, t, d ORDER BY key, vec_id) - 1 AS rn
+       |        FROM (SELECT kk.*, $idxExpr AS idx FROM kk))),
        |blocks AS (
-       |  SELECT t, d, block, MIN(key) AS min_key, MAX(key) AS max_key, COUNT(*) AS n
-       |  FROM mem GROUP BY t, d, block),
+       |  SELECT idx, t, d, block, MIN(key) AS min_key, MAX(key) AS max_key, COUNT(*) AS n
+       |  FROM mem GROUP BY idx, t, d, block),
        |summ AS (
-       |  SELECT b.t, b.d, b.block, b.min_key, b.max_key, r.rep_key,
+       |  SELECT b.idx, b.t, b.d, b.block, b.min_key, b.max_key, r.rep_key,
        |    GREATEST(0, LEAST(b.min_key, COALESCE(LAG(b.max_key) OVER w + 1, 0))) AS lo,
        |    GREATEST(b.max_key, COALESCE(LEAD(b.min_key) OVER w - 1, 9223372036854775807)) AS hi
        |  FROM blocks b JOIN (
-       |    SELECT m.t, m.d, m.block, m.key AS rep_key
-       |    FROM mem m JOIN blocks bb USING (t, d, block) WHERE m.local = (bb.n - 1) // 2) r
-       |    USING (t, d, block)
-       |  WINDOW w AS (PARTITION BY b.t, b.d ORDER BY b.block)),
+       |    SELECT m.idx, m.t, m.d, m.block, m.key AS rep_key
+       |    FROM mem m JOIN blocks bb USING (idx, t, d, block) WHERE m.local = (bb.n - 1) // 2) r
+       |    USING (idx, t, d, block)
+       |  WINDOW w AS (PARTITION BY b.idx, b.t, b.d ORDER BY b.block)),
        |qk AS (SELECT vec_id AS qid, t, d, key AS qkey FROM kk WHERE vec_id < $NumQueries),
        |centers AS (
-       |  SELECT qid, t, d, qkey, block AS center FROM (
-       |    SELECT q.qid, q.t, q.d, q.qkey, s.block,
-       |      ROW_NUMBER() OVER (PARTITION BY q.qid, q.t, q.d ORDER BY
+       |  SELECT qid, idx, t, d, qkey, block AS center FROM (
+       |    SELECT q.qid, s.idx, q.t, q.d, q.qkey, s.block,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid, s.idx, q.t, q.d ORDER BY
        |        CASE WHEN q.qkey < s.min_key THEN s.min_key - q.qkey
        |             WHEN q.qkey > s.max_key THEN q.qkey - s.max_key ELSE 0 END, s.block) AS cr
        |    FROM qk q JOIN summ s ON s.t = q.t AND s.d = q.d AND q.qkey BETWEEN s.lo AND s.hi)
        |  WHERE cr = 1),
        |scored AS (
-       |  SELECT c.qid, c.t, c.d, c.center, s.block,
+       |  SELECT c.qid, c.idx, c.t, c.d, c.center, s.block,
        |    bit_count(xor(c.qkey, s.rep_key)) AS h
-       |  FROM centers c JOIN summ s ON s.t = c.t AND s.d = c.d
+       |  FROM centers c JOIN summ s ON s.idx = c.idx AND s.t = c.t AND s.d = c.d
        |    AND abs(s.block - c.center) < $mp),
        |$probedCte,
        |cand AS (
        |  SELECT p.qid, m.vec_id AS id, MIN(p.score) AS hamming,
        |    MIN((CAST(p.t AS BIGINT) << 55) + (CAST(p.d AS BIGINT) << 49)
        |      + (LEAST(CAST(p.score AS BIGINT), 8191) << 36)
-       |      + LEAST(CAST(p.block AS BIGINT), 68719476735)) AS first_ord
-       |  FROM probed p JOIN mem m ON m.t = p.t AND m.d = p.d AND m.block = p.block
+       |      + LEAST(CAST(p.block AS BIGINT) + CAST(p.idx AS BIGINT) * 1073741824, 68719476735)) AS first_ord
+       |  FROM probed p JOIN mem m ON m.idx = p.idx AND m.t = p.t AND m.d = p.d AND m.block = p.block
        |  GROUP BY p.qid, m.vec_id),
        |capped AS (
        |  SELECT qid, id, hamming FROM (
