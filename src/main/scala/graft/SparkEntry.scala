@@ -91,7 +91,8 @@ object SparkEntry {
     AnnQuery.annLshTopKSqlOpt.map("ann_lsh_topk" -> _).toMap ++
     AnnQuery.annLshFilteredTopKSqlOpt.map("ann_lsh_filtered_topk" -> _).toMap ++
     AnnQuery.annLshTopKDistJoinSqlOpt.map("ann_lsh_topk_distjoin" -> _).toMap ++
-    AnnQuery.annLshTopKDeltaSqlOpt.map("ann_lsh_topk_delta" -> _).toMap ++ Map(
+    AnnQuery.annLshTopKDeltaSqlOpt.map("ann_lsh_topk_delta" -> _).toMap ++
+    AnnQuery.annRecallEvalSqlOpt.map("ann_recall_eval" -> _).toMap ++ Map(
     "q1_pricing" -> Analytics.q1PricingSql,
     "q6_revenue" -> Analytics.q6RevenueSql,
     "q3_shipping" -> Analytics.q3ShippingSql,

@@ -791,12 +791,16 @@ object AnnQuery {
 
   /** Mean distance-ratio@K over queries, per k variant (null-ratio
     * queries — reference NaN — drop out of the mean, like the
-    * reference's aggregate over non-NaN profiler rows). */
+    * reference's aggregate over non-NaN profiler rows). A k where
+    * EVERY query is voided reports -1.0 (an impossible ratio; real
+    * ones are >= 1) instead of null: the reference prints NaN there,
+    * but nullable-float artifacts do not round-trip uniformly across
+    * engines, and the correctness gate hashes values. */
   def distanceRatioEval(annResult: DataFrame, groundTruth: DataFrame,
       kVariants: Seq[Int]): DataFrame =
     distRatioByQuery(annResult, groundTruth, kVariants)
       .groupBy("k")
-      .agg(round(avg(col("dist_ratio")), 4).as("avg_dist_ratio"))
+      .agg(coalesce(round(avg(col("dist_ratio")), 4), lit(-1.0)).as("avg_dist_ratio"))
 
   /**
    * Re-derive result-pair distances from BASE VECTORS (reference
@@ -1009,8 +1013,65 @@ object AnnQuery {
     annChainSqlOpt(cfg.lsh.maxProbes, bestFirst = true, sameLabel = false,
       splitAt = Some(100))
 
+  /** Recall + search-cost + paper-ratio eval (`annRecallEval`), checked
+    * end to end: the ann side is the k=maxK chain, the ground truth a
+    * brute-force cross join, and the three metrics re-aggregate per k
+    * variant exactly as recallEval/candidateCounts/distRatioByQuery. */
+  def annRecallEvalSqlOpt: Option[String] = {
+    val ks = cfg.eval.kVariants
+    val maxK = ks.max
+    val ksList = ks.mkString("[", ", ", "]")
+    val tail =
+      s"""gt AS (
+         |  SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id,
+         |      list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS dist,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS INTEGER) AS rnk
+         |    FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < $NumQueries)
+         |  WHERE rnk <= $maxK),
+         |ks AS (SELECT unnest($ksList) AS k),
+         |grid AS (SELECT DISTINCT g.query_id, ks.k FROM gt g CROSS JOIN ks),
+         |hits AS (
+         |  SELECT ks.k, a.query_id, COUNT(*) AS n_hits
+         |  FROM ann a JOIN gt g USING (query_id, vec_id) CROSS JOIN ks
+         |  WHERE a.rnk <= ks.k AND g.rnk <= ks.k
+         |  GROUP BY ks.k, a.query_id),
+         |rec AS (
+         |  SELECT gr.k, ROUND(AVG(COALESCE(h.n_hits, 0) * 1.0 / gr.k), 4) AS recall,
+         |    COUNT(*) AS n_queries
+         |  FROM grid gr LEFT JOIN hits h ON h.k = gr.k AND h.query_id = gr.query_id
+         |  GROUP BY gr.k),
+         |cands AS (
+         |  SELECT p.qid, COUNT(DISTINCT m.vec_id) AS n_candidates
+         |  FROM probed p JOIN mem m ON m.idx = p.idx AND m.t = p.t AND m.d = p.d AND m.block = p.block
+         |  GROUP BY p.qid),
+         |ratios AS (
+         |  SELECT ks.k, ROUND(AVG(n_candidates * 1.0 / ks.k), 2) AS avg_ratio
+         |  FROM cands CROSS JOIN ks GROUP BY ks.k),
+         |drq AS (
+         |  SELECT ks.k, p.query_id,
+         |    SUM(CASE WHEN p.d_gt > 0 THEN p.d_ann / p.d_gt END) AS ratio_sum,
+         |    COUNT(CASE WHEN p.d_gt > 0 THEN 1 END) AS used,
+         |    COUNT(*) AS n_pairs
+         |  FROM (SELECT a.query_id, a.rnk, a.dist AS d_ann, g.dist AS d_gt
+         |        FROM ann a JOIN gt g USING (query_id, rnk)) p
+         |  CROSS JOIN ks WHERE p.rnk <= ks.k GROUP BY ks.k, p.query_id),
+         |dr AS (
+         |  SELECT k, COALESCE(
+         |    ROUND(AVG(CASE WHEN n_pairs = k AND used > 0 THEN ratio_sum / used END), 4), -1.0)
+         |    AS avg_dist_ratio
+         |  FROM drq GROUP BY k)
+         |SELECT r.k, r.recall, r.n_queries, ra.avg_ratio,
+         |  COALESCE(dr.avg_dist_ratio, -1.0) AS avg_dist_ratio
+         |FROM rec r JOIN ratios ra USING (k) LEFT JOIN dr USING (k)""".stripMargin
+    annChainSqlOpt(cfg.lsh.maxProbes, bestFirst = true, sameLabel = false,
+      k = maxK, tail = Some(tail))
+  }
+
   private def annChainSqlOpt(mp: Int, bestFirst: Boolean, sameLabel: Boolean,
-      splitAt: Option[Int] = None): Option[String] = {
+      splitAt: Option[Int] = None, k: Int = DefaultK,
+      tail: Option[String] = None): Option[String] = {
     val p = cfg.lsh
     if (p.codeWords != 1) None
     else {
@@ -1020,8 +1081,8 @@ object AnnQuery {
       val idxExpr = splitAt.fold("0")(th => s"CASE WHEN vec_id < $th THEN 1 ELSE 0 END")
       val hLimit =
         if (!stab.enabled) s"${p.refinementLimit}"
-        else s"LEAST(${p.refinementLimit}, GREATEST(${math.max(DefaultK, stab.minCandidates)}, " +
-          s"LEAST(COUNT(*) OVER (PARTITION BY qid), ${math.ceil(DefaultK * stab.targetRatio).toLong})))"
+        else s"LEAST(${p.refinementLimit}, GREATEST(${math.max(k, stab.minCandidates)}, " +
+          s"LEAST(COUNT(*) OVER (PARTITION BY qid), ${math.ceil(k * stab.targetRatio).toLong})))"
       val probedCte =
         if (bestFirst)
           s"""walk(qid, idx, t, d, l, r, step) AS (
@@ -1110,12 +1171,13 @@ object AnnQuery {
        |refined AS (
        |  SELECT b.qid AS query_id, b.id AS vec_id,
        |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist
-       |$refineJoin)
-       |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
-       |  SELECT query_id, vec_id, dist,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INTEGER) AS rnk
-       |  FROM refined)
-       |WHERE rnk <= $DefaultK""".stripMargin)
+       |$refineJoin),
+       |ann AS (
+       |  SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |    SELECT query_id, vec_id, dist,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INTEGER) AS rnk
+       |    FROM refined)
+       |  WHERE rnk <= $k)${tail.fold("\nSELECT query_id, vec_id, dist, rnk FROM ann")(t => s",\n$t")}""".stripMargin)
     }
   }
 

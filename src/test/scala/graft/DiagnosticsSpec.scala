@@ -92,8 +92,9 @@ class DiagnosticsSpec extends SparkSpecBase {
     assert(perfect.length == 3)
     perfect.foreach { r =>
       // k=1's only pair is the self-match at distance 0 — the reference
-      // guard skips it, leaving no usable pair: undefined (NaN -> null)
-      if (r.getInt(0) == 1) assert(r.isNullAt(1), s"k=1 must be undefined: $r")
+      // guard skips it, leaving no usable pair: voided (reference NaN,
+      // reported as the -1.0 sentinel — distanceRatioEval scaladoc)
+      if (r.getInt(0) == 1) assert(r.getDouble(1) == -1.0, s"k=1 must be voided: $r")
       else assert(r.getDouble(1) == 1.0, s"perfect ratio != 1.0: $r")
     }
     // plant a miss: rank 10 of every query answers with a farther point
@@ -146,19 +147,17 @@ class DiagnosticsSpec extends SparkSpecBase {
       assert(rows.nonEmpty)
       // queries are corpus members (self at gt rank 1, dist 0): the guard
       // skips that pair and the remaining ANN hits keep the ratio >= 1.
-      // At large k a query may return < k rows (reference NaN -> null);
-      // small k must always be defined.
+      // A fully-voided k (reference NaN) reports the -1.0 sentinel
+      // (distanceRatioEval scaladoc); small k > 1 must be defined.
       val idx = rows.head.fieldIndex("avg_dist_ratio")
       rows.foreach { r =>
         val k = r.getInt(0)
-        // k=1 is always undefined here (its one pair is the self-match at
+        val v = r.getDouble(idx)
+        // k=1 is always voided here (its one pair is the self-match at
         // distance 0, skipped by the guard); large k may be (short results)
-        if (r.isNullAt(idx)) assert(k == 1 || k > 10,
-          s"$name: ratio undefined at small k=$k")
-        else {
-          val v = r.getDouble(idx)
-          assert(v >= 1.0 && v < 10.0, s"$name k=$k: avg_dist_ratio=$v")
-        }
+        if (v == -1.0) assert(k == 1 || k > 10,
+          s"$name: ratio voided at small k=$k")
+        else assert(v >= 1.0 && v < 10.0, s"$name k=$k: avg_dist_ratio=$v")
       }
     }
   }
