@@ -92,7 +92,8 @@ object SparkEntry {
     AnnQuery.annLshFilteredTopKSqlOpt.map("ann_lsh_filtered_topk" -> _).toMap ++
     AnnQuery.annLshTopKDistJoinSqlOpt.map("ann_lsh_topk_distjoin" -> _).toMap ++
     AnnQuery.annLshTopKDeltaSqlOpt.map("ann_lsh_topk_delta" -> _).toMap ++
-    AnnQuery.annRecallEvalSqlOpt.map("ann_recall_eval" -> _).toMap ++ Map(
+    AnnQuery.annRecallEvalSqlOpt.map("ann_recall_eval" -> _).toMap ++
+    AnnQuery.annMultidimTopKSqlOpt.map("ann_multidim_topk" -> _).toMap ++ Map(
     "q1_pricing" -> Analytics.q1PricingSql,
     "q6_revenue" -> Analytics.q6RevenueSql,
     "q3_shipping" -> Analytics.q3ShippingSql,

@@ -923,7 +923,8 @@ object AnnQuery {
    * `vecFilter` bounds the vector set (`lsh_code` checks 50 vectors;
    * `lsh_blocks` re-derives the whole corpus layout).
    */
-  private def codeKeyCte(vecFilter: String, recursive: Boolean = false): String = {
+  private def codeKeyCte(vecFilter: String, recursive: Boolean = false,
+      multiDim: Boolean = false): String = {
     val p = cfg.lsh
     // one summand per interleave block b (= lambda-1-bit); j is a column
     val terms = (0 until p.lambda).map { b =>
@@ -931,13 +932,32 @@ object AnnQuery {
       val off = 62 - b * p.m // shift for j=0 in this block
       s"(CASE WHEN $off - j >= 0 THEN ((hu >> $bit) & 1) << ($off - j) ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH ${if (recursive) "RECURSIVE " else ""}m AS (SELECT * FROM read_parquet('$ModelExportPath/*.parquet')),
-       |h AS (
-       |  SELECT e.vec_id, m.t, m.d, m.j,
-       |    CAST(xor(CAST(FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), m.alpha) + m.r) / m.omega) AS INTEGER),
-       |             -2147483648) AS BIGINT) & 4294967295 AS hu
-       |  FROM embeddings e CROSS JOIN m
-       |  $vecFilter),
+    val rec = if (recursive) "RECURSIVE " else ""
+    // multi-dim mode: the demo 2-dim corpus (DimRegistry.twoDimCorpus)
+    // with one fitted model PER dimension in the fixture, joined by
+    // vector length — each vector is coded by its own dim's model
+    val source =
+      if (multiDim)
+        s"""WITH ${rec}corp AS (
+           |  SELECT vec_id,
+           |    CASE WHEN vec_id % 2 = 0 THEN embedding ELSE embedding[1:32] END AS v
+           |  FROM embeddings),
+           |m AS (SELECT * FROM read_parquet('${graft.query.DimRegistry.MultidimModelExportPath}/*.parquet')),
+           |h AS (
+           |  SELECT e.vec_id, m.t, m.d, m.j,
+           |    CAST(xor(CAST(FLOOR((list_dot_product(CAST(e.v AS DOUBLE[]), m.alpha) + m.r) / m.omega) AS INTEGER),
+           |             -2147483648) AS BIGINT) & 4294967295 AS hu
+           |  FROM corp e JOIN m ON m.vdim = len(e.v)
+           |  $vecFilter)""".stripMargin
+      else
+        s"""WITH ${rec}m AS (SELECT * FROM read_parquet('$ModelExportPath/*.parquet')),
+           |h AS (
+           |  SELECT e.vec_id, m.t, m.d, m.j,
+           |    CAST(xor(CAST(FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), m.alpha) + m.r) / m.omega) AS INTEGER),
+           |             -2147483648) AS BIGINT) & 4294967295 AS hu
+           |  FROM embeddings e CROSS JOIN m
+           |  $vecFilter)""".stripMargin
+    s"""$source,
        |kk AS (
        |  SELECT vec_id, t, d, CAST(SUM($terms) AS BIGINT) AS key
        |  FROM h GROUP BY vec_id, t, d)""".stripMargin
@@ -1003,6 +1023,15 @@ object AnnQuery {
     * +-maxProbes window — no recursion needed. */
   def annLshTopKDistJoinSqlOpt: Option[String] =
     annChainSqlOpt(cfg.lsh.maxProbes, bestFirst = false, sameLabel = false)
+
+  /** Registry-routed multi-dim serving (`DimRegistry.annMultidimTopK`):
+    * per-idx layouts ARE the per-dim indexes (vectors coded by their
+    * own dim's model via the vdim-joined fixture), queries probe only
+    * their own dimension's layout, and the refine pairs ride the demo
+    * corpus's truncated vectors. */
+  def annMultidimTopKSqlOpt: Option[String] =
+    annChainSqlOpt(cfg.lsh.maxProbes, bestFirst = true, sameLabel = false,
+      multiDim = true)
 
   /** Main + staged-delta serving (`IndexMaintenance.lshTopKWithDelta`):
     * vectors split into two independently-built index layouts (idx 0 =
@@ -1071,14 +1100,34 @@ object AnnQuery {
 
   private def annChainSqlOpt(mp: Int, bestFirst: Boolean, sameLabel: Boolean,
       splitAt: Option[Int] = None, k: Int = DefaultK,
-      tail: Option[String] = None): Option[String] = {
+      tail: Option[String] = None, multiDim: Boolean = false): Option[String] = {
     val p = cfg.lsh
     if (p.codeWords != 1) None
     else {
       val stab = graft.config.GraftConfig.active.stabilization
       // idx = which index layout a vector belongs to (always 0 without
-      // a split; 1 = the staged delta) — rides every partition key
-      val idxExpr = splitAt.fold("0")(th => s"CASE WHEN vec_id < $th THEN 1 ELSE 0 END")
+      // a split; 1 = the staged delta; the dim slot in multi-dim mode,
+      // where per-idx layouts ARE the per-dim indexes) — rides every
+      // partition key
+      val idxExpr =
+        if (multiDim) "CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END"
+        else splitAt.fold("0")(th => s"CASE WHEN vec_id < $th THEN 1 ELSE 0 END")
+      // delta mode probes BOTH layouts per query; multi-dim routes each
+      // query to ITS OWN dimension's layout only
+      val centerIdxJoin = if (multiDim) " AND s.idx = q.qidx" else ""
+      val qkIdx = if (multiDim)
+        ", CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS qidx" else ""
+      // the delta union offsets delta blocks by 2^30 in the cap stamp
+      // (IndexMaintenance.combined); per-dim runs keep raw block ids
+      val blockStamp =
+        if (splitAt.isDefined)
+          "LEAST(CAST(p.block AS BIGINT) + CAST(p.idx AS BIGINT) * 1073741824, 68719476735)"
+        else "LEAST(CAST(p.block AS BIGINT), 68719476735)"
+      // refine pairs ride the demo corpus's truncated vectors in
+      // multi-dim mode (same-dim by construction: probes only ever
+      // touch the query's own layout)
+      val refineSrc = if (multiDim) "corp" else "embeddings"
+      val refineVec = if (multiDim) "v" else "embedding"
       val hLimit =
         if (!stab.enabled) s"${p.refinementLimit}"
         else s"LEAST(${p.refinementLimit}, GREATEST(${math.max(k, stab.minCandidates)}, " +
@@ -1117,9 +1166,9 @@ object AnnQuery {
              |  JOIN embeddings q ON q.vec_id = b.qid AND q.label = e.label""".stripMargin
         else
           s"""  FROM bounded b
-             |  JOIN embeddings e ON e.vec_id = b.id
-             |  JOIN embeddings q ON q.vec_id = b.qid""".stripMargin
-      Some(s"""${codeKeyCte("", recursive = bestFirst)},
+             |  JOIN $refineSrc e ON e.vec_id = b.id
+             |  JOIN $refineSrc q ON q.vec_id = b.qid""".stripMargin
+      Some(s"""${codeKeyCte("", recursive = bestFirst, multiDim = multiDim)},
        |mem AS (
        |  SELECT vec_id, idx, t, d, key,
        |    CAST(rn // ${p.blockSize} AS INTEGER) AS block, rn % ${p.blockSize} AS local
@@ -1137,14 +1186,14 @@ object AnnQuery {
        |    FROM mem m JOIN blocks bb USING (idx, t, d, block) WHERE m.local = (bb.n - 1) // 2) r
        |    USING (idx, t, d, block)
        |  WINDOW w AS (PARTITION BY b.idx, b.t, b.d ORDER BY b.block)),
-       |qk AS (SELECT vec_id AS qid, t, d, key AS qkey FROM kk WHERE vec_id < $NumQueries),
+       |qk AS (SELECT vec_id AS qid$qkIdx, t, d, key AS qkey FROM kk WHERE vec_id < $NumQueries),
        |centers AS (
        |  SELECT qid, idx, t, d, qkey, block AS center FROM (
        |    SELECT q.qid, s.idx, q.t, q.d, q.qkey, s.block,
        |      ROW_NUMBER() OVER (PARTITION BY q.qid, s.idx, q.t, q.d ORDER BY
        |        CASE WHEN q.qkey < s.min_key THEN s.min_key - q.qkey
        |             WHEN q.qkey > s.max_key THEN q.qkey - s.max_key ELSE 0 END, s.block) AS cr
-       |    FROM qk q JOIN summ s ON s.t = q.t AND s.d = q.d AND q.qkey BETWEEN s.lo AND s.hi)
+       |    FROM qk q JOIN summ s ON s.t = q.t AND s.d = q.d AND q.qkey BETWEEN s.lo AND s.hi$centerIdxJoin)
        |  WHERE cr = 1),
        |scored AS (
        |  SELECT c.qid, c.idx, c.t, c.d, c.center, s.block,
@@ -1156,7 +1205,7 @@ object AnnQuery {
        |  SELECT p.qid, m.vec_id AS id, MIN(p.score) AS hamming,
        |    MIN((CAST(p.t AS BIGINT) << 55) + (CAST(p.d AS BIGINT) << 49)
        |      + (LEAST(CAST(p.score AS BIGINT), 8191) << 36)
-       |      + LEAST(CAST(p.block AS BIGINT) + CAST(p.idx AS BIGINT) * 1073741824, 68719476735)) AS first_ord
+       |      + $blockStamp) AS first_ord
        |  FROM probed p JOIN mem m ON m.idx = p.idx AND m.t = p.t AND m.d = p.d AND m.block = p.block
        |  GROUP BY p.qid, m.vec_id),
        |capped AS (
@@ -1170,7 +1219,7 @@ object AnnQuery {
        |    FROM capped c) WHERE hr <= h_limit),
        |refined AS (
        |  SELECT b.qid AS query_id, b.id AS vec_id,
-       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist
+       |    list_distance(CAST(e.$refineVec AS DOUBLE[]), CAST(q.$refineVec AS DOUBLE[])) AS dist
        |$refineJoin),
        |ann AS (
        |  SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (

@@ -92,6 +92,24 @@ object DimRegistry {
         .otherwise(slice(col("embedding"), 1, 32)).as("embedding"))
   }
 
+  /** Where the registry exports all per-dim fitted models (one row per
+    * (vdim, t, d, j)) for the DuckDB oracle. */
+  val MultidimModelExportPath = "/root/repo/tmp/oracle_fixtures/lsh_models_multidim.parquet"
+
+  private def exportModels(spark: SparkSession, registry: Map[Int, Entry]): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (dim, e) <- registry.toSeq.sortBy(_._1)
+      p = e.model.params
+      t <- 0 until p.tables
+      d <- 0 until p.divisions
+      j <- 0 until p.m
+      g = e.model.g(t, d)
+    } yield (dim, t, d, j, g.alpha(j).toSeq, g.r(j), g.omega(j))
+    rows.toDF("vdim", "t", "d", "j", "alpha", "r", "omega")
+      .coalesce(1).write.mode("overwrite").parquet(MultidimModelExportPath)
+  }
+
   // registry memo per (session, corpus), same pattern as AnnQuery.setup:
   // SETUP once, serve every query entry from the resident registry
   private val registryCache =
@@ -100,9 +118,13 @@ object DimRegistry {
   private[graft] def setupTwoDim(spark: SparkSession, sfDir: String): Map[Int, Entry] =
     registryCache.synchronized {
       registryCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(sfDir,
-          build(twoDimCorpus(spark, sfDir), "vec_id", "embedding",
-            graft.config.GraftConfig.active.lsh))
+        .getOrElseUpdate(sfDir, {
+          val r = build(twoDimCorpus(spark, sfDir), "vec_id", "embedding",
+            graft.config.GraftConfig.active.lsh)
+          // oracle fixture rides the SETUP memo, like AnnQuery.setup
+          exportModels(spark, r)
+          r
+        })
     }
 
   /** Re-materialize the resident registry after an external cache
