@@ -93,7 +93,8 @@ object SparkEntry {
     AnnQuery.annLshTopKDistJoinSqlOpt.map("ann_lsh_topk_distjoin" -> _).toMap ++
     AnnQuery.annLshTopKDeltaSqlOpt.map("ann_lsh_topk_delta" -> _).toMap ++
     AnnQuery.annRecallEvalSqlOpt.map("ann_recall_eval" -> _).toMap ++
-    AnnQuery.annMultidimTopKSqlOpt.map("ann_multidim_topk" -> _).toMap ++ Map(
+    AnnQuery.annMultidimTopKSqlOpt.map("ann_multidim_topk" -> _).toMap ++
+    AnnQuery.annRecallGtfileSqlOpt.map("ann_recall_gtfile" -> _).toMap ++ Map(
     "q1_pricing" -> Analytics.q1PricingSql,
     "q6_revenue" -> Analytics.q6RevenueSql,
     "q3_shipping" -> Analytics.q3ShippingSql,

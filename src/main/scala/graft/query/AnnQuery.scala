@@ -1046,10 +1046,40 @@ object AnnQuery {
     * end to end: the ann side is the k=maxK chain, the ground truth a
     * brute-force cross join, and the three metrics re-aggregate per k
     * variant exactly as recallEval/candidateCounts/distRatioByQuery. */
-  def annRecallEvalSqlOpt: Option[String] = {
+  def annRecallEvalSqlOpt: Option[String] = evalSqlOpt(includeRatios = true)
+
+  /** GT-FILE recall eval (`GtFile.annRecallGtfile`): same metrics minus
+    * the candidate-ratio column, with ratio denominators re-derived
+    * from base vectors (`ratio.source = base`) — which equal the brute
+    * distances for self-computed GT, so the oracle doubles as a
+    * value-level check of the .ivecs write->load roundtrip (a corrupted
+    * file could not reproduce these aggregates). */
+  def annRecallGtfileSqlOpt: Option[String] = evalSqlOpt(includeRatios = false)
+
+  private def evalSqlOpt(includeRatios: Boolean): Option[String] = {
     val ks = cfg.eval.kVariants
     val maxK = ks.max
     val ksList = ks.mkString("[", ", ", "]")
+    val ratiosCte =
+      if (includeRatios)
+        s"""cands AS (
+           |  SELECT p.qid, COUNT(DISTINCT m.vec_id) AS n_candidates
+           |  FROM probed p JOIN mem m ON m.idx = p.idx AND m.t = p.t AND m.d = p.d AND m.block = p.block
+           |  GROUP BY p.qid),
+           |ratios AS (
+           |  SELECT ks.k, ROUND(AVG(n_candidates * 1.0 / ks.k), 2) AS avg_ratio
+           |  FROM cands CROSS JOIN ks GROUP BY ks.k),
+           |""".stripMargin
+      else ""
+    val finalSelect =
+      if (includeRatios)
+        """SELECT r.k, r.recall, r.n_queries, ra.avg_ratio,
+          |  COALESCE(dr.avg_dist_ratio, -1.0) AS avg_dist_ratio
+          |FROM rec r JOIN ratios ra USING (k) LEFT JOIN dr USING (k)""".stripMargin
+      else
+        """SELECT r.k, r.recall, r.n_queries,
+          |  COALESCE(dr.avg_dist_ratio, -1.0) AS avg_dist_ratio
+          |FROM rec r LEFT JOIN dr USING (k)""".stripMargin
     val tail =
       s"""gt AS (
          |  SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
@@ -1071,14 +1101,7 @@ object AnnQuery {
          |    COUNT(*) AS n_queries
          |  FROM grid gr LEFT JOIN hits h ON h.k = gr.k AND h.query_id = gr.query_id
          |  GROUP BY gr.k),
-         |cands AS (
-         |  SELECT p.qid, COUNT(DISTINCT m.vec_id) AS n_candidates
-         |  FROM probed p JOIN mem m ON m.idx = p.idx AND m.t = p.t AND m.d = p.d AND m.block = p.block
-         |  GROUP BY p.qid),
-         |ratios AS (
-         |  SELECT ks.k, ROUND(AVG(n_candidates * 1.0 / ks.k), 2) AS avg_ratio
-         |  FROM cands CROSS JOIN ks GROUP BY ks.k),
-         |drq AS (
+         |${ratiosCte}drq AS (
          |  SELECT ks.k, p.query_id,
          |    SUM(CASE WHEN p.d_gt > 0 THEN p.d_ann / p.d_gt END) AS ratio_sum,
          |    COUNT(CASE WHEN p.d_gt > 0 THEN 1 END) AS used,
@@ -1091,9 +1114,7 @@ object AnnQuery {
          |    ROUND(AVG(CASE WHEN n_pairs = k AND used > 0 THEN ratio_sum / used END), 4), -1.0)
          |    AS avg_dist_ratio
          |  FROM drq GROUP BY k)
-         |SELECT r.k, r.recall, r.n_queries, ra.avg_ratio,
-         |  COALESCE(dr.avg_dist_ratio, -1.0) AS avg_dist_ratio
-         |FROM rec r JOIN ratios ra USING (k) LEFT JOIN dr USING (k)""".stripMargin
+         |$finalSelect""".stripMargin
     annChainSqlOpt(cfg.lsh.maxProbes, bestFirst = true, sameLabel = false,
       k = maxK, tail = Some(tail))
   }
