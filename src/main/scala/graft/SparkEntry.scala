@@ -94,7 +94,8 @@ object SparkEntry {
     AnnQuery.annLshTopKDeltaSqlOpt.map("ann_lsh_topk_delta" -> _).toMap ++
     AnnQuery.annRecallEvalSqlOpt.map("ann_recall_eval" -> _).toMap ++
     AnnQuery.annMultidimTopKSqlOpt.map("ann_multidim_topk" -> _).toMap ++
-    AnnQuery.annRecallGtfileSqlOpt.map("ann_recall_gtfile" -> _).toMap ++ Map(
+    AnnQuery.annRecallGtfileSqlOpt.map("ann_recall_gtfile" -> _).toMap ++
+    AnnQuery.annDiagnosticsSqlOpt.map("ann_diagnostics" -> _).toMap ++ Map(
     "q1_pricing" -> Analytics.q1PricingSql,
     "q6_revenue" -> Analytics.q6RevenueSql,
     "q3_shipping" -> Analytics.q3ShippingSql,

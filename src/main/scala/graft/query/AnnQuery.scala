@@ -1056,6 +1056,42 @@ object AnnQuery {
     * file could not reproduce these aggregates). */
   def annRecallGtfileSqlOpt: Option[String] = evalSqlOpt(includeRatios = false)
 
+  /** Sampled-query audit (`QueryDiagnostics.annDiagnostics`): the
+    * k = min(audit.k, corpus) chain (k as a scalar subquery, so the
+    * same SQL holds at any scale), per-query precision vs brute GT
+    * with the floor truncation, and the (precision, query_id)-ordered
+    * worstKeep cut. */
+  def annDiagnosticsSqlOpt: Option[String] = {
+    val audit = graft.config.GraftConfig.active.audit
+    if (!audit.enabled) return None
+    val step = if (audit.sampleEvery >= NumQueries) 1 else math.max(1, audit.sampleEvery)
+    val kSql = s"LEAST(${audit.k}, (SELECT COUNT(*) FROM embeddings))"
+    val tail =
+      s"""gtd AS (
+         |  SELECT query_id, vec_id, rnk FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS INTEGER) AS rnk
+         |    FROM embeddings q CROSS JOIN embeddings e
+         |    WHERE q.vec_id < $NumQueries AND q.vec_id % $step = 0)
+         |  WHERE rnk <= $kSql),
+         |hits AS (
+         |  SELECT a.query_id, COUNT(*) AS n_hits
+         |  FROM ann a JOIN gtd g USING (query_id, vec_id)
+         |  GROUP BY a.query_id),
+         |diag AS (
+         |  SELECT g.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |    FLOOR(COALESCE(h.n_hits, 0) * 10000.0 / $kSql) / 10000 AS "precision",
+         |    CASE WHEN COALESCE(h.n_hits, 0) = 0 THEN 1 ELSE 0 END AS zero_hit
+         |  FROM (SELECT DISTINCT query_id FROM gtd) g
+         |  LEFT JOIN hits h USING (query_id))
+         |SELECT query_id, n_hits, "precision", zero_hit FROM diag
+         |ORDER BY "precision", query_id LIMIT ${audit.worstKeep}""".stripMargin
+    annChainSqlOpt(cfg.lsh.maxProbes, bestFirst = true, sameLabel = false,
+      tail = Some(tail), kExpr = Some(kSql),
+      qkFilter = if (step == 1) "" else s" AND vec_id % $step = 0")
+  }
+
   private def evalSqlOpt(includeRatios: Boolean): Option[String] = {
     val ks = cfg.eval.kVariants
     val maxK = ks.max
@@ -1121,7 +1157,8 @@ object AnnQuery {
 
   private def annChainSqlOpt(mp: Int, bestFirst: Boolean, sameLabel: Boolean,
       splitAt: Option[Int] = None, k: Int = DefaultK,
-      tail: Option[String] = None, multiDim: Boolean = false): Option[String] = {
+      tail: Option[String] = None, multiDim: Boolean = false,
+      kExpr: Option[String] = None, qkFilter: String = ""): Option[String] = {
     val p = cfg.lsh
     if (p.codeWords != 1) None
     else {
@@ -1207,7 +1244,7 @@ object AnnQuery {
        |    FROM mem m JOIN blocks bb USING (idx, t, d, block) WHERE m.local = (bb.n - 1) // 2) r
        |    USING (idx, t, d, block)
        |  WINDOW w AS (PARTITION BY b.idx, b.t, b.d ORDER BY b.block)),
-       |qk AS (SELECT vec_id AS qid$qkIdx, t, d, key AS qkey FROM kk WHERE vec_id < $NumQueries),
+       |qk AS (SELECT vec_id AS qid$qkIdx, t, d, key AS qkey FROM kk WHERE vec_id < $NumQueries$qkFilter),
        |centers AS (
        |  SELECT qid, idx, t, d, qkey, block AS center FROM (
        |    SELECT q.qid, s.idx, q.t, q.d, q.qkey, s.block,
@@ -1247,7 +1284,7 @@ object AnnQuery {
        |    SELECT query_id, vec_id, dist,
        |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INTEGER) AS rnk
        |    FROM refined)
-       |  WHERE rnk <= $k)${tail.fold("\nSELECT query_id, vec_id, dist, rnk FROM ann")(t => s",\n$t")}""".stripMargin)
+       |  WHERE rnk <= ${kExpr.getOrElse(k.toString)})${tail.fold("\nSELECT query_id, vec_id, dist, rnk FROM ann")(t => s",\n$t")}""".stripMargin)
     }
   }
 
