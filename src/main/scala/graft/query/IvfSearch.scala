@@ -175,14 +175,23 @@ object IvfSearch {
     * DuckDB oracle (cells x dim floats — KBs by construction). */
   val CentroidExportPath = "/root/repo/tmp/oracle_fixtures/ivf_centroids.parquet"
 
+  // fixture export once per JVM per corpus (bench reps must time the
+  // probe plan, not the fixture write)
+  private val centroidsExported = scala.collection.mutable.Set.empty[String]
+
   def simsearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val data = Tables.embeddings(spark, sfDir)
     // config override wins; otherwise size cells from the corpus
     val c = if (cfg.ivf.cells > 0) cfg.ivf.cells
       else scaledCells(memoCount(data, s"ivf:$sfDir"))
     val cents = fitCentroids(data, c, Some(s"ivf:$sfDir"))
-    centroidsDf(spark, cents)
-      .coalesce(1).write.mode("overwrite").parquet(CentroidExportPath)
+    centroidsExported.synchronized {
+      if (!centroidsExported(sfDir)) {
+        centroidsDf(spark, cents)
+          .coalesce(1).write.mode("overwrite").parquet(CentroidExportPath)
+        centroidsExported += sfDir
+      }
+    }
     ivfTopK(spark, data, data.filter(col("vec_id") < NumQueries), K, NumProbes, cents)
   }
 
