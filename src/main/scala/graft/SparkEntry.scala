@@ -127,6 +127,8 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
     "dedup_apply" -> Dedup.dedupApplySql,
+    "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
     "ngram_jaccard" -> Dedup.ngramJaccardSql,
     "neardup_embedding" -> Dedup.neardupEmbeddingSql,
     "simsearch_ivf" -> IvfSearch.simsearchIvfSql,
