@@ -92,10 +92,12 @@ object QueryDiagnostics {
     // queries — the GT's query set defines the diagnostic rows
     val gt = AnnQuery.groundTruth(spark, sfDir, k)
       .filter(col("query_id") < AnnQuery.NumQueries && col("query_id") % step === 0)
-    // cache: the gate's aggregate and the returned worst list otherwise
-    // both re-run the lshTopK + brute-force GT scans (tiny table: one
-    // row per sampled query)
-    val diag = diagnostics(result, gt, k).cache()
+    // localized: the diag table is one row per SAMPLED query (bounded
+    // by the audit config, not the corpus), so the gate's aggregate and
+    // the worst list reread driver rows; the expensive lshTopK + GT
+    // join runs exactly once, under a fully AQE-planned job (a cached
+    // plan would lose tiny-shuffle coalescing — see AnnQuery.localized)
+    val diag = AnnQuery.localized(diagnostics(result, gt, k))
     zeroHitGate(diag, audit)
     worstQueries(diag, audit.worstKeep)
   }

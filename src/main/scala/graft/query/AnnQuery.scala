@@ -845,19 +845,33 @@ object AnnQuery {
       if (cfg.ratio.source == "base")
         distancesFromBase(gt.select("query_id", "vec_id", "rnk"), data, queries)
       else gt // gt | auto: trusted exact GT distances are in hand
-    val eval = recallEval(ann, gt, kVariants)
-      .join(ratios, Seq("k"))
-      .join(distanceRatioEval(ann, gtForRatio, kVariants), Seq("k"), "left")
-      .orderBy("k")
-      .cache()
-    // materialize the (k-variants-sized) eval, then drop the probe and
-    // top-k caches — repeated evals in one session must not accumulate
-    // storage memory until an external clearCache (the eval itself
-    // stays cached; it is a handful of rows)
-    eval.count()
+    // one AQE-planned pass computes the eval; the result comes back as
+    // a LOCAL relation (it is k-variants-sized by construction), so no
+    // storage memory lingers across repeated evals in a session. An
+    // eval.cache()+count() epilogue would release the intermediates
+    // too, but compiling the cached plan loses AQE's tiny-shuffle
+    // coalescing across the three branches — measured 3.7x slower.
+    val eval = localized(
+      recallEval(ann, gt, kVariants)
+        .join(ratios, Seq("k"))
+        .join(distanceRatioEval(ann, gtForRatio, kVariants), Seq("k"), "left")
+        .orderBy("k"))
     probed.unpersist()
     ann.unpersist()
     eval
+  }
+
+  /**
+   * Run a BOUNDED-by-construction result (k-variant evals, sampled
+   * audits — never corpus-scaled data) once and rebuild it as a
+   * local-relation DataFrame: the computing plan keeps full AQE, and
+   * nothing stays pinned in storage memory afterwards. Downstream
+   * consumers (artifact dump, gates, ordered limits) reread driver
+   * rows instead of re-running the distributed plan.
+   */
+  def localized(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
   }
 
   /** Unique candidates per query surfaced by a probe set (ratio numerator). */

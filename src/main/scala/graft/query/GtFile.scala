@@ -156,13 +156,12 @@ object GtFile {
     val (model, built) = AnnQuery.setupIndex(spark, sfDir)
     val ann = AnnQuery.lshTopK(spark, data, queries, maxK, model, built).cache()
     val gtWithDist = AnnQuery.distancesFromBase(gt, data, queries)
-    val eval = AnnQuery.recallEval(ann, gt, kVariants)
-      .join(AnnQuery.distanceRatioEval(ann, gtWithDist, kVariants), Seq("k"), "left")
-      .orderBy("k")
-      .cache()
-    // materialize the tiny eval, then release the top-k cache (repeat
-    // invocations must not grow storage memory across a session)
-    eval.count()
+    // k-variants-sized by construction -> localized: one AQE-planned
+    // pass, no storage memory pinned afterwards (see AnnQuery.localized)
+    val eval = AnnQuery.localized(
+      AnnQuery.recallEval(ann, gt, kVariants)
+        .join(AnnQuery.distanceRatioEval(ann, gtWithDist, kVariants), Seq("k"), "left")
+        .orderBy("k"))
     ann.unpersist()
     eval
   }
