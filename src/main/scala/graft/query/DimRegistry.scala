@@ -28,24 +28,64 @@ import graft.lsh.{Lsh, LshModel, LshParams}
  */
 object DimRegistry {
 
-  final case class Entry(dim: Int, model: LshModel, built: LshIndex.Built)
+  final case class Entry(dim: Int, model: LshModel, built: LshIndex.Built,
+      slice: DataFrame)
+
+  /**
+   * On-disk dim-partitioned corpus layout (SETUP step). `size(vec)` is
+   * not a pushable predicate, so a registry refining D dims against a
+   * flat corpus pays D FULL scans per query batch — the one residual
+   * scale cost called out in round 5. The deployment shape is to land
+   * the vectors in a `vdim=<d>`-partitioned layout ONCE; every per-dim
+   * fit/build/refine then reads a partition-PRUNED slice (the scan's
+   * `PartitionFilters` carry `vdim = d`, and only that dim's files are
+   * touched). One full pass to write, D pruned reads forever after —
+   * at 100 TB this is the difference between O(D·corpus) and O(corpus)
+   * per served batch.
+   */
+  val DimStoreBase = "/root/repo/tmp/dim_store"
+
+  // layout written once per JVM per store key (SETUP, never timed work)
+  private val storeWritten = scala.collection.mutable.Set.empty[String]
+
+  private def dimStore(data: DataFrame, vecCol: String, key: String): DataFrame = {
+    val path = s"$DimStoreBase/${key.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    storeWritten.synchronized {
+      if (!storeWritten(key)) {
+        data.withColumn("vdim", size(col(vecCol)))
+          .write.partitionBy("vdim").mode("overwrite").parquet(path)
+        storeWritten += key
+      }
+    }
+    data.sparkSession.read.parquet(path)
+  }
 
   /** One fitted model + built index per distinct dimension in `data`.
     * Index DataFrames are cache-marked like `AnnQuery.setup`'s: the
-    * registry is SETUP-phase state the server holds resident. */
+    * registry is SETUP-phase state the server holds resident. With a
+    * `storeKey`, per-dim slices come partition-pruned from the
+    * [[dimStore]] layout; without one (ad-hoc/spec use) they are plain
+    * dim filters over `data` — same rows either way. */
   def build(data: DataFrame, idCol: String, vecCol: String,
-      params: LshParams = LshParams()): Map[Int, Entry] = {
+      params: LshParams = LshParams(), storeKey: Option[String] = None): Map[Int, Entry] = {
     val dims = data.select(size(col(vecCol)).as("d")).distinct()
       .collect().map(_.getInt(0)).sorted
     require(dims.nonEmpty, "cannot build a dim registry over an empty corpus")
+    val sliceOf: Int => DataFrame = storeKey match {
+      case Some(key) =>
+        val store = dimStore(data, vecCol, key)
+        d => store.filter(col("vdim") === d).drop("vdim")
+      case None =>
+        d => data.filter(size(col(vecCol)) === d)
+    }
     dims.map { d =>
-      val slice = data.filter(size(col(vecCol)) === d)
+      val slice = sliceOf(d)
       val model = Lsh.fit(slice, vecCol, params, orderCol = idCol)
       val built = LshIndex.build(
         LshIndex.codes(LshIndex.spread(slice), idCol, vecCol, model),
         params.blockSize)
       d -> Entry(d, model,
-        LshIndex.Built(built.membership.cache(), built.summaries.cache()))
+        LshIndex.Built(built.membership.cache(), built.summaries.cache()), slice)
     }.toMap
   }
 
@@ -70,8 +110,12 @@ object DimRegistry {
           StructField("dist", DoubleType), StructField("rnk", IntegerType))))
     } else qDims.map { d =>
       val e = registry(d)
+      // refine against the registry's own slice (partition-pruned when
+      // the registry was built over a dim store): the index membership
+      // refers to build-time ids, so the build-time slice is also the
+      // semantically right refine source
       AnnQuery.lshTopK(spark,
-        data.filter(size(col(vecCol)) === d),
+        e.slice,
         queries.filter(size(col(vecCol)) === d),
         k, e.model, e.built)
     }.reduce(_.unionByName(_))
@@ -119,8 +163,10 @@ object DimRegistry {
     registryCache.synchronized {
       registryCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
         .getOrElseUpdate(sfDir, {
+          // the dim-partitioned layout rides SETUP too: written once,
+          // every serving entry reads pruned slices
           val r = build(twoDimCorpus(spark, sfDir), "vec_id", "embedding",
-            graft.config.GraftConfig.active.lsh)
+            graft.config.GraftConfig.active.lsh, storeKey = Some(s"twodim_$sfDir"))
           // oracle fixture rides the SETUP memo, like AnnQuery.setup
           exportModels(spark, r)
           r

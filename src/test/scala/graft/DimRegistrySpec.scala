@@ -85,6 +85,28 @@ class DimRegistrySpec extends SparkSpecBase {
       && batch.exceptAll(served).count() == 0)
   }
 
+  test("dim store: pruned slices read only their dim's files; serving parity with plain filters") {
+    val stored = DimRegistry.build(corpus, "vec_id", "embedding", LshParams(),
+      storeKey = Some("spec_twodim"))
+    assert(stored.keySet == Set(32, 64))
+    for (d <- Seq(32, 64)) {
+      // partition pruning: the slice's scan carries a vdim partition
+      // filter — only that dim's files are read (inputFiles would list
+      // the whole relation; the executed plan shows the pruned scan)
+      val p = stored(d).slice.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("PartitionFilters:") &&
+        p.split("PartitionFilters:")(1).takeWhile(_ != '\n').contains(s"= $d)"),
+        s"dim $d slice must partition-prune on vdim:\n$p")
+    }
+    // the store roundtrip changes nothing: routed serving is identical
+    val queries = corpus.filter(col("vec_id") < 10)
+    val viaStore = DimRegistry.topK(spark, corpus, queries, 10, stored)
+    val viaFilter = DimRegistry.topK(spark, corpus, queries, 10, registry)
+    assert(viaStore.exceptAll(viaFilter).count() == 0
+      && viaFilter.exceptAll(viaStore).count() == 0)
+  }
+
   test("single-dim entries are untouched: registry over a pure corpus == plain lshTopK") {
     val emb = Tables.embeddings(spark, sf)
     val reg1 = DimRegistry.build(emb, "vec_id", "embedding", LshParams())
