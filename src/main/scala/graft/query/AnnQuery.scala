@@ -861,6 +861,33 @@ object AnnQuery {
     eval
   }
 
+  /** The LAZY eval plan of [[annRecallEval]], for plan review
+    * (ExplainMain): the production entry localizes the result, whose
+    * explain is just a LocalTableScan. This twin skips the cache marks
+    * (nothing materializes it), so the printed plan shows the raw
+    * three-branch shape the production pass executes. */
+  def annRecallEvalPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val kVariants = cfg.eval.kVariants
+    val data = emb(spark, sfDir)
+    val queries = queryVecs(spark, sfDir)
+    val maxK = kVariants.max
+    val (model, built) = setup(spark, sfDir)
+    val probed = probeBlocks(spark, queries, model, built)
+    val ratios = candidateCounts(probed, built)
+      .select(explode(array(kVariants.map(lit): _*)).as("k"), col("n_candidates"))
+      .groupBy("k").agg(round(avg(col("n_candidates") / col("k")), 2).as("avg_ratio"))
+    val ann = refineFromProbes(probed, data, queries, maxK, model, built)
+    val gt = groundTruth(spark, sfDir, maxK)
+    val gtForRatio =
+      if (cfg.ratio.source == "base")
+        distancesFromBase(gt.select("query_id", "vec_id", "rnk"), data, queries)
+      else gt
+    recallEval(ann, gt, kVariants)
+      .join(ratios, Seq("k"))
+      .join(distanceRatioEval(ann, gtForRatio, kVariants), Seq("k"), "left")
+      .orderBy("k")
+  }
+
   /**
    * Run a BOUNDED-by-construction result (k-variant evals, sampled
    * audits — never corpus-scaled data) once and rebuild it as a
