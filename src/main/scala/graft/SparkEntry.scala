@@ -78,6 +78,7 @@ object SparkEntry {
     "sample_stratified" -> (graft.operators.Corpus.sampleStratifiedQuery _),
     "seq_pack" -> (graft.operators.Corpus.seqPackQuery _),
     "data_mix" -> (graft.operators.Corpus.dataMixQuery _),
+    "corpus_shuffle" -> (graft.operators.Corpus.corpusShuffleQuery _),
     "decontaminate" -> (graft.operators.Decontaminate.decontaminateQuery _),
     "pii_scrub" -> (graft.text.TextFilters.piiScrubQuery _),
     "quality_filter" -> (graft.text.TextFilters.qualityFilterQuery _),
@@ -146,6 +147,7 @@ object SparkEntry {
     "sample_stratified" -> graft.operators.Corpus.sampleStratifiedSql,
     "seq_pack" -> graft.operators.Corpus.seqPackSql,
     "data_mix" -> graft.operators.Corpus.dataMixSql,
+    "corpus_shuffle" -> graft.operators.Corpus.corpusShuffleSql,
     "decontaminate" -> graft.operators.Decontaminate.decontaminateSql,
     "pii_scrub" -> graft.text.TextFilters.piiScrubSql,
     "quality_filter" -> graft.text.TextFilters.qualityFilterSql,

@@ -287,6 +287,51 @@ object Corpus {
         row_number().over(w).as("mix_rank"))
   }
 
+  /**
+   * Deterministic global corpus shuffle (training-order
+   * randomization): every doc draws a seeded cross-engine uniform `u`
+   * and receives its EXACT global rank in (u, doc_id) order plus its
+   * output shard — the step that fixes a pretraining data order and
+   * shards it for the loader, reproducible across engines and reruns.
+   *
+   * Scalable numbering, same recipe as [[seqPack]] but keyed on `u`
+   * itself: u-buckets are uniform by construction, the per-bucket
+   * count table (nBuckets rows) takes an exclusive prefix sum, and the
+   * corpus-side window partitions by bucket — no global window or
+   * global sort ever sees the corpus. The rank is independent of
+   * `nBuckets` (prefix sums are exact), so parallelism is a pure
+   * tuning knob.
+   */
+  def corpusShuffle(docs: DataFrame, seed: String, shardSize: Long,
+      nBuckets: Int): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      hashUniform(concat(lit(seed), lit(":"), col("doc_id"))).as("u"))
+    val bucketed = base.withColumn("bkt",
+      least(floor(col("u") * nBuckets), lit((nBuckets - 1).toLong)).cast("int"))
+    // tiny per-bucket counts -> starting rank of each bucket (the
+    // window is global but runs over nBuckets rows, not the corpus)
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bkt").agg(count(lit(1)).as("_n"))
+      .withColumn("_base", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .select(col("bkt").as("_bkt"), col("_base"))
+    val wIn = Window.partitionBy("bkt").orderBy(col("u"), col("doc_id"))
+    bucketed.join(broadcast(offsets), col("bkt") === col("_bkt"))
+      .withColumn("shuffle_rank", col("_base") + row_number().over(wIn))
+      .select(col("doc_id"), col("u"), col("shuffle_rank"),
+        ((col("shuffle_rank") - 1) / shardSize).cast("long").as("shard_id"))
+  }
+
+  /** Global-window twin of [[corpusShuffle]]; cross-check oracle. */
+  private[graft] def corpusShuffleWindowed(docs: DataFrame, seed: String,
+      shardSize: Long): DataFrame = {
+    val w = Window.orderBy(col("u"), col("doc_id"))
+    docs.select(col("doc_id"),
+        hashUniform(concat(lit(seed), lit(":"), col("doc_id"))).as("u"))
+      .withColumn("shuffle_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("u"), col("shuffle_rank"),
+        ((col("shuffle_rank") - 1) / shardSize).cast("long").as("shard_id"))
+  }
+
   // ---- SparkEntry wiring ----
 
   def sampleStratifiedQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -332,6 +377,24 @@ object Corpus {
 
   def seqPackQuery(spark: SparkSession, sfDir: String): DataFrame =
     seqPack(Tables.documents(spark, sfDir), "lang", budget = 2048)
+
+  val ShuffleSeed = "shuffle7"
+  val ShuffleShardSize = 100L
+
+  def corpusShuffleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    corpusShuffle(Tables.documents(spark, sfDir), ShuffleSeed, ShuffleShardSize,
+      spark.sparkContext.defaultParallelism)
+
+  val corpusShuffleSql: String =
+    s"""SELECT doc_id, u, shuffle_rank, (shuffle_rank - 1) // $ShuffleShardSize AS shard_id
+       |FROM (
+       |  SELECT doc_id, u,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY u, doc_id) AS BIGINT) AS shuffle_rank
+       |  FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substr(sha256('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |        / 4294967296.0 AS u
+       |    FROM documents))""".stripMargin
 
   val seqPackSql: String =
     """SELECT doc_id, lang, n_tokens,

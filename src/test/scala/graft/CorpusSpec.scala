@@ -59,6 +59,25 @@ class CorpusSpec extends SparkSpecBase {
         Corpus.MixWeights, Corpus.MixBudget))
   }
 
+  test("corpus_shuffle: bucketed rank equals the global-window twin; bucket-count-invariant; shards full") {
+    val got = Corpus.corpusShuffle(docs, Corpus.ShuffleSeed, Corpus.ShuffleShardSize, 32)
+    assertSameRows(got,
+      Corpus.corpusShuffleWindowed(docs, Corpus.ShuffleSeed, Corpus.ShuffleShardSize))
+    // rank is independent of the parallelism knob (prefix sums are exact)
+    assertSameRows(got,
+      Corpus.corpusShuffle(docs, Corpus.ShuffleSeed, Corpus.ShuffleShardSize, 5))
+    // ranks are a permutation of 1..N; every shard but the last is full
+    val n = docs.count()
+    assert(got.select("shuffle_rank").distinct().count() == n)
+    assert(got.agg(min("shuffle_rank"), max("shuffle_rank")).head() ==
+      org.apache.spark.sql.Row(1L, n))
+    val sizes = got.groupBy("shard_id").count()
+    assert(sizes.filter(col("count") =!= Corpus.ShuffleShardSize).count() <= 1)
+    // a different seed yields a different order (the knob is real)
+    val other = Corpus.corpusShuffle(docs, "other-seed", Corpus.ShuffleShardSize, 32)
+    assert(got.join(other, Seq("doc_id", "shuffle_rank")).count() < n)
+  }
+
   test("skewed stratum: u-prefix bound shrinks the window input >= 10x") {
     import spark.implicits._
     // one 20k-doc stratum vs one 200-doc stratum; quota 50

@@ -97,6 +97,17 @@ class PlanPostureSpec extends SparkSpecBase {
     }, s"seq_pack running-sum window must partition by (stratum, bkt):\n$p")
   }
 
+  test("corpus_shuffle: corpus-side window partitions by bucket; no global sort of the corpus") {
+    val p = plan("corpus_shuffle")
+    // the only rangepartitioning allowed is the tiny per-bucket offsets
+    // window (nBuckets rows); the corpus-side rank window must key on bkt
+    val windowed = p.split("windowspecdefinition\\(").toSeq.tail
+    assert(windowed.exists(_.takeWhile(_ != ')').contains("bkt#")),
+      s"corpus_shuffle rank window must partition by bkt:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-bucket offset table must broadcast:\n$p")
+  }
+
   test("multimodal header decode is columnar: no object round-trip for meta; one codec stage for resize") {
     val pMeta = plan("multimodal_meta")
     assert(!pMeta.contains("DeserializeToObject") && !pMeta.contains("MapPartitions"),
