@@ -67,6 +67,7 @@ object SparkEntry {
     "lang_id" -> (TextAnalysis.langIdQuery _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
+    "lm_score" -> (TextAnalysis.lmScoreQuery _),
     "token_count" -> (TextAnalysis.tokenCount _),
     "token_count_bpe" -> (graft.text.Bpe.tokenCountBpe _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
+    "lm_score" -> TextAnalysis.lmScoreSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "token_count_bpe" -> graft.text.Bpe.tokenCountBpeSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,

@@ -144,6 +144,49 @@ object TextAnalysis {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS regex_tokens
       |FROM documents""".stripMargin
 
+  // ---- statistical LM quality (unigram surprisal) ----
+
+  /**
+   * Corpus-relative unigram surprisal — the one-gram form of the
+   * CCNet-style "score documents with a language model" filter:
+   * `lm_score(doc) = mean over tokens of ln P(token)` with `P` the
+   * corpus unigram frequency. Very negative scores = rare-token-heavy
+   * documents (gibberish, hex dumps, mangled encodings); scores near
+   * zero = function-word soup. A MODEL-based signal the corpus itself
+   * fits, complementing [[textQuality]]'s hand rules.
+   *
+   * Scale: two passes over the token stream — one partial-agg count
+   * per token (the vocab table) and one equi-join of tokens against it
+   * feeding a per-doc avg. The vocab join keys on the token (a plain
+   * shuffle join — vocab needn't fit anywhere); a deployment wanting a
+   * broadcast cuts the vocab to top-V + an OOV floor probability
+   * without changing the plan shape. Score floor-truncated (SURVEY §5).
+   */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("n"))
+    tok.join(freq, "t")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(avg(log(col("c") / col("n"))) * 10000) / 10000).as("lm_score"))
+  }
+
+  def lmScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
+    lmScore(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  val lmScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+      |freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+      |tot AS (SELECT SUM(c) AS n FROM freq)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  FLOOR(AVG(ln(c / n)) * 10000) / 10000 AS lm_score
+      |FROM tok JOIN freq USING (t), tot
+      |GROUP BY doc_id""".stripMargin
+
   // ---- repetition metrics (Gopher-style quality filters) ----
 
   /**

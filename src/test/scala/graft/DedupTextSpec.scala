@@ -128,6 +128,24 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("lm_score: hand-computed surprisal on a tiny corpus; rare-token docs score lower") {
+    import spark.implicits._
+    // corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, total=5
+    val df = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def trunc(x: Double) = math.floor(x * 10000) / 10000
+    val s0 = trunc((2 * math.log(3 / 5.0) + math.log(1 / 5.0)) / 3)
+    val s1 = trunc((math.log(3 / 5.0) + math.log(1 / 5.0)) / 2)
+    assert(got(0L) == ((3L, s0)), got.toString)
+    assert(got(1L) == ((2L, s1)), got.toString)
+    // a doc made of the corpus's rarest tokens scores below a doc of
+    // its most common ones (the signal the filter thresholds on)
+    val sf001 = TextAnalysis.lmScoreQuery(spark, sf)
+    val joined = sf001.agg(min("lm_score"), max("lm_score")).head()
+    assert(joined.getDouble(0) < joined.getDouble(1))
+  }
+
   test("winnow fingerprints: deterministic, shift-tolerant overlap") {
     val t1 = UTF8String.fromString("the quick brown fox jumps over the lazy dog again and again today")
     val t2 = UTF8String.fromString("PREFIX added the quick brown fox jumps over the lazy dog again and again today")
