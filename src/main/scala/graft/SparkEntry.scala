@@ -76,6 +76,7 @@ object SparkEntry {
     "multimodal_resize" -> (BinaryMeta.multimodalResize _),
     "multimodal_frames" -> (BinaryMeta.multimodalFrames _),
     "embed_quantize" -> (Embeddings.embedQuantize _),
+    "embed_project" -> (Embeddings.embedProject _),
     "sample_stratified" -> (graft.operators.Corpus.sampleStratifiedQuery _),
     "seq_pack" -> (graft.operators.Corpus.seqPackQuery _),
     "data_mix" -> (graft.operators.Corpus.dataMixQuery _),
@@ -146,6 +147,7 @@ object SparkEntry {
     "multimodal_resize" -> BinaryMeta.multimodalResizeSql,
     "multimodal_frames" -> BinaryMeta.multimodalFramesSql,
     "embed_quantize" -> Embeddings.embedQuantizeSql,
+    "embed_project" -> Embeddings.embedProjectSql,
     "sample_stratified" -> graft.operators.Corpus.sampleStratifiedSql,
     "seq_pack" -> graft.operators.Corpus.seqPackSql,
     "data_mix" -> graft.operators.Corpus.dataMixSql,

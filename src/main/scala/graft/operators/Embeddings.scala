@@ -32,6 +32,84 @@ object Embeddings {
         array_max(col("qv")).as("max_q"))
   }
 
+  // ---- random-projection (JL) dimensionality reduction ----
+
+  /** Target dimension and seed of the demo projection. */
+  val ProjTargetDim = 16
+  val ProjSeed = 926L
+
+  /** Fixture: the projection matrix (tgtDim x srcDim doubles — KBs),
+    * so the DuckDB oracle replays the exact dot products. */
+  val ProjExportPath = "/root/repo/tmp/oracle_fixtures/proj_matrix.parquet"
+
+  private val projExported = scala.collection.mutable.Set.empty[String]
+
+  /** Deterministic N(0,1)/sqrt(tgtDim) rows (the polar-Box-Muller +
+    * SplittableRandom recipe of `Lsh.fitG` — reproducible across JVMs
+    * by spec, no engine-portability burden because the matrix ships as
+    * a fixture, not a formula). */
+  private[graft] def projMatrix(srcDim: Int, tgtDim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.SplittableRandom(ProjSeed)
+    var spare = Double.NaN
+    def gaussian(): Double =
+      if (!spare.isNaN) { val s = spare; spare = Double.NaN; s }
+      else {
+        var u = 0.0; var v = 0.0; var s2 = 0.0
+        while ({ u = rnd.nextDouble() * 2 - 1; v = rnd.nextDouble() * 2 - 1; s2 = u * u + v * v; s2 >= 1.0 || s2 == 0.0 }) ()
+        val mul = math.sqrt(-2.0 * math.log(s2) / s2)
+        spare = v * mul
+        u * mul
+      }
+    val inv = 1.0 / math.sqrt(tgtDim)
+    Array.fill(tgtDim)(Array.fill(srcDim)(gaussian() * inv))
+  }
+
+  /**
+   * Johnson–Lindenstrauss random projection: srcDim floats -> tgtDim
+   * doubles via a seeded Gaussian matrix scaled by 1/sqrt(tgtDim)
+   * (expected-norm-preserving), the standard cheap transform before
+   * brute/IVF search when the raw dimension is wasteful. Map-only: the
+   * matrix rides the plan as a literal (tgtDim x srcDim doubles — KBs;
+   * broadcast() it if a deployment's matrix outgrows plan literals),
+   * each output coordinate one in-order `aggregate(zip_with(...))` —
+   * the SAME operation order as DuckDB's list_dot_product over the
+   * exported fixture, so the doubles match bit-for-bit (rounded 4 for
+   * artifact hygiene). Output exploded to (vec_id, r, v): scalar rows
+   * for the gate; [[projectEmbedding]] is the array-column form
+   * downstream pipelines compose.
+   */
+  def projectEmbedding(data: DataFrame, vecCol: String,
+      matrix: Array[Array[Double]]): DataFrame = {
+    val rows = typedLit(matrix.zipWithIndex.map { case (w, r) => (r, w.toSeq) }.toSeq)
+    data.withColumn("proj",
+      transform(rows, row => struct(row.getField("_1").as("r"),
+        round(aggregate(
+          zip_with(col(vecCol).cast("array<double>"), row.getField("_2"), (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x), 4).as("v"))))
+  }
+
+  def embedProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val srcDim = data.select(size(col("embedding"))).head().getInt(0)
+    val m = projMatrix(srcDim, ProjTargetDim)
+    projExported.synchronized {
+      if (!projExported(s"$srcDim")) {
+        import spark.implicits._
+        m.zipWithIndex.map { case (w, r) => (r, w.toSeq) }.toSeq.toDF("r", "w")
+          .coalesce(1).write.mode("overwrite").parquet(ProjExportPath)
+        projExported += s"$srcDim"
+      }
+    }
+    projectEmbedding(data, "embedding", m)
+      .select(col("vec_id"), explode(col("proj")).as("p"))
+      .select(col("vec_id"), col("p.r").as("r"), col("p.v").as("v"))
+  }
+
+  val embedProjectSql: String =
+    s"""SELECT e.vec_id, m.r,
+       |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), m.w), 4) AS v
+       |FROM embeddings e, read_parquet('$ProjExportPath/*.parquet') m""".stripMargin
+
   val embedQuantizeSql: String =
     """WITH s AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
