@@ -108,6 +108,21 @@ class PlanPostureSpec extends SparkSpecBase {
       s"the per-bucket offset table must broadcast:\n$p")
   }
 
+  test("embed_project is map-only: the matrix is a plan literal, no exchange") {
+    val p = plan("embed_project")
+    assert(!p.contains("Exchange"), s"embed_project must not shuffle:\n$p")
+    assert(p.contains("codegen id"), s"embed_project should stay codegen'd:\n$p")
+  }
+
+  test("lm_score: vocab join hash-partitions; the 1-row total broadcasts; no global sort") {
+    val p = plan("lm_score")
+    assert(p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"lm_score must hash-partition on token/doc, never sort globally:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the single-row vocab total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("multimodal header decode is columnar: no object round-trip for meta; one codec stage for resize") {
     val pMeta = plan("multimodal_meta")
     assert(!pMeta.contains("DeserializeToObject") && !pMeta.contains("MapPartitions"),
