@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_apply" -> (Dedup.dedupApplyQuery _),
+    "dedup_substring" -> (Dedup.dedupSubstring _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "lm_score" -> (TextAnalysis.lmScoreQuery _),
+    "tfidf_topterms" -> (TextAnalysis.tfidfQuery _),
     "token_count" -> (TextAnalysis.tokenCount _),
     "token_count_bpe" -> (graft.text.Bpe.tokenCountBpe _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
@@ -130,6 +132,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
     "dedup_apply" -> Dedup.dedupApplySql,
+    "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "ngram_jaccard" -> Dedup.ngramJaccardSql,
@@ -139,6 +142,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "lm_score" -> TextAnalysis.lmScoreSql,
+    "tfidf_topterms" -> TextAnalysis.tfidfSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "token_count_bpe" -> graft.text.Bpe.tokenCountBpeSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,

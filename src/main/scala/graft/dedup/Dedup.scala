@@ -599,6 +599,86 @@ object Dedup {
        |SELECT c.doc_id, CAST(length(c.text) AS INTEGER) AS n_chars
        |FROM corpus c JOIN cc ON cc.id = c.doc_id AND cc.id = cc.keeper""".stripMargin
 
+  // ---- span-level exact-substring duplication ----
+
+  /** Window length (tokens) for [[substringStats]] — the span size at
+    * which a repeated run counts as duplicated text (the "min match
+    * length" knob of suffix-array substring dedup, here in tokens). */
+  val SubstringWindow: Int = 8
+
+  /**
+   * Per-document exact-substring duplication statistics — the span-level
+   * signal behind "deduplicating training data" pipelines (Lee et al.
+   * 2022): a document sharing a W-token run with ANY other occurrence
+   * in the corpus (another document, or a second site in itself) has
+   * that span counted as duplicated. Output per doc: total W-token
+   * windows, windows whose content occurs >= 2 times corpus-wide, and
+   * the duplicated-window fraction (floor-truncated, SURVEY §5; NULL
+   * for docs shorter than W tokens).
+   *
+   * Plan shape (the [[TextAnalysis.lmScore]] discipline): one map-side
+   * pass emits the sliding windows (O(tokens) rows, exactly the token
+   * stream's cardinality), one partial-agg shuffle builds the window
+   * frequency table, one equi-join + per-doc partial agg folds the
+   * verdicts back. The window STRING is the join key so the DuckDB
+   * oracle replays byte-for-byte; at 100 TB key the shuffle on
+   * `xxhash64(win)` instead — counts identical modulo 64-bit collisions
+   * and the key drops from ~W words to 8 bytes. A left join restores
+   * sub-W docs (n_windows = 0) rather than dropping them.
+   */
+  def substringStats(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = SubstringWindow): DataFrame = {
+    val toks = tokens(col(textCol))
+    val wins = docs.select(col(idCol).as("doc_id"),
+      explode(shinglesStrict(toks, w)).as("win"))
+    val freq = wins.groupBy("win").agg(count(lit(1)).as("c"))
+    val perDoc = wins.join(freq, "win")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (floor(col("n_dup_windows").cast("double") / col("n_windows") * 10000) / 10000)
+          .as("dup_win_frac"))
+  }
+
+  /** Like [[shingles]] but with NO short-doc fallback: a doc below w
+    * tokens contributes zero windows (a whole short doc is not a
+    * duplicated SPAN — the fallback would conflate the two signals). */
+  private def shinglesStrict(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** [[substringStats]] over the planted demo corpus (the same
+    * mutated-copy plant as minhash/simhash: unmutated spans between
+    * mutation sites are exactly the shared runs substring dedup is
+    * built to catch). */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    substringStats(
+      withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true),
+      "doc_id", "text")
+
+  val dedupSubstringSql: String =
+    s"""WITH ${mutatedCorpusSql(25)},
+       |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+       |w AS (
+       |  SELECT doc_id, array_to_string(toks[i:i+$SubstringWindow-1], ' ') AS win
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - $SubstringWindow + 2)) AS i) r
+       |  WHERE len(toks) >= $SubstringWindow),
+       |freq AS (SELECT win, COUNT(*) AS c FROM w GROUP BY win),
+       |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |        CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+       |      FROM w JOIN freq USING (win) GROUP BY doc_id)
+       |SELECT c.doc_id,
+       |  CAST(COALESCE(d.n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(COALESCE(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |  FLOOR(CAST(d.n_dup_windows AS DOUBLE) / d.n_windows * 10000) / 10000 AS dup_win_frac
+       |FROM corpus c LEFT JOIN d USING (doc_id)""".stripMargin
+
   /** Top-20 cosine pairs via the bucketed path (SQL oracle: all-pairs). */
   def neardupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))

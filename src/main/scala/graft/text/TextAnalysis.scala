@@ -187,6 +187,62 @@ object TextAnalysis {
       |FROM tok JOIN freq USING (t), tot
       |GROUP BY doc_id""".stripMargin
 
+  // ---- TF-IDF top terms (corpus keyword extraction) ----
+
+  /**
+   * Per-document top-k terms by smoothed TF-IDF
+   * (`tf * (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing so a term in
+   * every doc still scores > 0) — the standard corpus-exploration /
+   * topic-tagging signal next to the quality filters.
+   *
+   * Scale: (doc, term) term frequencies are ONE partial-agg shuffle
+   * over the token stream; document frequencies a second partial agg
+   * over that (already deduplicated) table; N rides in as a broadcast
+   * 1-row literal. The ranking window partitions by doc_id and sees
+   * only a doc's distinct terms — bounded by doc length, never by
+   * corpus size. Scores are floor-truncated to 4dp BEFORE ranking and
+   * ties break on the term string, so the cut is total and
+   * engine-portable (a raw-double order could flip on a last-ulp ln
+   * difference between engines; the floored order only at an exact
+   * 1e-4 boundary — SURVEY §5).
+   */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "t").crossJoin(broadcast(n))
+      .withColumn("score",
+        floor(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)
+          * 10000) / 10000)
+    val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("t").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("t").as("term"), col("score"))
+  }
+
+  def tfidfQuery(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  val tfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+      |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, t,
+      |    FLOOR(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1) * 10000) / 10000 AS score
+      |  FROM tf JOIN dfreq USING (t), n),
+      |r AS (SELECT doc_id, t, score,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rank
+      |      FROM scored)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, t AS term, score
+      |FROM r WHERE rank <= 3""".stripMargin
+
   // ---- repetition metrics (Gopher-style quality filters) ----
 
   /**

@@ -332,6 +332,57 @@ class DedupTextSpec extends SparkSpecBase {
       .foreach(r => assert(!kept.contains(r.getLong(0)), s"non-keeper ${r.getLong(0)} kept"))
   }
 
+  test("substringStats: hand-computed window counts, internal repeats, sub-W docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e f g h i j"),                  // 3 windows; shares win#1 with doc 1
+      (1L, "a b c d e f g h x y"),                  // 3 windows; shares win#1 with doc 0
+      (2L, "short doc"),                            // < 8 tokens: zero windows, NULL frac
+      (3L, "p q r s t u v w p q r s t u v w")       // 16 toks: 9 windows, 2 identical
+    ).toDF("doc_id", "text")
+    val res = Dedup.substringStats(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(res(0L).getLong(1) == 3 && res(0L).getLong(2) == 1)
+    assert(res(0L).getDouble(3) == 0.3333)
+    assert(res(1L).getLong(1) == 3 && res(1L).getLong(2) == 1)
+    assert(res(2L).getLong(1) == 0 && res(2L).getLong(2) == 0 && res(2L).isNullAt(3))
+    // doc 3: "p q r s t u v w" occurs at positions 1 and 9 -> both count as dup
+    assert(res(3L).getLong(1) == 9 && res(3L).getLong(2) == 2)
+  }
+
+  test("dedup_substring: every planted near-dup pair shares unmutated runs") {
+    val res = Dedup.dedupSubstring(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // mutation hits every 60th token; docs are 10-99 tokens, so long
+    // unmutated runs survive in both the original and its planted copy
+    (0L until 25L).foreach { id =>
+      assert(res(id) >= 1, s"original $id has no duplicated window")
+      assert(res(id + Dedup.PlantOffset) >= 1, s"copy of $id has no duplicated window")
+    }
+    // corpus rows all present (500 docs + 25 plants at sf0.001... scaled by dir)
+    assert(res.size == res.keys.toSet.size)
+  }
+
+  test("tfidf_topterms: hand-computed smoothed tf-idf, floored-rank total order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "apple apple banana"),
+      (1L, "banana cherry"),
+      (2L, "cherry cherry cherry dog")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, dog 1
+    // idf(df=1) = ln(2)+1 = 1.69314..., idf(df=2) = ln(4/3)+1 = 1.28768...
+    val res = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    assert(res((0L, 1)) == ("apple", 3.3862))   // 2 * 1.693147 floored
+    assert(res((0L, 2)) == ("banana", 1.2876))
+    assert(res((2L, 1)) == ("cherry", 3.8630))  // 3 * 1.287682 floored
+    assert(res((2L, 2)) == ("dog", 1.6931))
+    // doc 1: equal-scored terms tie-break on the term string
+    assert(res((1L, 1))._1 == "banana" && res((1L, 2))._1 == "cherry")
+    assert(res((1L, 1))._2 == res((1L, 2))._2)
+  }
+
   test("ivf cell sizing scales as sqrt(N) within clamps") {
     assert(IvfSearch.scaledCells(100) == 4)          // floor: n/32
     assert(IvfSearch.scaledCells(500) == 15)         // n/32 binds below sqrt
