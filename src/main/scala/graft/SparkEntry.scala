@@ -65,6 +65,7 @@ object SparkEntry {
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
     "neardup_embedding" -> (Dedup.neardupEmbedding _),
     "simsearch_ivf" -> (IvfSearch.simsearchIvf _),
+    "embed_cluster" -> (IvfSearch.embedCluster _),
     "lang_id" -> (TextAnalysis.langIdQuery _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
@@ -138,6 +139,7 @@ object SparkEntry {
     "ngram_jaccard" -> Dedup.ngramJaccardSql,
     "neardup_embedding" -> Dedup.neardupEmbeddingSql,
     "simsearch_ivf" -> IvfSearch.simsearchIvfSql,
+    "embed_cluster" -> IvfSearch.embedClusterSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,

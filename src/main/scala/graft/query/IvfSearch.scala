@@ -179,12 +179,8 @@ object IvfSearch {
   // probe plan, not the fixture write)
   private val centroidsExported = scala.collection.mutable.Set.empty[String]
 
-  def simsearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val data = Tables.embeddings(spark, sfDir)
-    // config override wins; otherwise size cells from the corpus
-    val c = if (cfg.ivf.cells > 0) cfg.ivf.cells
-      else scaledCells(memoCount(data, s"ivf:$sfDir"))
-    val cents = fitCentroids(data, c, Some(s"ivf:$sfDir"))
+  private def exportCentroids(spark: SparkSession, sfDir: String,
+      cents: Array[Array[Float]]): Unit =
     centroidsExported.synchronized {
       if (!centroidsExported(sfDir)) {
         centroidsDf(spark, cents)
@@ -192,8 +188,68 @@ object IvfSearch {
         centroidsExported += sfDir
       }
     }
+
+  /** The corpus-sized (or config-overridden) fitted centroids for
+    * `sfDir`, fixture-exported for the DuckDB oracles. */
+  private def fittedCorpusCentroids(spark: SparkSession, sfDir: String,
+      data: DataFrame): Array[Array[Float]] = {
+    // config override wins; otherwise size cells from the corpus
+    val c = if (cfg.ivf.cells > 0) cfg.ivf.cells
+      else scaledCells(memoCount(data, s"ivf:$sfDir"))
+    val cents = fitCentroids(data, c, Some(s"ivf:$sfDir"))
+    exportCentroids(spark, sfDir, cents)
+    cents
+  }
+
+  def simsearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = fittedCorpusCentroids(spark, sfDir, data)
     ivfTopK(spark, data, data.filter(col("vec_id") < NumQueries), K, NumProbes, cents)
   }
+
+  /**
+   * Per-cluster profile of the embedding corpus under the fitted
+   * k-means cells — the semantic-clustering report corpus curation
+   * runs before sampling by cluster (size balance, dispersion, empty
+   * regions): cell, member count, mean and max member-to-centroid
+   * distance (floor-truncated, SURVEY §5).
+   *
+   * Scale: the [[assignCells]] discipline — broadcast centroids,
+   * per-vector argmin via `min_by` (partial-combines map-side, the
+   * shuffle carries ONE row per vector), then a cells-sized partial
+   * agg. No window over the corpus, no per-(vector, centroid) shuffle.
+   */
+  def embedCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = fittedCorpusCentroids(spark, sfDir, data)
+    data.join(broadcast(centroidsDf(spark, cents)))
+      .withColumn("cdist", vec_l2(col("embedding"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("cdist"), col("cell"))).as("cell"),
+        min(col("cdist")).as("d"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (floor(avg(col("d")) * 10000) / 10000).as("mean_dist"),
+        (floor(max(col("d")) * 10000) / 10000).as("max_dist"))
+  }
+
+  /** DuckDB twin of [[embedCluster]] over the exported centroids —
+    * the same argmin/(dist, cell) tie-break as [[simsearchIvfSql]],
+    * aggregated per cell. */
+  def embedClusterSql: String =
+    s"""WITH c AS (SELECT cell, cv FROM read_parquet('$CentroidExportPath/*.parquet')),
+       |assign AS (
+       |  SELECT vec_id, cell, dist FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS dist,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  FLOOR(AVG(dist) * 10000) / 10000 AS mean_dist,
+       |  FLOOR(MAX(dist) * 10000) / 10000 AS max_dist
+       |FROM assign GROUP BY cell""".stripMargin
 
   /**
    * DuckDB twin of the full IVF serving chain over the exported

@@ -363,6 +363,24 @@ class DedupTextSpec extends SparkSpecBase {
     assert(res.size == res.keys.toSet.size)
   }
 
+  test("embed_cluster: partition of the corpus, dispersion bounds, assignment parity") {
+    val emb = Tables.embeddings(spark, sf)
+    val res = IvfSearch.embedCluster(spark, sf).collect()
+    // the report is a partition of the corpus: counts sum to N, cells distinct
+    assert(res.map(_.getLong(1)).sum == emb.count())
+    assert(res.map(_.getInt(0)).distinct.length == res.length)
+    res.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= r.getDouble(3) + 1e-9,
+        s"cell ${r.getInt(0)}: mean ${r.getDouble(2)} > max ${r.getDouble(3)}")
+    }
+    // per-cell counts match an independent assignCells aggregation
+    val cents = IvfSearch.fitCentroids(emb, IvfSearch.scaledCells(emb.count()), Some(s"ivf:$sf"))
+    val direct = IvfSearch.assignCells(emb, IvfSearch.centroidsDf(spark, cents))
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    res.foreach(r => assert(direct(r.getInt(0)) == r.getLong(1)))
+  }
+
   test("tfidf_topterms: hand-computed smoothed tf-idf, floored-rank total order") {
     import spark.implicits._
     val corpus = Seq(
