@@ -53,8 +53,11 @@ object Bench {
           prep("ensureResidentDelta")(graft.index.IndexMaintenance.ensureResidentDelta(spark, sfDir))
         if (name == "ann_multidim_topk")
           prep("ensureResidentTwoDim")(graft.query.DimRegistry.ensureResidentTwoDim(spark, sfDir))
-        if (name == "simsearch_ivf" || name == "neardup_embedding")
+        if (name == "simsearch_ivf" || name == "neardup_embedding" ||
+            name == "sample_cluster_balanced")
           prep("ensureFitted")(graft.query.IvfSearch.ensureFitted(spark, sfDir))
+        if (name == "embed_pq" || name == "ann_ivfpq_topk")
+          prep("ensureFittedPq")(graft.query.PqSearch.ensureFitted(spark, sfDir))
         val t0 = System.nanoTime()
         // a failed rep reports -1, not a bogus tiny wall time
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

@@ -66,6 +66,9 @@ object SparkEntry {
     "neardup_embedding" -> (Dedup.neardupEmbedding _),
     "simsearch_ivf" -> (IvfSearch.simsearchIvf _),
     "embed_cluster" -> (IvfSearch.embedCluster _),
+    "sample_cluster_balanced" -> (IvfSearch.sampleClusterBalanced _),
+    "embed_pq" -> (graft.query.PqSearch.embedPq _),
+    "ann_ivfpq_topk" -> (graft.query.PqSearch.annIvfpqTopK _),
     "lang_id" -> (TextAnalysis.langIdQuery _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
@@ -140,6 +143,9 @@ object SparkEntry {
     "neardup_embedding" -> Dedup.neardupEmbeddingSql,
     "simsearch_ivf" -> IvfSearch.simsearchIvfSql,
     "embed_cluster" -> IvfSearch.embedClusterSql,
+    "sample_cluster_balanced" -> IvfSearch.sampleClusterBalancedSql,
+    "embed_pq" -> graft.query.PqSearch.embedPqSql,
+    "ann_ivfpq_topk" -> graft.query.PqSearch.annIvfpqTopKSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,

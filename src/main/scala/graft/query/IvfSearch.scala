@@ -190,8 +190,9 @@ object IvfSearch {
     }
 
   /** The corpus-sized (or config-overridden) fitted centroids for
-    * `sfDir`, fixture-exported for the DuckDB oracles. */
-  private def fittedCorpusCentroids(spark: SparkSession, sfDir: String,
+    * `sfDir`, fixture-exported for the DuckDB oracles (shared with the
+    * IVF-PQ routing in [[PqSearch]]). */
+  private[query] def fittedCorpusCentroids(spark: SparkSession, sfDir: String,
       data: DataFrame): Array[Array[Float]] = {
     // config override wins; otherwise size cells from the corpus
     val c = if (cfg.ivf.cells > 0) cfg.ivf.cells
@@ -232,6 +233,54 @@ object IvfSearch {
         (floor(avg(col("d")) * 10000) / 10000).as("mean_dist"),
         (floor(max(col("d")) * 10000) / 10000).as("max_dist"))
   }
+
+  /** Per-cell sampling quota of [[sampleClusterBalanced]]. */
+  val ClusterQuota = 8
+
+  /**
+   * Cluster-balanced sampling (diversity curation): up to
+   * [[ClusterQuota]] vectors per fitted k-means cell, drawn in
+   * deterministic hash order — the cluster-balanced draw semantic
+   * curation runs after [[embedCluster]]'s profile, so dense regions
+   * can't dominate the sample the way a uniform draw lets them.
+   *
+   * Scale: one [[assignCells]]-shaped shuffle (one row per vector via
+   * the min_by partial agg), then [[graft.operators.Corpus.sampleStratified]]
+   * with cell as the stratum — its u-histogram prefix bounds every
+   * ranking window to ≈ quota + cell/1024 rows, so a 100 TB hot cell
+   * never serializes through one reducer.
+   */
+  def sampleClusterBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = fittedCorpusCentroids(spark, sfDir, data)
+    val celled = data.join(broadcast(centroidsDf(spark, cents)))
+      .withColumn("cdist", vec_l2(col("embedding"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("cdist"), col("cell"))).as("cell"))
+      .withColumnRenamed("vec_id", "doc_id")
+    graft.operators.Corpus.sampleStratified(celled, "cell", ClusterQuota)
+      .withColumnRenamed("doc_id", "vec_id")
+  }
+
+  /** DuckDB twin of [[sampleClusterBalanced]]: the [[embedClusterSql]]
+    * argmin assignment + the `sample_stratified` hash-order draw. */
+  def sampleClusterBalancedSql: String =
+    s"""WITH c AS (SELECT cell, cv FROM read_parquet('$CentroidExportPath/*.parquet')),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1)
+       |SELECT vec_id, cell, u, CAST(draw_rank AS INTEGER) AS draw_rank FROM (
+       |  SELECT vec_id, cell,
+       |    ('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS u,
+       |    ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY ('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT, vec_id)
+       |      AS draw_rank
+       |  FROM assign)
+       |WHERE draw_rank <= $ClusterQuota""".stripMargin
 
   /** DuckDB twin of [[embedCluster]] over the exported centroids —
     * the same argmin/(dist, cell) tie-break as [[simsearchIvfSql]],

@@ -1,0 +1,329 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.vec_l2
+
+/**
+ * Product quantization: the third classic ANN compression next to the
+ * reference's LSH partitions (fspann `core/Coding.java` semantics,
+ * re-expressed in [[AnnQuery]]) and the IVF cells of [[IvfSearch]].
+ * Vectors are split into `M` subspaces; each subspace is k-means
+ * quantized to `Kc` codewords; a vector becomes `M` small codes
+ * (8 bytes here vs 256 bytes of float32 — the compression that lets a
+ * 100 TB corpus keep its WHOLE index in memory while the raw vectors
+ * stay in cold storage).
+ *
+ * Serving is IVF-PQ (the FAISS-standard composition): queries probe
+ * their `nProbe` nearest coarse cells, candidates inside those cells
+ * are ranked by asymmetric distance (ADC — a per-query lookup table
+ * of query-subvector-to-codeword distances, summed by code), and only
+ * a bounded ADC shortlist is refined against the true embeddings.
+ * The expensive scan therefore touches 8-byte codes, never vectors;
+ * the full-precision fetch is `numQueries x adcKeep` rows.
+ *
+ * Spark posture:
+ *  - Codebook fit is the [[IvfSearch.fitCentroids]] discipline: a
+ *    bounded `vec_id`-pinned sample, deterministic Lloyd iterations
+ *    per subspace, memoized per (session, corpus).
+ *  - ENCODE is map-only: the codebook rides the plan as a literal
+ *    (M x Kc x subDim floats — KBs; `broadcast()` it if a deployment
+ *    outgrows plan literals) and each code is an in-order argmin over
+ *    `vec_l2` distances — no shuffle anywhere in index construction.
+ *  - The cell routing reuses the fitted IVF centroids and replays
+ *    `assignCells`' (dist, cell) argmin tie-break as the same
+ *    first-position-of-min, so the PQ index and the IVF index route
+ *    identically.
+ *  - ADC candidates are capped per query by a (floored ADC, vec_id)
+ *    window BEFORE any embedding fetch — the bandwidth bound that
+ *    makes the refine cost independent of cell skew.
+ *
+ * Both fixtures (coarse centroids, PQ codebook) are exported as tiny
+ * parquet tables so DuckDB replays the full chain: encode argmin,
+ * probe selection, ADC ranking, exact refine.
+ */
+object PqSearch {
+
+  private def cfg = graft.config.GraftConfig.active
+
+  /** Subspaces per vector (codes per vector). */
+  val M = 8
+  /** Codewords per subspace (codes fit 4 bits here; byte-sized Kc=256
+    * is the production norm — the plans are Kc-independent). */
+  val Kc = 16
+  /** ADC shortlist refined with exact distances, per query. */
+  val AdcKeep = 64
+
+  def K: Int = cfg.query.k
+  def NumQueries: Int = cfg.query.numQueries
+  def NumProbes: Int = cfg.ivf.probes
+
+  val CodebookExportPath = "/root/repo/tmp/oracle_fixtures/pq_codebook.parquet"
+
+  // fitted codebooks die with their session (the IvfSearch memo shape)
+  private val codebookCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[Array[Array[Float]]]]]()
+  private val codebookExported = scala.collection.mutable.Set.empty[String]
+
+  /** [m][k][subDim] codebook from a bounded, `vec_id`-pinned sample:
+    * per-subspace deterministic Lloyd k-means ([[IvfSearch.kmeans]]). */
+  def fitCodebook(data: DataFrame, memoKey: String): Array[Array[Array[Float]]] = {
+    val spark = data.sparkSession
+    def fit(): Array[Array[Array[Float]]] = {
+      val sample = data.orderBy("vec_id").limit(IvfSearch.MaxSample)
+        .select(col("embedding").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      require(sample.nonEmpty, "empty sample for PQ codebook fit")
+      val dim = sample.head.length
+      require(dim % M == 0, s"dim=$dim not divisible into $M subspaces")
+      val sub = dim / M
+      Array.tabulate(M) { m =>
+        val subSample = sample.map(_.slice(m * sub, (m + 1) * sub))
+        IvfSearch.kmeans(subSample, math.min(Kc, subSample.length), IvfSearch.KmeansIters)
+      }
+    }
+    codebookCache.synchronized {
+      codebookCache.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(memoKey, fit())
+    }
+  }
+
+  /** (m, code, cv) fixture rows for the DuckDB oracle. */
+  def codebookDf(spark: SparkSession, cb: Array[Array[Array[Float]]]): DataFrame = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (cws, m) =>
+      cws.zipWithIndex.map { case (cw, k) => (m, k, cw.toSeq) }
+    }.toSeq.toDF("m", "code", "cv")
+  }
+
+  private def exportCodebook(spark: SparkSession, sfDir: String,
+      cb: Array[Array[Array[Float]]]): Unit =
+    codebookExported.synchronized {
+      if (!codebookExported(sfDir)) {
+        codebookDf(spark, cb)
+          .coalesce(1).write.mode("overwrite").parquet(CodebookExportPath)
+        codebookExported += sfDir
+      }
+    }
+
+  /** The codebook as a plan literal: array of (m, array of codewords). */
+  private def cbLit(cb: Array[Array[Array[Float]]]): Column =
+    typedLit(cb.zipWithIndex.map { case (cws, m) => (m, cws.map(_.toSeq).toSeq) }.toSeq)
+
+  private def subDim(cb: Array[Array[Array[Float]]]): Int = cb(0)(0).length
+
+  /** Map-only PQ codes for `vecCol`: per subspace, the first-position
+    * argmin over codeword distances (ties -> lowest code, the same
+    * (dist, code) order the DuckDB oracle ranks by). */
+  def pqCodes(vecCol: Column, cb: Array[Array[Array[Float]]]): Column = {
+    val sub = subDim(cb)
+    transform(cbLit(cb), mrow => {
+      val sl = slice(vecCol, mrow.getField("_1") * lit(sub) + lit(1), lit(sub))
+      val dists = transform(mrow.getField("_2"), cw => vec_l2(sl, cw))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** Map-only coarse-cell assignment replaying [[IvfSearch.assignCells]]'
+    * (dist, cell) argmin as first-position-of-min over a literal
+    * centroid array — the encode pass needs no join at all. */
+  def cellOf(vecCol: Column, cents: Array[Array[Float]]): Column = {
+    val lit0 = typedLit(cents.map(_.toSeq).toSeq)
+    val dists = transform(lit0, cv => vec_l2(vecCol, cv))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Per-query ADC lookup tables: luts[m][k] = squared distance from
+    * the query's m-th subvector to codeword k (squared so the ADC sum
+    * approximates the squared L2; the sqrt'd kernel is reused and
+    * squared by multiplication, which DuckDB replays exactly). */
+  def adcLuts(qvCol: Column, cb: Array[Array[Array[Float]]]): Column = {
+    val sub = subDim(cb)
+    transform(cbLit(cb), mrow => {
+      val sl = slice(qvCol, mrow.getField("_1") * lit(sub) + lit(1), lit(sub))
+      transform(mrow.getField("_2"), cw => {
+        val d = vec_l2(sl, cw)
+        d * d
+      })
+    })
+  }
+
+  /** In-order ADC sum: codes index into the per-subspace LUTs. Floored
+    * to 4dp so the shortlist cut is total and engine-portable (the
+    * tfidf ranking discipline). */
+  private def adcCol: Column =
+    floor(aggregate(
+      zip_with(col("codes"), col("luts"), (c, l) => element_at(l, c + 1)),
+      lit(0.0), (acc, x) => acc + x) * 10000) / 10000
+
+  private def fittedFor(spark: SparkSession, sfDir: String,
+      data: DataFrame): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
+    val cb = fitCodebook(data, s"pq:$sfDir")
+    exportCodebook(spark, sfDir, cb)
+    (cents, cb)
+  }
+
+  /** `embed_pq`: the PQ-encoded corpus — (vec_id, cell, m, code), the
+    * codes array exploded to scalar rows so the oracle hash checks the
+    * COMPLETE code assignment (the array-summary loaders only digest).
+    * An IVF-PQ deployment stores the array form bucketed by cell. */
+  def embedPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val (cents, cb) = fittedFor(spark, sfDir, data)
+    data.select(col("vec_id"),
+      cellOf(col("embedding"), cents).as("cell"),
+      posexplode(pqCodes(col("embedding"), cb)))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+  }
+
+  /** Map-only per-query probe list: the cell indices of the `nProbe`
+    * smallest (distance, cell) pairs over the literal centroid array —
+    * the same probe order [[IvfSearch.ivfTopK]]'s rank window selects,
+    * as one array expression (array_sort on struct sorts by (d, c)). */
+  def topProbeCells(vecCol: Column, cents: Array[Array[Float]], nProbe: Int): Column = {
+    val dists = transform(typedLit(cents.map(_.toSeq).toSeq), cv => vec_l2(vecCol, cv))
+    val sorted = array_sort(transform(dists, (d, i) => struct(d.as("d"), i.as("c"))))
+    transform(slice(sorted, 1, nProbe), s => s.getField("c").cast("int"))
+  }
+
+  /** `ann_ivfpq_topk`: probe -> ADC rank over codes -> bounded exact
+    * refine. Queries are the first [[NumQueries]] corpus vectors (the
+    * [[IvfSearch.simsearchIvf]] convention). The query side is ONE
+    * broadcast relation carrying (probe cell, ADC tables, query
+    * vector) per query — probe selection, like the encode, is a
+    * map-only expression over the literal centroids, so the only
+    * shuffles are the two bounded rank windows (ADC cap, final top-k). */
+  def annIvfpqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val (cents, cb) = fittedFor(spark, sfDir, data)
+    // cell routing via the proven assignCells aggregate (one shuffle
+    // row per vector); codes are a map-only projection joined by plain
+    // vec_id. (An alias that is BOTH a join key and a join output —
+    // keying the join on [[cellOf]] directly — trips a Spark 4.1
+    // optimizer bug: CollapseProject pulls the HOF alias above the
+    // join while column pruning drops `embedding` below it ->
+    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND.)
+    val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents))
+    val codes = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), pqCodes(col("embedding"), cb).as("codes"))
+
+    // numQueries x nProbe rows: each with the query's LUTs + vector —
+    // COLLECTED into a local relation (bounded by construction:
+    // numQueries x nProbe). This is the reference's client-side query
+    // prep (QueryTokenFactory computes per-query code material on the
+    // client); the serving plan's broadcast side is a LocalTableScan,
+    // decoupled from the corpus scans.
+    val prep = Tables.embeddings(spark, sfDir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        adcLuts(col("embedding"), cb).as("luts"),
+        topProbeCells(col("embedding"), cents, NumProbes).as("pcells"))
+      .withColumn("cell", explode(col("pcells"))).drop("pcells")
+    val probeSide = spark.createDataFrame(
+      java.util.Arrays.asList(prep.collect(): _*), prep.schema)
+
+    // candidate rows carry (vec_id, codes) only — never embeddings;
+    // the full-precision fetch happens AFTER the ADC shortlist cut
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    cells
+      .join(broadcast(probeSide), Seq("cell"))
+      .join(codes, Seq("vec_id"))
+      .withColumn("adc", adcCol)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= AdcKeep)
+      .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("dist", vec_l2(col("embedding"), col("qv")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  /** Warm the centroid + codebook fits (bench prep: timed reps measure
+    * the encode/serving plan, not the model fit or fixture export). */
+  def ensureFitted(spark: SparkSession, sfDir: String): Unit = {
+    fittedFor(spark, sfDir, Tables.embeddings(spark, sfDir))
+    ()
+  }
+
+  /** Shared oracle CTEs: encode argmin over the codebook fixture. */
+  private def codesCte: String =
+    s"""cb AS (SELECT m, code, cv FROM read_parquet('$CodebookExportPath/*.parquet')),
+       |sub AS (SELECT DISTINCT len(cv) AS sd FROM cb),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT e.vec_id, cb.m, cb.code,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+       |        list_distance(CAST(e.embedding AS DOUBLE[])[cb.m * sub.sd + 1 : (cb.m + 1) * sub.sd],
+       |          CAST(cb.cv AS DOUBLE[])), cb.code) AS r
+       |    FROM embeddings e CROSS JOIN cb CROSS JOIN sub)
+       |  WHERE r = 1)""".stripMargin
+
+  /** DuckDB twin of [[embedPq]] over the two fixtures. */
+  def embedPqSql: String =
+    s"""WITH c AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
+       |$codesCte,
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1)
+       |SELECT a.vec_id, a.cell, CAST(cd.m AS INTEGER) AS m, CAST(cd.code AS INTEGER) AS code
+       |FROM assign a JOIN codes cd USING (vec_id)""".stripMargin
+
+  /** DuckDB twin of the full IVF-PQ chain: assign, probe, ADC over the
+    * encoded codes (floored 4dp like the Spark cut), bounded exact
+    * refine, top-k by (dist, vec_id). */
+  def annIvfpqTopKSql: String =
+    s"""WITH c AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
+       |$codesCte,
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS crnk
+       |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < $NumQueries)
+       |  WHERE crnk <= $NumProbes),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, cb.m, cb.code,
+       |    list_distance(CAST(q.embedding AS DOUBLE[])[cb.m * sub.sd + 1 : (cb.m + 1) * sub.sd],
+       |      CAST(cb.cv AS DOUBLE[]))
+       |    * list_distance(CAST(q.embedding AS DOUBLE[])[cb.m * sub.sd + 1 : (cb.m + 1) * sub.sd],
+       |      CAST(cb.cv AS DOUBLE[])) AS d2
+       |  FROM embeddings q CROSS JOIN cb CROSS JOIN sub WHERE q.vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT p.query_id, a.vec_id, FLOOR(SUM(l.d2) * 10000) / 10000 AS adc
+       |  FROM probes p
+       |  JOIN assign a ON a.cell = p.cell
+       |  JOIN codes cd ON cd.vec_id = a.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
+       |  GROUP BY p.query_id, a.vec_id),
+       |shortlist AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS adc_rank
+       |    FROM adc)
+       |  WHERE adc_rank <= $AdcKeep)
+       |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rnk
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.query_id)
+       |WHERE rnk <= $K""".stripMargin
+}
