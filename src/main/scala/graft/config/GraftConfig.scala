@@ -102,6 +102,15 @@ final case class RatioConfig(source: String = "auto") {
   * approx-quantile bounds embedded as literals, for corpora whose ids
   * cluster in a sliver of their span; balance only — numbering is
   * bucket-invariant either way). */
+/** Product quantization ([[graft.query.PqSearch]]): `m` subspaces per
+  * vector (the stored dim must divide by it), `codewords` per
+  * subspace (16 = 4-bit codes; 256 = the byte-sized production norm),
+  * `adcKeep` = ADC shortlist refined with exact distances per query. */
+final case class PqConfig(m: Int = 8, codewords: Int = 16, adcKeep: Int = 64) {
+  require(m > 0 && codewords > 1 && adcKeep > 0)
+  require(codewords <= 256, s"pq.codewords=$codewords exceeds byte-sized codes (max 256)")
+}
+
 final case class CorpusConfig(bucketBoundaries: String = "width") {
   require(Seq("width", "quantile").contains(bucketBoundaries),
     s"corpus.bucketBoundaries must be width|quantile, got '$bucketBoundaries'")
@@ -118,7 +127,8 @@ final case class GraftConfig(
     kAdaptive: KAdaptiveConfig = KAdaptiveConfig(),
     audit: AuditConfig = AuditConfig(),
     ratio: RatioConfig = RatioConfig(),
-    corpus: CorpusConfig = CorpusConfig())
+    corpus: CorpusConfig = CorpusConfig(),
+    pq: PqConfig = PqConfig())
 
 object GraftConfig {
 
@@ -250,6 +260,10 @@ object GraftConfig {
       ratio = RatioConfig(source = s(ratioN, "source", d.ratio.source)),
       corpus = CorpusConfig(
         bucketBoundaries =
-          s(n.path("corpus"), "bucketBoundaries", d.corpus.bucketBoundaries)))
+          s(n.path("corpus"), "bucketBoundaries", d.corpus.bucketBoundaries)),
+      pq = PqConfig(
+        m = i(n.path("pq"), "m", d.pq.m),
+        codewords = i(n.path("pq"), "codewords", d.pq.codewords),
+        adcKeep = i(n.path("pq"), "adcKeep", d.pq.adcKeep)))
   }
 }

@@ -50,12 +50,12 @@ object PqSearch {
   private def cfg = graft.config.GraftConfig.active
 
   /** Subspaces per vector (codes per vector). */
-  val M = 8
-  /** Codewords per subspace (codes fit 4 bits here; byte-sized Kc=256
-    * is the production norm — the plans are Kc-independent). */
-  val Kc = 16
+  def M: Int = cfg.pq.m
+  /** Codewords per subspace (codes fit 4 bits at the default 16;
+    * byte-sized 256 is the production norm — plans are Kc-independent). */
+  def Kc: Int = cfg.pq.codewords
   /** ADC shortlist refined with exact distances, per query. */
-  val AdcKeep = 64
+  def AdcKeep: Int = cfg.pq.adcKeep
 
   def K: Int = cfg.query.k
   def NumQueries: Int = cfg.query.numQueries
@@ -212,22 +212,36 @@ object PqSearch {
     val codes = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), pqCodes(col("embedding"), cb).as("codes"))
 
-    // numQueries x nProbe rows: each with the query's LUTs + vector —
-    // COLLECTED into a local relation (bounded by construction:
-    // numQueries x nProbe). This is the reference's client-side query
-    // prep (QueryTokenFactory computes per-query code material on the
-    // client); the serving plan's broadcast side is a LocalTableScan,
-    // decoupled from the corpus scans.
-    val prep = Tables.embeddings(spark, sfDir).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        adcLuts(col("embedding"), cb).as("luts"),
-        topProbeCells(col("embedding"), cents, NumProbes).as("pcells"))
+    val queries = Tables.embeddings(spark, sfDir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val fetch = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    topKForQueries(spark, queries, cells, codes, fetch, cents, cb, K)
+  }
+
+  /**
+   * Serve a (query_id, qv) batch through IVF-PQ: the per-query probe
+   * list + ADC tables are computed and COLLECTED into a local relation
+   * (bounded: queries x nProbe — a query batch, never the corpus).
+   * This is the reference's client-side query prep (QueryTokenFactory
+   * computes per-query code material on the client); the serving
+   * plan's broadcast side is a LocalTableScan, decoupled from the
+   * corpus scans. Candidate rows carry (vec_id, codes) only — never
+   * embeddings; the full-precision `fetch` join happens AFTER the ADC
+   * shortlist cut. Shared by the batch entry and the streaming server
+   * ([[graft.streaming.AnnServe.servePq]]).
+   */
+  def topKForQueries(spark: SparkSession, queries: DataFrame,
+      cells: DataFrame, codes: DataFrame, fetch: DataFrame,
+      cents: Array[Array[Float]], cb: Array[Array[Array[Float]]],
+      k: Int): DataFrame = {
+    val prep = queries
+      .select(col("query_id"), col("qv"),
+        adcLuts(col("qv"), cb).as("luts"),
+        topProbeCells(col("qv"), cents, NumProbes).as("pcells"))
       .withColumn("cell", explode(col("pcells"))).drop("pcells")
     val probeSide = spark.createDataFrame(
       java.util.Arrays.asList(prep.collect(): _*), prep.schema)
 
-    // candidate rows carry (vec_id, codes) only — never embeddings;
-    // the full-precision fetch happens AFTER the ADC shortlist cut
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
     val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     cells
@@ -236,11 +250,29 @@ object PqSearch {
       .withColumn("adc", adcCol)
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= AdcKeep)
-      .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(fetch, Seq("vec_id"))
       .withColumn("dist", vec_l2(col("embedding"), col("qv")))
       .withColumn("rnk", row_number().over(wk))
-      .filter(col("rnk") <= K)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  /** Resident IVF-PQ index for a corpus: cell routing + codes (cached
+    * — together ~13 bytes/vector, the point of PQ), the full-precision
+    * fetch table, and the fitted models. The streaming server holds
+    * one of these across triggers like the LSH path's resident index. */
+  final case class PqIndex(cells: DataFrame, codes: DataFrame, fetch: DataFrame,
+      cents: Array[Array[Float]], cb: Array[Array[Array[Float]]])
+
+  def buildIndex(spark: SparkSession, sfDir: String): PqIndex = {
+    val data = Tables.embeddings(spark, sfDir)
+    val (cents, cb) = fittedFor(spark, sfDir, data)
+    val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents)).cache()
+    val codes = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), pqCodes(col("embedding"), cb).as("codes")).cache()
+    PqIndex(cells, codes,
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      cents, cb)
   }
 
   /** Warm the centroid + codebook fits (bench prep: timed reps measure

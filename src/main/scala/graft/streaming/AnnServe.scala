@@ -118,6 +118,27 @@ object AnnServe {
    * resident across triggers; a batch containing an unregistered
    * dimension fails that trigger loudly rather than dropping queries.
    */
+  /**
+   * Serve a query stream through the IVF-PQ engine: each micro-batch's
+   * (vec_id, embedding) queries run [[graft.query.PqSearch.topKForQueries]]
+   * against a resident [[graft.query.PqSearch.PqIndex]] — cached cell
+   * routing + 8-byte codes, exact refine only on the ADC shortlist.
+   * The third serving engine next to LSH ([[serve]]) and the per-dim
+   * registry ([[serveMultidim]]), with the same idempotent sink.
+   */
+  def servePq(
+      queries: DataFrame,
+      idx: graft.query.PqSearch.PqIndex,
+      k: Int,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    servedSink(queries, outPath, checkpoint, trigger) { batch =>
+      graft.query.PqSearch.topKForQueries(batch.sparkSession,
+        batch.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        idx.cells, idx.codes, idx.fetch, idx.cents, idx.cb, k)
+    }
+
   def serveMultidim(
       queries: DataFrame,
       data: DataFrame,

@@ -43,6 +43,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.exceptAll(served).count() == 0)
   }
 
+  test("streaming IVF-PQ serving equals the batch serving plan across micro-batches") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = graft.query.PqSearch.buildIndex(spark, sf)
+    val in = tmp("pqserve-in")
+    val out = tmp("pqserve-out")
+    val ckpt = tmp("pqserve-ckpt")
+    val queries = emb.filter(col("vec_id") < 8)
+    queries.filter(col("vec_id") < 4).write.mode("overwrite").parquet(s"$in/q")
+    queries.filter(col("vec_id") >= 4).write.mode("append").parquet(s"$in/q")
+    val q = graft.streaming.AnnServe.servePq(
+      graft.streaming.AnnServe.queryStream(spark, s"$in/q", emb.schema),
+      idx, 10, out, ckpt)
+    assert(q.awaitTermination(120000), "pq serve stream did not finish in time")
+    val served = spark.read.parquet(out).drop("batch_id")
+    val batch = graft.query.PqSearch.topKForQueries(spark,
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      idx.cells, idx.codes, idx.fetch, idx.cents, idx.cb, 10)
+    assert(served.count() == batch.count())
+    assert(served.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(served).count() == 0)
+    idx.cells.unpersist(); idx.codes.unpersist()
+    ()
+  }
+
   test("streaming token serving equals batch tokenTopK across micro-batches") {
     val emb = Tables.embeddings(spark, sf)
     val model = Lsh.fit(emb, "embedding", LshParams())
