@@ -65,6 +65,7 @@ object SparkEntry {
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
     "neardup_embedding" -> (Dedup.neardupEmbedding _),
     "simsearch_ivf" -> (IvfSearch.simsearchIvf _),
+    "knn_join" -> (IvfSearch.knnJoin _),
     "embed_cluster" -> (IvfSearch.embedCluster _),
     "sample_cluster_balanced" -> (IvfSearch.sampleClusterBalanced _),
     "embed_pq" -> (graft.query.PqSearch.embedPq _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "ngram_jaccard" -> Dedup.ngramJaccardSql,
     "neardup_embedding" -> Dedup.neardupEmbeddingSql,
     "simsearch_ivf" -> IvfSearch.simsearchIvfSql,
+    "knn_join" -> IvfSearch.knnJoinSql,
     "embed_cluster" -> IvfSearch.embedClusterSql,
     "sample_cluster_balanced" -> IvfSearch.sampleClusterBalancedSql,
     "embed_pq" -> graft.query.PqSearch.embedPqSql,

@@ -2,7 +2,7 @@ package graft.query
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -568,7 +568,15 @@ object AnnQuery {
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[(String, Int), Seq[(Long, Long, Double, Int)]]]()
 
   def groundTruth(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    val rows = gtCache.synchronized {
+    val rows = groundTruthRows(spark, sfDir, k)
+    import spark.implicits._
+    rows.toDF("query_id", "vec_id", "dist", "rnk")
+  }
+
+  /** The memoized GT as in-hand rows (query_id, vec_id, dist, rnk) —
+    * the eval entries aggregate these driver-side. */
+  def groundTruthRows(spark: SparkSession, sfDir: String, k: Int): Seq[(Long, Long, Double, Int)] =
+    gtCache.synchronized {
       gtCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
         .getOrElseUpdate((sfDir, k), {
           bruteTopK(emb(spark, sfDir), queryVecs(spark, sfDir), k)
@@ -577,9 +585,6 @@ object AnnQuery {
             .toSeq
         })
     }
-    import spark.implicits._
-    rows.toDF("query_id", "vec_id", "dist", "rnk")
-  }
 
   /**
    * Adaptive wrapper (reference QueryServiceImpl retry: if a query
@@ -834,31 +839,106 @@ object AnnQuery {
     val queries = queryVecs(spark, sfDir)
     val maxK = kVariants.max
     val (model, built) = setup(spark, sfDir)
-    // ONE probe pass feeds the top-k refine and both ratio metrics
+    // ONE probe pass feeds the top-k refine and the search-cost ratio;
+    // both products are bounded (numQueries x maxK / numQueries rows),
+    // so they come back as rows and the metric aggregation runs
+    // driver-side (evalMetricsLocal — the reference's client-side
+    // Evaluator posture). The DataFrame composition survives as
+    // annRecallEvalPlan, cross-checked in DiagnosticsSpec.
     val probed = probeBlocks(spark, queries, model, built).cache()
-    val ratios = candidateCounts(probed, built)
-      .select(explode(array(kVariants.map(lit): _*)).as("k"), col("n_candidates"))
-      .groupBy("k").agg(round(avg(col("n_candidates") / col("k")), 2).as("avg_ratio"))
-    val ann = refineFromProbes(probed, data, queries, maxK, model, built).cache()
-    val gt = groundTruth(spark, sfDir, maxK)
+    val ann = refineFromProbes(probed, data, queries, maxK, model, built)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val counts = candidateCounts(probed, built)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    probed.unpersist()
+    val gt = groundTruthRows(spark, sfDir, maxK)
     val gtForRatio =
       if (cfg.ratio.source == "base")
-        distancesFromBase(gt.select("query_id", "vec_id", "rnk"), data, queries)
+        distancesFromBase(groundTruth(spark, sfDir, maxK).select("query_id", "vec_id", "rnk"),
+            data, queries)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
       else gt // gt | auto: trusted exact GT distances are in hand
-    // one AQE-planned pass computes the eval; the result comes back as
-    // a LOCAL relation (it is k-variants-sized by construction), so no
-    // storage memory lingers across repeated evals in a session. An
-    // eval.cache()+count() epilogue would release the intermediates
-    // too, but compiling the cached plan loses AQE's tiny-shuffle
-    // coalescing across the three branches — measured 3.7x slower.
-    val eval = localized(
-      recallEval(ann, gt, kVariants)
-        .join(ratios, Seq("k"))
-        .join(distanceRatioEval(ann, gtForRatio, kVariants), Seq("k"), "left")
-        .orderBy("k"))
-    probed.unpersist()
-    ann.unpersist()
-    eval
+    evalMetricsLocal(spark, ann, gt.map(t => (t._1, t._2, t._4)),
+      Some(counts), gtForRatio, kVariants)
+  }
+
+  /**
+   * Driver-side metric aggregation over the in-hand bounded eval rows
+   * — numQueries x maxK ANN results, the GT memo, per-query candidate
+   * counts (each KBs by construction, never corpus-scaled). The
+   * DataFrame combinators ([[recallEval]], [[distanceRatioEval]])
+   * express the same metrics as ~10 joins/aggregates whose fixed
+   * per-stage scheduling latency dominates the eval entries at EVERY
+   * scale factor (~1.5 s of tiny stages at sf0.1); the reference
+   * aggregates these metrics client-side for the same reason
+   * (Evaluator/Profiler run on the query client, not the server).
+   * Semantics are replicated exactly — HALF_UP rounding like Spark's
+   * `round`, zero-hit queries counting 0 into recall, the
+   * exactly-k-pairs + nonzero-denominator voiding of dist ratios,
+   * all-void k reporting -1.0, a k with no rank-aligned pairs at all
+   * reporting null (the left-join shape) — and DiagnosticsSpec pins
+   * this row-for-row against the DataFrame twin.
+   */
+  private[graft] def evalMetricsLocal(
+      spark: SparkSession,
+      ann: Seq[(Long, Long, Double, Int)],
+      gtIdRnk: Seq[(Long, Long, Int)],
+      counts: Option[Seq[(Long, Long)]],
+      gtForRatio: Seq[(Long, Long, Double, Int)],
+      kVariants: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.types._
+    def roundAt(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+    val gridQueries = gtIdRnk.map(_._1).distinct.sorted
+    val nQueries = gridQueries.length.toLong
+    // (query, vec) -> gt rank; join with ann ranks for the hit grid
+    val gtRnk = gtIdRnk.map(t => (t._1, t._2) -> t._3).toMap
+    val hitPairs = ann.flatMap { case (qid, vid, _, annRnk) =>
+      gtRnk.get((qid, vid)).map(g => (qid, annRnk, g))
+    }
+    // (query, rnk) -> gt dist; rank-aligned pairs for the ratio metric
+    val gtDist = gtForRatio.map(t => (t._1, t._4) -> t._3).toMap
+    val ratioPairs = ann.flatMap { case (qid, _, dAnn, rnk) =>
+      gtDist.get((qid, rnk)).map(dGt => (qid, rnk, dAnn, dGt))
+    }
+    val rows = kVariants.sorted.flatMap { k =>
+      val hitsByQ = hitPairs.filter(p => p._2 <= k && p._3 <= k)
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val recall = roundAt(
+        gridQueries.map(q => hitsByQ.getOrElse(q, 0L).toDouble / k).sum / nQueries, 4)
+      val avgRatio = counts.map { cs =>
+        if (cs.isEmpty) None
+        else Some(roundAt(cs.map(_._2.toDouble / k).sum / cs.length, 2))
+      }
+      val kPairs = ratioPairs.filter(_._2 <= k).groupBy(_._1)
+      val distRatio: Option[java.lang.Double] =
+        if (kPairs.isEmpty) None // no rank-aligned pairs: the left join's null
+        else {
+          val perQuery = kPairs.values.flatMap { ps =>
+            val used = ps.filter(_._4 > 0)
+            if (ps.size == k && used.nonEmpty)
+              Some(used.map(p => p._3 / p._4).sum / used.size)
+            else None
+          }.toSeq
+          Some(Double.box(
+            if (perQuery.isEmpty) -1.0 else roundAt(perQuery.sum / perQuery.length, 4)))
+        }
+      avgRatio match {
+        case Some(None) => Seq.empty // counts requested but empty: the inner join's empty result
+        case Some(Some(ar)) =>
+          Seq(Row(k, recall, nQueries, ar, distRatio.orNull))
+        case None =>
+          Seq(Row(k, recall, nQueries, distRatio.orNull))
+      }
+    }
+    val base = Seq(
+      StructField("k", IntegerType), StructField("recall", DoubleType),
+      StructField("n_queries", LongType))
+    val schema = StructType(
+      if (counts.isDefined) base :+ StructField("avg_ratio", DoubleType) :+
+        StructField("avg_dist_ratio", DoubleType)
+      else base :+ StructField("avg_dist_ratio", DoubleType))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** The LAZY eval plan of [[annRecallEval]], for plan review

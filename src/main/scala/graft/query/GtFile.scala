@@ -92,18 +92,14 @@ object GtFile {
    */
   def validateGtTop1(gt: DataFrame, trueTop1: DataFrame,
       sampleSize: Int = 100, tolerance: Double = 0.05): GtValidation = {
-    val sampled = gt.filter(col("rnk") === 1)
-      .orderBy("query_id").limit(sampleSize)
-      .select(col("query_id"), col("vec_id").as("gt_top1"))
-    val agg = sampled.join(
-        trueTop1.filter(col("rnk") === 1)
-          .select(col("query_id"), col("vec_id").as("true_top1")),
-        Seq("query_id"), "left")
-      .agg(count(lit(1)).as("n"),
-        count(when(col("true_top1").isNull ||
-          col("gt_top1") =!= col("true_top1"), lit(1))).as("bad"))
-      .collect()(0)
-    val (n, bad) = (agg.getLong(0), agg.getLong(1))
+    // a GT artifact is (queries x k) rows — bounded — so the sampled
+    // compare runs over collected rows (no join/agg stage latency)
+    val sampled = gt.filter(col("rnk") === 1).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).take(sampleSize)
+    val top1 = trueTop1.filter(col("rnk") === 1).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = sampled.length.toLong
+    val bad = sampled.count { case (q, v) => !top1.get(q).contains(v) }.toLong
     val rate = if (n == 0) 1.0 else bad.toDouble / n
     GtValidation(n, bad, rate, n > 0 && rate <= tolerance)
   }
@@ -114,12 +110,13 @@ object GtFile {
    * Returns the number of violating rows (0 = valid).
    */
   def validateGt(gt: DataFrame, corpusSize: Long): Long = {
-    val badRange = gt.filter(col("vec_id") < 0 || col("vec_id") >= corpusSize).count()
-    val dupes = gt.groupBy("query_id", "vec_id").count().filter(col("count") > 1).count()
-    val badRanks = gt.groupBy("query_id")
-      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
-      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
-      .count()
+    val rows = gt.select("query_id", "vec_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val badRange = rows.count(t => t._2 < 0 || t._2 >= corpusSize).toLong
+    val dupes = rows.groupBy(t => (t._1, t._2)).count(_._2.length > 1).toLong
+    val badRanks = rows.groupBy(_._1).values.count { g =>
+      val rs = g.map(_._3); rs.min != 1 || rs.max != g.length
+    }.toLong
     badRange + dupes + badRanks
   }
 
@@ -144,25 +141,27 @@ object GtFile {
     graft.util.Io.deleteRecursively(dir)
     val rowIds = writeGt(AnnQuery.groundTruth(spark, sfDir, maxK), s"$dir/gt.ivecs")
 
-    val gt = loadGt(spark, dir, Some(rowIds))
-    require(validateGt(gt, AnnQuery.corpusCount(spark, sfDir)) == 0,
+    // the GT artifact is (queries x maxK) ints: ONE collect off the
+    // distributed load, then validation and the metric aggregation run
+    // over the in-hand rows (AnnQuery.evalMetricsLocal — the
+    // reference's client-side Evaluator posture)
+    val gtRows = loadGt(spark, dir, Some(rowIds))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    import spark.implicits._
+    val gtLocal = gtRows.toDF("query_id", "vec_id", "rnk")
+    require(validateGt(gtLocal, AnnQuery.corpusCount(spark, sfDir)) == 0,
       "ground-truth file failed validation")
     // distance-level trust check before serving (the reference
     // validates BEFORE runQueries): true top-1 comes from the memoized
     // SETUP ground truth, so no extra brute-force job runs here
-    val v = validateGtTop1(gt, AnnQuery.groundTruth(spark, sfDir, maxK))
+    val v = validateGtTop1(gtLocal, AnnQuery.groundTruth(spark, sfDir, maxK))
     require(v.valid, s"GT top-1 validation failed: $v")
 
     val (model, built) = AnnQuery.setupIndex(spark, sfDir)
-    val ann = AnnQuery.lshTopK(spark, data, queries, maxK, model, built).cache()
-    val gtWithDist = AnnQuery.distancesFromBase(gt, data, queries)
-    // k-variants-sized by construction -> localized: one AQE-planned
-    // pass, no storage memory pinned afterwards (see AnnQuery.localized)
-    val eval = AnnQuery.localized(
-      AnnQuery.recallEval(ann, gt, kVariants)
-        .join(AnnQuery.distanceRatioEval(ann, gtWithDist, kVariants), Seq("k"), "left")
-        .orderBy("k"))
-    ann.unpersist()
-    eval
+    val ann = AnnQuery.lshTopK(spark, data, queries, maxK, model, built)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val gtWithDist = AnnQuery.distancesFromBase(gtLocal, data, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    AnnQuery.evalMetricsLocal(spark, ann, gtRows, None, gtWithDist, kVariants)
   }
 }

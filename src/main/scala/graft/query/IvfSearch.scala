@@ -234,6 +234,102 @@ object IvfSearch {
         (floor(max(col("d")) * 10000) / 10000).as("max_dist"))
   }
 
+  /**
+   * Map-side probe assignment: each vector's `nProbe` nearest cells in
+   * probe order against the broadcast centroid literal — N rows in,
+   * N*nProbe rows out, no shuffle and no per-query window over
+   * centroid rows. The ordering is the same (cdist, cell) struct sort
+   * as [[assignCells]]' argmin, so probe rank 1 IS the home cell.
+   */
+  def probeCellsRanked(data: DataFrame, cents: Array[Array[Float]], nProbe: Int): DataFrame = {
+    val centLit = typedLit(cents.zipWithIndex.map { case (cv, cell) => (cell, cv.toSeq) }.toSeq)
+    data.select(col("vec_id").as("query_id"),
+        posexplode(slice(array_sort(transform(centLit,
+          c => struct(vec_l2(col("embedding"), c.getField("_2")).as("cdist"),
+            c.getField("_1").as("cell")))), 1, nProbe)))
+      .select(col("query_id"), (col("pos") + 1).as("crnk"), col("col.cell").as("cell"))
+  }
+
+  /**
+   * Corpus-wide k-NN self-join (the k-NN GRAPH): every vector's k
+   * nearest neighbours via IVF co-probe — vector x's candidates are
+   * the vectors whose HOME cell is among x's `nProbe` nearest cells,
+   * exact refine only inside them, self excluded. This is the
+   * all-vectors step behind SemDeDup-style semantic curation and
+   * graph-based corpus filtering, where `ivfTopK`'s query-batch
+   * posture (broadcast the queries) can't apply because the query
+   * side IS the corpus.
+   *
+   * Scale posture: probe selection is map-side ([[probeCellsRanked]]);
+   * the probe→home-cell equi-join is the only data-sized shuffle and
+   * the per-query cap bounds its output at N * maxCandidates rows
+   * regardless of cell skew; the refine fetches both endpoints via
+   * SHUFFLE equi-joins keyed by id (never a corpus broadcast). At
+   * 100 TB the stored table is bucketed by cell, so the candidate
+   * join co-locates without a fresh shuffle of the big side.
+   */
+  def knnJoinPlan(data: DataFrame, k: Int, nProbe: Int,
+      cents: Array[Array[Float]], maxCandidates: Int): DataFrame = {
+    val e = data.select(col("vec_id"), col("embedding"))
+    val cells = assignCells(e, centroidsDf(e.sparkSession, cents))
+    val probes = probeCellsRanked(e, cents, nProbe)
+    val wCap = Window.partitionBy("query_id").orderBy(col("crnk"), col("vec_id"))
+    val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    probes.join(cells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cap_rank", row_number().over(wCap))
+      .filter(col("cap_rank") <= maxCandidates)
+      .join(e, "vec_id")
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .withColumn("dist", vec_l2(col("embedding"), col("qv")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = fittedCorpusCentroids(spark, sfDir, data)
+    knnJoinPlan(data, K, NumProbes, cents, cfg.ivf.maxCandidates)
+  }
+
+  /** DuckDB twin of [[knnJoin]]: the [[simsearchIvfSql]] chain with
+    * every vector as a query and the self candidate excluded. */
+  def knnJoinSql: String =
+    s"""WITH c AS (SELECT cell, cv FROM read_parquet('$CentroidExportPath/*.parquet')),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, cell, crnk FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS crnk
+       |    FROM embeddings q CROSS JOIN c)
+       |  WHERE crnk <= $NumProbes),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT p.query_id, a.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY p.crnk, a.vec_id) AS cap_rank
+       |    FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+       |  WHERE cap_rank <= ${cfg.ivf.maxCandidates}),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist
+       |  FROM cand
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  JOIN embeddings q ON q.vec_id = cand.query_id)
+       |SELECT query_id, nbr_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT query_id, vec_id AS nbr_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INTEGER) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $K""".stripMargin
+
   /** Per-cell sampling quota of [[sampleClusterBalanced]]. */
   val ClusterQuota = 8
 

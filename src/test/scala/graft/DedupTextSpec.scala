@@ -101,6 +101,40 @@ class DedupTextSpec extends SparkSpecBase {
     assert(uncapped.exceptAll(dflt).count() == 0)
   }
 
+  test("knn_join: k neighbours per vector, no self edges, recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val knn = IvfSearch.knnJoin(spark, sf).cache()
+    assert(knn.filter(col("query_id") === col("nbr_id")).count() == 0)
+    val perQ = knn.groupBy("query_id").count().collect()
+    assert(perQ.length == n, s"${perQ.length} queried of $n vectors")
+    perQ.foreach(r => assert(r.getLong(1) == IvfSearch.K.toLong,
+      s"query ${r.getLong(0)} returned ${r.getLong(1)} neighbours"))
+    // recall vs exact GT on the query subset (self excluded from GT)
+    val gt = AnnQuery.annBruteTopK(spark, sf)
+      .filter(col("query_id") =!= col("vec_id"))
+    val hits = knn.select(col("query_id"), col("nbr_id").as("vec_id"))
+      .join(gt.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"))
+      .count()
+    val recall = hits.toDouble / gt.count()
+    assert(recall >= 0.6, s"knn_join recall = $recall")
+    knn.unpersist()
+    ()
+  }
+
+  test("knn_join surfaces a planted exact duplicate at rank 1, both directions") {
+    import spark.implicits._
+    val base = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 8 + j).toFloat / 64)))
+    val e = (base :+ ((1000L, base(7)._2))).toDF("vec_id", "embedding")
+    val cents = IvfSearch.fitCentroids(e, 4)
+    val knn = IvfSearch.knnJoinPlan(e, 3, 2, cents, 20000)
+    val r7 = knn.filter(col("query_id") === 7 && col("rnk") === 1).collect()
+    val rDup = knn.filter(col("query_id") === 1000 && col("rnk") === 1).collect()
+    assert(r7.head.getLong(1) == 1000L && r7.head.getDouble(2) == 0.0)
+    assert(rDup.head.getLong(1) == 7L && rDup.head.getDouble(2) == 0.0)
+  }
+
   test("mixed-dimension corpus fails the LSH fit loudly") {
     import spark.implicits._
     val mixed = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(6)(1.0f)))

@@ -161,4 +161,17 @@ class DiagnosticsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("driver-side eval aggregation equals the DataFrame twin row-for-row") {
+    // the production entry aggregates metrics driver-side
+    // (AnnQuery.evalMetricsLocal); annRecallEvalPlan is the same
+    // composition in DataFrame combinators — they must agree exactly
+    val local = AnnQuery.annRecallEval(spark, sf)
+    val twin = AnnQuery.annRecallEvalPlan(spark, sf)
+    assert(local.columns.sameElements(twin.columns),
+      s"${local.columns.toSeq} vs ${twin.columns.toSeq}")
+    assert(local.count() == twin.count())
+    assert(local.exceptAll(twin).count() == 0)
+    assert(twin.exceptAll(local).count() == 0)
+  }
 }
