@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_apply" -> (Dedup.dedupApplyQuery _),
+    "dedup_semantic" -> (graft.dedup.SemDedup.dedupSemantic _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
     "dedup_apply" -> Dedup.dedupApplySql,
+    "dedup_semantic" -> graft.dedup.SemDedup.dedupSemanticSql,
     "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, SemDedup}
+import graft.query.IvfSearch
+
+class SemDedupSpec extends SparkSpecBase {
+
+  private lazy val result = SemDedup.dedupSemantic(spark, sf)
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getBoolean(3), r.getDouble(4)))
+
+  test("planted exact + jittered copies form one component per seed") {
+    val byComp = result.groupBy(_._2)
+    (0L until 10L).foreach { i =>
+      val comp = byComp(i).map(_._1).toSet
+      assert(comp == Set(i, i + Dedup.PlantOffset, i + 2 * Dedup.PlantOffset),
+        s"seed $i component = $comp")
+    }
+  }
+
+  test("exactly one keeper per component; keeper is argmin (csim, vec_id)") {
+    result.groupBy(_._2).foreach { case (comp, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"component $comp has ${keepers.length} keepers")
+      val expected = members.minBy(m => (m._5, m._1))._1
+      assert(keepers.head._1 == expected,
+        s"component $comp kept ${keepers.head._1}, SemDeDup policy says $expected")
+    }
+  }
+
+  test("non-planted vectors are kept singletons; row count covers the corpus") {
+    val singles = result.filter(_._3 == 1L)
+    assert(singles.forall(_._4), "a singleton was dropped")
+    val n = Tables.embeddings(spark, sf).count()
+    assert(result.length == n + 20, s"${result.length} decision rows for $n + 20 corpus")
+    assert(singles.length == result.length - 30)
+  }
+
+  test("decision table is deterministic across invocations") {
+    val again = SemDedup.dedupSemantic(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4)))
+    assert(result.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("edge plan is a cell equi-join — no cartesian, no nested-loop") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cents = IvfSearch.fitCentroids(e, SemDedup.SemCells)
+    val edges = SemDedup.semanticEdges(
+      SemDedup.assignWithCentSim(e, cents), SemDedup.SemTau, SemDedup.SemMaxCell)
+    val p = edges.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("hot-cell guard drops oversized cells from pairing") {
+    import spark.implicits._
+    // 40 identical vectors in one degenerate cell + 2 dups elsewhere
+    val hot = (0 until 40).map(i => (i.toLong, Array.fill(4)(1.0f)))
+    val pair = Seq((100L, Array(9f, 0f, 0f, 0f)), (101L, Array(9f, 0f, 0f, 0f)))
+    val e = (hot ++ pair).toDF("vec_id", "embedding")
+    val cents = Array(Array(1f, 1f, 1f, 1f), Array(9f, 0f, 0f, 0f))
+    val guarded = SemDedup.semanticDedupPlan(e, cents, tau = 0.999, maxCell = 10)
+    // the hot cell never pairs: all 40 stay singletons; the small cell still dedups
+    assert(guarded.filter(col("vec_id") < 100 && col("n_comp") > 1).count() == 0)
+    assert(guarded.filter(col("vec_id") >= 100).select("comp").distinct().count() == 1)
+    guarded.unpersist()
+    ()
+  }
+}
