@@ -60,6 +60,8 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_apply" -> (Dedup.dedupApplyQuery _),
     "dedup_semantic" -> (graft.dedup.SemDedup.dedupSemantic _),
+    "text_search_bm25" -> (graft.text.TextSearch.textSearchBm25 _),
+    "hybrid_search_rrf" -> (graft.text.TextSearch.hybridSearchRrf _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
@@ -139,6 +141,8 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.dedupClustersSql,
     "dedup_apply" -> Dedup.dedupApplySql,
     "dedup_semantic" -> graft.dedup.SemDedup.dedupSemanticSql,
+    "text_search_bm25" -> graft.text.TextSearch.textSearchBm25Sql,
+    "hybrid_search_rrf" -> graft.text.TextSearch.hybridSearchRrfSql,
     "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
