@@ -63,6 +63,7 @@ object SparkEntry {
     "text_search_bm25" -> (graft.text.TextSearch.textSearchBm25 _),
     "hybrid_search_rrf" -> (graft.text.TextSearch.hybridSearchRrf _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
+    "dedup_lines" -> (Dedup.dedupLinesQuery _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "text_search_bm25" -> graft.text.TextSearch.textSearchBm25Sql,
     "hybrid_search_rrf" -> graft.text.TextSearch.hybridSearchRrfSql,
     "dedup_substring" -> Dedup.dedupSubstringSql,
+    "dedup_lines" -> Dedup.dedupLinesSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -693,4 +693,95 @@ object Dedup {
       |                                 CAST(y.embedding AS DOUBLE[])), 4) AS cosine
       |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
       |ORDER BY cosine DESC, a, b LIMIT 20""".stripMargin
+
+  // ---- line-level boilerplate removal ----
+
+  /** A line is boilerplate once it occurs in >= this many DISTINCT
+    * documents (C4/RefinedWeb-style line dedup: navigation chrome,
+    * cookie banners, copyright footers repeat across pages; real
+    * content does not). */
+  val LineMinDocs: Int = 8
+
+  /**
+   * Line-level boilerplate removal (the line-dedup pass of C4 /
+   * RefinedWeb-style curation): any line occurring in >= `minDocs`
+   * distinct documents is stripped from EVERY document; per doc the
+   * result is the surviving lines re-joined plus kept/removed counts.
+   *
+   * Plan shape: one map-side explode of the line arrays, a two-level
+   * partial-agg shuffle on the line key — (line, doc) dedupe, then a
+   * distinct-doc count per line, the [[Dedup.substringStats]]
+   * frequency-table discipline — and a map-only finish: the lines
+   * crossing the threshold are BY DEFINITION few (boilerplate is the
+   * corpus's repeated chrome), so they come back as one broadcast
+   * array row and each document filters its own line array in place —
+   * no re-explode, no corpus-sized re-aggregation shuffle, no second
+   * scan. At 100 TB: shuffle the frequency pass on `xxhash64(line)`
+   * (8-byte keys; counts identical modulo 64-bit collisions) and cap
+   * the broadcast set with a deterministic top-N on (n_docs, line) if
+   * a degenerate corpus ever inflates it.
+   */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = LineMinDocs): DataFrame = {
+    val ls = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), "\n").as("ls"))
+    val freq = ls.select(col("doc_id"), explode(col("ls")).as("line"))
+      .groupBy("line", "doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+    val boiler = freq.filter(col("n_docs") >= minDocs)
+      .agg(sort_array(collect_list(col("line"))).as("bl"))
+    ls.crossJoin(broadcast(boiler))
+      .withColumn("kept", filter(col("ls"), l => !array_contains(col("bl"), l)))
+      .select(col("doc_id"),
+        size(col("ls")).as("n_lines"),
+        size(col("kept")).as("n_kept"),
+        (size(col("ls")) - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), "\n").as("text_clean"))
+  }
+
+  /**
+   * The synthetic corpus is single-line, so the query PLANTS the line
+   * structure (mirrored verbatim in the oracle): two always-boilerplate
+   * footers (doc_id%3, %4 — hundreds of docs at every SF), a rare
+   * shared line (%100=37: 5 docs at 500-doc SFs, BELOW threshold ->
+   * kept; 50 docs at sf0.1 -> crosses it), and a line repeated TWICE
+   * within few docs (%97=3: 12 occurrences across 6 docs at 500-doc
+   * SFs — kept, pinning the DISTINCT-doc count against a naive
+   * occurrence count that would strip it).
+   */
+  def dedupLinesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = Tables.documents(spark, sfDir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\nall rights reserved by the site owner")).otherwise(lit("")),
+        when(col("doc_id") % 100 === 37,
+          lit("\nref code alpha")).otherwise(lit("")),
+        when(col("doc_id") % 97 === 3,
+          lit("\nnote this page is a draft\nnote this page is a draft"))
+          .otherwise(lit(""))).as("text"))
+    dedupLines(planted, "doc_id", "text")
+  }
+
+  val dedupLinesSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'all rights reserved by the site owner' ELSE '' END
+       |    || CASE WHEN doc_id % 100 = 37 THEN chr(10) || 'ref code alpha' ELSE '' END
+       |    || CASE WHEN doc_id % 97 = 3 THEN chr(10) || 'note this page is a draft' || chr(10) || 'note this page is a draft' ELSE '' END
+       |    AS text FROM documents),
+       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+       |ex AS (SELECT doc_id, unnest(ls) AS line FROM ls),
+       |freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM ex GROUP BY line),
+       |boiler AS (SELECT coalesce(list(line ORDER BY line), []) AS bl
+       |           FROM freq WHERE n_docs >= $LineMinDocs)
+       |SELECT l.doc_id,
+       |  CAST(len(l.ls) AS INTEGER) AS n_lines,
+       |  CAST(len(list_filter(l.ls, x -> NOT list_contains(b.bl, x))) AS INTEGER) AS n_kept,
+       |  CAST(len(l.ls) - len(list_filter(l.ls, x -> NOT list_contains(b.bl, x))) AS INTEGER) AS n_removed,
+       |  COALESCE(list_aggregate(list_filter(l.ls, x -> NOT list_contains(b.bl, x)),
+       |    'string_agg', chr(10)), '') AS text_clean
+       |FROM ls l, boiler b""".stripMargin
 }

@@ -477,4 +477,42 @@ class DedupTextSpec extends SparkSpecBase {
     assert(sampled.filter(col("doc_id") === 2L).count() ==
       (0 until 33 % 7 + 1 by 2).size)
   }
+
+  test("dedup_lines strips threshold-crossing lines, keeps order, counts docs not occurrences") {
+    import spark.implicits._
+    // "footer" in 3 docs (>= minDocs 2 after dedupe); "rare" repeated
+    // TWICE in ONE doc (2 occurrences, 1 doc -> kept under distinct-doc
+    // counting); unique content always survives in original order.
+    val docs = Seq(
+      (1L, "alpha one\nfooter\nalpha two"),
+      (2L, "beta\nfooter"),
+      (3L, "gamma\nfooter\nrare\nmiddle\nrare"),
+      (4L, "delta only")).toDF("doc_id", "text")
+    val res = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(res(1L) == ((3, 2, 1, "alpha one\nalpha two")))
+    assert(res(2L) == ((2, 1, 1, "beta")))
+    assert(res(3L) == ((5, 4, 1, "gamma\nrare\nmiddle\nrare")))
+    assert(res(4L) == ((1, 1, 0, "delta only")))
+  }
+
+  test("dedup_lines corpus query: planted footers stripped, sub-threshold shared lines kept") {
+    val res = Dedup.dedupLinesQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(3), r.getString(4)))).toMap
+    assert(res.size == 500)
+    res.foreach { case (id, (nLines, nRemoved, clean)) =>
+      // both always-boilerplate footers are stripped, nothing else
+      val expectRemoved = (if (id % 3 == 0) 1 else 0) + (if (id % 4 == 0) 1 else 0)
+      assert(nRemoved == expectRemoved, s"doc $id")
+      assert(!clean.contains("subscribe to our newsletter"), s"doc $id")
+      assert(!clean.contains("all rights reserved"), s"doc $id")
+      // 5-doc shared line and the 6-doc doubled line stay (below 8 docs)
+      if (id % 100 == 37) assert(clean.endsWith("\nref code alpha"), s"doc $id")
+      if (id % 97 == 3)
+        assert(clean.endsWith("\nnote this page is a draft\nnote this page is a draft"), s"doc $id")
+      // the unique body is always the surviving first line
+      assert(clean.split("\n", -1).length == nLines - nRemoved, s"doc $id")
+    }
+  }
 }
