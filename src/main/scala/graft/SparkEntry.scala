@@ -69,6 +69,7 @@ object SparkEntry {
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
     "neardup_embedding" -> (Dedup.neardupEmbedding _),
     "simsearch_ivf" -> (IvfSearch.simsearchIvf _),
+    "ann_range_search" -> (IvfSearch.annRangeSearch _),
     "knn_join" -> (IvfSearch.knnJoin _),
     "embed_cluster" -> (IvfSearch.embedCluster _),
     "sample_cluster_balanced" -> (IvfSearch.sampleClusterBalanced _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "ngram_jaccard" -> Dedup.ngramJaccardSql,
     "neardup_embedding" -> Dedup.neardupEmbeddingSql,
     "simsearch_ivf" -> IvfSearch.simsearchIvfSql,
+    "ann_range_search" -> IvfSearch.annRangeSearchSql,
     "knn_join" -> IvfSearch.knnJoinSql,
     "embed_cluster" -> IvfSearch.embedClusterSql,
     "sample_cluster_balanced" -> IvfSearch.sampleClusterBalancedSql,

@@ -439,6 +439,81 @@ object IvfSearch {
        |  FROM scored)
        |WHERE rnk <= $K""".stripMargin
 
+  // ---- exact radius (range) search ----
+
+  /** Query radius for the `ann_range_search` entry: ~the 1st
+    * percentile of the pairwise-distance distribution of the synthetic
+    * corpus at every SF (≈1% selectivity — a real "all near-matches"
+    * radius, not a scan in disguise). */
+  val RangeRadius: Double = 1.2
+  /** Pruning slack absorbing float rounding in the triangle-inequality
+    * bound (pruning with slack can only ADD candidates, never lose
+    * one — exactness is preserved by construction). */
+  val RangePruneSlack: Double = 1e-3
+
+  /**
+   * EXACT radius search (FAISS `range_search`): every corpus vector
+   * within `r` of each query, accelerated by triangle-inequality cell
+   * pruning — a cell whose covering ball cannot intersect the query
+   * ball is never scanned, because for any member x of cell c,
+   * dist(q,x) >= dist(q,centroid_c) - radius_c. Unlike the top-k IVF
+   * paths this is NOT approximate: pruning only discards cells that
+   * provably contain no results, so the output equals brute force and
+   * the DuckDB oracle needs no fixture. The result filter is on the
+   * 4dp-ROUNDED distance, the same value the oracle computes — the
+   * boundary can't diverge on an ulp.
+   *
+   * Scale posture: the cell layout (assignment + per-cell covering
+   * radius) is one broadcast-centroid argmin pass — at 100 TB it's the
+   * stored cell-bucketed table plus a cells-sized stats table, both
+   * maintained by ingest, not recomputed per query. Probe selection is
+   * a tiny broadcast (queries x cells filter); the only data-sized work
+   * is scanning the surviving cells. On clustered real-world corpora
+   * the bound prunes most cells; on this synthetic uniform corpus
+   * distances concentrate and it degrades to a near-full scan — same
+   * worst case as the exact answer requires. No candidate cap: capping
+   * would break exactness, and the output is bounded by the true
+   * result set, not by skew.
+   */
+  def rangeSearch(data: DataFrame, queries: DataFrame, r: Double,
+      cents: Array[Array[Float]]): DataFrame = {
+    val spark = data.sparkSession
+    val centroids = centroidsDf(spark, cents)
+    // one argmin pass yields both the assignment and the covering radii
+    val assigned = data.join(broadcast(centroids))
+      .withColumn("cdist", vec_l2(col("embedding"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("cdist"), col("cell"))).as("cell"),
+        min(col("cdist")).as("d"))
+    val cellStats = assigned.groupBy("cell").agg(max(col("d")).as("radius"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(broadcast(cellStats.join(centroids, "cell")))
+      .filter(vec_l2(col("qv"), col("cv")) - col("radius") <= r + RangePruneSlack)
+      .select(col("query_id"), col("cell"))
+    probes.join(assigned.select(col("vec_id"), col("cell")), "cell")
+      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), "query_id")
+      .withColumn("dist", round(vec_l2(col("embedding"), col("qv")), 4))
+      .filter(col("dist") <= r)
+      .select(col("query_id"), col("vec_id"), col("dist"))
+  }
+
+  def annRangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = fittedCorpusCentroids(spark, sfDir, data)
+    rangeSearch(data, data.filter(col("vec_id") < NumQueries), RangeRadius, cents)
+  }
+
+  /** Brute-force DuckDB twin of [[annRangeSearch]] — legitimate
+    * because the pruned plan is exact, not approximate. */
+  def annRangeSearchSql: String =
+    s"""SELECT q.vec_id AS query_id, e.vec_id, d.dist
+       |FROM embeddings q CROSS JOIN embeddings e,
+       |  LATERAL (SELECT ROUND(list_distance(CAST(q.embedding AS DOUBLE[]),
+       |    CAST(e.embedding AS DOUBLE[])), 4) AS dist) d
+       |WHERE q.vec_id < $NumQueries AND d.dist <= $RangeRadius""".stripMargin
+
   /** Warm the SETUP-phase centroid fits for a corpus (the IVF and
     * near-dup models are fitted once and held, like the LSH model —
     * bench prep so timed runs measure the query, not model fitting). */
