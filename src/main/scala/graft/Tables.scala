@@ -16,16 +16,26 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   /**
-   * events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-   * parquet reader rejects. Read nanos as long (legacy conf) and convert
-   * with exact integer division to a microsecond timestamp (the test
-   * data's nanos are all exact microseconds; positive epoch, so
-   * truncation == floor, matching DuckDB's CAST(ts AS TIMESTAMP)).
+   * events.parquet has stored `ts` differently across test-data
+   * generations: INT64 TIMESTAMP(NANOS) (unreadable without the
+   * legacy nanos-as-long conf; exact integer division to micros) or
+   * plain TIMESTAMP(MICROS) without UTC adjustment (read as
+   * TIMESTAMP_NTZ). Normalize both to a session-TZ TimestampType so
+   * every downstream plan (windows, watermarks, sessionize) sees one
+   * schema. The session TZ is pinned to UTC by Verify and the specs,
+   * so the NTZ cast preserves the stored wall-clock micros exactly —
+   * matching DuckDB's naive read of the same parquet.
    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
