@@ -96,6 +96,9 @@ object SparkEntry {
     "decontaminate" -> (graft.operators.Decontaminate.decontaminateQuery _),
     "pii_scrub" -> (graft.text.TextFilters.piiScrubQuery _),
     "quality_filter" -> (graft.text.TextFilters.qualityFilterQuery _),
+    "text_normalize" -> (graft.text.Normalize.textNormalizeQuery _),
+    "corpus_stats" -> (graft.operators.CorpusStats.corpusStatsQuery _),
+    "quality_classifier" -> (graft.text.QualityClassifier.qualityClassifierQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -179,5 +182,8 @@ object SparkEntry {
     "decontaminate" -> graft.operators.Decontaminate.decontaminateSql,
     "pii_scrub" -> graft.text.TextFilters.piiScrubSql,
     "quality_filter" -> graft.text.TextFilters.qualityFilterSql,
+    "text_normalize" -> graft.text.Normalize.textNormalizeSql,
+    "corpus_stats" -> graft.operators.CorpusStats.corpusStatsSql,
+    "quality_classifier" -> graft.text.QualityClassifier.qualityClassifierSql,
   )
 }
