@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.Decontaminate
-import graft.text.TextFilters
+import graft.text.{Normalize, QualityClassifier, TextFilters}
+import graft.text.QualityClassifier.QcModel
 
 /**
- * Continuous corpus intake: the training-data hygiene chain — PII
- * scrub → quality filter → benchmark decontamination — applied to
- * documents AS THEY ARRIVE, instead of as a nightly batch over the
+ * Continuous corpus intake: the training-data hygiene chain —
+ * normalization → PII scrub → quality filter → benchmark
+ * decontamination → (optional) trained-classifier verdict — applied
+ * to documents AS THEY ARRIVE, instead of as a nightly batch over the
  * accumulated corpus.
  *
  * Every verdict depends only on the document itself and the FIXED
@@ -31,14 +33,23 @@ object StreamingIntake {
    * quality and contamination are judged on the SCRUBBED text (the
    * text that would enter training).
    */
-  def intakeBatch(docs: DataFrame, bench: DataFrame, n: Int): DataFrame = {
-    val scrubbed = TextFilters.piiScrub(docs, "doc_id", "text")
+  def intakeBatch(docs: DataFrame, bench: DataFrame, n: Int,
+      model: Option[QcModel] = None): DataFrame = {
+    val normed = docs.select(col("doc_id"),
+      Normalize.normalize(col("text")).as("text"))
+    val scrubbed = TextFilters.piiScrub(normed, "doc_id", "text")
     val clean = scrubbed.select(col("doc_id"), col("text_clean").as("text"))
     val scored = TextFilters.qualityFilter(clean, "doc_id", "text")
     val contam = Decontaminate.decontaminate(clean, bench, "doc_id", "text", n)
-    scrubbed.select("doc_id", "n_emails", "n_phones", "n_ips", "text_clean")
+    val verdicts = scrubbed.select("doc_id", "n_emails", "n_phones", "n_ips", "text_clean")
       .join(scored, Seq("doc_id"))
       .join(contam.select("doc_id", "n_hits", "contaminated"), Seq("doc_id"))
+    // trained-classifier verdict on the cleaned text (map-only plan;
+    // the label column is meaningless at intake time and not emitted)
+    model.fold(verdicts) { m =>
+      verdicts.join(QualityClassifier.score(clean, "doc_id", "text", lit(0), m)
+        .select(col("doc_id"), col("pred").as("qc_pred")), Seq("doc_id"))
+    }
   }
 
   /**
@@ -48,13 +59,14 @@ object StreamingIntake {
    */
   def intakeStream(docs: DataFrame, bench: DataFrame, n: Int,
       outPath: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      model: Option[QcModel] = None): StreamingQuery =
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          intakeBatch(batch, bench, n)
+          intakeBatch(batch, bench, n, model)
             .withColumn("batch_id", lit(batchId))
             .write
             .mode("overwrite")

@@ -61,4 +61,33 @@ class StreamingIntakeSpec extends SparkSpecBase {
     assert(after.count() == train.count())
     assert(after.exceptAll(batch).count() == 0 && batch.exceptAll(after).count() == 0)
   }
+
+  test("classifier-augmented intake equals its batch twin and carries qc_pred") {
+    import graft.text.QualityClassifier
+    val model = QualityClassifier.fitFor(spark, sf)
+    val docs = QualityClassifier.plantedDocs(
+      Tables.documents(spark, sf)).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val in = tmp("qc_in"); val ckpt = tmp("qc_ckpt"); val out = tmp("qc_out")
+    train.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/batch=0")
+    train.filter(col("doc_id") >= 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/batch=1")
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/batch=*")
+    val q = StreamingIntake.intakeStream(stream.toDF(), bench, n = 5, out, ckpt,
+      Trigger.AvailableNow(), Some(model))
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batch = StreamingIntake.intakeBatch(train, bench, n = 5, Some(model))
+    assert(streamed.exceptAll(batch).count() == 0
+      && batch.exceptAll(streamed).count() == 0)
+    // the trained verdict separates the planted spam docs at intake
+    val preds = streamed.select(col("doc_id"), col("qc_pred")).collect()
+    assert(preds.nonEmpty)
+    val wrong = preds.count(r =>
+      r.getAs[Int]("qc_pred") != (if (r.getAs[Long]("doc_id") % 3 != 0) 1 else 0))
+    assert(wrong.toDouble / preds.length <= 0.05, s"$wrong/${preds.length} misclassified")
+  }
 }
