@@ -92,8 +92,10 @@ object SparkEntry {
     "sample_stratified" -> (graft.operators.Corpus.sampleStratifiedQuery _),
     "seq_pack" -> (graft.operators.Corpus.seqPackQuery _),
     "data_mix" -> (graft.operators.Corpus.dataMixQuery _),
+    "data_mix_temperature" -> (graft.operators.Corpus.dataMixTemperatureQuery _),
     "corpus_shuffle" -> (graft.operators.Corpus.corpusShuffleQuery _),
     "decontaminate" -> (graft.operators.Decontaminate.decontaminateQuery _),
+    "decontaminate_semantic" -> (graft.operators.Decontaminate.decontaminateSemanticQuery _),
     "pii_scrub" -> (graft.text.TextFilters.piiScrubQuery _),
     "quality_filter" -> (graft.text.TextFilters.qualityFilterQuery _),
     "text_normalize" -> (graft.text.Normalize.textNormalizeQuery _),
@@ -178,8 +180,10 @@ object SparkEntry {
     "sample_stratified" -> graft.operators.Corpus.sampleStratifiedSql,
     "seq_pack" -> graft.operators.Corpus.seqPackSql,
     "data_mix" -> graft.operators.Corpus.dataMixSql,
+    "data_mix_temperature" -> graft.operators.Corpus.dataMixTemperatureSql,
     "corpus_shuffle" -> graft.operators.Corpus.corpusShuffleSql,
     "decontaminate" -> graft.operators.Decontaminate.decontaminateSql,
+    "decontaminate_semantic" -> graft.operators.Decontaminate.decontaminateSemanticSql,
     "pii_scrub" -> graft.text.TextFilters.piiScrubSql,
     "quality_filter" -> graft.text.TextFilters.qualityFilterSql,
     "text_normalize" -> graft.text.Normalize.textNormalizeSql,

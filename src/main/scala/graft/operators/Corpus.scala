@@ -250,8 +250,16 @@ object Corpus {
    * whitespace count mispacks real text 2-4x against tokenizer tokens).
    */
   def dataMix(docs: DataFrame, stratumCol: String, weights: Map[String, Double],
-      budget: Long, counter: Column => Column = nTokens): DataFrame = {
-    val budgets = weights.map { case (s, w) => s -> math.floor(w * budget).toLong }
+      budget: Long, counter: Column => Column = nTokens): DataFrame =
+    dataMixWithBudgets(docs, stratumCol,
+      weights.map { case (s, w) => s -> math.floor(w * budget).toLong }, counter)
+
+  /** [[dataMix]] body with the per-stratum token budgets already
+    * resolved to exact longs (shared by the explicit-weights and
+    * temperature entrypoints). */
+  def dataMixWithBudgets(docs: DataFrame, stratumCol: String,
+      budgets: Map[String, Long],
+      counter: Column => Column = nTokens): DataFrame = {
     def budgetOf(stratum: Column): Column =
       budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
         when(stratum === s, lit(b)).otherwise(acc)
@@ -267,6 +275,30 @@ object Corpus {
       .filter(col("cum_before") < budgetOf(col(stratumCol)))
       .select(col("doc_id"), col(stratumCol), col("n_tokens"),
         row_number().over(w).as("mix_rank"))
+  }
+
+  /**
+   * Temperature-scaled data mixing (the pretraining "alpha sampling"
+   * of GPT-3 / PaLM mixture design, here at temperature α = 0.5):
+   * stratum budgets proportional to sqrt(stratum token mass), which
+   * upweights small strata relative to natural sampling. Budgets are
+   * CROSS-ENGINE EXACT: `floor(sqrt(c))` is IEEE-correctly-rounded in
+   * any engine, and everything after it is integer arithmetic —
+   * `budget_s = budget * isqrt_s div Σ isqrt` — so no pow/division
+   * double can flip a greedy-fill boundary. The stratum count table is
+   * one partial agg with #strata rows (bounded by the mixture design,
+   * never the corpus), collected like the Bpe vocab table.
+   */
+  def dataMixTemperature(docs: DataFrame, stratumCol: String, budget: Long,
+      counter: Column => Column = nTokens): DataFrame = {
+    val counts: Array[(String, Long)] = docs
+      .groupBy(col(stratumCol)).agg(sum(counter(col("text"))).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val isq = counts.map { case (s, c) => s -> math.floor(math.sqrt(c.toDouble)).toLong }
+    val tot = isq.map(_._2).sum
+    require(tot > 0, "temperature mix: empty corpus")
+    val budgets = isq.map { case (s, q) => s -> budget * q / tot }.toMap
+    dataMixWithBudgets(docs, stratumCol, budgets, counter)
   }
 
   /** Unbounded-window twin of [[dataMix]]; cross-check oracle. */
@@ -374,6 +406,31 @@ object Corpus {
        |SELECT doc_id, lang, n_tokens, CAST(mix_rank AS INTEGER) AS mix_rank
        |FROM c WHERE cum_before < CASE lang $cases ELSE 0 END""".stripMargin
   }
+
+  def dataMixTemperatureQuery(spark: SparkSession, sfDir: String): DataFrame =
+    dataMixTemperature(Tables.documents(spark, sfDir), "lang", MixBudget)
+
+  /** DuckDB twin of [[dataMixTemperature]]: recompute the integer
+    * budgets from the same count table (floor(sqrt) + integer div are
+    * engine-exact), then replay the greedy fill. */
+  val dataMixTemperatureSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS u
+       |  FROM documents),
+       |cnt AS (SELECT lang, SUM(n_tokens) AS c FROM d GROUP BY lang),
+       |sq AS (SELECT lang, CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT) AS s FROM cnt),
+       |tot AS (SELECT SUM(s) AS ts FROM sq),
+       |b AS (SELECT lang, ($MixBudget * s) // ts AS bud FROM sq, tot),
+       |c2 AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS mix_rank
+       |  FROM d)
+       |SELECT c2.doc_id, c2.lang, c2.n_tokens, CAST(c2.mix_rank AS INTEGER) AS mix_rank
+       |FROM c2 JOIN b ON b.lang = c2.lang WHERE c2.cum_before < b.bud""".stripMargin
 
   def seqPackQuery(spark: SparkSession, sfDir: String): DataFrame =
     seqPack(Tables.documents(spark, sfDir), "lang", budget = 2048)

@@ -110,4 +110,131 @@ object Decontaminate {
       |  FLOOR(CAST(n_hits AS DOUBLE) / GREATEST(n_ngrams, 1) * 10000) / 10000 AS contam_ratio,
       |  CAST(n_hits > 0 AS INTEGER) AS contaminated
       |FROM hits""".stripMargin
+
+
+  // ---- semantic (embedding-space) decontamination ----
+
+  /** Cosine threshold above which a training vector counts as a
+    * semantic leak of a benchmark vector (4-dp rounded cosine — the
+    * engine-portable cut; random pairs in a high-dim corpus sit near
+    * 0, so the margin is wide). */
+  val SemTau: Double = 0.97
+
+  /** Probe breadth for the training side (benchmark side uses its one
+    * home cell; a pair is checked iff the bench home cell is among the
+    * training vector's probes — the neardup co-probe posture). */
+  val SemProbes: Int = 4
+
+  /** Cells for the demo-corpus fit (production sizes via
+    * [[graft.query.IvfSearch.scaledCells]]). */
+  val SemCells: Int = 16
+
+  val SemCentroidExportPath =
+    "/root/repo/tmp/oracle_fixtures/decontam_centroids.parquet"
+
+  /**
+   * Embedding-space benchmark decontamination — the semantic
+   * complement of the n-gram pass above (paraphrased eval leaks share
+   * no 5-grams but sit at cosine ~1; modern pipelines run both).
+   *
+   * Plan: IVF cells fit once; the TRAINING side gets `nProbe` probe
+   * cells map-side (centroid literal, no shuffle), the BENCHMARK side
+   * its home cell; candidates = cell equi-join (the only data-sized
+   * shuffle — never a cross join), exact cosine + per-vector max via
+   * one partial agg. Vectors with no bench candidate in any probed
+   * cell report max_cos = -1. At 100 TB the bench side is eval-suite
+   * sized (bounded), so the candidate join's bench side broadcasts.
+   */
+  def decontaminateSemantic(train: DataFrame, bench: DataFrame,
+      cents: Array[Array[Float]], nProbe: Int = SemProbes,
+      tau: Double = SemTau): DataFrame = {
+    import graft.functions.VectorFunctions.vec_cosine
+    val probes = graft.dedup.Dedup.probeCells(
+      train.select(col("vec_id"), col("embedding")), cents, nProbe)
+    val benchHome = graft.dedup.Dedup.probeCells(
+      bench.select(col("vec_id"), col("embedding")), cents, 1)
+      .select(col("vec_id").as("bvec_id"), col("cell"))
+    val hits = probes.join(benchHome, Seq("cell"))
+      .join(train.select(col("vec_id"), col("embedding").as("ve")), Seq("vec_id"))
+      .join(bench.select(col("vec_id").as("bvec_id"),
+        col("embedding").as("vb")), Seq("bvec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast("int").as("n_cands"),
+        max(round(vec_cosine(col("ve"), col("vb")), 4)).as("max_cos"))
+    train.select(col("vec_id")).join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_cands"), lit(0)).as("n_cands"),
+        coalesce(col("max_cos"), lit(-1.0)).as("max_cos"))
+      .withColumn("contaminated", (col("max_cos") >= tau).cast("int"))
+  }
+
+  private val semExported = scala.collection.mutable.Set.empty[String]
+
+  /**
+   * Demo wiring: bench = vec_id % 29 == 0; training = the rest PLUS a
+   * planted jittered copy (+0.001 on coordinate 0, float-exact) of
+   * every bench vector with vec_id < 200 — guaranteed semantic leaks
+   * the flag must catch. Same demo-scale caveat as
+   * [[decontaminateQuery]]: a real deployment passes a fixed
+   * eval-suite embedding table as `bench`.
+   */
+  def decontaminateSemanticQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val bench = e.filter(col("vec_id") % 29 === 0)
+    val train = e.filter(col("vec_id") % 29 =!= 0)
+      .unionByName(bench.filter(col("vec_id") < 200)
+        .select((col("vec_id") + graft.dedup.Dedup.PlantOffset).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding")))
+    val cents = graft.query.IvfSearch.fitCentroids(train, SemCells,
+      Some(s"decontam:$sfDir"))
+    semExported.synchronized {
+      if (!semExported(sfDir)) {
+        graft.query.IvfSearch.centroidsDf(spark, cents)
+          .coalesce(1).write.mode("overwrite").parquet(SemCentroidExportPath)
+        semExported += sfDir
+      }
+    }
+    decontaminateSemantic(train, bench, cents)
+  }
+
+  val decontaminateSemanticSql: String =
+    s"""WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 29 = 0),
+       |train AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 29 <> 0
+       |  UNION ALL
+       |  SELECT vec_id + ${graft.dedup.Dedup.PlantOffset},
+       |    list_transform(embedding, (x, i) ->
+       |      CASE WHEN i = 1 THEN CAST(x + CAST(0.001 AS FLOAT) AS FLOAT) ELSE x END)
+       |  FROM bench WHERE vec_id < 200),
+       |c AS (SELECT cell, cv FROM read_parquet('$SemCentroidExportPath/*.parquet')),
+       |tp AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT t.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id
+       |        ORDER BY list_distance(CAST(t.embedding AS DOUBLE[]),
+       |                               CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM train t CROSS JOIN c)
+       |  WHERE r <= $SemProbes),
+       |bh AS (
+       |  SELECT vec_id AS bvec_id, cell FROM (
+       |    SELECT b.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY list_distance(CAST(b.embedding AS DOUBLE[]),
+       |                               CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM bench b CROSS JOIN c)
+       |  WHERE r = 1),
+       |hits AS (
+       |  SELECT tp.vec_id, COUNT(*) AS n_cands,
+       |    MAX(ROUND(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+       |                                     CAST(b.embedding AS DOUBLE[])), 4)) AS max_cos
+       |  FROM tp JOIN bh ON tp.cell = bh.cell
+       |  JOIN train t ON t.vec_id = tp.vec_id
+       |  JOIN bench b ON b.vec_id = bh.bvec_id
+       |  GROUP BY tp.vec_id)
+       |SELECT t.vec_id,
+       |  CAST(COALESCE(h.n_cands, 0) AS INTEGER) AS n_cands,
+       |  COALESCE(h.max_cos, -1.0) AS max_cos,
+       |  CAST(COALESCE(h.max_cos, -1.0) >= $SemTau AS INTEGER) AS contaminated
+       |FROM train t LEFT JOIN hits h ON h.vec_id = t.vec_id""".stripMargin
 }

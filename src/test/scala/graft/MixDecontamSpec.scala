@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Decontaminate}
+
+/** Ground truth for temperature mixing and semantic decontamination. */
+class MixDecontamSpec extends SparkSpecBase {
+
+  test("temperature budgets follow floor(sqrt) shares and upweight small strata") {
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.dataMixTemperature(docs, "lang", 8000L)
+    // recompute the exact integer budgets independently
+    val counts = docs.groupBy("lang")
+      .agg(sum(length(col("text")) - length(translate(col("text"), " ", "")) + 1).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val isq = counts.map { case (s, c) => s -> math.floor(math.sqrt(c.toDouble)).toLong }
+    val tot = isq.values.sum
+    val budgets = isq.map { case (s, q) => s -> 8000L * q / tot }
+    // per-stratum drawn token mass: >= budget only via the boundary doc
+    val drawn = out.groupBy("lang").agg(sum("n_tokens").as("t"), max("n_tokens").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    drawn.foreach { case (lang, (t, mx)) =>
+      val b = budgets(lang)
+      assert(t < b + mx, s"$lang drew $t over budget $b beyond one boundary doc")
+      assert(t >= math.min(b, counts(lang)), s"$lang under-filled: $t of $b")
+    }
+    // temperature flattens: the largest stratum's budget share is
+    // strictly below its natural token share
+    val big = counts.maxBy(_._2)._1
+    val natural = counts(big).toDouble / counts.values.sum
+    val tempered = budgets(big).toDouble / budgets.values.sum
+    assert(tempered < natural, s"$big: tempered $tempered !< natural $natural")
+  }
+
+  test("temperature mix equals explicit-weights mix given the same budgets") {
+    val docs = Tables.documents(spark, sf)
+    val counts = docs.groupBy("lang")
+      .agg(sum(length(col("text")) - length(translate(col("text"), " ", "")) + 1).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val isq = counts.map { case (s, c) => s -> math.floor(math.sqrt(c.toDouble)).toLong }
+    val tot = isq.values.sum
+    val budgets = isq.map { case (s, q) => s -> 8000L * q / tot }
+    val a = Corpus.dataMixTemperature(docs, "lang", 8000L).collect().toSet
+    val b = Corpus.dataMixWithBudgets(docs, "lang", budgets).collect().toSet
+    assert(a == b)
+  }
+
+  test("semantic decontamination flags every planted leak and no random vector") {
+    val out = Decontaminate.decontaminateSemanticQuery(spark, sf).cache()
+    val planted = out.filter(col("vec_id") >= graft.dedup.Dedup.PlantOffset)
+    // every planted jittered bench copy is a leak: cosine ~1, same home cell
+    assert(planted.count() > 0)
+    assert(planted.filter(col("contaminated") === 0).count() == 0,
+      "planted leak not flagged")
+    // contaminated non-planted vectors must genuinely sit at >= tau
+    val flaggedNatural = out.filter(col("vec_id") < graft.dedup.Dedup.PlantOffset
+      && col("contaminated") === 1)
+    assert(flaggedNatural.filter(col("max_cos") < Decontaminate.SemTau).count() == 0)
+    // and vectors with no candidate report the -1 sentinel, uncontaminated
+    assert(out.filter(col("n_cands") === 0 && col("max_cos") =!= -1.0).count() == 0)
+    out.unpersist()
+  }
+}
