@@ -137,6 +137,36 @@ class PlanPostureSpec extends SparkSpecBase {
       s"multimodal_resize must pay the object boundary once (the codec), not twice:\n$pResize")
   }
 
+  test("decontaminate_semantic: cell equi-joins only, no cartesian") {
+    val p = plan("decontaminate_semantic")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in plan:\n$p")
+  }
+
+  test("corpus_stats: one corpus scan; the grand total windows the cell table") {
+    val p = plan("corpus_stats")
+    // exactly one parquet scan of documents — the total must NOT
+    // trigger a second pass over the corpus. FormattedMode prints each
+    // scan twice (tree line + numbered detail section), so one scan
+    // node == two occurrences.
+    assert(p.split("Scan parquet").length - 1 <= 2, s"multiple corpus scans:\n$p")
+    assert(p.contains("Window"), s"total must come from a window:\n$p")
+  }
+
+  test("quality_classifier serving is map-only (weights ride as a literal)") {
+    val pq = planOf(graft.text.QualityClassifier.score(
+      graft.text.QualityClassifier.plantedDocs(Tables.documents(spark, sf)),
+      "doc_id", "text", graft.text.QualityClassifier.plantedLabel,
+      graft.text.QualityClassifier.QcModel(
+        new Array[Double](graft.text.QualityClassifier.NumBuckets), 0.0, Array(0.0))))
+    assert(!pq.contains("Exchange"), s"classifier scoring must not shuffle:\n$pq")
+  }
+
+  test("text_normalize is map-only") {
+    val p = plan("text_normalize")
+    assert(!p.contains("Exchange"), s"normalize must not shuffle:\n$p")
+  }
+
   test("streaming coded ingest stays stateless (no state store in the plan)") {
     val emb = Tables.embeddings(spark, sf)
     val model = graft.query.AnnQuery.setupModel(spark, sf)
