@@ -74,7 +74,26 @@ object ScaleRamp {
       "datamix_windowed" -> (() =>
         Corpus.dataMixWindowed(docs, "lang", Corpus.MixWeights, Corpus.MixBudget).count()),
       "dedup_minhash" -> (() =>
-        graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text").count()))
+        graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text").count()),
+      // round-6 additions whose work grows with the corpus: unigram-LM
+      // scoring (vocab partial agg + token equi-join), line-level and
+      // span-level dedup (two-level partial aggs), BM25 top-k (postings
+      // partial agg + bounded query join), and one classifier GD epoch
+      // (exploded 512-row partial agg — the per-epoch unit of training)
+      "lm_score" -> (() =>
+        graft.text.TextAnalysis.lmScore(docs, "doc_id", "text").count()),
+      "dedup_lines" -> (() =>
+        graft.dedup.Dedup.dedupLines(docs, "doc_id", "text").count()),
+      "dedup_substring" -> (() =>
+        graft.dedup.Dedup.substringStats(docs, "doc_id", "text").count()),
+      "bm25_topk" -> (() =>
+        graft.text.TextSearch.bm25(docs, numQueries = 20, topK = 10).count()),
+      "qc_fit_epoch" -> (() => {
+        graft.text.QualityClassifier.fit(
+          graft.text.QualityClassifier.plantedDocs(docs), "text",
+          graft.text.QualityClassifier.plantedLabel, epochs = 1)
+        1L
+      }))
 
     // warm-up at the smallest scale: JIT + codegen compile once
     ops(docsOf("/root/testdata/sf0.01")).foreach { case (_, f) => f() }

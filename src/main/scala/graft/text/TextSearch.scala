@@ -65,10 +65,14 @@ object TextSearch {
     val nDocs = statsRow.getLong(0)
     val avgdl = statsRow.getLong(1).toDouble / nDocs
     val qt = queryTerms(wd, numQueries)
-    val postings = wd
+    // the query-term semi-join lands BELOW the tf aggregate: only
+    // query-term occurrences reach the shuffle, so the agg is sized by
+    // the candidate postings, not the corpus vocabulary (tf per
+    // (term, doc) is identical either side of the cut)
+    val cand = wd
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-    val cand = postings.join(broadcast(qt.select("term").distinct()), Seq("term"))
     val dfT = cand.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = col("tf").cast("double") /
