@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The ForwardSecureANNSystem lifecycle through the one-handle facade:
+  * setup → query parity → staged insert visibility → compact →
+  * soft delete → rotation + selective re-encryption → restore. */
+class GraftSystemSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding"))
+  // query frames carry the corpus schema (vec_id, embedding) — the
+  // AnnQuery convention; results key them as query_id
+  private def queries(n: Int) = corpus.filter(col("vec_id") < n)
+
+  test("setup serves exactly the library's lshTopK plan") {
+    val sys = GraftSystem.setup(spark, corpus)
+    val got = sys.query(queries(5), k = 10)
+      .select("query_id", "vec_id", "rnk").collect().toSet
+    val model = sys.model
+    val codes = graft.index.LshIndex.codes(corpus, "vec_id", "embedding", model)
+    val direct = graft.query.AnnQuery.lshTopK(spark, corpus, queries(5), 10,
+        model, graft.index.LshIndex.build(codes, 64))
+      .select("query_id", "vec_id", "rnk").collect().toSet
+    assert(got == direct)
+  }
+
+  test("staged inserts are immediately searchable; compact preserves results") {
+    val sys = GraftSystem.setup(spark, corpus)
+    // a fresh point far outside the corpus id space, equal to an
+    // existing vector: it must come back for a query at that vector
+    val seed = corpus.filter(col("vec_id") === 3)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+    sys.insert(seed)
+    val q = corpus.filter(col("vec_id") === 3)
+    val served = sys.query(q, k = 10).select("vec_id").as[Long].collect().toSet
+    assert(served.contains(900001L), s"staged insert invisible: $served")
+    // the store now carries the insert too
+    assert(sys.encryptedStore.filter(col("id") === 900001L).count() == 1)
+    val before = sys.query(queries(5), k = 10)
+      .select("query_id", "vec_id", "rnk").collect().toSet
+    sys.compactNow()
+    val after = sys.query(queries(5), k = 10)
+      .select("query_id", "vec_id", "rnk").collect().toSet
+    assert(before == after, "compact changed serving results")
+  }
+
+  test("soft deletes drop from results without touching store or index") {
+    val sys = GraftSystem.setup(spark, corpus)
+    val q = queries(3)
+    val full = sys.query(q, k = 5).select("vec_id").as[Long].collect().toSet
+    val victim = full.head
+    sys.delete(Seq(victim).toDF("id"))
+    val pruned = sys.query(q, k = 5).select("vec_id").as[Long].collect().toSet
+    assert(!pruned.contains(victim))
+    assert(sys.encryptedStore.filter(col("id") === victim).count() == 1)
+  }
+
+  test("rotation migrates exactly the touched set; restore rebuilds from the store") {
+    val sys = GraftSystem.setup(spark, corpus)
+    sys.touch(Seq(1L, 2L, 3L).toDF("id"))
+    sys.rotateKeys()
+    assert(sys.currentVersion == 2)
+    val kv = sys.encryptedStore.groupBy("kv").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(kv(2) == 3, s"migrated rows: $kv")
+    assert(kv(1) == corpus.count() - 3)
+    // only the already-rotated version is safe to delete... none here:
+    // v1 still carries records, so nothing is deletable
+    assert(sys.deletableVersions(1).filter(col("deleted") === 1).count() == 0)
+    // restore from the encrypted store alone: same serving results
+    val q = queries(5)
+    val live = sys.query(q, k = 10).select("query_id", "vec_id", "rnk").collect().toSet
+    val restored = sys.restore().query(q, k = 10)
+      .select("query_id", "vec_id", "rnk").collect().toSet
+    assert(live == restored, "restore diverged from live serving")
+  }
+}
