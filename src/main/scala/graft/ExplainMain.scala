@@ -18,7 +18,12 @@ object ExplainMain {
         "ann_filtered_topk", "ann_lsh_filtered_topk", "sample_stratified", "seq_pack",
         "multimodal_embed", "data_mix", "decontaminate", "pii_scrub",
         "quality_filter", "ann_multidim_topk", "ann_multidim_brute",
-        "ann_recall_eval", "multimodal_resize", "multimodal_frames")) {
+        "ann_recall_eval", "multimodal_resize", "multimodal_frames",
+        "text_search_bm25", "hybrid_search_rrf", "knn_join", "dedup_semantic",
+        "ann_ivfpq_topk", "embed_pq", "quality_classifier", "text_normalize",
+        "corpus_stats", "decontaminate_semantic", "data_mix_temperature",
+        "dedup_lines", "dedup_substring", "lm_score", "tfidf_topterms",
+        "corpus_shuffle")) {
       println(s"===== $name =====")
       println(planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sf)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

@@ -129,4 +129,24 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(f1.intersect(f2).size.toDouble / f1.size >= 0.5)
     }
   }
+
+  test("nfc kernel: agrees with java.text.Normalizer and is idempotent") {
+    val combiners = Seq("\u0301", "\u0300", "\u0308", "\u030A", "\u0327")
+    (1 to 200).foreach { _ =>
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(30) + 1).foreach { _ =>
+        sb.append(('a' + rnd.nextInt(26)).toChar)
+        if (rnd.nextInt(4) == 0) sb.append(combiners(rnd.nextInt(combiners.length)))
+      }
+      val s = sb.toString
+      val got = graft.text.NormalizeKernels.nfc(UTF8String.fromString(s)).toString
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(got == want)
+      // idempotence: NFC of NFC is NFC
+      assert(graft.text.NormalizeKernels.nfc(UTF8String.fromString(got)).toString == got)
+    }
+    // the ASCII fast path returns the SAME object (no allocation)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(graft.text.NormalizeKernels.nfc(ascii) eq ascii)
+  }
 }
