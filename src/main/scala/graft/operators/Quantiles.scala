@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Exact rank-based quantiles of a quality-score distribution WITHOUT
+ * a global sort — the "pick the filter threshold" step a pipeline
+ * runs between scoring (`lm_score`, `quality_classifier`) and
+ * filtering: keep the top 75% by LM score means knowing the exact
+ * p25 cutoff.
+ *
+ * Scale posture: scores in graft are 4-dp quantized (SURVEY §5), so
+ * `round(score·1e4)` is an EXACT integer bucket and the r-th smallest
+ * score IS its bucket's value. One partial-agg shuffle builds the
+ * (bucket, count) table — bounded by the score RANGE (≤ a few 100k
+ * rows), never the corpus — a prefix sum over that tiny table locates
+ * each target rank's bucket, and no row of the corpus is ever sorted
+ * or windowed. This is the same tiny-table prefix-sum recipe as
+ * `seq_pack`/`corpus_shuffle`, keyed on the score. `percentile_approx`
+ * would be cheaper still but engine-specific; this is exact and
+ * cross-engine reproducible.
+ */
+object Quantiles {
+
+  /** Default probe points: the deciles/quartiles a filter sweep reads. */
+  val DefaultPs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+
+  /**
+   * (p, rnk, threshold, n_at_or_below) per requested quantile:
+   * `rnk = floor(p·(n-1)) + 1` (1-based rank of the lower
+   * interpolation neighbor), `threshold` = the rnk-th smallest score,
+   * `n_at_or_below` = how many rows sit at or below it. `scoreCol`
+   * must be 4-dp quantized (the SURVEY §5 discipline all graft scores
+   * follow) so the bucket map is exact.
+   */
+  def exactQuantiles(scores: DataFrame, scoreCol: String,
+      ps: Seq[Double] = DefaultPs): DataFrame = {
+    val spark = scores.sparkSession
+    // round, not truncate: k/1e4 stored as double sits within 1 ulp of
+    // k·1e-4, and cast-to-long truncation toward zero would misbucket
+    // every negative score
+    val bucketed = scores
+      .select(round(col(scoreCol) * 10000).cast("long").as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("c"))
+    // tiny table from here on (bounded by score range, not corpus)
+    val w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bucketed.withColumn("cum", sum(col("c")).over(w))
+    val n = bucketed.agg(sum(col("c"))).head().getLong(0)
+    require(n > 0, "quantiles of an empty score set")
+    import spark.implicits._
+    val ranks = ps.map(p => (p, math.floor(p * (n - 1)).toLong + 1))
+      .toDF("p", "rnk")
+    cum.join(broadcast(ranks), col("cum") >= col("rnk"))
+      .groupBy(col("p"), col("rnk"))
+      .agg(min(struct(col("bkt"), col("cum"))).as("hit"))
+      .select(col("p"), col("rnk"),
+        (col("hit.bkt") / 10000.0).as("threshold"),
+        col("hit.cum").as("n_at_or_below"))
+  }
+
+  /** The lm_score distribution's filter thresholds over documents. */
+  def qualityThresholdQuery(spark: SparkSession, sfDir: String): DataFrame =
+    exactQuantiles(
+      graft.text.TextAnalysis.lmScore(Tables.documents(spark, sfDir), "doc_id", "text"),
+      "lm_score")
+
+  val qualityThresholdSql: String = {
+    val vals = DefaultPs.map(p => s"($p)").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+       |freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+       |tot AS (SELECT SUM(c) AS n FROM freq),
+       |s AS (
+       |  SELECT doc_id, FLOOR(AVG(ln(c / n)) * 10000) / 10000 AS lm_score
+       |  FROM tok JOIN freq USING (t), tot GROUP BY doc_id),
+       |b AS (SELECT CAST(ROUND(lm_score * 10000) AS BIGINT) AS bkt FROM s),
+       |g AS (SELECT bkt, COUNT(*) AS c FROM b GROUP BY bkt),
+       |o AS (SELECT bkt, c,
+       |        SUM(c) OVER (ORDER BY bkt) AS cum,
+       |        SUM(c) OVER (ORDER BY bkt) - c AS cum_before
+       |      FROM g),
+       |nn AS (SELECT SUM(c) AS n FROM g),
+       |ps(p) AS (VALUES $vals),
+       |r AS (SELECT p, CAST(FLOOR(p * (n - 1)) AS BIGINT) + 1 AS rnk FROM ps, nn)
+       |SELECT r.p, r.rnk, o.bkt / 10000.0 AS threshold, o.cum AS n_at_or_below
+       |FROM r JOIN o ON r.rnk > o.cum_before AND r.rnk <= o.cum""".stripMargin
+  }
+}
