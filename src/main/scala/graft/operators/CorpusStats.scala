@@ -19,26 +19,34 @@ import graft.Tables
  */
 object CorpusStats {
 
-  def corpusStats(docs: DataFrame): DataFrame = {
-    val perCell = docs
-      .groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text"))).as("chars_sum"),
-        // separators + 1 — the allocation-free whitespace token count
-        // (Corpus.nTokens discipline)
-        sum((length(col("text")) -
-          length(translate(col("text"), " ", "")) + 1).cast("long")).as("tokens_sum"))
+  /** The corpus-sized stage: one partial-agg shuffle to cells. Also
+    * the state a STREAMING composition report maintains
+    * ([[graft.streaming.StreamingStats]]) — its aggregation state is
+    * exactly these cells, bounded by sources x langs. */
+  def perCell(docs: DataFrame): DataFrame = docs
+    .groupBy(col("source"), col("lang"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).as("chars_sum"),
+      // separators + 1 — the allocation-free whitespace token count
+      // (Corpus.nTokens discipline)
+      sum((length(col("text")) -
+        length(translate(col("text"), " ", "")) + 1).cast("long")).as("tokens_sum"))
+
+  /** Derived report over an already-aggregated cell table. */
+  def derive(cells: DataFrame): DataFrame = {
     // grand total via a window over the ALREADY-AGGREGATED cell table
     // (sources x langs rows — single-partition is fine at that size,
     // and it avoids a second scan of the corpus)
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    perCell.withColumn("total_docs", sum(col("n_docs")).over(w))
+    cells.withColumn("total_docs", sum(col("n_docs")).over(w))
       .select(col("source"), col("lang"), col("n_docs"), col("chars_sum"),
         col("tokens_sum"),
         // floor-truncated 4dp, exact: scaled integer division
         (expr("tokens_sum * 10000L div n_docs") / 10000.0).as("avg_tokens"),
         (expr("n_docs * 1000000L div total_docs") / 10000.0).as("pct_docs"))
   }
+
+  def corpusStats(docs: DataFrame): DataFrame = derive(perCell(docs))
 
   def corpusStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
     corpusStats(Tables.documents(spark, sfDir))

@@ -38,8 +38,8 @@ import graft.Tables
 object QualityClassifier {
 
   val NumBuckets = 512
-  val Epochs = 60
-  val LearningRate = 10.0
+  val Epochs = 30
+  val LearningRate = 30.0
 
   val TokenBucketsExportPath = "/root/repo/tmp/oracle_fixtures/qc_token_buckets.parquet"
   val WeightsExportPath = "/root/repo/tmp/oracle_fixtures/qc_weights.parquet"
