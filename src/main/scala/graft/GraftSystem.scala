@@ -137,6 +137,18 @@ final class GraftSystem private (
     sys
   }
 
+  /** Online serving (the reference's QueryServiceImpl.search loop):
+    * a query STREAM answered per micro-batch against the current main
+    * index — staged inserts serve through [[query]] until
+    * [[compactNow]] folds them in. */
+  def serveStream(queries: DataFrame, k: Int, outPath: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.AnnServe.serve(queries, serving, k, model, main,
+      outPath, checkpoint, trigger)
+
   /** EXPORT: store + index layout as parquet under `outDir`. */
   def export(outDir: String): Unit = {
     store.write.mode("overwrite").parquet(s"$outDir/store.parquet")

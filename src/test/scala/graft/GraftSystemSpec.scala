@@ -57,6 +57,30 @@ class GraftSystemSpec extends SparkSpecBase {
     assert(sys.encryptedStore.filter(col("id") === victim).count() == 1)
   }
 
+  test("streamed serving through the facade equals the batch query") {
+    import java.nio.file.{Files, Paths}
+    def tmp(name: String): String = {
+      val d = s"/root/repo/target/tmp/graftsys/$name"
+      val p = Paths.get(d)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      Files.createDirectories(p)
+      d
+    }
+    val sys = GraftSystem.setup(spark, corpus)
+    val in = tmp("in"); val ckpt = tmp("ckpt"); val out = tmp("out")
+    queries(5).coalesce(1).write.mode("overwrite").parquet(s"$in/batch=0")
+    val stream = spark.readStream.schema(queries(5).schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/batch=*")
+    val q = sys.serveStream(stream.toDF(), k = 10, out, ckpt)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select("query_id", "vec_id", "rnk").collect().toSet
+    val batch = sys.query(queries(5), k = 10)
+      .select("query_id", "vec_id", "rnk").collect().toSet
+    assert(streamed == batch)
+  }
+
   test("rotation migrates exactly the touched set; restore rebuilds from the store") {
     val sys = GraftSystem.setup(spark, corpus)
     sys.touch(Seq(1L, 2L, 3L).toDF("id"))
