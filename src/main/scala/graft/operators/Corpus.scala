@@ -435,6 +435,45 @@ object Corpus {
   def seqPackQuery(spark: SparkSession, sfDir: String): DataFrame =
     seqPack(Tables.documents(spark, sfDir), "lang", budget = 2048)
 
+  /**
+   * Deterministic train/validation/test split: each doc draws the
+   * seeded cross-engine uniform and lands in the band its value falls
+   * into — the standard "hash the id, don't sample" split that stays
+   * STABLE as the corpus grows (a doc never migrates between splits
+   * when new data arrives, unlike any count-based partitioning).
+   * Map-only; the bands are exact dyadic-vs-literal comparisons, so
+   * every engine draws the identical split.
+   */
+  def corpusSplit(docs: DataFrame, seed: String,
+      trainFrac: Double, valFrac: Double): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      s"invalid split fractions ($trainFrac, $valFrac)")
+    val u = hashUniform(concat(lit(seed + ":"), col("doc_id").cast("string")))
+    docs.select(col("doc_id"), u.as("u"))
+      .withColumn("split",
+        when(col("u") < trainFrac, "train")
+          .when(col("u") < trainFrac + valFrac, "val")
+          .otherwise("test"))
+  }
+
+  val SplitSeed = "split1"
+  val TrainFrac = 0.96
+  val ValFrac = 0.02
+
+  def corpusSplitQuery(spark: SparkSession, sfDir: String): DataFrame =
+    corpusSplit(Tables.documents(spark, sfDir), SplitSeed, TrainFrac, ValFrac)
+
+  val corpusSplitSql: String =
+    s"""SELECT doc_id, u,
+       |  CASE WHEN u < $TrainFrac THEN 'train'
+       |       WHEN u < ${TrainFrac + ValFrac} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id,
+       |    ('0x' || substr(sha256('$SplitSeed:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      / 4294967296.0 AS u
+       |  FROM documents)""".stripMargin
+
   val ShuffleSeed = "shuffle7"
   val ShuffleShardSize = 100L
 

@@ -46,6 +46,26 @@ class MixDecontamSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("corpus_split: disjoint cover, stable under growth, near-target proportions") {
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.corpusSplit(docs, "s", 0.8, 0.1).cache()
+    val n = docs.count()
+    assert(out.count() == n)
+    val byBand = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBand.values.sum == n)
+    // proportions within a loose binomial band at this corpus size
+    assert(byBand("train").toDouble / n > 0.65 && byBand("train").toDouble / n < 0.95)
+    assert(byBand.getOrElse("test", 0L) + byBand.getOrElse("val", 0L) > 0)
+    // growth stability: the split of the first half is the same rows'
+    // split in the full corpus (a doc never migrates)
+    val half = Corpus.corpusSplit(docs.filter(col("doc_id") % 2 === 0), "s", 0.8, 0.1)
+    val joined = half.select(col("doc_id"), col("split").as("h"))
+      .join(out.select(col("doc_id"), col("split").as("f")), "doc_id")
+    assert(joined.filter(col("h") =!= col("f")).count() == 0)
+    out.unpersist()
+  }
+
   test("semantic decontamination flags every planted leak and no random vector") {
     val out = Decontaminate.decontaminateSemanticQuery(spark, sf).cache()
     val planted = out.filter(col("vec_id") >= graft.dedup.Dedup.PlantOffset)
