@@ -177,6 +177,67 @@ object TextAnalysis {
   def lmScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
     lmScore(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /**
+   * Conditional BIGRAM surprisal — one step up the n-gram ladder from
+   * [[lmScore]] toward the CCNet 5-gram filter:
+   * `lm2(doc) = mean over adjacent pairs of ln P(w_i | w_{i-1})` with
+   * `P(b|a) = c(a b) / c(a·)`, where `c(a·)` counts `a` as a bigram
+   * PREFIX (so the conditional normalizes exactly and ML-estimates
+   * P(b|a) with no smoothing — the corpus is its own training set, so
+   * no bigram is unseen).
+   *
+   * Scale: bigram extraction is MAP-ONLY (zip each token array with
+   * its own tail — no self-join), then the same two-partial-agg +
+   * equi-join shape as [[lmScore]]; the bigram vocab keys a plain
+   * shuffle join. Single-token docs have no bigrams and report the
+   * 0.0 sentinel with n_bigrams = 0.
+   */
+  def lmScoreBigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairs = zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(""), b))
+    val big = docs.select(col(idCol).as("doc_id"), explode(pairs).as("bg"))
+    val bfreq = big.groupBy("bg").agg(count(lit(1)).as("cb"))
+    // prefix counts: sum of bigram counts per first token — derived
+    // from the (already tiny) bigram vocab, not a third corpus pass
+    val pfreq = bfreq
+      .groupBy(substring_index(col("bg"), "", 1).as("pfx"))
+      .agg(sum(col("cb")).as("cp"))
+    val scored = big.join(bfreq, "bg")
+      .join(pfreq, substring_index(col("bg"), "", 1) === col("pfx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(avg(log(col("cb") / col("cp"))) * 10000) / 10000).as("lm2_score"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm2_score"), lit(0.0)).as("lm2_score"))
+  }
+
+  def lmScoreBigramQuery(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoreBigram(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  val lmScoreBigramSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |big AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |    i -> ts[i] || chr(1) || ts[i + 1])) AS bg
+      |  FROM tok),
+      |bfreq AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg),
+      |pfreq AS (SELECT string_split(bg, chr(1))[1] AS pfx, SUM(cb) AS cp
+      |          FROM bfreq GROUP BY 1),
+      |s AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    FLOOR(AVG(ln(cb / cp)) * 10000) / 10000 AS lm2_score
+      |  FROM big JOIN bfreq USING (bg)
+      |  JOIN pfreq ON string_split(bg, chr(1))[1] = pfx
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(s.lm2_score, 0.0) AS lm2_score
+      |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
+
   val lmScoreSql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),

@@ -180,6 +180,27 @@ class DedupTextSpec extends SparkSpecBase {
     assert(joined.getDouble(0) < joined.getDouble(1))
   }
 
+  test("lm_score_bigram: hand-computed conditional surprisal; sentinels for short docs") {
+    import spark.implicits._
+    // corpus bigrams: doc0 "a b, b a", doc1 "a b", doc2 none
+    // counts: c(a b)=2, c(b a)=1; prefixes: c(a .)=2, c(b .)=1
+    val df = Seq((0L, "a b a"), (1L, "a b"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreBigram(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def trunc(x: Double) = math.floor(x * 10000) / 10000
+    // P(b|a) = 2/2 = 1; P(a|b) = 1/1 = 1 -> every bigram has ln 1 = 0
+    assert(got(0L) == ((2L, 0.0)), got.toString)
+    assert(got(1L) == ((1L, 0.0)), got.toString)
+    assert(got(2L) == ((0L, 0.0)), got.toString)
+    // a corpus with an actually-uncertain prefix: "x y" and "x z"
+    val df2 = Seq((0L, "x y"), (1L, "x z")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.lmScoreBigram(df2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // P(y|x) = P(z|x) = 1/2 -> mean ln = ln(0.5)
+    assert(got2(0L) == trunc(math.log(0.5)))
+    assert(got2(1L) == trunc(math.log(0.5)))
+  }
+
   test("winnow fingerprints: deterministic, shift-tolerant overlap") {
     val t1 = UTF8String.fromString("the quick brown fox jumps over the lazy dog again and again today")
     val t2 = UTF8String.fromString("PREFIX added the quick brown fox jumps over the lazy dog again and again today")
