@@ -167,6 +167,22 @@ class PlanPostureSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"normalize must not shuffle:\n$p")
   }
 
+  test("corpus_split is map-only; lm_score_bigram joins hash, never sorts globally") {
+    val ps = plan("corpus_split")
+    assert(!ps.contains("Exchange"), s"split must not shuffle:\n$ps")
+    val pb = plan("lm_score_bigram")
+    assert(!pb.contains("CartesianProduct"), s"cartesian in bigram plan:\n$pb")
+    assert(!pb.contains("Sort [") || !pb.contains("global"),
+      s"global sort in bigram plan:\n$pb")
+  }
+
+  test("quality_threshold: corpus side is one partial agg; ranks join broadcast") {
+    val p = plan("quality_threshold")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"rank probe table must broadcast:\n$p")
+  }
+
   test("streaming coded ingest stays stateless (no state store in the plan)") {
     val emb = Tables.embeddings(spark, sf)
     val model = graft.query.AnnQuery.setupModel(spark, sf)
