@@ -492,6 +492,41 @@ object Corpus {
        |        / 4294967296.0 AS u
        |    FROM documents))""".stripMargin
 
+  /**
+   * [[seqPack]] budgeted by SUBWORD tokens (the r5-verdict integration:
+   * a whitespace count mispacks real text 2-4x against tokenizer
+   * tokens, so a trainer-facing packer counts with the fitted BPE
+   * model). Same bucketed one-shuffle plan; only the counter changes —
+   * the codegen'd `BpeCountTokens` expression rides the projection.
+   */
+  def seqPackBpeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = graft.text.Bpe.ensureVocabExported(spark, sfDir)
+    seqPack(Tables.documents(spark, sfDir), "lang", budget = 2048,
+      // cast: the whitespace counter is LONG, the BPE expression INT —
+      // the two entries must share one output schema
+      counter = c => graft.text.Bpe.bpe_count(c, model).cast("long"))
+  }
+
+  /** DuckDB twin: per-doc BPE counts replayed from the vocab fixture
+    * (the `token_count_bpe` oracle chain), then the same windowed
+    * cumulative pack math as `seq_pack`. */
+  val seqPackBpeSql: String =
+    s"""WITH v AS (SELECT * FROM read_parquet('${graft.text.Bpe.VocabExportPath}/*.parquet')),
+       |w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '${graft.text.TextAnalysis.BpeishPattern}')) AS word
+       |      FROM documents),
+       |s AS (SELECT w.doc_id, SUM(v.n_sub) AS t FROM w JOIN v USING (word) GROUP BY w.doc_id),
+       |d AS (SELECT doc.doc_id, doc.lang, CAST(COALESCE(s.t, 0) AS BIGINT) AS n_tokens
+       |      FROM documents doc LEFT JOIN s ON s.doc_id = doc.doc_id),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after
+       |  FROM d)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(FLOOR(CAST(cum_after - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
+       |  CAST((cum_after - n_tokens) % 2048 AS BIGINT) AS pack_offset
+       |FROM c""".stripMargin
+
   val seqPackSql: String =
     """SELECT doc_id, lang, n_tokens,
       |  CAST(FLOOR(CAST(cum_after - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS pack_id,

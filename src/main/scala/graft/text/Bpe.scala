@@ -155,12 +155,13 @@ object Bpe {
   // reps — must time the counting plan, not the fixture write)
   private val vocabExported = scala.collection.mutable.Set.empty[String]
 
-  def tokenCountBpe(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Export the distinct-word -> subword-count dictionary fixture for
+    * this corpus (shared by every oracle that replays BPE counts). */
+  def ensureVocabExported(spark: SparkSession, sfDir: String): BpeModel = {
     val model = fitFor(spark, sfDir)
-    val docs = Tables.documents(spark, sfDir)
     vocabExported.synchronized {
       if (!vocabExported(sfDir)) {
-        docs.select(explode(
+        Tables.documents(spark, sfDir).select(explode(
             expr(s"regexp_extract_all(lower(text), '${TextAnalysis.BpeishPattern}', 0)")).as("word"))
           .distinct()
           .select(col("word"), bpe_count(col("word"), model).as("n_sub"))
@@ -168,7 +169,13 @@ object Bpe {
         vocabExported += sfDir
       }
     }
-    docs.select(col("doc_id"), bpe_count(col("text"), model).as("bpe_tokens"))
+    model
+  }
+
+  def tokenCountBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = ensureVocabExported(spark, sfDir)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), bpe_count(col("text"), model).as("bpe_tokens"))
   }
 
   def tokenCountBpeSql: String =

@@ -66,6 +66,30 @@ class MixDecontamSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("seq_pack_bpe: packs by subword counts; offsets consistent within packs") {
+    val out = Corpus.seqPackBpeQuery(spark, sf).cache()
+    val model = graft.text.Bpe.fitFor(spark, sf)
+    // n_tokens column IS the BPE count of the doc
+    val recount = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.text.Bpe.bpe_count(col("text"), model)
+        .cast("long").as("want"))
+    val joined = out.join(recount, "doc_id")
+    assert(joined.filter(col("n_tokens") =!= col("want")).count() == 0)
+    // pack math: offset < budget, and pack_id = floor(cum_before/budget)
+    assert(out.filter(col("pack_offset") >= 2048 || col("pack_offset") < 0).count() == 0)
+    // the synthetic corpus's tiny vocabulary is FULLY merged by the
+    // fitted model (every word ends as one subword), so on it the two
+    // counters legitimately coincide; unseen words split to chars and
+    // expose the subword budget
+    import spark.implicits._
+    val weird = Seq((1L, "en", "zxqvwy kjhgfd")).toDF("doc_id", "lang", "text")
+    val packed = Corpus.seqPack(weird, "lang", 2048,
+      c => graft.text.Bpe.bpe_count(c, model).cast("long")).head()
+    assert(packed.getAs[Long]("n_tokens") == 12L) // 6 + 6 unmerged chars
+    assert(Corpus.seqPack(weird, "lang", 2048).head().getAs[Long]("n_tokens") == 2L)
+    out.unpersist()
+  }
+
   test("semantic decontamination flags every planted leak and no random vector") {
     val out = Decontaminate.decontaminateSemanticQuery(spark, sf).cache()
     val planted = out.filter(col("vec_id") >= graft.dedup.Dedup.PlantOffset)
