@@ -54,8 +54,8 @@ object CorpusStats {
   val corpusStatsSql: String =
     """WITH c AS (
       |  SELECT source, lang, COUNT(*) AS n_docs,
-      |    SUM(length(text)) AS chars_sum,
-      |    SUM(length(text) - length(replace(text, ' ', '')) + 1) AS tokens_sum
+      |    CAST(SUM(length(text)) AS BIGINT) AS chars_sum,
+      |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tokens_sum
       |  FROM documents GROUP BY source, lang),
       |t AS (SELECT SUM(n_docs) AS total_docs FROM c)
       |SELECT source, lang, n_docs, chars_sum, tokens_sum,

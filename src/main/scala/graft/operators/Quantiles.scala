@@ -80,8 +80,8 @@ object Quantiles {
        |b AS (SELECT CAST(ROUND(lm_score * 10000) AS BIGINT) AS bkt FROM s),
        |g AS (SELECT bkt, COUNT(*) AS c FROM b GROUP BY bkt),
        |o AS (SELECT bkt, c,
-       |        SUM(c) OVER (ORDER BY bkt) AS cum,
-       |        SUM(c) OVER (ORDER BY bkt) - c AS cum_before
+       |        CAST(SUM(c) OVER (ORDER BY bkt) AS BIGINT) AS cum,
+       |        CAST(SUM(c) OVER (ORDER BY bkt) - c AS BIGINT) AS cum_before
        |      FROM g),
        |nn AS (SELECT SUM(c) AS n FROM g),
        |ps(p) AS (VALUES $vals),

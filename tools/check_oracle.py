@@ -51,6 +51,31 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
+        # Dtype-strict gate (mirrors the driver's exact value hash):
+        # DuckDB SUM(BIGINT) -> HUGEINT lands as float64 while Spark emits
+        # int64; the values print differently (12345.0 vs 12345) so the
+        # driver's hash differs even when every value is equal. Compare
+        # dtype KIND CLASS (int-family vs float-family vs datetime vs
+        # other) per column before any value compare.
+        def kind_class(dt):
+            k = dt.kind
+            if k in "iu":
+                return "int"
+            if k in "fc":
+                return "float"
+            if k == "M":
+                return "datetime"
+            if k == "b":
+                return "bool"
+            return "object"
+        dtype_bad = [
+            f"{c}: spark {got[c].dtype} vs oracle {want[c].dtype}"
+            for c in got.columns
+            if kind_class(got[c].dtype) != kind_class(want[c].dtype)]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype kind mismatch — {'; '.join(dtype_bad)}")
+            n_fail += 1
+            continue
         # value compare with dtype coercion
         mismatch = None
         for c in got.columns:
