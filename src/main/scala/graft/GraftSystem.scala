@@ -53,13 +53,11 @@ final class GraftSystem private (
     * deletes (reference `loadPointIfActive`). */
   def query(queries: DataFrame, k: Int): DataFrame = (delta, stagedData) match {
     case (Some(d), Some(sd)) =>
-      // the delta-serving plan has no deletedIds hook in the reference
-      // either (staged inserts are never pre-deleted); deletes of MAIN
-      // ids still drop via the anti-join inside the combined refine
-      val res = IndexMaintenance.lshTopKWithDelta(
-        spark, serving, sd, queries, k, model, main, d)
-      deletedIds.fold(res)(del =>
-        res.join(del.select(col("id").as("vec_id")), Seq("vec_id"), "left_anti"))
+      // deletions thread through to refineFromProbes so they filter
+      // before the candidate cap/rank — both paths return identical
+      // results for identical state (reference loadPointIfActive)
+      IndexMaintenance.lshTopKWithDelta(
+        spark, serving, sd, queries, k, model, main, d, deletedIds)
     case _ =>
       AnnQuery.lshTopK(spark, serving, queries, k, model, main, deletedIds)
   }

@@ -69,14 +69,20 @@ object IndexMaintenance {
    */
   def lshTopKWithDelta(spark: SparkSession, mainData: DataFrame, deltaData: DataFrame,
       queries: DataFrame, k: Int, model: LshModel,
-      main: LshIndex.Built, delta: LshIndex.Built): DataFrame = {
+      main: LshIndex.Built, delta: LshIndex.Built,
+      deletedIds: Option[DataFrame] = None): DataFrame = {
     val codes = AnnQuery.queryCodes(queries, model)
     val probed = AnnQuery.probeBlocksCoded(spark, codes, model, main)
       .unionByName(
         AnnQuery.probeBlocksCoded(spark, codes, model, delta)
           .withColumn("block", col("block") + DeltaBlockOffset))
+    // deletions filter BEFORE the candidate cap and rank (inside
+    // boundedCandidates), matching the non-delta path and the
+    // reference's loadPointIfActive skip-during-collection — an
+    // anti-join after top-k would let deleted ids consume cap budget
+    // and leave holes in rnk
     AnnQuery.refineFromProbes(probed, mainData.unionByName(deltaData), queries, k,
-      model, combined(main, delta))
+      model, combined(main, delta), deletedIds)
   }
 
   /** Merge a staged batch into the main index: one standard build over

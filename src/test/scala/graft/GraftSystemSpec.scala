@@ -57,6 +57,33 @@ class GraftSystemSpec extends SparkSpecBase {
     assert(sys.encryptedStore.filter(col("id") === victim).count() == 1)
   }
 
+  test("delete + staged insert combined: deletions filter before the cap in the delta path") {
+    val sys = GraftSystem.setup(spark, corpus)
+    val q = queries(3)
+    val victim = sys.query(q, k = 5).select("vec_id").as[Long].collect().toSet.head
+    // enter the staged-delta serving path, then delete a MAIN id
+    val seed = corpus.filter(col("vec_id") === 3)
+      .select(lit(900002L).as("vec_id"), col("embedding"))
+    sys.insert(seed)
+    sys.delete(Seq(victim).toDF("id"))
+    val delta = sys.query(q, k = 5)
+      .select("query_id", "vec_id", "rnk").collect()
+    assert(!delta.map(_.getLong(1)).contains(victim))
+    // full k rows with contiguous ranks per query — a post-top-k
+    // anti-join would leave short results and holes in rnk
+    delta.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length == 5, s"query $qid returned ${rows.length} rows, wanted 5")
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 5), s"rnk holes for $qid")
+    }
+    // and the delta path agrees with the compacted (non-delta) path
+    sys.compactNow()
+    val compacted = sys.query(q, k = 5)
+      .select("query_id", "vec_id", "rnk").collect()
+    assert(delta.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      compacted.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet,
+      "delta and compacted paths diverged for identical state")
+  }
+
   test("streamed serving through the facade equals the batch query") {
     import java.nio.file.{Files, Paths}
     def tmp(name: String): String = {
