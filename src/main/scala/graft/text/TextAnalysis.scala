@@ -238,6 +238,117 @@ object TextAnalysis {
       |  COALESCE(s.lm2_score, 0.0) AS lm2_score
       |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
 
+  /**
+   * Interpolated TRIGRAM surprisal — the next rung from [[lmScoreBigram]]
+   * toward the CCNet/KenLM 5-gram quality filter:
+   * `lm3(doc) = mean over positions i>=3 of
+   *   ln(λ1·P(w_i) + λ2·P(w_i|w_{i-1}) + λ3·P(w_i|w_{i-2} w_{i-1}))`
+   * with λ = (0.2, 0.3, 0.5) (Jelinek-Mercer interpolation — the
+   * backoff mass comes from the lower orders, so a trigram seen once
+   * isn't scored as certainty and the estimate degrades gracefully
+   * exactly the way a KenLM-style filter's does). All probabilities
+   * are ML estimates from the corpus itself: P(w) = c(w)/N,
+   * P(b|a) = c(ab)/c(a·), P(c|ab) = c(abc)/c(ab·), prefix counts
+   * derived from the n-gram vocab tables, never a third corpus pass.
+   *
+   * Scale: trigram extraction is MAP-ONLY (three shifted slices of the
+   * token array zipped positionally — no self-join); then the
+   * [[lmScore]] shape times three: partial-agg vocab tables for
+   * uni/bi/tri-grams (each keys a plain shuffle join, nothing must fit
+   * in memory) and one equi-join chain over the trigram stream. The
+   * interpolation is written in the identical literal order on both
+   * engines so the IEEE double result is bit-equal before the 4-dp
+   * floor (SURVEY §5). Docs with < 3 tokens report the 0.0 sentinel
+   * with n_trigrams = 0.
+   */
+  def lmScoreTrigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    def sliceAt(off: Int) =
+      slice(toks, lit(off), greatest(size(toks) - 2, lit(0)))
+    val tri = docs
+      .select(col(idCol).as("doc_id"),
+        explode(arrays_zip(sliceAt(1).as("w1"), sliceAt(2).as("w2"),
+          sliceAt(3).as("w3"))).as("z"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"),
+        col("z.w3").as("w3"))
+    // unigram vocab + total over the FULL token stream (the lmScore vocab)
+    val uni = docs.select(explode(toks).as("t")).groupBy("t")
+      .agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum("c1").as("n"))
+    // bigram vocab over ALL adjacent pairs (len-1 per doc, not just
+    // trigram-interior ones) — the same estimator lmScoreBigram fits
+    val pairs = docs.select(
+      explode(arrays_zip(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))).as("b1"),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))).as("b2"))).as("z"))
+      .select(col("z.b1").as("b1"), col("z.b2").as("b2"))
+    val bfreq = pairs.groupBy("b1", "b2").agg(count(lit(1)).as("cb"))
+    val bpfx = bfreq.groupBy(col("b1").as("p1")).agg(sum("cb").as("cp"))
+    val tfreq = tri.groupBy(col("w1").as("t1"), col("w2").as("t2"), col("w3").as("t3"))
+      .agg(count(lit(1)).as("ct"))
+    val tpfx = tfreq.groupBy(col("t1").as("q1"), col("t2").as("q2"))
+      .agg(sum("ct").as("ctp"))
+    val scored = tri
+      .join(tfreq, col("w1") === col("t1") && col("w2") === col("t2") &&
+        col("w3") === col("t3"))
+      .join(tpfx, col("w1") === col("q1") && col("w2") === col("q2"))
+      .join(bfreq, col("w2") === col("b1") && col("w3") === col("b2"))
+      .join(bpfx, col("w2") === col("p1"))
+      .join(uni, col("w3") === col("t"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        (floor(avg(log(
+          lit(0.2) * (col("c1") / col("n")) +
+          lit(0.3) * (col("cb") / col("cp")) +
+          lit(0.5) * (col("ct") / col("ctp")))) * 10000) / 10000).as("lm3_score"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("lm3_score"), lit(0.0)).as("lm3_score"))
+  }
+
+  def lmScoreTrigramQuery(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoreTrigram(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  val lmScoreTrigramSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |uni AS (SELECT t, COUNT(*) AS c1 FROM (
+      |  SELECT unnest(ts) AS t FROM tok) GROUP BY t),
+      |tot AS (SELECT SUM(c1) AS n FROM uni),
+      |big AS (SELECT unnest(list_transform(range(1, len(ts)),
+      |    i -> ts[i] || chr(1) || ts[i + 1])) AS bg FROM tok),
+      |bfreq AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg),
+      |bpfx AS (SELECT string_split(bg, chr(1))[1] AS pfx, SUM(cb) AS cp
+      |         FROM bfreq GROUP BY 1),
+      |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+      |    i -> ts[i] || chr(1) || ts[i + 1] || chr(1) || ts[i + 2])) AS tg
+      |  FROM tok),
+      |tfreq AS (SELECT tg, COUNT(*) AS ct FROM tri GROUP BY tg),
+      |tpfx AS (SELECT string_split(tg, chr(1))[1] || chr(1) ||
+      |           string_split(tg, chr(1))[2] AS pfx2, SUM(ct) AS ctp
+      |         FROM tfreq GROUP BY 1),
+      |s AS (
+      |  SELECT doc_id, COUNT(*) AS n_trigrams,
+      |    FLOOR(AVG(ln(
+      |      0.2 * (u.c1 / tot.n) +
+      |      0.3 * (b.cb / p.cp) +
+      |      0.5 * (f.ct / q.ctp))) * 10000) / 10000 AS lm3_score
+      |  FROM tri
+      |  JOIN tfreq f USING (tg)
+      |  JOIN tpfx q ON string_split(tg, chr(1))[1] || chr(1) ||
+      |    string_split(tg, chr(1))[2] = q.pfx2
+      |  JOIN bfreq b ON string_split(tg, chr(1))[2] || chr(1) ||
+      |    string_split(tg, chr(1))[3] = b.bg
+      |  JOIN bpfx p ON string_split(tg, chr(1))[2] = p.pfx
+      |  JOIN uni u ON string_split(tg, chr(1))[3] = u.t
+      |  , tot
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(s.n_trigrams, 0) AS n_trigrams,
+      |  COALESCE(s.lm3_score, 0.0) AS lm3_score
+      |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
+
   val lmScoreSql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),

@@ -201,6 +201,35 @@ class DedupTextSpec extends SparkSpecBase {
     assert(got2(1L) == trunc(math.log(0.5)))
   }
 
+  test("lm_score_trigram: hand-computed interpolated surprisal; sentinels below 3 tokens") {
+    import spark.implicits._
+    // corpus: doc0 "a b a b a", doc1 "a b", doc2 "b"
+    // unigrams: c(a)=4, c(b)=4, N=8
+    // bigrams (all adjacent pairs): c(ab)=3, c(ba)=2; prefixes cp(a)=3, cp(b)=2
+    // trigrams (doc0 only): aba, bab, aba -> c(aba)=2, c(bab)=1;
+    //   prefix2: ctp(ab)=2, ctp(ba)=1
+    val df = Seq((0L, "a b a b a"), (1L, "a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreTrigram(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def trunc(x: Double) = math.floor(x * 10000) / 10000
+    // every trigram position interpolates to the same mass:
+    //   aba: 0.2*(4/8) + 0.3*(2/2) + 0.5*(2/2) = 0.9
+    //   bab: 0.2*(4/8) + 0.3*(3/3) + 0.5*(1/1) = 0.9
+    val expect = trunc(math.log(0.2 * 0.5 + 0.3 * 1.0 + 0.5 * 1.0))
+    assert(got(0L) == ((3L, expect)), got.toString)
+    assert(got(1L) == ((0L, 0.0)), got.toString)
+    assert(got(2L) == ((0L, 0.0)), got.toString)
+    // uncertainty lowers the score: two continuations of the same
+    // bigram prefix score below the deterministic corpus above
+    val df2 = Seq((0L, "x y p"), (1L, "x y q")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.lmScoreTrigram(df2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // p1 = 1/6, p2 = 1/2 (yp|y of cp(y)=2), p3 = 1/2 (ctp(xy)=2)
+    val expect2 = trunc(math.log(0.2 * (1 / 6.0) + 0.3 * (1 / 2.0) + 0.5 * (1 / 2.0)))
+    assert(got2(0L) == expect2, got2.toString)
+    assert(got2(1L) == expect2, got2.toString)
+  }
+
   test("winnow fingerprints: deterministic, shift-tolerant overlap") {
     val t1 = UTF8String.fromString("the quick brown fox jumps over the lazy dog again and again today")
     val t2 = UTF8String.fromString("PREFIX added the quick brown fox jumps over the lazy dog again and again today")
