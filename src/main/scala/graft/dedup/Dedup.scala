@@ -679,6 +679,96 @@ object Dedup {
        |  FLOOR(CAST(d.n_dup_windows AS DOUBLE) / d.n_windows * 10000) / 10000 AS dup_win_frac
        |FROM corpus c LEFT JOIN d USING (doc_id)""".stripMargin
 
+  /**
+   * Span-level dedup APPLY — the actual Lee et al. 2022 output that
+   * [[substringStats]] only reports on: every occurrence of a
+   * duplicated W-token window EXCEPT the corpus-wide first one is
+   * removed from its document, and the surviving tokens are re-joined.
+   * "First" is the deterministic lexicographic-min (doc_id, pos)
+   * occurrence of the window content, so the rewrite is a pure
+   * function of the corpus (re-runs and engines agree byte-for-byte).
+   * Overlapping dropped windows coalesce — a token is removed once no
+   * matter how many dup windows cover it — and documents shorter than
+   * W tokens pass through untouched (a whole short doc is not a
+   * duplicated span). Output is over the lowercased token stream (the
+   * same normalization the window keys use).
+   *
+   * Plan shape, all linear in the token stream: the [[substringStats]]
+   * window pass with positions kept, a per-window partial agg
+   * (count + min-struct owner — no corpus-sized window function), an
+   * equi-join back marking non-owner occurrences, a bounded xW explode
+   * of ONLY the dropped spans into covered token positions, and one
+   * (doc_id, tpos) anti-join against the token stream before a per-doc
+   * ordered re-join. At 100 TB the window string key shuffles as
+   * `xxhash64(win)` exactly as in [[substringStats]].
+   */
+  def substringApply(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = SubstringWindow): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    // pos is the 0-based window start: the window covers 1-based token
+    // positions pos+1 .. pos+w
+    val wins = base.select(col("doc_id"),
+      posexplode(shinglesStrict(col("toks"), w)).as(Seq("pos", "win")))
+    val freq = wins.groupBy("win").agg(count(lit(1)).as("c"),
+      min(struct(col("doc_id"), col("pos"))).as("own"))
+    val drops = wins.join(freq, "win")
+      .filter(col("c") >= 2 &&
+        !(col("doc_id") === col("own.doc_id") && col("pos") === col("own.pos")))
+      .select(col("doc_id"), col("pos"))
+    val covered = drops
+      .select(col("doc_id"), explode(sequence(col("pos") + 1, col("pos") + w)).as("tpos"))
+      .distinct()
+    val tokpos = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("tpos"), col("tok"))
+    val kept = tokpos.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("tpos"), col("tok")))).as("kt"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("kt"), x => x("tok"))).as("text_clean"))
+    val nDropped = covered.groupBy("doc_id").agg(count(lit(1)).as("n_dropped"))
+    base.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(nDropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** [[substringApply]] over the same planted mutated-copy corpus as
+    * [[dedupSubstring]] — the unmutated runs between mutation sites are
+    * exactly the spans the rewrite removes from the copies. */
+  def dedupSubstringApply(spark: SparkSession, sfDir: String): DataFrame =
+    substringApply(
+      withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true),
+      "doc_id", "text")
+
+  val dedupSubstringApplySql: String =
+    s"""WITH ${mutatedCorpusSql(25)},
+       |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+       |w AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    array_to_string(toks[i:i+$SubstringWindow-1], ' ') AS win
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - $SubstringWindow + 2)) AS i) r
+       |  WHERE len(toks) >= $SubstringWindow),
+       |rk AS (SELECT doc_id, pos,
+       |         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+       |       FROM w),
+       |cov AS (SELECT DISTINCT doc_id, pos + o + 1 AS tpos
+       |        FROM rk, LATERAL (SELECT unnest(range(0, $SubstringWindow)) AS o) q
+       |        WHERE rn >= 2),
+       |tokpos AS (SELECT doc_id, i AS tpos, toks[i] AS tok
+       |           FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) s),
+       |kept AS (SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.tpos) AS text_clean
+       |         FROM tokpos k LEFT JOIN cov ON cov.doc_id = k.doc_id AND cov.tpos = k.tpos
+       |         WHERE cov.tpos IS NULL GROUP BY k.doc_id),
+       |nd AS (SELECT doc_id, COUNT(*) AS n_dropped FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens,
+       |  CAST(COALESCE(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |  COALESCE(kept.text_clean, '') AS text_clean
+       |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
+       |LEFT JOIN nd ON nd.doc_id = t.doc_id""".stripMargin
+
   /** Top-20 cosine pairs via the bucketed path (SQL oracle: all-pairs). */
   def neardupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))

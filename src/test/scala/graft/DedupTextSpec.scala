@@ -434,6 +434,29 @@ class DedupTextSpec extends SparkSpecBase {
     assert(res(3L).getLong(1) == 9 && res(3L).getLong(2) == 2)
   }
 
+  test("substringApply: first occurrence kept, overlaps coalesce, sub-W docs untouched") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e f g h i j"),                  // owns the shared window
+      (1L, "a b c d e f g h x y"),                  // loses tokens 1..8
+      (2L, "short doc"),                            // < 8 tokens: untouched
+      (3L, "p q r s t u v w p q r s t u v w"),      // internal repeat: 2nd run dropped
+      (4L, "m n o p q r s t u"),                    // owns two overlapping windows
+      (5L, "m n o p q r s t u z")                   // overlapping drops coalesce: 9 not 16
+    ).toDF("doc_id", "text")
+    val res = Dedup.substringApply(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(res(0L) == ((10, 0L, "a b c d e f g h i j")), res(0L).toString)
+    assert(res(1L) == ((10, 8L, "x y")), res(1L).toString)
+    assert(res(2L) == ((2, 0L, "short doc")), res(2L).toString)
+    // "p q r s t u v w" at positions 1 and 9: corpus-wide first kept
+    assert(res(3L) == ((16, 8L, "p q r s t u v w")), res(3L).toString)
+    assert(res(4L) == ((9, 0L, "m n o p q r s t u")), res(4L).toString)
+    // doc5's windows at pos 0 and 1 both duplicate doc4's; their spans
+    // overlap on tokens 2..8 — a token drops once, so 9 drop, not 16
+    assert(res(5L) == ((10, 9L, "z")), res(5L).toString)
+  }
+
   test("dedup_substring: every planted near-dup pair shares unmutated runs") {
     val res = Dedup.dedupSubstring(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
