@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * URL/domain-based hygiene filtering — the pretraining curation pass
+ * that runs BEFORE any content signal (RefinedWeb/CCNet posture: a
+ * blocklisted or spam-TLD page is dropped without tokenizing a byte,
+ * and exact-URL dedup collapses recrawls of the same page):
+ *
+ *  1. normalize the URL (scheme, `www.`, query string stripped) —
+ *     map-only regexp chain, no shuffle;
+ *  2. `blocklist`: the registered domain sits on a blocklist;
+ *  3. `low_quality_tld`: spam-prior TLDs (the `.info/.biz/.xyz` tier);
+ *  4. `dup_url`: a second crawl of an already-seen normalized URL —
+ *     keeper is the deterministic min doc_id per normalized URL.
+ *
+ * Rules fire in that fixed order, first failure wins (the
+ * [[TextFilters.qualityFilter]] verdict discipline). The only shuffle
+ * in the plan is the per-URL partial agg for the dedup owner (key the
+ * shuffle on `xxhash64(url_norm)` at 100 TB); everything else is
+ * codegen'd string expressions.
+ *
+ * The synthetic documents table carries no URL column, so the
+ * `url_filter` entry PLANTS one deterministically from (doc_id,
+ * source) — the planted-corpus discipline — with surface noise
+ * (http/https, `www.`, tracking query strings) that normalization
+ * must cancel, and identity collisions (doc_id mod 100) that dedup
+ * must catch. The oracle SQL replays the plant verbatim.
+ */
+object UrlFilter {
+
+  val Domains: Seq[String] = Seq("news-site", "blogspam", "example",
+    "tracker-hub", "archive", "forum", "wiki", "shop", "adfarm",
+    "papers", "media")
+
+  val Tlds: Seq[String] = Seq(".com", ".org", ".net", ".info", ".biz",
+    ".edu", ".xyz")
+
+  val BlockedDomains: Seq[String] = Seq("blogspam", "adfarm")
+
+  val LowQualityTlds: Seq[String] = Seq(".info", ".biz", ".xyz")
+
+  /** Deterministic planted URL: identity from `doc_id mod 100` (so
+    * recrawl collisions occur at every SF), surface form varying with
+    * doc_id so normalization has real work. */
+  def withPlantedUrls(docs: DataFrame): DataFrame = {
+    val uid = col("doc_id") % 100
+    val domain = element_at(array(Domains.map(lit): _*), (uid % 11 + 1).cast("int"))
+    val tld = element_at(array(Tlds.map(lit): _*), (uid % 7 + 1).cast("int"))
+    docs.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+        when(col("doc_id") % 5 === 0, lit("www.")).otherwise(lit("")),
+        domain, tld, lit("/"), col("source"), lit("/page-"), uid.cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+        .as("url"))
+  }
+
+  /** The operator proper: verdicts over any (doc_id, url) frame. */
+  def urlFilter(urls: DataFrame): DataFrame = {
+    val norm = regexp_replace(regexp_replace(regexp_replace(col("url"),
+      "^https?://", ""), "^www\\.", ""), "\\?.*$", "")
+    val parsed = urls
+      .withColumn("url_norm", norm)
+      .withColumn("host", substring_index(col("url_norm"), "/", 1))
+      .withColumn("domain", substring_index(col("host"), ".", 1))
+      .withColumn("tld", expr("substring(host, length(domain) + 1, 10)"))
+    val owners = parsed.groupBy("url_norm").agg(min("doc_id").as("owner"))
+    parsed.join(owners, "url_norm")
+      .withColumn("fail_reason",
+        when(col("domain").isin(BlockedDomains: _*), "blocklist")
+          .when(col("tld").isin(LowQualityTlds: _*), "low_quality_tld")
+          .when(col("doc_id") =!= col("owner"), "dup_url")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("url"), col("url_norm"), col("domain"),
+        col("tld"), col("fail_reason"),
+        (col("fail_reason") === "ok").cast("int").as("keep"))
+  }
+
+  def urlFilterQuery(spark: SparkSession, sfDir: String): DataFrame =
+    urlFilter(withPlantedUrls(Tables.documents(spark, sfDir)))
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString(", ")
+
+  val urlFilterSql: String = {
+    val verdict =
+      s"""CASE WHEN domain IN (${sqlList(BlockedDomains)}) THEN 'blocklist'
+         |       WHEN tld IN (${sqlList(LowQualityTlds)}) THEN 'low_quality_tld'
+         |       WHEN doc_id <> owner THEN 'dup_url'
+         |       ELSE 'ok' END""".stripMargin
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+       |    || ([${sqlList(Domains)}])[(doc_id % 100) % 11 + 1]
+       |    || ([${sqlList(Tlds)}])[(doc_id % 100) % 7 + 1]
+       |    || '/' || source || '/page-' || (doc_id % 100)
+       |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END) AS url
+       |  FROM documents),
+       |n AS (SELECT doc_id, url,
+       |  regexp_replace(regexp_replace(regexp_replace(url,
+       |    '^https?://', ''), '^www\\.', ''), '\\?.*$$', '') AS url_norm FROM u),
+       |p AS (SELECT *, string_split(url_norm, '/')[1] AS host FROM n),
+       |d AS (SELECT *, string_split(host, '.')[1] AS domain,
+       |        substr(host, len(string_split(host, '.')[1]) + 1, 10) AS tld
+       |      FROM p),
+       |o AS (SELECT url_norm, MIN(doc_id) AS owner FROM d GROUP BY url_norm)
+       |SELECT doc_id, url, url_norm, domain, tld,
+       |  $verdict AS fail_reason,
+       |  CAST(($verdict) = 'ok' AS INTEGER) AS keep
+       |FROM d JOIN o USING (url_norm)""".stripMargin
+  }
+}

@@ -95,6 +95,41 @@ class PipelineFiltersSpec extends SparkSpecBase {
     assert(keeps.getOrElse(1, 0L) > 0 && keeps.getOrElse(0, 0L) > 0, s"degenerate split: $keeps")
   }
 
+  test("url_filter: normalization cancels surface noise; verdicts fire in fixed order") {
+    import spark.implicits._
+    import graft.text.UrlFilter
+    val urls = Seq(
+      (0L, "https://www.example.com/a/page-1?utm_source=feed"),
+      (1L, "http://example.com/a/page-1"),          // same page, other surface
+      (2L, "https://blogspam.info/b/page-2"),       // blocklist wins over its TLD
+      (3L, "http://papers.xyz/c/page-3"),
+      (4L, "https://wiki.org/d/page-4")
+    ).toDF("doc_id", "url")
+    val got = UrlFilter.urlFilter(urls)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getString(3), r.getString(4), r.getString(5), r.getInt(6)))).toMap
+    assert(got(0L) == (("example.com/a/page-1", "example", ".com", "ok", 1)), got(0L).toString)
+    // the recrawl normalizes to the same URL; min doc_id keeps it
+    assert(got(1L) == (("example.com/a/page-1", "example", ".com", "dup_url", 0)), got(1L).toString)
+    assert(got(2L)._4 == "blocklist" && got(2L)._5 == 0, got(2L).toString)
+    assert(got(3L) == (("papers.xyz/c/page-3", "papers", ".xyz", "low_quality_tld", 0)), got(3L).toString)
+    assert(got(4L)._4 == "ok" && got(4L)._5 == 1, got(4L).toString)
+  }
+
+  test("url_filter query: planted blocklist domains always drop; all verdicts occur") {
+    import graft.text.UrlFilter
+    val res = UrlFilter.urlFilterQuery(spark, sf).collect()
+    // every doc whose planted identity lands on a blocked domain is dropped as blocklist
+    res.foreach { r =>
+      if (UrlFilter.BlockedDomains.contains(r.getString(3)))
+        assert(r.getString(5) == "blocklist", s"doc ${r.getLong(0)}: ${r.getString(5)}")
+    }
+    val reasons = res.map(_.getString(5)).toSet
+    assert(Set("blocklist", "low_quality_tld", "dup_url", "ok").subsetOf(reasons), reasons.toString)
+    // row cardinality preserved: one verdict per document
+    assert(res.length == Tables.documents(spark, sf).count())
+  }
+
   test("data mix: greedy budget fill per stratum, deterministic, unknown strata excluded") {
     val out = Corpus.dataMixQuery(spark, sf).cache()
     val budgets = Corpus.MixWeights.map { case (s, w) =>
