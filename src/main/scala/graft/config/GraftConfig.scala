@@ -116,6 +116,19 @@ final case class CorpusConfig(bucketBoundaries: String = "width") {
     s"corpus.bucketBoundaries must be width|quantile, got '$bucketBoundaries'")
 }
 
+/** `vocabPath`: a published tokenizer's merges file (HF `merges.txt`
+  * format) — when set, the BPE counters apply THAT vocab instead of
+  * corpus-fitting, so packing budgets match the trainer's tokenizer. */
+final case class BpeConfig(vocabPath: String = "")
+
+/** SemDeDup sizing: `cells = 0` auto-sizes to ~sqrt(N) via
+  * `IvfSearch.scaledCells` (the IVF discipline); the default 16 is the
+  * demo-corpus constant. `maxCell` guards degenerate cells from the
+  * quadratic within-cell pair join. */
+final case class SemDedupConfig(cells: Int = 16, maxCell: Int = 4096) {
+  require(cells >= 0 && maxCell > 0)
+}
+
 final case class GraftConfig(
     lsh: LshParams = LshParams(),
     stabilization: StabilizationConfig = StabilizationConfig(),
@@ -128,7 +141,9 @@ final case class GraftConfig(
     audit: AuditConfig = AuditConfig(),
     ratio: RatioConfig = RatioConfig(),
     corpus: CorpusConfig = CorpusConfig(),
-    pq: PqConfig = PqConfig())
+    pq: PqConfig = PqConfig(),
+    bpe: BpeConfig = BpeConfig(),
+    semdedup: SemDedupConfig = SemDedupConfig())
 
 object GraftConfig {
 
@@ -264,6 +279,11 @@ object GraftConfig {
       pq = PqConfig(
         m = i(n.path("pq"), "m", d.pq.m),
         codewords = i(n.path("pq"), "codewords", d.pq.codewords),
-        adcKeep = i(n.path("pq"), "adcKeep", d.pq.adcKeep)))
+        adcKeep = i(n.path("pq"), "adcKeep", d.pq.adcKeep)),
+      bpe = BpeConfig(
+        vocabPath = s(n.path("bpe"), "vocabPath", d.bpe.vocabPath)),
+      semdedup = SemDedupConfig(
+        cells = i(n.path("semdedup"), "cells", d.semdedup.cells),
+        maxCell = i(n.path("semdedup"), "maxCell", d.semdedup.maxCell)))
   }
 }

@@ -47,8 +47,15 @@ object SemDedup {
   val SemTau: Double = 0.995
 
   /** Cells for the demo-corpus fit (corpus is small; production sizes
-    * via [[IvfSearch.scaledCells]]). */
+    * via [[IvfSearch.scaledCells]]). Config-overridable:
+    * `semdedup.cells` (0 = auto sqrt-N sizing). */
   val SemCells: Int = 16
+
+  /** The fitted cell count under `cfg`: explicit wins, 0 auto-sizes to
+    * ~sqrt(N) clamped exactly as the IVF entries do. */
+  def resolveCells(n: => Long,
+      sd: graft.config.SemDedupConfig = graft.config.GraftConfig.active.semdedup): Int =
+    if (sd.cells > 0) sd.cells else IvfSearch.scaledCells(n)
 
   /** Degenerate-cell guard: cells larger than this skip pairing (the
     * `neardup.maxCell` posture — near-identical boilerplate cells
@@ -57,15 +64,11 @@ object SemDedup {
 
   val SemCentroidExportPath = "/root/repo/tmp/oracle_fixtures/semdedup_centroids.parquet"
 
-  private val exported = scala.collection.mutable.Set.empty[String]
   private def exportCentroids(spark: SparkSession, key: String,
       cents: Array[Array[Float]]): Unit =
-    exported.synchronized {
-      if (!exported(key)) {
-        IvfSearch.centroidsDf(spark, cents)
-          .coalesce(1).write.mode("overwrite").parquet(SemCentroidExportPath)
-        exported += key
-      }
+    graft.FixtureExport.ensure(key, SemCentroidExportPath) {
+      IvfSearch.centroidsDf(spark, cents)
+        .coalesce(1).write.mode("overwrite").parquet(SemCentroidExportPath)
     }
 
   /**
@@ -145,9 +148,12 @@ object SemDedup {
 
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = semCorpus(spark, sfDir)
-    val cents = IvfSearch.fitCentroids(corpus, SemCells, Some(s"semdedup:$sfDir"))
-    exportCentroids(spark, s"semdedup:$sfDir", cents)
-    semanticDedupPlan(corpus, cents)
+    val sd = graft.config.GraftConfig.active.semdedup
+    // auto-sizing pays a memoized count only when configured (cells=0)
+    val c = resolveCells(IvfSearch.memoCount(corpus, s"semdedup:$sfDir"), sd)
+    val cents = IvfSearch.fitCentroids(corpus, c, Some(s"semdedup:$sfDir"))
+    exportCentroids(spark, s"semdedup:$sfDir|c=$c", cents)
+    semanticDedupPlan(corpus, cents, maxCell = sd.maxCell)
   }
 
   /** DuckDB twin: planted corpus -> literal-centroid assignment with

@@ -87,7 +87,7 @@ object IvfSearch {
   private val countCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Long]]()
 
-  private def memoCount(data: DataFrame, key: String): Long =
+  private[graft] def memoCount(data: DataFrame, key: String): Long =
     countCache.synchronized {
       countCache.computeIfAbsent(data.sparkSession,
         _ => scala.collection.mutable.Map.empty)
@@ -177,16 +177,11 @@ object IvfSearch {
 
   // fixture export once per JVM per corpus (bench reps must time the
   // probe plan, not the fixture write)
-  private val centroidsExported = scala.collection.mutable.Set.empty[String]
-
   private def exportCentroids(spark: SparkSession, sfDir: String,
       cents: Array[Array[Float]]): Unit =
-    centroidsExported.synchronized {
-      if (!centroidsExported(sfDir)) {
-        centroidsDf(spark, cents)
-          .coalesce(1).write.mode("overwrite").parquet(CentroidExportPath)
-        centroidsExported += sfDir
-      }
+    graft.FixtureExport.ensure(sfDir, CentroidExportPath) {
+      centroidsDf(spark, cents)
+        .coalesce(1).write.mode("overwrite").parquet(CentroidExportPath)
     }
 
   /** The corpus-sized (or config-overridden) fitted centroids for

@@ -135,6 +135,42 @@ object Bpe {
       fit(Tables.documents(spark, sfDir), "text"))
   }
 
+  /**
+   * Import a PUBLISHED tokenizer's merge table (HF `merges.txt`
+   * format: optional `#version` header, then one space-separated
+   * symbol pair per line in rank order — the format tiktoken/HF BPE
+   * tokenizers publish). Real packers budget sequences by the
+   * TRAINER'S tokenizer, not a corpus re-fit; with `bpe.vocabPath`
+   * set in [[graft.config.GraftConfig]] every BPE counter in the
+   * library applies the imported vocab through the identical greedy
+   * lowest-rank kernel, so counts match the published tokenizer's
+   * merge application for vocab-internal text.
+   */
+  def loadMerges(path: String): BpeModel = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    lines.forEach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        val sp = line.indexOf(' ')
+        require(sp > 0 && line.indexOf(' ', sp + 1) < 0,
+          s"malformed merges line (want 'left right'): '$line'")
+        merges += ((line.substring(0, sp), line.substring(sp + 1)))
+      }
+    }
+    BpeModel(merges.toArray)
+  }
+
+  /** The model the counters use: the imported vocab when
+    * `bpe.vocabPath` is configured, else the memoized corpus fit. */
+  def modelFor(spark: SparkSession, sfDir: String,
+      cfg: graft.config.GraftConfig = graft.config.GraftConfig.active): BpeModel =
+    if (cfg.bpe.vocabPath.nonEmpty) fitCache.synchronized {
+      fitCache.getOrElseUpdate("file:" + cfg.bpe.vocabPath,
+        loadMerges(cfg.bpe.vocabPath))
+    } else fitFor(spark, sfDir)
+
   /** Subword token count of `text` under `model` — map-only, codegen'd. */
   def bpe_count(text: Column, model: BpeModel): Column =
     ColumnBridge.column(BpeCountTokens(
@@ -151,23 +187,22 @@ object Bpe {
    * BpeSpec against an independent reimplementation and hand-computed
    * merges.
    */
-  // fixture export once per JVM per corpus (repeated calls — bench
-  // reps — must time the counting plan, not the fixture write)
-  private val vocabExported = scala.collection.mutable.Set.empty[String]
-
   /** Export the distinct-word -> subword-count dictionary fixture for
-    * this corpus (shared by every oracle that replays BPE counts). */
+    * this corpus (shared by every oracle that replays BPE counts). The
+    * guard keys on corpus AND vocab source, so flipping `bpe.vocabPath`
+    * mid-JVM re-exports the dictionary the oracle replays. */
   def ensureVocabExported(spark: SparkSession, sfDir: String): BpeModel = {
-    val model = fitFor(spark, sfDir)
-    vocabExported.synchronized {
-      if (!vocabExported(sfDir)) {
-        Tables.documents(spark, sfDir).select(explode(
-            expr(s"regexp_extract_all(lower(text), '${TextAnalysis.BpeishPattern}', 0)")).as("word"))
-          .distinct()
-          .select(col("word"), bpe_count(col("word"), model).as("n_sub"))
-          .coalesce(1).write.mode("overwrite").parquet(VocabExportPath)
-        vocabExported += sfDir
-      }
+    val model = modelFor(spark, sfDir)
+    val vocabKey = graft.config.GraftConfig.active.bpe.vocabPath match {
+      case "" => sfDir
+      case p => s"$sfDir|$p"
+    }
+    graft.FixtureExport.ensure(vocabKey, VocabExportPath) {
+      Tables.documents(spark, sfDir).select(explode(
+          expr(s"regexp_extract_all(lower(text), '${TextAnalysis.BpeishPattern}', 0)")).as("word"))
+        .distinct()
+        .select(col("word"), bpe_count(col("word"), model).as("n_sub"))
+        .coalesce(1).write.mode("overwrite").parquet(VocabExportPath)
     }
     model
   }

@@ -89,6 +89,31 @@ class BpeSpec extends SparkSpecBase {
     assert(agg.getLong(2) >= agg.getLong(1), "a pretoken can never split below 1 token")
   }
 
+  test("external vocab import: HF merges file drives the counters; default path unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_vocab")
+    val path = dir.resolve("merges.txt")
+    java.nio.file.Files.write(path,
+      "#version: 0.2\nt h\nth e\ni n\na n\nan d\n".getBytes("UTF-8"))
+    val model = Bpe.loadMerges(path.toString)
+    // header skipped, pairs in rank order
+    assert(model.merges.toSeq == Seq(("t", "h"), ("th", "e"), ("i", "n"),
+      ("a", "n"), ("an", "d")))
+    // hand-computed greedy application of the PINNED vocab:
+    // the->1, thin->th|in=2, and->1, then->the|n=2
+    val got = Seq("the thin and then").toDF("text")
+      .select(Bpe.bpe_count(col("text"), model)).head().getInt(0)
+    assert(got == 6, s"pinned-vocab count: $got")
+    // config wiring: vocabPath set -> the imported model serves every
+    // counter; unset -> the corpus fit (default hashes unchanged)
+    val cfg = graft.config.GraftConfig.parse(
+      s"""{"bpe": {"vocabPath": "${path.toString}"}}""")
+    assert(cfg.bpe.vocabPath == path.toString)
+    val viaCfg = Bpe.modelFor(spark, sf, cfg)
+    assert(viaCfg.merges.toSeq == model.merges.toSeq)
+    val dflt = Bpe.modelFor(spark, sf)
+    assert(dflt.merges.toSeq == Bpe.fitFor(spark, sf).merges.toSeq)
+  }
+
   test("seq_pack with the bpe counter matches its windowed twin and repacks vs whitespace") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("text"))

@@ -68,4 +68,20 @@ class SemDedupSpec extends SparkSpecBase {
     guarded.unpersist()
     ()
   }
+
+  test("cell sizing is config-driven: explicit wins, 0 auto-sizes to ~sqrt(N)") {
+    import graft.config.{GraftConfig, SemDedupConfig}
+    // default config: the demo constant, corpus size never consulted
+    assert(SemDedup.resolveCells(sys.error("count must not run")) == SemDedup.SemCells)
+    // explicit override
+    assert(SemDedup.resolveCells(1L << 30, SemDedupConfig(cells = 64)) == 64)
+    // auto: sqrt-N clamped exactly like the IVF entries
+    val auto = SemDedupConfig(cells = 0)
+    assert(SemDedup.resolveCells(200000L, auto) == 448)   // ceil(sqrt(200k))
+    assert(SemDedup.resolveCells(1L << 30, auto) == 4096) // production cap
+    assert(SemDedup.resolveCells(100L, auto) == 4)        // tiny-corpus floor of 4
+    // config JSON round-trip
+    val cfg = GraftConfig.parse("""{"semdedup": {"cells": 0, "maxCell": 1024}}""")
+    assert(cfg.semdedup == SemDedupConfig(cells = 0, maxCell = 1024))
+  }
 }
