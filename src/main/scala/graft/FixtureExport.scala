@@ -1,0 +1,31 @@
+package graft
+
+/**
+ * One-per-JVM write guard for DuckDB oracle fixtures (fitted models,
+ * signatures, centroids exported so the oracle SQL can replay a
+ * driver-side fit).
+ *
+ * Fixture paths are STATIC — the oracle SQL strings embed them — so
+ * two corpus dirs processed in one JVM share each path
+ * last-writer-wins. The guard therefore keys on WHAT the path
+ * currently holds, not on which corpus already exported once: a
+ * request with a different key (corpus dir, dim, config) re-exports,
+ * and a repeat of the current key skips the write (bench reps must
+ * time the plan, not the fixture write). This closes the stale-
+ * fixture hazard where dir A's fixture was replaced by dir B's while
+ * A's per-corpus guard suppressed the re-export — with this guard a
+ * Verify + oracle check running back-to-back on ANY corpus always
+ * reads fixtures fitted on that corpus.
+ */
+object FixtureExport {
+  // path -> the key whose export currently sits at that path
+  private val current = scala.collection.mutable.Map.empty[String, String]
+
+  def ensure(key: String, path: String)(write: => Unit): Unit =
+    current.synchronized {
+      if (!current.get(path).contains(key)) {
+        write
+        current(path) = key
+      }
+    }
+}

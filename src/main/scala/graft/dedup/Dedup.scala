@@ -47,15 +47,12 @@ object Dedup {
   val SimhashSigExportPath = "/root/repo/tmp/oracle_fixtures/simhash_sigs.parquet"
 
   // fixture export once per JVM per corpus (bench reps must time the
-  // pair plan, not the fixture write)
-  private val sigExported = scala.collection.mutable.Set.empty[String]
+  // pair plan, not the fixture write), re-exported on corpus change
+  // (graft.FixtureExport)
 
   private def exportFixture(key: String, path: String)(df: => DataFrame): Unit =
-    sigExported.synchronized {
-      if (!sigExported(key)) {
-        df.coalesce(1).write.mode("overwrite").parquet(path)
-        sigExported += key
-      }
+    graft.FixtureExport.ensure(key, path) {
+      df.coalesce(1).write.mode("overwrite").parquet(path)
     }
 
   // ---- tokenization / shingling (single-space split: engine-portable) ----

@@ -168,8 +168,6 @@ object Decontaminate {
       .withColumn("contaminated", (col("max_cos") >= tau).cast("int"))
   }
 
-  private val semExported = scala.collection.mutable.Set.empty[String]
-
   /**
    * Demo wiring: bench = vec_id % 29 == 0; training = the rest PLUS a
    * planted jittered copy (+0.001 on coordinate 0, float-exact) of
@@ -188,12 +186,9 @@ object Decontaminate {
             (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding")))
     val cents = graft.query.IvfSearch.fitCentroids(train, SemCells,
       Some(s"decontam:$sfDir"))
-    semExported.synchronized {
-      if (!semExported(sfDir)) {
-        graft.query.IvfSearch.centroidsDf(spark, cents)
-          .coalesce(1).write.mode("overwrite").parquet(SemCentroidExportPath)
-        semExported += sfDir
-      }
+    graft.FixtureExport.ensure(sfDir, SemCentroidExportPath) {
+      graft.query.IvfSearch.centroidsDf(spark, cents)
+        .coalesce(1).write.mode("overwrite").parquet(SemCentroidExportPath)
     }
     decontaminateSemantic(train, bench, cents)
   }

@@ -42,8 +42,6 @@ object Embeddings {
     * so the DuckDB oracle replays the exact dot products. */
   val ProjExportPath = "/root/repo/tmp/oracle_fixtures/proj_matrix.parquet"
 
-  private val projExported = scala.collection.mutable.Set.empty[String]
-
   /** Deterministic N(0,1)/sqrt(tgtDim) rows (the polar-Box-Muller +
     * SplittableRandom recipe of `Lsh.fitG` — reproducible across JVMs
     * by spec, no engine-portability burden because the matrix ships as
@@ -92,13 +90,10 @@ object Embeddings {
     val data = Tables.embeddings(spark, sfDir)
     val srcDim = data.select(size(col("embedding"))).head().getInt(0)
     val m = projMatrix(srcDim, ProjTargetDim)
-    projExported.synchronized {
-      if (!projExported(s"$srcDim")) {
-        import spark.implicits._
-        m.zipWithIndex.map { case (w, r) => (r, w.toSeq) }.toSeq.toDF("r", "w")
-          .coalesce(1).write.mode("overwrite").parquet(ProjExportPath)
-        projExported += s"$srcDim"
-      }
+    graft.FixtureExport.ensure(s"$srcDim", ProjExportPath) {
+      import spark.implicits._
+      m.zipWithIndex.map { case (w, r) => (r, w.toSeq) }.toSeq.toDF("r", "w")
+        .coalesce(1).write.mode("overwrite").parquet(ProjExportPath)
     }
     projectEmbedding(data, "embedding", m)
       .select(col("vec_id"), explode(col("proj")).as("p"))

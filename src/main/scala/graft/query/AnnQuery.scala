@@ -488,12 +488,9 @@ object AnnQuery {
     setupCache.synchronized {
       val perSession = setupCache.computeIfAbsent(spark,
         _ => scala.collection.mutable.Map.empty)
-      perSession.getOrElseUpdate(sfDir, {
+      val entry = perSession.getOrElseUpdate(sfDir, {
         val data = emb(spark, sfDir)
         val model = Lsh.fit(data, "embedding", cfg.lsh)
-        // oracle fixture rides the SETUP memo: exported once per
-        // (session, corpus), outside any timed query region
-        exportModel(spark, model)
         // spread: the coding map stage must not serialize on a
         // few-split source (no-op at scale, LshIndex.spread scaladoc)
         val built = LshIndex.build(
@@ -501,6 +498,13 @@ object AnnQuery {
           model.params.blockSize)
         (model, LshIndex.Built(built.membership.cache(), built.summaries.cache()))
       })
+      // oracle fixture checked OUTSIDE the memo (cheap key compare):
+      // after another corpus overwrote the shared path, a memo-hit here
+      // must still restore THIS corpus's model before its oracle replays
+      graft.FixtureExport.ensure(sfDir, ModelExportPath) {
+        exportModel(spark, entry._1)
+      }
+      entry
     }
 
   private def fitModel(spark: SparkSession, sfDir: String): LshModel =

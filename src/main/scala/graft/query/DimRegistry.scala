@@ -161,16 +161,20 @@ object DimRegistry {
 
   private[graft] def setupTwoDim(spark: SparkSession, sfDir: String): Map[Int, Entry] =
     registryCache.synchronized {
-      registryCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+      val r = registryCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
         .getOrElseUpdate(sfDir, {
           // the dim-partitioned layout rides SETUP too: written once,
           // every serving entry reads pruned slices
-          val r = build(twoDimCorpus(spark, sfDir), "vec_id", "embedding",
+          build(twoDimCorpus(spark, sfDir), "vec_id", "embedding",
             graft.config.GraftConfig.active.lsh, storeKey = Some(s"twodim_$sfDir"))
-          // oracle fixture rides the SETUP memo, like AnnQuery.setup
-          exportModels(spark, r)
-          r
         })
+      // fixture guard keyed on path content, outside the memo (the
+      // AnnQuery.setup discipline): a memo-hit after another corpus
+      // overwrote the shared path re-exports this corpus's models
+      graft.FixtureExport.ensure(sfDir, MultidimModelExportPath) {
+        exportModels(spark, r)
+      }
+      r
     }
 
   /** Re-materialize the resident registry after an external cache

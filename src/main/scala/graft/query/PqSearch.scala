@@ -66,7 +66,6 @@ object PqSearch {
   // fitted codebooks die with their session (the IvfSearch memo shape)
   private val codebookCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[Array[Array[Float]]]]]()
-  private val codebookExported = scala.collection.mutable.Set.empty[String]
 
   /** [m][k][subDim] codebook from a bounded, `vec_id`-pinned sample:
     * per-subspace deterministic Lloyd k-means ([[IvfSearch.kmeans]]). */
@@ -102,12 +101,9 @@ object PqSearch {
 
   private def exportCodebook(spark: SparkSession, sfDir: String,
       cb: Array[Array[Array[Float]]]): Unit =
-    codebookExported.synchronized {
-      if (!codebookExported(sfDir)) {
-        codebookDf(spark, cb)
-          .coalesce(1).write.mode("overwrite").parquet(CodebookExportPath)
-        codebookExported += sfDir
-      }
+    graft.FixtureExport.ensure(sfDir, CodebookExportPath) {
+      codebookDf(spark, cb)
+        .coalesce(1).write.mode("overwrite").parquet(CodebookExportPath)
     }
 
   /** The codebook as a plan literal: array of (m, array of codewords). */

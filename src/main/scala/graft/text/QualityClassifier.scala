@@ -154,25 +154,22 @@ object QualityClassifier {
         (col("w_sum_micro") + lit(model.biasMicro) * col("n_feats") >= 0).cast("int"))
   }
 
-  private val fixturesExported = scala.collection.mutable.Set.empty[String]
-
   def qualityClassifierQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val model = fitFor(spark, sfDir)
     val planted = plantedDocs(Tables.documents(spark, sfDir))
-    fixturesExported.synchronized {
-      if (!fixturesExported(sfDir)) {
-        planted.select(explode(split(lower(col("text")), " ")).as("tok"))
-          .distinct()
-          .select(col("tok"),
-            pmod(xxhash64(col("tok")), lit(NumBuckets)).cast("int").as("bucket"))
-          .coalesce(1).write.mode("overwrite").parquet(TokenBucketsExportPath)
-        import spark.implicits._
-        (model.weightsMicro.zipWithIndex
-          .map { case (wm, b) => (b, wm) } :+ ((-1, model.biasMicro)))
-          .toSeq.toDF("bucket", "w_micro")
-          .coalesce(1).write.mode("overwrite").parquet(WeightsExportPath)
-        fixturesExported += sfDir
-      }
+    graft.FixtureExport.ensure(sfDir, TokenBucketsExportPath) {
+      planted.select(explode(split(lower(col("text")), " ")).as("tok"))
+        .distinct()
+        .select(col("tok"),
+          pmod(xxhash64(col("tok")), lit(NumBuckets)).cast("int").as("bucket"))
+        .coalesce(1).write.mode("overwrite").parquet(TokenBucketsExportPath)
+    }
+    graft.FixtureExport.ensure(sfDir, WeightsExportPath) {
+      import spark.implicits._
+      (model.weightsMicro.zipWithIndex
+        .map { case (wm, b) => (b, wm) } :+ ((-1, model.biasMicro)))
+        .toSeq.toDF("bucket", "w_micro")
+        .coalesce(1).write.mode("overwrite").parquet(WeightsExportPath)
     }
     score(planted, "doc_id", "text", plantedLabel, model)
   }
