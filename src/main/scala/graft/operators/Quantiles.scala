@@ -49,11 +49,16 @@ object Quantiles {
     // tiny table from here on (bounded by score range, not corpus)
     val w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
     val cum = bucketed.withColumn("cum", sum(col("c")).over(w))
-    val n = bucketed.agg(sum(col("c"))).head().getLong(0)
-    require(n > 0, "quantiles of an empty score set")
+    // n derives IN-PLAN from the same bucketed subtree (its shuffle is
+    // computed once and ReusedExchange feeds the second consumer), so
+    // the corpus-sized bucketing aggregate runs exactly one partial-agg
+    // pass — no eager driver-side count action. An empty score set
+    // yields an empty result.
     import spark.implicits._
-    val ranks = ps.map(p => (p, math.floor(p * (n - 1)).toLong + 1))
-      .toDF("p", "rnk")
+    val nDf = bucketed.agg(sum(col("c")).as("n"))
+    val ranks = ps.toDF("p").crossJoin(broadcast(nDf))
+      .select(col("p"),
+        (floor(col("p") * (col("n") - 1)) + 1).cast("long").as("rnk"))
     cum.join(broadcast(ranks), col("cum") >= col("rnk"))
       .groupBy(col("p"), col("rnk"))
       .agg(min(struct(col("bkt"), col("cum"))).as("hit"))
