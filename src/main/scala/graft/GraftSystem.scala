@@ -98,12 +98,15 @@ final class GraftSystem private (
   }
 
   /** Key ROTATION + selective re-encryption: promote v+1 and migrate
-    * exactly the touched set (KeyRotationServiceImpl posture — rows
-    * outside it carry over byte-identical and migrate lazily when
-    * next touched). */
+    * exactly the touched set, each row decrypted under its own actual
+    * key version (KeyRotationServiceImpl posture — untouched rows
+    * carry over byte-identical and migrate lazily when next touched).
+    * Because every touched row migrates regardless of how far behind
+    * its kv fell, clearing the tracker afterwards is sound. */
   def rotateKeys(): Unit = {
-    val t = touched.getOrElse(spark.range(0).select(col("id")))
-    store = VersionedCrypto.rotate(store, t, version)
+    touched.foreach { t =>
+      store = VersionedCrypto.rotateAllVersions(store, t, version + 1)
+    }
     version += 1
     touched = None
   }
@@ -122,15 +125,7 @@ final class GraftSystem private (
     * view and index from the encrypted store alone — every present key
     * version decrypted under its own key. Returns a FRESH system. */
   def restore(): GraftSystem = {
-    val versions = store.select(col("kv")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val vecs = versions.map { v =>
-      VersionedCrypto.decrypt(store.filter(col("kv") === v), v)
-        .select(col("id").as("vec_id"), col("vec").as("embedding"))
-    }.reduce(_ unionByName _)
-    val codes = LshIndex.codes(vecs, "vec_id", "embedding", model)
-    val sys = new GraftSystem(spark, model, blockSize, codes,
-      LshIndex.build(codes, blockSize), vecs, store, version)
+    val sys = GraftSystem.fromStore(spark, model, blockSize, store, version)
     sys.deletedIds = deletedIds
     sys
   }
@@ -147,11 +142,27 @@ final class GraftSystem private (
     graft.streaming.AnnServe.serve(queries, serving, k, model, main,
       outPath, checkpoint, trigger)
 
-  /** EXPORT: store + index layout as parquet under `outDir`. */
+  /** EXPORT: the full restartable state as parquet under `outDir` —
+    * encrypted store, index layout, the fitted LSH model constants
+    * (the [[graft.query.AnnQuery.exportModel]] row shape), and a meta
+    * row (LshParams + blockSize + current key version) — so
+    * [[GraftSystem.load]] reconstructs a serving system in a NEW
+    * process from disk alone, the reference `restoreIndexFromDisk`
+    * lifecycle. Soft-delete and re-encryption trackers are session
+    * lifecycle state and are not exported (the reference's restore
+    * rebuilds from active points the same way). */
   def export(outDir: String): Unit = {
     store.write.mode("overwrite").parquet(s"$outDir/store.parquet")
     main.membership.write.mode("overwrite").parquet(s"$outDir/membership.parquet")
     main.summaries.write.mode("overwrite").parquet(s"$outDir/summaries.parquet")
+    graft.query.AnnQuery.exportModel(spark, model, s"$outDir/model.parquet")
+    val p = model.params
+    import spark.implicits._
+    Seq((p.m, p.lambda, p.tables, p.divisions, p.seed, p.maxProbes,
+      p.refinementLimit, p.maxGlobalCandidates, blockSize, version))
+      .toDF("m", "lambda", "tables", "divisions", "seed", "maxProbes",
+        "refinementLimit", "maxGlobalCandidates", "blockSize", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta.parquet")
   }
 }
 
@@ -171,5 +182,57 @@ object GraftSystem {
     new GraftSystem(spark, model, blockSize, codes,
       LshIndex.build(codes, blockSize), d,
       VersionedCrypto.encrypt(d, "vec_id", "embedding", version), version)
+  }
+
+  /** Serving state rebuilt from an encrypted store: every present key
+    * version decrypted under its own key, then the standard code+build. */
+  private def fromStore(spark: SparkSession, model: LshModel, blockSize: Int,
+      store: DataFrame, version: Int): GraftSystem = {
+    val versions = store.select(col("kv")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val vecs = versions.map { v =>
+      VersionedCrypto.decrypt(store.filter(col("kv") === v), v)
+        .select(col("id").as("vec_id"), col("vec").as("embedding"))
+    }.reduce(_ unionByName _)
+    val codes = LshIndex.codes(vecs, "vec_id", "embedding", model)
+    new GraftSystem(spark, model, blockSize, codes,
+      LshIndex.build(codes, blockSize), vecs, store, version)
+  }
+
+  /**
+   * Reconstruct a serving system in a fresh process from an
+   * [[GraftSystem.export]] directory alone: meta row -> LshParams +
+   * blockSize + key version, model rows -> the fitted [[LshModel]]
+   * (tables x divisions x m constants, driver-side by construction),
+   * store -> serving view + index via the [[restore]] path.
+   */
+  def load(spark: SparkSession, outDir: String): GraftSystem = {
+    val meta = spark.read.parquet(s"$outDir/meta.parquet").head()
+    val params = LshParams(
+      m = meta.getAs[Int]("m"),
+      lambda = meta.getAs[Int]("lambda"),
+      tables = meta.getAs[Int]("tables"),
+      divisions = meta.getAs[Int]("divisions"),
+      seed = meta.getAs[Long]("seed"),
+      blockSize = meta.getAs[Int]("blockSize"),
+      maxProbes = meta.getAs[Int]("maxProbes"),
+      refinementLimit = meta.getAs[Int]("refinementLimit"),
+      maxGlobalCandidates = meta.getAs[Int]("maxGlobalCandidates"))
+    val rows = spark.read.parquet(s"$outDir/model.parquet")
+      .select(col("t"), col("d"), col("j"), col("alpha"), col("r"), col("omega"))
+      .collect()
+    val byTd = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
+    val gfs = Array.tabulate(params.tables, params.divisions) { (t, d) =>
+      val g = byTd((t, d)).sortBy(_.getInt(2))
+      graft.lsh.GFunction(
+        g.map(_.getSeq[Double](3).toArray),
+        g.map(_.getDouble(4)),
+        g.map(_.getDouble(5)),
+        params.lambda)
+    }
+    fromStore(spark, graft.lsh.LshModel(params, gfs),
+      meta.getAs[Int]("blockSize"),
+      spark.read.parquet(s"$outDir/store.parquet"),
+      meta.getAs[Int]("version"))
   }
 }

@@ -93,6 +93,32 @@ object VersionedCrypto {
   }
 
   /**
+   * Migrate EVERY touched row to `toVersion`, each decrypted under its
+   * own actual key version — the facade-rotation variant for stores
+   * where touched rows have fallen behind (touched at v1, never
+   * rotated while the version advanced). [[rotate]] migrates only
+   * current-version rows (the single-version drain unit); this one
+   * leaves no touched row behind, so a tracker clearing after it is
+   * sound. The per-version loop is driver-side over the DISTINCT kv
+   * set among touched rows — bounded by the key-version count (a few
+   * ints), never data-sized.
+   */
+  def rotateAllVersions(records: DataFrame, touched: DataFrame,
+      toVersion: Int): DataFrame = {
+    val t = touched.select(col("id")).distinct()
+    val touchedRows = records.join(t, Seq("id"), "left_semi")
+    val untouched = records.join(t, Seq("id"), "left_anti")
+    val versions = touchedRows.select(col("kv")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    versions.foldLeft(untouched) { (acc, v) =>
+      acc.unionByName(encrypt(
+        decrypt(touchedRows.filter(col("kv") === v), v)
+          .select(col("id"), col("vec")),
+        "id", "vec", toVersion))
+    }
+  }
+
+  /**
    * ONLY the migrated rows for `touched`: decrypt under v, re-encrypt
    * under v+1. The unit of work of the lazy background drain
    * ([[graft.streaming.ReencryptionDrain]]); [[rotate]] = this plus

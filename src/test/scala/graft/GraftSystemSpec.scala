@@ -108,6 +108,45 @@ class GraftSystemSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("a touched row that fell behind still migrates: decrypt under its actual kv") {
+    val sys = GraftSystem.setup(spark, corpus)
+    val victim = 7L
+    // two rotations pass the victim by (untouched, stays at kv 1)
+    sys.rotateKeys(); sys.rotateKeys()
+    assert(sys.currentVersion == 3)
+    assert(sys.encryptedStore.filter(col("id") === victim)
+      .head().getAs[Int]("kv") == 1)
+    // now touched: the next rotation must migrate it from kv 1 to kv 4
+    sys.touch(Seq(victim).toDF("id"))
+    sys.rotateKeys()
+    assert(sys.encryptedStore.filter(col("id") === victim)
+      .head().getAs[Int]("kv") == 4, "behind row left unmigrated")
+    // and it still decrypts correctly through the restore path
+    val q = corpus.filter(col("vec_id") === victim)
+    val got = sys.restore().query(q, k = 1).select("vec_id").as[Long].head()
+    assert(got == victim)
+  }
+
+  test("export + load round-trips the full system state into a fresh handle") {
+    import java.nio.file.{Files, Paths}
+    val dir = "/root/repo/target/tmp/graftsys/export"
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+    val sys = GraftSystem.setup(spark, corpus)
+    sys.touch(Seq(1L, 2L).toDF("id"))
+    sys.rotateKeys() // exported state carries two key versions
+    sys.export(dir)
+    val loaded = GraftSystem.load(spark, dir)
+    assert(loaded.currentVersion == sys.currentVersion)
+    assert(loaded.blockSize == sys.blockSize)
+    assert(loaded.model.params == sys.model.params)
+    val q = queries(5)
+    val live = sys.query(q, k = 10).select("query_id", "vec_id", "rnk").collect().toSet
+    val fresh = loaded.query(q, k = 10).select("query_id", "vec_id", "rnk").collect().toSet
+    assert(live == fresh, "loaded system diverged from the exporting one")
+  }
+
   test("rotation migrates exactly the touched set; restore rebuilds from the store") {
     val sys = GraftSystem.setup(spark, corpus)
     sys.touch(Seq(1L, 2L, 3L).toDF("id"))
