@@ -72,7 +72,25 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the complete per-query artifact in the repo: the
+    // driver's BENCH_rNN.json capture truncates its tail at 2000 chars,
+    // which silently drops the alphabetically-first rows once the query
+    // count is large. Round number = max committed CORRECTNESS_rNN + 1
+    // (the current round's file lands only after this run), overridable
+    // via SPARK_GRAFT_ROUND. Only full (unfiltered) runs are persisted.
+    if (only.isEmpty) {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val rx = "CORRECTNESS_r(\\d+)\\.json".r
+        val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        if (prev.isEmpty) 1 else prev.max + 1
+      }
+      val path = f"bench_full_r$round%02d.json"
+      val w = new java.io.PrintWriter(path); try w.println(line) finally w.close()
+      System.err.println(s"[bench] full artifact written to $path")
+    }
     spark.stop()
   }
 }

@@ -64,7 +64,7 @@ object Dedup {
     * list and 0/0 = NaN Jaccard, which DuckDB orders ABOVE thresholds —
     * a phantom edge Spark's fallback never produces). Declared before
     * every SQL val that interpolates it (val init order). */
-  private val shingleSetSql: String =
+  private[graft] val shingleSetSql: String =
     """CASE WHEN len(toks) >= 3 THEN
       |    list_distinct(list_transform(range(1, len(toks) - 1),
       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
@@ -224,7 +224,7 @@ object Dedup {
   // ---- planted near-dup corpus (used by the SparkEntry queries) ----
 
   /** `text` with every 60th token replaced (the planted near-dup mutation). */
-  private def mutatedText(text: Column): Column =
+  private[graft] def mutatedText(text: Column): Column =
     concat_ws(" ", transform(tokens(text),
       (t, i) => when(i % 60 === 0, lit("xqzmut")).otherwise(t)))
 

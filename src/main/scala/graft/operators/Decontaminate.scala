@@ -112,6 +112,158 @@ object Decontaminate {
       |FROM hits""".stripMargin
 
 
+  // ---- fuzzy (MinHash) decontamination ----
+
+  /** Exact-Jaccard threshold above which a banded candidate counts as
+    * a fuzzy leak (the near-dup dedup threshold — a paraphrase-level
+    * overlap far looser than the exact-n-gram rule above). */
+  val FuzzyTau: Double = 0.5
+
+  /** Train+bench MinHash signatures of the planted demo corpus (side
+    * column 't'/'b'), exported so the DuckDB oracle replays the band
+    * join from the same signatures. */
+  val FuzzySigExportPath =
+    "/root/repo/tmp/oracle_fixtures/decontam_minhash_sigs.parquet"
+
+  /**
+   * Fuzzy benchmark decontamination via MinHash banding — the middle
+   * rung of the decontamination ladder ([[decontaminate]] catches
+   * verbatim n-gram leaks, [[decontaminateSemantic]] catches
+   * paraphrases at cosine ~1; this catches lightly-edited copies that
+   * break the exact n-gram chain but keep high shingle Jaccard — the
+   * Dolma/RedPajama-style near-dup decontamination pass).
+   *
+   * Plan (100 TB posture): training signatures are MAP-ONLY (the fused
+   * dedup signature expression); the band join is train-bands ⋈
+   * BROADCAST bench-bands (eval suites are MBs by construction), so
+   * the training side never shuffles for candidate generation. The
+   * hot-bucket guard applies to the TRAIN side only — a degenerate
+   * train bucket of b rows would contribute b x |bench-bucket| join
+   * rows, while bench buckets are bounded by the suite size. Exact
+   * shingle verification re-tokenizes ONLY candidate training docs
+   * (semi-join), then one per-doc partial agg takes the max Jaccard.
+   */
+  def decontaminateMinhash(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, numPerms: Int = 64, rowsPerBand: Int = 4,
+      shingleWidth: Int = 3, tau: Double = FuzzyTau,
+      maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.dedup.Dedup
+    val spreadTrain = graft.index.LshIndex.spread(train)
+    val tSigs = Dedup.minhashSignatures(spreadTrain, idCol, textCol,
+      numPerms, shingleWidth).cache()
+    val tBands = Dedup.minhashBands(tSigs, numPerms, rowsPerBand)
+    val wBucket = Window.partitionBy("band", "band_hash")
+    val tg = tBands.withColumn("bsz", count(lit(1)).over(wBucket))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
+    val bSigs = Dedup.minhashSignatures(bench, idCol, textCol, numPerms, shingleWidth)
+    val bBands = Dedup.minhashBands(bSigs, numPerms, rowsPerBand)
+      .select(col("id").as("bid"), col("band"), col("band_hash"))
+    val cands = tg.join(broadcast(bBands), Seq("band", "band_hash"))
+      .select(col("id"), col("bid")).distinct().cache()
+    val candIds = cands.select("id").distinct()
+    val tSets = graft.index.LshIndex.spread(
+        train.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(Dedup.shingles(Dedup.tokens(col("__t")), shingleWidth)).as("sh"))
+    val bSets = bench.select(col(idCol).as("bid"),
+      array_distinct(Dedup.shingles(Dedup.tokens(col(textCol)), shingleWidth)).as("bsh"))
+    val verified = cands.join(tSets, Seq("id")).join(broadcast(bSets), Seq("bid"))
+      .withColumn("j", size(array_intersect(col("sh"), col("bsh"))).cast("double") /
+        size(array_union(col("sh"), col("bsh"))))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("int").as("n_cands"),
+        max(floor(col("j") * 10000) / 10000).as("max_jaccard"))
+    val result = train.select(col(idCol).as("doc_id"))
+      .join(verified.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cands"), lit(0)).as("n_cands"),
+        coalesce(col("max_jaccard"), lit(-1.0)).as("max_jaccard"))
+      .withColumn("contaminated", (col("max_jaccard") >= tau).cast("int"))
+      .cache()
+    result.count() // materialize, then release the signature intermediates
+    tSigs.unpersist()
+    cands.unpersist()
+    result
+  }
+
+  /** Mutated bench copies planted into training: bench docs with
+    * doc_id < this bound get an every-60th-token-mutated copy at
+    * doc_id + PlantOffset — edits that break 5-gram chains around each
+    * mutation but keep Jaccard far above [[FuzzyTau]]. */
+  val FuzzyPlantBound = 340L
+
+  /**
+   * Demo wiring: bench = doc_id ≡ 0 (mod 17) (the [[decontaminateQuery]]
+   * carve), training = the rest PLUS planted mutated copies of the
+   * first 20 bench docs. Same demo-scale caveat as [[decontaminateQuery]]:
+   * a real deployment passes fixed eval files as `bench`.
+   */
+  def decontaminateMinhashQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+      .unionByName(bench.filter(col("doc_id") < FuzzyPlantBound)
+        .select((col("doc_id") + graft.dedup.Dedup.PlantOffset).as("doc_id"),
+          graft.dedup.Dedup.mutatedText(col("text")).as("text")))
+    graft.FixtureExport.ensure(s"decontam_minhash:$sfDir", FuzzySigExportPath) {
+      graft.dedup.Dedup.minhashSignatures(train, "doc_id", "text", 64, 3)
+        .withColumn("side", lit("t"))
+        .unionByName(graft.dedup.Dedup.minhashSignatures(bench, "doc_id", "text", 64, 3)
+          .withColumn("side", lit("b")))
+        .coalesce(1).write.mode("overwrite").parquet(FuzzySigExportPath)
+    }
+    decontaminateMinhash(train, bench, "doc_id", "text")
+  }
+
+  /**
+   * Full-chain oracle from the exported signature fixture: bands are
+   * signature slices (the [[graft.dedup.Dedup.dedupMinhashSql]]
+   * slice-equality argument), train-side hot-bucket guard, band join,
+   * exact shingle-Jaccard verify against the replayed planted corpus.
+   */
+  val decontaminateMinhashSql: String = {
+    val off = graft.dedup.Dedup.PlantOffset
+    s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+       |train AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $off,
+       |    array_to_string(list_transform(string_split(lower(text), ' '),
+       |      (t, i) -> CASE WHEN (i - 1) % 60 = 0 THEN 'xqzmut' ELSE t END), ' ')
+       |  FROM bench WHERE doc_id < $FuzzyPlantBound),
+       |sigs AS (SELECT id, side, sig FROM read_parquet('$FuzzySigExportPath/*.parquet')),
+       |tb AS (
+       |  SELECT id, t.band AS band, sig[t.band*4+1:t.band*4+4] AS bh
+       |  FROM sigs, generate_series(0, 15) t(band) WHERE side = 't'),
+       |tg AS (
+       |  SELECT id, band, bh FROM tb
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= 1000),
+       |bb AS (
+       |  SELECT id AS bid, t.band AS band, sig[t.band*4+1:t.band*4+4] AS bh
+       |  FROM sigs, generate_series(0, 15) t(band) WHERE side = 'b'),
+       |cands AS (
+       |  SELECT DISTINCT tg.id, bb.bid FROM tg JOIN bb USING (band, bh)),
+       |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM train),
+       |tsets AS (SELECT doc_id, ${graft.dedup.Dedup.shingleSetSql} AS sh FROM tok),
+       |btok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM bench),
+       |bsets AS (SELECT doc_id, ${graft.dedup.Dedup.shingleSetSql} AS sh FROM btok),
+       |verify AS (
+       |  SELECT c.id, COUNT(*) AS n_cands,
+       |    MAX(FLOOR(CAST(len(list_intersect(ts.sh, bs.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(ts.sh, bs.sh))) * 10000) / 10000) AS max_jaccard
+       |  FROM cands c
+       |  JOIN tsets ts ON ts.doc_id = c.id
+       |  JOIN bsets bs ON bs.doc_id = c.bid
+       |  GROUP BY c.id)
+       |SELECT t.doc_id,
+       |  CAST(COALESCE(v.n_cands, 0) AS INTEGER) AS n_cands,
+       |  COALESCE(v.max_jaccard, -1.0) AS max_jaccard,
+       |  CAST(COALESCE(v.max_jaccard, -1.0) >= $FuzzyTau AS INTEGER) AS contaminated
+       |FROM train t LEFT JOIN verify v ON v.id = t.doc_id""".stripMargin
+  }
+
   // ---- semantic (embedding-space) decontamination ----
 
   /** Cosine threshold above which a training vector counts as a

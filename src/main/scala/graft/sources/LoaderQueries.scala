@@ -97,6 +97,33 @@ object LoaderQueries {
       |  CAST((vec_id + 15) % 256 AS BIGINT) AS v_last
       |FROM embeddings""".stripMargin
 
+  /**
+   * JSONL roundtrip — the de-facto interchange format for training
+   * corpora (one JSON object per line). The documents table is written
+   * as JSONL by Spark's DISTRIBUTED json sink (one file per partition;
+   * at 100 TB this is the same plan, just more partitions) and read
+   * back through the json source with an explicit schema (schema
+   * inference would cost a second full pass at scale). The summary
+   * hashes the text so the oracle checks the payload survived JSON
+   * escaping (newlines, quotes, unicode) byte-for-byte.
+   */
+  def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("jsonl", sfDir)
+    clean(dir)
+    Tables.documents(spark, sfDir).select("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").json(dir)
+    spark.read.schema("doc_id LONG, source STRING, lang STRING, text STRING")
+      .json(dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).as("n_chars"),
+        sha2(col("text"), 256).as("text_sha"))
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT doc_id, source, lang, CAST(len(text) AS INTEGER) AS n_chars,
+      |  sha256(text) AS text_sha
+      |FROM documents""".stripMargin
+
   /** ivecs payload: vec[j] = id * 3 + j, dim 8 (ground-truth id lists shape). */
   def ivecsRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tmpDir("ivecs", sfDir)

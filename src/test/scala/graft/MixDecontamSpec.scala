@@ -105,4 +105,26 @@ class MixDecontamSpec extends SparkSpecBase {
     assert(out.filter(col("n_cands") === 0 && col("max_cos") =!= -1.0).count() == 0)
     out.unpersist()
   }
+
+  test("minhash decontamination flags every planted mutated bench copy") {
+    val out = Decontaminate.decontaminateMinhashQuery(spark, sf).cache()
+    val off = graft.dedup.Dedup.PlantOffset
+    // one row per training doc: the non-bench corpus plus the planted copies
+    val docs = Tables.documents(spark, sf)
+    val nTrain = docs.filter(col("doc_id") % 17 =!= 0).count() +
+      docs.filter(col("doc_id") % 17 === 0 &&
+        col("doc_id") < Decontaminate.FuzzyPlantBound).count()
+    assert(out.count() == nTrain)
+    // every planted mutated copy keeps Jaccard far above tau vs its source
+    val planted = out.filter(col("doc_id") >= off)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("contaminated") === 0).count() == 0,
+      "planted fuzzy leak not flagged")
+    // the flag is exactly the threshold rule, and no-candidate docs
+    // report the -1 sentinel
+    assert(out.filter((col("max_jaccard") >= Decontaminate.FuzzyTau) =!=
+      (col("contaminated") === 1)).count() == 0)
+    assert(out.filter(col("n_cands") === 0 && col("max_jaccard") =!= -1.0).count() == 0)
+    out.unpersist()
+  }
 }
