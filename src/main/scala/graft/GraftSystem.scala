@@ -49,9 +49,21 @@ final class GraftSystem private (
   /** The encrypted versioned store (id, kv, iv, ct, dim). */
   def encryptedStore: DataFrame = store
 
+  /** The delta index over the CURRENT staged set, built lazily at
+    * first use after an insert: [[graft.index.LshIndex.build]] runs an
+    * eager count-table collect, so building inside [[insert]] made k
+    * tiny inserts cost O(k²) cumulative staged scans — deferring to
+    * query time pays one build per (insert…, query) run, amortized
+    * linear, while keeping the same serving semantics (fresh inserts
+    * still searchable immediately). */
+  private def currentDelta: Option[LshIndex.Built] = stagedCodes.map { sc =>
+    if (delta.isEmpty) delta = Some(IndexMaintenance.buildDelta(sc, blockSize))
+    delta.get
+  }
+
   /** QUERY: top-k per query over main + staged delta, honoring soft
     * deletes (reference `loadPointIfActive`). */
-  def query(queries: DataFrame, k: Int): DataFrame = (delta, stagedData) match {
+  def query(queries: DataFrame, k: Int): DataFrame = (currentDelta, stagedData) match {
     case (Some(d), Some(sd)) =>
       // deletions thread through to refineFromProbes so they filter
       // before the candidate cap/rank — both paths return identical
@@ -63,14 +75,15 @@ final class GraftSystem private (
   }
 
   /** Staged INSERT (PartitionedIndexService.insert): code the batch,
-    * delta-build it, append it to the encrypted store under the
-    * current key — searchable immediately via [[query]]. */
+    * append it to the staged set and the encrypted store under the
+    * current key — searchable immediately via [[query]], which
+    * (re)builds the delta index on demand. */
   def insert(points: DataFrame): Unit = {
     val pts = points.select(col("vec_id"), col("embedding"))
     val codes = IndexMaintenance.stageCodes(pts, "vec_id", "embedding", model)
     stagedCodes = Some(stagedCodes.fold(codes)(_.unionByName(codes)))
     stagedData = Some(stagedData.fold(pts)(_.unionByName(pts)))
-    delta = Some(IndexMaintenance.buildDelta(stagedCodes.get, blockSize))
+    delta = None // invalidate: rebuilt lazily over the new staged set
     store = store.unionByName(
       VersionedCrypto.encrypt(pts, "vec_id", "embedding", version))
   }

@@ -46,6 +46,34 @@ class GraftSystemSpec extends SparkSpecBase {
     assert(before == after, "compact changed serving results")
   }
 
+  test("repeated tiny inserts stay lazy until query, then all serve") {
+    val sys = GraftSystem.setup(spark, corpus)
+    // three sequential one-row inserts: each clones an existing vector
+    // under a fresh id. Batches are DEFINED up front: `corpus` is a def
+    // over spark.read.parquet, whose schema inference runs a 1-task job
+    // that would otherwise be misattributed to insert()
+    val batches = (0 until 3).map(i => corpus.filter(col("vec_id") === i)
+      .select(lit(910000L + i).as("vec_id"), col("embedding")))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      batches.foreach(sys.insert)
+      Thread.sleep(1000) // listener bus is async; drain before reading
+      assert(jobs.get() == 0,
+        s"insert must not run Spark jobs (delta build is deferred): ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // all three staged rows serve in one delta
+    for (i <- 0 until 3) {
+      val served = sys.query(corpus.filter(col("vec_id") === i), k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      assert(served.contains(910000L + i), s"staged insert $i invisible: $served")
+    }
+  }
+
   test("soft deletes drop from results without touching store or index") {
     val sys = GraftSystem.setup(spark, corpus)
     val q = queries(3)
