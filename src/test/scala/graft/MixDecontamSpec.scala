@@ -106,6 +106,32 @@ class MixDecontamSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("split_overlap: disjoint corpora contain 0; shared-text corpora contain 1") {
+    import spark.implicits._
+    import graft.operators.SplitOverlap
+    // wider val/test bands so both splits are guaranteed non-empty at n=400
+    val n = 400L
+    val disjoint = (0L until n).map(i => (i, s"a$i b$i c$i d$i e$i f$i g$i"))
+      .toDF("doc_id", "text")
+    val out0 = SplitOverlap.splitOverlap(disjoint, "doc_id", "text",
+      Corpus.SplitSeed, 0.6, 0.2).collect()
+    assert(out0.map(_.getString(0)).toSet == Set("val", "test"))
+    assert(out0.forall(_.getDouble(4) == 0.0),
+      s"disjoint per-doc vocabularies must share no 5-grams: ${out0.mkString}")
+    // identical text everywhere: every eval gram sits in train
+    val shared = (0L until n).map(i => (i, "x y z w v u t")).toDF("doc_id", "text")
+    val out1 = SplitOverlap.splitOverlap(shared, "doc_id", "text",
+      Corpus.SplitSeed, 0.6, 0.2).collect()
+    assert(out1.forall(r => r.getDouble(4) == 1.0 && r.getLong(3) == r.getLong(2)))
+    // the entry's n_docs agrees with the corpus_split assignment
+    val entry = SparkEntry.queries("split_overlap")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val splitCounts = Corpus.corpusSplitQuery(spark, sf)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(entry == splitCounts.view.filterKeys(_ != "train").toMap)
+  }
+
   test("minhash decontamination flags every planted mutated bench copy") {
     val out = Decontaminate.decontaminateMinhashQuery(spark, sf).cache()
     val off = graft.dedup.Dedup.PlantOffset

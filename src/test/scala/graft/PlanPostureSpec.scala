@@ -183,6 +183,38 @@ class PlanPostureSpec extends SparkSpecBase {
       s"rank probe table must broadcast:\n$p")
   }
 
+  test("round-7 text entries: equi-joins only, no cartesian; url owner agg hashes") {
+    for (name <- Seq("dedup_substring_apply", "url_filter")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay on equi-joins:\n$p")
+    }
+    // the trigram entry's one BNLJ is the documented lm_score posture:
+    // the single-row corpus total broadcasts into the scoring projection
+    val pt = plan("lm_score_trigram")
+    assert(!pt.contains("CartesianProduct"), s"lm_score_trigram:\n$pt")
+    val pu = plan("url_filter")
+    // the only shuffle is the per-URL owner partial agg (hash), never a sort
+    assert(pu.contains("hashpartitioning") && !pu.contains("rangepartitioning"),
+      s"url_filter must hash-partition on the url key:\n$pu")
+  }
+
+  test("decontaminate_minhash: bench bands broadcast against the train side") {
+    import org.apache.spark.sql.functions._
+    // lazy band-join subplan (the entry materializes eagerly, so build
+    // the join directly — the dedup band-join spec's discipline)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val mk = (df: org.apache.spark.sql.DataFrame) => graft.dedup.Dedup.minhashBands(
+      graft.dedup.Dedup.minhashSignatures(df, "doc_id", "text", 64, 3), 64, 4)
+    val tBands = mk(docs.filter(col("doc_id") % 17 =!= 0))
+    val bBands = mk(docs.filter(col("doc_id") % 17 === 0))
+      .select(col("id").as("bid"), col("band"), col("band_hash"))
+    val p = planOf(tBands.join(broadcast(bBands), Seq("band", "band_hash")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench bands must broadcast (eval suites are small):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("streaming coded ingest stays stateless (no state store in the plan)") {
     val emb = Tables.embeddings(spark, sf)
     val model = graft.query.AnnQuery.setupModel(spark, sf)
