@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
  * per-DataFrame and not shared across the two invocations).
  */
 object Bench {
+  /**
+   * Materialize the FULL result through the noop sink. A bare
+   * `count()` lets Catalyst prune the plan down to whatever decides
+   * the row count — Spark 4's distinct-key join elimination collapses
+   * every "docs LEFT JOIN per-doc-aggregate" entry (lm_score family,
+   * substring/url/decontamination reports) to a bare corpus scan, so
+   * counted timings under-measured those entries in earlier rounds.
+   * The noop writer requires every output column, so the timed work is
+   * exactly what Verify writes to parquet, minus the parquet encoding.
+   */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -41,7 +54,7 @@ object Bench {
         try body catch { case e: Throwable =>
           System.err.println(s"[bench] $name prep '$step' failed (timing will be cold): $e")
         }
-      if (warmDir != sfDir) prep("warmup")(fn(spark, warmDir).count())
+      if (warmDir != sfDir) prep("warmup")(materialize(fn(spark, warmDir)))
       val secs = (1 to reps).map { _ =>
         // drop accumulated intermediate caches (both the previous rep's
         // and the warmup's): storage memory otherwise squeezes execution
@@ -60,7 +73,7 @@ object Bench {
           prep("ensureFittedPq")(graft.query.PqSearch.ensureFitted(spark, sfDir))
         val t0 = System.nanoTime()
         // a failed rep reports -1, not a bogus tiny wall time
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0

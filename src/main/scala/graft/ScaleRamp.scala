@@ -9,7 +9,7 @@ import graft.operators.Corpus
  * Scale-ramp evidence for the bucketed corpus plans: times the
  * scalable paths against their windowed twins (and the minhash
  * signature+band join) at sf0.01, sf0.1, and replicated corpora ~10x /
- * ~40x sf0.1, writing one JSON artifact (SCALE_r06.json).
+ * ~40x sf0.1, writing one JSON artifact (SCALE_rNN.json).
  *
  * Replication is HONEST about duplication: replica k>0 suffixes every
  * word with `_rk`, so cross-replica shingle sets are disjoint (Jaccard
@@ -34,7 +34,7 @@ object ScaleRamp {
     }
 
   def main(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("SCALE_r06.json")
+    val outPath = args.headOption.getOrElse("SCALE_r07.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,36 +64,63 @@ object ScaleRamp {
       "sf1x" -> (() => spark.read.parquet(replicated(10, "sf1x"))),
       "sf4x" -> (() => spark.read.parquet(replicated(40, "sf4x"))))
 
+    // full-output noop materialization (Bench.materialize rationale:
+    // a bare count() lets Spark 4's distinct-key join elimination
+    // collapse the left-join report entries to a bare scan)
+    def mat(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 1L
+    }
+
     def ops(docs: DataFrame): Seq[(String, () => Long)] = Seq(
-      "sample_bucketed" -> (() => Corpus.sampleStratified(docs, "lang", 50).count()),
-      "sample_windowed" -> (() => Corpus.sampleStratifiedWindowed(docs, "lang", 50).count()),
-      "seqpack_bucketed" -> (() => Corpus.seqPack(docs, "lang", 2048).count()),
-      "seqpack_windowed" -> (() => Corpus.seqPackWindowed(docs, "lang", 2048).count()),
+      "sample_bucketed" -> (() => mat(Corpus.sampleStratified(docs, "lang", 50))),
+      "sample_windowed" -> (() => mat(Corpus.sampleStratifiedWindowed(docs, "lang", 50))),
+      "seqpack_bucketed" -> (() => mat(Corpus.seqPack(docs, "lang", 2048))),
+      "seqpack_windowed" -> (() => mat(Corpus.seqPackWindowed(docs, "lang", 2048))),
       "datamix_bucketed" -> (() =>
-        Corpus.dataMix(docs, "lang", Corpus.MixWeights, Corpus.MixBudget).count()),
+        mat(Corpus.dataMix(docs, "lang", Corpus.MixWeights, Corpus.MixBudget))),
       "datamix_windowed" -> (() =>
-        Corpus.dataMixWindowed(docs, "lang", Corpus.MixWeights, Corpus.MixBudget).count()),
+        mat(Corpus.dataMixWindowed(docs, "lang", Corpus.MixWeights, Corpus.MixBudget))),
       "dedup_minhash" -> (() =>
-        graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text").count()),
+        mat(graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text"))),
       // round-6 additions whose work grows with the corpus: unigram-LM
       // scoring (vocab partial agg + token equi-join), line-level and
       // span-level dedup (two-level partial aggs), BM25 top-k (postings
       // partial agg + bounded query join), and one classifier GD epoch
       // (exploded 512-row partial agg — the per-epoch unit of training)
       "lm_score" -> (() =>
-        graft.text.TextAnalysis.lmScore(docs, "doc_id", "text").count()),
+        mat(graft.text.TextAnalysis.lmScore(docs, "doc_id", "text"))),
       "dedup_lines" -> (() =>
-        graft.dedup.Dedup.dedupLines(docs, "doc_id", "text").count()),
+        mat(graft.dedup.Dedup.dedupLines(docs, "doc_id", "text"))),
       "dedup_substring" -> (() =>
-        graft.dedup.Dedup.substringStats(docs, "doc_id", "text").count()),
+        mat(graft.dedup.Dedup.substringStats(docs, "doc_id", "text"))),
       "bm25_topk" -> (() =>
-        graft.text.TextSearch.bm25(docs, numQueries = 20, topK = 10).count()),
+        mat(graft.text.TextSearch.bm25(docs, numQueries = 20, topK = 10))),
       "qc_fit_epoch" -> (() => {
         graft.text.QualityClassifier.fit(
           graft.text.QualityClassifier.plantedDocs(docs), "text",
           graft.text.QualityClassifier.plantedLabel, epochs = 1)
         1L
-      }))
+      }),
+      // round-7 additions: interpolated trigram LM (three n-gram vocab
+      // partial aggs + equi-joins), span-level dedup REWRITE (window
+      // stats + bounded dropped-span explode + anti-join), URL hygiene
+      // (map-only verdicts + one per-URL owner agg), chunking (map-only
+      // generator explode), and fuzzy decontamination against a FIXED
+      // bench side (the real deployment shape: bench stays eval-suite
+      // sized while the training side ramps)
+      "lm_score_trigram" -> (() =>
+        mat(graft.text.TextAnalysis.lmScoreTrigram(docs, "doc_id", "text"))),
+      "dedup_substring_apply" -> (() =>
+        mat(graft.dedup.Dedup.substringApply(docs, "doc_id", "text"))),
+      "url_filter" -> (() =>
+        mat(graft.text.UrlFilter.urlFilter(graft.text.UrlFilter.withPlantedUrls(
+          docs.withColumn("source", col("lang")))))),
+      "doc_chunk" -> (() =>
+        mat(graft.operators.Chunking.chunk(docs, "doc_id", "text"))),
+      "decontam_minhash" -> (() =>
+        mat(graft.operators.Decontaminate.decontaminateMinhash(
+          docs, docs.filter(col("doc_id") % 17 === 0 && col("doc_id") < 340),
+          "doc_id", "text"))))
 
     // warm-up at the smallest scale: JIT + codegen compile once
     ops(docsOf("/root/testdata/sf0.01")).foreach { case (_, f) => f() }
