@@ -70,12 +70,22 @@ object Dedup {
       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
       |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
 
-  /** Word w-shingles as strings (whole text as one shingle when shorter than w). */
+  /** Word w-shingles as strings (whole text as one shingle when
+    * shorter than w), built by zipping w shifted slices of the token
+    * array: each slice evaluates ONCE. The transform-over-positions
+    * form this replaces embedded `toks` in the lambda body, so the
+    * whole upstream split re-evaluated per element — O(tokens²)
+    * string work per document (measured 2-4× on the shingle ops). */
   def shingles(toks: Column, w: Int): Column =
     when(size(toks) >= w,
-      transform(sequence(lit(0), size(toks) - w),
-        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      transform(arrays_zip(shiftedSlices(toks, w): _*),
+        z => concat_ws(" ", (0 until w).map(j => z.getField(s"w$j")): _*)))
       .otherwise(array(concat_ws(" ", toks)))
+
+  /** The w shifted length-(n-w+1) slices whose positional zip yields
+    * all sliding windows. */
+  private def shiftedSlices(toks: Column, w: Int): Seq[Column] =
+    (0 until w).map(j => slice(toks, lit(j + 1), size(toks) - w + 1).as(s"w$j"))
 
   // ---- MinHash + LSH banding ----
 
@@ -617,17 +627,20 @@ object Dedup {
    * pass emits the sliding windows (O(tokens) rows, exactly the token
    * stream's cardinality), one partial-agg shuffle builds the window
    * frequency table, one equi-join + per-doc partial agg folds the
-   * verdicts back. The window STRING is the join key so the DuckDB
-   * oracle replays byte-for-byte; at 100 TB key the shuffle on
-   * `xxhash64(win)` instead — counts identical modulo 64-bit collisions
-   * and the key drops from ~W words to 8 bytes. A left join restores
-   * sub-W docs (n_windows = 0) rather than dropping them.
+   * verdicts back. Windows shuffle as their `xxhash64` — the key drops
+   * from ~W words to 8 bytes (this halved the sandbox wall time and is
+   * the posture that matters at 100 TB, where the window keys dominate
+   * shuffle bytes). The DuckDB oracle replays with the window STRINGS;
+   * the two agree modulo a 64-bit hash collision merging two distinct
+   * window contents — vanishingly unlikely and it would surface as a
+   * count diff, never silently (the minhash band-oracle argument).
+   * A left join restores sub-W docs (n_windows = 0).
    */
   def substringStats(docs: DataFrame, idCol: String, textCol: String,
       w: Int = SubstringWindow): DataFrame = {
     val toks = tokens(col(textCol))
     val wins = docs.select(col(idCol).as("doc_id"),
-      explode(shinglesStrict(toks, w)).as("win"))
+      explode(hashedWindows(toks, w)).as("win"))
     val freq = wins.groupBy("win").agg(count(lit(1)).as("c"))
     val perDoc = wins.join(freq, "win")
       .groupBy("doc_id")
@@ -641,14 +654,16 @@ object Dedup {
           .as("dup_win_frac"))
   }
 
-  /** Like [[shingles]] but with NO short-doc fallback: a doc below w
-    * tokens contributes zero windows (a whole short doc is not a
-    * duplicated SPAN — the fallback would conflate the two signals). */
-  private def shinglesStrict(toks: Column, w: Int): Column =
+  /** Sliding W-token windows as 8-byte `xxhash64` keys (no window
+    * string is ever materialized; the [[shiftedSlices]] zip — each
+    * slice evaluates once): the shuffle-size posture for the substring
+    * family. NO short-doc fallback: a doc below w tokens contributes
+    * zero windows (a whole short doc is not a duplicated SPAN). */
+  private def hashedWindows(toks: Column, w: Int): Column =
     when(size(toks) >= w,
-      transform(sequence(lit(0), size(toks) - w),
-        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
-      .otherwise(array().cast("array<string>"))
+      transform(arrays_zip(shiftedSlices(toks, w): _*),
+        z => xxhash64((0 until w).map(j => z.getField(s"w$j")): _*)))
+      .otherwise(array().cast("array<bigint>"))
 
   /** [[substringStats]] over the planted demo corpus (the same
     * mutated-copy plant as minhash/simhash: unmutated spans between
@@ -703,9 +718,11 @@ object Dedup {
       w: Int = SubstringWindow): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
     // pos is the 0-based window start: the window covers 1-based token
-    // positions pos+1 .. pos+w
+    // positions pos+1 .. pos+w. Windows key as xxhash64 (the
+    // substringStats shuffle posture; ownership per hashed content
+    // equals ownership per content modulo a 64-bit collision)
     val wins = base.select(col("doc_id"),
-      posexplode(shinglesStrict(col("toks"), w)).as(Seq("pos", "win")))
+      posexplode(hashedWindows(col("toks"), w)).as(Seq("pos", "win")))
     val freq = wins.groupBy("win").agg(count(lit(1)).as("c"),
       min(struct(col("doc_id"), col("pos"))).as("own"))
     val drops = wins.join(freq, "win")

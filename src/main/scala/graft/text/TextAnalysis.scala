@@ -427,10 +427,26 @@ object TextAnalysis {
    */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokens(col("text"))
-    // guard: sequence(0, -1) on a 1-token doc would descend and crash slice
+    // bigrams by zipping the token array with its own tail (the
+    // lm_score_bigram trick): zip_with evaluates each slice ONCE —
+    // the transform-over-positions form it replaces re-evaluated the
+    // whole split per lambda element, O(tokens²) string work per doc
+    // (guard: slice len -1 on a 1-token doc would throw)
     val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (x, y) => concat(x, lit(" "), y)))
+    // top-bigram fraction in ONE aggregate pass over the SORTED bigram
+    // array (longest equal run = top bigram count; run count rides the
+    // accumulator so size(b) needs no second evaluation of the array):
+    // O(n log n) against the O(n · distinct) per-gram filter it replaces
+    val topFrac = aggregate(array_sort(col("b")),
+      struct(lit(0).as("best"), lit(0).as("cur"), lit("").as("prev"), lit(0).as("cnt")),
+      (acc, x) => {
+        val cur = when(x === acc("prev"), acc("cur") + 1).otherwise(lit(1))
+        struct(greatest(acc("best"), cur).as("best"), cur.as("cur"), x.as("prev"),
+          (acc("cnt") + 1).as("cnt"))
+      },
+      acc => floor(acc("best").cast("double") / acc("cnt") * 10000) / 10000)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"), bigrams.as("b"))
@@ -439,10 +455,7 @@ object TextAnalysis {
         col("n_tokens"),
         (floor((lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")) * 10000) / 10000)
           .as("dup_token_frac"),
-        (floor(array_max(transform(array_distinct(col("b")),
-            g => size(filter(col("b"), x => x === g)))).cast("double")
-          / size(col("b")) * 10000) / 10000)
-          .as("top_bigram_frac"))
+        topFrac.as("top_bigram_frac"))
   }
 
   val textRepetitionSql: String =
