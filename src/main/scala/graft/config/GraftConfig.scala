@@ -129,6 +129,23 @@ final case class SemDedupConfig(cells: Int = 16, maxCell: Int = 4096) {
   require(cells >= 0 && maxCell > 0)
 }
 
+/** Chunking geometry ([[graft.operators.Chunking]]): `tokens` per
+  * chunk, `stride` between starts (overlap = tokens - stride). */
+final case class ChunkConfig(tokens: Int = 64, stride: Int = 48) {
+  require(tokens > 0 && stride > 0 && stride <= tokens,
+    s"chunk needs 0 < stride <= tokens, got ($stride, $tokens)")
+}
+
+/** URL hygiene lists ([[graft.text.UrlFilter]]): registered domains on
+  * the blocklist, and TLDs with a spam quality prior. Deployments feed
+  * their own lists; the defaults are the planted-demo constants. */
+final case class UrlConfig(
+    blockedDomains: Seq[String] = Seq("blogspam", "adfarm"),
+    lowQualityTlds: Seq[String] = Seq(".info", ".biz", ".xyz")) {
+  require(lowQualityTlds.forall(_.startsWith(".")),
+    s"url.lowQualityTlds entries must start with '.', got $lowQualityTlds")
+}
+
 final case class GraftConfig(
     lsh: LshParams = LshParams(),
     stabilization: StabilizationConfig = StabilizationConfig(),
@@ -143,7 +160,9 @@ final case class GraftConfig(
     corpus: CorpusConfig = CorpusConfig(),
     pq: PqConfig = PqConfig(),
     bpe: BpeConfig = BpeConfig(),
-    semdedup: SemDedupConfig = SemDedupConfig())
+    semdedup: SemDedupConfig = SemDedupConfig(),
+    chunk: ChunkConfig = ChunkConfig(),
+    url: UrlConfig = UrlConfig())
 
 object GraftConfig {
 
@@ -215,6 +234,12 @@ object GraftConfig {
     val ratioN = n.path("ratio")
     def s(node: JsonNode, field: String, dflt: String): String =
       if (node.hasNonNull(field)) node.get(field).asText() else dflt
+    def sl(node: JsonNode, field: String, dflt: Seq[String]): Seq[String] =
+      if (node.hasNonNull(field)) {
+        val arr = node.get(field)
+        require(arr.isArray, s"$field must be a JSON array of strings")
+        (0 until arr.size()).map(arr.get(_).asText())
+      } else dflt
 
     val kVariants =
       if (evalN.hasNonNull("kVariants")) {
@@ -284,6 +309,12 @@ object GraftConfig {
         vocabPath = s(n.path("bpe"), "vocabPath", d.bpe.vocabPath)),
       semdedup = SemDedupConfig(
         cells = i(n.path("semdedup"), "cells", d.semdedup.cells),
-        maxCell = i(n.path("semdedup"), "maxCell", d.semdedup.maxCell)))
+        maxCell = i(n.path("semdedup"), "maxCell", d.semdedup.maxCell)),
+      chunk = ChunkConfig(
+        tokens = i(n.path("chunk"), "tokens", d.chunk.tokens),
+        stride = i(n.path("chunk"), "stride", d.chunk.stride)),
+      url = UrlConfig(
+        blockedDomains = sl(n.path("url"), "blockedDomains", d.url.blockedDomains),
+        lowQualityTlds = sl(n.path("url"), "lowQualityTlds", d.url.lowQualityTlds)))
   }
 }

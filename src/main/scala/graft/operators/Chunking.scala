@@ -28,11 +28,14 @@ import graft.Tables
  */
 object Chunking {
 
-  /** Chunk token budget. */
-  val ChunkTokens = 64
+  /** Chunk token budget (`chunk.tokens` in GraftConfig; the demo
+    * default is 64). The oracle SQL interpolates the same value, so a
+    * reconfigured geometry stays hash-checked. */
+  def ChunkTokens: Int = graft.config.GraftConfig.active.chunk.tokens
 
-  /** Stride between chunk starts (overlap = ChunkTokens - ChunkStride). */
-  val ChunkStride = 48
+  /** Stride between chunk starts (overlap = ChunkTokens - ChunkStride;
+    * `chunk.stride` in GraftConfig). */
+  def ChunkStride: Int = graft.config.GraftConfig.active.chunk.stride
 
   /**
    * One row per (doc, chunk): chunk_id, start_tok (0-based token
@@ -63,7 +66,7 @@ object Chunking {
 
   /** DuckDB twin: same integer chunk-count formula, list-valued
     * range() explode, 1-based inclusive list slicing. */
-  val docChunkSql: String =
+  def docChunkSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |b AS (

@@ -40,9 +40,14 @@ object UrlFilter {
   val Tlds: Seq[String] = Seq(".com", ".org", ".net", ".info", ".biz",
     ".edu", ".xyz")
 
-  val BlockedDomains: Seq[String] = Seq("blogspam", "adfarm")
+  /** Blocklist / spam-TLD lists from GraftConfig (`url.blockedDomains`
+    * / `url.lowQualityTlds`) — a deployment feeds its own lists; the
+    * defaults are the planted-demo constants, and the oracle SQL
+    * interpolates the same values so a reconfigured list stays
+    * hash-checked. */
+  def BlockedDomains: Seq[String] = graft.config.GraftConfig.active.url.blockedDomains
 
-  val LowQualityTlds: Seq[String] = Seq(".info", ".biz", ".xyz")
+  def LowQualityTlds: Seq[String] = graft.config.GraftConfig.active.url.lowQualityTlds
 
   /** Deterministic planted URL: identity from `doc_id mod 100` (so
     * recrawl collisions occur at every SF), surface form varying with

@@ -23,6 +23,22 @@ class GraftConfigSpec extends SparkSpecBase {
     assert(c.rotation.ageThresholdMs == 1000L)
   }
 
+  test("chunk and url sections parse, validate, and default correctly") {
+    val c = GraftConfig.parse(
+      """{"chunk": {"tokens": 128, "stride": 96},
+        |"url": {"blockedDomains": ["spamco"], "lowQualityTlds": [".zz"]}}""".stripMargin)
+    assert(c.chunk.tokens == 128 && c.chunk.stride == 96)
+    assert(c.url.blockedDomains == Seq("spamco") && c.url.lowQualityTlds == Seq(".zz"))
+    // defaults untouched when the section is absent
+    assert(GraftConfig.parse("{}").chunk == graft.config.ChunkConfig())
+    assert(GraftConfig.parse("{}").url.blockedDomains == Seq("blogspam", "adfarm"))
+    // invalid geometry / list shape fail loudly
+    intercept[IllegalArgumentException](
+      GraftConfig.parse("""{"chunk": {"tokens": 10, "stride": 20}}"""))
+    intercept[IllegalArgumentException](
+      GraftConfig.parse("""{"url": {"lowQualityTlds": ["zz"]}}"""))
+  }
+
   test("profile overrides overlay the base document (reference profiles)") {
     val json =
       """{"lsh": {"m": 25, "divisions": 3},
