@@ -124,6 +124,36 @@ object LoaderQueries {
       |  sha256(text) AS text_sha
       |FROM documents""".stripMargin
 
+  /**
+   * WARC/WET roundtrip — the Common Crawl extracted-text ingest path:
+   * the documents table is written as two WET segments (warcinfo
+   * preamble + one `conversion` record per doc, byte-accurate
+   * Content-Length) and read back through [[WetFiles]]; doc ids are
+   * recovered from the WARC-Target-URI. The payload hash pins the
+   * Content-Length-driven parse byte-for-byte (text containing
+   * header-like lines must survive).
+   */
+  def wetRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("wet", sfDir)
+    val rows = Tables.documents(spark, sfDir).orderBy("doc_id")
+      .select("doc_id", "text").collect()
+      .map(r => (s"http://corpus.example/doc/${r.getLong(0)}", r.getString(1)))
+    clean(dir)
+    Files.createDirectories(Paths.get(dir))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    WetFiles.writeWet(s"$dir/seg-000.wet", a.iterator)
+    WetFiles.writeWet(s"$dir/seg-001.wet", b.iterator)
+    WetFiles.wet(spark, dir)
+      .select(regexp_extract(col("uri"), "doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        length(col("text")).as("n_chars"),
+        sha2(col("text"), 256).as("text_sha"))
+  }
+
+  val wetRoundtripSql: String =
+    """SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars,
+      |  sha256(text) AS text_sha
+      |FROM documents""".stripMargin
+
   /** ivecs payload: vec[j] = id * 3 + j, dim 8 (ground-truth id lists shape). */
   def ivecsRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tmpDir("ivecs", sfDir)

@@ -98,4 +98,30 @@ class VecFilesSpec extends SparkSpecBase {
     assert(got(0).getSeq[Float](1) == Seq(1.5f, -2.25f))
     assert(got(1).getSeq[Float](1) == Seq(0.125f, 3.0f))
   }
+
+  test("wet roundtrip: warcinfo skipped; header-like and multi-byte payloads intact") {
+    val dir = tmp("wet")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val tricky = Seq(
+      // payload containing a WARC version line and header-shaped text:
+      // Content-Length-driven parsing must not resplit on it
+      ("http://a/1", "WARC/1.0\r\nWARC-Type: conversion\r\n\r\nfake inner record"),
+      // multi-byte UTF-8: Content-Length counts BYTES, not chars
+      ("http://a/2", "café 中文 naïve"),
+      ("http://a/3", ""),
+      ("http://a/4", "plain text line\nsecond line"))
+    graft.sources.WetFiles.writeWet(s"$dir/seg.wet", tricky.iterator)
+    val got = graft.sources.WetFiles.wet(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(got == tricky.sortBy(_._1), s"roundtrip mismatch: $got")
+  }
+
+  test("wet entry: ids recovered from URIs, hashes equal the source table") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("wet_roundtrip")(spark, sf)
+    val direct = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        sha2(col("text"), 256).as("text_sha"))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+  }
 }
