@@ -163,11 +163,14 @@ object TextAnalysis {
    * without changing the plan shape. Score floor-truncated (SURVEY §5).
    */
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tokens shuffle as 8-byte xxhash64 keys (the n-gram family
+    // posture; counts agree with string keys modulo a 64-bit collision)
     val tok = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("t"))
-    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        explode(tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("ht"))
+    val freq = tok.groupBy("ht").agg(count(lit(1)).as("c"))
     val total = freq.agg(sum("c").as("n"))
-    tok.join(freq, "t")
+    tok.join(freq, "ht")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -194,18 +197,24 @@ object TextAnalysis {
    */
   def lmScoreBigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val pairs = zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-      (a, b) => concat(a, lit(""), b))
-    val big = docs.select(col(idCol).as("doc_id"), explode(pairs).as("bg"))
-    val bfreq = big.groupBy("bg").agg(count(lit(1)).as("cb"))
-    // prefix counts: sum of bigram counts per first token — derived
-    // from the (already tiny) bigram vocab, not a third corpus pass
-    val pfreq = bfreq
-      .groupBy(substring_index(col("bg"), "", 1).as("pfx"))
-      .agg(sum(col("cb")).as("cp"))
-    val scored = big.join(bfreq, "bg")
-      .join(pfreq, substring_index(col("bg"), "", 1) === col("pfx"))
+    // hashed bigram + prefix keys computed map-side at extraction (the
+    // lmScoreTrigram posture): the join shuffles 8-byte keys instead of
+    // concatenated word pairs, the variadic hash needs no separator
+    // convention, and the prefix hash rides alongside so prefix counts
+    // still derive from the (tiny) bigram vocab table.
+    val big = docs.select(col(idCol).as("doc_id"),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))).as("b1"),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))).as("b2"))).as("z"))
+      .select(col("doc_id"), xxhash64(col("z.b1"), col("z.b2")).as("hb"),
+        xxhash64(col("z.b1")).as("hpb"))
+    val bfreq0 = big.groupBy("hpb", "hb").agg(count(lit(1)).as("cb"))
+    val pfreq = bfreq0.groupBy("hpb").agg(sum("cb").as("cp"))
+    // prefix count joined into the vocab table (vocab-sized), so the
+    // bigram STREAM is joined exactly once; merge-hinted because a
+    // bigram vocab grows with the corpus (lmScoreTrigram rationale)
+    val bfreq = bfreq0.join(pfreq, "hpb").select("hb", "cb", "cp")
+    val scored = big.join(bfreq.hint("merge"), "hb")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (floor(avg(log(col("cb") / col("cp"))) * 10000) / 10000).as("lm2_score"))
@@ -265,15 +274,26 @@ object TextAnalysis {
     val toks = tokens(col(textCol))
     def sliceAt(off: Int) =
       slice(toks, lit(off), greatest(size(toks) - 2, lit(0)))
+    // every gram key shuffles as its 8-byte xxhash64, computed map-side
+    // at extraction (joining on up-to-3 word strings dominated shuffle
+    // bytes at scale); counts agree with string keys modulo a 64-bit
+    // collision merging two grams — the substring/minhash argument.
+    // Prefix hashes ride ALONGSIDE the gram hash so prefix counts still
+    // derive from the vocab tables (hashing destroys the prefix
+    // structure a string regroup would have used), never a second
+    // corpus-sized shuffle.
     val tri = docs
       .select(col(idCol).as("doc_id"),
         explode(arrays_zip(sliceAt(1).as("w1"), sliceAt(2).as("w2"),
           sliceAt(3).as("w3"))).as("z"))
-      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"),
-        col("z.w3").as("w3"))
+      .select(col("doc_id"),
+        xxhash64(col("z.w1"), col("z.w2"), col("z.w3")).as("h3"),
+        xxhash64(col("z.w1"), col("z.w2")).as("hp3"),
+        xxhash64(col("z.w2"), col("z.w3")).as("hb"),
+        xxhash64(col("z.w3")).as("h1"))
     // unigram vocab + total over the FULL token stream (the lmScore vocab)
-    val uni = docs.select(explode(toks).as("t")).groupBy("t")
-      .agg(count(lit(1)).as("c1"))
+    val uni = docs.select(explode(toks).as("t"))
+      .groupBy(xxhash64(col("t")).as("h1")).agg(count(lit(1)).as("c1"))
     val tot = uni.agg(sum("c1").as("n"))
     // bigram vocab over ALL adjacent pairs (len-1 per doc, not just
     // trigram-interior ones) — the same estimator lmScoreBigram fits
@@ -281,20 +301,25 @@ object TextAnalysis {
       explode(arrays_zip(
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))).as("b1"),
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))).as("b2"))).as("z"))
-      .select(col("z.b1").as("b1"), col("z.b2").as("b2"))
-    val bfreq = pairs.groupBy("b1", "b2").agg(count(lit(1)).as("cb"))
-    val bpfx = bfreq.groupBy(col("b1").as("p1")).agg(sum("cb").as("cp"))
-    val tfreq = tri.groupBy(col("w1").as("t1"), col("w2").as("t2"), col("w3").as("t3"))
-      .agg(count(lit(1)).as("ct"))
-    val tpfx = tfreq.groupBy(col("t1").as("q1"), col("t2").as("q2"))
-      .agg(sum("ct").as("ctp"))
+      .select(xxhash64(col("z.b1"), col("z.b2")).as("hb"),
+        xxhash64(col("z.b1")).as("hpb"))
+    // the gram hash determines its prefix hash, so the prefix count is
+    // joined into the VOCAB table (vocab-sized join) and the trigram
+    // stream is joined only 3 times (tri, bi, uni), not 5. The vocab
+    // joins are HINTED sort-merge: an n-gram vocab grows with the
+    // corpus (trigram types ~ token stream size), so letting a
+    // misestimated broadcast through would OOM the driver exactly when
+    // the corpus gets big — the failure mode that matters at 100 TB.
+    val bfreq0 = pairs.groupBy("hpb", "hb").agg(count(lit(1)).as("cb"))
+    val bpfx = bfreq0.groupBy("hpb").agg(sum("cb").as("cp"))
+    val bfreq = bfreq0.join(bpfx, "hpb").select("hb", "cb", "cp")
+    val tfreq0 = tri.groupBy("hp3", "h3").agg(count(lit(1)).as("ct"))
+    val tpfx = tfreq0.groupBy("hp3").agg(sum("ct").as("ctp"))
+    val tfreq = tfreq0.join(tpfx, "hp3").select("h3", "ct", "ctp")
     val scored = tri
-      .join(tfreq, col("w1") === col("t1") && col("w2") === col("t2") &&
-        col("w3") === col("t3"))
-      .join(tpfx, col("w1") === col("q1") && col("w2") === col("q2"))
-      .join(bfreq, col("w2") === col("b1") && col("w3") === col("b2"))
-      .join(bpfx, col("w2") === col("p1"))
-      .join(uni, col("w3") === col("t"))
+      .join(tfreq.hint("merge"), "h3")
+      .join(bfreq.hint("merge"), "hb")
+      .join(uni.hint("merge"), "h1")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
