@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions.col
 object WetFiles {
 
   /** Parse one file's bytes into (uri, text) conversion records. */
-  private[sources] def parseRecords(content: Array[Byte]): Iterator[(String, String)] =
+  private[graft] def parseRecords(content: Array[Byte]): Iterator[(String, String)] =
     new Iterator[(String, String)] {
       private var pos = 0
       private var nextRec: (String, String) = null

@@ -149,4 +149,26 @@ class KernelPropertySpec extends AnyFunSuite {
     val ascii = UTF8String.fromString("plain ascii text")
     assert(graft.text.NormalizeKernels.nfc(ascii) eq ascii)
   }
+
+  test("WET write/parse roundtrips random payloads byte-exactly") {
+    // payload alphabet deliberately includes CR/LF, the header colon,
+    // 'W' runs, and multi-byte code points — everything the
+    // Content-Length-driven parser must NOT treat as structure
+    // (BMP chars only: indexing a string char-wise would split an
+    // astral emoji into lone surrogates, which cannot survive UTF-8)
+    val alphabet = "abcWARC/1.0:\r\n \té中"
+    def payload(): String =
+      Array.fill(rnd.nextInt(200))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 50).foreach { trial =>
+      val recs = (0 until rnd.nextInt(6) + 1)
+        .map(i => (s"http://t/$trial/$i", payload()))
+      val f = java.nio.file.Files.createTempFile("wetprop", ".wet")
+      try {
+        graft.sources.WetFiles.writeWet(f.toString, recs.iterator)
+        val bytes = java.nio.file.Files.readAllBytes(f)
+        val back = graft.sources.WetFiles.parseRecords(bytes).toSeq
+        assert(back == recs, s"trial $trial mismatch")
+      } finally java.nio.file.Files.delete(f)
+    }
+  }
 }
