@@ -23,7 +23,11 @@ object ExplainMain {
         "ann_ivfpq_topk", "embed_pq", "quality_classifier", "text_normalize",
         "corpus_stats", "decontaminate_semantic", "data_mix_temperature",
         "dedup_lines", "dedup_substring", "lm_score", "tfidf_topterms",
-        "corpus_shuffle")) {
+        "corpus_shuffle",
+        // round 7
+        "lm_score_trigram", "dedup_substring_apply", "url_filter",
+        "doc_chunk", "split_overlap", "jsonl_roundtrip", "wet_roundtrip",
+        "quality_threshold")) {
       println(s"===== $name =====")
       println(planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sf)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

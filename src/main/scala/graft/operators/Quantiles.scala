@@ -73,6 +73,61 @@ object Quantiles {
       graft.text.TextAnalysis.lmScore(Tables.documents(spark, sfDir), "doc_id", "text"),
       "lm_score")
 
+  /** The percentile whose threshold [[thresholdApply]]'s demo entry
+    * cuts at (drop the worst decile — the standard first pass). */
+  val ApplyP: Double = 0.1
+
+  /**
+   * Apply a quantile cutoff to the scored corpus: one verdict row per
+   * document, keep iff score >= the p-quantile threshold (ties at the
+   * threshold keep — the rank row itself is AT the cutoff). The
+   * threshold is ONE broadcast row, so the apply is map-only over the
+   * score table; in production the score table is materialized once
+   * and both the quantile pass and the verdict read it.
+   */
+  def thresholdApply(scores: DataFrame, idCol: String, scoreCol: String,
+      p: Double = ApplyP): DataFrame = {
+    val thr = exactQuantiles(scores, scoreCol, Seq(p)).select("threshold")
+    scores.crossJoin(broadcast(thr))
+      .select(col(idCol), col(scoreCol),
+        (col(scoreCol) >= col("threshold")).cast("int").as("keep"))
+  }
+
+  /** Drop-the-worst-decile verdict over the lm_score distribution. */
+  def qualityThresholdApplyQuery(spark: SparkSession, sfDir: String): DataFrame =
+    thresholdApply(
+      graft.text.TextAnalysis.lmScore(Tables.documents(spark, sfDir), "doc_id", "text"),
+      "doc_id", "lm_score")
+
+  /** Shared oracle CTE chain: per-doc lm_score -> exact bucket
+    * quantile machinery (the [[qualityThresholdSql]] body). */
+  private def lmQuantileCtes(ps: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+       |freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+       |tot AS (SELECT SUM(c) AS n FROM freq),
+       |s AS (
+       |  SELECT doc_id, FLOOR(AVG(ln(c / n)) * 10000) / 10000 AS lm_score
+       |  FROM tok JOIN freq USING (t), tot GROUP BY doc_id),
+       |b AS (SELECT CAST(ROUND(lm_score * 10000) AS BIGINT) AS bkt FROM s),
+       |g AS (SELECT bkt, COUNT(*) AS c FROM b GROUP BY bkt),
+       |o AS (SELECT bkt, c,
+       |        CAST(SUM(c) OVER (ORDER BY bkt) AS BIGINT) AS cum,
+       |        CAST(SUM(c) OVER (ORDER BY bkt) - c AS BIGINT) AS cum_before
+       |      FROM g),
+       |nn AS (SELECT SUM(c) AS n FROM g),
+       |ps(p) AS (VALUES $ps),
+       |r AS (SELECT p, CAST(FLOOR(p * (n - 1)) AS BIGINT) + 1 AS rnk FROM ps, nn)""".stripMargin
+
+  val qualityThresholdApplySql: String =
+    s"""WITH ${lmQuantileCtes(s"($ApplyP)")},
+       |thr AS (
+       |  SELECT o.bkt / 10000.0 AS threshold
+       |  FROM r JOIN o ON r.rnk > o.cum_before AND r.rnk <= o.cum)
+       |SELECT s.doc_id, s.lm_score,
+       |  CAST(s.lm_score >= thr.threshold AS INTEGER) AS keep
+       |FROM s, thr""".stripMargin
+
   val qualityThresholdSql: String = {
     val vals = DefaultPs.map(p => s"($p)").mkString(", ")
     s"""WITH tok AS (

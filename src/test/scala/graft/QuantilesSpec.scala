@@ -44,4 +44,25 @@ class QuantilesSpec extends SparkSpecBase {
     val ordered = Quantiles.DefaultPs.map(th)
     assert(ordered == ordered.sorted)
   }
+
+  test("thresholdApply keeps exactly the at-or-above-cutoff rows") {
+    import spark.implicits._
+    // 20 distinct 4-dp scores 0.0001..0.0020: p=0.1 -> rnk floor(.1*19)+1
+    // = 2 -> threshold 0.0002; rows 2..20 keep (19), row 1 drops
+    val df = (1 to 20).map(i => (i.toLong, i / 10000.0)).toDF("doc_id", "s")
+    val out = Quantiles.thresholdApply(df, "doc_id", "s", 0.1).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) == 0 && (2 to 20).forall(i => out(i.toLong) == 1))
+    // the corpus entry: one verdict per doc, keep fraction ~= 0.9, the
+    // kept set is exactly {score >= min kept score > max dropped score}
+    val entry = SparkEntry.queries("quality_threshold_apply")(spark, sf).cache()
+    assert(entry.count() == Tables.documents(spark, sf).count())
+    val kept = entry.filter(col("keep") === 1)
+    assert(kept.count() >= (entry.count() * 0.85).toLong)
+    val minKept = kept.agg(min("lm_score")).head().getDouble(0)
+    val maxDropped = entry.filter(col("keep") === 0)
+      .agg(max("lm_score")).head().getDouble(0)
+    assert(maxDropped < minKept)
+    entry.unpersist()
+  }
 }
