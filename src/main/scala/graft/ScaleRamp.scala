@@ -120,7 +120,13 @@ object ScaleRamp {
       "decontam_minhash" -> (() =>
         mat(graft.operators.Decontaminate.decontaminateMinhash(
           docs, docs.filter(col("doc_id") % 17 === 0 && col("doc_id") < 340),
-          "doc_id", "text"))))
+          "doc_id", "text"))),
+      // split-leakage report: the distinct (split, gram) shuffle is its
+      // scale story — the one corpus-sized exchange, reused by the
+      // train/eval semi-join
+      "split_overlap" -> (() =>
+        mat(graft.operators.SplitOverlap.splitOverlap(docs, "doc_id", "text",
+          Corpus.SplitSeed, Corpus.TrainFrac, Corpus.ValFrac))))
 
     // warm-up at the smallest scale: JIT + codegen compile once
     ops(docsOf("/root/testdata/sf0.01")).foreach { case (_, f) => f() }
