@@ -450,8 +450,14 @@ object TextAnalysis {
    * explode/shuffle (the O(bigrams^2) per-doc count is cheap against
    * a shuffle of every bigram). Ratios floor-truncated (SURVEY §5).
    */
-  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokens(col("text"))
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** Per-doc repetition signals over any (id, text) frame (map-only;
+    * the [[textRepetition]] entry's core, shared with the Gopher-rule
+    * repetition filter). */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
     // bigrams by zipping the token array with its own tail (the
     // lm_score_bigram trick): zip_with evaluates each slice ONCE —
     // the transform-over-positions form it replaces re-evaluated the
@@ -472,8 +478,8 @@ object TextAnalysis {
           (acc("cnt") + 1).as("cnt"))
       },
       acc => floor(acc("best").cast("double") / acc("cnt") * 10000) / 10000)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(toks).as("n_tokens"),
+    docs
+      .select(col(idCol).as("doc_id"), size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"), bigrams.as("b"))
       .select(
         col("doc_id"),
@@ -499,6 +505,80 @@ object TextAnalysis {
       |          / len(grams) * 10000) / 10000
       |  END AS top_bigram_frac
       |FROM b""".stripMargin
+
+  // ---- Gopher repetition filter ----
+
+  /** Gopher's repetition caps: drop when the duplicated-token fraction
+    * exceeds 0.3, else when the top-bigram fraction exceeds 0.18
+    * (Rae et al. 2021 repetition rules; fixed order, first failure =
+    * reason — the quality_filter verdict discipline). */
+  val RepDupTokenMax: Double = 0.3
+  val RepTopBigramMax: Double = 0.18
+
+  /** Keep/drop verdict from the [[repetitionSignals]] — map-only.
+    * Sub-2-token docs have no bigram signal (NULL) and the rule
+    * skips them, on both engines, by three-valued comparison. */
+  def repetitionFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    repetitionSignals(docs, idCol, textCol)
+      .withColumn("fail_reason",
+        when(col("dup_token_frac") > RepDupTokenMax, "dup_tokens")
+          .when(col("top_bigram_frac") > RepTopBigramMax, "top_bigram")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("dup_token_frac"), col("top_bigram_frac"),
+        col("fail_reason"), (col("fail_reason") === "ok").cast("int").as("keep"))
+
+  /** One word repeated 60 times: dup_token_frac ~0.98 → rule 1. */
+  private val RepPlantDup = Seq.fill(60)("spamword").mkString(" ")
+
+  /** 20 tokens, "xq yq" ×4 + 12 unique: dup_token_frac = 0.3 (AT the
+    * cap — rule 1 passes) while top_bigram_frac = 4/19 ≈ 0.21 → rule 2
+    * fires; the only reachable shape for rule 2, since k bigram copies
+    * already duplicate 2k−2 tokens (possible only in short docs). */
+  private val RepPlantBigram =
+    "xq yq xq yq xq yq xq yq " + (1 to 12).map(i => s"uw$i").mkString(" ")
+
+  /** Repetitive docs PLANTED in-query (the synthetic corpus has none):
+    * doc_id ≡ 7 (mod 41) → the dup-token plant, ≡ 29 (mod 53) → the
+    * top-bigram plant; plant order mirrors the oracle CASE. */
+  def repetitionFilterQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = Tables.documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 41 === 7, lit(RepPlantDup))
+        .when(col("doc_id") % 53 === 29, lit(RepPlantBigram))
+        .otherwise(col("text")).as("text"))
+    repetitionFilter(planted, "doc_id", "text")
+  }
+
+  val repetitionFilterSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 41 = 7 THEN '$RepPlantDup'
+       |         WHEN doc_id % 53 = 29 THEN '$RepPlantBigram'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM planted),
+       |b AS (
+       |  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+       |  FROM t),
+       |sig AS (
+       |  SELECT doc_id,
+       |    FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) * 10000) / 10000 AS dup_token_frac,
+       |    CASE WHEN n_tokens >= 2 THEN
+       |      FLOOR(CAST(list_max(list_transform(list_distinct(grams),
+       |              g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
+       |            / len(grams) * 10000) / 10000
+       |    END AS top_bigram_frac
+       |  FROM b),
+       |v AS (
+       |  SELECT *,
+       |    CASE WHEN dup_token_frac > $RepDupTokenMax THEN 'dup_tokens'
+       |         WHEN top_bigram_frac > $RepTopBigramMax THEN 'top_bigram'
+       |         ELSE 'ok' END AS fail_reason
+       |  FROM sig)
+       |SELECT doc_id, dup_token_frac, top_bigram_frac, fail_reason,
+       |  CAST(fail_reason = 'ok' AS INTEGER) AS keep
+       |FROM v""".stripMargin
 
   // ---- fingerprinting ----
 

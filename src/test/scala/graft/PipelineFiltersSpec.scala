@@ -95,6 +95,34 @@ class PipelineFiltersSpec extends SparkSpecBase {
     assert(keeps.getOrElse(1, 0L) > 0 && keeps.getOrElse(0, 0L) > 0, s"degenerate split: $keeps")
   }
 
+  test("repetition_filter: planted repetitive docs drop by the right rule") {
+    import graft.text.TextAnalysis
+    val out = TextAnalysis.repetitionFilterQuery(spark, sf).cache()
+    // every dup-token plant drops by rule 1; every top-bigram plant
+    // (not shadowed by a dup plant collision) drops by rule 2 with its
+    // dup fraction sitting exactly AT the cap (rule 1 must pass it)
+    val dupPlants = out.filter(col("doc_id") % 41 === 7)
+    assert(dupPlants.count() > 0)
+    assert(dupPlants.filter(col("fail_reason") =!= "dup_tokens").count() == 0)
+    val bigPlants = out.filter(col("doc_id") % 53 === 29 && col("doc_id") % 41 =!= 7)
+    assert(bigPlants.count() > 0)
+    assert(bigPlants.filter(col("fail_reason") =!= "top_bigram").count() == 0)
+    assert(bigPlants.filter(col("dup_token_frac") > TextAnalysis.RepDupTokenMax)
+      .count() == 0)
+    // verdicts are exactly the two-rule CASE over the signals (the
+    // synthetic corpus is NATURALLY repetitive — many non-planted docs
+    // legitimately trip rule 1; the flag must still be consistent)
+    val bad = out.filter(
+      (col("dup_token_frac") > TextAnalysis.RepDupTokenMax &&
+        col("fail_reason") =!= "dup_tokens") ||
+      (col("dup_token_frac") <= TextAnalysis.RepDupTokenMax &&
+        col("top_bigram_frac") > TextAnalysis.RepTopBigramMax &&
+        col("fail_reason") =!= "top_bigram") ||
+      ((col("fail_reason") === "ok") =!= (col("keep") === 1)))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
   test("url_filter: normalization cancels surface noise; verdicts fire in fixed order") {
     import spark.implicits._
     import graft.text.UrlFilter
