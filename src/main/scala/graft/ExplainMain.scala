@@ -25,7 +25,7 @@ object ExplainMain {
         "dedup_lines", "dedup_substring", "lm_score", "tfidf_topterms",
         "corpus_shuffle",
         // round 7
-        "lm_score_trigram", "dedup_substring_apply", "url_filter",
+        "lm_score_trigram", "lm_score_5gram", "dedup_substring_apply", "url_filter",
         "doc_chunk", "split_overlap", "jsonl_roundtrip", "wet_roundtrip",
         "quality_threshold")) {
       println(s"===== $name =====")

@@ -374,6 +374,209 @@ object TextAnalysis {
       |  COALESCE(s.lm3_score, 0.0) AS lm3_score
       |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
 
+  // ---- 5-gram stupid-backoff LM (the CCNet-rung of the ladder) ----
+
+  /** Stupid-backoff discount (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the backoff chosen FOR
+    * MapReduce-scale distributed LMs: no normalization pass, scores
+    * need only raw n-gram counts). */
+  val SboAlpha: Double = 0.4
+  /** Train band: the LM is fitted on this hash-banded fraction of the
+    * corpus and scores EVERYTHING — held-out docs genuinely contain
+    * unseen grams, so the backoff chain actually fires (a corpus that
+    * is its own training set never backs off: every gram has count
+    * >= 1, which is why [[lmScoreTrigram]] interpolates instead). */
+  val Lm5Seed: String = "lm5band"
+  val Lm5TrainFrac: Double = 0.7
+
+  /**
+   * 5-gram stupid-backoff surprisal — the target rung of the n-gram
+   * ladder ([[lmScore]] -> [[lmScoreBigram]] -> [[lmScoreTrigram]] ->
+   * here): the CCNet/LLaMA quality stack scores documents with a
+   * 5-gram LM trained on a reference corpus; this is that filter with
+   * the train corpus = a hash-banded split of the data itself.
+   *
+   * Score per position i >= 5 (context `a b c d`, word `e`):
+   * `S = c5(abcde)/c4(abcd)` when the 5-gram was seen in train, else
+   * `α·c4(bcde)/c3(bcd)`, else `α²·c3(cde)/c2(cd)`, else
+   * `α³·c2(de)/c1(d)`, else `α⁴·max(c1(e),1)/N` (the OOV floor scores
+   * an unseen word as a hapax). All counts RAW (stupid backoff is
+   * deliberately unnormalized — that is what makes it embarrassingly
+   * distributable); a seen k-gram's (k-1)-prefix is necessarily seen,
+   * so no branch divides by zero. `lm5_score = mean ln S`, floored 4dp
+   * (SURVEY §5); docs with < 5 tokens report the 0.0 sentinel.
+   *
+   * Scale: gram extraction is MAP-ONLY (five shifted slices zipped);
+   * each order's vocab is one partial-agg over the train band keyed by
+   * 8-byte xxhash64 grams, with its denominator (the gram's own
+   * (k-1)-prefix count) joined in at VOCAB size — the prefix hash
+   * rides alongside the gram hash from extraction, so the corpus-sized
+   * gram stream is joined exactly once per order (5 merge joins), the
+   * [[lmScoreTrigram]] recipe extended. Nothing is normalized, nothing
+   * must fit in memory, and the five vocab tables ARE the shardable
+   * artifact Brants' distributed LM serves from.
+   */
+  def lmScore5gram(docs: DataFrame, idCol: String, textCol: String,
+      trainPred: Column): DataFrame = {
+    val toks = tokens(col(textCol))
+    val train = docs.filter(trainPred)
+
+    // raw k-gram vocab of the train band: (hg, ck) keyed by the hashed
+    // gram, plus the gram's (k-1)-prefix hash for the denominator join
+    def kslice(k: Int, off: Int) =
+      slice(toks, lit(off), greatest(size(toks) - (k - 1), lit(0)))
+    def kgrams(k: Int): DataFrame = {
+      val zipped = explode(arrays_zip((1 to k).map(o =>
+        kslice(k, o).as(s"w$o")): _*)).as("z")
+      val ws = (1 to k).map(o => col(s"z.w$o"))
+      train.select(zipped)
+        .select(xxhash64(ws: _*).as("hg"),
+          (if (k == 1) lit(0L) else xxhash64(ws.init: _*)).as("hp"))
+    }
+    val v1 = kgrams(1).groupBy("hg").agg(count(lit(1)).as("c1"))
+    val tot = v1.agg(sum("c1").as("n"))
+    // vocab tables carry (gram count, prefix raw count); the prefix of
+    // a k-gram is itself a (k-1)-gram of the same band, so the
+    // denominator join is vocab x vocab — merge-hinted, since n-gram
+    // type counts grow with the corpus (lmScoreTrigram rationale)
+    def vk(k: Int, lower: DataFrame, lowerCnt: String): DataFrame = {
+      val raw = kgrams(k).groupBy("hp", "hg").agg(count(lit(1)).as(s"c$k"))
+      raw.join(lower.hint("merge").withColumnRenamed("hg", "hp")
+          .select(col("hp"), col(lowerCnt).as(s"d${k - 1}")), "hp")
+        .select(col("hg"), col(s"c$k"), col(s"d${k - 1}"))
+    }
+    val v2 = vk(2, v1, "c1")
+    val v3 = vk(3, v2, "c2")
+    val v4 = vk(4, v3, "c3")
+    val v5 = vk(5, v4, "c4")
+
+    // score stream over ALL docs: one row per position i >= 5, keyed by
+    // the five suffix grams the backoff chain consults
+    def s5(off: Int) = slice(toks, lit(off), greatest(size(toks) - 4, lit(0)))
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(arrays_zip(s5(1).as("w1"), s5(2).as("w2"), s5(3).as("w3"),
+          s5(4).as("w4"), s5(5).as("w5"))).as("z"))
+      .select(col("doc_id"),
+        xxhash64(col("z.w1"), col("z.w2"), col("z.w3"), col("z.w4"), col("z.w5")).as("g5"),
+        xxhash64(col("z.w2"), col("z.w3"), col("z.w4"), col("z.w5")).as("g4"),
+        xxhash64(col("z.w3"), col("z.w4"), col("z.w5")).as("g3"),
+        xxhash64(col("z.w4"), col("z.w5")).as("g2"),
+        xxhash64(col("z.w5")).as("g1"))
+    def at(v: DataFrame, key: String) =
+      v.hint("merge").withColumnRenamed("hg", key)
+    // LEFT joins: held-out docs carry grams the train band never saw;
+    // the stream meets each vocab exactly once, flat -- a per-level
+    // filter cascade would be the serving shape, but without
+    // materializing each residue Spark recomputes the upstream chain
+    // per branch (measured 2.6x worse), and caching a corpus-sized
+    // stream is the wrong trade at scale. α^k as exact literals,
+    // identical multiply order on both engines (SURVEY §5).
+    val joined = grams
+      .join(at(v5, "g5"), Seq("g5"), "left")
+      .join(at(v4, "g4"), Seq("g4"), "left")
+      .join(at(v3, "g3"), Seq("g3"), "left")
+      .join(at(v2, "g2"), Seq("g2"), "left")
+      .join(at(v1, "g1").withColumnRenamed("c1", "u1"), Seq("g1"), "left")
+      .crossJoin(broadcast(tot))
+    val sc = when(col("c5").isNotNull, log(col("c5") / col("d4")))
+      .when(col("c4").isNotNull, log(lit(0.4) * (col("c4") / col("d3"))))
+      .when(col("c3").isNotNull, log(lit(0.16) * (col("c3") / col("d2"))))
+      .when(col("c2").isNotNull, log(lit(0.064) * (col("c2") / col("d1"))))
+      .otherwise(log(lit(0.0256) * (coalesce(col("u1"), lit(1L)) / col("n"))))
+    val scored = joined.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_5grams"),
+        (floor(avg(sc) * 10000) / 10000).as("lm5_score"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_5grams"), lit(0L)).as("n_5grams"),
+        coalesce(col("lm5_score"), lit(0.0)).as("lm5_score"))
+  }
+
+  def lmScore5gramQuery(spark: SparkSession, sfDir: String): DataFrame =
+    lmScore5gram(Tables.documents(spark, sfDir), "doc_id", "text",
+      graft.operators.Corpus.hashUniform(
+        concat(lit(Lm5Seed + ":"), col("doc_id").cast("string"))) < Lm5TrainFrac)
+
+  /** DuckDB twin: string grams (counts agree with the hashed keys
+    * modulo a 64-bit collision), train band replayed via the shared
+    * sha-256 uniform, gram + prefix extracted as ZIPPED unnests. */
+  val lmScore5gramSql: String = {
+    val d = "chr(1)"
+    def gram(parts: Seq[String]) = parts.mkString(s" || $d || ")
+    def lvl(k: Int): String = { // extraction CTE: gram + its prefix
+      val g = gram((0 until k).map(j => s"ts[i+$j]"))
+      val p = if (k == 1) "''" else gram((0 until k - 1).map(j => s"ts[i+$j]"))
+      s"""u$k AS (
+         |  SELECT unnest(list_transform(range(1, len(ts) - ${k - 2}), i -> $g)) AS g,
+         |         unnest(list_transform(range(1, len(ts) - ${k - 2}), i -> $p)) AS p
+         |  FROM trn)"""
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       |band AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(sha256('$Lm5Seed:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      / 4294967296.0 AS u
+       |  FROM documents),
+       |trn AS (SELECT t.doc_id, ts FROM tok t JOIN band b
+       |        ON t.doc_id = b.doc_id AND b.u < $Lm5TrainFrac),
+       |${lvl(1)},
+       |v1 AS (SELECT g, COUNT(*) AS c1 FROM u1 GROUP BY g),
+       |tot AS (SELECT SUM(c1) AS n FROM v1),
+       |${lvl(2)},
+       |v2 AS (SELECT r.g, r.c2, l.c1 AS d1 FROM
+       |  (SELECT g, any_value(p) AS p, COUNT(*) AS c2 FROM u2 GROUP BY g) r
+       |  JOIN v1 l ON r.p = l.g),
+       |${lvl(3)},
+       |v3 AS (SELECT r.g, r.c3, l.c2 AS d2 FROM
+       |  (SELECT g, any_value(p) AS p, COUNT(*) AS c3 FROM u3 GROUP BY g) r
+       |  JOIN v2 l ON r.p = l.g),
+       |${lvl(4)},
+       |v4 AS (SELECT r.g, r.c4, l.c3 AS d3 FROM
+       |  (SELECT g, any_value(p) AS p, COUNT(*) AS c4 FROM u4 GROUP BY g) r
+       |  JOIN v3 l ON r.p = l.g),
+       |${lvl(5)},
+       |v5 AS (SELECT r.g, r.c5, l.c4 AS d4 FROM
+       |  (SELECT g, any_value(p) AS p, COUNT(*) AS c5 FROM u5 GROUP BY g) r
+       |  JOIN v4 l ON r.p = l.g),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${gram((0 to 4).map(j => s"ts[i+$j]"))})) AS g5,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${gram((1 to 4).map(j => s"ts[i+$j]"))})) AS g4,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${gram((2 to 4).map(j => s"ts[i+$j]"))})) AS g3,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${gram((3 to 4).map(j => s"ts[i+$j]"))})) AS g2,
+       |    unnest(list_transform(range(1, len(ts) - 3), i -> ts[i+4])) AS g1
+       |  FROM tok),
+       |j AS (
+       |  SELECT doc_id,
+       |    v5.c5, v5.d4, v4.c4, v4.d3, v3.c3, v3.d2, v2.c2, v2.d1,
+       |    v1.c1 AS u1, tot.n
+       |  FROM grams
+       |  LEFT JOIN v5 ON grams.g5 = v5.g
+       |  LEFT JOIN v4 ON grams.g4 = v4.g
+       |  LEFT JOIN v3 ON grams.g3 = v3.g
+       |  LEFT JOIN v2 ON grams.g2 = v2.g
+       |  LEFT JOIN v1 ON grams.g1 = v1.g
+       |  , tot),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_5grams,
+       |    FLOOR(AVG(CASE
+       |      WHEN c5 IS NOT NULL THEN ln(c5 / d4)
+       |      WHEN c4 IS NOT NULL THEN ln(0.4 * (c4 / d3))
+       |      WHEN c3 IS NOT NULL THEN ln(0.16 * (c3 / d2))
+       |      WHEN c2 IS NOT NULL THEN ln(0.064 * (c2 / d1))
+       |      ELSE ln(0.0256 * (COALESCE(u1, 1) / n)) END) * 10000) / 10000
+       |      AS lm5_score
+       |  FROM j GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(s.n_5grams, 0) AS n_5grams,
+       |  COALESCE(s.lm5_score, 0.0) AS lm5_score
+       |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
+  }
+
   val lmScoreSql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),

@@ -230,6 +230,38 @@ class DedupTextSpec extends SparkSpecBase {
     assert(got2(1L) == expect2, got2.toString)
   }
 
+  test("lm_score_5gram: the stupid-backoff chain fires level by level on held-out grams") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // train band = doc0 only: "a b c d e a b c d e"
+    //   c5(abcde)=2; c4(abcd)=c4(bcde)=2, others 1; c3(bcd)=c3(cde)=2;
+    //   c2(cd)=c2(de)=2; c1(d)=c1(e)=2, N=10
+    // held-out docs walk the backoff ladder one unseen level at a time
+    val df = Seq(
+      (0L, "a b c d e a b c d e"),
+      (10L, "a b c d e"),  // 5-gram seen:        S = 2/2
+      (11L, "z b c d e"),  // back off to 4-gram: S = .4 * 2/2
+      (12L, "z z c d e"),  // 3-gram:             S = .16 * 2/2
+      (13L, "z z z d e"),  // 2-gram:             S = .064 * 2/2
+      (14L, "z z z z e"),  // unigram:            S = .0256 * 2/10
+      (15L, "z z z z q"),  // OOV floor:          S = .0256 * 1/10
+      (16L, "a b")         // < 5 tokens: sentinel
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore5gram(df, "doc_id", "text", col("doc_id") < 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def trunc(x: Double) = math.floor(x * 10000) / 10000
+    assert(got(10L) == ((1L, 0.0)), got.toString)
+    assert(got(11L) == ((1L, trunc(math.log(0.4)))), got.toString)
+    assert(got(12L) == ((1L, trunc(math.log(0.16)))), got.toString)
+    assert(got(13L) == ((1L, trunc(math.log(0.064)))), got.toString)
+    assert(got(14L) == ((1L, trunc(math.log(0.0256 * 0.2)))), got.toString)
+    assert(got(15L) == ((1L, trunc(math.log(0.0256 * 0.1)))), got.toString)
+    assert(got(16L) == ((0L, 0.0)), got.toString)
+    // the train doc scores its own 6 positions; only bcdea's 5-gram
+    // count (1) undercuts its prefix bcde's 4-gram count (2)
+    assert(got(0L) == ((6L, trunc(math.log(0.5) / 6))), got.toString)
+  }
+
   test("winnow fingerprints: deterministic, shift-tolerant overlap") {
     val t1 = UTF8String.fromString("the quick brown fox jumps over the lazy dog again and again today")
     val t2 = UTF8String.fromString("PREFIX added the quick brown fox jumps over the lazy dog again and again today")

@@ -193,6 +193,14 @@ class PlanPostureSpec extends SparkSpecBase {
     // the single-row corpus total broadcasts into the scoring projection
     val pt = plan("lm_score_trigram")
     assert(!pt.contains("CartesianProduct"), s"lm_score_trigram:\n$pt")
+    // the 5-gram backoff scorer: same posture (the one BNLJ is the
+    // 1-row corpus total), and its five vocab joins must all be
+    // merge joins — a misestimated broadcast of a corpus-sized n-gram
+    // vocab is the 100 TB OOM this plan exists to avoid
+    val p5 = plan("lm_score_5gram")
+    assert(!p5.contains("CartesianProduct"), s"lm_score_5gram:\n$p5")
+    assert(!p5.contains("BroadcastHashJoin"),
+      s"lm_score_5gram vocab joins must not broadcast:\n$p5")
     val pu = plan("url_filter")
     // the only shuffle is the per-URL owner partial agg (hash), never a sort
     assert(pu.contains("hashpartitioning") && !pu.contains("rangepartitioning"),
