@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
+ * choose pretraining documents that LOOK LIKE a small high-quality
+ * target set by scoring each document with the log-likelihood RATIO
+ * of two hashed-n-gram bag models — one fitted on the target, one on
+ * the raw corpus — then keeping the top mass by importance weight.
+ * This is the model-based complement to `quality_classifier`: no
+ * labels, no training loop, just two count vectors.
+ *
+ * Feature space: unigrams hashed into [[DsirBuckets]] fixed buckets
+ * (the paper's hashed n-gram trick — the model size is CONSTANT in
+ * corpus size, which is what makes the importance model exact to fit
+ * at any scale). Bucket = `floor(hashUniform(token)·B)` — the repo's
+ * sha-256 cross-engine uniform, so DuckDB replays the bucketing
+ * bit-for-bit (an xxhash64 pmod would be faster at scale; the swap is
+ * one expression and changes no plan shape).
+ *
+ * `log_w(doc) = Σ_tokens [ ln p̂_target(bkt) − ln p̂_raw(bkt) ]` with
+ * add-1 smoothing over the B buckets; kept iff `log_w` reaches the
+ * [[DsirKeepP]] quantile of the corpus (the paper resamples with
+ * Gumbel noise to diversify; the deterministic top-mass cut keeps the
+ * oracle exact and is the variant production reruns can reproduce).
+ *
+ * Scale posture: the two bucket-count tables are partial aggs whose
+ * result is ≤ B rows — the importance model rides the plan as ONE
+ * broadcast of a fixed-size table (correct at ANY corpus size, unlike
+ * an n-gram vocab); scoring is the token stream map-joined against it
+ * plus one per-doc partial agg; the threshold reuses
+ * [[Quantiles.exactQuantiles]] (bucketed prefix sum, no global sort)
+ * and broadcasts back as one row. No corpus-sized sort, window, or
+ * unbounded-vocab join anywhere.
+ */
+object Dsir {
+
+  /** Hashed-feature buckets (fixed model size; the paper uses 10k for
+    * production corpora — 256 keeps the demo fixtures readable and the
+    * plan shape identical). */
+  val DsirBuckets: Int = 256
+
+  /** Keep the top quarter by importance weight. */
+  val DsirKeepP: Double = 0.75
+
+  /** The target language: `lang = 'en'` is the stand-in "trusted
+    * high-quality distribution" (the same proxy the quality classifier
+    * trains against — in production this is Wikipedia/books). */
+  val DsirTargetLang: String = "en"
+
+  private def bucket(tok: org.apache.spark.sql.Column) =
+    floor(Corpus.hashUniform(tok) * DsirBuckets).cast("long")
+
+  /**
+   * One verdict row per document: `(doc_id, n_tokens, log_w, keep)`.
+   * `targetPred` marks the target-distribution rows (injectable for
+   * specs; the entry uses the language proxy).
+   */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      keepP: Double = DsirKeepP): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
+        explode(graft.text.TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), col("is_t"), bucket(col("t")).as("b"))
+    // raw counts over every token; target counts over the target slice.
+    // one partial-agg pass each, both collapsing to <= B rows
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val nr = raw.agg(sum("cr").as("vnr"))
+    val nt = tgt.agg(sum("ct").as("vnt"))
+    // the importance model: per observed bucket, ln p̂_t − ln p̂_r with
+    // add-1 smoothing (identical term order on both engines). Every
+    // scored token's bucket is in `raw` by construction, so a LEFT
+    // join from raw covers the whole stream; absent target buckets
+    // smooth to ct = 0.
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + 1) / (col("vnt") + lit(DsirBuckets.toDouble))) -
+          log((col("cr") + 1) / (col("vnr") + lit(DsirBuckets.toDouble)))).as("lr"))
+    val scored = tok.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(sum(col("lr")) * 10000) / 10000).as("log_w"))
+    // the quantile cut rides back as ONE broadcast row (the
+    // thresholdApply shape, inlined to keep n_tokens in the verdict)
+    val thr = Quantiles.exactQuantiles(scored, "log_w", Seq(keepP))
+      .select("threshold")
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tokens"), col("log_w"),
+        (col("log_w") >= col("threshold")).cast("int").as("keep"))
+  }
+
+  def dsirSelectQuery(spark: SparkSession, sfDir: String): DataFrame =
+    dsirSelect(Tables.documents(spark, sfDir), "doc_id", "text",
+      col("lang") === DsirTargetLang)
+
+  val dsirSelectSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang = '$DsirTargetLang' AS is_t,
+       |    CAST(FLOOR(('0x' || substr(sha256(t), 1, 8))::UBIGINT
+       |      / 4294967296.0 * $DsirBuckets) AS BIGINT) AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS t
+       |        FROM documents)),
+       |raw AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b),
+       |tgt AS (SELECT b, COUNT(*) AS ct FROM tok WHERE is_t GROUP BY b),
+       |nr AS (SELECT SUM(cr) AS vnr FROM raw),
+       |nt AS (SELECT SUM(ct) AS vnt FROM tgt),
+       |lr AS (
+       |  SELECT raw.b,
+       |    ln((COALESCE(tgt.ct, 0) + 1) / (nt.vnt + ${DsirBuckets}.0)) -
+       |    ln((raw.cr + 1) / (nr.vnr + ${DsirBuckets}.0)) AS lr
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, nr, nt),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    FLOOR(SUM(lr) * 10000) / 10000 AS log_w
+       |  FROM tok JOIN lr USING (b) GROUP BY doc_id),
+       |b2 AS (SELECT CAST(ROUND(log_w * 10000) AS BIGINT) AS bkt FROM s),
+       |g AS (SELECT bkt, COUNT(*) AS c FROM b2 GROUP BY bkt),
+       |o AS (SELECT bkt, c,
+       |        CAST(SUM(c) OVER (ORDER BY bkt) AS BIGINT) AS cum,
+       |        CAST(SUM(c) OVER (ORDER BY bkt) - c AS BIGINT) AS cum_before
+       |      FROM g),
+       |nn AS (SELECT SUM(c) AS n FROM g),
+       |r AS (SELECT CAST(FLOOR($DsirKeepP * (n - 1)) AS BIGINT) + 1 AS rnk FROM nn),
+       |thr AS (
+       |  SELECT o.bkt / 10000.0 AS threshold
+       |  FROM r JOIN o ON r.rnk > o.cum_before AND r.rnk <= o.cum)
+       |SELECT s.doc_id, s.n_tokens, s.log_w,
+       |  CAST(s.log_w >= thr.threshold AS INTEGER) AS keep
+       |FROM s, thr""".stripMargin
+}

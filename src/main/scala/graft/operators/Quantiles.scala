@@ -99,6 +99,59 @@ object Quantiles {
       graft.text.TextAnalysis.lmScore(Tables.documents(spark, sfDir), "doc_id", "text"),
       "doc_id", "lm_score")
 
+  /** The CCNet tertile cuts (head = best-scoring third). Exact decimal
+    * literals, NOT 1/3 doubles: `floor(p·(n-1))` must see the same
+    * IEEE value on both engines, and 0.33/0.67 are exact in decimal
+    * SQL text where 0.3333… invites a last-ulp mismatch. */
+  val BucketPs: Seq[Double] = Seq(0.33, 0.67)
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020): partition
+   * the scored corpus into head / middle / tail thirds by LM score —
+   * the pipeline step that lets a trainer oversample the head and
+   * drop or downweight the tail. High score = low perplexity = head
+   * (the score is mean ln P, so bigger is more fluent); ties at a
+   * threshold fall to the LOWER bucket (strict > mirrors the rank
+   * rule: the threshold row itself is AT the cut).
+   *
+   * Scale: the two thresholds come from [[exactQuantiles]] (one
+   * partial-agg shuffle + tiny-table prefix sum, no global sort) and
+   * ride as ONE broadcast row; the bucketing itself is map-only.
+   */
+  def perplexityBucket(scores: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val thr = exactQuantiles(scores, scoreCol, BucketPs)
+    val t = thr.agg(
+      min(when(col("p") === BucketPs.head, col("threshold"))).as("t_lo"),
+      min(when(col("p") === BucketPs(1), col("threshold"))).as("t_hi"))
+    scores.crossJoin(broadcast(t))
+      .select(col(idCol), col(scoreCol),
+        when(col(scoreCol) > col("t_hi"), "head")
+          .when(col(scoreCol) > col("t_lo"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Head/middle/tail partition of the lm_score distribution. */
+  def perplexityBucketQuery(spark: SparkSession, sfDir: String): DataFrame =
+    perplexityBucket(
+      graft.text.TextAnalysis.lmScore(Tables.documents(spark, sfDir), "doc_id", "text"),
+      "doc_id", "lm_score")
+
+  val perplexityBucketSql: String =
+    s"""WITH ${lmQuantileCtes(BucketPs.map(p => s"($p)").mkString(", "))},
+       |thr AS (
+       |  SELECT r.p, o.bkt / 10000.0 AS threshold
+       |  FROM r JOIN o ON r.rnk > o.cum_before AND r.rnk <= o.cum),
+       |t AS (SELECT
+       |  MIN(CASE WHEN p = ${BucketPs.head} THEN threshold END) AS t_lo,
+       |  MIN(CASE WHEN p = ${BucketPs(1)} THEN threshold END) AS t_hi
+       |FROM thr)
+       |SELECT s.doc_id, s.lm_score,
+       |  CASE WHEN s.lm_score > t.t_hi THEN 'head'
+       |       WHEN s.lm_score > t.t_lo THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM s, t""".stripMargin
+
   /** Shared oracle CTE chain: per-doc lm_score -> exact bucket
     * quantile machinery (the [[qualityThresholdSql]] body). */
   private def lmQuantileCtes(ps: String): String =

@@ -205,6 +205,16 @@ class PlanPostureSpec extends SparkSpecBase {
     // the only shuffle is the per-URL owner partial agg (hash), never a sort
     assert(pu.contains("hashpartitioning") && !pu.contains("rangepartitioning"),
       s"url_filter must hash-partition on the url key:\n$pu")
+    // dsir: the fixed-B importance model must BROADCAST into the token
+    // stream (it is <= 256 rows at any corpus size — the one table in
+    // the text stack where broadcast is the provably-safe choice), and
+    // nothing may sort the corpus
+    val pd = plan("dsir_select")
+    assert(!pd.contains("CartesianProduct"), s"dsir_select:\n$pd")
+    assert(pd.contains("BroadcastHashJoin"),
+      s"dsir_select importance model must broadcast:\n$pd")
+    assert(!pd.contains("rangepartitioning"),
+      s"dsir_select must not globally sort:\n$pd")
   }
 
   test("decontaminate_minhash: bench bands broadcast against the train side") {

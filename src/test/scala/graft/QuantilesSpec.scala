@@ -45,6 +45,28 @@ class QuantilesSpec extends SparkSpecBase {
     assert(ordered == ordered.sorted)
   }
 
+  test("perplexityBucket: exact tertile cuts, ties fall to the lower bucket") {
+    import spark.implicits._
+    // 100 distinct 4-dp scores 0.0001..0.0100: t_lo = rank floor(.33*99)+1
+    // = 33 -> 0.0033, t_hi = rank floor(.67*99)+1 = 67 -> 0.0067
+    val df = (1 to 100).map(i => (i.toLong, i / 10000.0)).toDF("doc_id", "s")
+    val out = Quantiles.perplexityBucket(df, "doc_id", "s").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1 to 33).forall(i => out(i.toLong) == "tail"), out.toString)
+    assert((34 to 67).forall(i => out(i.toLong) == "middle"), out.toString)
+    assert((68 to 100).forall(i => out(i.toLong) == "head"), out.toString)
+    // a mass of ties AT the threshold stays below the cut (strict >)
+    val tied = ((1 to 50).map(i => (i.toLong, 0.5)) ++
+      (51 to 100).map(i => (i.toLong, 0.9))).toDF("doc_id", "s")
+    val out2 = Quantiles.perplexityBucket(tied, "doc_id", "s").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // t_lo = 0.5 (rank 33), t_hi = 0.9 (rank 67 lands in the upper
+    // block): the 0.5 ties sit AT t_lo -> tail, the 0.9 ties AT t_hi
+    // -> middle; nothing clears the strict > to reach head
+    assert((1 to 50).forall(i => out2(i.toLong) == "tail"), out2.toString)
+    assert((51 to 100).forall(i => out2(i.toLong) == "middle"), out2.toString)
+  }
+
   test("thresholdApply keeps exactly the at-or-above-cutoff rows") {
     import spark.implicits._
     // 20 distinct 4-dp scores 0.0001..0.0020: p=0.1 -> rnk floor(.1*19)+1
