@@ -95,6 +95,62 @@ object Dsir {
         (col("log_w") >= col("threshold")).cast("int").as("keep"))
   }
 
+  /** Fitted importance model: dense per-bucket log-ratio (every bucket
+    * materialized, including never-observed ones — a serving-time token
+    * can hash anywhere) + the fit-corpus keep threshold. ~2 KB. */
+  final case class DsirModel(lr: Array[Double], threshold: Double) {
+    require(lr.length == DsirBuckets, s"model has ${lr.length} buckets")
+  }
+
+  /**
+   * Fit the importance model on a static corpus: collect the two
+   * bucket-count tables (≤ B rows each — the Bpe/QcModel driver-fit
+   * discipline, bounded by construction) and densify with the same
+   * add-1 smoothing the in-plan scorer uses; the keep threshold is the
+   * exact [[DsirKeepP]] quantile of the fit corpus's own weights.
+   */
+  def fit(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      keepP: Double = DsirKeepP): DsirModel = {
+    val tok = docs.select(targetPred.as("is_t"),
+        explode(graft.text.TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("is_t"), bucket(col("t")).as("b"))
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val tgt = tok.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val vnr = raw.values.sum.toDouble
+    val vnt = tgt.values.sum.toDouble
+    val lr = Array.tabulate(DsirBuckets) { b =>
+      math.log((tgt.getOrElse(b, 0L) + 1) / (vnt + DsirBuckets)) -
+        math.log((raw.getOrElse(b, 0L) + 1) / (vnr + DsirBuckets))
+    }
+    val thr = Quantiles.exactQuantiles(
+        dsirSelect(docs, idCol, textCol, targetPred, keepP)
+          .select(col("log_w")), "log_w", Seq(keepP))
+      .select("threshold").head().getDouble(0)
+    DsirModel(lr, thr)
+  }
+
+  /**
+   * MAP-ONLY scoring against a fitted model — the serving shape: the
+   * 256-double model rides the plan as a literal array and each doc
+   * folds its own token array (no explode, no shuffle, no join). This
+   * is what a streaming intake runs per micro-batch. Summation is in
+   * document order (deterministic), where the batch plan's partial agg
+   * is partition-ordered — the two agree to within one 4-dp floor step.
+   */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+      m: DsirModel): DataFrame = {
+    val arr = typedLit(m.lr.toSeq)
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      (floor(aggregate(toks, lit(0.0),
+        (acc, t) => acc + element_at(arr, bucket(t).cast("int") + 1)) * 10000) / 10000)
+        .as("dsir_w"))
+      .withColumn("dsir_keep", (col("dsir_w") >= m.threshold).cast("int"))
+  }
+
   def dsirSelectQuery(spark: SparkSession, sfDir: String): DataFrame =
     dsirSelect(Tables.documents(spark, sfDir), "doc_id", "text",
       col("lang") === DsirTargetLang)

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.Decontaminate
+import graft.operators.{Decontaminate, Dsir}
+import graft.operators.Dsir.DsirModel
 import graft.text.{Normalize, QualityClassifier, TextFilters}
 import graft.text.QualityClassifier.QcModel
 
@@ -34,7 +35,8 @@ object StreamingIntake {
    * text that would enter training).
    */
   def intakeBatch(docs: DataFrame, bench: DataFrame, n: Int,
-      model: Option[QcModel] = None): DataFrame = {
+      model: Option[QcModel] = None,
+      dsir: Option[DsirModel] = None): DataFrame = {
     val normed = docs.select(col("doc_id"),
       Normalize.normalize(col("text")).as("text"))
     val scrubbed = TextFilters.piiScrub(normed, "doc_id", "text")
@@ -46,9 +48,15 @@ object StreamingIntake {
       .join(contam.select("doc_id", "n_hits", "contaminated"), Seq("doc_id"))
     // trained-classifier verdict on the cleaned text (map-only plan;
     // the label column is meaningless at intake time and not emitted)
-    model.fold(verdicts) { m =>
+    val withQc = model.fold(verdicts) { m =>
       verdicts.join(QualityClassifier.score(clean, "doc_id", "text", lit(0), m)
         .select(col("doc_id"), col("pred").as("qc_pred")), Seq("doc_id"))
+    }
+    // DSIR importance verdict against a RESIDENT fitted model: the
+    // 256-double log-ratio array rides each batch plan as a literal,
+    // so the verdict is map-only per arrival batch (Dsir.scoreWith)
+    dsir.fold(withQc) { m =>
+      withQc.join(Dsir.scoreWith(clean, "doc_id", "text", m), Seq("doc_id"))
     }
   }
 
@@ -60,13 +68,14 @@ object StreamingIntake {
   def intakeStream(docs: DataFrame, bench: DataFrame, n: Int,
       outPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      model: Option[QcModel] = None): StreamingQuery =
+      model: Option[QcModel] = None,
+      dsir: Option[DsirModel] = None): StreamingQuery =
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          intakeBatch(batch, bench, n, model)
+          intakeBatch(batch, bench, n, model, dsir)
             .withColumn("batch_id", lit(batchId))
             .write
             .mode("overwrite")

@@ -90,4 +90,37 @@ class StreamingIntakeSpec extends SparkSpecBase {
       r.getAs[Int]("qc_pred") != (if (r.getAs[Long]("doc_id") % 3 != 0) 1 else 0))
     assert(wrong.toDouble / preds.length <= 0.05, s"$wrong/${preds.length} misclassified")
   }
+
+  test("DSIR-augmented intake: resident model scores each batch map-only, matching the batch selector") {
+    import graft.operators.Dsir
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val model = Dsir.fit(docs, "doc_id", "text", col("lang") === Dsir.DsirTargetLang)
+    val bench = docs.filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 17 =!= 0).select("doc_id", "text")
+    val in = tmp("ds_in"); val ckpt = tmp("ds_ckpt"); val out = tmp("ds_out")
+    train.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/batch=0")
+    train.filter(col("doc_id") >= 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/batch=1")
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/batch=*")
+    val q = StreamingIntake.intakeStream(stream.toDF(), bench, n = 5, out, ckpt,
+      Trigger.AvailableNow(), dsir = Some(model))
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    // streamed == batch twin exactly (both score via the literal model)
+    val batch = StreamingIntake.intakeBatch(train, bench, n = 5, dsir = Some(model))
+    assert(streamed.exceptAll(batch).count() == 0
+      && batch.exceptAll(streamed).count() == 0)
+    // the resident-model weights agree with the batch dsir_select
+    // in-plan weights to within one 4-dp floor step (the fold sums in
+    // document order, the batch partial agg in partition order), on
+    // the UNSCRUBBED text the batch entry reads
+    val served = Dsir.scoreWith(docs, "doc_id", "text", model)
+    val sel = Dsir.dsirSelect(docs, "doc_id", "text",
+      col("lang") === Dsir.DsirTargetLang)
+    val diff = served.join(sel, "doc_id")
+      .select(max(abs(col("dsir_w") - col("log_w")))).head().getDouble(0)
+    assert(diff <= 1e-4 + 1e-12, s"max weight divergence $diff")
+  }
 }
