@@ -27,7 +27,8 @@ object ExplainMain {
         // round 7
         "lm_score_trigram", "lm_score_5gram", "dedup_substring_apply", "url_filter",
         "doc_chunk", "split_overlap", "jsonl_roundtrip", "wet_roundtrip",
-        "quality_threshold", "perplexity_bucket", "dsir_select")) {
+        "quality_threshold", "perplexity_bucket", "dsir_select",
+        "dsir_sample", "tokenizer_fertility")) {
       println(s"===== $name =====")
       println(planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sf)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

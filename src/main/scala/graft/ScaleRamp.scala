@@ -126,7 +126,23 @@ object ScaleRamp {
       // train/eval semi-join
       "split_overlap" -> (() =>
         mat(graft.operators.SplitOverlap.splitOverlap(docs, "doc_id", "text",
-          Corpus.SplitSeed, Corpus.TrainFrac, Corpus.ValFrac))))
+          Corpus.SplitSeed, Corpus.TrainFrac, Corpus.ValFrac))),
+      // this-session additions: the 5-gram backoff LM (five n-gram
+      // vocab partial aggs + five merge joins over the gram stream —
+      // the heaviest text op by design), CCNet tertile bucketing
+      // (lm_score + two quantile thresholds), and DSIR selection
+      // (fixed-256-bucket model broadcast + per-doc partial agg)
+      "lm_score_5gram" -> (() =>
+        mat(graft.text.TextAnalysis.lmScore5gram(docs, "doc_id", "text",
+          Corpus.hashUniform(concat(lit(graft.text.TextAnalysis.Lm5Seed + ":"),
+            col("doc_id").cast("string"))) < graft.text.TextAnalysis.Lm5TrainFrac))),
+      "perplexity_bucket" -> (() =>
+        mat(graft.operators.Quantiles.perplexityBucket(
+          graft.text.TextAnalysis.lmScore(docs, "doc_id", "text"),
+          "doc_id", "lm_score"))),
+      "dsir_select" -> (() =>
+        mat(graft.operators.Dsir.dsirSelect(docs, "doc_id", "text",
+          col("lang") === graft.operators.Dsir.DsirTargetLang))))
 
     // warm-up at the smallest scale: JIT + codegen compile once
     ops(docsOf("/root/testdata/sf0.01")).foreach { case (_, f) => f() }

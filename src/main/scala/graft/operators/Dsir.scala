@@ -155,8 +155,47 @@ object Dsir {
     dsirSelect(Tables.documents(spark, sfDir), "doc_id", "text",
       col("lang") === DsirTargetLang)
 
-  val dsirSelectSql: String =
-    s"""WITH tok AS (
+  /** Seed for the resampling noise; 2⁻³² floors the uniform away from
+    * ln(0) (the one value [[Corpus.hashUniform]] can emit that the
+    * Gumbel transform cannot take). */
+  val DsirSampleSeed: String = "dsir1"
+  private val UFloor: Double = 2.3283064365386963e-10
+
+  /**
+   * The paper's actual RESAMPLING: keep by `log_w + Gumbel` instead of
+   * raw weight — Gumbel-perturbed selection draws a sample distributed
+   * AS the importance weights rather than a hard top slice, preserving
+   * diversity in the tail (Xie et al. 2023 §2; Gumbel-top-k). The
+   * noise is the closed-form inverse `g = −ln(−ln u)` over the
+   * repo's seeded sha-256 uniform, so the "random" draw is exactly
+   * reproducible on both engines and stable under re-runs — sampling
+   * you can audit. The perturbed key is floored to 4dp and cut at the
+   * [[DsirKeepP]] quantile through the same no-sort machinery.
+   */
+  def dsirSample(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      keepP: Double = DsirKeepP): DataFrame = {
+    val weighted = dsirSelect(docs, idCol, textCol, targetPred, keepP)
+      .select("doc_id", "log_w")
+    val u = greatest(Corpus.hashUniform(
+      concat(lit(DsirSampleSeed + ":"), col("doc_id").cast("string"))), lit(UFloor))
+    val keyed = weighted.select(col("doc_id"), col("log_w"),
+      (floor((col("log_w") - log(-log(u))) * 10000) / 10000).as("gumbel_key"))
+    val thr = Quantiles.exactQuantiles(keyed, "gumbel_key", Seq(keepP))
+      .select(col("threshold").as("gthr"))
+    keyed.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("log_w"), col("gumbel_key"),
+        (col("gumbel_key") >= col("gthr")).cast("int").as("keep"))
+  }
+
+  def dsirSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    dsirSample(Tables.documents(spark, sfDir), "doc_id", "text",
+      col("lang") === DsirTargetLang)
+
+  /** Shared oracle CTE prefix: token bucketing -> smoothed log-ratio
+    * model -> per-doc weights (the `s` table both verdicts cut). */
+  private def dsirScoreCtes: String =
+    s"""tok AS (
        |  SELECT doc_id, lang = '$DsirTargetLang' AS is_t,
        |    CAST(FLOOR(('0x' || substr(sha256(t), 1, 8))::UBIGINT
        |      / 4294967296.0 * $DsirBuckets) AS BIGINT) AS b
@@ -174,19 +213,40 @@ object Dsir {
        |s AS (
        |  SELECT doc_id, COUNT(*) AS n_tokens,
        |    FLOOR(SUM(lr) * 10000) / 10000 AS log_w
-       |  FROM tok JOIN lr USING (b) GROUP BY doc_id),
-       |b2 AS (SELECT CAST(ROUND(log_w * 10000) AS BIGINT) AS bkt FROM s),
+       |  FROM tok JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
+
+  /** Exact-quantile cut over `src`.`keyCol`, yielding one `thr` row
+    * (the Quantiles oracle machinery, parameterized). */
+  private def quantileThrCtes(src: String, keyCol: String, p: Double): String =
+    s"""b2 AS (SELECT CAST(ROUND($keyCol * 10000) AS BIGINT) AS bkt FROM $src),
        |g AS (SELECT bkt, COUNT(*) AS c FROM b2 GROUP BY bkt),
        |o AS (SELECT bkt, c,
        |        CAST(SUM(c) OVER (ORDER BY bkt) AS BIGINT) AS cum,
        |        CAST(SUM(c) OVER (ORDER BY bkt) - c AS BIGINT) AS cum_before
        |      FROM g),
        |nn AS (SELECT SUM(c) AS n FROM g),
-       |r AS (SELECT CAST(FLOOR($DsirKeepP * (n - 1)) AS BIGINT) + 1 AS rnk FROM nn),
+       |r AS (SELECT CAST(FLOOR($p * (n - 1)) AS BIGINT) + 1 AS rnk FROM nn),
        |thr AS (
        |  SELECT o.bkt / 10000.0 AS threshold
-       |  FROM r JOIN o ON r.rnk > o.cum_before AND r.rnk <= o.cum)
+       |  FROM r JOIN o ON r.rnk > o.cum_before AND r.rnk <= o.cum)""".stripMargin
+
+  val dsirSelectSql: String =
+    s"""WITH $dsirScoreCtes,
+       |${quantileThrCtes("s", "log_w", DsirKeepP)}
        |SELECT s.doc_id, s.n_tokens, s.log_w,
        |  CAST(s.log_w >= thr.threshold AS INTEGER) AS keep
        |FROM s, thr""".stripMargin
+
+  val dsirSampleSql: String =
+    s"""WITH $dsirScoreCtes,
+       |keyed AS (
+       |  SELECT doc_id, log_w,
+       |    FLOOR((log_w - ln(-ln(GREATEST(
+       |      ('0x' || substr(sha256('$DsirSampleSeed:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |        / 4294967296.0, $UFloor)))) * 10000) / 10000 AS gumbel_key
+       |  FROM s),
+       |${quantileThrCtes("keyed", "gumbel_key", DsirKeepP)}
+       |SELECT keyed.doc_id, keyed.log_w, keyed.gumbel_key,
+       |  CAST(keyed.gumbel_key >= thr.threshold AS INTEGER) AS keep
+       |FROM keyed, thr""".stripMargin
 }

@@ -220,6 +220,67 @@ object Bpe {
        |s AS (SELECT w.doc_id, SUM(v.n_sub) AS t FROM w JOIN v USING (word) GROUP BY w.doc_id)
        |SELECT d.doc_id, CAST(COALESCE(s.t, 0) AS INTEGER) AS bpe_tokens
        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+
+  /**
+   * Per-language tokenizer FERTILITY report: subwords per whitespace
+   * word and characters per subword, by `lang` — the
+   * tokenizer-equity/compression signal (a tokenizer fitted on
+   * English-heavy data segments other languages into more, shorter
+   * pieces, inflating their effective training cost and context use;
+   * the standard multilingual-pipeline diagnostic). Complements
+   * `corpus_stats` (volume shares) with HOW MANY MODEL TOKENS each
+   * language's text actually turns into under the active tokenizer
+   * ([[modelFor]]: corpus-fit by default, published vocab via
+   * `bpe.vocabPath`).
+   *
+   * Scale: one map-only pass computing the three per-doc counts (the
+   * codegen'd [[bpe_count]] expression + two length arithmetics —
+   * no token arrays materialized) into a partial agg over the
+   * langs-sized cell table. Sums are BIGINT on both engines (SURVEY
+   * §5 count doctrine); ratios derive from the summed BIGINTs with
+   * identical literal order, floored 4dp.
+   */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = ensureVocabExported(spark, sfDir)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("nc"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .cast("long").as("ws"),
+        bpe_count(col("text"), model).cast("long").as("bt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum("nc").as("chars_sum"),
+        sum("ws").as("ws_tokens_sum"),
+        sum("bt").as("bpe_tokens_sum"))
+      .select(col("lang"), col("docs"), col("chars_sum"),
+        col("ws_tokens_sum"), col("bpe_tokens_sum"),
+        (floor(col("bpe_tokens_sum") / col("ws_tokens_sum") * 10000) / 10000)
+          .as("fertility"),
+        (floor(col("chars_sum") / col("bpe_tokens_sum") * 10000) / 10000)
+          .as("chars_per_token"))
+  }
+
+  def tokenizerFertilitySql: String =
+    s"""WITH v AS (SELECT * FROM read_parquet('$VocabExportPath/*.parquet')),
+       |w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '${TextAnalysis.BpeishPattern}')) AS word
+       |      FROM documents),
+       |bt AS (SELECT w.doc_id, SUM(v.n_sub) AS t FROM w JOIN v USING (word) GROUP BY w.doc_id),
+       |d AS (SELECT doc_id, lang,
+       |        CAST(len(text) AS BIGINT) AS nc,
+       |        CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS ws
+       |      FROM documents),
+       |g AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+       |    CAST(SUM(d.nc) AS BIGINT) AS chars_sum,
+       |    CAST(SUM(d.ws) AS BIGINT) AS ws_tokens_sum,
+       |    CAST(SUM(COALESCE(bt.t, 0)) AS BIGINT) AS bpe_tokens_sum
+       |  FROM d LEFT JOIN bt ON d.doc_id = bt.doc_id
+       |  GROUP BY lang)
+       |SELECT lang, docs, chars_sum, ws_tokens_sum, bpe_tokens_sum,
+       |  FLOOR(bpe_tokens_sum / ws_tokens_sum * 10000) / 10000 AS fertility,
+       |  FLOOR(chars_sum / bpe_tokens_sum * 10000) / 10000 AS chars_per_token
+       |FROM g""".stripMargin
 }
 
 /** Executor-side merge table: rank lookup, the per-word merge loop's

@@ -114,6 +114,31 @@ class BpeSpec extends SparkSpecBase {
     assert(dflt.merges.toSeq == Bpe.fitFor(spark, sf).merges.toSeq)
   }
 
+  test("tokenizer_fertility: per-lang cells equal brute per-doc recomputation") {
+    val out = Bpe.tokenizerFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    // brute twin: per-doc counts via the already-spec'd entry plans
+    val perDoc = Tables.documents(spark, sf)
+      .join(Bpe.tokenCountBpe(spark, sf), "doc_id")
+      .select(col("lang"), length(col("text")).cast("long").as("nc"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .cast("long").as("ws"),
+        col("bpe_tokens").cast("long").as("bt"))
+      .collect().groupBy(_.getString(0))
+    assert(out.keySet == perDoc.keySet)
+    def trunc(x: Double) = math.floor(x * 10000) / 10000
+    perDoc.foreach { case (lang, rows) =>
+      val (docs, nc, ws, bt) = (rows.length.toLong, rows.map(_.getLong(1)).sum,
+        rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+      assert(out(lang) == ((docs, nc, ws, bt,
+        trunc(bt.toDouble / ws), trunc(nc.toDouble / bt))), s"$lang: ${out(lang)}")
+    }
+    // fertility must be a genuine subword signal: >= 1 everywhere
+    // (a word is at least one subword)
+    assert(out.values.forall(_._5 >= 1.0), out.toString)
+  }
+
   test("seq_pack with the bpe counter matches its windowed twin and repacks vs whitespace") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("text"))

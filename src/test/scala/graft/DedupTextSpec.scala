@@ -262,6 +262,36 @@ class DedupTextSpec extends SparkSpecBase {
     assert(got(0L) == ((6L, trunc(math.log(0.5) / 6))), got.toString)
   }
 
+  test("lm_score_5gram properties: nonpositive scores, exact position counts, determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // seeded random corpus over a tiny vocab: heavy gram collisions,
+    // every backoff level reachable
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "zz")
+    val docs = (0 until 120).map { i =>
+      val len = 1 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val run1 = TextAnalysis.lmScore5gram(df, "doc_id", "text", col("doc_id") % 3 =!= 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lens = docs.map { case (id, t) => id -> t.split(" ").length }.toMap
+    docs.foreach { case (id, _) =>
+      val (n, s) = run1(id)
+      // a doc scores one position per 5-token window, nothing else
+      assert(n == math.max(lens(id) - 4, 0), s"doc $id")
+      // stupid backoff is a sub-probability: every level's ratio <= 1
+      // (each k-gram occurrence embeds its prefix) discounted by
+      // alpha^k <= 1, so ln S <= 0; sentinel docs report exactly 0
+      assert(s <= 0.0, s"doc $id score $s")
+      if (n == 0) assert(s == 0.0, s"sentinel doc $id")
+    }
+    val run2 = TextAnalysis.lmScore5gram(df, "doc_id", "text", col("doc_id") % 3 =!= 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(run1 == run2, "nondeterministic scores")
+  }
+
   test("winnow fingerprints: deterministic, shift-tolerant overlap") {
     val t1 = UTF8String.fromString("the quick brown fox jumps over the lazy dog again and again today")
     val t2 = UTF8String.fromString("PREFIX added the quick brown fox jumps over the lazy dog again and again today")

@@ -33,6 +33,27 @@ class DsirSpec extends SparkSpecBase {
     assert((11 to 40).forall(i => out(i.toLong)._2 == 0), out.toString)
   }
 
+  test("gumbel resampling: keep set is the exact perturbed-key quantile, reproducible") {
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "tgt", "tq1 tq2 tq3 tq4")) ++
+      (11 to 40).map(i => (i.toLong, "raw", "rq1 rq2 rq3 rq4")) ++
+      (41 to 50).map(i => (i.toLong, "raw", "tq1 tq2 rq1 rq2"))
+    ).toDF("doc_id", "grp", "text")
+    val rows = Dsir.dsirSample(docs, "doc_id", "text", col("grp") === "tgt")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    // replay the verdict rule from the emitted keys: rank 37 of 50
+    // (p = 0.75) is the threshold, keep iff key >= it
+    val thr = rows.map(_._2).sorted.apply(36)
+    rows.foreach { case (id, key, keep) =>
+      assert(keep == (if (key >= thr) 1 else 0), s"doc $id")
+    }
+    assert(rows.count(_._3 == 1) >= 14, "at least n - rnk + 1 kept")
+    // seeded noise: the draw is exactly reproducible
+    val again = Dsir.dsirSample(docs, "doc_id", "text", col("grp") === "tgt")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("importance weights are the hand-computed smoothed bag ratio") {
     // one target doc "a", one raw doc "b": buckets b(a) != b(b) almost
     // surely in 256 buckets for these two literals (fixed hash — check
