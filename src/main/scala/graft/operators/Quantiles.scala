@@ -38,15 +38,26 @@ object Quantiles {
    * follow) so the bucket map is exact.
    */
   def exactQuantiles(scores: DataFrame, scoreCol: String,
-      ps: Seq[Double] = DefaultPs): DataFrame = {
-    val spark = scores.sparkSession
-    // round, not truncate: k/1e4 stored as double sits within 1 ulp of
-    // k·1e-4, and cast-to-long truncation toward zero would misbucket
-    // every negative score
-    val bucketed = scores
-      .select(round(col(scoreCol) * 10000).cast("long").as("bkt"))
+      ps: Seq[Double] = DefaultPs): DataFrame =
+    fromBuckets(bucketize(scores, scoreCol), ps)
+
+  /** The one corpus-sized pass: exact integer score buckets -> (bkt,
+    * count). Round, not truncate: k/1e4 stored as double sits within
+    * 1 ulp of k·1e-4, and cast-to-long truncation toward zero would
+    * misbucket every negative score. */
+  def bucketize(scores: DataFrame, scoreCol: String): DataFrame =
+    scores.select(round(col(scoreCol) * 10000).cast("long").as("bkt"))
       .groupBy("bkt").agg(count(lit(1)).as("c"))
-    // tiny table from here on (bounded by score range, not corpus)
+
+  /**
+   * Quantiles from an already-aggregated (bkt, c) table — tiny from
+   * here on (bounded by score range, not corpus). Split out so the
+   * STREAMING twin can maintain the bucket table as complete-mode
+   * state and re-derive thresholds per trigger
+   * ([[graft.streaming.StreamingQuantiles]]).
+   */
+  def fromBuckets(bucketed: DataFrame, ps: Seq[Double] = DefaultPs): DataFrame = {
+    val spark = bucketed.sparkSession
     val w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
     val cum = bucketed.withColumn("cum", sum(col("c")).over(w))
     // n derives IN-PLAN from the same bucketed subtree (its shuffle is

@@ -38,4 +38,29 @@ class StreamingStatsSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).count() == 0
       && batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streamed exact quantiles equal a batch pass over all arrivals, bit for bit") {
+    import graft.operators.{Dsir, Quantiles}
+    import graft.streaming.StreamingQuantiles
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    // resident map-only scorer (the intake composition): DSIR weights
+    val model = Dsir.fit(docs, "doc_id", "text", col("lang") === Dsir.DsirTargetLang)
+    val in = tmp("q_in"); val ckpt = tmp("q_ckpt"); val out = tmp("q_out")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/batch=0")
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/batch=1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/batch=*")
+    val q = StreamingQuantiles.quantileStream(
+      Dsir.scoreWith(stream.toDF(), "doc_id", "text", model), "dsir_w",
+      Quantiles.DefaultPs, out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+    val batch = Quantiles.exactQuantiles(
+      Dsir.scoreWith(docs, "doc_id", "text", model), "dsir_w")
+    assert(streamed.count() == Quantiles.DefaultPs.size.toLong)
+    assert(streamed.exceptAll(batch).count() == 0
+      && batch.exceptAll(streamed).count() == 0)
+  }
 }
