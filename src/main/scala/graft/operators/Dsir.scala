@@ -71,7 +71,10 @@ object Dsir {
     val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
     val tgt = tok.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
     val nr = raw.agg(sum("cr").as("vnr"))
-    val nt = tgt.agg(sum("ct").as("vnt"))
+    // an EMPTY target set degrades to the pure add-1 prior (uniform
+    // target model, every bucket 1/B) instead of a silent all-null
+    // weight column: the verdict table still has one row per doc
+    val nt = tgt.agg(coalesce(sum("ct"), lit(0L)).as("vnt"))
     // the importance model: per observed bucket, ln p̂_t − ln p̂_r with
     // add-1 smoothing (identical term order on both engines). Every
     // scored token's bucket is in `raw` by construction, so a LEFT
@@ -204,7 +207,7 @@ object Dsir {
        |raw AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b),
        |tgt AS (SELECT b, COUNT(*) AS ct FROM tok WHERE is_t GROUP BY b),
        |nr AS (SELECT SUM(cr) AS vnr FROM raw),
-       |nt AS (SELECT SUM(ct) AS vnt FROM tgt),
+       |nt AS (SELECT COALESCE(SUM(ct), 0) AS vnt FROM tgt),
        |lr AS (
        |  SELECT raw.b,
        |    ln((COALESCE(tgt.ct, 0) + 1) / (nt.vnt + ${DsirBuckets}.0)) -

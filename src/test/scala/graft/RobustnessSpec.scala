@@ -76,6 +76,28 @@ class RobustnessSpec extends SparkSpecBase {
       .count() == 1) // the single pair
   }
 
+  test("dsir with an empty target set degrades to the uniform prior, one verdict per doc") {
+    import graft.operators.Dsir
+    import org.apache.spark.sql.functions.col
+    val docs = docsOf((1L, "aa bb"), (2L, "cc dd"), (3L, "aa cc"))
+    val out = Dsir.dsirSelect(docs, "doc_id", "text", org.apache.spark.sql.functions.lit(false))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every doc gets a finite weight (target model = pure add-1 prior)
+    assert(out.size == 3, out.toString)
+    assert(out.values.forall(w => !w.isNaN && !w.isInfinite), out.toString)
+  }
+
+  test("lm_score_5gram with an empty train band reports the 0.0 sentinel everywhere") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = docsOf((1L, "a b c d e f"), (2L, "x"))
+    val out = TextAnalysis.lmScore5gram(docs, "doc_id", "text", lit(false))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // no training evidence: position counts are still exact, scores
+    // fall to the sentinel rather than crashing or emitting NaN
+    assert(out(1L) == ((2L, 0.0)), out.toString)
+    assert(out(2L) == ((0L, 0.0)), out.toString)
+  }
+
   test("token decrypt under the wrong key version fails loudly, not silently") {
     val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
     val queries = emb.filter(col("vec_id") < 2)
