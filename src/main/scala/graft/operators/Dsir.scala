@@ -63,6 +63,21 @@ object Dsir {
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column,
       keepP: Double = DsirKeepP): DataFrame = {
+    val scored = dsirScores(docs, idCol, textCol, targetPred)
+    // the quantile cut rides back as ONE broadcast row (the
+    // thresholdApply shape, inlined to keep n_tokens in the verdict)
+    val thr = Quantiles.exactQuantiles(scored, "log_w", Seq(keepP))
+      .select("threshold")
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tokens"), col("log_w"),
+        (col("log_w") >= col("threshold")).cast("int").as("keep"))
+  }
+
+  /** The shared scoring stage: one weight row per doc, no verdict —
+    * both cuts ([[dsirSelect]], [[dsirSample]]) build on this, so
+    * neither pays the other's quantile pass. */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
         explode(graft.text.TextAnalysis.tokens(col(textCol))).as("t"))
       .select(col("doc_id"), col("is_t"), bucket(col("t")).as("b"))
@@ -89,13 +104,7 @@ object Dsir {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         (floor(sum(col("lr")) * 10000) / 10000).as("log_w"))
-    // the quantile cut rides back as ONE broadcast row (the
-    // thresholdApply shape, inlined to keep n_tokens in the verdict)
-    val thr = Quantiles.exactQuantiles(scored, "log_w", Seq(keepP))
-      .select("threshold")
-    scored.crossJoin(broadcast(thr))
-      .select(col("doc_id"), col("n_tokens"), col("log_w"),
-        (col("log_w") >= col("threshold")).cast("int").as("keep"))
+    scored
   }
 
   /** Fitted importance model: dense per-bucket log-ratio (every bucket
@@ -129,7 +138,7 @@ object Dsir {
         math.log((raw.getOrElse(b, 0L) + 1) / (vnr + DsirBuckets))
     }
     val thr = Quantiles.exactQuantiles(
-        dsirSelect(docs, idCol, textCol, targetPred, keepP)
+        dsirScores(docs, idCol, textCol, targetPred)
           .select(col("log_w")), "log_w", Seq(keepP))
       .select("threshold").head().getDouble(0)
     DsirModel(lr, thr)
@@ -178,7 +187,7 @@ object Dsir {
   def dsirSample(docs: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column,
       keepP: Double = DsirKeepP): DataFrame = {
-    val weighted = dsirSelect(docs, idCol, textCol, targetPred, keepP)
+    val weighted = dsirScores(docs, idCol, textCol, targetPred)
       .select("doc_id", "log_w")
     val u = greatest(Corpus.hashUniform(
       concat(lit(DsirSampleSeed + ":"), col("doc_id").cast("string"))), lit(UFloor))
