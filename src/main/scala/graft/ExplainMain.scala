@@ -28,7 +28,7 @@ object ExplainMain {
         "lm_score_trigram", "lm_score_5gram", "dedup_substring_apply", "url_filter",
         "doc_chunk", "split_overlap", "jsonl_roundtrip", "wet_roundtrip",
         "quality_threshold", "perplexity_bucket", "dsir_select",
-        "dsir_sample", "tokenizer_fertility")) {
+        "dsir_sample", "tokenizer_fertility", "corpus_curate")) {
       println(s"===== $name =====")
       println(planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sf)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{Normalize, TextAnalysis, TextFilters}
+
+/**
+ * The END-TO-END curation funnel: normalize → PII scrub → Gopher
+ * quality rules → Gopher repetition rules → benchmark n-gram
+ * decontamination → LM-score tail cut, composed from the library's
+ * individually hash-verified stages into ONE per-document verdict —
+ * `(doc_id, verdict, keep)` where `verdict` is the FIRST stage that
+ * dropped the document (the pipeline-level first-failed-rule
+ * discipline) or `keep`. This is the "run my whole cleaning pass"
+ * call a pipeline owner actually makes, and the whole chain is
+ * DuckDB-replayed as one oracle — every stage boundary, not just each
+ * stage, is hash-checked.
+ *
+ * Stage order is fixed and semantic: transforms first (normalize,
+ * scrub — they never drop), then per-doc rules cheapest-first
+ * (quality, repetition — map-only), then the benchmark join
+ * (broadcast bench side), and LAST the model-based cut, whose LM is
+ * fitted on — and whose threshold quantile is taken over — the
+ * SURVIVORS of every earlier stage (scoring the cleaned corpus, the
+ * CCNet ordering; dropping the worst decile of garbage you already
+ * removed would be double-counting).
+ *
+ * Scale posture: stages 1-4 are map-only signal chains; the
+ * decontamination shuffle is the per-doc hit count with the bench
+ * gram set broadcast (eval suites are MBs by construction — the
+ * [[Decontaminate.decontaminateQuery]] demo-scale caveat applies to
+ * this entry's in-query bench carve too); the LM pass is the lm_score
+ * two-partial-agg shape over survivors plus the no-sort quantile cut
+ * riding back as one broadcast row. No corpus-sized sort or window.
+ */
+object Curate {
+
+  /** Drop the worst decile of survivors by LM score. */
+  val CurateLmP: Double = 0.1
+
+  /** Normalize + scrub: the transform prefix every signal reads. */
+  private def cleanChain(df: DataFrame): DataFrame = {
+    val normed = df.select(col("doc_id"), Normalize.normalize(col("text")).as("text"))
+    TextFilters.piiScrub(normed, "doc_id", "text")
+      .select(col("doc_id"), col("text_clean").as("text"))
+  }
+
+  /**
+   * One verdict row per training document over any (doc_id, text)
+   * corpus + benchmark pair.
+   */
+  def curate(train: DataFrame, bench: DataFrame): DataFrame = {
+    val clean = cleanChain(train)
+    val benchClean = cleanChain(bench)
+    val q = TextFilters.qualityFilter(clean, "doc_id", "text")
+      .select(col("doc_id"), col("fail_reason").as("q_reason"))
+    val r = TextAnalysis.repetitionFilter(clean, "doc_id", "text")
+      .select(col("doc_id"), col("fail_reason").as("r_reason"))
+    val d = Decontaminate.decontaminate(clean, benchClean, "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("contaminated"))
+    val v1 = clean.join(q, "doc_id").join(r, "doc_id").join(d, "doc_id")
+      .select(col("doc_id"), col("text"),
+        when(col("q_reason") =!= "ok", col("q_reason"))
+          .when(col("r_reason") =!= "ok", col("r_reason"))
+          .when(col("contaminated") === 1, "contaminated")
+          .otherwise("ok").as("v1"))
+    val surv = v1.filter(col("v1") === "ok").select("doc_id", "text")
+    val scored = TextAnalysis.lmScore(surv, "doc_id", "text")
+    val thr = Quantiles.exactQuantiles(scored, "lm_score", Seq(CurateLmP))
+      .select("threshold")
+    val lmVerdict = scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"),
+        when(col("lm_score") < col("threshold"), "lm_tail")
+          .otherwise("keep").as("v2"))
+    v1.join(lmVerdict, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("v1") =!= "ok", col("v1")).otherwise(col("v2")).as("verdict"))
+      .withColumn("keep", (col("verdict") === "keep").cast("int"))
+  }
+
+  /** Bench = doc_id ≡ 0 (mod 17), leaks planted per the
+    * [[Decontaminate.decontaminateQuery]] construction, so the
+    * contamination stage has ground truth. */
+  def corpusCurateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val prefix6 = concat_ws(" ", slice(split(col("text"), " "), 1, 6))
+    val planted = docs.filter(col("doc_id") % 17 =!= 0).as("t")
+      .join(broadcast(bench.select((col("doc_id") / 17).cast("long").as("b3"),
+        prefix6.as("p6"))), (col("doc_id") % 3) === col("b3"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 23 === 5 && col("p6").isNotNull,
+          concat(col("text"), lit(" "), col("p6"))).otherwise(col("text")).as("text"))
+    curate(planted, bench)
+  }
+
+  val corpusCurateSql: String = {
+    val ctrl = Normalize.CtrlRe
+    val email = TextFilters.EmailRe
+    val phone = TextFilters.PhoneRe
+    val ip = TextFilters.Ipv4Re
+    // normalize + scrub as one expression chain over a text column
+    def clean(t: String): String =
+      s"""regexp_replace(regexp_replace(regexp_replace(
+         |      trim(regexp_replace(regexp_replace(nfc_normalize($t),
+         |        '$ctrl', ' ', 'g'), '\\s+', ' ', 'g')),
+         |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')"""
+    val gram5 =
+      """list_distinct(CASE WHEN len(toks) >= 5 THEN
+        |        list_transform(range(1, len(toks) - 3),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+        |      ELSE [array_to_string(toks, ' ')] END)"""
+    s"""WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+       |planted AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN t.doc_id % 23 = 5 AND b.doc_id IS NOT NULL
+       |         THEN t.text || ' ' ||
+       |              array_to_string(string_split(b.text, ' ')[1:6], ' ')
+       |         ELSE t.text END AS text
+       |  FROM documents t LEFT JOIN bench0 b ON b.doc_id = (t.doc_id % 3) * 17
+       |  WHERE t.doc_id % 17 <> 0),
+       |cn AS (SELECT doc_id, ${clean("text")} AS text FROM planted),
+       |bn AS (SELECT doc_id, ${clean("text")} AS text FROM bench0),
+       |t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM cn),
+       |qs AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS INTEGER) AS n_tokens,
+       |    FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1)) * 10000) / 10000 AS dup_token_frac,
+       |    FLOOR(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+       |          / GREATEST(len(toks), 1) * 10000) / 10000 AS avg_token_len,
+       |    FLOOR(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+       |          / GREATEST(len(toks), 1) * 10000) / 10000 AS stopword_ratio,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+       |  FROM t),
+       |vq AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < 20 THEN 'too_short'
+       |         WHEN dup_token_frac > 0.65 THEN 'repetitive'
+       |         WHEN stopword_ratio <= 0.0 THEN 'no_stopwords'
+       |         WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 'word_length'
+       |         ELSE 'ok' END AS q_reason,
+       |    CASE WHEN dup_token_frac > ${TextAnalysis.RepDupTokenMax} THEN 'dup_tokens'
+       |         WHEN n_tokens >= 2 AND
+       |           FLOOR(CAST(list_max(list_transform(list_distinct(grams),
+       |                   g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
+       |                 / len(grams) * 10000) / 10000 > ${TextAnalysis.RepTopBigramMax}
+       |           THEN 'top_bigram'
+       |         ELSE 'ok' END AS r_reason
+       |  FROM qs),
+       |gr AS (SELECT doc_id, $gram5 AS gs FROM t),
+       |bg AS (
+       |  SELECT DISTINCT unnest($gram5) AS g
+       |  FROM (SELECT string_split(lower(text), ' ') AS toks FROM bn)),
+       |ex AS (SELECT doc_id, unnest(gs) AS g FROM gr),
+       |hits AS (
+       |  SELECT e.doc_id, COUNT(b.g) AS n_hits
+       |  FROM ex e LEFT JOIN bg b USING (g) GROUP BY e.doc_id),
+       |v1 AS (
+       |  SELECT t.doc_id, t.text,
+       |    CASE WHEN vq.q_reason <> 'ok' THEN vq.q_reason
+       |         WHEN vq.r_reason <> 'ok' THEN vq.r_reason
+       |         WHEN hits.n_hits > 0 THEN 'contaminated'
+       |         ELSE 'ok' END AS v1
+       |  FROM t JOIN vq ON t.doc_id = vq.doc_id
+       |  JOIN hits ON t.doc_id = hits.doc_id),
+       |surv AS (SELECT doc_id, text FROM v1 WHERE v1 = 'ok'),
+       |tok2 AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk FROM surv),
+       |freq AS (SELECT tk, COUNT(*) AS c FROM tok2 GROUP BY tk),
+       |tot AS (SELECT SUM(c) AS n FROM freq),
+       |s AS (
+       |  SELECT doc_id, FLOOR(AVG(ln(c / n)) * 10000) / 10000 AS lm_score
+       |  FROM tok2 JOIN freq USING (tk), tot GROUP BY doc_id),
+       |b2 AS (SELECT CAST(ROUND(lm_score * 10000) AS BIGINT) AS bkt FROM s),
+       |g2 AS (SELECT bkt, COUNT(*) AS c FROM b2 GROUP BY bkt),
+       |o AS (SELECT bkt, c,
+       |        CAST(SUM(c) OVER (ORDER BY bkt) AS BIGINT) AS cum,
+       |        CAST(SUM(c) OVER (ORDER BY bkt) - c AS BIGINT) AS cum_before
+       |      FROM g2),
+       |nn AS (SELECT SUM(c) AS n FROM g2),
+       |rk AS (SELECT CAST(FLOOR($CurateLmP * (n - 1)) AS BIGINT) + 1 AS rnk FROM nn),
+       |thr AS (
+       |  SELECT o.bkt / 10000.0 AS threshold
+       |  FROM rk JOIN o ON rk.rnk > o.cum_before AND rk.rnk <= o.cum),
+       |v2 AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN s.lm_score < thr.threshold THEN 'lm_tail' ELSE 'keep' END AS v2
+       |  FROM s, thr),
+       |fin AS (
+       |  SELECT v1.doc_id,
+       |    CASE WHEN v1.v1 <> 'ok' THEN v1.v1 ELSE v2.v2 END AS verdict
+       |  FROM v1 LEFT JOIN v2 ON v1.doc_id = v2.doc_id)
+       |SELECT doc_id, verdict,
+       |  CAST(verdict = 'keep' AS INTEGER) AS keep
+       |FROM fin""".stripMargin
+  }
+}
