@@ -34,6 +34,12 @@ import graft.text.{Normalize, TextAnalysis, TextFilters}
  * this entry's in-query bench carve too); the LM pass is the lm_score
  * two-partial-agg shape over survivors plus the no-sort quantile cut
  * riding back as one broadcast row. No corpus-sized sort or window.
+ *
+ * As a single self-contained plan, the normalize+scrub regex prefix
+ * re-evaluates once per signal branch (~1.7× the summed stage costs
+ * at sf0.1); a production pipeline MATERIALIZES the cleaned text
+ * once (the [[graft.streaming.StreamingIntake]] sink is exactly
+ * that) and runs the verdict stages over the materialized table.
  */
 object Curate {
 

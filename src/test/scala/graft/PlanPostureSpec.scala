@@ -205,6 +205,12 @@ class PlanPostureSpec extends SparkSpecBase {
     // the only shuffle is the per-URL owner partial agg (hash), never a sort
     assert(pu.contains("hashpartitioning") && !pu.contains("rangepartitioning"),
       s"url_filter must hash-partition on the url key:\n$pu")
+    // the funnel: six composed stages, still no cartesian anywhere
+    // and no corpus global sort (the LM cut is the no-sort quantile)
+    val pc = plan("corpus_curate")
+    assert(!pc.contains("CartesianProduct"), s"corpus_curate:\n$pc")
+    assert(!pc.contains("rangepartitioning"),
+      s"corpus_curate must not globally sort:\n$pc")
     // dsir: the fixed-B importance model must BROADCAST into the token
     // stream (it is <= 256 rows at any corpus size — the one table in
     // the text stack where broadcast is the provably-safe choice), and
