@@ -146,6 +146,25 @@ final case class UrlConfig(
     s"url.lowQualityTlds entries must start with '.', got $lowQualityTlds")
 }
 
+/** DSIR importance selection ([[graft.operators.Dsir]]): hashed-bag
+  * model buckets (fixed model size — the paper uses 10k in
+  * production), the keep quantile, and the target-distribution
+  * language proxy. */
+final case class DsirConfig(buckets: Int = 256, keepP: Double = 0.75,
+    targetLang: String = "en") {
+  require(buckets > 0 && buckets <= (1 << 20),
+    s"dsir.buckets out of range: $buckets")
+  require(keepP > 0 && keepP < 1, s"dsir.keepP must be in (0,1): $keepP")
+}
+
+/** 5-gram stupid-backoff LM ([[graft.text.TextAnalysis.lmScore5gram]]):
+  * the hash-band fraction the count tables train on. α stays the
+  * Brants paper constant (like BM25's k1/b). */
+final case class Lm5Config(trainFrac: Double = 0.7) {
+  require(trainFrac > 0 && trainFrac < 1,
+    s"lm5.trainFrac must be in (0,1): $trainFrac")
+}
+
 final case class GraftConfig(
     lsh: LshParams = LshParams(),
     stabilization: StabilizationConfig = StabilizationConfig(),
@@ -162,7 +181,9 @@ final case class GraftConfig(
     bpe: BpeConfig = BpeConfig(),
     semdedup: SemDedupConfig = SemDedupConfig(),
     chunk: ChunkConfig = ChunkConfig(),
-    url: UrlConfig = UrlConfig())
+    url: UrlConfig = UrlConfig(),
+    dsir: DsirConfig = DsirConfig(),
+    lm5: Lm5Config = Lm5Config())
 
 object GraftConfig {
 
@@ -315,6 +336,12 @@ object GraftConfig {
         stride = i(n.path("chunk"), "stride", d.chunk.stride)),
       url = UrlConfig(
         blockedDomains = sl(n.path("url"), "blockedDomains", d.url.blockedDomains),
-        lowQualityTlds = sl(n.path("url"), "lowQualityTlds", d.url.lowQualityTlds)))
+        lowQualityTlds = sl(n.path("url"), "lowQualityTlds", d.url.lowQualityTlds)),
+      dsir = DsirConfig(
+        buckets = i(n.path("dsir"), "buckets", d.dsir.buckets),
+        keepP = dbl(n.path("dsir"), "keepP", d.dsir.keepP),
+        targetLang = s(n.path("dsir"), "targetLang", d.dsir.targetLang)),
+      lm5 = Lm5Config(
+        trainFrac = dbl(n.path("lm5"), "trainFrac", d.lm5.trainFrac)))
   }
 }

@@ -40,17 +40,18 @@ import graft.Tables
 object Dsir {
 
   /** Hashed-feature buckets (fixed model size; the paper uses 10k for
-    * production corpora — 256 keeps the demo fixtures readable and the
-    * plan shape identical). */
-  val DsirBuckets: Int = 256
+    * production corpora — the 256 default keeps the demo fixtures
+    * readable and the plan shape identical). Config-backed
+    * (`dsir.buckets` etc.), the Chunking/UrlFilter discipline. */
+  def DsirBuckets: Int = graft.config.GraftConfig.active.dsir.buckets
 
-  /** Keep the top quarter by importance weight. */
-  val DsirKeepP: Double = 0.75
+  /** Keep quantile (default: the top quarter by importance weight). */
+  def DsirKeepP: Double = graft.config.GraftConfig.active.dsir.keepP
 
   /** The target language: `lang = 'en'` is the stand-in "trusted
     * high-quality distribution" (the same proxy the quality classifier
     * trains against — in production this is Wikipedia/books). */
-  val DsirTargetLang: String = "en"
+  def DsirTargetLang: String = graft.config.GraftConfig.active.dsir.targetLang
 
   private def bucket(tok: org.apache.spark.sql.Column) =
     floor(Corpus.hashUniform(tok) * DsirBuckets).cast("long")
@@ -242,14 +243,14 @@ object Dsir {
        |  SELECT o.bkt / 10000.0 AS threshold
        |  FROM r JOIN o ON r.rnk > o.cum_before AND r.rnk <= o.cum)""".stripMargin
 
-  val dsirSelectSql: String =
+  def dsirSelectSql: String =
     s"""WITH $dsirScoreCtes,
        |${quantileThrCtes("s", "log_w", DsirKeepP)}
        |SELECT s.doc_id, s.n_tokens, s.log_w,
        |  CAST(s.log_w >= thr.threshold AS INTEGER) AS keep
        |FROM s, thr""".stripMargin
 
-  val dsirSampleSql: String =
+  def dsirSampleSql: String =
     s"""WITH $dsirScoreCtes,
        |keyed AS (
        |  SELECT doc_id, log_w,

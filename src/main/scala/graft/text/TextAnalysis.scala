@@ -387,7 +387,8 @@ object TextAnalysis {
     * is its own training set never backs off: every gram has count
     * >= 1, which is why [[lmScoreTrigram]] interpolates instead). */
   val Lm5Seed: String = "lm5band"
-  val Lm5TrainFrac: Double = 0.7
+  /** Config-backed (`lm5.trainFrac`); default 0.7. */
+  def Lm5TrainFrac: Double = graft.config.GraftConfig.active.lm5.trainFrac
 
   /**
    * 5-gram stupid-backoff surprisal — the target rung of the n-gram
@@ -513,7 +514,7 @@ object TextAnalysis {
   /** DuckDB twin: string grams (counts agree with the hashed keys
     * modulo a 64-bit collision), train band replayed via the shared
     * sha-256 uniform, gram + prefix extracted as ZIPPED unnests. */
-  val lmScore5gramSql: String = {
+  def lmScore5gramSql: String = {
     val d = "chr(1)"
     def gram(parts: Seq[String]) = parts.mkString(s" || $d || ")
     def lvl(k: Int): String = { // extraction CTE: gram + its prefix

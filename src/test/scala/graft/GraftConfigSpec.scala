@@ -39,6 +39,20 @@ class GraftConfigSpec extends SparkSpecBase {
       GraftConfig.parse("""{"url": {"lowQualityTlds": ["zz"]}}"""))
   }
 
+  test("dsir and lm5 sections parse, validate, and default correctly") {
+    val c = GraftConfig.parse(
+      """{"dsir": {"buckets": 1024, "keepP": 0.5, "targetLang": "fr"},
+        |"lm5": {"trainFrac": 0.9}}""".stripMargin)
+    assert(c.dsir.buckets == 1024 && c.dsir.keepP == 0.5 && c.dsir.targetLang == "fr")
+    assert(c.lm5.trainFrac == 0.9)
+    assert(GraftConfig.parse("{}").dsir == graft.config.DsirConfig())
+    assert(GraftConfig.parse("{}").lm5 == graft.config.Lm5Config())
+    intercept[IllegalArgumentException](
+      GraftConfig.parse("""{"dsir": {"keepP": 1.5}}"""))
+    intercept[IllegalArgumentException](
+      GraftConfig.parse("""{"lm5": {"trainFrac": 0.0}}"""))
+  }
+
   test("profile overrides overlay the base document (reference profiles)") {
     val json =
       """{"lsh": {"m": 25, "divisions": 3},
