@@ -6,8 +6,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.{Decontaminate, Dsir}
 import graft.operators.Dsir.DsirModel
-import graft.text.{Normalize, QualityClassifier, TextFilters}
+import graft.text.{Normalize, QualityClassifier, TextAnalysis, TextFilters}
 import graft.text.QualityClassifier.QcModel
+import graft.text.TextAnalysis.LmModel
 
 /**
  * Continuous corpus intake: the training-data hygiene chain —
@@ -36,7 +37,8 @@ object StreamingIntake {
    */
   def intakeBatch(docs: DataFrame, bench: DataFrame, n: Int,
       model: Option[QcModel] = None,
-      dsir: Option[DsirModel] = None): DataFrame = {
+      dsir: Option[DsirModel] = None,
+      lm: Option[LmModel] = None): DataFrame = {
     val normed = docs.select(col("doc_id"),
       Normalize.normalize(col("text")).as("text"))
     val scrubbed = TextFilters.piiScrub(normed, "doc_id", "text")
@@ -55,8 +57,14 @@ object StreamingIntake {
     // DSIR importance verdict against a RESIDENT fitted model: the
     // 256-double log-ratio array rides each batch plan as a literal,
     // so the verdict is map-only per arrival batch (Dsir.scoreWith)
-    dsir.fold(withQc) { m =>
+    val withDsir = dsir.fold(withQc) { m =>
       withQc.join(Dsir.scoreWith(clean, "doc_id", "text", m), Seq("doc_id"))
+    }
+    // LM quality score against a resident top-V unigram model — the
+    // same literal-model map-only posture (TextAnalysis.lmScoreWith)
+    lm.fold(withDsir) { m =>
+      withDsir.join(TextAnalysis.lmScoreWith(clean, "doc_id", "text", m)
+        .select(col("doc_id"), col("lm_topv")), Seq("doc_id"))
     }
   }
 
@@ -69,13 +77,14 @@ object StreamingIntake {
       outPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       model: Option[QcModel] = None,
-      dsir: Option[DsirModel] = None): StreamingQuery =
+      dsir: Option[DsirModel] = None,
+      lm: Option[LmModel] = None): StreamingQuery =
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          intakeBatch(batch, bench, n, model, dsir)
+          intakeBatch(batch, bench, n, model, dsir, lm)
             .withColumn("batch_id", lit(batchId))
             .write
             .mode("overwrite")

@@ -180,6 +180,49 @@ object TextAnalysis {
   def lmScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
     lmScore(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Resident unigram LM: the top-V vocabulary by count (hashed keys)
+    * + the corpus token total; out-of-vocab tokens score as hapaxes
+    * (count 1). This is the broadcast cut [[lmScore]]'s Scaladoc
+    * promises: the model is a FIXED-size artifact a serving/streaming
+    * chain carries as a plan literal. */
+  final case class LmModel(keys: Array[Long], counts: Array[Long], n: Long) {
+    require(keys.length == counts.length && n > 0,
+      s"malformed LM model (${keys.length}/${counts.length}/$n)")
+  }
+
+  /** Collect the top-V vocabulary (bounded driver fit — the
+    * Bpe/QcModel/DsirModel discipline; V rows, not the vocab). */
+  def fitLmTopV(docs: DataFrame, textCol: String, v: Int = 4096): LmModel = {
+    val freq = docs.select(explode(tokens(col(textCol))).as("t"))
+      .select(xxhash64(col("t")).as("ht"))
+      .groupBy("ht").agg(count(lit(1)).as("c"))
+    val n = freq.agg(sum("c")).head().getLong(0)
+    val top = freq.orderBy(col("c").desc, col("ht").asc).limit(v).collect()
+    LmModel(top.map(_.getLong(0)), top.map(_.getLong(1)), n)
+  }
+
+  /**
+   * MAP-ONLY unigram surprisal against a resident [[LmModel]]: each
+   * doc folds its own token array against the literal top-V count
+   * map — no vocab join, no shuffle (the [[graft.operators.Dsir]]
+   * `scoreWith` serving shape). With V >= the corpus vocabulary the
+   * scores equal [[lmScore]]'s to within one 4-dp floor step (the
+   * fold sums in document order, the batch partial agg in partition
+   * order); with a cut vocabulary, tail tokens score as hapaxes —
+   * the standard top-V + OOV-floor deployment trade.
+   */
+  def lmScoreWith(docs: DataFrame, idCol: String, textCol: String,
+      m: LmModel): DataFrame = {
+    val counts = map_from_arrays(
+      typedLit(m.keys.toSeq), typedLit(m.counts.toSeq))
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), size(toks).as("n_tokens"),
+      (floor(aggregate(toks, lit(0.0), (acc, t) =>
+        acc + log(coalesce(element_at(counts, xxhash64(t)), lit(1L)) /
+          lit(m.n.toDouble))) / greatest(size(toks), lit(1)) * 10000) / 10000)
+        .as("lm_topv"))
+  }
+
   /**
    * Conditional BIGRAM surprisal — one step up the n-gram ladder from
    * [[lmScore]] toward the CCNet 5-gram filter:

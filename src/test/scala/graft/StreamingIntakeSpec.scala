@@ -123,4 +123,30 @@ class StreamingIntakeSpec extends SparkSpecBase {
       .select(max(abs(col("dsir_w") - col("log_w")))).head().getDouble(0)
     assert(diff <= 1e-4 + 1e-12, s"max weight divergence $diff")
   }
+
+  test("resident top-V LM: full-vocab model matches lm_score; tail cut floors OOV as hapax") {
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // V far above the corpus vocabulary: scores must match the in-plan
+    // lm_score to within one 4-dp floor step
+    val full = TextAnalysis.fitLmTopV(docs, "text", v = 1 << 20)
+    val served = TextAnalysis.lmScoreWith(docs, "doc_id", "text", full)
+    val batch = TextAnalysis.lmScore(docs, "doc_id", "text")
+    val diff = served.join(batch, "doc_id")
+      .select(max(abs(col("lm_topv") - col("lm_score")))).head().getDouble(0)
+    assert(diff <= 1e-4 + 1e-12, s"max divergence $diff")
+    // a tiny vocabulary floors everything rare: scores can only drop
+    val cut = TextAnalysis.fitLmTopV(docs, "text", v = 16)
+    val dropped = TextAnalysis.lmScoreWith(docs, "doc_id", "text", cut)
+      .withColumnRenamed("lm_topv", "lm_cut")
+      .join(served, "doc_id")
+      .filter(col("lm_cut") > col("lm_topv") + 1e-9).count()
+    assert(dropped == 0, s"$dropped docs scored HIGHER under the cut vocab")
+    // and the intake chain carries the lm_topv column end to end
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val out = StreamingIntake.intakeBatch(train, bench, n = 5, lm = Some(cut))
+    assert(out.columns.contains("lm_topv"))
+    assert(out.count() == train.count())
+  }
 }
