@@ -142,7 +142,15 @@ object ScaleRamp {
           "doc_id", "lm_score"))),
       "dsir_select" -> (() =>
         mat(graft.operators.Dsir.dsirSelect(docs, "doc_id", "text",
-          col("lang") === graft.operators.Dsir.DsirTargetLang))))
+          col("lang") === graft.operators.Dsir.DsirTargetLang))),
+      // the six-stage funnel (the top-cost entry): bench side stays
+      // eval-suite-shaped (FIXED slice of sf0.1, not ramping with the
+      // corpus — the deployment contract), train side ramps
+      "corpus_curate" -> (() =>
+        mat(graft.operators.Curate.curate(
+          docs.select("doc_id", "text"),
+          Tables.documents(spark, "/root/testdata/sf0.1")
+            .filter(col("doc_id") % 17 === 0).select("doc_id", "text")))))
 
     // warm-up at the smallest scale: JIT + codegen compile once
     ops(docsOf("/root/testdata/sf0.01")).foreach { case (_, f) => f() }
