@@ -51,6 +51,69 @@ object CorpusStats {
   def corpusStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
     corpusStats(Tables.documents(spark, sfDir))
 
+  // ---- corpus-level n-gram heavy hitters ----
+
+  /** Gram width / result size of the demo entry (trigram boilerplate
+    * detection — the corpus-level complement of the per-doc
+    * repetition signals in `text_repetition`/`repetition_filter`). */
+  val TopGramWidth = 3
+  val TopGramK = 50
+
+  /**
+   * Exact corpus-wide top-k n-grams by total occurrence count, with
+   * document frequency — the heavy-hitters report a curation pipeline
+   * runs to find boilerplate (nav bars, license headers, SEO spam)
+   * worth a targeted filter rule.
+   *
+   * Spark posture (100 TB): shingling is map-only off the token
+   * array; the occurrence count is ONE hash-partial agg on gram
+   * (map-side combine collapses each partition's repeats before the
+   * shuffle, so shuffle bytes scale with per-partition DISTINCT
+   * grams, not occurrences); df rides the same shuffle via a
+   * two-phase count-distinct. The global top-k is TakeOrdered (per-
+   * partition heaps + a k-row driver merge) — NO full sort of the
+   * gram table; the rank window runs over the already-collected k
+   * rows. Ties break on the gram string, so the cut is deterministic.
+   */
+  def ngramTopk(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.dedup.Dedup.{shingles, tokens}
+    val top = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("gram").asc)
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("gram").asc)))
+  }
+
+  def ngramTopkQuery(spark: SparkSession, sfDir: String): DataFrame =
+    ngramTopk(Tables.documents(spark, sfDir), "doc_id", "text",
+      TopGramWidth, TopGramK)
+
+  val ngramTopkSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |gr AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(toks) >= $TopGramWidth THEN
+       |        list_transform(range(1, len(toks) - ${TopGramWidth - 2}),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE [array_to_string(toks, ' ')] END) AS gram
+       |  FROM tok),
+       |agg AS (
+       |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS tf,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM gr GROUP BY gram),
+       |top AS (
+       |  SELECT gram, tf, df FROM agg ORDER BY tf DESC, gram LIMIT $TopGramK)
+       |SELECT gram, tf, df,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, gram) AS INTEGER) AS rank
+       |FROM top""".stripMargin
+
   val corpusStatsSql: String =
     """WITH c AS (
       |  SELECT source, lang, COUNT(*) AS n_docs,

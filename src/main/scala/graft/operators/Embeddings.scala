@@ -100,6 +100,169 @@ object Embeddings {
       .select(col("vec_id"), col("p.r").as("r"), col("p.v").as("v"))
   }
 
+  // ---- PCA whitening (data-fit rotation) ----
+
+  /** Components kept (same target dim as the JL projection, so the
+    * two reductions are directly comparable downstream). */
+  val PcaDim = 16
+
+  /** Fit-sample bound: PCA needs O(d²) statistics, not the corpus —
+    * a few thousand vectors pin a 64-dim covariance; FAISS trains
+    * OPQ/PCA matrices the same way. Deterministic: first N by vec_id. */
+  val PcaSampleN = 2048
+
+  /** Whitening ridge (keeps near-null directions finite). */
+  val PcaEps = 1e-9
+
+  /** Fixture: folded rows (r, w, b) with whitening and mean-centering
+    * baked in — y_r = dot(x, w_r) + b_r — so the DuckDB oracle replays
+    * the transform with one list_dot_product, exactly like the JL
+    * fixture above. */
+  val PcaExportPath = "/root/repo/tmp/oracle_fixtures/pca_matrix.parquet"
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic (fixed sweep order, no pivoting on magnitude), so
+    * the fit reproduces bit-identically across JVMs. Returns
+    * (eigenvalues, eigenvectors-as-rows). */
+  private[graft] def jacobiEigen(aIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case x => x
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val vals = Array.tabulate(d)(i => a(i)(i))
+    val rows = Array.tabulate(d, d)((i, j) => v(j)(i))
+    (vals, rows)
+  }
+
+  /** Fit whitened principal components on a sample: returns `r` folded
+    * rows (w, b) ordered by descending eigenvalue, each scaled by
+    * 1/sqrt(λ+ε) with a deterministic sign (largest-|coord| positive)
+    * and b = -dot(w, mean). */
+  private[graft] def fitPca(sample: Array[Array[Double]], r: Int): Array[(Array[Double], Double)] = {
+    val n = sample.length
+    val d = sample(0).length
+    require(n > 1, s"PCA fit needs > 1 vector, got $n")
+    val mean = new Array[Double](d)
+    sample.foreach { x => var j = 0; while (j < d) { mean(j) += x(j); j += 1 } }
+    var j = 0
+    while (j < d) { mean(j) /= n; j += 1 }
+    val cov = Array.ofDim[Double](d, d)
+    sample.foreach { x =>
+      var i = 0
+      while (i < d) {
+        var k = i
+        while (k < d) { cov(i)(k) += (x(i) - mean(i)) * (x(k) - mean(k)); k += 1 }
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < d) {
+      var k = i
+      while (k < d) { cov(i)(k) /= (n - 1); cov(k)(i) = cov(i)(k); k += 1 }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.zipWithIndex.sortBy { case (ev, idx) => (-ev, idx) }
+      .take(math.min(r, d)).map(_._2)
+    order.map { idx =>
+      val vec = vecs(idx)
+      val mi = vec.indices.maxBy(c => (math.abs(vec(c)), -c))
+      val sign = if (vec(mi) < 0) -1.0 else 1.0
+      val scale = sign / math.sqrt(math.max(vals(idx), 0.0) + PcaEps)
+      val w = vec.map(_ * scale)
+      val b = -w.zip(mean).map { case (wj, mj) => wj * mj }.sum
+      (w, b)
+    }
+  }
+
+  /** Map-only transform: the folded component rows ride the plan as a
+    * literal; each output coordinate is one in-order
+    * `aggregate(zip_with(...)) + b` — the same operation order as
+    * DuckDB's `list_dot_product(...) + b` over the fixture, so the
+    * doubles match bit-for-bit (rounded 4). */
+  def pcaTransform(data: DataFrame, vecCol: String,
+      comps: Array[(Array[Double], Double)]): DataFrame = {
+    val rows = typedLit(comps.zipWithIndex.map { case ((w, b), r) => (r, w.toSeq, b) }.toSeq)
+    data.withColumn("proj",
+      transform(rows, row => struct(row.getField("_1").as("r"),
+        round(aggregate(
+          zip_with(col(vecCol).cast("array<double>"), row.getField("_2"), (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x) + row.getField("_3"), 4).as("v"))))
+  }
+
+  /**
+   * PCA whitening: the data-FIT counterpart of [[embedProject]]'s
+   * data-free JL matrix — mean-center, rotate onto the top
+   * [[PcaDim]] principal axes, scale to unit variance. The standard
+   * preconditioner before PQ (whitened space makes sub-quantizer
+   * budgets uniform; FAISS's OPQ/PCAW matrices) and the basis for
+   * variance-ordered truncation. Fit is a driver-side O(sample·d²)
+   * pass over a bounded deterministic sample; the transform is
+   * map-only with the folded matrix as a plan literal.
+   */
+  def embedPca(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val sample = data.orderBy(col("vec_id")).limit(PcaSampleN)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val comps = fitPca(sample, PcaDim)
+    graft.FixtureExport.ensure(s"pca:$sfDir", PcaExportPath) {
+      import spark.implicits._
+      comps.zipWithIndex.map { case ((w, b), r) => (r, w.toSeq, b) }.toSeq
+        .toDF("r", "w", "b")
+        .coalesce(1).write.mode("overwrite").parquet(PcaExportPath)
+    }
+    pcaTransform(data, "embedding", comps)
+      .select(col("vec_id"), explode(col("proj")).as("p"))
+      .select(col("vec_id"), col("p.r").as("r"), col("p.v").as("v"))
+  }
+
+  val embedPcaSql: String =
+    s"""SELECT e.vec_id, m.r,
+       |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), m.w) + m.b, 4) AS v
+       |FROM embeddings e, read_parquet('$PcaExportPath/*.parquet') m""".stripMargin
+
   val embedProjectSql: String =
     s"""SELECT e.vec_id, m.r,
        |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), m.w), 4) AS v

@@ -41,4 +41,48 @@ class EmbeddingsSpec extends SparkSpecBase {
     assert(ratio > 0.7 && ratio < 1.3, s"mean distance ratio $ratio")
     proj.unpersist()
   }
+
+  test("jacobiEigen recovers a known symmetric spectrum") {
+    // A = Q diag(5,2,1) Qᵀ for a hand rotation Q (rows orthonormal)
+    val s = 1.0 / math.sqrt(2.0)
+    val q = Array(Array(s, s, 0.0), Array(-s, s, 0.0), Array(0.0, 0.0, 1.0))
+    val lam = Array(5.0, 2.0, 1.0)
+    val a = Array.tabulate(3, 3) { (i, j) =>
+      (0 until 3).map(k => q(k)(i) * lam(k) * q(k)(j)).sum
+    }
+    val (vals, vecs) = Embeddings.jacobiEigen(a)
+    assert(vals.sorted.zip(Array(1.0, 2.0, 5.0)).forall { case (x, y) => math.abs(x - y) < 1e-10 })
+    // each (λ, v): A·v = λ·v
+    vals.indices.foreach { i =>
+      val av = (0 until 3).map(r => (0 until 3).map(c => a(r)(c) * vecs(i)(c)).sum)
+      assert(av.zipWithIndex.forall { case (x, r) => math.abs(x - vals(i) * vecs(i)(r)) < 1e-9 })
+    }
+  }
+
+  test("embed_pca: deterministic fit; whitened components are unit-variance and uncorrelated") {
+    val out = Embeddings.embedPca(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() == n * Embeddings.PcaDim)
+    // the fit sample IS the whole sf0.001 table (< PcaSampleN rows), so
+    // the whitened output covariance must be ~identity on it
+    val rows = out.groupBy("vec_id")
+      .agg(collect_list(struct(col("r"), col("v"))).as("pv"))
+      .select(transform(array_sort(col("pv")), p => p.getField("v")).as("y"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = Embeddings.PcaDim
+    val m = new Array[Double](d)
+    rows.foreach(y => (0 until d).foreach(j => m(j) += y(j)))
+    (0 until d).foreach(j => m(j) /= rows.length)
+    var maxDiagErr = 0.0; var maxOff = 0.0
+    for (i <- 0 until d; j <- i until d) {
+      val c = rows.map(y => (y(i) - m(i)) * (y(j) - m(j))).sum / (rows.length - 1)
+      if (i == j) maxDiagErr = math.max(maxDiagErr, math.abs(c - 1.0))
+      else maxOff = math.max(maxOff, math.abs(c))
+    }
+    assert(maxDiagErr < 0.05, s"diag var off identity by $maxDiagErr")
+    assert(maxOff < 0.05, s"off-diagonal correlation $maxOff")
+    val again = Embeddings.embedPca(spark, sf)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
 }
