@@ -175,11 +175,15 @@ object Embeddings {
     (vals, rows)
   }
 
-  /** Fit whitened principal components on a sample: returns `r` folded
-    * rows (w, b) ordered by descending eigenvalue, each scaled by
-    * 1/sqrt(λ+ε) with a deterministic sign (largest-|coord| positive)
-    * and b = -dot(w, mean). */
-  private[graft] def fitPca(sample: Array[Array[Double]], r: Int): Array[(Array[Double], Double)] = {
+  /** Fit principal components on a sample: returns `r` folded rows
+    * (w, b) ordered by descending eigenvalue, each with a
+    * deterministic sign (largest-|coord| positive) and
+    * b = -dot(w, mean). `whiten` additionally scales each row by
+    * 1/sqrt(λ+ε) (unit output variance — for feature pipelines;
+    * DISTORTS L2, so ANN chains use the unwhitened isometry). */
+  /** Shared covariance eigendecomposition of a sample: (eigenvalues,
+    * eigenvectors-as-rows, mean). */
+  private def covEigen(sample: Array[Array[Double]]): (Array[Double], Array[Array[Double]], Array[Double]) = {
     val n = sample.length
     val d = sample(0).length
     require(n > 1, s"PCA fit needs > 1 vector, got $n")
@@ -203,17 +207,60 @@ object Embeddings {
       i += 1
     }
     val (vals, vecs) = jacobiEigen(cov)
-    val order = vals.zipWithIndex.sortBy { case (ev, idx) => (-ev, idx) }
-      .take(math.min(r, d)).map(_._2)
-    order.map { idx =>
-      val vec = vecs(idx)
-      val mi = vec.indices.maxBy(c => (math.abs(vec(c)), -c))
-      val sign = if (vec(mi) < 0) -1.0 else 1.0
-      val scale = sign / math.sqrt(math.max(vals(idx), 0.0) + PcaEps)
-      val w = vec.map(_ * scale)
-      val b = -w.zip(mean).map { case (wj, mj) => wj * mj }.sum
-      (w, b)
+    (vals, vecs, mean)
+  }
+
+  /** Fold an eigenvector into an output row: deterministic sign
+    * (largest-|coord| positive), optional whitening scale, bias
+    * b = -dot(w, mean). */
+  private def foldRow(vec: Array[Double], ev: Double, mean: Array[Double],
+      whiten: Boolean): (Array[Double], Double) = {
+    val mi = vec.indices.maxBy(c => (math.abs(vec(c)), -c))
+    val sign = if (vec(mi) < 0) -1.0 else 1.0
+    val scale =
+      if (whiten) sign / math.sqrt(math.max(ev, 0.0) + PcaEps) else sign
+    val w = vec.map(_ * scale)
+    val b = -w.zip(mean).map { case (wj, mj) => wj * mj }.sum
+    (w, b)
+  }
+
+  private[graft] def fitPca(sample: Array[Array[Double]], r: Int,
+      whiten: Boolean = true): Array[(Array[Double], Double)] = {
+    val (vals, vecs, mean) = covEigen(sample)
+    vals.zipWithIndex.sortBy { case (ev, idx) => (-ev, idx) }
+      .take(math.min(r, vals.length))
+      .map { case (ev, idx) => foldRow(vecs(idx), ev, mean, whiten) }
+  }
+
+  /**
+   * Full-dimension unwhitened rotation with OPQ eigenvalue allocation
+   * (Ge et al., "Optimized Product Quantization", CVPR 2013 §4's
+   * non-parametric init): principal components are PERMUTED so each of
+   * the `m` subspaces receives a balanced variance product — greedy:
+   * components in descending-λ order each go to the subspace with the
+   * smallest current Σ log λ that still has capacity. A plain
+   * descending-λ order would pile all variance into subspace 0, which
+   * a Kc-codeword sub-quantizer then cannot represent — balancing is
+   * the whole point of rotating before PQ.
+   */
+  private[graft] def fitPcaOpq(sample: Array[Array[Double]],
+      m: Int): Array[(Array[Double], Double)] = {
+    val (vals, vecs, mean) = covEigen(sample)
+    val d = vals.length
+    require(d % m == 0, s"dim=$d not divisible into $m subspaces")
+    val cap = d / m
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val logSum = new Array[Double](m)
+    vals.zipWithIndex.sortBy { case (ev, idx) => (-ev, idx) }.foreach {
+      case (ev, idx) =>
+        val open = (0 until m).filter(buckets(_).length < cap)
+        val tgt = open.minBy(b => (logSum(b), b))
+        buckets(tgt) += idx
+        logSum(tgt) += math.log(math.max(ev, 0.0) + PcaEps)
     }
+    buckets.flatMap(_.iterator.map { idx =>
+      foldRow(vecs(idx), vals(idx), mean, whiten = false)
+    })
   }
 
   /** Map-only transform: the folded component rows ride the plan as a
@@ -241,19 +288,68 @@ object Embeddings {
    * pass over a bounded deterministic sample; the transform is
    * map-only with the folded matrix as a plan literal.
    */
-  def embedPca(spark: SparkSession, sfDir: String): DataFrame = {
-    val data = Tables.embeddings(spark, sfDir)
-    val sample = data.orderBy(col("vec_id")).limit(PcaSampleN)
-      .select(col("embedding").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    val comps = fitPca(sample, PcaDim)
+  // fitted components die with their session (the PqSearch memo shape)
+  private val pcaCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[(Array[Double], Double)]]]()
+
+  /** Fit (memoized per session+corpus) + fixture export — shared by
+    * the `embed_pca` entry and the PQ-in-whitened-space chain
+    * ([[graft.query.PqSearch.annPcapqTopK]]). */
+  private[graft] def fittedPca(spark: SparkSession, sfDir: String): Array[(Array[Double], Double)] = {
+    def fit(): Array[(Array[Double], Double)] = {
+      val sample = Tables.embeddings(spark, sfDir)
+        .orderBy(col("vec_id")).limit(PcaSampleN)
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      fitPca(sample, PcaDim)
+    }
+    val comps = pcaCache.synchronized {
+      pcaCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(sfDir, fit())
+    }
     graft.FixtureExport.ensure(s"pca:$sfDir", PcaExportPath) {
       import spark.implicits._
       comps.zipWithIndex.map { case ((w, b), r) => (r, w.toSeq, b) }.toSeq
         .toDF("r", "w", "b")
         .coalesce(1).write.mode("overwrite").parquet(PcaExportPath)
     }
-    pcaTransform(data, "embedding", comps)
+    comps
+  }
+
+  /** Fixture for the FULL-dimension unwhitened rotation (the ANN
+    * chain's isometry — distinct from the whitened [[PcaExportPath]]). */
+  val PcaRotExportPath = "/root/repo/tmp/oracle_fixtures/pca_rotation.parquet"
+
+  /** Full-d, unwhitened (isometric) OPQ-allocated rotation — memoized
+    * + exported like [[fittedPca]]. Rotation preserves every pairwise
+    * L2 exactly while [[fitPcaOpq]]'s allocation balances variance
+    * across the `m` PQ subspaces
+    * ([[graft.query.PqSearch.annPcapqTopK]]). */
+  private[graft] def fittedPcaRotation(spark: SparkSession, sfDir: String,
+      m: Int): Array[(Array[Double], Double)] = {
+    def fit(): Array[(Array[Double], Double)] = {
+      val sample = Tables.embeddings(spark, sfDir)
+        .orderBy(col("vec_id")).limit(PcaSampleN)
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      fitPcaOpq(sample, m)
+    }
+    val comps = pcaCache.synchronized {
+      pcaCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"rot:$m:$sfDir", fit())
+    }
+    graft.FixtureExport.ensure(s"pcarot:$m:$sfDir", PcaRotExportPath) {
+      import spark.implicits._
+      comps.zipWithIndex.map { case ((w, b), r) => (r, w.toSeq, b) }.toSeq
+        .toDF("r", "w", "b")
+        .coalesce(1).write.mode("overwrite").parquet(PcaRotExportPath)
+    }
+    comps
+  }
+
+  def embedPca(spark: SparkSession, sfDir: String): DataFrame = {
+    val comps = fittedPca(spark, sfDir)
+    pcaTransform(Tables.embeddings(spark, sfDir), "embedding", comps)
       .select(col("vec_id"), explode(col("proj")).as("p"))
       .select(col("vec_id"), col("p.r").as("r"), col("p.v").as("v"))
   }

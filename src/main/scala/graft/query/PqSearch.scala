@@ -69,11 +69,17 @@ object PqSearch {
 
   /** [m][k][subDim] codebook from a bounded, `vec_id`-pinned sample:
     * per-subspace deterministic Lloyd k-means ([[IvfSearch.kmeans]]). */
-  def fitCodebook(data: DataFrame, memoKey: String): Array[Array[Array[Float]]] = {
+  def fitCodebook(data: DataFrame, memoKey: String): Array[Array[Array[Float]]] =
+    fitCodebookOn(data, "embedding", memoKey)
+
+  /** [[fitCodebook]] over an arbitrary vector column (the whitened
+    * chain fits on rotated vectors, not the raw embedding). */
+  def fitCodebookOn(data: DataFrame, vecCol: String,
+      memoKey: String): Array[Array[Array[Float]]] = {
     val spark = data.sparkSession
     def fit(): Array[Array[Array[Float]]] = {
       val sample = data.orderBy("vec_id").limit(IvfSearch.MaxSample)
-        .select(col("embedding").cast("array<float>"))
+        .select(col(vecCol).cast("array<float>"))
         .collect().map(_.getSeq[Float](0).toArray)
       require(sample.nonEmpty, "empty sample for PQ codebook fit")
       val dim = sample.head.length
@@ -277,6 +283,124 @@ object PqSearch {
     fittedFor(spark, sfDir, Tables.embeddings(spark, sfDir))
     ()
   }
+
+  // ---- PQ in PCA-whitened space (the OPQ-style composition) ----
+
+  /** Fixture path for the whitened-space codebook (distinct from the
+    * raw-space [[CodebookExportPath]]). */
+  val PcaCodebookExportPath = "/root/repo/tmp/oracle_fixtures/pq_pca_codebook.parquet"
+
+  /**
+   * `ann_pcapq_topk`: exhaustive-ADC PQ search under an OPQ rotation —
+   * rotate every vector with the FULL-dimension unwhitened (isometric)
+   * eigenvalue-allocated PCA basis
+   * ([[graft.operators.Embeddings.fittedPcaRotation]]: rotation
+   * preserves every pairwise L2 exactly while Ge et al.'s allocation
+   * balances the variance product across the M subspaces — the
+   * non-parametric OPQ init FAISS ships; whitening is deliberately NOT
+   * applied, it rescales axes and distorts the metric the refine step
+   * ranks by), PQ-encode the ROTATED vectors,
+   * ADC-rank every code against the query batch's broadcast LUTs,
+   * refine a bounded shortlist against the ORIGINAL embeddings.
+   *
+   * Spark posture: rotation and encode are map-only projections
+   * (matrix + codebook ride the plans as literals); the ADC pass is a
+   * broadcast nested-loop over the 8-byte codes — the FAISS IndexPQ
+   * exhaustive scan, whose 100 TB form is the IVF-celled
+   * [[annIvfpqTopK]] (this entry isolates the rotation + ADC quality
+   * path; compose cells back in for corpus-scale serving). Shuffles:
+   * only the two bounded rank windows (ADC cap, final top-k).
+   */
+  def annPcapqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Embeddings
+    val data = Tables.embeddings(spark, sfDir)
+    val comps = Embeddings.fittedPcaRotation(spark, sfDir, M)
+    // float is the canonical rotated representation (the vec_l2 kernel
+    // reads floats; the oracle replays the same double->float rounding)
+    val rot = Embeddings.pcaTransform(data, "embedding", comps)
+      .select(col("vec_id"),
+        transform(col("proj"), p => p.getField("v"))
+          .cast("array<float>").as("re"))
+    val cb = fitCodebookOn(rot, "re", s"pcapq:$sfDir")
+    graft.FixtureExport.ensure(s"pcapq:$sfDir", PcaCodebookExportPath) {
+      codebookDf(spark, cb)
+        .coalesce(1).write.mode("overwrite").parquet(PcaCodebookExportPath)
+    }
+    exhaustiveAdcTopK(spark, data, rot, cb)
+  }
+
+  /** The exhaustive chain over any (vec_id, re) representation: encode,
+    * broadcast query LUTs, ADC-rank every code, bounded exact refine
+    * against the ORIGINAL embeddings. Shared so the spec can measure
+    * the rotation's contribution against a raw-space twin. */
+  private[graft] def exhaustiveAdcTopK(spark: SparkSession, data: DataFrame,
+      rot: DataFrame, cb: Array[Array[Array[Float]]]): DataFrame = {
+    val codes = rot.select(col("vec_id"), pqCodes(col("re"), cb).as("codes"))
+    val prep = rot.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), adcLuts(col("re"), cb).as("luts"))
+      .join(data.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))
+    val probeSide = spark.createDataFrame(
+      java.util.Arrays.asList(prep.collect(): _*), prep.schema)
+    val fetch = data.select(col("vec_id"), col("embedding"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    codes.crossJoin(broadcast(probeSide))
+      .withColumn("adc", adcCol)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= AdcKeep)
+      .join(fetch, Seq("vec_id"))
+      .withColumn("dist", vec_l2(col("embedding"), col("qv")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  /** DuckDB twin of the whitened chain: rotate via the PCA fixture
+    * (ROUND 4 like the Spark transform), encode argmin over the
+    * whitened codebook fixture, exhaustive ADC, bounded exact refine
+    * in the original space. */
+  def annPcapqTopKSql: String =
+    s"""WITH pm AS (SELECT r, w, b FROM read_parquet('${graft.operators.Embeddings.PcaRotExportPath}/*.parquet')),
+       |rot AS (
+       |  SELECT e.vec_id,
+       |    CAST(CAST(list(ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), pm.w) + pm.b, 4)
+       |         ORDER BY pm.r) AS FLOAT[]) AS DOUBLE[]) AS re
+       |  FROM embeddings e CROSS JOIN pm GROUP BY e.vec_id),
+       |cb AS (SELECT m, code, cv FROM read_parquet('$PcaCodebookExportPath/*.parquet')),
+       |sub AS (SELECT DISTINCT len(cv) AS sd FROM cb),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT r.vec_id, cb.m, cb.code,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, cb.m ORDER BY
+       |        list_distance(r.re[cb.m * sub.sd + 1 : (cb.m + 1) * sub.sd],
+       |          CAST(cb.cv AS DOUBLE[])), cb.code) AS rn
+       |    FROM rot r CROSS JOIN cb CROSS JOIN sub)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, cb.m, cb.code,
+       |    list_distance(q.re[cb.m * sub.sd + 1 : (cb.m + 1) * sub.sd], CAST(cb.cv AS DOUBLE[]))
+       |    * list_distance(q.re[cb.m * sub.sd + 1 : (cb.m + 1) * sub.sd], CAST(cb.cv AS DOUBLE[])) AS d2
+       |  FROM rot q CROSS JOIN cb CROSS JOIN sub WHERE q.vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT l.query_id, cd.vec_id, FLOOR(SUM(l.d2) * 10000) / 10000 AS adc
+       |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+       |  GROUP BY l.query_id, cd.vec_id),
+       |shortlist AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS adc_rank
+       |    FROM adc)
+       |  WHERE adc_rank <= $AdcKeep)
+       |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rnk
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.query_id)
+       |WHERE rnk <= $K""".stripMargin
 
   /** Shared oracle CTEs: encode argmin over the codebook fixture. */
   private def codesCte: String =

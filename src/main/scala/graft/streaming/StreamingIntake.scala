@@ -38,13 +38,23 @@ object StreamingIntake {
   def intakeBatch(docs: DataFrame, bench: DataFrame, n: Int,
       model: Option[QcModel] = None,
       dsir: Option[DsirModel] = None,
-      lm: Option[LmModel] = None): DataFrame = {
+      lm: Option[LmModel] = None,
+      bloom: Option[(Array[Long], Int)] = None): DataFrame = {
     val normed = docs.select(col("doc_id"),
       Normalize.normalize(col("text")).as("text"))
     val scrubbed = TextFilters.piiScrub(normed, "doc_id", "text")
     val clean = scrubbed.select(col("doc_id"), col("text_clean").as("text"))
     val scored = TextFilters.qualityFilter(clean, "doc_id", "text")
-    val contam = Decontaminate.decontaminate(clean, bench, "doc_id", "text", n)
+    // with a RESIDENT Bloom bitset the contamination verdict is
+    // map-only (no per-batch bench join at all — the bitset rides the
+    // batch plan as a literal); without one, the exact-join pass runs
+    // against the static bench frame
+    val contam = bloom.fold(
+        Decontaminate.decontaminate(clean, bench, "doc_id", "text", n)) {
+      case (words, m) =>
+        graft.operators.BloomDecontaminate
+          .decontaminateBloom(clean, "doc_id", "text", n, words, m)
+    }
     val verdicts = scrubbed.select("doc_id", "n_emails", "n_phones", "n_ips", "text_clean")
       .join(scored, Seq("doc_id"))
       .join(contam.select("doc_id", "n_hits", "contaminated"), Seq("doc_id"))
@@ -78,13 +88,14 @@ object StreamingIntake {
       trigger: Trigger = Trigger.AvailableNow(),
       model: Option[QcModel] = None,
       dsir: Option[DsirModel] = None,
-      lm: Option[LmModel] = None): StreamingQuery =
+      lm: Option[LmModel] = None,
+      bloom: Option[(Array[Long], Int)] = None): StreamingQuery =
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          intakeBatch(batch, bench, n, model, dsir, lm)
+          intakeBatch(batch, bench, n, model, dsir, lm, bloom)
             .withColumn("batch_id", lit(batchId))
             .write
             .mode("overwrite")

@@ -83,6 +83,91 @@ class PqSpec extends SparkSpecBase {
     assert(mean >= 0.6, s"mean IVF-PQ recall@k too low: $mean")
   }
 
+  test("ann_pcapq_topk: self-queries rank first; OPQ rotation does not lose to raw-space ADC") {
+    val out = PqSearch.annPcapqTopK(spark, sf).cache()
+    val k = graft.config.GraftConfig.active.query.k
+    val nq = graft.config.GraftConfig.active.query.numQueries
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == nq && perQuery.forall(_.getLong(1) <= k))
+    assert(out.filter(col("rnk") === 1)
+      .filter(col("query_id") === col("vec_id")).count() == nq,
+      "every query's rank-1 must be itself (distance 0)")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val brute = graft.query.AnnQuery.annBruteTopK(spark, sf)
+        .select(col("query_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = brute.map { case (q, gt) =>
+        got.get(q).map(g => g.intersect(gt).size.toDouble / gt.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val pcapq = recallOf(out)
+    // apples to apples: the SAME exhaustive chain over the raw (un-
+    // rotated) representation. The synthetic corpus is already
+    // isotropic (per-subspace variances all ~equal), so rotation is
+    // recall-neutral HERE by design — it must stay within noise of
+    // raw; its win on correlated data is proven in the next test.
+    val data = Tables.embeddings(spark, sf)
+    val raw = PqSearch.exhaustiveAdcTopK(spark, data,
+      data.select(col("vec_id"), col("embedding").as("re")),
+      PqSearch.fitCodebook(data, s"spec-raw:$sf"))
+    val rawR = recallOf(raw)
+    assert(pcapq >= 0.6, s"rotated-PQ recall too low: $pcapq")
+    assert(pcapq >= rawR - 0.1,
+      s"OPQ rotation ($pcapq) far below raw-space ADC ($rawR) on isotropic data")
+    out.unpersist()
+    ()
+  }
+
+  test("OPQ eigenvalue allocation cuts quantization error on correlated data") {
+    // x = f·u + e: one strong shared factor smeared across ALL
+    // coordinates + iid noise. Raw subspaces each re-encode the factor
+    // (codeword budget wasted 8x over); the allocated rotation isolates
+    // it, so the summed per-subspace k-means quantization error drops.
+    val d = 64; val n = 512
+    val rnd = new java.util.SplittableRandom(4217)
+    def gauss(): Double = {
+      // Box-Muller (polar) — deterministic via the seeded generator
+      var u = 0.0; var v = 0.0; var s = 0.0
+      while ({ u = rnd.nextDouble() * 2 - 1; v = rnd.nextDouble() * 2 - 1
+               s = u * u + v * v; s >= 1.0 || s == 0.0 }) ()
+      u * math.sqrt(-2.0 * math.log(s) / s)
+    }
+    val u = Array.fill(d)(1.0 / math.sqrt(d))
+    val sample = Array.fill(n) {
+      val f = gauss() * 3.0
+      Array.tabulate(d)(j => f * u(j) + gauss() * 0.3)
+    }
+    def qErr(vecs: Array[Array[Float]], cb: Array[Array[Array[Float]]]): Double = {
+      val sub = cb(0)(0).length
+      vecs.map { v =>
+        cb.zipWithIndex.map { case (cws, m) =>
+          val sl = v.slice(m * sub, (m + 1) * sub)
+          cws.map(cw => sl.indices.map(j => { val x = sl(j).toDouble - cw(j); x * x }).sum).min
+        }.sum
+      }.sum / vecs.length
+    }
+    val m = 8; val sub = d / m; val kc = 16
+    def fitCb(vecs: Array[Array[Float]]): Array[Array[Array[Float]]] =
+      Array.tabulate(m) { s =>
+        val subS = vecs.map(_.slice(s * sub, (s + 1) * sub))
+        graft.query.IvfSearch.kmeans(subS, kc, graft.query.IvfSearch.KmeansIters)
+      }
+    val rawVecs = sample.map(_.map(_.toFloat))
+    val comps = graft.operators.Embeddings.fitPcaOpq(sample, m)
+    val rotVecs = sample.map { x =>
+      comps.map { case (w, b) =>
+        (w.zip(x).map { case (wj, xj) => wj * xj }.sum + b).toFloat
+      }
+    }
+    val eRaw = qErr(rawVecs, fitCb(rawVecs))
+    val eRot = qErr(rotVecs, fitCb(rotVecs))
+    assert(eRot < eRaw * 0.8,
+      s"rotation should cut correlated-data quantization error: raw=$eRaw rot=$eRot")
+  }
+
   test("sample_cluster_balanced: quota respected per cell, deterministic") {
     val a = IvfSearch.sampleClusterBalanced(spark, sf).cache()
     val byCell = a.groupBy("cell").count().collect()

@@ -149,4 +149,41 @@ class StreamingIntakeSpec extends SparkSpecBase {
     assert(out.columns.contains("lm_topv"))
     assert(out.count() == train.count())
   }
+
+  test("resident-Bloom intake: map-only contamination verdict matches its batch twin across batch splits") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    // the bitset is fit ONCE on the scrubbed/normalized bench text —
+    // the same text form the intake chain judges — and stays resident
+    val benchClean = graft.text.TextFilters.piiScrub(
+        bench.select(col("doc_id"), graft.text.Normalize.normalize(col("text")).as("text")),
+        "doc_id", "text")
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val (words, m) = graft.operators.BloomDecontaminate.fit(benchClean, "text", 5)
+    val in = tmp("bloom-in"); val ckpt = tmp("bloom-ckpt"); val out = tmp("bloom-out")
+    train.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/batch=0")
+    train.filter(col("doc_id") >= 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/batch=1")
+    val stream = spark.readStream
+      .schema(train.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/batch=*")
+    val q = StreamingIntake.intakeStream(stream.toDF(), bench, n = 5, out, ckpt,
+      Trigger.AvailableNow(), bloom = Some((words, m)))
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out).drop("batch_id")
+    val batch = StreamingIntake.intakeBatch(train, bench, n = 5,
+      bloom = Some((words, m)))
+    assert(streamed.count() == train.count())
+    assert(streamed.exceptAll(batch).count() == 0
+      && batch.exceptAll(streamed).count() == 0)
+    // Bloom never under-flags the exact-join chain
+    val exact = StreamingIntake.intakeBatch(train, bench, n = 5)
+      .select(col("doc_id"), col("contaminated").as("exact_flag"))
+    val under = batch.select("doc_id", "contaminated").join(exact, "doc_id")
+      .filter(col("exact_flag") === 1 && col("contaminated") === 0).count()
+    assert(under == 0)
+  }
 }
