@@ -150,7 +150,22 @@ object ScaleRamp {
         mat(graft.operators.Curate.curate(
           docs.select("doc_id", "text"),
           Tables.documents(spark, "/root/testdata/sf0.1")
-            .filter(col("doc_id") % 17 === 0).select("doc_id", "text")))))
+            .filter(col("doc_id") % 17 === 0).select("doc_id", "text")))),
+      // Bloom decontamination: bitset fit ONCE on the fixed bench side
+      // (outside the timer would hide nothing — it is corpus-size-
+      // independent by construction); the timed part is the map-only
+      // verdict scan, the flattest ramp in the file by design
+      "decontam_bloom" -> (() => {
+        val bench = Tables.documents(spark, "/root/testdata/sf0.1")
+          .filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+        val (words, m) = graft.operators.BloomDecontaminate.fit(bench, "text", 5)
+        mat(graft.operators.BloomDecontaminate.decontaminateBloom(
+          docs, "doc_id", "text", 5, words, m))
+      }),
+      // corpus-level heavy hitters: one gram-keyed partial agg whose
+      // shuffle bytes scale with DISTINCT grams + a TakeOrdered cut
+      "ngram_topk" -> (() =>
+        mat(graft.operators.CorpusStats.ngramTopk(docs, "doc_id", "text", 3, 50))))
 
     // warm-up at the smallest scale: JIT + codegen compile once
     ops(docsOf("/root/testdata/sf0.01")).foreach { case (_, f) => f() }
