@@ -165,6 +165,24 @@ final case class Lm5Config(trainFrac: Double = 0.7) {
     s"lm5.trainFrac must be in (0,1): $trainFrac")
 }
 
+/** MMR diversified re-rank ([[graft.query.MmrRerank]]): `candidates`
+  * = the bounded relevance shortlist MMR greedily re-ranks, `k` = how
+  * many diversified picks it returns, `lambda` = the Carbonell &
+  * Goldstein relevance/novelty trade-off (1.0 degenerates to plain
+  * top-k). */
+final case class MmrConfig(candidates: Int = 25, k: Int = 10, lambda: Double = 0.7) {
+  require(candidates > 0, s"mmr.candidates must be positive: $candidates")
+  require(k > 0 && k <= candidates,
+    s"mmr.k must be in [1, candidates=$candidates]: $k")
+  require(lambda >= 0.0 && lambda <= 1.0, s"mmr.lambda must be in [0,1]: $lambda")
+}
+
+/** Greedy k-center coreset ([[graft.operators.KCenter]]): number of
+  * centers the farthest-point traversal selects. */
+final case class KCenterConfig(k: Int = 8) {
+  require(k > 0, s"kcenter.k must be positive: $k")
+}
+
 final case class GraftConfig(
     lsh: LshParams = LshParams(),
     stabilization: StabilizationConfig = StabilizationConfig(),
@@ -183,7 +201,9 @@ final case class GraftConfig(
     chunk: ChunkConfig = ChunkConfig(),
     url: UrlConfig = UrlConfig(),
     dsir: DsirConfig = DsirConfig(),
-    lm5: Lm5Config = Lm5Config())
+    lm5: Lm5Config = Lm5Config(),
+    mmr: MmrConfig = MmrConfig(),
+    kcenter: KCenterConfig = KCenterConfig())
 
 object GraftConfig {
 
@@ -342,6 +362,12 @@ object GraftConfig {
         keepP = dbl(n.path("dsir"), "keepP", d.dsir.keepP),
         targetLang = s(n.path("dsir"), "targetLang", d.dsir.targetLang)),
       lm5 = Lm5Config(
-        trainFrac = dbl(n.path("lm5"), "trainFrac", d.lm5.trainFrac)))
+        trainFrac = dbl(n.path("lm5"), "trainFrac", d.lm5.trainFrac)),
+      mmr = MmrConfig(
+        candidates = i(n.path("mmr"), "candidates", d.mmr.candidates),
+        k = i(n.path("mmr"), "k", d.mmr.k),
+        lambda = dbl(n.path("mmr"), "lambda", d.mmr.lambda)),
+      kcenter = KCenterConfig(
+        k = i(n.path("kcenter"), "k", d.kcenter.k)))
   }
 }

@@ -249,4 +249,30 @@ class PlanPostureSpec extends SparkSpecBase {
     val lp = stream.queryExecution.analyzed.toString()
     assert(!lp.contains("Aggregate") && !lp.contains("FlatMapGroupsWithState"), lp)
   }
+
+  test("this-session entries: bloom verdict shuffle-free; pcapq ADC broadcasts, no cartesian") {
+    val bloom = plan("decontaminate_bloom")
+    // the verdict subtree is shuffle-free by construction; the ONLY
+    // exchanges allowed in the demo entry come from the bench-prefix
+    // PLANT join, never from the verdict (no per-gram explode join,
+    // no per-doc aggregation exchange)
+    assert(!bloom.contains("CartesianProduct"), bloom)
+    assert(!bloom.contains("HashAggregate"),
+      s"bloom verdict must not aggregate per doc — it is a projection:\n$bloom")
+    val pcapq = plan("ann_pcapq_topk")
+    assert(!pcapq.contains("CartesianProduct"),
+      s"pcapq ADC must be a broadcast nested loop, not a cartesian:\n$pcapq")
+    assert(pcapq.contains("BroadcastNestedLoopJoin") || pcapq.contains("BroadcastExchange"),
+      s"pcapq query side must broadcast:\n$pcapq")
+    val topk = plan("ngram_topk")
+    assert(topk.contains("TakeOrderedAndProject"),
+      s"ngram_topk global cut must be TakeOrdered, not a full sort:\n$topk")
+  }
+
+  test("mmr: corpus-sized candidate phase broadcasts the query side, no cartesian") {
+    val p = plan("ann_mmr_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"mmr candidate scoring must broadcast the bounded query side:\n$p")
+  }
 }
