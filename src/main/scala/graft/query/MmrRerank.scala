@@ -74,13 +74,13 @@ object MmrRerank {
   private def f4(x: Double): Double = math.floor(x * 10000) / 10000
 
   /**
-   * Diversified top-`k` per query over `data` (vec_id, embedding).
-   * Output: (query_id, vec_id, mmr_rank, rel4, score4).
+   * Diversified top-`k` per query over `data` (vec_id, embedding):
+   * exact-cosine shortlist, then [[rerank]]. Output: (query_id,
+   * vec_id, mmr_rank, rel4, score4).
    */
   def mmrTopK(spark: SparkSession, data: DataFrame, queries: DataFrame,
       candidates: Int = Candidates, k: Int = K,
       lambda: Double = Lambda): DataFrame = {
-    import spark.implicits._
     val w = Window.partitionBy("query_id").orderBy(col("rel4").desc, col("vec_id"))
     val cand = data
       .join(broadcast(queries.select(
@@ -89,10 +89,24 @@ object MmrRerank {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= candidates)
       .select(col("query_id"), col("vec_id"), col("rel4"), col("embedding"))
+    rerank(spark, cand, k, lambda)
+  }
 
+  /**
+   * The bounded greedy phase alone, over ANY retrieval's shortlist
+   * `(query_id, vec_id, rel4, embedding)` — at scale this is what
+   * composes MMR behind an LSH / IVF / PQ first stage: the ANN engine
+   * bounds the candidates, MMR diversifies them. `rel4` must already
+   * be 4dp-floored by the producer.
+   */
+  def rerank(spark: SparkSession, shortlist: DataFrame, k: Int = K,
+      lambda: Double = Lambda): DataFrame = {
+    import spark.implicits._
     val lam = lambda
     val mu = 1.0 - lambda
-    cand.groupByKey(_.getLong(0))
+    shortlist
+      .select(col("query_id"), col("vec_id"), col("rel4"), col("embedding"))
+      .groupByKey(_.getLong(0))
       .flatMapGroups { (qid, it) =>
         // deterministic greedy input order: relevance desc, id asc
         // (matches the shortlist window's own ordering)

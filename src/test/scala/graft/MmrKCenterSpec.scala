@@ -65,6 +65,37 @@ class MmrKCenterSpec extends SparkSpecBase {
     }
   }
 
+  test("mmr composes behind an IVF first stage: rerank() over an ANN shortlist") {
+    import graft.functions.VectorFunctions.vec_cosine
+    import graft.query.IvfSearch
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") < 5)
+    val cents = IvfSearch.fitCentroids(e, 8)
+    // IVF retrieval bounds the candidates; MMR diversifies them — the
+    // 100 TB shape (phase 1 never needs to be the brute scan)
+    val shortlist = IvfSearch.ivfTopK(spark, e, qs, k = 10, nProbe = 4, cents)
+      .join(e, "vec_id")
+      .join(broadcast(qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        "query_id")
+      .withColumn("rel4", floor(vec_cosine(col("embedding"), col("qv")) * 10000) / 10000)
+      .select(col("query_id"), col("vec_id"), col("rel4"), col("embedding"))
+    val sl = shortlist.select("query_id", "vec_id", "rel4").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val slIds = sl.map(t => (t._1, t._2)).toSet
+    val slMaxRel = sl.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val got = MmrRerank.rerank(spark, shortlist, k = 5).collect()
+    val perQuery = got.groupBy(_.getLong(0))
+    assert(perQuery.size == 5)
+    perQuery.foreach { case (qid, picks) =>
+      assert(picks.length == 5)
+      assert(picks.forall(p => slIds.contains((qid, p.getLong(1)))),
+        "every pick must come from the ANN shortlist")
+      // rank-1 is the shortlist's pure-relevance argmax
+      val r1 = picks.minBy(_.getInt(2))
+      assert(r1.getDouble(3) == slMaxRel(qid))
+    }
+  }
+
   test("kcenter: farthest-point traversal on a line, radius non-increasing") {
     // points at x = 0, 1, 10, 11: seed = id 0 (min id), then the
     // farthest point is x=11 (id 3), then x=1? No — x=1 is 1 away from
