@@ -152,6 +152,29 @@ object MmrRerank {
       }.toDF()
   }
 
+  /**
+   * The composed SERVING form: LSH bounds the candidates (resident
+   * index, the [[AnnQuery.lshTopK]] probe/refine chain), MMR
+   * diversifies them — what "swap the brute scan for an ANN first
+   * stage" concretely means at 100 TB. Per query the greedy sees only
+   * its own `candidates` rows, so results are independent of how
+   * queries are batched (the property streaming serving relies on).
+   */
+  def diverseTopKLsh(spark: SparkSession, data: DataFrame, queries: DataFrame,
+      model: graft.lsh.LshModel, built: graft.index.LshIndex.Built,
+      candidates: Int = Candidates, k: Int = K,
+      lambda: Double = Lambda): DataFrame = {
+    val shortlist = AnnQuery
+      .lshTopK(spark, data, queries, candidates, model, built)
+      .select("query_id", "vec_id")
+      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(
+        col("vec_id").as("query_id"), col("embedding").as("qv"))), "query_id")
+      .withColumn("rel4", floor(vec_cosine(col("embedding"), col("qv")) * 10000) / 10000)
+      .select(col("query_id"), col("vec_id"), col("rel4"), col("embedding"))
+    rerank(spark, shortlist, k, lambda)
+  }
+
   // ---- SparkEntry wiring over the embeddings table ----
 
   def mmrTopKQuery(spark: SparkSession, sfDir: String): DataFrame = {

@@ -139,6 +139,29 @@ object AnnServe {
         idx.cells, idx.codes, idx.fetch, idx.cents, idx.cb, k)
     }
 
+  /**
+   * DIVERSIFIED serving: the resident LSH index bounds each
+   * micro-batch's candidates, [[graft.query.MmrRerank.rerank]]
+   * re-ranks them for relevance/novelty — near-duplicate neighbors
+   * stop crowding a served top-k. Stateless across triggers like
+   * [[serve]]; each query's greedy sees only its own candidate rows,
+   * so micro-batch boundaries cannot change results.
+   */
+  def serveDiverse(
+      queries: DataFrame,
+      data: DataFrame,
+      model: LshModel,
+      built: LshIndex.Built,
+      candidates: Int,
+      k: Int,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    servedSink(queries, outPath, checkpoint, trigger) { batch =>
+      graft.query.MmrRerank.diverseTopKLsh(
+        batch.sparkSession, data, batch, model, built, candidates, k)
+    }
+
   def serveMultidim(
       queries: DataFrame,
       data: DataFrame,

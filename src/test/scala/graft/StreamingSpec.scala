@@ -43,6 +43,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.exceptAll(served).count() == 0)
   }
 
+  test("diversified streaming serving equals the batch MMR-over-LSH twin across micro-batches") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Lsh.fit(emb, "embedding", LshParams())
+    val built = LshIndex.build(LshIndex.codes(emb, "vec_id", "embedding", model), 64)
+    val in = tmp("diverse-in")
+    val out = tmp("diverse-out")
+    val ckpt = tmp("diverse-ckpt")
+    val queries = emb.filter(col("vec_id") < 8)
+    queries.filter(col("vec_id") < 4).write.mode("overwrite").parquet(s"$in/q")
+    queries.filter(col("vec_id") >= 4).write.mode("append").parquet(s"$in/q")
+    val q = graft.streaming.AnnServe.serveDiverse(
+      graft.streaming.AnnServe.queryStream(spark, s"$in/q", emb.schema),
+      emb, model, built, 15, 5, out, ckpt)
+    assert(q.awaitTermination(120000), "diverse serve stream did not finish in time")
+    val served = spark.read.parquet(out).drop("batch_id")
+    val batch = graft.query.MmrRerank.diverseTopKLsh(
+      spark, emb, queries, model, built, 15, 5)
+    assert(served.count() == 8 * 5)
+    assert(served.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(served).count() == 0)
+  }
+
   test("streaming IVF-PQ serving equals the batch serving plan across micro-batches") {
     val emb = Tables.embeddings(spark, sf)
     val idx = graft.query.PqSearch.buildIndex(spark, sf)
