@@ -794,7 +794,7 @@ object Dedup {
     """SELECT a, b, cosine FROM (
       |  SELECT x.vec_id AS a, y.vec_id AS b,
       |    ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-      |                                 CAST(y.embedding AS DOUBLE[])), 4) AS cosine
+      |                                 CAST(y.embedding AS DOUBLE[])), 4) + 0.0 AS cosine
       |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
       |ORDER BY cosine DESC, a, b LIMIT 20""".stripMargin
 

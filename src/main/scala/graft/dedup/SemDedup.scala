@@ -173,7 +173,7 @@ object SemDedup {
        |scored AS (
        |  SELECT e.vec_id, c.cell,
        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-       |                                 CAST(c.cv AS DOUBLE[])), 4) AS csim,
+       |                                 CAST(c.cv AS DOUBLE[])), 4) + 0.0 AS csim,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
        |                             CAST(c.cv AS DOUBLE[])), c.cell) AS r

@@ -381,7 +381,7 @@ object Decontaminate {
        |  GROUP BY tp.vec_id)
        |SELECT t.vec_id,
        |  CAST(COALESCE(h.n_cands, 0) AS INTEGER) AS n_cands,
-       |  COALESCE(h.max_cos, -1.0) AS max_cos,
+       |  COALESCE(h.max_cos, -1.0) + 0.0 AS max_cos,
        |  CAST(COALESCE(h.max_cos, -1.0) >= $SemTau AS INTEGER) AS contaminated
        |FROM train t LEFT JOIN hits h ON h.vec_id = t.vec_id""".stripMargin
 }

@@ -354,14 +354,19 @@ object Embeddings {
       .select(col("vec_id"), col("p.r").as("r"), col("p.v").as("v"))
   }
 
+  // `+ 0.0` after ROUND: DuckDB's ROUND preserves the IEEE sign bit
+  // (-7.77e-06 -> -0.0) while Spark's round goes through BigDecimal,
+  // which has no signed zero (-> +0.0). IEEE -0.0 + 0.0 = +0.0 and is
+  // a no-op for every nonzero value, so the normalization aligns the
+  // engines without touching any other output bit.
   val embedPcaSql: String =
     s"""SELECT e.vec_id, m.r,
-       |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), m.w) + m.b, 4) AS v
+       |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), m.w) + m.b, 4) + 0.0 AS v
        |FROM embeddings e, read_parquet('$PcaExportPath/*.parquet') m""".stripMargin
 
   val embedProjectSql: String =
     s"""SELECT e.vec_id, m.r,
-       |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), m.w), 4) AS v
+       |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), m.w), 4) + 0.0 AS v
        |FROM embeddings e, read_parquet('$ProjExportPath/*.parquet') m""".stripMargin
 
   val embedQuantizeSql: String =

@@ -232,7 +232,7 @@ object MmrRerank {
        |      GROUP BY r.query_id, r.sel, r.rels, r.scores, r.n, c.vec_id, c.rel4))
        |  WHERE rn = 1 AND n < $K)
        |SELECT query_id, sel[i] AS vec_id, CAST(i AS INTEGER) AS mmr_rank,
-       |       rels[i] AS rel4, scores[i] AS score4
+       |       rels[i] + 0.0 AS rel4, scores[i] + 0.0 AS score4
        |FROM (SELECT query_id, sel, rels, scores FROM r WHERE n = $K),
        |     LATERAL (SELECT unnest(range(1, $K + 1)) AS i) u""".stripMargin
   }

@@ -58,9 +58,9 @@ object LoaderQueries {
 
   val fvecsRoundtripSql: String =
     """SELECT vec_id AS id, CAST(len(embedding) AS INTEGER) AS dim,
-      |  ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 3) AS v_sum,
-      |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS v_first,
-      |  ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS v_last
+      |  ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 3) + 0.0 AS v_sum,
+      |  ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS v_first,
+      |  ROUND(CAST(embedding[-1] AS DOUBLE), 4) + 0.0 AS v_last
       |FROM embeddings""".stripMargin
 
   def csvVectors(spark: SparkSession, sfDir: String): DataFrame = {

@@ -22,6 +22,37 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def values_equal(a: pd.Series, b: pd.Series) -> bool:
+    if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
+        return (pd.to_datetime(a).astype("datetime64[us]")
+                .equals(pd.to_datetime(b).astype("datetime64[us]")))
+    if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+        # BIT-strict, matching the driver's exact value hash: any epsilon
+        # compare is blind to -0.0 vs +0.0 (and to NaN-payload
+        # differences) — exactly the divergence the driver's hash
+        # rejects. Compare the raw float64 bytes.
+        return (a.astype(float).to_numpy().tobytes()
+                == b.astype(float).to_numpy().tobytes())
+    return bool((a.astype("object") == b.astype("object")).all())
+
+
+def selftest() -> int:
+    """Planted regressions for the divergence classes the gate must see
+    (-0.0 was invisible to the pre-r8 1e-9 tolerance for two rounds)."""
+    cases = [
+        ("signed zero differs", pd.Series([0.0]), pd.Series([-0.0]), False),
+        ("equal floats equal", pd.Series([1.5, -2.25]), pd.Series([1.5, -2.25]), True),
+        ("NaN == NaN (same payload)", pd.Series([float("nan")]), pd.Series([float("nan")]), True),
+        ("1e-10 drift differs", pd.Series([1.0]), pd.Series([1.0 + 1e-10]), False),
+        ("ints equal", pd.Series([3, 4]), pd.Series([3, 4]), True),
+    ]
+    bad = [n for n, a, b, want in cases if values_equal(a, b) != want]
+    for n in bad:
+        print(f"SELFTEST FAIL: {n}")
+    print("SELFTEST OK" if not bad else f"SELFTEST: {len(bad)} failures")
+    return len(bad)
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -79,16 +110,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         # value compare with dtype coercion
         mismatch = None
         for c in got.columns:
-            a, b = got[c], want[c]
             try:
-                if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
-                    a = pd.to_datetime(a).astype("datetime64[us]")
-                    b = pd.to_datetime(b).astype("datetime64[us]")
-                    eq = a.equals(b)
-                elif a.dtype.kind in "fc" or b.dtype.kind in "fc":
-                    eq = ((a.astype(float) - b.astype(float)).abs() < 1e-9).all()
-                else:
-                    eq = (a.astype("object") == b.astype("object")).all()
+                eq = values_equal(got[c], want[c])
             except Exception as e:
                 eq = False
                 mismatch = f"{c}: {e}"
@@ -106,4 +129,6 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
