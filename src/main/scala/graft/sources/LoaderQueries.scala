@@ -154,6 +154,52 @@ object LoaderQueries {
       |  sha256(text) AS text_sha
       |FROM documents""".stripMargin
 
+  /**
+   * Raw WARC roundtrip — the rung below [[wetRoundtrip]]: the
+   * documents table, wrapped in [[graft.text.HtmlExtract]]'s planted
+   * markup, is written as two `.warc` segments of HTTP `response`
+   * records (every fifth body stored `Transfer-Encoding: chunked` at a
+   * 100-byte frame size, so multi-byte UTF-8 splits across chunk
+   * boundaries), interleaved with `warcinfo`/`request` records and two
+   * gate decoys (an `image/png` response and a 404); read back through
+   * [[WarcFiles]], status/content-type gated, de-chunked, decoded, and
+   * composed into the html_extract chain. The oracle replays the
+   * planted wrapper + extraction directly over `documents` — every
+   * ingest-side step (record skip, gate, de-chunk, header split) must
+   * be exactly invisible for the hash to match.
+   */
+  def warcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = tmpDir("warc", sfDir)
+    val rows = graft.text.HtmlExtract.planted(spark, sfDir).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    clean(dir)
+    Files.createDirectories(Paths.get(dir))
+    def recs(part: Array[(Long, String)]) = part.iterator.map { case (id, html) =>
+      (s"http://corpus.example/page/$id", 200, "text/html; charset=utf-8",
+        html.getBytes(UTF_8), if (id % 5 == 0) 100 else 0)
+    } ++ Iterator(
+      ("http://corpus.example/logo.png", 200, "image/png",
+        Array[Byte](0x89.toByte, 'P', 'N', 'G'), 0),
+      ("http://corpus.example/missing", 404, "text/html; charset=utf-8",
+        "<html><body>gone</body></html>".getBytes(UTF_8), 0))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    WarcFiles.writeWarc(s"$dir/seg-000.warc", recs(a))
+    WarcFiles.writeWarc(s"$dir/seg-001.warc", recs(b))
+    val html = WarcFiles.htmlResponses(WarcFiles.warc(spark, dir))
+      .select(regexp_extract(col("uri"), "page/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("http_status"), col("n_bytes"), col("html"))
+    graft.text.HtmlExtract.appendExtraction(html, "html")
+  }
+
+  val warcRoundtripSql: String =
+    s"""WITH ${graft.text.HtmlExtract.plantedCte},
+       |${graft.text.HtmlExtract.strippedCte}
+       |SELECT doc_id, CAST(200 AS INTEGER) AS http_status,
+       |  CAST(strlen(html) AS INTEGER) AS n_bytes,
+       |  ${graft.text.HtmlExtract.extractCols}
+       |FROM s""".stripMargin
+
   /** ivecs payload: vec[j] = id * 3 + j, dim 8 (ground-truth id lists shape). */
   def ivecsRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tmpDir("ivecs", sfDir)

@@ -26,11 +26,18 @@ import org.apache.spark.sql.functions.col
  */
 object WetFiles {
 
-  /** Parse one file's bytes into (uri, text) conversion records. */
-  private[graft] def parseRecords(content: Array[Byte]): Iterator[(String, String)] =
-    new Iterator[(String, String)] {
+  /** One raw WARC record: lowercased header map + exact payload bytes. */
+  private[sources] final case class RawRecord(
+      headers: Map[String, String], payload: Array[Byte])
+
+  /** Low-level record scanner shared by the WET (`conversion`) and
+    * raw-WARC (`response`) readers: version line, `Name: value`
+    * headers to the blank line, exactly Content-Length payload BYTES
+    * (never delimiter-scanned), blank separator. */
+  private[sources] def rawRecords(content: Array[Byte]): Iterator[RawRecord] =
+    new Iterator[RawRecord] {
       private var pos = 0
-      private var nextRec: (String, String) = null
+      private var nextRec: RawRecord = null
       advance()
 
       private def lineEnd(from: Int): Int = {
@@ -41,45 +48,47 @@ object WetFiles {
 
       private def advance(): Unit = {
         nextRec = null
-        while (nextRec == null && pos < content.length) {
-          // seek the version line (tolerates inter-record blank lines)
-          var ls = pos
-          var le = lineEnd(ls)
-          def lineStr = new String(content, ls, le - ls, UTF_8).stripSuffix("\r")
-          while (ls < content.length && lineStr.isEmpty) { ls = le + 1; le = lineEnd(ls) }
-          if (ls >= content.length) { pos = content.length; return }
-          require(lineStr.startsWith("WARC/"), s"expected WARC version line, got '$lineStr'")
-          // headers up to the blank line
-          var wtype = ""; var uri = ""; var clen = -1L
+        if (pos >= content.length) return
+        // seek the version line (tolerates inter-record blank lines)
+        var ls = pos
+        var le = lineEnd(ls)
+        def lineStr = new String(content, ls, le - ls, UTF_8).stripSuffix("\r")
+        while (ls < content.length && lineStr.isEmpty) { ls = le + 1; le = lineEnd(ls) }
+        if (ls >= content.length) { pos = content.length; return }
+        require(lineStr.startsWith("WARC/"), s"expected WARC version line, got '$lineStr'")
+        // headers up to the blank line
+        var hs = Map.empty[String, String]
+        ls = le + 1; le = lineEnd(ls)
+        while (lineStr.nonEmpty) {
+          val h = lineStr
+          val cIdx = h.indexOf(':')
+          require(cIdx > 0, s"malformed WARC header '$h'")
+          hs = hs.updated(h.substring(0, cIdx).trim.toLowerCase,
+            h.substring(cIdx + 1).trim)
           ls = le + 1; le = lineEnd(ls)
-          while (lineStr.nonEmpty) {
-            val h = lineStr
-            val cIdx = h.indexOf(':')
-            require(cIdx > 0, s"malformed WARC header '$h'")
-            val (k, v) = (h.substring(0, cIdx).trim, h.substring(cIdx + 1).trim)
-            k.toLowerCase match {
-              case "warc-type" => wtype = v
-              case "warc-target-uri" => uri = v
-              case "content-length" => clen = v.toLong
-              case _ => ()
-            }
-            ls = le + 1; le = lineEnd(ls)
-          }
-          require(clen >= 0, "WARC record missing Content-Length")
-          val bodyStart = le + 1 // past the blank line
-          require(bodyStart + clen <= content.length,
-            s"Content-Length $clen overruns file (at byte $bodyStart)")
-          val body = new String(content, bodyStart, clen.toInt, UTF_8)
-          pos = (bodyStart + clen).toInt
-          if (wtype == "conversion") nextRec = (uri, body)
         }
+        val clen = hs.getOrElse("content-length",
+          sys.error("WARC record missing Content-Length")).toLong
+        val bodyStart = le + 1 // past the blank line
+        require(bodyStart + clen <= content.length,
+          s"Content-Length $clen overruns file (at byte $bodyStart)")
+        nextRec = RawRecord(hs,
+          java.util.Arrays.copyOfRange(content, bodyStart, (bodyStart + clen).toInt))
+        pos = (bodyStart + clen).toInt
       }
 
       override def hasNext: Boolean = nextRec != null
-      override def next(): (String, String) = {
+      override def next(): RawRecord = {
         val r = nextRec; advance(); r
       }
     }
+
+  /** Parse one file's bytes into (uri, text) conversion records. */
+  private[graft] def parseRecords(content: Array[Byte]): Iterator[(String, String)] =
+    rawRecords(content)
+      .filter(_.headers.get("warc-type").contains("conversion"))
+      .map(r => (r.headers.getOrElse("warc-target-uri", ""),
+        new String(r.payload, UTF_8)))
 
   /** Load a directory of `.wet` files as (uri, text). */
   def wet(spark: SparkSession, dir: String): DataFrame = {
