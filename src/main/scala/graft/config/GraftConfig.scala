@@ -183,6 +183,26 @@ final case class KCenterConfig(k: Int = 8) {
   require(k > 0, s"kcenter.k must be positive: $k")
 }
 
+/** Search-mode profile (reference `config/SearchMode.java:3-5`):
+  * `optimized` — the default serving behavior with every heuristic on
+  * (probe-order HARD_CAP, Hamming-prefix refinement bound, opt-in
+  * stabilization limiter, starved-query adaptive retry); or
+  * `paper_baseline` — exact Peng et al. evaluation behavior for
+  * apples-to-apples measurement runs: probes pinned to the paper
+  * defaults, EVERY probed candidate exactly refined (no candidate
+  * cap, no ranked-prefix bound, no stabilization), and no retry.
+  * One switch, so an evaluation can flip the whole profile without
+  * hunting the individual knobs. */
+final case class SearchConfig(mode: String = "optimized") {
+  require(Seq("optimized", "paper_baseline").contains(mode),
+    s"search.mode must be optimized|paper_baseline, got '$mode'")
+  def paperBaseline: Boolean = mode == "paper_baseline"
+
+  /** Pin the probe budget to the paper default in baseline mode. */
+  def pinParams(p: LshParams): LshParams =
+    if (paperBaseline) p.copy(maxProbes = LshParams().maxProbes) else p
+}
+
 final case class GraftConfig(
     lsh: LshParams = LshParams(),
     stabilization: StabilizationConfig = StabilizationConfig(),
@@ -203,7 +223,8 @@ final case class GraftConfig(
     dsir: DsirConfig = DsirConfig(),
     lm5: Lm5Config = Lm5Config(),
     mmr: MmrConfig = MmrConfig(),
-    kcenter: KCenterConfig = KCenterConfig())
+    kcenter: KCenterConfig = KCenterConfig(),
+    search: SearchConfig = SearchConfig())
 
 object GraftConfig {
 
@@ -368,6 +389,8 @@ object GraftConfig {
         k = i(n.path("mmr"), "k", d.mmr.k),
         lambda = dbl(n.path("mmr"), "lambda", d.mmr.lambda)),
       kcenter = KCenterConfig(
-        k = i(n.path("kcenter"), "k", d.kcenter.k)))
+        k = i(n.path("kcenter"), "k", d.kcenter.k)),
+      search = SearchConfig(
+        mode = s(n.path("search"), "mode", d.search.mode)))
   }
 }

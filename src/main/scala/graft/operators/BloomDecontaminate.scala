@@ -61,10 +61,19 @@ object BloomDecontaminate {
   def gramH1(g: Column): Column = xxhash64(g)
   def gramH2(g: Column): Column = xxhash64(lit(H2Tag), g)
 
-  /** Smallest power of two ≥ `BitsPerElement · n` (floor 1024). */
+  /** Smallest power of two ≥ `BitsPerElement · n` (floor 1024, hard
+    * ceiling 2^30 bits = 128 MiB of plan literal). The ceiling FAILS
+    * rather than silently degrading: past ~67M bench grams the
+    * effective bits/element would fall below the sizing that the
+    * documented ~5e-4 false-positive rate rests on — a deployment that
+    * big must shard the bench into multiple bitsets (one per eval
+    * suite), not quietly over-flag. */
   def sizeBits(nElements: Long): Int = {
     val want = math.max(1024L, nElements * BitsPerElement)
-    java.lang.Long.highestOneBit(math.min(want * 2 - 1, 1L << 30)).toInt
+    require(want <= (1L << 30),
+      s"bloom bitset for $nElements grams needs $want bits > 2^30 cap; " +
+        "shard the bench set across multiple bitsets instead of degrading the FP rate")
+    java.lang.Long.highestOneBit(want * 2 - 1).toInt
   }
 
   /** Fold (h1, h2) element hashes into a packed word bitset. */

@@ -43,25 +43,34 @@ object KCenter {
   def K: Int = cfg.kcenter.k
 
   /** Farthest-point traversal over `data` (vec_id, embedding).
-    * Output: (sel_rank, vec_id, radius4), k rows. */
+    * Output: (sel_rank, vec_id, radius4) — k rows, or the PARTIAL
+    * selection when the corpus has fewer than k vectors (the whole
+    * corpus is then a perfect cover; the SQL twin's maximal-step
+    * selection degrades identically, and an empty corpus yields an
+    * empty frame rather than a throw). */
   def kcenterSample(spark: SparkSession, data: DataFrame, k: Int = K): DataFrame = {
     val e = data.select(col("vec_id"), col("embedding"))
-    val seed = e.orderBy(col("vec_id")).limit(1).head()
-    var centers = List[(Long, Array[Float], Double)](
-      (seed.getLong(0), seed.getSeq[Float](1).toArray, 0.0))
-    var rank = 1
-    while (rank < k) {
-      val minDist = centers
-        .map { case (_, v, _) => vec_l2(col("embedding"), typedLit(v.toSeq)) }
-        .reduce(least(_, _))
-      val chosen = e
-        .filter(!col("vec_id").isInCollection(centers.map(_._1)))
-        .withColumn("d4", floor(minDist * 10000) / 10000)
-        .orderBy(col("d4").desc, col("vec_id"))
-        .limit(1).head()
-      centers ::= ((chosen.getLong(0), chosen.getSeq[Float](1).toArray,
-        chosen.getDouble(2)))
-      rank += 1
+    var centers = List.empty[(Long, Array[Float], Double)]
+    e.orderBy(col("vec_id")).limit(1).take(1).foreach { seed =>
+      centers = List((seed.getLong(0), seed.getSeq[Float](1).toArray, 0.0))
+      var rank = 1
+      var exhausted = false
+      while (rank < k && !exhausted) {
+        val minDist = centers
+          .map { case (_, v, _) => vec_l2(col("embedding"), typedLit(v.toSeq)) }
+          .reduce(least(_, _))
+        val chosen = e
+          .filter(!col("vec_id").isInCollection(centers.map(_._1)))
+          .withColumn("d4", floor(minDist * 10000) / 10000)
+          .orderBy(col("d4").desc, col("vec_id"))
+          .limit(1).take(1)
+        if (chosen.isEmpty) exhausted = true
+        else {
+          centers ::= ((chosen(0).getLong(0), chosen(0).getSeq[Float](1).toArray,
+            chosen(0).getDouble(2)))
+          rank += 1
+        }
+      }
     }
     val rows = centers.reverse.zipWithIndex.map { case ((id, _, r4), i) =>
       Row(i + 1, id, r4)
@@ -86,6 +95,7 @@ object KCenter {
        |r AS (
        |  SELECT CAST([(SELECT MIN(vec_id) FROM e)] AS BIGINT[]) AS cs,
        |         CAST([0.0] AS DOUBLE[]) AS rad, 1 AS n
+       |  WHERE (SELECT COUNT(*) FROM e) > 0
        |  UNION ALL
        |  SELECT list_append(cs, vec_id), list_append(rad, d4), n + 1
        |  FROM (
@@ -100,6 +110,6 @@ object KCenter {
        |      GROUP BY r.cs, r.rad, r.n, x.vec_id))
        |  WHERE rn = 1 AND n < $K)
        |SELECT CAST(i AS INTEGER) AS sel_rank, cs[i] AS vec_id, rad[i] AS radius4
-       |FROM (SELECT cs, rad FROM r WHERE n = $K),
-       |     LATERAL (SELECT unnest(range(1, $K + 1)) AS i) u""".stripMargin
+       |FROM (SELECT cs, rad FROM r ORDER BY n DESC LIMIT 1),
+       |     LATERAL (SELECT unnest(range(1, len(cs) + 1)) AS i) u""".stripMargin
 }

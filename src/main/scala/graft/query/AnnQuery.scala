@@ -292,11 +292,15 @@ object AnnQuery {
       model: LshModel,
       built: LshIndex.Built,
       deletedIds: Option[DataFrame] = None,
-      distributedProbe: Boolean = false): DataFrame = {
+      distributedProbe: Boolean = false,
+      search: graft.config.SearchConfig = graft.config.GraftConfig.active.search): DataFrame = {
+    // baseline mode pins the probe budget to the paper default before
+    // anything else reads it
+    val m = model.copy(params = search.pinParams(model.params))
     val probed =
-      if (distributedProbe) probeBlocksDistributed(spark, queries, model, built)
-      else probeBlocks(spark, queries, model, built)
-    refineFromProbes(probed, data, queries, k, model, built, deletedIds)
+      if (distributedProbe) probeBlocksDistributed(spark, queries, m, built)
+      else probeBlocks(spark, queries, m, built)
+    refineFromProbes(probed, data, queries, k, m, built, deletedIds, search)
   }
 
   /**
@@ -314,7 +318,8 @@ object AnnQuery {
       probed: DataFrame,
       built: LshIndex.Built,
       p: LshParams,
-      deletedIds: Option[DataFrame] = None): DataFrame = {
+      deletedIds: Option[DataFrame] = None,
+      search: graft.config.SearchConfig = graft.config.GraftConfig.active.search): DataFrame = {
     // candidate union: min Hamming across (table, division) probes.
     // Soft deletes (reference metadata.isDeleted / loadPointIfActive)
     // drop out here via anti-join — the index itself is not touched;
@@ -343,11 +348,17 @@ object AnnQuery {
         min(firstOrd).as("first_ord"))
     val live = deletedIds.fold(candidatesAll)(del =>
       candidatesAll.join(broadcast(del.select(col("id"))), Seq("id"), "left_anti"))
-    val wCap = Window.partitionBy("qid").orderBy(col("first_ord"), col("id"))
-    live
-      .withColumn("cap_rank", row_number().over(wCap))
-      .filter(col("cap_rank") <= p.hardCap)
-      .select(col("qid"), col("id"), col("hamming"))
+    // PAPER_BASELINE: no collection cap — every probed candidate
+    // continues to the exact refine (SearchConfig scaladoc)
+    if (search.paperBaseline)
+      live.select(col("qid"), col("id"), col("hamming"))
+    else {
+      val wCap = Window.partitionBy("qid").orderBy(col("first_ord"), col("id"))
+      live
+        .withColumn("cap_rank", row_number().over(wCap))
+        .filter(col("cap_rank") <= p.hardCap)
+        .select(col("qid"), col("id"), col("hamming"))
+    }
   }
 
   /**
@@ -378,8 +389,13 @@ object AnnQuery {
       p: LshParams,
       deletedIds: Option[DataFrame] = None,
       k: Int = 0,
-      stab: StabilizationConfig = graft.config.GraftConfig.active.stabilization): DataFrame = {
-    val candidates = cappedCandidates(probed, built, p, deletedIds)
+      stab: StabilizationConfig = graft.config.GraftConfig.active.stabilization,
+      search: graft.config.SearchConfig = graft.config.GraftConfig.active.search): DataFrame = {
+    val candidates = cappedCandidates(probed, built, p, deletedIds, search)
+    // PAPER_BASELINE: no ranked-Hamming refinement bound and no
+    // stabilization — the full candidate union is exactly refined
+    if (search.paperBaseline)
+      return candidates.select(col("qid"), col("id"), col("hamming"))
     val wRefine = Window.partitionBy("qid").orderBy(col("hamming"), col("id"))
     val limit: Column =
       if (!stab.enabled || k <= 0) lit(p.refinementLimit.toLong)
@@ -404,9 +420,10 @@ object AnnQuery {
       k: Int,
       model: LshModel,
       built: LshIndex.Built,
-      deletedIds: Option[DataFrame] = None): DataFrame = {
+      deletedIds: Option[DataFrame] = None,
+      search: graft.config.SearchConfig = graft.config.GraftConfig.active.search): DataFrame = {
     val p = model.params
-    val bounded = boundedCandidates(probed, built, p, deletedIds, k)
+    val bounded = boundedCandidates(probed, built, p, deletedIds, k, search = search)
 
     val wK = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     bounded
@@ -603,7 +620,12 @@ object AnnQuery {
    */
   def lshTopKAdaptive(spark: SparkSession, data: DataFrame, queries: DataFrame,
       k: Int, model: LshModel, built: LshIndex.Built,
-      retryProbes: Int = 10): DataFrame = {
+      retryProbes: Int = 10,
+      search: graft.config.SearchConfig = graft.config.GraftConfig.active.search): DataFrame = {
+    // PAPER_BASELINE: single pass, starved queries stay starved — the
+    // retry is one of the heuristics the profile pins off
+    if (search.paperBaseline)
+      return lshTopK(spark, data, queries, k, model, built, search = search)
     val first = lshTopK(spark, data, queries, k, model, built).cache()
     val starved = queries.join(
       first.groupBy("query_id").agg(count(lit(1)).as("n"))
@@ -644,7 +666,10 @@ object AnnQuery {
    */
   def lshTopKAdaptiveRounds(spark: SparkSession, data: DataFrame, queries: DataFrame,
       k: Int, model: LshModel, built: LshIndex.Built,
-      ka: graft.config.KAdaptiveConfig = graft.config.GraftConfig.active.kAdaptive): DataFrame = {
+      ka: graft.config.KAdaptiveConfig = graft.config.GraftConfig.active.kAdaptive,
+      search: graft.config.SearchConfig = graft.config.GraftConfig.active.search): DataFrame = {
+    if (search.paperBaseline)
+      return lshTopK(spark, data, queries, k, model, built, search = search)
     if (!ka.enabled) return lshTopKAdaptive(spark, data, queries, k, model, built)
     val nQueries = queries.count()
     var probes = model.params.maxProbes

@@ -233,7 +233,10 @@ object MmrRerank {
        |  WHERE rn = 1 AND n < $K)
        |SELECT query_id, sel[i] AS vec_id, CAST(i AS INTEGER) AS mmr_rank,
        |       rels[i] + 0.0 AS rel4, scores[i] + 0.0 AS score4
-       |FROM (SELECT query_id, sel, rels, scores FROM r WHERE n = $K),
-       |     LATERAL (SELECT unnest(range(1, $K + 1)) AS i) u""".stripMargin
+       |FROM (SELECT query_id, sel, rels, scores FROM (
+       |        SELECT query_id, sel, rels, scores,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n DESC) AS rnf
+       |        FROM r) WHERE rnf = 1),
+       |     LATERAL (SELECT unnest(range(1, len(sel) + 1)) AS i) u""".stripMargin
   }
 }

@@ -109,6 +109,24 @@ class MmrKCenterSpec extends SparkSpecBase {
     assert(got.map(_.getDouble(2)).toSeq == Seq(0.0, 11.0, 1.0, 1.0))
   }
 
+  test("kcenter degrades gracefully: partial selection under k vectors, empty frame on empty corpus") {
+    val tiny = vecs((5L, Seq(0f, 0f)), (7L, Seq(3f, 4f)))
+    val got = KCenter.kcenterSample(spark, tiny, k = 8).orderBy("sel_rank").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(5L, 7L),
+      "corpus smaller than k must yield the whole corpus as a partial selection")
+    assert(got.map(_.getDouble(2)).toSeq == Seq(0.0, 5.0))
+    val empty = KCenter.kcenterSample(spark, vecs().limit(0), k = 3)
+    assert(empty.count() == 0, "empty corpus must yield an empty frame, not a throw")
+  }
+
+  test("mmr emits min(k, candidates) picks when the pool is smaller than k") {
+    val got = MmrRerank.mmrTopK(spark, vecs(mmrData.take(3): _*), vecs(mmrQ: _*),
+      candidates = 25, k = 10)
+    assert(got.count() == 3, "3-candidate pool must yield 3 ranked picks, not zero rows")
+    assert(got.select("mmr_rank").orderBy("mmr_rank").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
   test("kcenter invariants on the embeddings table: distinct centers, non-increasing radius") {
     val got = KCenter.kcenterSample(spark, Tables.embeddings(spark, sf), k = 6)
       .orderBy("sel_rank").collect()

@@ -179,8 +179,11 @@ class StreamingIntakeSpec extends SparkSpecBase {
     assert(streamed.count() == train.count())
     assert(streamed.exceptAll(batch).count() == 0
       && batch.exceptAll(streamed).count() == 0)
-    // Bloom never under-flags the exact-join chain
-    val exact = StreamingIntake.intakeBatch(train, bench, n = 5)
+    // Bloom never under-flags the exact-join chain — judged against the
+    // SAME cleaned bench text form the bitset was fit on, so the
+    // property is structural, not an artifact of the synthetic corpus
+    // being normalization-invariant
+    val exact = StreamingIntake.intakeBatch(train, benchClean, n = 5)
       .select(col("doc_id"), col("contaminated").as("exact_flag"))
     val under = batch.select("doc_id", "contaminated").join(exact, "doc_id")
       .filter(col("exact_flag") === 1 && col("contaminated") === 0).count()
