@@ -266,13 +266,24 @@ object PqSearch {
   final case class PqIndex(cells: DataFrame, codes: DataFrame, fetch: DataFrame,
       cents: Array[Array[Float]], cb: Array[Array[Array[Float]]])
 
+  /** Encode a corpus with FROZEN fitted models: (cell routing, codes).
+    * A deterministic map of the row set (FAISS `add()` semantics —
+    * adding vectors never refits centroids or codebooks; refitting is
+    * a compaction-time decision). Staged-delta encode and compaction
+    * ([[graft.streaming.PqLifecycle]]) reuse this, which is what makes
+    * a compacted index bit-identical to a fresh encode. */
+  def encode(spark: SparkSession, data: DataFrame,
+      cents: Array[Array[Float]], cb: Array[Array[Array[Float]]]): (DataFrame, DataFrame) = {
+    val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents))
+    val codes = data.select(col("vec_id"), pqCodes(col("embedding"), cb).as("codes"))
+    (cells, codes)
+  }
+
   def buildIndex(spark: SparkSession, sfDir: String): PqIndex = {
     val data = Tables.embeddings(spark, sfDir)
     val (cents, cb) = fittedFor(spark, sfDir, data)
-    val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents)).cache()
-    val codes = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), pqCodes(col("embedding"), cb).as("codes")).cache()
-    PqIndex(cells, codes,
+    val (cells, codes) = encode(spark, Tables.embeddings(spark, sfDir), cents, cb)
+    PqIndex(cells.cache(), codes.cache(),
       Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
       cents, cb)
   }
