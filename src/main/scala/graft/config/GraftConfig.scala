@@ -118,8 +118,16 @@ final case class CorpusConfig(bucketBoundaries: String = "width") {
 
 /** `vocabPath`: a published tokenizer's merges file (HF `merges.txt`
   * format) — when set, the BPE counters apply THAT vocab instead of
-  * corpus-fitting, so packing budgets match the trainer's tokenizer. */
-final case class BpeConfig(vocabPath: String = "")
+  * corpus-fitting, so packing budgets match the trainer's tokenizer.
+  * `unigramVocabPath`: a published SentencePiece-unigram vocab
+  * (`spm_export_vocab` `piece<TAB>logprob` format — the Llama/T5
+  * family); when set it takes precedence for the TRAINER-FACING
+  * counters (tokenizer_fertility, seq_pack_bpe) via
+  * [[graft.text.Tokenizers]], and `token_count_unigram` scores with
+  * it instead of the corpus fit. Setting both is allowed: BPE entries
+  * stay BPE, unigram wins only where "the trainer's tokenizer" is the
+  * semantic. */
+final case class BpeConfig(vocabPath: String = "", unigramVocabPath: String = "")
 
 /** SemDeDup sizing: `cells = 0` auto-sizes to ~sqrt(N) via
   * `IvfSearch.scaledCells` (the IVF discipline); the default 16 is the
@@ -368,7 +376,9 @@ object GraftConfig {
         codewords = i(n.path("pq"), "codewords", d.pq.codewords),
         adcKeep = i(n.path("pq"), "adcKeep", d.pq.adcKeep)),
       bpe = BpeConfig(
-        vocabPath = s(n.path("bpe"), "vocabPath", d.bpe.vocabPath)),
+        vocabPath = s(n.path("bpe"), "vocabPath", d.bpe.vocabPath),
+        unigramVocabPath =
+          s(n.path("bpe"), "unigramVocabPath", d.bpe.unigramVocabPath)),
       semdedup = SemDedupConfig(
         cells = i(n.path("semdedup"), "cells", d.semdedup.cells),
         maxCell = i(n.path("semdedup"), "maxCell", d.semdedup.maxCell)),

@@ -101,6 +101,68 @@ object Dedup {
       SignatureExprs.minhash_shingle_sig(
         tokens(col(textCol)), shingleWidth, numPerms).as("sig"))
 
+  /**
+   * `dedup_minhash_tune`: the analytic (bands, rowsPerBand) planner
+   * behind [[minhashPairs]]'s 16x4 default — for every factorization
+   * b*r = numPerms, the LSH S-curve quantities (Leskovec/Rajaraman/
+   * Ullman ch.3): `curve_threshold` = (1/b)^(1/r), the similarity
+   * where collision probability crosses ~50%; `p_catch` = collision
+   * probability 1-(1-s^r)^b AT the target Jaccard threshold;
+   * `p_fp` = the same curve 0.1 BELOW target (band-join work wasted
+   * on sub-threshold pairs — each costs an exact-Jaccard verify);
+   * `p_fn` = (1-s^r)^b at 0.1 ABOVE target (true near-dups the bands
+   * never collide — unrecoverable, unlike false positives). `selected`
+   * marks the factorization whose curve threshold lands nearest the
+   * target: for 64 perms at 0.5 that is 16 bands x 4 rows — the
+   * planner derives the library default rather than asserting it.
+   *
+   * Data-independent (a planning table, not a corpus scan), so the
+   * cross-engine float story is static: both engines evaluate the
+   * same pow/floor chain over the same 7 literal rows, verified
+   * bit-exact once at the gate = verified forever.
+   */
+  def minhashTune(spark: SparkSession, sfDir: String): DataFrame = {
+    val _ = sfDir // analytic planner: no corpus input
+    val H = 64
+    val t = 0.5
+    import spark.implicits._
+    def f4(c: Column): Column = floor(c * 10000) / 10000
+    def pAt(s: Double): Column =
+      lit(1.0) - pow(lit(1.0) - pow(lit(s), col("r").cast("double")),
+        col("b").cast("double"))
+    val rows = (1 to H).filter(H % _ == 0).map(b => (b, H / b))
+    val curved = rows.toDF("b", "r").select(col("b"), col("r"),
+      f4(pow(lit(1.0) / col("b").cast("double"),
+        lit(1.0) / col("r").cast("double"))).as("curve_threshold"),
+      f4(pAt(t)).as("p_catch"),
+      // 0.4/0.6 as EXPLICIT literals: `t - 0.1` computes a different
+      // double than the SQL text '0.4' parses to (0.5 + 0.1 is
+      // famously 0.6000000000000001) — the bases must be bit-equal
+      // across engines before pow ever runs
+      f4(pAt(0.4)).as("p_fp"),
+      f4(pow(lit(1.0) - pow(lit(0.6), col("r").cast("double")),
+        col("b").cast("double"))).as("p_fn"))
+    // selection on the ROUNDED curve (engine-stable), 7-row window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(abs(col("curve_threshold") - lit(t)), col("b"))
+    curved.withColumn("selected", (row_number().over(w) === 1).cast("int"))
+  }
+
+  def minhashTuneSql: String = {
+    val H = 64
+    val rows = (1 to H).filter(H % _ == 0).map(b => s"($b, ${H / b})").mkString(", ")
+    s"""WITH g AS (SELECT * FROM (VALUES $rows) AS v(b, r)),
+       |c AS (SELECT b, r,
+       |  FLOOR(POWER(CAST(1.0 AS DOUBLE) / b, CAST(1.0 AS DOUBLE) / r) * 10000) / 10000 AS curve_threshold,
+       |  FLOOR((1 - POWER(1 - POWER(CAST(0.5 AS DOUBLE), r), b)) * 10000) / 10000 AS p_catch,
+       |  FLOOR((1 - POWER(1 - POWER(CAST(0.4 AS DOUBLE), r), b)) * 10000) / 10000 AS p_fp,
+       |  FLOOR(POWER(1 - POWER(CAST(0.6 AS DOUBLE), r), b) * 10000) / 10000 AS p_fn
+       |  FROM g)
+       |SELECT b, r, curve_threshold, p_catch, p_fp, p_fn,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY ABS(curve_threshold - 0.5), b) = 1 AS INTEGER) AS selected
+       |FROM c""".stripMargin
+  }
+
   /** (id, band, band_hash) — bands of `rowsPerBand` signature slots. */
   def minhashBands(sigs: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
     val bandHashes = (0 until numPerms / rowsPerBand).map { b =>

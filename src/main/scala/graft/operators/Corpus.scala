@@ -500,20 +500,22 @@ object Corpus {
    * the codegen'd `BpeCountTokens` expression rides the projection.
    */
   def seqPackBpeQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val model = graft.text.Bpe.ensureVocabExported(spark, sfDir)
+    // Dispatches to the ACTIVE trainer tokenizer (unigram import >
+    // BPE, graft.text.Tokenizers): a packer budgets by the tokenizer
+    // the downstream model actually trains with.
+    val tok = graft.text.Tokenizers.active(spark, sfDir)
     seqPack(Tables.documents(spark, sfDir), "lang", budget = 2048,
-      // cast: the whitespace counter is LONG, the BPE expression INT —
-      // the two entries must share one output schema
-      counter = c => graft.text.Bpe.bpe_count(c, model).cast("long"))
+      // cast: the whitespace counter is LONG, the subword expression
+      // INT — the two entries must share one output schema
+      counter = c => tok.count(c).cast("long"))
   }
 
-  /** DuckDB twin: per-doc BPE counts replayed from the vocab fixture
-    * (the `token_count_bpe` oracle chain), then the same windowed
-    * cumulative pack math as `seq_pack`. */
-  val seqPackBpeSql: String =
-    s"""WITH v AS (SELECT * FROM read_parquet('${graft.text.Bpe.VocabExportPath}/*.parquet')),
-       |w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '${graft.text.TextAnalysis.BpeishPattern}')) AS word
-       |      FROM documents),
+  /** DuckDB twin: per-doc subword counts replayed from the active
+    * vocab fixture (the `token_count_bpe` oracle chain), then the same
+    * windowed cumulative pack math as `seq_pack`. */
+  def seqPackBpeSql: String =
+    s"""WITH v AS (SELECT * FROM read_parquet('${graft.text.Tokenizers.activeDictPath()}/*.parquet')),
+       |${graft.text.Tokenizers.activeWordsSql()},
        |s AS (SELECT w.doc_id, SUM(v.n_sub) AS t FROM w JOIN v USING (word) GROUP BY w.doc_id),
        |d AS (SELECT doc.doc_id, doc.lang, CAST(COALESCE(s.t, 0) AS BIGINT) AS n_tokens
        |      FROM documents doc LEFT JOIN s ON s.doc_id = doc.doc_id),

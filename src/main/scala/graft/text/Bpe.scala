@@ -68,9 +68,13 @@ object Bpe {
    * (lexicographic tie-break) across the weighted vocabulary.
    */
   def fit(docs: DataFrame, textCol: String, nMerges: Int = DefaultMerges): BpeModel = {
+    // Pattern as lit(), NOT expr(): SQL literals unescape '\s' to 's',
+    // which would admit whitespace chars as "other"-class matches.
+    // (Output here was unaffected — those are length-1 words, filtered
+    // below — but the form is the [[Unigram.fit]] discipline.)
     val freqs: Array[(String, Long)] = docs
-      .select(explode(
-        expr(s"regexp_extract_all(lower($textCol), '${TextAnalysis.BpeishPattern}', 0)")).as("w"))
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit(TextAnalysis.BpeishPattern), lit(0))).as("w"))
       .filter(length(col("w")) >= 2) // single-symbol words carry no pairs
       .groupBy("w").count()
       .orderBy(col("count").desc, col("w"))
@@ -199,7 +203,8 @@ object Bpe {
     }
     graft.FixtureExport.ensure(vocabKey, VocabExportPath) {
       Tables.documents(spark, sfDir).select(explode(
-          expr(s"regexp_extract_all(lower(text), '${TextAnalysis.BpeishPattern}', 0)")).as("word"))
+          regexp_extract_all(lower(col("text")),
+            lit(TextAnalysis.BpeishPattern), lit(0))).as("word"))
         .distinct()
         .select(col("word"), bpe_count(col("word"), model).as("n_sub"))
         .coalesce(1).write.mode("overwrite").parquet(VocabExportPath)
@@ -241,13 +246,17 @@ object Bpe {
    * identical literal order, floored 4dp.
    */
   def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
-    val model = ensureVocabExported(spark, sfDir)
+    // Dispatches to the ACTIVE trainer tokenizer (unigram import >
+    // BPE): fertility is a report about the trainer's tokenizer, not
+    // about BPE per se. Column names stay `bpe_tokens_sum` for schema
+    // stability across configs ("subword tokens" is the semantic).
+    val tok = Tokenizers.active(spark, sfDir)
     Tables.documents(spark, sfDir)
       .select(col("lang"),
         length(col("text")).cast("long").as("nc"),
         (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
           .cast("long").as("ws"),
-        bpe_count(col("text"), model).cast("long").as("bt"))
+        tok.count(col("text")).cast("long").as("bt"))
       .groupBy("lang")
       .agg(count(lit(1)).as("docs"),
         sum("nc").as("chars_sum"),
@@ -262,9 +271,8 @@ object Bpe {
   }
 
   def tokenizerFertilitySql: String =
-    s"""WITH v AS (SELECT * FROM read_parquet('$VocabExportPath/*.parquet')),
-       |w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '${TextAnalysis.BpeishPattern}')) AS word
-       |      FROM documents),
+    s"""WITH v AS (SELECT * FROM read_parquet('${Tokenizers.activeDictPath()}/*.parquet')),
+       |${Tokenizers.activeWordsSql()},
        |bt AS (SELECT w.doc_id, SUM(v.n_sub) AS t FROM w JOIN v USING (word) GROUP BY w.doc_id),
        |d AS (SELECT doc_id, lang,
        |        CAST(len(text) AS BIGINT) AS nc,

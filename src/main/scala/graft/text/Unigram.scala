@@ -1,0 +1,413 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.Tables
+
+/**
+ * SentencePiece-style UNIGRAM-LM subword tokenization (Kudo 2018,
+ * "Subword Regularization"; the tokenizer family behind
+ * Llama/T5/XLNet). Complements [[Bpe]]: BPE applies a learned MERGE
+ * list greedily; unigram scores every segmentation of a word under a
+ * piece log-probability table and keeps the Viterbi-best one. A
+ * packer/fertility report parameterized by the wrong family can be
+ * 10-30% off on token budgets for SentencePiece-tokenized models,
+ * which is why the import path exists.
+ *
+ * Same architecture discipline as [[Bpe]] (reference Config.java /
+ * the r5 verdict's "count with the trainer's tokenizer" item):
+ *  - the model is fitted ONCE driver-side from a bounded,
+ *    deterministic word-frequency table (never corpus-sized state),
+ *    or IMPORTED from a published `spm_export_vocab` text file
+ *    (`piece<TAB>logprob` per line — the public SentencePiece
+ *    export format);
+ *  - counting rides a codegen'd Catalyst expression
+ *    ([[UnigramCountTokens]]) with a Zipf-friendly word->count
+ *    cache — map-only, no token arrays materialized;
+ *  - the DuckDB oracle replays a bounded distinct-word -> piece-count
+ *    dictionary exported by the query (vocabulary-sized, not
+ *    corpus-sized); the Viterbi DP itself is ground-truth-spec'd in
+ *    UnigramSpec against hand-computed segmentations.
+ *
+ * Two pretokenization styles, fixed per model:
+ *  - corpus-fit (default): [[TextAnalysis.BpeishPattern]] over
+ *    lowercased text — the same pretokens as the BPE counter, so the
+ *    two families are comparable on the same corpus;
+ *  - SPM import (`spmStyle`): whitespace pretokens of the RAW text,
+ *    each scored as `▁word` (SentencePiece's add_dummy_prefix +
+ *    split_by_whitespace convention), no lowercasing — counts match
+ *    the published tokenizer's own segmentation for vocab-internal
+ *    text.
+ *
+ * The trainer is deterministic Viterbi-EM over the bounded word
+ * table: seed = all substrings (length <= [[MaxPieceLen]]) of the
+ * top words scored by occurrence-count x length (the suffix-array
+ * seeding stand-in), then [[EmIters]] rounds of segment-with-current-
+ * model / re-estimate / prune-to-vocab — single-char pieces are never
+ * pruned, so every word stays segmentable. Hard-EM (Viterbi counts,
+ * not forward-backward expectations) keeps it integer-deterministic.
+ */
+object Unigram {
+
+  /** Target piece-vocabulary size for the corpus fit (beyond single
+    * chars, which are always kept). */
+  val DefaultVocabSize = 512
+
+  /** Longest candidate piece the trainer seeds / the DP scans. */
+  val MaxPieceLen = 8
+
+  /** Hard-EM rounds (segment / re-estimate / prune). */
+  val EmIters = 4
+
+  /** Seed multi-char candidates kept = SeedFactor x vocabSize. */
+  val SeedFactor = 4
+
+  /** Same bounded word table as [[Bpe.MaxVocabWords]]. */
+  val MaxVocabWords = 20000
+
+  /** Distinct-word -> piece-count dictionary fixture for the DuckDB
+    * oracle (the [[Bpe.VocabExportPath]] discipline; separate path so
+    * the BPE and unigram oracles never clobber each other). */
+  val VocabExportPath = "/root/repo/tmp/oracle_fixtures/unigram_vocab.parquet"
+
+  /** Fitted or imported model: (piece, logprob) in deterministic
+    * order, plus the pretokenization style it was built for. */
+  final case class UnigramModel(pieces: Array[(String, Double)], spmStyle: Boolean) {
+    @transient lazy val runtime: UnigramRuntime = {
+      val logp = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+      var maxLen = 1
+      var minScore = 0.0
+      var i = 0
+      while (i < pieces.length) {
+        val (p, lp) = pieces(i)
+        logp.put(p, lp)
+        if (p.length > maxLen) maxLen = p.length
+        if (lp < minScore) minScore = lp
+        i += 1
+      }
+      new UnigramRuntime(logp, maxLen, minScore - 10.0, spmStyle)
+    }
+  }
+
+  /**
+   * Deterministic hard-EM fit over the bounded word-frequency table.
+   * Driver-side work is O(words x len x MaxPieceLen) per iteration —
+   * bounded by [[MaxVocabWords]], independent of corpus size; the
+   * only distributed step is the word-frequency partial agg (one
+   * shuffle over words, the [[Bpe.fit]] plan).
+   */
+  def fit(docs: DataFrame, textCol: String,
+      vocabSize: Int = DefaultVocabSize): UnigramModel = {
+    // Pattern as lit(), NOT through expr(): the SQL parser unescapes
+    // '\s' to 's' inside string literals, silently turning the
+    // whitespace class into a letter and admitting space "words".
+    val freqs: Array[(String, Long)] = docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit(TextAnalysis.BpeishPattern), lit(0))).as("w"))
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(MaxVocabWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    // Seed: every substring occurrence of every vocab word, weighted
+    // by word frequency; score = count x length (longer pieces earn
+    // their slot by covering more text).
+    val candCount = new java.util.HashMap[String, java.lang.Long]()
+    for ((w, c) <- freqs; i <- 0 until w.length;
+         len <- 1 to math.min(MaxPieceLen, w.length - i)) {
+      val p = w.substring(i, i + len)
+      val prev = candCount.get(p)
+      candCount.put(p, if (prev == null) c else prev + c)
+    }
+    import scala.jdk.CollectionConverters._
+    val all = candCount.asScala.toArray.map { case (p, c) => (p, c.longValue) }
+    val chars = all.filter(_._1.length == 1)
+    val multi = all.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c * p.length, p) }
+      .take(vocabSize * SeedFactor)
+
+    def toModel(counts: Array[(String, Long)]): UnigramModel = {
+      val total = counts.map(_._2).sum.toDouble
+      UnigramModel(
+        counts.sortBy(_._1).map { case (p, c) => (p, math.log(c / total)) },
+        spmStyle = false)
+    }
+
+    var model = toModel(chars ++ multi)
+    var iter = 0
+    while (iter < EmIters) {
+      val rt = model.runtime
+      val usage = new java.util.HashMap[String, java.lang.Long]()
+      for ((w, c) <- freqs; p <- UnigramKernels.segmentWord(w, rt)) {
+        val prev = usage.get(p)
+        usage.put(p, if (prev == null) c else prev + c)
+      }
+      val used = usage.asScala.toArray.map { case (p, c) => (p, c.longValue) }
+      // Chars are the segmentability floor: never pruned, smoothed to
+      // count >= 1 even if this round's Viterbi paths skipped them.
+      val charRows = chars.map { case (p, _) =>
+        (p, math.max(1L, Option(usage.get(p)).map(_.longValue).getOrElse(0L))) }
+      val multiRows = used.filter(_._1.length > 1)
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - charRows.length))
+      model = toModel(charRows ++ multiRows)
+      iter += 1
+    }
+    model
+  }
+
+  /**
+   * Import a published SentencePiece vocab (`spm_export_vocab`
+   * format: `piece<TAB>logprob` per line, rank order; `<unk>`-style
+   * control pieces in angle brackets are kept out of the DP table).
+   * The resulting model is [[UnigramModel.spmStyle]]: whitespace
+   * pretokens scored as `▁word`.
+   */
+  def loadVocab(path: String): UnigramModel = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    lines.forEach { raw =>
+      val line = raw.stripLineEnd
+      if (line.nonEmpty) {
+        val tab = line.indexOf('\t')
+        require(tab > 0, s"malformed vocab line (want 'piece<TAB>logprob'): '$line'")
+        val piece = line.substring(0, tab)
+        val score = java.lang.Double.parseDouble(line.substring(tab + 1))
+        if (!(piece.startsWith("<") && piece.endsWith(">")))
+          pieces += ((piece, score))
+      }
+    }
+    require(pieces.nonEmpty, s"no usable pieces in vocab file: $path")
+    UnigramModel(pieces.toArray, spmStyle = true)
+  }
+
+  private val fitCache = scala.collection.mutable.Map.empty[String, UnigramModel]
+
+  /** Memoized corpus fit over a directory's `documents` table. */
+  def fitFor(spark: SparkSession, sfDir: String): UnigramModel = fitCache.synchronized {
+    fitCache.getOrElseUpdate(sfDir, fit(Tables.documents(spark, sfDir), "text"))
+  }
+
+  /** The model the counters use: the imported SPM vocab when
+    * `bpe.unigramVocabPath` is configured, else the memoized corpus
+    * fit (the [[Bpe.modelFor]] contract). */
+  def modelFor(spark: SparkSession, sfDir: String,
+      cfg: graft.config.GraftConfig = graft.config.GraftConfig.active): UnigramModel =
+    if (cfg.bpe.unigramVocabPath.nonEmpty) fitCache.synchronized {
+      fitCache.getOrElseUpdate("file:" + cfg.bpe.unigramVocabPath,
+        loadVocab(cfg.bpe.unigramVocabPath))
+    } else fitFor(spark, sfDir)
+
+  /** Viterbi piece count of `text` under `model` — map-only, codegen'd. */
+  def unigram_count(text: Column, model: UnigramModel): Column =
+    ColumnBridge.column(UnigramCountTokens(
+      ColumnBridge.expression(text.cast(StringType)), model.runtime))
+
+  /** The pretokenization the active model's dictionary oracle must
+    * replay: SPM-style models split raw text on whitespace; corpus
+    * fits share the BPE pretokens. */
+  def wordsSqlFragment(spmStyle: Boolean): String =
+    if (spmStyle)
+      """w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        |      FROM documents)""".stripMargin
+    else
+      s"""w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '${TextAnalysis.BpeishPattern}')) AS word
+         |      FROM documents)""".stripMargin
+
+  /** Export the distinct-word -> piece-count dictionary fixture (the
+    * [[Bpe.ensureVocabExported]] discipline, keyed on corpus + vocab
+    * source so a config flip mid-JVM re-exports). */
+  def ensureVocabExported(spark: SparkSession, sfDir: String,
+      cfg: graft.config.GraftConfig = graft.config.GraftConfig.active): UnigramModel = {
+    val model = modelFor(spark, sfDir, cfg)
+    val vocabKey = cfg.bpe.unigramVocabPath match {
+      case "" => sfDir
+      case p => s"$sfDir|$p"
+    }
+    graft.FixtureExport.ensure(vocabKey, VocabExportPath) {
+      val words =
+        if (model.spmStyle)
+          Tables.documents(spark, sfDir).select(
+            explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("word"))
+        else
+          Tables.documents(spark, sfDir).select(
+            explode(regexp_extract_all(lower(col("text")),
+              lit(TextAnalysis.BpeishPattern), lit(0))).as("word"))
+      words.distinct()
+        .select(col("word"), unigram_count(col("word"), model).as("n_sub"))
+        .coalesce(1).write.mode("overwrite").parquet(VocabExportPath)
+    }
+    model
+  }
+
+  /** `token_count_unigram`: per-doc Viterbi piece counts under the
+    * active unigram model (corpus-fit by default). Plan: one codegen'd
+    * expression over the documents scan — no shuffle, no join. */
+  def tokenCountUnigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = ensureVocabExported(spark, sfDir)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), unigram_count(col("text"), model).as("unigram_tokens"))
+  }
+
+  /** DuckDB twin: dictionary replay over the active pretokenization
+    * (a def — the fragment follows the configured vocab source). */
+  def tokenCountUnigramSql: String = {
+    val spm = graft.config.GraftConfig.active.bpe.unigramVocabPath.nonEmpty
+    s"""WITH v AS (SELECT * FROM read_parquet('$VocabExportPath/*.parquet')),
+       |${wordsSqlFragment(spm)},
+       |s AS (SELECT w.doc_id, SUM(v.n_sub) AS t FROM w JOIN v USING (word) GROUP BY w.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(s.t, 0) AS INTEGER) AS unigram_tokens
+       |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+  }
+}
+
+/** Executor-side piece table + Viterbi scratch + the capped
+  * concurrent word->count cache (the [[BpeRuntime]] shape). */
+final class UnigramRuntime(
+    val logp: java.util.HashMap[String, java.lang.Double],
+    val maxLen: Int,
+    val unkScore: Double,
+    val spmStyle: Boolean) extends Serializable {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer](1 << 12)
+  private val CacheCap = 1 << 17
+
+  @transient lazy val pattern: java.util.regex.Pattern =
+    if (spmStyle) java.util.regex.Pattern.compile("\\S+")
+    else java.util.regex.Pattern.compile(TextAnalysis.BpeishPattern)
+
+  def countCached(word: String): Int = {
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val key = if (spmStyle) UnigramKernels.SpmSpace + word else word
+    val n = UnigramKernels.countWord(key, this)
+    if (cache.size < CacheCap) cache.put(word, n)
+    n
+  }
+}
+
+object UnigramKernels {
+  /** SentencePiece word-boundary marker (U+2581 LOWER ONE EIGHTH
+    * BLOCK), prepended to each whitespace pretoken in SPM style. */
+  val SpmSpace = "▁"
+
+  private val NegInf = java.lang.Double.NEGATIVE_INFINITY
+
+  /**
+   * Viterbi piece count of one pretoken: best[i] = max over pieces p
+   * ending at i of best[i-|p|] + logp(p); a position no piece reaches
+   * falls back to one `unkScore` character. Ties keep the first
+   * (shortest-piece) path — fixed scan order makes the count
+   * deterministic. O(len x maxLen) table lookups, zero allocation
+   * beyond the two DP arrays.
+   */
+  def countWord(word: String, rt: UnigramRuntime): Int = {
+    val n = word.length
+    if (n == 0) return 0
+    val best = new Array[Double](n + 1)
+    val cnt = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) { best(i) = NegInf; i += 1 }
+    var end = 1
+    while (end <= n) {
+      var len = 1
+      val lo = math.min(rt.maxLen, end)
+      while (len <= lo) {
+        if (best(end - len) != NegInf) {
+          val lp = rt.logp.get(word.substring(end - len, end))
+          if (lp != null) {
+            val cand = best(end - len) + lp.doubleValue
+            if (cand > best(end)) { best(end) = cand; cnt(end) = cnt(end - len) + 1 }
+          }
+        }
+        len += 1
+      }
+      if (best(end) == NegInf) { // unknown char: one piece, penalized
+        best(end) = best(end - 1) + rt.unkScore
+        cnt(end) = cnt(end - 1) + 1
+      }
+      end += 1
+    }
+    cnt(n)
+  }
+
+  /** Best-path pieces of one word (trainer-side EM counts; not hot). */
+  def segmentWord(word: String, rt: UnigramRuntime): List[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val best = Array.fill(n + 1)(NegInf)
+    val back = new Array[Int](n + 1) // piece length ending here; 0 = unk char
+    best(0) = 0.0
+    var end = 1
+    while (end <= n) {
+      var len = 1
+      val lo = math.min(rt.maxLen, end)
+      while (len <= lo) {
+        if (best(end - len) != NegInf) {
+          val lp = rt.logp.get(word.substring(end - len, end))
+          if (lp != null) {
+            val cand = best(end - len) + lp.doubleValue
+            if (cand > best(end)) { best(end) = cand; back(end) = len }
+          }
+        }
+        len += 1
+      }
+      if (best(end) == NegInf) { best(end) = best(end - 1) + rt.unkScore; back(end) = 0 }
+      end += 1
+    }
+    var out = List.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val len = math.max(1, back(pos))
+      if (back(pos) > 0) out = word.substring(pos - len, pos) :: out
+      pos -= len
+    }
+    out
+  }
+
+  /** Sum of per-pretoken Viterbi counts over `text` (lowercased for
+    * corpus-fit models, raw + `▁` prefix for SPM imports). */
+  def countTokens(s: UTF8String, rt: UnigramRuntime): Int = {
+    val str = if (rt.spmStyle) s.toString
+              else s.toString.toLowerCase(java.util.Locale.ROOT)
+    val m = rt.pattern.matcher(str)
+    var total = 0
+    while (m.find()) total += rt.countCached(m.group())
+    total
+  }
+}
+
+/** Codegen'd Viterbi token counter (the [[BpeCountTokens]] shape). */
+case class UnigramCountTokens(child: Expression, runtime: UnigramRuntime)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"unigram_count expects STRING, got ${child.dataType.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    UnigramKernels.countTokens(s.asInstanceOf[UTF8String], runtime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rtRef = ctx.addReferenceObj("unigramRuntime", runtime,
+      classOf[UnigramRuntime].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.text.UnigramKernels.countTokens($s, $rtRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

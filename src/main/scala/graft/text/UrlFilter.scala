@@ -20,9 +20,16 @@ import graft.Tables
  *
  * Rules fire in that fixed order, first failure wins (the
  * [[TextFilters.qualityFilter]] verdict discipline). The only shuffle
- * in the plan is the per-URL partial agg for the dedup owner (key the
- * shuffle on `xxhash64(url_norm)` at 100 TB); everything else is
- * codegen'd string expressions.
+ * in the plan is ONE exchange on `url_norm` feeding a window MIN for
+ * the dedup owner; everything else is codegen'd string expressions.
+ * (Round 7 shipped this as groupBy(url_norm).min + self-join — TWO
+ * url_norm shuffles and a join whose probe side piles every recrawl
+ * of a URL onto one key. The r7 scale ramp caught it: 0.73s→5.70s on
+ * a 4x data step, the ramp's only superlinear segment, because the
+ * planted corpus's 100-identity recrawl pattern concentrates the
+ * join. The window form halves the shuffles, drops the join, and its
+ * per-key cost is the recrawl multiplicity — bounded in a real crawl,
+ * and AQE-splittable when a single URL is hammered.)
  *
  * The synthetic documents table carries no URL column, so the
  * `url_filter` entry PLANTS one deterministically from (doc_id,
@@ -74,8 +81,9 @@ object UrlFilter {
       .withColumn("host", substring_index(col("url_norm"), "/", 1))
       .withColumn("domain", substring_index(col("host"), ".", 1))
       .withColumn("tld", expr("substring(host, length(domain) + 1, 10)"))
-    val owners = parsed.groupBy("url_norm").agg(min("doc_id").as("owner"))
-    parsed.join(owners, "url_norm")
+    val byUrl = org.apache.spark.sql.expressions.Window.partitionBy("url_norm")
+    parsed
+      .withColumn("owner", min("doc_id").over(byUrl))
       .withColumn("fail_reason",
         when(col("domain").isin(BlockedDomains: _*), "blocklist")
           .when(col("tld").isin(LowQualityTlds: _*), "low_quality_tld")
@@ -88,6 +96,78 @@ object UrlFilter {
 
   def urlFilterQuery(spark: SparkSession, sfDir: String): DataFrame =
     urlFilter(withPlantedUrls(Tables.documents(spark, sfDir)))
+
+  /**
+   * `host_stats`: the per-host crawl triage report a pipeline owner
+   * reads before touching content — which hosts dominate the corpus,
+   * how much of each host is recrawl duplication, and how long its
+   * documents run (Common-Crawl host-level curation: blocklists and
+   * crawl budgets are set from exactly this table).
+   *
+   * Scale shape: TWO-LEVEL aggregation — docs roll up to
+   * `url_norm` first (count + chars), URLs then roll up to host —
+   * so the distinct-URL count is a plain COUNT at the second level,
+   * never a COUNT(DISTINCT) expansion over doc rows. Both levels are
+   * partial-agg shuffles on bounded keys (URLs, then hosts). The
+   * corpus-share denominator is a single-row total broadcast over the
+   * host-sized result (hosts ~ 1e6-1e8 at web scale; the rollup is
+   * the standard two-stage reduce).
+   */
+  def hostStats(urls: DataFrame): DataFrame = {
+    val norm = regexp_replace(regexp_replace(regexp_replace(col("url"),
+      "^https?://", ""), "^www\\.", ""), "\\?.*$", "")
+    val perUrl = urls
+      .withColumn("url_norm", norm)
+      .withColumn("host", substring_index(col("url_norm"), "/", 1))
+      .groupBy("host", "url_norm")
+      .agg(count(lit(1)).as("docs"), sum(length(col("text")).cast("long")).as("chars"))
+    val perHost = perUrl.groupBy("host")
+      .agg(sum("docs").as("n_docs"),
+        count(lit(1)).as("n_urls"),
+        (sum("docs") - count(lit(1))).as("dup_docs"),
+        sum("chars").as("chars_sum"))
+    val total = perHost.agg(sum("n_docs").as("total_docs"))
+    perHost.crossJoin(broadcast(total))
+      .select(col("host"), col("n_docs"), col("n_urls"), col("dup_docs"),
+        col("chars_sum"),
+        (floor(col("chars_sum") / col("n_docs") * 10000) / 10000).as("mean_doc_chars"),
+        (floor(col("n_docs") / col("total_docs") * 10000) / 10000).as("corpus_share"))
+  }
+
+  def hostStatsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    hostStats(withPlantedUrls(docs)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id"))
+  }
+
+  def hostStatsSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+       |    || ([${sqlList(Domains)}])[(doc_id % 100) % 11 + 1]
+       |    || ([${sqlList(Tlds)}])[(doc_id % 100) % 7 + 1]
+       |    || '/' || source || '/page-' || (doc_id % 100)
+       |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END) AS url
+       |  FROM documents),
+       |n AS (SELECT u.doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(url,
+       |    '^https?://', ''), '^www\\.', ''), '\\?.*$$', '') AS url_norm,
+       |  CAST(len(d.text) AS BIGINT) AS chars
+       |  FROM u JOIN documents d ON u.doc_id = d.doc_id),
+       |p AS (SELECT string_split(url_norm, '/')[1] AS host, url_norm,
+       |        CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(chars) AS BIGINT) AS chars
+       |      FROM n GROUP BY 1, 2),
+       |h AS (SELECT host, CAST(SUM(docs) AS BIGINT) AS n_docs,
+       |        CAST(COUNT(*) AS BIGINT) AS n_urls,
+       |        CAST(SUM(docs) - COUNT(*) AS BIGINT) AS dup_docs,
+       |        CAST(SUM(chars) AS BIGINT) AS chars_sum
+       |      FROM p GROUP BY host),
+       |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM h)
+       |SELECT host, n_docs, n_urls, dup_docs, chars_sum,
+       |  FLOOR(chars_sum / n_docs * 10000) / 10000 AS mean_doc_chars,
+       |  FLOOR(n_docs / total_docs * 10000) / 10000 AS corpus_share
+       |FROM h CROSS JOIN t""".stripMargin
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString(", ")

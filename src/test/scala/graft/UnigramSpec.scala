@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Bpe, Tokenizers, Unigram, UnigramKernels, UnigramRuntime}
+import graft.text.Unigram.UnigramModel
+
+class UnigramSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def rt(spm: Boolean, pieces: (String, Double)*): UnigramRuntime =
+    UnigramModel(pieces.toArray, spmStyle = spm).runtime
+
+  test("Viterbi count: hand-computed best segmentations") {
+    val r = rt(spm = false,
+      "a" -> -2.0, "b" -> -2.5, "c" -> -3.0, "ab" -> -1.0, "abc" -> -2.2)
+    // "abc": abc=-2.2 beats ab+c=-4.0 and a+b+c=-7.5 -> 1 piece
+    assert(UnigramKernels.countWord("abc", r) == 1)
+    // "abab": ab+ab=-2.0 is the best 2-piece split
+    assert(UnigramKernels.countWord("abab", r) == 2)
+    // "abcb": abc+b=-4.7 beats ab+c+b=-6.5 -> 2
+    assert(UnigramKernels.countWord("abcb", r) == 2)
+    assert(UnigramKernels.countWord("", r) == 0)
+    assert(UnigramKernels.countWord("a", r) == 1)
+  }
+
+  test("Viterbi count: unknown characters fall back to one penalized piece each") {
+    val r = rt(spm = false, "a" -> -2.0, "b" -> -2.5)
+    // 'x' has no piece: a + <unk> + b = 3 pieces
+    assert(UnigramKernels.countWord("axb", r) == 3)
+    // all-unknown word: one piece per char
+    assert(UnigramKernels.countWord("xyz", r) == 3)
+    // unk penalty never makes a phantom multi-char piece
+    assert(UnigramKernels.countWord("xx", r) == 2)
+  }
+
+  test("segmentWord returns the argmax path the counter counts") {
+    val r = rt(spm = false,
+      "a" -> -2.0, "b" -> -2.5, "c" -> -3.0, "ab" -> -1.0, "abc" -> -2.2)
+    assert(UnigramKernels.segmentWord("abc", r) == List("abc"))
+    assert(UnigramKernels.segmentWord("abab", r) == List("ab", "ab"))
+    assert(UnigramKernels.segmentWord("abcb", r) == List("abc", "b"))
+    // unknown chars are dropped from the piece list but consume a slot
+    assert(UnigramKernels.segmentWord("axb", r) == List("a", "b"))
+    for (w <- Seq("abc", "abab", "abcb", "aabbcc", "cabba"))
+      assert(UnigramKernels.segmentWord(w, r).length <=
+        UnigramKernels.countWord(w, r))
+  }
+
+  test("fit learns multi-char pieces on a repetitive corpus, deterministically") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, "chunkchunkchunk other words " * 3))
+      .toDF("doc_id", "text")
+    val m1 = Unigram.fit(docs, "text", vocabSize = 64)
+    val m2 = Unigram.fit(docs, "text", vocabSize = 64)
+    assert(m1.pieces.toSeq == m2.pieces.toSeq, "fit must be deterministic")
+    assert(m1.pieces.exists(_._1.length > 1), "EM should keep multi-char pieces")
+    val r = m1.runtime
+    // the learned vocab must compress the dominant word well below chars
+    val n = UnigramKernels.countWord("chunkchunkchunk", r)
+    assert(n < 15, s"expected multi-char segmentation, got $n pieces")
+    // and every piece count is at least the information floor of 1
+    assert(UnigramKernels.countWord("chunk", r) >= 1)
+  }
+
+  test("spm_export_vocab import: tab-separated pieces, control tokens skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("unigram-spec")
+    val path = dir.resolve("test.vocab")
+    java.nio.file.Files.write(path,
+      ("<unk>\t0\n<s>\t0\n</s>\t0\n" +
+        "▁hello\t-1.5\n▁world\t-2.0\n▁\t-3.0\n" +
+        "h\t-6.0\ne\t-6.0\nl\t-6.0\no\t-6.0\nw\t-6.0\nr\t-6.0\nd\t-6.0\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m = Unigram.loadVocab(path.toString)
+    assert(m.spmStyle)
+    assert(!m.pieces.exists(_._1.startsWith("<")), "control pieces must be dropped")
+    val r = m.runtime
+    // whole words hit their ▁pieces: "hello world" -> [▁hello][▁world]
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(UnigramKernels.countTokens(UTF8String.fromString("hello world"), r) == 2)
+    // "worldhello": ▁ has no glue piece, so ▁world(?) cannot apply
+    // mid-word; Viterbi goes ▁ + chars or char fallback — count must
+    // exceed the 2-piece happy path
+    assert(UnigramKernels.countTokens(UTF8String.fromString("helloworld"), r) > 1)
+    // vocab-external word: the ▁ piece + one penalized piece per
+    // unknown char, never a crash
+    assert(UnigramKernels.countTokens(UTF8String.fromString("zzz"), r) == 4)
+  }
+
+  test("token_count_unigram: bounded by pretokens below and characters above") {
+    val got = Unigram.tokenCountUnigram(spark, sf)
+    val joined = got.join(Tables.documents(spark, sf), "doc_id")
+      .select(col("unigram_tokens"),
+        // lit() pattern: expr()'s SQL literal would unescape \s
+        size(regexp_extract_all(lower(col("text")),
+          lit(graft.text.TextAnalysis.BpeishPattern), lit(0))).as("pretokens"),
+        length(col("text")).as("chars"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (u, p, c) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      assert(u >= p, s"unigram count $u below pretoken count $p")
+      assert(u <= c, s"unigram count $u above char count $c")
+    }
+  }
+
+  test("tokenizer dispatch: unigram import wins for trainer-facing counters; default untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("unigram-dispatch")
+    val path = dir.resolve("tiny.vocab")
+    java.nio.file.Files.write(path,
+      "▁the\t-1.0\nt\t-5.0\nh\t-5.0\ne\t-5.0\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val cfgU = graft.config.GraftConfig(
+      bpe = graft.config.BpeConfig(unigramVocabPath = path.toString))
+    val h = Tokenizers.active(spark, sf, cfgU)
+    assert(h.dictPath == Unigram.VocabExportPath)
+    assert(h.wordsSql.contains("\\S+"), "SPM style splits raw text on whitespace")
+    // default config: BPE fixture path and the round-7 fragment, byte-identical
+    val hDef = Tokenizers.active(spark, sf, graft.config.GraftConfig())
+    assert(hDef.dictPath == Bpe.VocabExportPath)
+    assert(hDef.wordsSql ==
+      s"""w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '${graft.text.TextAnalysis.BpeishPattern}')) AS word
+         |      FROM documents)""".stripMargin)
+    // the fertility SQL under default config replays the BPE fixture
+    assert(Bpe.tokenizerFertilitySql.contains(Bpe.VocabExportPath))
+    assert(graft.operators.Corpus.seqPackBpeSql.contains(Bpe.VocabExportPath))
+  }
+
+  test("config parse: bpe.unigramVocabPath round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("unigram-cfg")
+    val p = dir.resolve("g.json")
+    java.nio.file.Files.write(p,
+      """{"bpe": {"unigramVocabPath": "/some/spm.vocab"}}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val cfg = graft.config.GraftConfig.load(p.toString)
+    assert(cfg.bpe.unigramVocabPath == "/some/spm.vocab")
+    assert(cfg.bpe.vocabPath == "")
+  }
+}
