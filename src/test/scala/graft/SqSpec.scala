@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.query.SqSearch
+
+class SqSpec extends SparkSpecBase {
+
+  test("embed_sq: codes are byte-ranged; reconstruction error within delta/2 per dim") {
+    val (vmin, delta) = SqSearch.fittedParams(spark, sf)
+    assert(vmin.length == delta.length && vmin.nonEmpty)
+    assert(delta.forall(_ >= 0.0))
+    val codes = SqSearch.embedSq(spark, sf).cache()
+    val rng = codes.agg(min("code"), max("code")).head()
+    assert(rng.getInt(0) >= 0 && rng.getInt(1) <= 255)
+    // reconstruction: |x - (vmin + code*delta)| <= delta/2 + ulp slop
+    val data = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("d", "v")))
+    val err = codes.join(data, Seq("vec_id", "d"))
+      .select(col("d"), col("v"), col("code")).collect()
+    err.foreach { r =>
+      val (d, v, c) = (r.getInt(0), r.getDouble(1), r.getInt(2))
+      val recon = vmin(d) + c * delta(d)
+      assert(math.abs(v - recon) <= delta(d) / 2 + 1e-9,
+        s"dim $d: |$v - $recon| > ${delta(d) / 2}")
+    }
+    codes.unpersist()
+    ()
+  }
+
+  test("ann_sq_topk: self-queries rank first; recall@k beats PQ's coarser codes") {
+    val out = SqSearch.annSqTopK(spark, sf).cache()
+    val k = graft.config.GraftConfig.active.query.k
+    val nq = graft.config.GraftConfig.active.query.numQueries
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == nq && perQuery.forall(_.getLong(1) <= k))
+    assert(out.filter(col("rnk") === 1)
+      .filter(col("query_id") === col("vec_id")).count() == nq,
+      "every query's rank-1 must be itself (distance 0)")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val brute = graft.query.AnnQuery.annBruteTopK(spark, sf)
+        .select(col("query_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = brute.map { case (q, gt) =>
+        got.get(q).map(g => g.intersect(gt).size.toDouble / gt.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val sqRecall = recallOf(out)
+    // per-dim 8-bit codes keep far more geometry than 8 subspace
+    // codewords: SQ8 should be near-exact on this corpus
+    assert(sqRecall >= 0.9, s"SQ8 recall@k too low: $sqRecall")
+    out.unpersist()
+    ()
+  }
+}
