@@ -156,6 +156,105 @@ object SqSearch {
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
   }
 
+  def NumProbes: Int = PqSearch.NumProbes
+
+  /**
+   * `ann_ivfsq_topk`: the FAISS IndexIVFScalarQuantizer composition —
+   * IVF cells bound the scan, SQ8 codes bound the bandwidth inside
+   * probed cells, exact refine bounds the embedding fetch. THE
+   * corpus-scale serving form of [[annSqTopK]] (which isolates the
+   * quantization-quality path by scanning exhaustively): at 100 TB
+   * the cells table is bucketed by cell, the probe join prunes to
+   * nProbe cells per query, and the per-candidate cost is one
+   * dequantized-distance expression over 4x-compressed codes.
+   * Same plan skeleton as [[PqSearch.annIvfpqTopK]] with per-dim
+   * dequantization in place of subspace LUTs.
+   */
+  def annIvfsqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
+    val (vmin, delta) = fittedParams(spark, sfDir)
+    val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents))
+    val dvecs = data.select(col("vec_id"),
+      sqRecon(sqCodes(col("embedding"), vmin, delta), vmin, delta).as("dvec"))
+    val prep = data.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"),
+        col("embedding").as("qraw"),
+        PqSearch.topProbeCells(col("embedding"), cents, NumProbes).as("pcells"))
+      .withColumn("cell", explode(col("pcells"))).drop("pcells")
+    val probeSide = spark.createDataFrame(
+      java.util.Arrays.asList(prep.collect(): _*), prep.schema)
+    val fetch = data.select(col("vec_id"), col("embedding"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    cells
+      .join(broadcast(probeSide), Seq("cell"))
+      .join(dvecs, Seq("vec_id"))
+      .withColumn("adc",
+        floor(vec_l2(col("qv"), col("dvec")) * vec_l2(col("qv"), col("dvec")) * 10000) / 10000)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= AdcKeep)
+      .join(fetch, Seq("vec_id"))
+      .withColumn("dist", vec_l2(col("embedding"), col("qraw")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  def annIvfsqTopKSql: String =
+    s"""WITH c AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
+       |p AS (SELECT d, vmin, delta FROM read_parquet('$ParamsExportPath/*.parquet')),
+       |x AS (SELECT vec_id,
+       |        generate_subscripts(embedding, 1) - 1 AS d,
+       |        CAST(unnest(embedding) AS DOUBLE) AS v
+       |      FROM embeddings),
+       |recon AS (
+       |  SELECT x.vec_id, x.d,
+       |    CASE WHEN p.delta = 0 THEN p.vmin
+       |         ELSE p.vmin + LEAST(CAST(255.0 AS DOUBLE),
+       |                FLOOR((x.v - p.vmin) / p.delta + 0.5)) * p.delta
+       |    END AS rv
+       |  FROM x JOIN p ON x.d = p.d),
+       |dvecs AS (SELECT vec_id, list(rv ORDER BY d) AS dvec FROM recon GROUP BY vec_id),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS crnk
+       |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < $NumQueries)
+       |  WHERE crnk <= $NumProbes),
+       |adc AS (
+       |  SELECT pr.query_id, a.vec_id,
+       |    FLOOR(list_distance(CAST(q.embedding AS DOUBLE[]), dv.dvec)
+       |          * list_distance(CAST(q.embedding AS DOUBLE[]), dv.dvec) * 10000) / 10000 AS adc
+       |  FROM probes pr
+       |  JOIN assign a ON a.cell = pr.cell
+       |  JOIN dvecs dv ON dv.vec_id = a.vec_id
+       |  JOIN embeddings q ON q.vec_id = pr.query_id),
+       |shortlist AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS adc_rank
+       |    FROM adc)
+       |  WHERE adc_rank <= $AdcKeep)
+       |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rnk
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.query_id)
+       |WHERE rnk <= $K""".stripMargin
+
   def annSqTopKSql: String =
     s"""WITH p AS (SELECT d, vmin, delta FROM read_parquet('$ParamsExportPath/*.parquet')),
        |x AS (SELECT vec_id,

@@ -55,4 +55,30 @@ class SqSpec extends SparkSpecBase {
     out.unpersist()
     ()
   }
+
+  test("ann_ivfsq_topk: cell-bounded SQ serving keeps self-rank-1 and usable recall") {
+    val out = SqSearch.annIvfsqTopK(spark, sf).cache()
+    val k = graft.config.GraftConfig.active.query.k
+    val nq = graft.config.GraftConfig.active.query.numQueries
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == nq && perQuery.forall(_.getLong(1) <= k))
+    // a query's own cell is always its first probe, so self survives
+    // the cell cut and ADC ranks it at distance ~0
+    assert(out.filter(col("rnk") === 1)
+      .filter(col("query_id") === col("vec_id")).count() == nq,
+      "every query's rank-1 must be itself")
+    val got = out.select(col("query_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = graft.query.AnnQuery.annBruteTopK(spark, sf)
+      .select(col("query_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (q, gt) =>
+      got.get(q).map(g => g.intersect(gt).size.toDouble / gt.size).getOrElse(0.0) }
+    val mean = recalls.sum / recalls.size
+    // cells cost recall vs the exhaustive SQ scan (probe misses), but
+    // the composition must stay usable — the IVF-PQ bar
+    assert(mean >= 0.6, s"IVF-SQ recall@k too low: $mean")
+    out.unpersist()
+    ()
+  }
 }
