@@ -275,4 +275,37 @@ class PlanPostureSpec extends SparkSpecBase {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       s"mmr candidate scoring must broadcast the bounded query side:\n$p")
   }
+
+  test("round-8 entries: SQ broadcasts, host_stats rolls up without expansion, CMS agg is cell-bounded") {
+    // ann_sq_topk: the ADC pass is a broadcast nested loop over the
+    // query batch; no cartesian, no shuffle before the rank windows
+    val sq = plan("ann_sq_topk")
+    assert(!sq.contains("CartesianProduct"), sq)
+    assert(sq.contains("BroadcastNestedLoopJoin") || sq.contains("BroadcastExchange"),
+      s"sq query side must broadcast:\n$sq")
+    // ann_ivfsq_topk: probe join is an equi-join on cell (broadcast),
+    // never a nested loop over the corpus
+    val ivfsq = plan("ann_ivfsq_topk")
+    assert(!ivfsq.contains("CartesianProduct"), ivfsq)
+    assert(ivfsq.contains("BroadcastExchange"),
+      s"ivfsq probe side must broadcast:\n$ivfsq")
+    // host_stats: exactly two hash aggregations in sequence (url then
+    // host rollup — each with partial+final), NO expand node (the
+    // COUNT(DISTINCT) shape this plan exists to avoid)
+    val hs = plan("host_stats")
+    assert(!hs.contains("Expand"),
+      s"host_stats must not plan a count-distinct Expand:\n$hs")
+    assert(!hs.contains("CartesianProduct"), hs)
+    // ngram_cms_topk: the sketch aggregation keys on (j, cell) — the
+    // partial agg collapses map-side; no sort of the gram stream
+    val cms = planOf(graft.operators.CorpusStats.cmsSketch(
+      Tables.documents(spark, sf), "doc_id", "text", 3))
+    assert(cms.contains("HashAggregate") && !cms.contains("Sort"),
+      s"cms sketch must hash-aggregate, never sort:\n$cms")
+    // token_count_unigram: map-only — one projection over the scan,
+    // no exchange (dictionary export is a separate fixture write)
+    val tcu = planOf(graft.text.Unigram.tokenCountUnigram(spark, sf))
+    assert(!tcu.contains("Exchange"),
+      s"unigram count must be map-only:\n$tcu")
+  }
 }
