@@ -28,7 +28,11 @@ object ExplainMain {
         "lm_score_trigram", "lm_score_5gram", "dedup_substring_apply", "url_filter",
         "doc_chunk", "split_overlap", "jsonl_roundtrip", "wet_roundtrip",
         "quality_threshold", "perplexity_bucket", "dsir_select",
-        "dsir_sample", "tokenizer_fertility", "corpus_curate")) {
+        "dsir_sample", "tokenizer_fertility", "corpus_curate",
+        // round 8
+        "warc_roundtrip", "token_count_unigram", "host_stats",
+        "dedup_minhash_tune", "embed_sq", "ann_sq_topk", "ann_ivfsq_topk",
+        "ngram_cms_topk")) {
       println(s"===== $name =====")
       println(planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sf)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

@@ -129,6 +129,15 @@ final case class CorpusConfig(bucketBoundaries: String = "width") {
   * semantic. */
 final case class BpeConfig(vocabPath: String = "", unigramVocabPath: String = "")
 
+/** Count-Min sketch geometry ([[graft.operators.CorpusStats.cmsSketch]]):
+  * width ~ e/eps for additive error eps*N, depth ~ ln(1/delta); the
+  * 4x1024 default is the 32 KB demo sketch. Bounded loudly — the
+  * sketch is the thing that must stay small. */
+final case class CmsConfig(depth: Int = 4, width: Int = 1024) {
+  require(depth >= 1 && depth <= 16, s"cms.depth=$depth out of [1,16]")
+  require(width >= 16 && width <= (1 << 24), s"cms.width=$width out of [16,2^24]")
+}
+
 /** SemDeDup sizing: `cells = 0` auto-sizes to ~sqrt(N) via
   * `IvfSearch.scaledCells` (the IVF discipline); the default 16 is the
   * demo-corpus constant. `maxCell` guards degenerate cells from the
@@ -226,6 +235,7 @@ final case class GraftConfig(
     pq: PqConfig = PqConfig(),
     bpe: BpeConfig = BpeConfig(),
     semdedup: SemDedupConfig = SemDedupConfig(),
+    cms: CmsConfig = CmsConfig(),
     chunk: ChunkConfig = ChunkConfig(),
     url: UrlConfig = UrlConfig(),
     dsir: DsirConfig = DsirConfig(),
@@ -379,6 +389,9 @@ object GraftConfig {
         vocabPath = s(n.path("bpe"), "vocabPath", d.bpe.vocabPath),
         unigramVocabPath =
           s(n.path("bpe"), "unigramVocabPath", d.bpe.unigramVocabPath)),
+      cms = CmsConfig(
+        depth = i(n.path("cms"), "depth", d.cms.depth),
+        width = i(n.path("cms"), "width", d.cms.width)),
       semdedup = SemDedupConfig(
         cells = i(n.path("semdedup"), "cells", d.semdedup.cells),
         maxCell = i(n.path("semdedup"), "maxCell", d.semdedup.maxCell)),

@@ -117,10 +117,12 @@ object CorpusStats {
   // ---- Count-Min sketch over corpus n-grams ----
 
   /** Sketch geometry: depth x width cells of BIGINT counts — 4 x 1024
-    * here (32 KB), fixed regardless of corpus size. Production sizing:
-    * width ~ e/eps for additive error eps*N, depth ~ ln(1/delta). */
-  val CmsDepth = 4
-  val CmsWidth = 1024
+    * by default (32 KB), fixed regardless of corpus size; config-backed
+    * (`cms.depth`/`cms.width`, the GraftConfig discipline) so a
+    * deployment sizes width ~ e/eps for additive error eps*N and
+    * depth ~ ln(1/delta) without touching code. */
+  def CmsDepth: Int = graft.config.GraftConfig.active.cms.depth
+  def CmsWidth: Int = graft.config.GraftConfig.active.cms.width
 
   val CmsSketchExportPath = "/root/repo/tmp/oracle_fixtures/cms_sketch.parquet"
   val CmsCellsExportPath = "/root/repo/tmp/oracle_fixtures/cms_cells.parquet"
@@ -174,10 +176,12 @@ object CorpusStats {
     // LSH full-chain fixture-oracle discipline: DuckDB has no
     // xxhash64, so the hash assignments ship as data, every count
     // and the min/err logic re-derive)
-    graft.FixtureExport.ensure(s"cms:$sfDir", CmsSketchExportPath) {
+    // fixture keys carry the geometry: flipping cms.depth/width
+    // mid-JVM re-exports what the oracle replays
+    graft.FixtureExport.ensure(s"cms:$CmsDepth:$CmsWidth:$sfDir", CmsSketchExportPath) {
       sketch.coalesce(1).write.mode("overwrite").parquet(CmsSketchExportPath)
     }
-    graft.FixtureExport.ensure(s"cms-cells:$sfDir", CmsCellsExportPath) {
+    graft.FixtureExport.ensure(s"cms-cells:$CmsDepth:$CmsWidth:$sfDir", CmsCellsExportPath) {
       exact.select(col("gram"),
           posexplode(array((0 until CmsDepth).map(j => cmsCell(j, col("gram"))): _*))
             .as(Seq("j", "cell")))

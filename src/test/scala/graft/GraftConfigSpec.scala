@@ -53,6 +53,16 @@ class GraftConfigSpec extends SparkSpecBase {
       GraftConfig.parse("""{"lm5": {"trainFrac": 0.0}}"""))
   }
 
+  test("cms section parses, validates, and defaults correctly") {
+    val c = GraftConfig.parse("""{"cms": {"depth": 6, "width": 4096}}""")
+    assert(c.cms.depth == 6 && c.cms.width == 4096)
+    assert(GraftConfig.parse("{}").cms == graft.config.CmsConfig())
+    intercept[IllegalArgumentException](
+      GraftConfig.parse("""{"cms": {"depth": 0}}"""))
+    intercept[IllegalArgumentException](
+      GraftConfig.parse("""{"cms": {"width": 8}}"""))
+  }
+
   test("profile overrides overlay the base document (reference profiles)") {
     val json =
       """{"lsh": {"m": 25, "divisions": 3},
