@@ -165,7 +165,19 @@ object ScaleRamp {
       // corpus-level heavy hitters: one gram-keyed partial agg whose
       // shuffle bytes scale with DISTINCT grams + a TakeOrdered cut
       "ngram_topk" -> (() =>
-        mat(graft.operators.CorpusStats.ngramTopk(docs, "doc_id", "text", 3, 50))))
+        mat(graft.operators.CorpusStats.ngramTopk(docs, "doc_id", "text", 3, 50))),
+      // round-8 additions: the CM sketch's shuffle keys are FIXED at
+      // depth x width cells — this row vs ngram_topk above is the
+      // bounded-sketch vs distinct-gram scale argument in numbers
+      "cms_sketch" -> (() =>
+        mat(graft.operators.CorpusStats.cmsSketch(docs, "doc_id", "text", 3))),
+      // host rollup: two bounded-key partial aggs (urls, then hosts);
+      // the plant is a projection next to text — no join
+      "host_stats" -> (() =>
+        mat(graft.text.UrlFilter.hostStats(
+          docs.withColumn("source", col("lang"))
+            .select(col("doc_id"),
+              graft.text.UrlFilter.plantedUrlCol.as("url"), col("text"))))))
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the ramp (iteration aid; the
     // Bench convention)

@@ -115,6 +115,8 @@ object Unigram {
       .limit(MaxVocabWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    require(freqs.nonEmpty,
+      "unigram fit needs a non-empty corpus (no pretokens found)")
 
     // Seed: every substring occurrence of every vocab word, weighted
     // by word frequency; score = count x length (longer pieces earn

@@ -59,18 +59,22 @@ object UrlFilter {
   /** Deterministic planted URL: identity from `doc_id mod 100` (so
     * recrawl collisions occur at every SF), surface form varying with
     * doc_id so normalization has real work. */
-  def withPlantedUrls(docs: DataFrame): DataFrame = {
+  /** The deterministic URL plant as a column (so callers that need
+    * other columns alongside — host_stats keeps `text` — stay
+    * map-only instead of planting and joining back). */
+  def plantedUrlCol: Column = {
     val uid = col("doc_id") % 100
     val domain = element_at(array(Domains.map(lit): _*), (uid % 11 + 1).cast("int"))
     val tld = element_at(array(Tlds.map(lit): _*), (uid % 7 + 1).cast("int"))
-    docs.select(col("doc_id"),
-      concat(
-        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
-        when(col("doc_id") % 5 === 0, lit("www.")).otherwise(lit("")),
-        domain, tld, lit("/"), col("source"), lit("/page-"), uid.cast("string"),
-        when(col("doc_id") % 3 === 0, lit("?utm_source=feed")).otherwise(lit("")))
-        .as("url"))
+    concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+      when(col("doc_id") % 5 === 0, lit("www.")).otherwise(lit("")),
+      domain, tld, lit("/"), col("source"), lit("/page-"), uid.cast("string"),
+      when(col("doc_id") % 3 === 0, lit("?utm_source=feed")).otherwise(lit("")))
   }
+
+  def withPlantedUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), plantedUrlCol.as("url"))
 
   /** The operator proper: verdicts over any (doc_id, url) frame. */
   def urlFilter(urls: DataFrame): DataFrame = {
@@ -134,11 +138,12 @@ object UrlFilter {
         (floor(col("n_docs") / col("total_docs") * 10000) / 10000).as("corpus_share"))
   }
 
-  def hostStatsQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    hostStats(withPlantedUrls(docs)
-      .join(docs.select(col("doc_id"), col("text")), "doc_id"))
-  }
+  def hostStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    // plant rides the projection next to text — no self-join to get
+    // both columns (r8 ramp caught the joined form going superlinear:
+    // a corpus-sized shuffle join feeding a 500-key agg)
+    hostStats(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), plantedUrlCol.as("url"), col("text")))
 
   def hostStatsSql: String =
     s"""WITH u AS (

@@ -137,4 +137,50 @@ class RobustnessSpec extends SparkSpecBase {
       size(split(col("text"), " ")).as("n")).collect()
     assert(counts.forall(_.getInt(1) >= 1)) // split("") -> [""], documented Spark behavior
   }
+
+  test("unigram counter on empty/whitespace/symbol-only docs: zero or per-char, never a crash") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = graft.text.Unigram.UnigramModel(
+      Array("a" -> -2.0, "b" -> -2.5), spmStyle = false)
+    val rt = m.runtime
+    assert(graft.text.UnigramKernels.countTokens(UTF8String.fromString(""), rt) == 0)
+    assert(graft.text.UnigramKernels.countTokens(UTF8String.fromString("   \t\n"), rt) == 0)
+    // symbols are their own pretokens; unknown -> one penalized piece each
+    assert(graft.text.UnigramKernels.countTokens(UTF8String.fromString("!!"), rt) == 2)
+    // empty fit input fails fast like Lsh.fit, not mid-EM
+    val empty = docsOf()
+    intercept[Exception](graft.text.Unigram.fit(empty, "text", 32))
+  }
+
+  test("SQ encode with a constant dimension: delta 0 -> code 0, recon = vmin, no NaN") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(0L, Seq(1.0f, 5.0f)), Row(1L, Seq(1.0f, 7.0f)), Row(2L, Seq(1.0f, 6.0f)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val (vmin, delta) = graft.query.SqSearch.fitParams(df)
+    assert(delta(0) == 0.0 && vmin(0) == 1.0)
+    val codes = df.select(col("vec_id"),
+      graft.query.SqSearch.sqCodes(col("embedding"), vmin, delta).as("c")).collect()
+    assert(codes.forall(_.getSeq[Int](1).head == 0), "constant dim must encode to 0")
+    val recon = df.select(graft.query.SqSearch.sqRecon(
+        graft.query.SqSearch.sqCodes(col("embedding"), vmin, delta), vmin, delta).as("r"))
+      .collect()
+    recon.foreach { r =>
+      val v = r.getSeq[Double](0)
+      assert(v.head == 1.0 && !v.exists(_.isNaN), s"bad recon $v")
+    }
+  }
+
+  test("host_stats on a single-URL corpus: one host row that accounts for everything") {
+    val urls = Seq((1L, "https://www.example.com/p?x=1", "aaaa"),
+        (2L, "http://example.com/p", "bb"))
+      .toDF("doc_id", "url", "text")
+    val out = graft.text.UrlFilter.hostStats(urls).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "example.com")
+    assert(r.getLong(1) == 2 && r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(r.getDouble(6) == 1.0, "single host owns the whole corpus share")
+  }
 }
