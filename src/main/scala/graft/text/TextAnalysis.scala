@@ -125,6 +125,95 @@ object TextAnalysis {
       |      + 0.5 * LEAST(1.0, len(toks) / 400.0)) * 10000) / 10000 AS quality_score
       |FROM t""".stripMargin
 
+  // ---- consolidated quality signals ----
+
+  /**
+   * `quality_signals`: the materialize-once per-document signal table
+   * (the RedPajama-V2 posture — quality signals ship as first-class
+   * DATA so a pipeline computes them once and experiments with filter
+   * thresholds many times, instead of re-scanning 100 TB per filter
+   * tweak). One wide map-only projection unioning the text_quality,
+   * repetition, lang-ID, and case/digit signals off a single token
+   * array — no shuffle, no joins; the per-signal entries stay as the
+   * individually-oracled units, this is their one-pass composition
+   * (the `corpus_curate` scaladoc's "materialize once" production
+   * path, as a queryable artifact).
+   */
+  def qualitySignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def t4(c: Column) = floor(c * 10000) / 10000
+    val scores = StopwordProfiles.map { case (lang, words) =>
+      lang -> stopwordScore(toks, words) }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(best > 0.0 && s === best, lit(lang)).otherwise(els) }
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      t4(aggregate(transform(toks, t => length(t)), lit(0L),
+        (acc, x) => acc + x).cast("double") / greatest(size(toks), lit(1)))
+        .as("avg_token_len"),
+      t4(length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+        greatest(length(col("text")), lit(1))).as("punct_ratio"),
+      t4(size(filter(toks, t => t.isin(QualityStopwords.map(w => w: Any): _*))).cast("double") /
+        greatest(size(toks), lit(1))).as("stopword_ratio"),
+      t4(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        greatest(length(col("text")), lit(1))).as("digit_ratio"),
+      t4(length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
+        greatest(length(col("text")), lit(1))).as("upper_ratio"),
+      t4(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+        .as("dup_token_frac"),
+      topRunFrac(bigramsOf(toks)).as("top_bigram_frac"),
+      pred.as("pred_lang"),
+      t4(best).as("lang_score"))
+  }
+
+  /** DuckDB twin: the same fragments as the per-signal oracles,
+    * assembled over one token CTE. */
+  def qualitySignalsSql: String = {
+    val scores = StopwordProfiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, x -> x IN ($set))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = StopwordProfiles.map(_._1)
+    val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, text, toks,
+       |  $scores
+       |FROM t),
+       |b AS (SELECT *, $best AS best,
+       |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+       |FROM s)
+       |SELECT doc_id,
+       |  CAST(len(text) AS INTEGER) AS n_chars,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  FLOOR(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+       |        / GREATEST(len(toks), 1) * 10000) / 10000 AS avg_token_len,
+       |  FLOOR(CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |        / GREATEST(len(text), 1) * 10000) / 10000 AS punct_ratio,
+       |  FLOOR(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+       |        / GREATEST(len(toks), 1) * 10000) / 10000 AS stopword_ratio,
+       |  FLOOR(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |        / GREATEST(len(text), 1) * 10000) / 10000 AS digit_ratio,
+       |  FLOOR(CAST(len(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+       |        / GREATEST(len(text), 1) * 10000) / 10000 AS upper_ratio,
+       |  FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000) / 10000
+       |    AS dup_token_frac,
+       |  CASE WHEN len(toks) >= 2 THEN
+       |    FLOOR(CAST(list_max(list_transform(list_distinct(grams),
+       |            g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
+       |          / len(grams) * 10000) / 10000
+       |  END AS top_bigram_frac,
+       |  CASE WHEN best <= 0 THEN 'und'
+       |    $cases
+       |    ELSE 'und' END AS pred_lang,
+       |  FLOOR(best * 10000) / 10000 AS lang_score
+       |FROM b""".stripMargin
+  }
+
   // ---- token counting ----
 
   val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -716,21 +805,23 @@ object TextAnalysis {
   /** Per-doc repetition signals over any (id, text) frame (map-only;
     * the [[textRepetition]] entry's core, shared with the Gopher-rule
     * repetition filter). */
-  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    // bigrams by zipping the token array with its own tail (the
-    // lm_score_bigram trick): zip_with evaluates each slice ONCE —
-    // the transform-over-positions form it replaces re-evaluated the
-    // whole split per lambda element, O(tokens²) string work per doc
-    // (guard: slice len -1 on a 1-token doc would throw)
-    val bigrams = when(size(toks) >= 2,
+  /** Bigrams by zipping the token array with its own tail (the
+    * lm_score_bigram trick): zip_with evaluates each slice ONCE — the
+    * transform-over-positions form it replaces re-evaluated the whole
+    * split per lambda element, O(tokens²) string work per doc (guard:
+    * slice len -1 on a 1-token doc would throw). */
+  private[text] def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
       zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
         (x, y) => concat(x, lit(" "), y)))
-    // top-bigram fraction in ONE aggregate pass over the SORTED bigram
-    // array (longest equal run = top bigram count; run count rides the
-    // accumulator so size(b) needs no second evaluation of the array):
-    // O(n log n) against the O(n · distinct) per-gram filter it replaces
-    val topFrac = aggregate(array_sort(col("b")),
+
+  /** Top-gram fraction in ONE aggregate pass over the SORTED gram
+    * array (longest equal run = top gram count; run count rides the
+    * accumulator so size needs no second evaluation of the array):
+    * O(n log n) against the O(n · distinct) per-gram filter it
+    * replaces. */
+  private[text] def topRunFrac(arr: Column): Column =
+    aggregate(array_sort(arr),
       struct(lit(0).as("best"), lit(0).as("cur"), lit("").as("prev"), lit(0).as("cnt")),
       (acc, x) => {
         val cur = when(x === acc("prev"), acc("cur") + 1).otherwise(lit(1))
@@ -738,6 +829,11 @@ object TextAnalysis {
           (acc("cnt") + 1).as("cnt"))
       },
       acc => floor(acc("best").cast("double") / acc("cnt") * 10000) / 10000)
+
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = bigramsOf(toks)
+    val topFrac = topRunFrac(col("b"))
     docs
       .select(col(idCol).as("doc_id"), size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"), bigrams.as("b"))
