@@ -102,7 +102,85 @@ object Curate {
     curate(planted, bench)
   }
 
-  val corpusCurateSql: String = {
+  /**
+   * `corpus_curate_web`: the funnel with the URL-hygiene gate IN
+   * FRONT (RefinedWeb/CCNet ordering — a blocklisted, spam-TLD, or
+   * recrawled page drops before a byte of its content is normalized,
+   * tokenized, or scored). Verdict = the url_filter fail reason for
+   * gate-failed docs, else the content funnel's verdict; the LM tail
+   * cut is fitted on — and quantiled over — the survivors of the URL
+   * gate AND every content stage, so the gate genuinely reorders the
+   * model-based stage's training set (composition, not concatenation).
+   * Demonstrates the funnel is a COMPOSABLE chain: the inner
+   * [[curate]] is reused untouched behind the gate.
+   */
+  def corpusCurateWebQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables.documents(spark, sfDir)
+    val docs = all.select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val prefix6 = concat_ws(" ", slice(split(col("text"), " "), 1, 6))
+    val planted = docs.filter(col("doc_id") % 17 =!= 0).as("t")
+      .join(broadcast(bench.select((col("doc_id") / 17).cast("long").as("b3"),
+        prefix6.as("p6"))), (col("doc_id") % 3) === col("b3"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 23 === 5 && col("p6").isNotNull,
+          concat(col("text"), lit(" "), col("p6"))).otherwise(col("text")).as("text"))
+    val urls = all.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), graft.text.UrlFilter.plantedUrlCol.as("url"))
+    val uv = graft.text.UrlFilter.urlFilter(urls)
+      .select(col("doc_id"), col("fail_reason").as("u_reason"))
+    val failed = uv.filter(col("u_reason") =!= "ok")
+      .select(col("doc_id"), col("u_reason").as("verdict"), lit(0).as("keep"))
+    val okIds = uv.filter(col("u_reason") === "ok").select("doc_id")
+    failed.unionByName(
+      curate(planted.join(okIds, "doc_id"), bench)
+        .select(col("doc_id"), col("verdict"), col("keep")))
+  }
+
+  def corpusCurateWebSql: String = {
+    def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
+    import graft.text.UrlFilter.{BlockedDomains, Domains, LowQualityTlds, Tlds}
+    s"""$plantedCtes
+       |uu AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+       |    || ([${sqlList(Domains)}])[(doc_id % 100) % 11 + 1]
+       |    || ([${sqlList(Tlds)}])[(doc_id % 100) % 7 + 1]
+       |    || '/' || source || '/page-' || (doc_id % 100)
+       |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END) AS url
+       |  FROM documents WHERE doc_id % 17 <> 0),
+       |un AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(url,
+       |    '^https?://', ''), '^www\\.', ''), '\\?.*$$', '') AS url_norm FROM uu),
+       |up AS (SELECT *, string_split(url_norm, '/')[1] AS host FROM un),
+       |ud AS (SELECT *, string_split(host, '.')[1] AS domain,
+       |         substr(host, len(string_split(host, '.')[1]) + 1, 10) AS tld
+       |       FROM up),
+       |uo AS (SELECT url_norm, MIN(doc_id) AS owner FROM ud GROUP BY url_norm),
+       |uv AS (
+       |  SELECT ud.doc_id,
+       |    CASE WHEN domain IN (${sqlList(BlockedDomains)}) THEN 'blocklist'
+       |         WHEN tld IN (${sqlList(LowQualityTlds)}) THEN 'low_quality_tld'
+       |         WHEN ud.doc_id <> uo.owner THEN 'dup_url'
+       |         ELSE 'ok' END AS u_reason
+       |  FROM ud JOIN uo USING (url_norm)),
+       |uok AS (
+       |  SELECT p.doc_id, p.text FROM planted p
+       |  JOIN uv ON uv.doc_id = p.doc_id AND uv.u_reason = 'ok'),
+       |${funnelCtes("uok")}
+       |SELECT doc_id, u_reason AS verdict, CAST(0 AS INTEGER) AS keep
+       |FROM uv WHERE u_reason <> 'ok'
+       |UNION ALL
+       |SELECT doc_id, verdict, CAST(verdict = 'keep' AS INTEGER) AS keep
+       |FROM fin""".stripMargin
+  }
+
+  /** The funnel CTE chain from the cleaned-train CTE (`src` must
+    * provide (doc_id, text)) through `fin` (doc_id, verdict) — shared
+    * verbatim by [[corpusCurateSql]] and the URL-gated
+    * [[corpusCurateWebSql]], so the two oracles cannot drift. */
+  private def funnelCtes(src: String): String = {
     val ctrl = Normalize.CtrlRe
     val email = TextFilters.EmailRe
     val phone = TextFilters.PhoneRe
@@ -118,16 +196,7 @@ object Curate {
         |        list_transform(range(1, len(toks) - 3),
         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
         |      ELSE [array_to_string(toks, ' ')] END)"""
-    s"""WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
-       |planted AS (
-       |  SELECT t.doc_id,
-       |    CASE WHEN t.doc_id % 23 = 5 AND b.doc_id IS NOT NULL
-       |         THEN t.text || ' ' ||
-       |              array_to_string(string_split(b.text, ' ')[1:6], ' ')
-       |         ELSE t.text END AS text
-       |  FROM documents t LEFT JOIN bench0 b ON b.doc_id = (t.doc_id % 3) * 17
-       |  WHERE t.doc_id % 17 <> 0),
-       |cn AS (SELECT doc_id, ${clean("text")} AS text FROM planted),
+    s"""cn AS (SELECT doc_id, ${clean("text")} AS text FROM $src),
        |bn AS (SELECT doc_id, ${clean("text")} AS text FROM bench0),
        |t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM cn),
        |qs AS (
@@ -197,9 +266,25 @@ object Curate {
        |fin AS (
        |  SELECT v1.doc_id,
        |    CASE WHEN v1.v1 <> 'ok' THEN v1.v1 ELSE v2.v2 END AS verdict
-       |  FROM v1 LEFT JOIN v2 ON v1.doc_id = v2.doc_id)
+       |  FROM v1 LEFT JOIN v2 ON v1.doc_id = v2.doc_id)""".stripMargin
+  }
+
+  /** The shared planted-corpus prefix (bench carve + leak plant). */
+  private val plantedCtes: String =
+    """WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+      |planted AS (
+      |  SELECT t.doc_id,
+      |    CASE WHEN t.doc_id % 23 = 5 AND b.doc_id IS NOT NULL
+      |         THEN t.text || ' ' ||
+      |              array_to_string(string_split(b.text, ' ')[1:6], ' ')
+      |         ELSE t.text END AS text
+      |  FROM documents t LEFT JOIN bench0 b ON b.doc_id = (t.doc_id % 3) * 17
+      |  WHERE t.doc_id % 17 <> 0),""".stripMargin
+
+  def corpusCurateSql: String =
+    s"""$plantedCtes
+       |${funnelCtes("planted")}
        |SELECT doc_id, verdict,
        |  CAST(verdict = 'keep' AS INTEGER) AS keep
        |FROM fin""".stripMargin
-  }
 }

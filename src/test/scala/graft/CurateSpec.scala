@@ -59,4 +59,38 @@ class CurateSpec extends SparkSpecBase {
     // set, so the decile rank-1 threshold is its own score and it keeps
     assert(out(1L) == "keep", out.toString)
   }
+
+  test("corpus_curate_web: URL gate fires first; verdicts still partition the train set") {
+    val web = Curate.corpusCurateWebQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nTrain = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 17 =!= 0).count()
+    assert(web.size.toLong == nTrain, s"${web.size} vs $nTrain")
+    // every url_filter-failed doc carries the URL reason, never a
+    // content verdict (gate-first semantics)
+    val urls = Tables.documents(spark, sf).filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), graft.text.UrlFilter.plantedUrlCol.as("url"))
+    val uv = graft.text.UrlFilter.urlFilter(urls).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    uv.foreach { case (id, reason) =>
+      if (reason != "ok") assert(web(id) == reason,
+        s"doc $id: url verdict $reason but funnel said ${web(id)}")
+    }
+    val urlReasons = Set("blocklist", "low_quality_tld", "dup_url")
+    assert(urlReasons.forall(r => web.values.exists(_ == r)),
+      s"all URL verdicts should occur: ${web.values.toSet}")
+    // url-ok docs get a CONTENT verdict — the funnel behind the gate
+    // still runs (note: on the tiny sf0.001 corpus the gate leaves so
+    // few survivors that the strict-< decile cut can legitimately
+    // drop nobody, so lm_tail existence is NOT asserted here — the
+    // ungated funnel test above covers that stage)
+    assert(web.values.exists(_ == "contaminated"), "decontamination stage unreached")
+    assert(web.values.count(_ == "keep") > 0, "nothing kept")
+    // composition, not concatenation: the gate shrinks the LM fit set,
+    // so gate-failed docs never consume lm_tail quantile mass — every
+    // keep/lm_tail doc is url-ok
+    web.foreach { case (id, v) =>
+      if (v == "keep" || v == "lm_tail") assert(uv(id) == "ok", s"doc $id")
+    }
+  }
 }
