@@ -281,4 +281,50 @@ object BinaryMeta {
     s"""SELECT doc_id, ${feats.mkString(",\n  ")}
        |FROM documents""".stripMargin
   }
+
+  /**
+   * `multimodal_neardup`: media dedup through the embedding stack —
+   * BINARY media -> stub features ([[embedStub]]; a real encoder
+   * drops into the same signature) -> the IVF co-probe near-dup join
+   * ([[graft.dedup.Dedup.neardupPairs]], reused untouched). The
+   * image/video recrawl-dedup rung: a pipeline that embeds media
+   * dedups it with exactly this composition, and the stub keeps every
+   * Spark-side stage (binary column, feature projection, centroid
+   * fit, bucketed pair join, cosine verify) real and hash-checked.
+   *
+   * Media planted as recrawl classes — every doc with the same
+   * (source, doc_id mod 40) carries identical bytes — so identical
+   * media map to identical stub vectors (cosine 1.0 pairs the join
+   * must surface) against an uncorrelated cross-class background.
+   */
+  def multimodalNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(col("source"), lit("-"), (col("doc_id") % 40).cast("string"))
+          .cast("binary").as("media"))
+    val e = embedStub(media).select(col("doc_id").as("vec_id"), col("embedding"))
+    val cents = graft.query.IvfSearch.fitCentroids(
+      e, graft.dedup.Dedup.NeardupCells, Some(s"mm-neardup:$sfDir"))
+    graft.dedup.Dedup.neardupPairs(e, cents, graft.dedup.Dedup.NeardupProbes,
+      graft.config.GraftConfig.active.neardup.topN)
+  }
+
+  /** DuckDB twin: replay the media plant + stub features (through the
+    * FLOAT rounding the array form carries), then the all-pairs
+    * cosine top list (the neardup_embedding oracle shape). */
+  def multimodalNeardupSql: String = {
+    val feats = (0 until EmbedDim).map(j =>
+      s"CAST(CAST(('0x' || substr(sha256(media), ${j * 8 + 1}, 8))::UBIGINT / 4294967296.0 AS FLOAT) AS DOUBLE)")
+    val topN = graft.config.GraftConfig.active.neardup.topN
+    s"""WITH m AS (
+       |  SELECT doc_id, source || '-' || (doc_id % 40) AS media FROM documents),
+       |e AS (SELECT doc_id AS vec_id,
+       |  [${feats.mkString(",\n   ")}] AS embedding
+       |  FROM m)
+       |SELECT a, b, cosine FROM (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    ROUND(list_cosine_similarity(x.embedding, y.embedding), 4) + 0.0 AS cosine
+       |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+       |ORDER BY cosine DESC, a, b LIMIT $topN""".stripMargin
+  }
 }

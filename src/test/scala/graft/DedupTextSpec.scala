@@ -650,4 +650,24 @@ class DedupTextSpec extends SparkSpecBase {
       assert(clean.split("\n", -1).length == nLines - nRemoved, s"doc $id")
     }
   }
+
+  test("multimodal_neardup: planted identical media surface as cosine-1.0 pairs") {
+    import org.apache.spark.sql.functions._
+    val out = BinaryMeta.multimodalNeardup(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the planted recrawl classes share bytes, so the top pairs are
+    // exact-duplicate media at cosine 1.0 — and every 1.0 pair must
+    // be within one (source, doc_id % 40) class
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), concat(col("source"), lit("-"),
+        (col("doc_id") % 40).cast("string")).as("cls"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ones = out.filter(_.getDouble(2) == 1.0)
+    assert(ones.nonEmpty, "no exact-media pair surfaced")
+    ones.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(docs(a) == docs(b), s"pair ($a,$b) crosses media classes")
+      assert(a < b, "pair orientation must be a < b")
+    }
+  }
 }
