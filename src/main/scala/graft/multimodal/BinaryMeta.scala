@@ -292,19 +292,51 @@ object BinaryMeta {
    * Spark-side stage (binary column, feature projection, centroid
    * fit, bucketed pair join, cosine verify) real and hash-checked.
    *
-   * Media planted as recrawl classes — every doc with the same
-   * (source, doc_id mod 40) carries identical bytes — so identical
-   * media map to identical stub vectors (cosine 1.0 pairs the join
-   * must surface) against an uncorrelated cross-class background.
+   * Media planted as a MOSTLY-UNIQUE corpus (every doc its own bytes)
+   * with a 20% recrawl minority — docs with doc_id ≡ 0 (mod 5) share
+   * bytes per (source, doc_id mod 40) class — so identical media map
+   * to identical stub vectors (cosine-1.0 pairs the join must
+   * surface) against an uncorrelated background. The unique majority
+   * matters for the PLAN, not just realism: an all-duplicate corpus
+   * has a handful of distinct points, which no centroid fit can
+   * spread — identical vectors pile into the same cells and the
+   * within-cell pair join degenerates (measured 9.3s vs 0.9s at
+   * sf0.1 for the all-classes plant).
    */
+  def mediaPlant: org.apache.spark.sql.Column =
+    when(col("doc_id") % 5 === 0,
+      concat(col("source"), lit("-dup-"), (col("doc_id") % 40).cast("string")))
+      .otherwise(concat(col("source"), lit("-"), col("doc_id").cast("string")))
+      .cast("binary")
+
+  /** [[embedStub]] features CENTERED at zero (x - 0.5 in exact double
+    * arithmetic, one float rounding at the end). Raw stub features
+    * live in [0,1]^d — the positive orthant, where every pair's
+    * cosine is ~0.9+ and direction-partitioning indexes (IVF cells)
+    * cannot prune: the co-probe join degenerates toward all-pairs
+    * (measured 8.8s vs 0.9s at sf0.1). Real encoders emit centered
+    * features for exactly this reason; the stub mirrors that contract. */
+  def embedStubCentered(mediaDf: DataFrame): DataFrame = {
+    val sha = sha2(col("media"), 256)
+    val feats = (0 until EmbedDim).map { j =>
+      ((conv(substring(sha, j * 8 + 1, 8), 16, 10).cast("long") / lit(4294967296.0))
+        - lit(0.5)).cast("float")
+    }
+    mediaDf.select(col("doc_id"), array(feats: _*).as("embedding"))
+  }
+
   def multimodalNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        concat(col("source"), lit("-"), (col("doc_id") % 40).cast("string"))
-          .cast("binary").as("media"))
-    val e = embedStub(media).select(col("doc_id").as("vec_id"), col("embedding"))
+      .select(col("doc_id"), mediaPlant.as("media"))
+    val e = embedStubCentered(media).select(col("doc_id").as("vec_id"), col("embedding"))
+    // cells ~ sqrt(N) (the SemDeDup sizing discipline): a FIXED cell
+    // count makes the within-cell pair join quadratic in corpus/cells
+    // — at sf0.1 the 16-cell default put ~312 docs in every cell
+    // (~780k pair rows, 8.8s); sqrt-sizing keeps pairs ~ N^1.5/cells
+    // bounded (0.9s, and the ratio holds as N grows)
+    val cells = graft.query.IvfSearch.scaledCells(media.count())
     val cents = graft.query.IvfSearch.fitCentroids(
-      e, graft.dedup.Dedup.NeardupCells, Some(s"mm-neardup:$sfDir"))
+      e, cells, Some(s"mm-neardup:$cells:$sfDir"))
     graft.dedup.Dedup.neardupPairs(e, cents, graft.dedup.Dedup.NeardupProbes,
       graft.config.GraftConfig.active.neardup.topN)
   }
@@ -314,10 +346,13 @@ object BinaryMeta {
     * cosine top list (the neardup_embedding oracle shape). */
   def multimodalNeardupSql: String = {
     val feats = (0 until EmbedDim).map(j =>
-      s"CAST(CAST(('0x' || substr(sha256(media), ${j * 8 + 1}, 8))::UBIGINT / 4294967296.0 AS FLOAT) AS DOUBLE)")
+      s"CAST(CAST(('0x' || substr(sha256(media), ${j * 8 + 1}, 8))::UBIGINT / 4294967296.0 - 0.5 AS FLOAT) AS DOUBLE)")
     val topN = graft.config.GraftConfig.active.neardup.topN
     s"""WITH m AS (
-       |  SELECT doc_id, source || '-' || (doc_id % 40) AS media FROM documents),
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN source || '-dup-' || (doc_id % 40)
+       |         ELSE source || '-' || doc_id END AS media
+       |  FROM documents),
        |e AS (SELECT doc_id AS vec_id,
        |  [${feats.mkString(",\n   ")}] AS embedding
        |  FROM m)

@@ -657,10 +657,10 @@ class DedupTextSpec extends SparkSpecBase {
     assert(out.nonEmpty)
     // the planted recrawl classes share bytes, so the top pairs are
     // exact-duplicate media at cosine 1.0 — and every 1.0 pair must
-    // be within one (source, doc_id % 40) class
+    // be within one media class (the same plant expression the entry
+    // uses, so spec and entry cannot drift)
     val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), concat(col("source"), lit("-"),
-        (col("doc_id") % 40).cast("string")).as("cls"))
+      .select(col("doc_id"), BinaryMeta.mediaPlant.cast("string").as("cls"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val ones = out.filter(_.getDouble(2) == 1.0)
     assert(ones.nonEmpty, "no exact-media pair surfaced")
