@@ -31,4 +31,13 @@ class AnalyticsSpec extends SparkSpecBase {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracleSql without queries: $extra")
   }
+
+  test("every query has an oracle except the DECLARED rows-only set") {
+    // a query without an oracle silently downgrades to the driver's
+    // weaker rows-only check — that downgrade must be an explicit
+    // decision recorded here, never a forgotten registration
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q_events_approx_users"),
+      s"undeclared rows-only entries: ${rowsOnly - "q_events_approx_users"}")
+  }
 }
