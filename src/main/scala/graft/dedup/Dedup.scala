@@ -234,6 +234,81 @@ object Dedup {
     result
   }
 
+  /**
+   * DELTA near-dedup for corpus merges — the batch twin of the index
+   * side's staged/delta discipline ([[graft.index.IndexMaintenance]])
+   * and the streaming gate's arrival-time semantics
+   * ([[graft.streaming.StreamingNearDup]]): merging a new crawl into
+   * an already-deduped base must NOT re-pair the whole corpus.
+   *
+   * `baseSigs` is the RESIDENT signature table (id, sig) — on disk in
+   * production, written once when the base was deduped; only the
+   * delta docs are signed here (one map-only pass over the crawl).
+   * Candidates are the two delta-touching band-join legs, delta×base
+   * and delta×delta, produced by ONE join: delta-side bands probe the
+   * combined band table (at scale the delta side is crawl-sized
+   * against a corpus-sized build side — AQE broadcasts it when small
+   * enough). The hot-bucket guard counts over base∪delta, exactly the
+   * statistics the full run would see, so the delta output equals the
+   * full-corpus [[minhashPairs]] restricted to delta-touching pairs
+   * (DedupTextSpec asserts that equality across several splits).
+   * Exact-Jaccard verify fetches text only for candidate ids, same as
+   * the full path. `leg` labels each surviving pair `delta_base` or
+   * `delta_delta` — the merge report a pipeline owner acts on (drop
+   * the copy vs pick a keeper inside the new crawl).
+   */
+  def minhashPairsDelta(baseSigs: DataFrame, deltaDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      numPerms: Int = 64, rowsPerBand: Int = 4, shingleWidth: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val deltaSigs = minhashSignatures(graft.index.LshIndex.spread(deltaDocs),
+      idCol, textCol, numPerms, shingleWidth).cache()
+    val allSigs = baseSigs.select(col("id"), col("sig")).unionByName(deltaSigs)
+    val wBucket = Window.partitionBy("band", "band_hash")
+    val bands = minhashBands(allSigs, numPerms, rowsPerBand)
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val deltaIds = deltaSigs.select(col("id")).distinct().cache()
+    val deltaBands = bands.join(deltaIds, Seq("id"), "left_semi")
+    // one probe join covers both legs; least/greatest orients pairs
+    // (a delta×delta pair arrives in both directions — distinct folds it)
+    val cands = deltaBands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+      .distinct()
+      .cache()
+    val candIds = cands.select(col("a").as("id"))
+      .unionByName(cands.select(col("b").as("id"))).distinct()
+    val sets = graft.index.LshIndex.spread(
+        corpus.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(shingles(tokens(col("__text")), shingleWidth)).as("sh"))
+    val dFlag = deltaIds.withColumn("__d", lit(1))
+    val result = cands
+      .join(sets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .join(dFlag.select(col("id").as("a"), col("__d").as("da")), Seq("a"), "left")
+      .join(dFlag.select(col("id").as("b"), col("__d").as("db")), Seq("b"), "left")
+      .select(col("a"), col("b"),
+        (floor(col("jaccard") * 10000) / 10000).as("jaccard"),
+        when(col("da").isNotNull && col("db").isNotNull, "delta_delta")
+          .otherwise("delta_base").as("leg"))
+      .cache()
+    result.count() // materialize the (small) pair list, release intermediates
+    deltaSigs.unpersist()
+    deltaIds.unpersist()
+    cands.unpersist()
+    result
+  }
+
   // ---- SimHash ----
 
   /**
@@ -332,6 +407,64 @@ object Dedup {
     }
     minhashPairs(corpus, "doc_id", "text")
   }
+
+  /** Delta split for the demo merge: the planted recrawl copies plus
+    * every 11th original form the NEW crawl (so delta×base pairs —
+    * copy vs original — AND delta×delta pairs — originals whose copy
+    * is also new, i ≡ 0 mod 11 — both occur); the rest is the
+    * already-deduped resident base. */
+  private[graft] def deltaSplit(id: Column): Column =
+    id >= PlantOffset || id % 11 === 0
+
+  /** `dedup_minhash_delta`: merge-time near-dedup of a new crawl
+    * against the resident base signature table — the signatures are
+    * READ BACK from the exported store (never recomputed for base
+    * docs), only delta docs are signed, and the band join probes with
+    * the delta side. Output = the delta-touching pair report with its
+    * `leg` label; equals [[dedupMinhash]] restricted to delta-touching
+    * pairs by construction (spec-checked across splits). */
+  def dedupMinhashDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)
+    exportFixture(s"minhash:$sfDir", MinhashSigExportPath) {
+      minhashSignatures(corpus, "doc_id", "text", numPerms = 64, shingleWidth = 3)
+    }
+    val baseSigs = spark.read.parquet(MinhashSigExportPath)
+      .filter(!deltaSplit(col("id")))
+    val delta = corpus.filter(deltaSplit(col("doc_id")))
+    minhashPairsDelta(baseSigs, delta, corpus, "doc_id", "text")
+  }
+
+  /** Oracle: the [[dedupMinhashSql]] chain restricted to delta-touching
+    * candidate pairs, with the same signature fixture as the resident
+    * table and the leg label replayed from the split predicate. */
+  val dedupMinhashDeltaSql: String =
+    s"""WITH ${mutatedCorpusSql(25)},
+       |sigs AS (SELECT id, sig FROM read_parquet('$MinhashSigExportPath/*.parquet')),
+       |d AS (SELECT id FROM sigs WHERE id >= $PlantOffset OR id % 11 = 0),
+       |bands AS (
+       |  SELECT id, t.band AS band, sig[t.band*4+1:t.band*4+4] AS bh
+       |  FROM sigs, generate_series(0, 15) t(band)),
+       |guarded AS (
+       |  SELECT id, band, bh FROM bands
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= 1000),
+       |cands AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM guarded x JOIN guarded y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
+       |  WHERE x.id IN (SELECT id FROM d) OR y.id IN (SELECT id FROM d)),
+       |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+       |sets AS (SELECT doc_id, $shingleSetSql AS sh FROM tok),
+       |verify AS (
+       |  SELECT c.a, c.b,
+       |    CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(xa.sh, xb.sh))) AS j
+       |  FROM cands c
+       |  JOIN sets xa ON xa.doc_id = c.a
+       |  JOIN sets xb ON xb.doc_id = c.b)
+       |SELECT a, b, FLOOR(j * 10000) / 10000 AS jaccard,
+       |  CASE WHEN a IN (SELECT id FROM d) AND b IN (SELECT id FROM d)
+       |       THEN 'delta_delta' ELSE 'delta_base' END AS leg
+       |FROM verify WHERE j >= 0.5""".stripMargin
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)

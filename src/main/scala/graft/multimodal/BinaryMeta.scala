@@ -343,7 +343,14 @@ object BinaryMeta {
 
   /** DuckDB twin: replay the media plant + stub features (through the
     * FLOAT rounding the array form carries), then the all-pairs
-    * cosine top list (the neardup_embedding oracle shape). */
+    * cosine top list (the neardup_embedding oracle shape). Parity
+    * with the approximate co-probe plan relies on the top-N being
+    * SATURATED by cosine-1.0 exact-duplicate pairs, which always
+    * co-probe (identical vectors share a cell under any centroid
+    * fit); DedupTextSpec asserts that saturation — Nth-ranked exact
+    * pair == 1.0 — and bucketed==exact at every oracle-gated SF, so
+    * a plant or sizing change that breaks the invariant fails the
+    * suite before it reds the driver's gate. */
   def multimodalNeardupSql: String = {
     val feats = (0 until EmbedDim).map(j =>
       s"CAST(CAST(('0x' || substr(sha256(media), ${j * 8 + 1}, 8))::UBIGINT / 4294967296.0 - 0.5 AS FLOAT) AS DOUBLE)")

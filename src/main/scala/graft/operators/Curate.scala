@@ -57,21 +57,54 @@ object Curate {
    * One verdict row per training document over any (doc_id, text)
    * corpus + benchmark pair.
    */
-  def curate(train: DataFrame, bench: DataFrame): DataFrame = {
-    val clean = cleanChain(train)
-    val benchClean = cleanChain(bench)
-    val q = TextFilters.qualityFilter(clean, "doc_id", "text")
-      .select(col("doc_id"), col("fail_reason").as("q_reason"))
-    val r = TextAnalysis.repetitionFilter(clean, "doc_id", "text")
-      .select(col("doc_id"), col("fail_reason").as("r_reason"))
+  def curate(train: DataFrame, bench: DataFrame): DataFrame =
+    curateClean(cleanChain(train), cleanChain(bench))
+
+  /**
+   * The funnel stages over ALREADY-CLEANED text: quality + repetition
+   * rules, benchmark decontamination, LM tail cut. Factored out so the
+   * clean prefix can come either from the in-plan [[cleanChain]]
+   * (self-contained single plan, the oracle's shape) or from a
+   * MATERIALIZED stage table ([[corpusCurateMaterializedQuery]] — the
+   * production path where `clean` is one corpus-scan write and every
+   * verdict branch re-reads the staged parquet instead of re-running
+   * the normalize+scrub regex prefix).
+   */
+  def curateClean(clean: DataFrame, benchClean: DataFrame): DataFrame =
+    lmFinish(ruleVerdicts(clean, benchClean))
+
+  /** Stages 2-4 over cleaned text: per-doc rules + benchmark
+    * decontamination folded into the first-failed-rule column `v1`
+    * (with `text` carried through for the LM stage). The quality and
+    * repetition rules are both map-only signals over the SAME token
+    * array, so they ride ONE fused projection
+    * ([[TextFilters.qualityFailReason]] /
+    * [[TextAnalysis.repetitionFailReason]] — the quality_signals
+    * one-pass discipline) instead of two scans joined back on doc_id;
+    * the only join left is the decontamination hit count, which needs
+    * its own explode-aggregate shape. The second natural stage-table
+    * boundary: everything upstream is decided, everything downstream
+    * (the LM fit) only reads survivors. */
+  private[graft] def ruleVerdicts(clean: DataFrame, benchClean: DataFrame): DataFrame = {
     val d = Decontaminate.decontaminate(clean, benchClean, "doc_id", "text", n = 5)
       .select(col("doc_id"), col("contaminated"))
-    val v1 = clean.join(q, "doc_id").join(r, "doc_id").join(d, "doc_id")
+    val toks = TextAnalysis.tokens(col("text"))
+    clean.select(col("doc_id"), col("text"),
+        TextFilters.qualityFailReason(toks).as("q_reason"),
+        TextAnalysis.repetitionFailReason(toks).as("r_reason"))
+      .join(d, "doc_id")
       .select(col("doc_id"), col("text"),
         when(col("q_reason") =!= "ok", col("q_reason"))
           .when(col("r_reason") =!= "ok", col("r_reason"))
           .when(col("contaminated") === 1, "contaminated")
           .otherwise("ok").as("v1"))
+  }
+
+  /** The model-based final stage: LM fitted on — and decile-cut over —
+    * the survivors of every earlier stage, then the first-failed
+    * verdict fold. `v1` is referenced twice (the survivor branch and
+    * the final join), which is why it is a stage-table candidate. */
+  private[graft] def lmFinish(v1: DataFrame): DataFrame = {
     val surv = v1.filter(col("v1") === "ok").select("doc_id", "text")
     val scored = TextAnalysis.lmScore(surv, "doc_id", "text")
     val thr = Quantiles.exactQuantiles(scored, "lm_score", Seq(CurateLmP))
@@ -86,10 +119,12 @@ object Curate {
       .withColumn("keep", (col("verdict") === "keep").cast("int"))
   }
 
-  /** Bench = doc_id ≡ 0 (mod 17), leaks planted per the
-    * [[Decontaminate.decontaminateQuery]] construction, so the
-    * contamination stage has ground truth. */
-  def corpusCurateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared planted corpus: bench carve (doc_id ≡ 0 mod 17) +
+    * leak plant (bench prefix-6 appended on doc_id ≡ 5 mod 23, per the
+    * [[Decontaminate.decontaminateQuery]] construction) — one builder
+    * so the in-plan, materialized, and URL-gated entries cannot drift. */
+  private[operators] def plantedTrainAndBench(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val bench = docs.filter(col("doc_id") % 17 === 0)
     val prefix6 = concat_ws(" ", slice(split(col("text"), " "), 1, 6))
@@ -99,7 +134,56 @@ object Curate {
       .select(col("doc_id"),
         when(col("doc_id") % 23 === 5 && col("p6").isNotNull,
           concat(col("text"), lit(" "), col("p6"))).otherwise(col("text")).as("text"))
+    (planted, bench)
+  }
+
+  /** Bench = doc_id ≡ 0 (mod 17), leaks planted per the
+    * [[Decontaminate.decontaminateQuery]] construction, so the
+    * contamination stage has ground truth. */
+  def corpusCurateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (planted, bench) = plantedTrainAndBench(spark, sfDir)
     curate(planted, bench)
+  }
+
+  /** Filesystem-safe stage-table location per corpus dir (repo tmp,
+    * the oracle-fixture discipline; at scale this is a warehouse
+    * table, not a scratch file). */
+  private def cleanStagePath(sfDir: String): String =
+    "/root/repo/tmp/stage/curate_clean_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /**
+   * `corpus_curate_materialized`: the funnel as a STAGED pipeline —
+   * the production path the in-plan [[corpusCurateQuery]] scaladoc
+   * promises. Two stage tables at the funnel's natural boundaries:
+   *
+   *  1. cleaned text ([[cleanChain]] — the regex-heavy prefix runs
+   *     EXACTLY once, into parquet, instead of once per signal branch
+   *     of the self-contained plan);
+   *  2. rule verdicts `v1` ([[ruleVerdicts]] — referenced twice
+   *     downstream, by the LM-survivor branch and the final verdict
+   *     join, so the in-plan form evaluates the whole rule stage
+   *     twice modulo exchange reuse).
+   *
+   * Each invocation re-writes both stages (mode overwrite), so a
+   * bench rep times the true production cost — two stage writes plus
+   * the staged reads — not a warm-table replay. At 100 TB the stages
+   * are warehouse tables and the win is strictly larger: every
+   * re-evaluation the in-plan form pays is a full corpus re-scan
+   * there, while the staged form re-reads columnar cleaned text.
+   *
+   * Verdicts are equal row-for-row with [[corpusCurateQuery]] (the
+   * parquet roundtrip is value-faithful for (doc_id, text, v1)), so
+   * the entry shares `corpus_curate`'s oracle verbatim; CurateSpec
+   * asserts the equality directly as well.
+   */
+  def corpusCurateMaterializedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (planted, bench) = plantedTrainAndBench(spark, sfDir)
+    val p1 = cleanStagePath(sfDir)
+    cleanChain(planted).write.mode("overwrite").parquet(p1)
+    val p2 = p1 + "_v1"
+    ruleVerdicts(spark.read.parquet(p1), cleanChain(bench))
+      .write.mode("overwrite").parquet(p2)
+    lmFinish(spark.read.parquet(p2))
   }
 
   /**
@@ -116,15 +200,7 @@ object Curate {
    */
   def corpusCurateWebQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val all = Tables.documents(spark, sfDir)
-    val docs = all.select("doc_id", "text")
-    val bench = docs.filter(col("doc_id") % 17 === 0)
-    val prefix6 = concat_ws(" ", slice(split(col("text"), " "), 1, 6))
-    val planted = docs.filter(col("doc_id") % 17 =!= 0).as("t")
-      .join(broadcast(bench.select((col("doc_id") / 17).cast("long").as("b3"),
-        prefix6.as("p6"))), (col("doc_id") % 3) === col("b3"), "left")
-      .select(col("doc_id"),
-        when(col("doc_id") % 23 === 5 && col("p6").isNotNull,
-          concat(col("text"), lit(" "), col("p6"))).otherwise(col("text")).as("text"))
+    val (planted, bench) = plantedTrainAndBench(spark, sfDir)
     val urls = all.filter(col("doc_id") % 17 =!= 0)
       .select(col("doc_id"), graft.text.UrlFilter.plantedUrlCol.as("url"))
     val uv = graft.text.UrlFilter.urlFilter(urls)

@@ -78,8 +78,11 @@ object SqSearch {
       })
     }
 
-  /** Map-only encode: one byte-range int per dimension. Upper clamp
-    * only — (x - vmin) >= 0 by construction of the fit. */
+  /** Map-only encode: one byte-range int per dimension, clamped to
+    * [0, 255] on BOTH ends — (x - vmin) >= 0 holds only for the corpus
+    * the params were fitted on, so a serving-time vector with a
+    * dimension below vmin must clamp to code 0 (a no-op for fitted
+    * data; FAISS QT_8bit clamps symmetrically for the same reason). */
   def sqCodes(vecCol: Column, vmin: Array[Double], delta: Array[Double]): Column = {
     val vminL = typedLit(vmin.toSeq)
     val deltaL = typedLit(delta.toSeq)
@@ -87,7 +90,8 @@ object SqSearch {
       val mn = element_at(vminL, i + 1)
       val dl = element_at(deltaL, i + 1)
       when(dl === 0.0, lit(0))
-        .otherwise(least(lit(255.0), floor((x - mn) / dl + lit(0.5))).cast("int"))
+        .otherwise(least(lit(255.0),
+          greatest(lit(0.0), floor((x - mn) / dl + lit(0.5)))).cast("int"))
     })
   }
 
@@ -117,8 +121,8 @@ object SqSearch {
        |      FROM embeddings)
        |SELECT x.vec_id, CAST(x.d AS INTEGER) AS d,
        |  CASE WHEN p.delta = 0 THEN 0
-       |       ELSE CAST(LEAST(CAST(255.0 AS DOUBLE),
-       |                       FLOOR((x.v - p.vmin) / p.delta + 0.5)) AS INTEGER)
+       |       ELSE CAST(LEAST(CAST(255.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+       |                       FLOOR((x.v - p.vmin) / p.delta + 0.5))) AS INTEGER)
        |  END AS code
        |FROM x JOIN p ON x.d = p.d""".stripMargin
 
@@ -212,8 +216,8 @@ object SqSearch {
        |recon AS (
        |  SELECT x.vec_id, x.d,
        |    CASE WHEN p.delta = 0 THEN p.vmin
-       |         ELSE p.vmin + LEAST(CAST(255.0 AS DOUBLE),
-       |                FLOOR((x.v - p.vmin) / p.delta + 0.5)) * p.delta
+       |         ELSE p.vmin + LEAST(CAST(255.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+       |                FLOOR((x.v - p.vmin) / p.delta + 0.5))) * p.delta
        |    END AS rv
        |  FROM x JOIN p ON x.d = p.d),
        |dvecs AS (SELECT vec_id, list(rv ORDER BY d) AS dvec FROM recon GROUP BY vec_id),
@@ -264,8 +268,8 @@ object SqSearch {
        |recon AS (
        |  SELECT x.vec_id, x.d,
        |    CASE WHEN p.delta = 0 THEN p.vmin
-       |         ELSE p.vmin + LEAST(CAST(255.0 AS DOUBLE),
-       |                FLOOR((x.v - p.vmin) / p.delta + 0.5)) * p.delta
+       |         ELSE p.vmin + LEAST(CAST(255.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+       |                FLOOR((x.v - p.vmin) / p.delta + 0.5))) * p.delta
        |    END AS rv
        |  FROM x JOIN p ON x.d = p.d),
        |dvecs AS (SELECT vec_id, list(rv ORDER BY d) AS dvec FROM recon GROUP BY vec_id),

@@ -874,6 +874,20 @@ object TextAnalysis {
   /** Keep/drop verdict from the [[repetitionSignals]] — map-only.
     * Sub-2-token docs have no bigram signal (NULL) and the rule
     * skips them, on both engines, by three-valued comparison. */
+  /** First-failed repetition rule as ONE expression over a token
+    * array, for fused single-pass funnels ([[graft.operators.Curate]]):
+    * the same [[repetitionSignals]] sub-expressions (bigram top-run
+    * fraction included) folded with the [[repetitionFilter]] rule
+    * order, so the fused and staged paths cannot drift. */
+  private[graft] def repetitionFailReason(toks: Column): Column = {
+    val dupFrac =
+      floor((lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)) * 10000) / 10000
+    val topFrac = topRunFrac(bigramsOf(toks))
+    when(dupFrac > RepDupTokenMax, "dup_tokens")
+      .when(topFrac > RepTopBigramMax, "top_bigram")
+      .otherwise("ok")
+  }
+
   def repetitionFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     repetitionSignals(docs, idCol, textCol)
       .withColumn("fail_reason",

@@ -95,25 +95,41 @@ object TextFilters {
    * observed ranges so both outcomes occur. All ratios floor-truncated
    * (SURVEY §5).
    */
+  private def trunc4(c: Column) = floor(c * 10000) / 10000
+
+  /** The four Gopher-style signal expressions over one token array —
+    * shared by [[qualityFilter]]'s report columns and the
+    * [[qualityFailReason]] fold so the two can never drift. */
+  private[graft] def qDupTokenFrac(toks: Column): Column =
+    trunc4(lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1)))
+  private[graft] def qAvgTokenLen(toks: Column): Column =
+    trunc4(aggregate(transform(toks, t => length(t)), lit(0L),
+      (acc, x) => acc + x).cast("double") / greatest(size(toks), lit(1)))
+  private[graft] def qStopwordRatio(toks: Column): Column =
+    trunc4(size(filter(toks, t =>
+      t.isin("the", "a", "of", "and", "to", "in"))).cast("double") /
+      greatest(size(toks), lit(1)))
+
+  /** First-failed quality rule as ONE expression, for fused
+    * single-pass funnels ([[graft.operators.Curate]]): identical
+    * rule order and thresholds to [[qualityFilter]]; repeated signal
+    * subtrees are deduplicated by codegen subexpression elimination. */
+  private[graft] def qualityFailReason(toks: Column): Column =
+    when(size(toks) < 20, "too_short")
+      .when(qDupTokenFrac(toks) > 0.65, "repetitive")
+      .when(qStopwordRatio(toks) <= 0.0, "no_stopwords")
+      .when(qAvgTokenLen(toks) < 3.0 || qAvgTokenLen(toks) > 10.0, "word_length")
+      .otherwise("ok")
+
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    def trunc4(c: Column) = floor(c * 10000) / 10000
-    val scored = docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"),
       size(toks).as("n_tokens"),
-      trunc4(lit(1.0) - size(array_distinct(toks)).cast("double") /
-        greatest(size(toks), lit(1))).as("dup_token_frac"),
-      trunc4(aggregate(transform(toks, t => length(t)), lit(0L),
-        (acc, x) => acc + x).cast("double") / greatest(size(toks), lit(1))).as("avg_token_len"),
-      trunc4(size(filter(toks, t =>
-        t.isin("the", "a", "of", "and", "to", "in"))).cast("double") /
-        greatest(size(toks), lit(1))).as("stopword_ratio"))
-    scored.select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
-      col("avg_token_len"), col("stopword_ratio"),
-      when(col("n_tokens") < 20, "too_short")
-        .when(col("dup_token_frac") > 0.65, "repetitive")
-        .when(col("stopword_ratio") <= 0.0, "no_stopwords")
-        .when(col("avg_token_len") < 3.0 || col("avg_token_len") > 10.0, "word_length")
-        .otherwise("ok").as("fail_reason"))
+      qDupTokenFrac(toks).as("dup_token_frac"),
+      qAvgTokenLen(toks).as("avg_token_len"),
+      qStopwordRatio(toks).as("stopword_ratio"),
+      qualityFailReason(toks).as("fail_reason"))
       .withColumn("keep", (col("fail_reason") === "ok").cast("int"))
   }
 

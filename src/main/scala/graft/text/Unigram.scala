@@ -71,14 +71,28 @@ object Unigram {
   /** Same bounded word table as [[Bpe.MaxVocabWords]]. */
   val MaxVocabWords = 20000
 
+  /** SPM-style whitespace pretokenization as an EXPLICIT character
+    * class, shared verbatim by the Java pattern and the DuckDB
+    * fragment: Java's `\s` includes U+000B (vertical tab) while
+    * RE2/DuckDB's does not, so a bare `\S+` silently produces
+    * different word lists for a document containing `\x0B` (the same
+    * cross-engine class as [[TextAnalysis.BpeishPattern]]'s escape
+    * hazard). Both regex engines read `\t \n \x0B \f \r` identically,
+    * so the whitespace set is equal by construction. */
+  val NonWsPattern = "[^ \\t\\n\\x0B\\f\\r]+"
+
   /** Distinct-word -> piece-count dictionary fixture for the DuckDB
     * oracle (the [[Bpe.VocabExportPath]] discipline; separate path so
     * the BPE and unigram oracles never clobber each other). */
   val VocabExportPath = "/root/repo/tmp/oracle_fixtures/unigram_vocab.parquet"
 
   /** Fitted or imported model: (piece, logprob) in deterministic
-    * order, plus the pretokenization style it was built for. */
-  final case class UnigramModel(pieces: Array[(String, Double)], spmStyle: Boolean) {
+    * order, plus the pretokenization style it was built for.
+    * `bytePieces` are SentencePiece byte-fallback entries
+    * (`<0xNN>` -> score) from an imported vocab — empty for corpus
+    * fits, where unknown chars take the flat unk penalty instead. */
+  final case class UnigramModel(pieces: Array[(String, Double)], spmStyle: Boolean,
+      bytePieces: Array[(Int, Double)] = Array.empty) {
     @transient lazy val runtime: UnigramRuntime = {
       val logp = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
       var maxLen = 1
@@ -91,7 +105,19 @@ object Unigram {
         if (lp < minScore) minScore = lp
         i += 1
       }
-      new UnigramRuntime(logp, maxLen, minScore - 10.0, spmStyle)
+      bytePieces.foreach { case (_, s) => if (s < minScore) minScore = s }
+      val unk = minScore - 10.0
+      // full 256-entry table so every byte scores; a vocab missing some
+      // <0xNN> rows (unusual — real byte_fallback exports all 256)
+      // falls back to the unk floor for just those bytes
+      val byteScores: Array[Double] =
+        if (bytePieces.isEmpty) null
+        else {
+          val arr = Array.fill(256)(unk)
+          bytePieces.foreach { case (b, s) => arr(b) = s }
+          arr
+        }
+      new UnigramRuntime(logp, maxLen, unk, spmStyle, byteScores)
     }
   }
 
@@ -165,17 +191,30 @@ object Unigram {
     model
   }
 
+  /** The only angle-bracket pieces that are genuinely control tokens
+    * in `spm_export_vocab` output. Everything else in brackets is
+    * either a byte-fallback piece (`<0xNN>`, scored per raw byte) or
+    * a user-defined symbol that matches literal text. */
+  val ControlPieces: Set[String] = Set("<unk>", "<s>", "</s>", "<pad>")
+
+  private val BytePieceRe = "^<0x([0-9A-Fa-f]{2})>$".r
+
   /**
    * Import a published SentencePiece vocab (`spm_export_vocab`
-   * format: `piece<TAB>logprob` per line, rank order; `<unk>`-style
-   * control pieces in angle brackets are kept out of the DP table).
-   * The resulting model is [[UnigramModel.spmStyle]]: whitespace
-   * pretokens scored as `▁word`.
+   * format: `piece<TAB>logprob` per line, rank order). Only the true
+   * control tokens ([[ControlPieces]]) are kept out of the DP table;
+   * `<0xNN>` byte-fallback pieces — present in real Llama-family
+   * exports — become the per-byte fallback scores the Viterbi DP
+   * charges for vocab-external characters (one piece per UTF-8 byte,
+   * SentencePiece's byte_fallback semantics), and any other
+   * bracketed piece scores as literal text. The resulting model is
+   * [[UnigramModel.spmStyle]]: whitespace pretokens scored as `▁word`.
    */
   def loadVocab(path: String): UnigramModel = {
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
     val pieces = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val bytePieces = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     lines.forEach { raw =>
       val line = raw.stripLineEnd
       if (line.nonEmpty) {
@@ -183,12 +222,15 @@ object Unigram {
         require(tab > 0, s"malformed vocab line (want 'piece<TAB>logprob'): '$line'")
         val piece = line.substring(0, tab)
         val score = java.lang.Double.parseDouble(line.substring(tab + 1))
-        if (!(piece.startsWith("<") && piece.endsWith(">")))
-          pieces += ((piece, score))
+        piece match {
+          case p if ControlPieces(p) => ()
+          case BytePieceRe(hex) => bytePieces += ((Integer.parseInt(hex, 16), score))
+          case p => pieces += ((p, score))
+        }
       }
     }
     require(pieces.nonEmpty, s"no usable pieces in vocab file: $path")
-    UnigramModel(pieces.toArray, spmStyle = true)
+    UnigramModel(pieces.toArray, spmStyle = true, bytePieces.toArray)
   }
 
   private val fitCache = scala.collection.mutable.Map.empty[String, UnigramModel]
@@ -218,8 +260,8 @@ object Unigram {
     * fits share the BPE pretokens. */
   def wordsSqlFragment(spmStyle: Boolean): String =
     if (spmStyle)
-      """w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
-        |      FROM documents)""".stripMargin
+      s"""w AS (SELECT doc_id, unnest(regexp_extract_all(text, '$NonWsPattern')) AS word
+         |      FROM documents)""".stripMargin
     else
       s"""w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '${TextAnalysis.BpeishPattern}')) AS word
          |      FROM documents)""".stripMargin
@@ -238,7 +280,7 @@ object Unigram {
       val words =
         if (model.spmStyle)
           Tables.documents(spark, sfDir).select(
-            explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("word"))
+            explode(regexp_extract_all(col("text"), lit(NonWsPattern), lit(0))).as("word"))
         else
           Tables.documents(spark, sfDir).select(
             explode(regexp_extract_all(lower(col("text")),
@@ -277,13 +319,16 @@ final class UnigramRuntime(
     val logp: java.util.HashMap[String, java.lang.Double],
     val maxLen: Int,
     val unkScore: Double,
-    val spmStyle: Boolean) extends Serializable {
+    val spmStyle: Boolean,
+    /** 256-entry per-byte fallback scores (SentencePiece `<0xNN>`
+      * pieces), or null when the model has no byte fallback. */
+    val byteScores: Array[Double] = null) extends Serializable {
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer](1 << 12)
   private val CacheCap = 1 << 17
 
   @transient lazy val pattern: java.util.regex.Pattern =
-    if (spmStyle) java.util.regex.Pattern.compile("\\S+")
+    if (spmStyle) java.util.regex.Pattern.compile(Unigram.NonWsPattern)
     else java.util.regex.Pattern.compile(TextAnalysis.BpeishPattern)
 
   def countCached(word: String): Int = {
@@ -306,10 +351,14 @@ object UnigramKernels {
   /**
    * Viterbi piece count of one pretoken: best[i] = max over pieces p
    * ending at i of best[i-|p|] + logp(p); a position no piece reaches
-   * falls back to one `unkScore` character. Ties keep the first
-   * (shortest-piece) path — fixed scan order makes the count
-   * deterministic. O(len x maxLen) table lookups, zero allocation
-   * beyond the two DP arrays.
+   * falls back to `unkScore` for one character — or, when the model
+   * carries byte-fallback scores (`<0xNN>` pieces of an SPM import),
+   * to one piece PER UTF-8 BYTE of that character, scored through the
+   * byte table (SentencePiece byte_fallback: "é" = 2 pieces, not 1).
+   * Ties keep the first (shortest-piece) path — fixed scan order makes
+   * the count deterministic. O(len x maxLen) table lookups, zero
+   * allocation beyond the two DP arrays (byte fallback allocates only
+   * on vocab-external chars, off the hot path by construction).
    */
   def countWord(word: String, rt: UnigramRuntime): Int = {
     val n = word.length
@@ -332,9 +381,19 @@ object UnigramKernels {
         }
         len += 1
       }
-      if (best(end) == NegInf) { // unknown char: one piece, penalized
-        best(end) = best(end - 1) + rt.unkScore
-        cnt(end) = cnt(end - 1) + 1
+      if (best(end) == NegInf) { // unknown char: penalized fallback
+        if (rt.byteScores == null) { // one flat-penalty piece
+          best(end) = best(end - 1) + rt.unkScore
+          cnt(end) = cnt(end - 1) + 1
+        } else { // one byte piece per UTF-8 byte of the char
+          val bytes = word.substring(end - 1, end)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var pen = 0.0
+          var j = 0
+          while (j < bytes.length) { pen += rt.byteScores(bytes(j) & 0xff); j += 1 }
+          best(end) = best(end - 1) + pen
+          cnt(end) = cnt(end - 1) + bytes.length
+        }
       }
       end += 1
     }

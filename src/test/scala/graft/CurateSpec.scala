@@ -60,6 +60,22 @@ class CurateSpec extends SparkSpecBase {
     assert(out(1L) == "keep", out.toString)
   }
 
+  test("corpus_curate_materialized: verdict-for-verdict equal to the in-plan funnel") {
+    // the production materialized-stage path must change the PLAN
+    // (one clean pass written once, read by every verdict branch),
+    // never the verdicts — checked at two SFs so the LM-threshold
+    // tie structure is exercised on more than the tiny corpus
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val inPlan = Curate.corpusCurateQuery(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val mat = Curate.corpusCurateMaterializedQuery(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(mat == inPlan,
+        s"$dir: materialized funnel diverged — " +
+          s"only-in-plan=${(inPlan -- mat).take(5)} only-mat=${(mat -- inPlan).take(5)}")
+    }
+  }
+
   test("corpus_curate_web: URL gate fires first; verdicts still partition the train set") {
     val web = Curate.corpusCurateWebQuery(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -670,4 +670,77 @@ class DedupTextSpec extends SparkSpecBase {
       assert(a < b, "pair orientation must be a < b")
     }
   }
+
+  test("dedup_minhash_delta == full run restricted to delta-touching pairs, across splits; both legs occur") {
+    val corpus = Dedup.withPlantedNearDups(Tables.documents(spark, sf), 25, mutate = true)
+      .cache()
+    val full = Dedup.minhashPairs(corpus, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.nonEmpty)
+    // three different base/delta carves of the same corpus — the delta
+    // run must reproduce exactly the full run's delta-touching pairs
+    // (same bucket statistics, same verify) under every split
+    val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("recrawl+mod11", col("doc_id") >= Dedup.PlantOffset || col("doc_id") % 11 === 0),
+      ("mod3", col("doc_id") % 3 === 1),
+      ("low-ids", col("doc_id") < 12 ||
+        (col("doc_id") >= Dedup.PlantOffset && col("doc_id") < Dedup.PlantOffset + 12)))
+    for ((name, pred) <- preds) {
+      val base = corpus.filter(!pred)
+      val delta = corpus.filter(pred)
+      val deltaIdSet = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+      val baseSigs = Dedup.minhashSignatures(base, "doc_id", "text",
+        numPerms = 64, shingleWidth = 3)
+      val got = Dedup.minhashPairsDelta(baseSigs, delta, corpus, "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      val want = full.filter(p => deltaIdSet(p._1) || deltaIdSet(p._2))
+        .map(p => (p._1, p._2, p._3,
+          if (deltaIdSet(p._1) && deltaIdSet(p._2)) "delta_delta" else "delta_base"))
+        .toSet
+      assert(got == want, s"split $name: delta run diverged — " +
+        s"only-full=${(want -- got).take(5)} only-delta=${(got -- want).take(5)}")
+      assert(got.nonEmpty, s"split $name produced no pairs")
+    }
+    // the entry's own split exercises both legs of the report
+    val entry = Dedup.dedupMinhashDelta(spark, sf).collect()
+    assert(entry.exists(_.getString(3) == "delta_base"), "no delta_base pair")
+    assert(entry.exists(_.getString(3) == "delta_delta"), "no delta_delta pair")
+    corpus.unpersist()
+  }
+
+  test("multimodal_neardup oracle invariant: exact top-N saturated by planted dups, bucketed == exact, at every gated SF") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.vec_cosine
+    // The entry's Spark side is an approximate IVF co-probe join while
+    // its DuckDB oracle is the exact all-pairs top-N; parity holds
+    // because the top-N is saturated by cosine-1.0 exact-duplicate
+    // pairs (identical vectors always co-probe — same cell, any
+    // centroid fit). A background pair at the boundary in a different
+    // cell would break that, so the invariant is asserted explicitly
+    // at each SF the oracle gates.
+    val topN = graft.config.GraftConfig.active.neardup.topN
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val media = Tables.documents(spark, dir)
+        .select(col("doc_id"), BinaryMeta.mediaPlant.as("media"))
+      val e = BinaryMeta.embedStubCentered(media)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val exact = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+        .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")),
+          col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(vec_cosine(col("va"), col("vb")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("a"), col("b"))
+        .limit(topN).collect()
+      assert(exact.length == topN, s"$dir: fewer than $topN pairs")
+      assert(exact.last.getDouble(2) == 1.0,
+        s"$dir: Nth-ranked exact pair is not a planted duplicate " +
+          s"(cosine=${exact.last.getDouble(2)}) — the oracle parity invariant broke")
+      val got = BinaryMeta.multimodalNeardup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val want = exact.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == want, s"$dir: bucketed top-N diverged from the exact top-N")
+    }
+  }
 }

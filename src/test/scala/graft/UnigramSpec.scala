@@ -113,7 +113,8 @@ class UnigramSpec extends SparkSpecBase {
       bpe = graft.config.BpeConfig(unigramVocabPath = path.toString))
     val h = Tokenizers.active(spark, sf, cfgU)
     assert(h.dictPath == Unigram.VocabExportPath)
-    assert(h.wordsSql.contains("\\S+"), "SPM style splits raw text on whitespace")
+    assert(h.wordsSql.contains(Unigram.NonWsPattern),
+      "SPM style splits raw text on the explicit whitespace class")
     // default config: BPE fixture path and the round-7 fragment, byte-identical
     val hDef = Tokenizers.active(spark, sf, graft.config.GraftConfig())
     assert(hDef.dictPath == Bpe.VocabExportPath)
@@ -123,6 +124,51 @@ class UnigramSpec extends SparkSpecBase {
     // the fertility SQL under default config replays the BPE fixture
     assert(Bpe.tokenizerFertilitySql.contains(Bpe.VocabExportPath))
     assert(graft.operators.Corpus.seqPackBpeSql.contains(Bpe.VocabExportPath))
+  }
+
+  test("spm pretokenization: explicit class splits on \\x0B (Java = RE2 by construction)") {
+    // Java's \s includes U+000B; RE2's does not -- a bare \S+ gives the
+    // two engines different word lists on a vertical-tab document. The
+    // explicit class spells out the whitespace set (including \x0B), so
+    // both engines split "a<VT>b" into the SAME two pretokens and the
+    // dictionary-fixture join cannot miss words.
+    assert(!Unigram.NonWsPattern.contains("\\S") && !Unigram.NonWsPattern.contains("\\s"))
+    assert(Unigram.NonWsPattern.contains("\\x0B"))
+    val r = UnigramModel(Array("a" -> -1.0), spmStyle = true).runtime
+    val m = r.pattern.matcher("a\u000Bb")
+    val toks = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toList
+    assert(toks == List("a", "b"), s"expected \\x0B to split, got $toks")
+    // ordinary whitespace still splits
+    val m2 = r.pattern.matcher("a b\tc\nd")
+    val toks2 = Iterator.continually(m2).takeWhile(_.find()).map(_.group()).toList
+    assert(toks2 == List("a", "b", "c", "d"))
+  }
+
+  test("spm import: <0xNN> byte-fallback pieces score vocab-external chars per byte") {
+    val dir = java.nio.file.Files.createTempDirectory("unigram-bytes")
+    val path = dir.resolve("bytes.vocab")
+    // control tokens + one word piece + byte pieces covering ▁ (E2 96
+    // 81), é (C3 A9), and z (7A) — the spm_export_vocab byte_fallback rows
+    java.nio.file.Files.write(path,
+      ("<unk>\t0\n<s>\t0\n</s>\t0\n<pad>\t0\n" +
+        "▁hi\t-1.0\n" +
+        "<0xE2>\t-8.0\n<0x96>\t-8.0\n<0x81>\t-8.0\n" +
+        "<0xC3>\t-9.0\n<0xA9>\t-9.0\n<0x7A>\t-7.0\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m = Unigram.loadVocab(path.toString)
+    assert(m.bytePieces.length == 6, "byte pieces must be imported, not dropped")
+    assert(!m.pieces.exists(_._1.startsWith("<0x")), "byte pieces stay out of the DP table")
+    val r = m.runtime
+    import org.apache.spark.unsafe.types.UTF8String
+    // vocab-internal word: one piece
+    assert(UnigramKernels.countTokens(UTF8String.fromString("hi"), r) == 1)
+    // vocab-external "z": ▁ falls back to its 3 UTF-8 bytes + 1 byte for z
+    assert(UnigramKernels.countTokens(UTF8String.fromString("z"), r) == 4)
+    // multi-byte é counts 2 byte pieces (not 1 flat unk piece): ▁(3) + é(2)
+    assert(UnigramKernels.countTokens(UTF8String.fromString("é"), r) == 5)
+    // a model WITHOUT byte pieces keeps the flat per-char penalty: ▁+é = 2
+    val flat = UnigramModel(Array("▁hi" -> -1.0), spmStyle = true).runtime
+    assert(UnigramKernels.countTokens(UTF8String.fromString("é"), flat) == 2)
   }
 
   test("config parse: bpe.unigramVocabPath round-trips") {
