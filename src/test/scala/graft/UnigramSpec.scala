@@ -171,6 +171,33 @@ class UnigramSpec extends SparkSpecBase {
     assert(UnigramKernels.countTokens(UTF8String.fromString("é"), flat) == 2)
   }
 
+  test("tokenizer_compare: families genuinely diverge; whitespace row is the 1.0 baseline") {
+    val rows = Tokenizers.tokenizerCompare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    val langs = rows.keys.map(_._1).toSet
+    assert(langs.size >= 2, s"need a multilingual corpus, got $langs")
+    langs.foreach { l =>
+      val (wsTok, wsFert) = rows((l, "whitespace"))
+      val (bpeTok, _) = rows((l, "bpe"))
+      val (uniTok, _) = rows((l, "unigram"))
+      assert(wsFert == 1.0, s"$l: whitespace fertility must be the 1.0 baseline")
+      // subword counts can never undershoot pretokens (a word is >= 1 piece;
+      // on a tiny corpus a family may exactly cover one language at 1.0)
+      assert(bpeTok >= wsTok, s"$l: bpe $bpeTok below whitespace $wsTok")
+      assert(uniTok >= wsTok, s"$l: unigram $uniTok below whitespace $wsTok")
+    }
+    // the report exists because the families disagree SOMEWHERE on the
+    // corpus: subword budgets above whitespace, and BPE != unigram
+    // (different segmentation objectives)
+    assert(langs.exists(l => rows((l, "bpe"))._1 != rows((l, "whitespace"))._1),
+      "bpe never diverges from whitespace — report is vacuous")
+    assert(langs.exists(l => rows((l, "unigram"))._1 != rows((l, "whitespace"))._1),
+      "unigram never diverges from whitespace — report is vacuous")
+    assert(langs.exists(l => rows((l, "unigram"))._1 != rows((l, "bpe"))._1),
+      "bpe and unigram agree exactly everywhere — report is vacuous")
+  }
+
   test("config parse: bpe.unigramVocabPath round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("unigram-cfg")
     val p = dir.resolve("g.json")
