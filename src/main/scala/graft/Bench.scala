@@ -42,7 +42,8 @@ object Bench {
     // the cache clear. Build cost itself stays measured cold by
     // `lsh_partition_build` (deliberately NOT in this set).
     val residentIndex = Set("ann_lsh_topk", "ann_lsh_topk_distjoin", "ann_recall_eval",
-      "ann_recall_gtfile", "ann_diagnostics", "query_token", "ann_lsh_filtered_topk")
+      "ann_recall_gtfile", "ann_diagnostics", "query_token", "ann_lsh_filtered_topk",
+      "ann_tier_report")
     // Reported time = MINIMUM over `reps` timed runs: machine contention
     // only ever ADDS time, so the min is the least-contaminated estimate
     // and one noisy rep cannot poison a round artifact.
@@ -67,9 +68,9 @@ object Bench {
         if (name == "ann_multidim_topk")
           prep("ensureResidentTwoDim")(graft.query.DimRegistry.ensureResidentTwoDim(spark, sfDir))
         if (name == "simsearch_ivf" || name == "neardup_embedding" ||
-            name == "sample_cluster_balanced")
+            name == "sample_cluster_balanced" || name == "ann_tier_report")
           prep("ensureFitted")(graft.query.IvfSearch.ensureFitted(spark, sfDir))
-        if (name == "embed_pq" || name == "ann_ivfpq_topk")
+        if (name == "embed_pq" || name == "ann_ivfpq_topk" || name == "ann_tier_report")
           prep("ensureFittedPq")(graft.query.PqSearch.ensureFitted(spark, sfDir))
         val t0 = System.nanoTime()
         // a failed rep reports -1, not a bogus tiny wall time

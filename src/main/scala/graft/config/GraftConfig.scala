@@ -220,6 +220,17 @@ final case class SearchConfig(mode: String = "optimized") {
     if (paperBaseline) p.copy(maxProbes = LshParams().maxProbes) else p
 }
 
+/** Streaming keyed-state hygiene: event-time TTL (seconds) for the
+  * intake gates' state — [[graft.streaming.UrlIntake]]'s per-URL
+  * owner record and [[graft.streaming.StreamingNearDup]]'s bucket
+  * claimants age out this long after their last sighting (dup windows
+  * in crawl pipelines are weeks, not forever; an idle key's state is
+  * garbage-collected by the state store's event-time timeout). 0 =
+  * retain forever — the exact batch-equivalence default. */
+final case class StreamConfig(stateTtlSec: Int = 0) {
+  require(stateTtlSec >= 0, s"stream.stateTtlSec must be >= 0: $stateTtlSec")
+}
+
 final case class GraftConfig(
     lsh: LshParams = LshParams(),
     stabilization: StabilizationConfig = StabilizationConfig(),
@@ -242,7 +253,8 @@ final case class GraftConfig(
     lm5: Lm5Config = Lm5Config(),
     mmr: MmrConfig = MmrConfig(),
     kcenter: KCenterConfig = KCenterConfig(),
-    search: SearchConfig = SearchConfig())
+    search: SearchConfig = SearchConfig(),
+    stream: StreamConfig = StreamConfig())
 
 object GraftConfig {
 
@@ -414,6 +426,8 @@ object GraftConfig {
       kcenter = KCenterConfig(
         k = i(n.path("kcenter"), "k", d.kcenter.k)),
       search = SearchConfig(
-        mode = s(n.path("search"), "mode", d.search.mode)))
+        mode = s(n.path("search"), "mode", d.search.mode)),
+      stream = StreamConfig(
+        stateTtlSec = i(n.path("stream"), "stateTtlSec", d.stream.stateTtlSec)))
   }
 }

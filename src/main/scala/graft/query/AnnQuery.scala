@@ -1438,6 +1438,33 @@ object AnnQuery {
     }
   }
 
+  /** Candidate + refine row totals of the resident LSH serving path,
+    * for [[TierReport]]'s cost columns: `cand` = unique candidates the
+    * probe set surfaces (the reference's avgCandidateRatio numerator,
+    * [[candidateCounts]]); `refine` = rows entering the exact-L2
+    * refine after the cap + refinement bound ([[boundedCandidates]]
+    * with the serving k — the same stage [[annLshTopK]] pays). */
+  private[graft] def lshTierCounts(spark: SparkSession, sfDir: String): (Long, Long) = {
+    val (model, built) = setup(spark, sfDir)
+    val probed = probeBlocks(spark, queryVecs(spark, sfDir), model, built).cache()
+    val cand = candidateCounts(probed, built)
+      .agg(sum(col("n_candidates"))).head().getLong(0)
+    val refine = boundedCandidates(probed, built, model.params, None, DefaultK).count()
+    probed.unpersist()
+    (cand, refine)
+  }
+
+  /** Chain replay returning ONLY the tier-report cost counters — the
+    * `cand` and `bounded` CTE cardinalities ([[lshTierCounts]]'s
+    * oracle twin), via the [[annChainSqlOpt]] tail hook. */
+  def lshTierCountsSqlOpt: Option[String] =
+    annChainSqlOpt(cfg.lsh.maxProbes, bestFirst = true, sameLabel = false,
+      tail = Some(
+        """tcounts AS (
+          |  SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS cand_rows,
+          |    CAST((SELECT COUNT(*) FROM bounded) AS BIGINT) AS refine_rows)
+          |SELECT cand_rows, refine_rows FROM tcounts""".stripMargin))
+
   /** Partition-build structural invariants, SQL-checkable from row counts alone. */
   def lshPartitionBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, built) = setup(spark, sfDir)

@@ -1,0 +1,213 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/**
+ * `ann_tier_report`: the compression-tier selection matrix — ONE
+ * side-by-side answer to the question a serving owner actually asks:
+ * "which index representation do I deploy?" For each tier the library
+ * ships (LSH partitions + exact refine at 1x, IVF+SQ8 at 4x, IVF+PQ
+ * at ~32x, PCA-rotated PQ), the report gives recall@{1,10} and the
+ * mean distance ratio against brute-force ground truth (the
+ * reference's Aggregates.java:14-21 evaluation posture: recallAtK /
+ * avgRatio / avgDistanceRatio, applied across tiers instead of to one
+ * mode), plus the cost side of the trade: candidate rows scored,
+ * rows exactly refined, and the bytes the candidate scan reads
+ * (`cand_rows x code_bytes + refine_rows x dim x 4` — code bytes are
+ * 8 per LSH membership row, dim per SQ8 code, M per PQ code).
+ *
+ * Scale posture: every tier's top-k is the tier's OWN serving entry
+ * (each individually hash-verified), ground truth is the brute-force
+ * entry, and the metric aggregation runs driver-side over bounded
+ * rows (numQueries x k per tier — the reference's client-side
+ * Evaluator posture, [[AnnQuery.evalMetricsLocal]] discipline, spec'd
+ * there and replayed end-to-end by this entry's DuckDB oracle). The
+ * candidate counters come from each tier's real pruning structure:
+ * the LSH probe set's surfaced candidates + refinement bound
+ * ([[AnnQuery.lshTierCounts]]), the shared IVF cells-x-probes join
+ * both celled tiers route through, and the exhaustive N x queries
+ * scan the rotated-PQ isolation twin deliberately pays.
+ */
+object TierReport {
+
+  private def cfg = graft.config.GraftConfig.active
+  def K: Int = cfg.query.k
+  def NumQueries: Int = cfg.query.numQueries
+
+  /** Bytes scored per candidate row in the LSH tier: the membership
+    * row's 64-bit key (rep-Hamming is computed per block, amortized;
+    * the id+key row is what the candidate union materializes). */
+  val LshCandBytes = 8
+
+  def annTierReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val nVecs = data.count()
+    val dim = data.select(size(col("embedding"))).head().getInt(0)
+    val nq = NumQueries.toLong
+
+    val gt = AnnQuery.annBruteTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+    // IVF routing shared by the SQ8 and PQ tiers: per-query candidate
+    // counts from the same cells + probe lists both serving forms use
+    val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
+    val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents))
+    val probes = data.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(PqSearch.topProbeCells(col("embedding"), cents, PqSearch.NumProbes)).as("cell"))
+    val ivfPerQ = cells.join(probes, Seq("cell"))
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val adcKeep = PqSearch.AdcKeep.toLong
+    val ivfCand = ivfPerQ.sum
+    val ivfRefine = ivfPerQ.map(n => math.min(n, adcKeep)).sum
+
+    val (lshCand, lshRefine) = AnnQuery.lshTierCounts(spark, sfDir)
+
+    // (tier, top-k frame, candidates scored, rows exactly refined,
+    //  bytes per scored candidate)
+    val tiers = Seq(
+      ("lsh_refine", AnnQuery.annLshTopK(spark, sfDir),
+        lshCand, lshRefine, LshCandBytes.toLong),
+      ("ivf_sq8", SqSearch.annIvfsqTopK(spark, sfDir),
+        ivfCand, ivfRefine, dim.toLong),
+      ("ivf_pq", PqSearch.annIvfpqTopK(spark, sfDir),
+        ivfCand, ivfRefine, PqSearch.M.toLong),
+      ("opq_pq", PqSearch.annPcapqTopK(spark, sfDir),
+        nVecs * nq, math.min(nVecs, adcKeep) * nq, PqSearch.M.toLong))
+
+    def roundAt(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+
+    val gtRnkByPair = gt.map(t => (t._1, t._2) -> t._4).toMap
+    val gtDistByRnk = gt.map(t => (t._1, t._4) -> t._3).toMap
+    val queries = gt.map(_._1).distinct.sorted
+    val rows = tiers.map { case (tier, df, cand, refine, codeBytes) =>
+      val ann = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      // recall@k over the full query grid (zero-hit queries count 0),
+      // per-query hits/k averaged — the evalMetricsLocal structure
+      def recallAt(k: Int): Double = {
+        val hits = ann.filter { case (q, v, _, rnk) =>
+          rnk <= k && gtRnkByPair.get((q, v)).exists(_ <= k)
+        }.groupBy(_._1).view.mapValues(_.size).toMap
+        roundAt(queries.map(q => hits.getOrElse(q, 0).toDouble / k).sum / queries.length, 4)
+      }
+      // rank-aligned distance ratio: per-query mean over gt-dist>0
+      // pairs, only for queries with the full k pairs; then the mean
+      // over those queries (-1.0 when no query qualifies)
+      val perQueryRatio = ann.filter(_._4 <= K).groupBy(_._1).flatMap { case (_, ps) =>
+        val used = ps.flatMap { case (q, _, d, rnk) =>
+          gtDistByRnk.get((q, rnk)).filter(_ > 0).map(dGt => d / dGt)
+        }
+        if (ps.size == K && used.nonEmpty) Some(used.sum / used.size) else None
+      }.toSeq
+      val distRatio =
+        if (perQueryRatio.isEmpty) -1.0
+        else roundAt(perQueryRatio.sum / perQueryRatio.size, 4)
+      Row(tier, recallAt(1), recallAt(10), distRatio, cand, refine,
+        cand * codeBytes + refine * dim * 4L)
+    }
+    val schema = StructType(Seq(
+      StructField("tier", StringType), StructField("recall_at_1", DoubleType),
+      StructField("recall_at_10", DoubleType), StructField("dist_ratio", DoubleType),
+      StructField("cand_rows", LongType), StructField("refine_rows", LongType),
+      StructField("scan_bytes", LongType)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** One tier's metric row in the oracle: recall grids + rank-aligned
+    * ratio replayed exactly as the driver-side aggregation above. */
+  private def tierMetricsSql(tier: String, tk: String,
+      candExpr: String, refineExpr: String, codeBytesExpr: String): String = {
+    val k = K
+    def recallSql(kk: Int): String =
+      s"""(SELECT ROUND(AVG(CAST(h AS DOUBLE) / $kk), 4) FROM (
+         |   SELECT g.query_id, COUNT(j.query_id) AS h
+         |   FROM (SELECT DISTINCT query_id FROM gt) g LEFT JOIN (
+         |     SELECT a.query_id FROM $tk a JOIN gt g2
+         |       ON a.query_id = g2.query_id AND a.vec_id = g2.vec_id
+         |     WHERE a.rnk <= $kk AND g2.rnk <= $kk) j ON j.query_id = g.query_id
+         |   GROUP BY g.query_id))""".stripMargin
+    s"""SELECT '$tier' AS tier,
+       |  ${recallSql(1)} AS recall_at_1,
+       |  ${recallSql(k)} AS recall_at_10,
+       |  (SELECT COALESCE(ROUND(AVG(pr), 4), -1.0) FROM (
+       |     SELECT p.query_id,
+       |       SUM(CASE WHEN p.d_gt > 0 THEN p.d_ann / p.d_gt END) /
+       |         COUNT(CASE WHEN p.d_gt > 0 THEN 1 END) AS pr
+       |     FROM (SELECT a.query_id, a.dist AS d_ann, g.dist AS d_gt
+       |           FROM $tk a JOIN gt g ON a.query_id = g.query_id AND a.rnk = g.rnk
+       |           WHERE a.rnk <= $k) p
+       |     GROUP BY p.query_id
+       |     HAVING COUNT(*) = $k AND COUNT(CASE WHEN p.d_gt > 0 THEN 1 END) > 0)) AS dist_ratio,
+       |  CAST($candExpr AS BIGINT) AS cand_rows,
+       |  CAST($refineExpr AS BIGINT) AS refine_rows,
+       |  CAST(($candExpr) * ($codeBytesExpr) + ($refineExpr) * (SELECT dim FROM meta) * 4
+       |       AS BIGINT) AS scan_bytes""".stripMargin
+  }
+
+  /** Full oracle: every tier's own hash-verified top-k SQL nested as
+    * a CTE, ground truth the brute-force SQL, candidate counters from
+    * the LSH chain replay + the shared IVF routing. Conditional on
+    * the LSH chain being SQL-expressible (one code word), like every
+    * other LSH-chain oracle. */
+  def annTierReportSqlOpt: Option[String] =
+    for {
+      lshSql <- AnnQuery.annLshTopKSqlOpt
+      lshCountSql <- AnnQuery.lshTierCountsSqlOpt
+    } yield {
+      val nq = NumQueries
+      val adcKeep = PqSearch.AdcKeep
+      s"""WITH gt AS (${AnnQuery.annBruteTopKSql}),
+         |lsh AS ($lshSql),
+         |lshc AS ($lshCountSql),
+         |sq AS (${SqSearch.annIvfsqTopKSql}),
+         |pq AS (${PqSearch.annIvfpqTopKSql}),
+         |opq AS (${PqSearch.annPcapqTopKSql}),
+         |cc AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
+         |iassign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cc.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(cc.cv AS DOUBLE[])), cc.cell) AS r
+         |    FROM embeddings e CROSS JOIN cc)
+         |  WHERE r = 1),
+         |iprobes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, cc.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(cc.cv AS DOUBLE[])), cc.cell) AS crnk
+         |    FROM embeddings q CROSS JOIN cc WHERE q.vec_id < $nq)
+         |  WHERE crnk <= ${PqSearch.NumProbes}),
+         |ivfq AS (
+         |  SELECT p.query_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM iprobes p JOIN iassign a ON a.cell = p.cell
+         |  GROUP BY p.query_id),
+         |ivfc AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS cand_rows,
+         |    CAST(SUM(LEAST(n, $adcKeep)) AS BIGINT) AS refine_rows
+         |  FROM ivfq),
+         |meta AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n,
+         |                (SELECT CAST(len(embedding) AS BIGINT) FROM embeddings LIMIT 1) AS dim)
+         |${tierMetricsSql("lsh_refine", "lsh",
+              "(SELECT cand_rows FROM lshc)", "(SELECT refine_rows FROM lshc)",
+              LshCandBytes.toString)}
+         |UNION ALL
+         |${tierMetricsSql("ivf_sq8", "sq",
+              "(SELECT cand_rows FROM ivfc)", "(SELECT refine_rows FROM ivfc)",
+              "(SELECT dim FROM meta)")}
+         |UNION ALL
+         |${tierMetricsSql("ivf_pq", "pq",
+              "(SELECT cand_rows FROM ivfc)", "(SELECT refine_rows FROM ivfc)",
+              PqSearch.M.toString)}
+         |UNION ALL
+         |${tierMetricsSql("opq_pq", "opq",
+              s"(SELECT n * $nq FROM meta)", s"(SELECT LEAST(n, $adcKeep) * $nq FROM meta)",
+              PqSearch.M.toString)}""".stripMargin
+    }
+}

@@ -39,10 +39,16 @@ import graft.dedup.Dedup
  * sets — bounded by `maxBucket` × doc length, keyed state sharded
  * across executors by Spark's state store like any
  * mapGroupsWithState; the hot-bucket freeze is exactly what stops a
- * boilerplate bucket from accumulating unbounded state. A production
- * deployment ages claimants out with event-time TTL (dup windows in
- * crawl pipelines are weeks, not forever) — the same bound Spark's
- * own watermarked dropDuplicates uses.
+ * boilerplate bucket from accumulating unbounded state. Claimants
+ * additionally age out with EVENT-TIME TTL when configured
+ * (`stream.stateTtlSec` + an event-time column — dup windows in
+ * crawl pipelines are weeks, not forever, the same bound Spark's own
+ * watermarked dropDuplicates uses): an arrival only ever matches
+ * claimants seen within the TTL of its own event time (deterministic
+ * window semantics, independent of micro-batch boundaries), expired
+ * claimants are trimmed from state on the spot, and a bucket idle
+ * past the TTL — frozen ones included — is garbage-collected by the
+ * state store's event-time timeout.
  */
 object StreamingNearDup {
 
@@ -52,26 +58,33 @@ object StreamingNearDup {
   val Threshold = 0.5
   val MaxBucket = 1000
 
-  final case class BandedDoc(band: Int, band_hash: Long, doc_id: Long, sh: Seq[Long])
-  final case class Claimant(doc_id: Long, sh: Seq[Long])
+  final case class BandedDoc(band: Int, band_hash: Long, doc_id: Long, sh: Seq[Long],
+      ts: java.sql.Timestamp)
+  final case class Claimant(doc_id: Long, sh: Seq[Long], tsMs: Long)
   final case class BucketState(claimants: List[Claimant], frozen: Boolean)
   final case class NearPair(a: Long, b: Long, jaccard: Double)
 
   /** Map-side prep: one row per (band, doc) with the doc's hashed
     * shingle set — the fused signature expression runs once per doc
-    * and the band keys are slices of it, exactly the batch layout. */
-  def bandedShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * and the band keys are slices of it, exactly the batch layout.
+    * `tsCol` (event time) rides along for the TTL path; absent, the
+    * column is null and the gate retains state forever. */
+  def bandedShingles(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: Option[String] = None): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
+    val tsExpr = tsCol.map(c => col(c).cast("timestamp"))
+      .getOrElse(lit(null).cast("timestamp"))
     val sigs = docs.select(col(idCol).as("doc_id"),
       graft.dedup.SignatureExprs.minhash_shingle_sig(toks, ShingleWidth, NumPerms).as("sig"),
       transform(array_distinct(Dedup.shingles(toks, ShingleWidth)),
-        s => xxhash64(s)).as("sh"))
+        s => xxhash64(s)).as("sh"),
+      tsExpr.as("ts"))
     val bandHashes = (0 until NumPerms / RowsPerBand).map { b =>
       xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
     }
-    sigs.select(col("doc_id"), col("sh"),
+    sigs.select(col("doc_id"), col("sh"), col("ts"),
       posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
-      .select(col("band"), col("band_hash"), col("doc_id"), col("sh"))
+      .select(col("band"), col("band_hash"), col("doc_id"), col("sh"), col("ts"))
   }
 
   private def jaccard(a: Seq[Long], b: Seq[Long]): Double = {
@@ -83,20 +96,32 @@ object StreamingNearDup {
 
   /** Verify one bucket's arrivals against its stored claimants (and
     * each other, in doc_id order), then fold the arrivals into state —
-    * or freeze the bucket past [[MaxBucket]]. */
-  def verifyBucket(
+    * or freeze the bucket past [[MaxBucket]]. With `ttlMs > 0`:
+    * claimants older than TTL relative to the ARRIVAL's event time
+    * are ignored and trimmed (event-time window semantics), the
+    * bucket's timeout extends to last-sighting + TTL, and a timed-out
+    * invocation removes the state (frozen buckets thaw this way). */
+  def verifyBucketTtl(ttlMs: Long)(
       key: (Int, Long),
       rows: Iterator[BandedDoc],
       state: GroupState[BucketState]): Iterator[NearPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val st = state.getOption.getOrElse(BucketState(Nil, frozen = false))
-    if (st.frozen) return Iterator.empty
     val arrivals = rows.toArray.sortBy(_.doc_id)
+    def tsMs(d: BandedDoc): Long = if (d.ts == null) 0L else d.ts.getTime
+    // extend the GC deadline to last sighting + TTL (floored above the
+    // watermark — setTimeoutTimestamp rejects timestamps at/behind it)
+    def touchTimeout(): Unit =
+      if (ttlMs > 0 && arrivals.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(arrivals.map(tsMs).max + ttlMs, state.getCurrentWatermarkMs + 1))
+    if (st.frozen) { touchTimeout(); return Iterator.empty }
     val out = Vector.newBuilder[NearPair]
     var claimants = st.claimants
-    var n = claimants.size
     var frozen = false
     arrivals.foreach { d =>
       if (!frozen) {
+        if (ttlMs > 0) claimants = claimants.filter(c => tsMs(d) - c.tsMs <= ttlMs)
         claimants.foreach { c =>
           if (c.doc_id != d.doc_id) {
             val j = jaccard(c.sh, d.sh)
@@ -105,25 +130,46 @@ object StreamingNearDup {
                 math.max(c.doc_id, d.doc_id), math.floor(j * 10000) / 10000)
           }
         }
-        claimants = Claimant(d.doc_id, d.sh) :: claimants
-        n += 1
-        if (n > MaxBucket) frozen = true
+        claimants = Claimant(d.doc_id, d.sh, tsMs(d)) :: claimants
+        if (claimants.size > MaxBucket) frozen = true
       }
     }
     state.update(if (frozen) BucketState(Nil, frozen = true)
       else BucketState(claimants, frozen = false))
+    touchTimeout()
     if (frozen) Iterator.empty else out.result().iterator
   }
 
+  /** The TTL-less verify (retain-forever default), kept as the named
+    * batch-equivalence kernel the specs exercise directly. */
+  def verifyBucket(
+      key: (Int, Long),
+      rows: Iterator[BandedDoc],
+      state: GroupState[BucketState]): Iterator[NearPair] =
+    verifyBucketTtl(0L)(key, rows, state)
+
   /** docs stream with (doc_id, text) → verified near-dup pairs
     * (a < b, 4dp-floored Jaccard; distinct() at the sink — a pair
-    * surfaces once per shared band). */
+    * surfaces once per shared band). With `tsCol` + a configured
+    * `stream.stateTtlSec`, the gate runs under an event-time
+    * watermark and ages claimants/buckets out per [[verifyBucketTtl]];
+    * otherwise state is retained forever (exact batch equivalence). */
   def neardupStream(spark: SparkSession, docs: Dataset[org.apache.spark.sql.Row],
-      idCol: String = "doc_id", textCol: String = "text"): Dataset[NearPair] = {
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: Option[String] = None,
+      ttlSec: Int = graft.config.GraftConfig.active.stream.stateTtlSec): Dataset[NearPair] = {
     import spark.implicits._
-    bandedShingles(docs.toDF(), idCol, textCol)
+    val withTtl = tsCol.nonEmpty && ttlSec > 0
+    val timeout = if (withTtl) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    val banded = bandedShingles(docs.toDF(), idCol, textCol, tsCol)
+    // watermark on the PROJECTED ts attribute (a cast/alias sheds the
+    // event-time tag, so tagging the source column would not survive)
+    val src = if (withTtl) banded.withWatermark("ts", "0 seconds") else banded
+    src
       .as[BandedDoc]
       .groupByKey(d => (d.band, d.band_hash))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(verifyBucket)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        verifyBucketTtl(if (withTtl) ttlSec * 1000L else 0L))
   }
 }

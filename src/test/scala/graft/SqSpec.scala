@@ -81,4 +81,33 @@ class SqSpec extends SparkSpecBase {
     out.unpersist()
     ()
   }
+
+  test("ann_tier_report: one row per tier, sane metrics, SQ8 recall >= PQ at equal shortlist") {
+    val rows = graft.query.TierReport.annTierReport(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.keySet == Set("lsh_refine", "ivf_sq8", "ivf_pq", "opq_pq"))
+    rows.foreach { case (tier, (r1, r10, ratio, cand, refine, bytes)) =>
+      assert(r1 >= 0.0 && r1 <= 1.0, s"$tier recall@1 $r1")
+      assert(r10 >= 0.0 && r10 <= 1.0, s"$tier recall@10 $r10")
+      assert(ratio >= 1.0 || ratio == -1.0, s"$tier dist ratio $ratio below 1")
+      assert(cand > 0 && refine > 0 && refine <= cand, s"$tier counts $cand/$refine")
+      assert(bytes > 0, s"$tier bytes")
+    }
+    // every tier refines its shortlist exactly, so recall@1 is the
+    // self-match for corpus queries whenever any candidate survives
+    assert(rows("lsh_refine")._1 == 1.0, "lsh self-match recall@1")
+    // SQ8 keeps every dimension (reconstruction error <= delta/2);
+    // PQ loses geometry to codeword clustering — at the SAME cells,
+    // probes, and AdcKeep shortlist, SQ8's recall cannot be worse
+    assert(rows("ivf_sq8")._2 >= rows("ivf_pq")._2,
+      s"sq8 recall@10 ${rows("ivf_sq8")._2} below pq ${rows("ivf_pq")._2}")
+    // the celled tiers share routing, so their candidate counts agree;
+    // the exhaustive rotated-PQ twin scans the whole corpus per query
+    assert(rows("ivf_sq8")._4 == rows("ivf_pq")._4, "celled tiers share routing")
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows("opq_pq")._4 == n * graft.query.TierReport.NumQueries, "opq scans N per query")
+    // 4x vs ~32x compression: SQ8 scans more candidate bytes than PQ
+    assert(rows("ivf_sq8")._6 > rows("ivf_pq")._6, "sq8 must cost more bytes than pq")
+  }
 }

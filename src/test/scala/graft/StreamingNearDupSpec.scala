@@ -88,4 +88,68 @@ class StreamingNearDupSpec extends SparkSpecBase {
       .select(sha2(Dedup.mutatedText(col("text")), 256)).head().getString(0)
     assert(hashes != mutated)
   }
+
+  test("event-time TTL: in-window copies pair, aged claimants stop matching, state is GC'd") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ts(plusSec: Long) = new java.sql.Timestamp(t0 + plusSec * 1000)
+    val ttlSec = 3600
+    def mkBatches(in: String): Unit = {
+      // b0: original doc 3 at t=0
+      docs.filter(col("doc_id") === 3).withColumn("ts", lit(ts(0)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b=000")
+      // b1: edited copy 100s later — inside the window, must pair
+      docs.filter(col("doc_id") === 3)
+        .select(lit(900003L).as("doc_id"), Dedup.mutatedText(col("text")).as("text"))
+        .withColumn("ts", lit(ts(100)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b=001")
+      // b2: unrelated filler 2h later — advances the watermark past
+      // every doc-3 bucket's timeout (t + ttl), so those buckets GC
+      docs.filter(col("doc_id").between(200, 220)).withColumn("ts", lit(ts(7200)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b=002")
+      // b3: another edited copy at 2h+100s — both earlier claimants are
+      // outside its window (7300 - 100 > 3600): NO pair may surface
+      docs.filter(col("doc_id") === 3)
+        .select(lit(900004L).as("doc_id"), Dedup.mutatedText(col("text")).as("text"))
+        .withColumn("ts", lit(ts(7300)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b=003")
+    }
+    def run(name: String, ttl: Int): (Set[(Long, Long)], Long) = {
+      val in = tmp(s"$name-in"); val ckpt = tmp(s"$name-ckpt"); val out = tmp(s"$name-out")
+      mkBatches(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/b=*")
+      val q = StreamingNearDup.neardupStream(spark, stream.toDF(),
+          tsCol = Some("ts"), ttlSec = ttl)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      val rowsTotal = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsTotal)
+        .getOrElse(-1L)
+      (spark.read.parquet(out).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet, rowsTotal)
+    }
+    val (ttlPairs, ttlState) = run("ttl", ttlSec)
+    assert(ttlPairs.contains((3L, 900003L)), s"in-window pair must surface: $ttlPairs")
+    assert(!ttlPairs.exists(p => p._1 == 900004L || p._2 == 900004L),
+      s"aged claimants must not match the late copy: $ttlPairs")
+    // batch-equivalence INSIDE the window: retain-forever pairs the
+    // late copy too (the only behavioral difference is the aging)
+    val (keepPairs, keepState) = run("keep", 0)
+    assert(keepPairs.contains((3L, 900003L)) && keepPairs.contains((3L, 900004L)),
+      s"retain-forever twin must pair both copies: $keepPairs")
+    // and the TTL run's final state is strictly smaller: the doc-3
+    // buckets were timed out and removed, the retain-forever twin
+    // keeps every bucket it ever saw
+    assert(ttlState >= 0 && keepState > ttlState,
+      s"TTL state $ttlState must be below retain-forever state $keepState")
+  }
 }
