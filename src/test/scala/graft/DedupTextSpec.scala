@@ -162,6 +162,31 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("lang_id_trained: learns every class incl. zh; accuracy >= the stopword heuristic") {
+    import graft.text.LangIdTrained
+    val planted = LangIdTrained.plantedDocs(Tables.documents(spark, sf))
+    val trained = LangIdTrained.langIdTrainedQuery(spark, sf).collect()
+    val trainedAcc = trained.map(_.getInt(4)).sum.toDouble / trained.length
+    val truth = planted.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val heur = TextAnalysis.langId(planted, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val heurAcc = heur.count { case (id, p) => p == truth(id) }.toDouble / heur.length
+    assert(trainedAcc >= heurAcc,
+      s"trained $trainedAcc must not be below the heuristic $heurAcc")
+    assert(trainedAcc > 0.9, s"trained accuracy too low: $trainedAcc")
+    // the structural gap the model closes: zh has no stopword profile,
+    // so the heuristic can never predict it — the trained model must
+    val zhIds = truth.filter(_._2 == "zh").keySet
+    assert(zhIds.nonEmpty, "corpus must contain zh docs")
+    heur.filter(p => zhIds(p._1)).foreach { case (id, p) =>
+      assert(p != "zh", s"heuristic cannot know zh but predicted it for $id")
+    }
+    val zhTrained = trained.filter(r => zhIds(r.getLong(0)))
+    assert(zhTrained.forall(_.getString(2) == "zh"),
+      s"trained must identify zh: ${zhTrained.map(_.getString(2)).distinct.mkString(",")}")
+  }
+
   test("lm_score: hand-computed surprisal on a tiny corpus; rare-token docs score lower") {
     import spark.implicits._
     // corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, total=5
