@@ -48,6 +48,27 @@ object Bench {
     // only ever ADDS time, so the min is the least-contaminated estimate
     // and one noisy rep cannot poison a round artifact.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // Fixed-cost calibration row (data- and SF-independent: 64M-row
+    // range -> modulo keys -> one 9973-cell hash agg): cross-round host
+    // drift becomes one division against the previous round's
+    // _calibration value instead of a re-litigated family-by-family
+    // argument. Excluded from `value` (the entries-only total) so
+    // totals stay comparable with earlier rounds.
+    val calibration: Double = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        materialize(spark.range(0L, 64L << 20, 1L, 32)
+          .selectExpr("id % 9973 AS k", "id")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1))))
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // warm the codegen path outside the timed reps
+      val secs = (1 to reps).map(_ => run())
+      System.err.println(s"[bench] _calibration reps: ${secs.map(s => f"$s%.3f").mkString(", ")}")
+      secs.min
+    }
     val results = selected.map { case (name, fn) =>
       // prep failures are LOGGED, never fatal: a cold-path timing must be
       // distinguishable from the documented warm/resident one
@@ -83,7 +104,8 @@ object Bench {
       System.err.println(s"[bench] $name reps: ${secs.map(s => f"$s%.3f").mkString(", ")}")
       name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (("_calibration" -> calibration) +: results)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
