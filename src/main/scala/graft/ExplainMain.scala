@@ -32,7 +32,11 @@ object ExplainMain {
         // round 8
         "warc_roundtrip", "token_count_unigram", "host_stats",
         "dedup_minhash_tune", "embed_sq", "ann_sq_topk", "ann_ivfsq_topk",
-        "ngram_cms_topk")) {
+        "ngram_cms_topk",
+        // round 9 (ann_tier_report omitted: a driver-side metric
+        // report over the component entries' plans, all listed above)
+        "dedup_minhash_delta", "corpus_curate_materialized",
+        "tokenizer_compare", "lang_id_trained")) {
       println(s"===== $name =====")
       println(planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sf)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

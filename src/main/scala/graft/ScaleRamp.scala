@@ -177,7 +177,45 @@ object ScaleRamp {
         mat(graft.text.UrlFilter.hostStats(
           docs.withColumn("source", col("lang"))
             .select(col("doc_id"),
-              graft.text.UrlFilter.plantedUrlCol.as("url"), col("text"))))))
+              graft.text.UrlFilter.plantedUrlCol.as("url"), col("text"))))),
+      // round-9 additions. Delta dedup: ~9% of the corpus is the "new
+      // crawl" merging into a RESIDENT base signature table (written
+      // once per scale, read back parquet — the production shape; the
+      // first rep pays the write, min-of-reps times the merge). The
+      // scale argument: this row ramps BELOW the full dedup_minhash
+      // row above because only the delta is signed and the pair
+      // join's probe side is delta-sized, never corpus-sized
+      "dedup_minhash_delta" -> (() => {
+        val pred = col("doc_id") % 11 === 0
+        val dir = s"/root/repo/tmp/scale/delta_base_sigs_${docs.count()}"
+        if (!new java.io.File(s"$dir/_SUCCESS").exists())
+          graft.dedup.Dedup.minhashSignatures(
+            docs.filter(!pred), "doc_id", "text", 64, 3)
+            .write.mode("overwrite").parquet(dir)
+        mat(graft.dedup.Dedup.minhashPairsDelta(
+          spark.read.parquet(dir), docs.filter(pred), docs, "doc_id", "text"))
+      }),
+      // the staged funnel (two stage writes + staged reads) vs the
+      // in-plan corpus_curate row above — the materialize-once ramp
+      "curate_materialized" -> (() =>
+        mat(graft.operators.Curate.curateMaterialized(
+          docs.select("doc_id", "text"),
+          Tables.documents(spark, "/root/testdata/sf0.1")
+            .filter(col("doc_id") % 17 === 0).select("doc_id", "text"),
+          "/root/repo/tmp/scale/curate_stage"))),
+      // trained lang-ID: the one-pass NB fit (classes x buckets output
+      // regardless of corpus) + the map-only integer scoring pass
+      "lang_id_trained" -> (() => {
+        val planted = graft.text.LangIdTrained.plantedDocs(docs)
+        val m = graft.text.LangIdTrained.fit(planted)
+        mat(graft.text.LangIdTrained.score(planted, m))
+      }),
+      // three-family token budgets under FIXED models: one map pass
+      // with two codegen'd counters + a langs-sized agg
+      "tokenizer_compare" -> (() =>
+        mat(graft.text.Tokenizers.compareReport(docs,
+          graft.text.Bpe.modelFor(spark, "/root/testdata/sf0.01"),
+          graft.text.Unigram.modelFor(spark, "/root/testdata/sf0.01")))))
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the ramp (iteration aid; the
     // Bench convention)

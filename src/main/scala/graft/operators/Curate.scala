@@ -35,11 +35,17 @@ import graft.text.{Normalize, TextAnalysis, TextFilters}
  * two-partial-agg shape over survivors plus the no-sort quantile cut
  * riding back as one broadcast row. No corpus-sized sort or window.
  *
- * As a single self-contained plan, the normalize+scrub regex prefix
- * re-evaluates once per signal branch (~1.7× the summed stage costs
- * at sf0.1); a production pipeline MATERIALIZES the cleaned text
- * once (the [[graft.streaming.StreamingIntake]] sink is exactly
- * that) and runs the verdict stages over the materialized table.
+ * As a single self-contained plan, the normalize+scrub prefix and the
+ * rule-verdict subtree are REFERENCED multiple times; measured at
+ * sf0.1 (round 9), Spark's exchange reuse already shares most of that
+ * — the in-plan funnel pays only ~0.5s over the staged-read funnel
+ * (clean pass alone: ~0.35s) — so the local materialization win is
+ * ~0.8×, not the ~1.7× this scaladoc once estimated from summed stage
+ * costs. The production argument stands on I/O, not local CPU: at
+ * 100 TB every re-evaluation the self-contained plan pays is a full
+ * corpus re-scan, while [[corpusCurateMaterializedQuery]] (the staged
+ * form of this funnel; the [[graft.streaming.StreamingIntake]] sink
+ * is its continuous twin) re-reads columnar cleaned text.
  */
 object Curate {
 
@@ -178,12 +184,21 @@ object Curate {
    */
   def corpusCurateMaterializedQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val (planted, bench) = plantedTrainAndBench(spark, sfDir)
-    val p1 = cleanStagePath(sfDir)
-    cleanChain(planted).write.mode("overwrite").parquet(p1)
-    val p2 = p1 + "_v1"
-    ruleVerdicts(spark.read.parquet(p1), cleanChain(bench))
-      .write.mode("overwrite").parquet(p2)
-    lmFinish(spark.read.parquet(p2))
+    curateMaterialized(planted, bench, cleanStagePath(sfDir))
+  }
+
+  /** The staged funnel over arbitrary (train, bench) frames: both
+    * stage tables land under `stageDir` (re-written per invocation —
+    * the production cost, see [[corpusCurateMaterializedQuery]]),
+    * final verdicts come from the staged reads. Shared by the entry
+    * and the scale ramp. */
+  def curateMaterialized(train: DataFrame, bench: DataFrame,
+      stageDir: String): DataFrame = {
+    val spark = train.sparkSession
+    cleanChain(train).write.mode("overwrite").parquet(s"$stageDir/clean")
+    ruleVerdicts(spark.read.parquet(s"$stageDir/clean"), cleanChain(bench))
+      .write.mode("overwrite").parquet(s"$stageDir/v1")
+    lmFinish(spark.read.parquet(s"$stageDir/v1"))
   }
 
   /**

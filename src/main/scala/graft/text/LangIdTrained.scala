@@ -72,12 +72,32 @@ object LangIdTrained {
       concat(col("text"), lit(" "), tail).as("text"))
   }
 
-  /** Hashed character-3-gram buckets of a text column: one bucket per
-    * start position (a text shorter than the gram yields its whole
-    * self as the single gram). Pure codegen'd built-ins. */
+  /** Character 3-grams of a text column as strings, one per start
+    * position (a text shorter than the gram yields its whole self as
+    * the single gram). Built by zipping GramLen SHIFTED SLICES of the
+    * char array — each slice evaluates once, O(len) total. The naive
+    * `transform(sequence(...), i -> substr(text, i, 3))` form is
+    * O(len²): UTF8String.substring seeks from the string start on
+    * every call (measured 0.9→5.8 s on a 10× doc step before this
+    * rewrite — the Dedup.shingles lesson replayed at char level). */
+  private[graft] def charGrams(text: Column): Column = {
+    // defensive ""-filter: regex-"" split semantics differ across
+    // engines and versions on boundary empties; dropping empties is
+    // correct under all of them
+    val chars = filter(split(text, ""), c => c =!= lit(""))
+    val n = size(chars)
+    val slices = (0 until GramLen).map(j =>
+      slice(chars, lit(j + 1), n - (GramLen - 1)).as(s"c$j"))
+    when(n >= GramLen,
+      transform(arrays_zip(slices: _*),
+        z => concat((0 until GramLen).map(j => z.getField(s"c$j")): _*)))
+      .otherwise(array(text))
+  }
+
+  /** Hashed bucket per character 3-gram. Pure codegen'd built-ins. */
   def gramBuckets(text: Column): Column =
-    transform(sequence(lit(1), greatest(length(text) - (GramLen - 1), lit(1))),
-      i => pmod(xxhash64(text.substr(i, lit(GramLen))), lit(NumBuckets)).cast("int"))
+    transform(charGrams(text),
+      g => pmod(xxhash64(g), lit(NumBuckets)).cast("int"))
 
   /** Fitted model: classes in sorted order (= argmax tie-break order),
     * per-class micro-scaled bucket weights + priors. */
@@ -148,9 +168,7 @@ object LangIdTrained {
     val model = fitFor(spark, sfDir)
     val planted = plantedDocs(Tables.documents(spark, sfDir))
     graft.FixtureExport.ensure(sfDir, GramBucketsExportPath) {
-      planted.select(explode(transform(
-          sequence(lit(1), greatest(length(col("text")) - (GramLen - 1), lit(1))),
-          i => col("text").substr(i, lit(GramLen)))).as("gram"))
+      planted.select(explode(charGrams(col("text"))).as("gram"))
         .distinct()
         .select(col("gram"),
           pmod(xxhash64(col("gram")), lit(NumBuckets)).cast("int").as("bucket"))

@@ -108,7 +108,16 @@ object Tokenizers {
           Unigram.unigram_count(col("word"), uniModel).as("n_uni"))
         .coalesce(1).write.mode("overwrite").parquet(CompareDictPath)
     }
-    val g = planted.select(col("lang"),
+    compareReport(planted, bpeModel, uniModel)
+  }
+
+  /** The three-family per-language aggregate over any (lang, text)
+    * frame with FIXED models — the ramping portion of
+    * [[tokenizerCompare]] (the trainer's tokenizer is a constant at
+    * serving time), shared with the scale ramp. */
+  def compareReport(docs: DataFrame, bpeModel: Bpe.BpeModel,
+      uniModel: Unigram.UnigramModel): DataFrame = {
+    val g = docs.select(col("lang"),
         (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
           .cast("long").as("ws"),
         Bpe.bpe_count(col("text"), bpeModel).cast("long").as("bpe"),
