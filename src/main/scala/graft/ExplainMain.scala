@@ -36,7 +36,9 @@ object ExplainMain {
         // round 9 (ann_tier_report omitted: a driver-side metric
         // report over the component entries' plans, all listed above)
         "dedup_minhash_delta", "corpus_curate_materialized",
-        "tokenizer_compare", "lang_id_trained")) {
+        "tokenizer_compare", "lang_id_trained",
+        "embed_bq", "ann_bq_topk", "ann_ivfbq_topk", "ivf_stats",
+        "data_mix_plan")) {
       println(s"===== $name =====")
       println(planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sf)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

@@ -432,6 +432,94 @@ object Corpus {
        |SELECT c2.doc_id, c2.lang, c2.n_tokens, CAST(c2.mix_rank AS INTEGER) AS mix_rank
        |FROM c2 JOIN b ON b.lang = c2.lang WHERE c2.cum_before < b.bud""".stripMargin
 
+  /** [[dataMixPlan]]'s budget as a multiple of the corpus token mass:
+    * 2x forces repetition somewhere (weights sum to 1, so SOME stratum
+    * must repeat), which is exactly the regime the planner exists
+    * for. */
+  val PlanBudgetMult = 2L
+
+  /** The repetition ceiling the plan flags against: up to ~4 epochs,
+    * repeated data retains most of its training value; past that the
+    * return decays rapidly (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models" — the paper's headline
+    * operating rule). */
+  val MaxGoodEpochs = 4.0
+
+  /**
+   * `data_mix_plan`: the epochs/repetition planner — BEFORE running
+   * [[dataMix]] at a token budget, the table that answers "can this
+   * corpus deliver the target mix, and what does each stratum repeat?"
+   * Per stratum: available token mass, target share, needed tokens at
+   * the budget, the fresh/repeated split, the epoch count
+   * (needed/available), and a feasibility flag against the
+   * [[MaxGoodEpochs]] rule — the data-constrained-scaling counterpart
+   * of [[graft.dedup.Dedup.minhashTune]]: derive the knob from a
+   * measured table instead of asserting it.
+   *
+   * Scale posture: ONE partial-agg shuffle to the #strata-row count
+   * table; the budget total rides back as a broadcast one-row cross
+   * join (the quantile-cut discipline); everything downstream is
+   * arithmetic over #strata rows. Cross-engine: all integer except the
+   * per-stratum epochs division, FLOORed at 4dp before the
+   * feasibility compare (the minhashTune selection-on-rounded-value
+   * rule).
+   */
+  def dataMixPlan(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("lang"))
+      .agg(sum(nTokens(col("text"))).as("available_tokens"))
+    val tot = per.agg(sum(col("available_tokens")).as("t"))
+    val wCol = MixWeights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, w)) => when(col("lang") === s, lit(w)).otherwise(acc) }
+    def f4(c: Column): Column = floor(c * 10000) / 10000
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("available_tokens"), wCol.as("target_share"),
+        floor(wCol * (col("t") * PlanBudgetMult).cast("double"))
+          .cast("long").as("needed_tokens"))
+      .withColumn("fresh_tokens",
+        least(col("needed_tokens"), col("available_tokens")))
+      .withColumn("repeated_tokens",
+        greatest(lit(0L), col("needed_tokens") - col("available_tokens")))
+      .withColumn("epochs",
+        when(col("available_tokens") === 0L, lit(0.0))
+          .otherwise(f4(col("needed_tokens").cast("double") /
+            col("available_tokens").cast("double"))))
+      .withColumn("feasible_4ep", (col("epochs") <= MaxGoodEpochs).cast("int"))
+  }
+
+  def dataMixPlanQuery(spark: SparkSession, sfDir: String): DataFrame =
+    dataMixPlan(Tables.documents(spark, sfDir))
+
+  /** DuckDB twin: same count table, same integer arithmetic, same
+    * FLOORed division. DOUBLE casts are explicit everywhere a bare
+    * SQL literal would parse as DECIMAL. */
+  val dataMixPlanSql: String = {
+    val shareCase = "CASE lang " + MixWeights.toSeq.sortBy(_._1).map {
+      case (s, w) => s"WHEN '$s' THEN CAST($w AS DOUBLE)"
+    }.mkString(" ") + " ELSE CAST(0.0 AS DOUBLE) END"
+    s"""WITH per AS (
+       |  SELECT lang,
+       |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS available_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(SUM(available_tokens) AS BIGINT) AS t FROM per),
+       |base AS (
+       |  SELECT lang, available_tokens,
+       |    $shareCase AS target_share,
+       |    CAST(FLOOR(($shareCase) * CAST(t * $PlanBudgetMult AS DOUBLE)) AS BIGINT) AS needed_tokens
+       |  FROM per, tot),
+       |ep AS (
+       |  SELECT lang, available_tokens, target_share, needed_tokens,
+       |    LEAST(needed_tokens, available_tokens) AS fresh_tokens,
+       |    GREATEST(CAST(0 AS BIGINT), needed_tokens - available_tokens) AS repeated_tokens,
+       |    CASE WHEN available_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE FLOOR(CAST(needed_tokens AS DOUBLE) / CAST(available_tokens AS DOUBLE) * 10000) / 10000
+       |    END AS epochs
+       |  FROM base)
+       |SELECT lang, available_tokens, target_share, needed_tokens,
+       |  fresh_tokens, repeated_tokens, epochs,
+       |  CAST(epochs <= $MaxGoodEpochs AS INTEGER) AS feasible_4ep
+       |FROM ep""".stripMargin
+  }
+
   def seqPackQuery(spark: SparkSession, sfDir: String): DataFrame =
     seqPack(Tables.documents(spark, sfDir), "lang", budget = 2048)
 

@@ -509,6 +509,79 @@ object IvfSearch {
        |    CAST(e.embedding AS DOUBLE[])), 4) AS dist) d
        |WHERE q.vec_id < $NumQueries AND d.dist <= $RangeRadius""".stripMargin
 
+  /**
+   * `ivf_stats`: index-health triage for the IVF layout — the one-row
+   * report an operator reads BEFORE trusting recall numbers or probe
+   * budgets: cell fill distribution (min/max and deterministic
+   * discrete p50/p99 cuts), empty-cell count, and the FAISS
+   * `imbalance_factor` (`nlist * sum(fill^2) / N^2`; 1.0 = perfectly
+   * balanced, and the factor IS the slowdown multiplier for cell-
+   * bounded scans — a hot cell serializes every query that probes
+   * it). The same posture as `host_stats`/`dedup_minhash_tune`:
+   * the knob-setting table is an entry, not a guess.
+   *
+   * Scale posture: the only corpus-sized work is the assignment's one
+   * partial-agg shuffle ([[assignCells]]'s min_by); everything after
+   * runs on the nlist-row cell-size table (cells ~ sqrt(N), KBs at
+   * 1e9 vectors), so the rank window over it is bounded by
+   * construction. Quantiles are RANK CUTS (size at row ceil(q*used)
+   * in (size, cell) order) — integer-exact both engines, no
+   * interpolation semantics to reconcile.
+   */
+  def ivfStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = fittedCorpusCentroids(spark, sfDir, data)
+    val nlist = cents.length.toLong
+    val sizes = assignCells(data, centroidsDf(spark, cents))
+      .groupBy("cell").agg(count(lit(1)).as("sz"))
+    val ranked = sizes
+      .withColumn("r", row_number().over(Window.orderBy(col("sz"), col("cell"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+    ranked.agg(
+      lit(nlist).as("n_cells"),
+      count(lit(1)).as("cells_used"),
+      (lit(nlist) - count(lit(1))).as("cells_empty"),
+      sum("sz").as("n_vecs"),
+      min("sz").as("min_fill"),
+      max("sz").as("max_fill"),
+      max(when(col("r") === ceil(col("m") * 0.5), col("sz"))).as("p50_fill"),
+      max(when(col("r") === ceil(col("m") * 0.99), col("sz"))).as("p99_fill"),
+      round(lit(nlist).cast("double") * sum(col("sz") * col("sz")).cast("double") /
+        (sum(col("sz")).cast("double") * sum(col("sz")).cast("double")), 4)
+        .as("imbalance"))
+  }
+
+  /** Oracle replays the assignment from the centroid fixture (the
+    * shared `assign` CTE shape) and the same rank-cut aggregation;
+    * nlist is the fixture's own row count, so the two sides cannot
+    * disagree on the cell universe. */
+  def ivfStatsSql: String =
+    s"""WITH cc AS (SELECT cell, cv FROM read_parquet('$CentroidExportPath/*.parquet')),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cc.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(cc.cv AS DOUBLE[])), cc.cell) AS rr
+       |    FROM embeddings e CROSS JOIN cc)
+       |  WHERE rr = 1),
+       |sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz FROM assign GROUP BY cell),
+       |ranked AS (
+       |  SELECT sz, ROW_NUMBER() OVER (ORDER BY sz, cell) AS r,
+       |         COUNT(*) OVER () AS m
+       |  FROM sizes),
+       |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nlist FROM cc)
+       |SELECT (SELECT nlist FROM nl) AS n_cells,
+       |  CAST(COUNT(*) AS BIGINT) AS cells_used,
+       |  (SELECT nlist FROM nl) - CAST(COUNT(*) AS BIGINT) AS cells_empty,
+       |  CAST(SUM(sz) AS BIGINT) AS n_vecs,
+       |  CAST(MIN(sz) AS BIGINT) AS min_fill,
+       |  CAST(MAX(sz) AS BIGINT) AS max_fill,
+       |  CAST(MAX(CASE WHEN r = CEIL(m * 0.5) THEN sz END) AS BIGINT) AS p50_fill,
+       |  CAST(MAX(CASE WHEN r = CEIL(m * 0.99) THEN sz END) AS BIGINT) AS p99_fill,
+       |  ROUND(CAST((SELECT nlist FROM nl) AS DOUBLE) * CAST(SUM(sz * sz) AS DOUBLE) /
+       |        (CAST(SUM(sz) AS DOUBLE) * CAST(SUM(sz) AS DOUBLE)), 4) AS imbalance
+       |FROM ranked""".stripMargin
+
   /** Warm the SETUP-phase centroid fits for a corpus (the IVF and
     * near-dup models are fitted once and held, like the LSH model —
     * bench prep so timed runs measure the query, not model fitting). */

@@ -11,19 +11,24 @@ import graft.Tables
  * side-by-side answer to the question a serving owner actually asks:
  * "which index representation do I deploy?" For each tier the library
  * ships (LSH partitions + exact refine at 1x, IVF+SQ8 at 4x, IVF+PQ
- * at ~32x, PCA-rotated PQ), the report gives recall@{1,10} and the
+ * at ~32x, PCA-rotated PQ, 1-bit binary quantization + Hamming
+ * rerank), the report gives recall@{1,10} and the
  * mean distance ratio against brute-force ground truth (the
  * reference's Aggregates.java:14-21 evaluation posture: recallAtK /
  * avgRatio / avgDistanceRatio, applied across tiers instead of to one
  * mode), plus the cost side of the trade: candidate rows scored,
  * rows exactly refined, and the bytes the candidate scan reads
  * (`cand_rows x code_bytes + refine_rows x dim x 4` — code bytes are
- * 8 per LSH membership row, dim per SQ8 code, M per PQ code).
+ * 8 per LSH membership row, dim per SQ8 code, M per PQ code, dim/8
+ * per packed BQ code).
  *
  * Scale posture: every tier's top-k is the tier's OWN serving entry
  * (each individually hash-verified), ground truth is the brute-force
- * entry, and the metric aggregation runs driver-side over bounded
- * rows (numQueries x k per tier — the reference's client-side
+ * entry, the five tier evaluations run as CONCURRENT Spark jobs
+ * (wall-clock ~ the slowest tier, not the sum — on a cluster the
+ * jobs' stages share executors), and the metric aggregation runs
+ * driver-side over bounded rows (numQueries x k per tier — the
+ * reference's client-side
  * Evaluator posture, [[AnnQuery.evalMetricsLocal]] discipline, spec'd
  * there and replayed end-to-end by this entry's DuckDB oracle). The
  * candidate counters come from each tier's real pruning structure:
@@ -68,17 +73,26 @@ object TierReport {
 
     val (lshCand, lshRefine) = AnnQuery.lshTierCounts(spark, sfDir)
 
-    // (tier, top-k frame, candidates scored, rows exactly refined,
-    //  bytes per scored candidate)
+    // (tier, top-k frame THUNK, candidates scored, rows exactly
+    //  refined, bytes per scored candidate). Thunks, not frames: each
+    //  tier's build+collect runs as its own CONCURRENT Spark job below
+    //  (actions are thread-safe; local[32] — and a real cluster —
+    //  schedules the five jobs' tasks together), so the report costs
+    //  ~max(tier) wall-clock instead of the sum. The model fits behind
+    //  the thunks are one-time per corpus and synchronized, so
+    //  concurrent first-calls compute once and everyone else waits.
     val tiers = Seq(
-      ("lsh_refine", AnnQuery.annLshTopK(spark, sfDir),
+      ("lsh_refine", () => AnnQuery.annLshTopK(spark, sfDir),
         lshCand, lshRefine, LshCandBytes.toLong),
-      ("ivf_sq8", SqSearch.annIvfsqTopK(spark, sfDir),
+      ("ivf_sq8", () => SqSearch.annIvfsqTopK(spark, sfDir),
         ivfCand, ivfRefine, dim.toLong),
-      ("ivf_pq", PqSearch.annIvfpqTopK(spark, sfDir),
+      ("ivf_pq", () => PqSearch.annIvfpqTopK(spark, sfDir),
         ivfCand, ivfRefine, PqSearch.M.toLong),
-      ("opq_pq", PqSearch.annPcapqTopK(spark, sfDir),
-        nVecs * nq, math.min(nVecs, adcKeep) * nq, PqSearch.M.toLong))
+      ("opq_pq", () => PqSearch.annPcapqTopK(spark, sfDir),
+        nVecs * nq, math.min(nVecs, adcKeep) * nq, PqSearch.M.toLong),
+      ("bq_hamming", () => BqSearch.annBqTopK(spark, sfDir),
+        nVecs * nq, math.min(nVecs, BqSearch.HamKeep.toLong) * nq,
+        ((dim + 7) / 8).toLong))
 
     def roundAt(x: Double, s: Int): Double =
       java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
@@ -86,8 +100,11 @@ object TierReport {
     val gtRnkByPair = gt.map(t => (t._1, t._2) -> t._4).toMap
     val gtDistByRnk = gt.map(t => (t._1, t._4) -> t._3).toMap
     val queries = gt.map(_._1).distinct.sorted
-    val rows = tiers.map { case (tier, df, cand, refine, codeBytes) =>
-      val ann = df.collect()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Await.result(Future.sequence(
+      tiers.map { case (tier, mkDf, cand, refine, codeBytes) => Future {
+      val ann = mkDf().collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       // recall@k over the full query grid (zero-hit queries count 0),
       // per-query hits/k averaged — the evalMetricsLocal structure
@@ -111,7 +128,7 @@ object TierReport {
         else roundAt(perQueryRatio.sum / perQueryRatio.size, 4)
       Row(tier, recallAt(1), recallAt(10), distRatio, cand, refine,
         cand * codeBytes + refine * dim * 4L)
-    }
+    }}), scala.concurrent.duration.Duration.Inf)
     val schema = StructType(Seq(
       StructField("tier", StringType), StructField("recall_at_1", DoubleType),
       StructField("recall_at_10", DoubleType), StructField("dist_ratio", DoubleType),
@@ -169,6 +186,7 @@ object TierReport {
          |sq AS (${SqSearch.annIvfsqTopKSql}),
          |pq AS (${PqSearch.annIvfpqTopKSql}),
          |opq AS (${PqSearch.annPcapqTopKSql}),
+         |bq AS (${BqSearch.annBqTopKSql}),
          |cc AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
          |iassign AS (
          |  SELECT vec_id, cell FROM (
@@ -208,6 +226,11 @@ object TierReport {
          |UNION ALL
          |${tierMetricsSql("opq_pq", "opq",
               s"(SELECT n * $nq FROM meta)", s"(SELECT LEAST(n, $adcKeep) * $nq FROM meta)",
-              PqSearch.M.toString)}""".stripMargin
+              PqSearch.M.toString)}
+         |UNION ALL
+         |${tierMetricsSql("bq_hamming", "bq",
+              s"(SELECT n * $nq FROM meta)",
+              s"(SELECT LEAST(n, ${BqSearch.HamKeep}) * $nq FROM meta)",
+              "(SELECT (dim + 7) // 8 FROM meta)")}""".stripMargin
     }
 }

@@ -140,6 +140,27 @@ object AnnServe {
     }
 
   /**
+   * Serve a query stream through the BQ engine: each micro-batch's
+   * (vec_id, embedding) queries encode against the resident
+   * thresholds and run [[graft.query.BqSearch.topKForQueries]] —
+   * xor+popcount over the CACHED packed words (32x smaller than the
+   * floats), exact refine on the Hamming shortlist. The cheapest
+   * resident representation of the serving-engine family: no
+   * codebook, integer candidate math, and threshold encoding of an
+   * arriving query is one map expression.
+   */
+  def serveBq(
+      queries: DataFrame,
+      idx: graft.query.BqSearch.BqIndex,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    servedSink(queries, outPath, checkpoint, trigger) { batch =>
+      graft.query.BqSearch.topKForQueries(
+        batch.select(col("vec_id"), col("embedding")), idx)
+    }
+
+  /**
    * DIVERSIFIED serving: the resident LSH index bounds each
    * micro-batch's candidates, [[graft.query.MmrRerank.rerank]]
    * re-ranks them for relevance/novelty — near-duplicate neighbors

@@ -59,6 +59,32 @@ class CorpusSpec extends SparkSpecBase {
         Corpus.MixWeights, Corpus.MixBudget))
   }
 
+  test("data_mix_plan: conservation, pigeonhole repetition, feasibility on the rounded epochs") {
+    val rows = Corpus.dataMixPlanQuery(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getInt(7))
+    }
+    assert(rows.nonEmpty)
+    val tot = rows.map(_._2).sum
+    rows.foreach { case (lang, avail, share, needed, fresh, rep, ep, feas) =>
+      assert(avail > 0, s"$lang has no tokens")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(needed == math.floor(share * (tot * Corpus.PlanBudgetMult)).toLong,
+        s"$lang needed_tokens formula")
+      assert(fresh + rep == needed, s"$lang fresh+repeated != needed")
+      assert(fresh <= avail, s"$lang fresh beyond available")
+      assert(ep == math.floor(needed.toDouble / avail * 10000) / 10000,
+        s"$lang epochs rounding")
+      assert(feas == (if (ep <= Corpus.MaxGoodEpochs) 1 else 0), s"$lang flag")
+    }
+    // weights sum to 1 over a 2x budget while available sums to 1x:
+    // SOME stratum must repeat (pigeonhole) — the regime the planner
+    // exists to expose
+    assert(rows.exists(_._5 > 0), "no stratum repeats under a 2x budget")
+    assert(rows.map(_._4).sum <= Corpus.PlanBudgetMult * tot,
+      "floor'd needs cannot exceed the budget")
+  }
+
   test("corpus_shuffle: bucketed rank equals the global-window twin; bucket-count-invariant; shards full") {
     val got = Corpus.corpusShuffle(docs, Corpus.ShuffleSeed, Corpus.ShuffleShardSize, 32)
     assertSameRows(got,

@@ -308,4 +308,25 @@ class PlanPostureSpec extends SparkSpecBase {
     assert(!tcu.contains("Exchange"),
       s"unigram count must be map-only:\n$tcu")
   }
+
+  test("bq: encode is map-only; Hamming scan broadcasts the query batch") {
+    val eb = plan("embed_bq")
+    assert(!eb.contains("Exchange"), s"embed_bq must be map-only:\n$eb")
+    val bq = plan("ann_bq_topk")
+    assert(bq.contains("BroadcastNestedLoopJoin") || bq.contains("BroadcastHashJoin"),
+      s"the query batch must broadcast:\n$bq")
+    assert(!bq.contains("CartesianProduct"), bq)
+  }
+
+  test("ivf_stats / data_mix_plan: one corpus agg, bounded-table windows, broadcast totals") {
+    val iv = plan("ivf_stats")
+    // the only window input is the nlist-row size table; the corpus
+    // itself is reduced by the assignment's partial agg
+    assert(iv.contains("HashAggregate"), iv)
+    assert(!iv.contains("CartesianProduct"), iv)
+    val mp = plan("data_mix_plan")
+    assert(mp.contains("BroadcastNestedLoopJoin") || mp.contains("BroadcastExchange"),
+      s"the one-row total must broadcast:\n$mp")
+    assert(!mp.contains("Sort"), s"the plan table needs no sort:\n$mp")
+  }
 }

@@ -86,7 +86,7 @@ class SqSpec extends SparkSpecBase {
     val rows = graft.query.TierReport.annTierReport(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
-    assert(rows.keySet == Set("lsh_refine", "ivf_sq8", "ivf_pq", "opq_pq"))
+    assert(rows.keySet == Set("lsh_refine", "ivf_sq8", "ivf_pq", "opq_pq", "bq_hamming"))
     rows.foreach { case (tier, (r1, r10, ratio, cand, refine, bytes)) =>
       assert(r1 >= 0.0 && r1 <= 1.0, s"$tier recall@1 $r1")
       assert(r10 >= 0.0 && r10 <= 1.0, s"$tier recall@10 $r10")
@@ -109,5 +109,9 @@ class SqSpec extends SparkSpecBase {
     assert(rows("opq_pq")._4 == n * graft.query.TierReport.NumQueries, "opq scans N per query")
     // 4x vs ~32x compression: SQ8 scans more candidate bytes than PQ
     assert(rows("ivf_sq8")._6 > rows("ivf_pq")._6, "sq8 must cost more bytes than pq")
+    // the BQ tier is the exhaustive-Hamming twin: N x queries scanned,
+    // HamKeep refined, dim/8 code bytes; exact refine keeps self-match
+    assert(rows("bq_hamming")._4 == n * graft.query.TierReport.NumQueries, "bq scans N per query")
+    assert(rows("bq_hamming")._1 == 1.0, "bq self-match recall@1")
   }
 }

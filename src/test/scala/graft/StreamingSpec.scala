@@ -89,6 +89,29 @@ class StreamingSpec extends SparkSpecBase {
     ()
   }
 
+  test("streaming BQ serving equals the batch serving plan across micro-batches") {
+    val emb = Tables.embeddings(spark, sf)
+    val thr = graft.query.BqSearch.fittedThresholds(spark, sf)
+    val idx = graft.query.BqSearch.buildIndex(emb, thr)
+    val in = tmp("bqserve-in")
+    val out = tmp("bqserve-out")
+    val ckpt = tmp("bqserve-ckpt")
+    val queries = emb.filter(col("vec_id") < 8)
+    queries.filter(col("vec_id") < 4).write.mode("overwrite").parquet(s"$in/q")
+    queries.filter(col("vec_id") >= 4).write.mode("append").parquet(s"$in/q")
+    val q = graft.streaming.AnnServe.serveBq(
+      graft.streaming.AnnServe.queryStream(spark, s"$in/q", emb.schema),
+      idx, out, ckpt)
+    assert(q.awaitTermination(120000), "bq serve stream did not finish in time")
+    val served = spark.read.parquet(out).drop("batch_id")
+    val batch = graft.query.BqSearch.topKForQueries(queries, idx)
+    assert(served.count() == batch.count())
+    assert(served.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(served).count() == 0)
+    idx.codes.unpersist()
+    ()
+  }
+
   test("streaming token serving equals batch tokenTopK across micro-batches") {
     val emb = Tables.embeddings(spark, sf)
     val model = Lsh.fit(emb, "embedding", LshParams())
