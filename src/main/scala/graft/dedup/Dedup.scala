@@ -437,8 +437,11 @@ object Dedup {
   /** Oracle: the [[dedupMinhashSql]] chain restricted to delta-touching
     * candidate pairs, with the same signature fixture as the resident
     * table and the leg label replayed from the split predicate. */
-  val dedupMinhashDeltaSql: String =
-    s"""WITH ${mutatedCorpusSql(25)},
+  /** The delta band-join chain as shared CTEs (through `pairs`), so
+    * the pair-report and apply oracles replay ONE chain and cannot
+    * drift — the curate funnel-CTE discipline. */
+  private def deltaChainCtes: String =
+    s"""${mutatedCorpusSql(25)},
        |sigs AS (SELECT id, sig FROM read_parquet('$MinhashSigExportPath/*.parquet')),
        |d AS (SELECT id FROM sigs WHERE id >= $PlantOffset OR id % 11 = 0),
        |bands AS (
@@ -460,11 +463,50 @@ object Dedup {
        |      len(list_distinct(list_concat(xa.sh, xb.sh))) AS j
        |  FROM cands c
        |  JOIN sets xa ON xa.doc_id = c.a
-       |  JOIN sets xb ON xb.doc_id = c.b)
-       |SELECT a, b, FLOOR(j * 10000) / 10000 AS jaccard,
-       |  CASE WHEN a IN (SELECT id FROM d) AND b IN (SELECT id FROM d)
-       |       THEN 'delta_delta' ELSE 'delta_base' END AS leg
-       |FROM verify WHERE j >= 0.5""".stripMargin
+       |  JOIN sets xb ON xb.doc_id = c.b),
+       |pairs AS (
+       |  SELECT a, b, FLOOR(j * 10000) / 10000 AS jaccard,
+       |    CASE WHEN a IN (SELECT id FROM d) AND b IN (SELECT id FROM d)
+       |         THEN 'delta_delta' ELSE 'delta_base' END AS leg
+       |  FROM verify WHERE j >= 0.5)""".stripMargin
+
+  val dedupMinhashDeltaSql: String =
+    s"""WITH $deltaChainCtes
+       |SELECT a, b, jaccard, leg FROM pairs""".stripMargin
+
+  /** `dedup_minhash_delta_apply`: the merge VERDICT — which delta
+    * docs actually enter the corpus. Base always wins (a delta doc
+    * matching any resident doc drops — the batch analogue of
+    * [[graft.streaming.StreamingNearDup]]'s arrival gate), and inside
+    * the new crawl the lowest id wins (the pairwise-greedy form of
+    * [[dedupApply]]'s cluster keeper, right for the merge because
+    * every pair already carries its verify). The base is NEVER
+    * re-filtered: only delta docs are admitted or dropped, so the
+    * entry's output is delta-sized. */
+  def dedupMinhashDeltaApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)
+    val pairs = dedupMinhashDelta(spark, sfDir)
+    val drops = pairs.select(
+        when(col("leg") === "delta_delta", col("b"))
+          .otherwise(when(deltaSplit(col("a")), col("a")).otherwise(col("b")))
+          .as("doc_id"))
+      .distinct()
+    corpus.filter(deltaSplit(col("doc_id")))
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+  }
+
+  val dedupMinhashDeltaApplySql: String =
+    s"""WITH $deltaChainCtes,
+       |drops AS (
+       |  SELECT DISTINCT CASE WHEN leg = 'delta_delta' THEN b
+       |                       WHEN a IN (SELECT id FROM d) THEN a
+       |                       ELSE b END AS id
+       |  FROM pairs)
+       |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+       |FROM corpus
+       |WHERE doc_id IN (SELECT id FROM d)
+       |  AND doc_id NOT IN (SELECT id FROM drops)""".stripMargin
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)

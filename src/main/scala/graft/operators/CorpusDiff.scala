@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * `corpus_diff`: snapshot diff for corpus merges — given the PREVIOUS
+ * corpus snapshot and the incoming one, classify every document as
+ * `added` / `removed` / `changed` / `unchanged`. The audit a crawl
+ * merge runs FIRST: `added` + `changed` is exactly the delta that
+ * [[graft.dedup.Dedup.minhashPairsDelta]] signs and probes, `removed`
+ * feeds index deletion ([[graft.index.IndexMaintenance]]), and a
+ * wildly wrong added/removed ratio is the earliest signal a crawl
+ * shipped truncated.
+ *
+ * Scale posture: each side reduces to (doc_id, digest) BEFORE the
+ * join — a 16-byte MD5 rides the shuffle, never document text — and
+ * the full-outer join hash-partitions on doc_id (co-partitionable
+ * with the corpus layout, AQE-coalescible). Change detection compares
+ * digests, so the plan never holds two copies of a document at once.
+ *
+ * Cross-engine: MD5 hex is identical in Spark and DuckDB (lowercase
+ * both), and the status ladder is null/equality logic only.
+ */
+object CorpusDiff {
+
+  /** (doc_id, status) for every document present in either snapshot. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("fp_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** The entry's deterministic snapshot carve (both engines replay
+    * it from the documents table):
+    *  - OLD is missing every `doc_id % 13 == 0` doc (→ `added` in the
+    *    new snapshot) and carries a stale suffix on `doc_id % 5 == 0`
+    *    docs (→ `changed` after the recrawl);
+    *  - NEW is missing every `doc_id % 7 == 0` doc (→ `removed`).
+    * Docs hit by both carves appear in neither snapshot and are
+    * absent from the diff entirely. */
+  def corpusDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")).as("text"))
+    val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+    corpusDiff(oldSnap, newSnap)
+  }
+
+  val corpusDiffSql: String =
+    s"""WITH o AS (
+       |  SELECT doc_id,
+       |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' legacy' ELSE text END) AS fp_old
+       |  FROM documents WHERE doc_id % 13 <> 0),
+       |n AS (SELECT doc_id, md5(text) AS fp_new FROM documents WHERE doc_id % 7 <> 0)
+       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |  CASE WHEN o.fp_old IS NULL THEN 'added'
+       |       WHEN n.fp_new IS NULL THEN 'removed'
+       |       WHEN o.fp_old <> n.fp_new THEN 'changed'
+       |       ELSE 'unchanged' END AS status
+       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+}

@@ -96,15 +96,22 @@ object BqSearch {
 
   /** Map-only encode: `ceil(dim/32)` BIGINT words, bit j of word w set
     * iff dimension `32w + j` exceeds its threshold (strict `>`; a
-    * value AT the mean encodes 0 in both engines). Sum-of-whens per
-    * word — integer-exact, codegen'd, thresholds as plan literals. */
+    * value AT the mean encodes 0 in both engines). ONE transform over
+    * the cast array produces per-dim bit values (the multiplier
+    * 2^(d mod 32) rides as a literal array), then each word is a
+    * slice+aggregate sum — the original sum-of-whens form embedded a
+    * fresh `cast(embedding as array<double>)` under every dimension's
+    * element_at (O(dim²) per row; measured 1.28s vs SQ8's 0.36s on
+    * the same exhaustive scan before this rewrite). Integer-exact,
+    * thresholds as plan literals. */
   def bqWords(vecCol: Column, thr: Array[Double]): Column = {
-    val v = vecCol.cast("array<double>")
+    val thrL = typedLit(thr.toSeq)
+    val mulL = typedLit(thr.indices.map(d => 1L << (d % WordBits)).toSeq)
+    val bits = transform(vecCol.cast("array<double>"), (x, i) =>
+      when(x > element_at(thrL, i + 1), element_at(mulL, i + 1))
+        .otherwise(lit(0L)))
     val words = thr.indices.grouped(WordBits).map { dims =>
-      dims.map { d =>
-        when(element_at(v, d + 1) > lit(thr(d)),
-          lit(1L << (d % WordBits))).otherwise(lit(0L))
-      }.reduce(_ + _)
+      aggregate(slice(bits, dims.head + 1, dims.size), lit(0L), (a, x) => a + x)
     }.toSeq
     array(words: _*)
   }

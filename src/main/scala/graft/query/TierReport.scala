@@ -54,24 +54,35 @@ object TierReport {
     val dim = data.select(size(col("embedding"))).head().getInt(0)
     val nq = NumQueries.toLong
 
-    val gt = AnnQuery.annBruteTopK(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
 
+    // the three prelude collects (ground truth, IVF routing counts,
+    // LSH chain counts) are independent Spark jobs — run concurrently
+    // like the tier evaluations below
+    val gtF = Future(AnnQuery.annBruteTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))))
     // IVF routing shared by the SQ8 and PQ tiers: per-query candidate
     // counts from the same cells + probe lists both serving forms use
-    val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
-    val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents))
-    val probes = data.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"),
-        explode(PqSearch.topProbeCells(col("embedding"), cents, PqSearch.NumProbes)).as("cell"))
-    val ivfPerQ = cells.join(probes, Seq("cell"))
-      .groupBy("query_id").agg(count(lit(1)).as("n"))
-      .collect().map(_.getLong(1))
+    val ivfPerQF = Future {
+      val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
+      val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents))
+      val probes = data.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"),
+          explode(PqSearch.topProbeCells(col("embedding"), cents, PqSearch.NumProbes)).as("cell"))
+      cells.join(probes, Seq("cell"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1))
+    }
+    val lshF = Future(AnnQuery.lshTierCounts(spark, sfDir))
+
+    val gt = Await.result(gtF, Duration.Inf)
+    val ivfPerQ = Await.result(ivfPerQF, Duration.Inf)
     val adcKeep = PqSearch.AdcKeep.toLong
     val ivfCand = ivfPerQ.sum
     val ivfRefine = ivfPerQ.map(n => math.min(n, adcKeep)).sum
-
-    val (lshCand, lshRefine) = AnnQuery.lshTierCounts(spark, sfDir)
+    val (lshCand, lshRefine) = Await.result(lshF, Duration.Inf)
 
     // (tier, top-k frame THUNK, candidates scored, rows exactly
     //  refined, bytes per scored candidate). Thunks, not frames: each
@@ -100,8 +111,6 @@ object TierReport {
     val gtRnkByPair = gt.map(t => (t._1, t._2) -> t._4).toMap
     val gtDistByRnk = gt.map(t => (t._1, t._4) -> t._3).toMap
     val queries = gt.map(_._1).distinct.sorted
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
     val rows = Await.result(Future.sequence(
       tiers.map { case (tier, mkDf, cand, refine, codeBytes) => Future {
       val ann = mkDf().collect()
@@ -128,7 +137,7 @@ object TierReport {
         else roundAt(perQueryRatio.sum / perQueryRatio.size, 4)
       Row(tier, recallAt(1), recallAt(10), distRatio, cand, refine,
         cand * codeBytes + refine * dim * 4L)
-    }}), scala.concurrent.duration.Duration.Inf)
+    }}), Duration.Inf)
     val schema = StructType(Seq(
       StructField("tier", StringType), StructField("recall_at_1", DoubleType),
       StructField("recall_at_10", DoubleType), StructField("dist_ratio", DoubleType),

@@ -734,6 +734,31 @@ class DedupTextSpec extends SparkSpecBase {
     corpus.unpersist()
   }
 
+  test("dedup_minhash_delta_apply: base wins, lowest delta id wins, verdicts reconcile with the pair report") {
+    val corpus = Dedup.withPlantedNearDups(Tables.documents(spark, sf), 25, mutate = true)
+    val deltaIds = corpus.filter(col("doc_id") >= Dedup.PlantOffset || col("doc_id") % 11 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.dedupMinhashDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val kept = Dedup.dedupMinhashDeltaApply(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // output is delta-sized: base docs are never re-filtered
+    assert(kept.subsetOf(deltaIds), "apply must only admit/drop delta docs")
+    // replay the drop rule from the pair report
+    val drops = pairs.map { case (a, b, leg) =>
+      if (leg == "delta_delta") b else if (deltaIds(a)) a else b
+    }.toSet
+    assert(kept == deltaIds -- drops, "kept set must equal delta minus justified drops")
+    assert(drops.nonEmpty && kept.nonEmpty, "split must exercise both verdicts")
+    // base-wins: the delta member of every delta_base pair is dropped
+    pairs.foreach { case (a, b, leg) =>
+      if (leg == "delta_base") {
+        val d = if (deltaIds(a)) a else b
+        assert(!kept(d), s"delta doc $d survives despite matching base")
+      }
+    }
+  }
+
   test("multimodal_neardup oracle invariant: exact top-N saturated by planted dups, bucketed == exact, at every gated SF") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.vec_cosine
