@@ -214,6 +214,85 @@ object TextAnalysis {
        |FROM b""".stripMargin
   }
 
+  /** The ablation grid: NESTED profiles (each threshold dominates the
+    * previous one's), so keep rates are provably monotone
+    * lenient ≥ standard ≥ strict — the spec's invariant.
+    * (name, minTokens, maxPunct, minStopword, maxTopBigram). */
+  val AblationProfiles: Seq[(String, Int, Double, Double, Double)] = Seq(
+    ("lenient", 10, 0.9, 0.0, 0.5),
+    ("standard", 20, 0.3, 0.02, 0.2),
+    ("strict", 40, 0.1, 0.05, 0.08))
+
+  /**
+   * `quality_ablation`: the payoff of the signals-as-data posture —
+   * evaluate a GRID of filter-threshold profiles in one pass over the
+   * [[qualitySignals]] projection, reporting per profile the keep
+   * rate and the first-failed-rule attrition (the `corpus_curate`
+   * verdict discipline applied to threshold experiments). This is the
+   * experiment loop RedPajama-V2 ships signals for: compare three
+   * filter candidates WITHOUT three corpus re-scans.
+   *
+   * Scale posture: the signals subtree evaluates once per document
+   * (map-only, no shuffle), each doc explodes to #profiles verdict
+   * rows, and the only exchange is the #profiles-row final partial
+   * agg. Against a PRE-materialized signals table (the
+   * production form — quality_signals' own output) the same grid is
+   * a small-table scan; this entry keeps the one-pass in-plan form so
+   * the oracle replays end to end.
+   *
+   * Cross-engine: every comparison is a FLOORed-at-4dp signal value
+   * vs a DOUBLE literal (the minhashTune compare-on-rounded rule);
+   * counts are integers; keep_share is one FLOORed division.
+   */
+  def qualityAblation(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = qualitySignals(spark, sfDir)
+    def failOf(minT: Int, maxP: Double, minS: Double, maxB: Double): Column =
+      when(col("n_tokens") < minT, "length")
+        .when(col("punct_ratio") > maxP, "punct")
+        .when(col("stopword_ratio") < minS, "stopword")
+        .when(col("top_bigram_frac") > maxB, "repetition")
+    val verdicts = array(AblationProfiles.map { case (nm, minT, maxP, minS, maxB) =>
+      struct(lit(nm).as("profile"), failOf(minT, maxP, minS, maxB).as("fail"))
+    }: _*)
+    def nFail(rule: String): Column =
+      sum(when(col("fail") === rule, 1L).otherwise(0L)).as(s"n_fail_$rule")
+    s.select(explode(verdicts).as("v"))
+      .select(col("v.profile").as("profile"), col("v.fail").as("fail"))
+      .groupBy("profile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("fail").isNull, 1L).otherwise(0L)).as("n_keep"),
+        nFail("length"), nFail("punct"), nFail("stopword"), nFail("repetition"))
+      .withColumn("keep_share",
+        floor(col("n_keep").cast("double") / col("n_docs") * 10000) / 10000)
+  }
+
+  /** Oracle shares [[qualitySignalsSql]] verbatim as its signals CTE
+    * (the funnel-CTE discipline) and replays the same first-fail
+    * ladder per profile. */
+  def qualityAblationSql: String = {
+    val legs = AblationProfiles.map { case (nm, minT, maxP, minS, maxB) =>
+      s"""SELECT '$nm' AS profile,
+         |  CASE WHEN n_tokens < $minT THEN 'length'
+         |       WHEN punct_ratio > CAST($maxP AS DOUBLE) THEN 'punct'
+         |       WHEN stopword_ratio < CAST($minS AS DOUBLE) THEN 'stopword'
+         |       WHEN top_bigram_frac > CAST($maxB AS DOUBLE) THEN 'repetition'
+         |  END AS fail
+         |FROM sig""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    def nFail(rule: String): String =
+      s"CAST(SUM(CASE WHEN fail = '$rule' THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_$rule"
+    s"""WITH sig AS (${qualitySignalsSql}),
+       |v AS (
+       |$legs)
+       |SELECT profile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN fail IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  ${nFail("length")}, ${nFail("punct")}, ${nFail("stopword")}, ${nFail("repetition")},
+       |  FLOOR(CAST(SUM(CASE WHEN fail IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*) * 10000) / 10000 AS keep_share
+       |FROM v GROUP BY profile""".stripMargin
+  }
+
   // ---- token counting ----
 
   val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
