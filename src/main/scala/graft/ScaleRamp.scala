@@ -215,7 +215,17 @@ object ScaleRamp {
       "tokenizer_compare" -> (() =>
         mat(graft.text.Tokenizers.compareReport(docs,
           graft.text.Bpe.modelFor(spark, "/root/testdata/sf0.01"),
-          graft.text.Unigram.modelFor(spark, "/root/testdata/sf0.01")))))
+          graft.text.Unigram.modelFor(spark, "/root/testdata/sf0.01")))),
+      // snapshot diff: digests ride the full-outer join, never text —
+      // should ramp at the cost of two scans + one doc_id exchange
+      "corpus_diff" -> (() =>
+        mat(graft.operators.CorpusDiff.corpusDiffOn(
+          docs.select(col("doc_id"), col("text"))))),
+      // the threshold grid: one signals pass + explode to 3 verdict
+      // rows + a 3-row agg — must ramp with the signals pass alone
+      "quality_ablation" -> (() =>
+        mat(graft.text.TextAnalysis.qualityAblationOn(
+          docs.select(col("doc_id"), col("text"))))))
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the ramp (iteration aid; the
     // Bench convention)

@@ -46,8 +46,12 @@ object CorpusDiff {
     *  - NEW is missing every `doc_id % 7 == 0` doc (→ `removed`).
     * Docs hit by both carves appear in neither snapshot and are
     * absent from the diff entirely. */
-  def corpusDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+  def corpusDiffQuery(spark: SparkSession, sfDir: String): DataFrame =
+    corpusDiffOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** The entry's carve + diff over any (doc_id, text) frame (the
+    * ramp's handle). */
+  def corpusDiffOn(docs: DataFrame): DataFrame = {
     val oldSnap = docs.filter(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" legacy")))

@@ -139,7 +139,12 @@ object TextAnalysis {
    * (the `corpus_curate` scaladoc's "materialize once" production
    * path, as a queryable artifact).
    */
-  def qualitySignals(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualitySignals(spark: SparkSession, sfDir: String): DataFrame =
+    qualitySignalsOn(Tables.documents(spark, sfDir))
+
+  /** Frame-level core of [[qualitySignals]] (corpus injectable — the
+    * scale ramp's handle). */
+  def qualitySignalsOn(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     def t4(c: Column) = floor(c * 10000) / 10000
     val scores = StopwordProfiles.map { case (lang, words) =>
@@ -147,7 +152,7 @@ object TextAnalysis {
     val best = greatest(scores.map(_._2): _*)
     val pred = scores.foldRight(lit("und")) { case ((lang, s), els) =>
       when(best > 0.0 && s === best, lit(lang)).otherwise(els) }
-    Tables.documents(spark, sfDir).select(
+    docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(toks).as("n_tokens"),
@@ -244,8 +249,12 @@ object TextAnalysis {
    * vs a DOUBLE literal (the minhashTune compare-on-rounded rule);
    * counts are integers; keep_share is one FLOORed division.
    */
-  def qualityAblation(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = qualitySignals(spark, sfDir)
+  def qualityAblation(spark: SparkSession, sfDir: String): DataFrame =
+    qualityAblationOn(Tables.documents(spark, sfDir))
+
+  /** Frame-level core of [[qualityAblation]] (the ramp's handle). */
+  def qualityAblationOn(docs: DataFrame): DataFrame = {
+    val s = qualitySignalsOn(docs)
     def failOf(minT: Int, maxP: Double, minS: Double, maxB: Double): Column =
       when(col("n_tokens") < minT, "length")
         .when(col("punct_ratio") > maxP, "punct")
