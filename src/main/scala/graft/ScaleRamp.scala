@@ -225,7 +225,25 @@ object ScaleRamp {
       // rows + a 3-row agg — must ramp with the signals pass alone
       "quality_ablation" -> (() =>
         mat(graft.text.TextAnalysis.qualityAblationOn(
-          docs.select(col("doc_id"), col("text"))))))
+          docs.select(col("doc_id"), col("text"))))),
+      // incremental signals maintenance: resident base signals staged
+      // once per scale (the dedup_minhash_delta convention); the timed
+      // plan is the digest diff + carried base reads + the DELTA-only
+      // signal pass — ramps below quality_ablation's full signals pass
+      // because only added/changed docs (~25% under the carve) pay the
+      // regex-heavy signal extraction; the md5 scan both snapshots
+      // still pay is the part a stored ingest-time digest removes
+      "signals_delta" -> (() => {
+        val d = docs.select(col("doc_id"), col("text"))
+        val old = graft.operators.CorpusDiff.carveOld(d)
+        val dir = s"/root/repo/tmp/scale/qsig_base_${docs.count()}"
+        if (!new java.io.File(s"$dir/_SUCCESS").exists())
+          graft.text.TextAnalysis.qualitySignalsOn(old)
+            .write.mode("overwrite").parquet(dir)
+        mat(graft.operators.SignalsMaintenance.signalsDelta(
+          spark.read.parquet(dir), old,
+          graft.operators.CorpusDiff.carveNew(d)))
+      }))
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the ramp (iteration aid; the
     // Bench convention)

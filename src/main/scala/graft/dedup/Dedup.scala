@@ -508,6 +508,63 @@ object Dedup {
        |WHERE doc_id IN (SELECT id FROM d)
        |  AND doc_id NOT IN (SELECT id FROM drops)""".stripMargin
 
+  /** `dedup_minhash_compact`: the COMPACT step completing the
+    * staged/delta/compact discipline for dedup — the exact twin of
+    * [[graft.index.IndexMaintenance.compact]] on the index side.
+    * After the merge verdict ([[dedupMinhashDeltaApply]]) admits a
+    * subset of the new crawl, their signatures fold into the resident
+    * base table so the NEXT merge probes one table again: base rows
+    * ride untouched from the resident store (never re-signed — at
+    * 100 TB that is the whole point), admitted delta rows carry the
+    * signatures the delta pass already computed. Dropped delta docs
+    * never enter; removed-from-corpus cleanup is the
+    * [[graft.operators.CorpusDiff]] `removed` feed, same as index
+    * deletion.
+    *
+    * Output unnests to (id, slot, v) so the bit-strict gate checks
+    * every 64-bit signature word. The oracle reads the fresh-signing
+    * FIXTURE (the ground truth the resident table was built from)
+    * restricted to base ∪ admitted ids — equality proves compacted ==
+    * fresh full signing of the merged corpus, the invariant
+    * [[graft.index.IndexMaintenance]]'s compact spec states
+    * bit-for-bit. DedupTextSpec asserts the same in-engine.
+    */
+  def dedupMinhashCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)
+    val pairs = dedupMinhashDelta(spark, sfDir) // also ensures the fixture export
+    val drops = pairs.select(
+        when(col("leg") === "delta_delta", col("b"))
+          .otherwise(when(deltaSplit(col("a")), col("a")).otherwise(col("b")))
+          .as("id"))
+      .distinct()
+    val baseSigs = spark.read.parquet(MinhashSigExportPath)
+      .filter(!deltaSplit(col("id")))
+      .select(col("id"), col("sig"))
+    // delta docs are signed fresh (the delta pass's map-only signing),
+    // NOT read back from the fixture — so the oracle equality is a
+    // real recompute check, not a parquet roundtrip
+    val admittedSigs = minhashSignatures(
+        graft.index.LshIndex.spread(corpus.filter(deltaSplit(col("doc_id")))),
+        "doc_id", "text", numPerms = 64, shingleWidth = 3)
+      .join(drops, Seq("id"), "left_anti")
+    baseSigs.unionByName(admittedSigs)
+      .select(col("id"), posexplode(col("sig")).as(Seq("slot", "v")))
+  }
+
+  val dedupMinhashCompactSql: String =
+    s"""WITH $deltaChainCtes,
+       |drops AS (
+       |  SELECT DISTINCT CASE WHEN leg = 'delta_delta' THEN b
+       |                       WHEN a IN (SELECT id FROM d) THEN a
+       |                       ELSE b END AS id
+       |  FROM pairs),
+       |kept AS (
+       |  SELECT id, sig FROM sigs
+       |  WHERE id NOT IN (SELECT id FROM d)
+       |     OR (id IN (SELECT id FROM d) AND id NOT IN (SELECT id FROM drops)))
+       |SELECT id, CAST(t.i AS INTEGER) AS slot, sig[t.i + 1] AS v
+       |FROM kept, generate_series(0, 63) t(i)""".stripMargin
+
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)
     exportFixture(s"simhash:$sfDir", SimhashSigExportPath) {

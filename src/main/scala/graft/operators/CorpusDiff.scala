@@ -49,16 +49,27 @@ object CorpusDiff {
   def corpusDiffQuery(spark: SparkSession, sfDir: String): DataFrame =
     corpusDiffOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
 
-  /** The entry's carve + diff over any (doc_id, text) frame (the
-    * ramp's handle). */
-  def corpusDiffOn(docs: DataFrame): DataFrame = {
-    val oldSnap = docs.filter(col("doc_id") % 13 =!= 0)
+  /** The deterministic OLD-snapshot carve (shared with the
+    * incremental-maintenance entry, [[SignalsMaintenance]], so both
+    * tell one merge story over the same snapshots). */
+  def carveOld(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" legacy")))
           .otherwise(col("text")).as("text"))
-    val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
-    corpusDiff(oldSnap, newSnap)
-  }
+
+  /** The deterministic NEW-snapshot carve. */
+  def carveNew(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+
+  /** The NEW-snapshot carve as a DuckDB source clause. */
+  val carveNewSql: String =
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) newsnap"
+
+  /** The entry's carve + diff over any (doc_id, text) frame (the
+    * ramp's handle). */
+  def corpusDiffOn(docs: DataFrame): DataFrame =
+    corpusDiff(carveOld(docs), carveNew(docs))
 
   val corpusDiffSql: String =
     s"""WITH o AS (

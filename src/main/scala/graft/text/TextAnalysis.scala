@@ -176,7 +176,14 @@ object TextAnalysis {
 
   /** DuckDB twin: the same fragments as the per-signal oracles,
     * assembled over one token CTE. */
-  def qualitySignalsSql: String = {
+  def qualitySignalsSql: String = qualitySignalsSqlFrom("documents")
+
+  /** [[qualitySignalsSql]] over any (doc_id, text) source clause —
+    * the incremental-maintenance oracle
+    * ([[graft.operators.SignalsMaintenance]]) recomputes the FULL
+    * signals table over the new snapshot with this, so equality with
+    * the Spark-side base+delta merge IS the maintenance invariant. */
+  def qualitySignalsSqlFrom(src: String): String = {
     val scores = StopwordProfiles.map { case (lang, words) =>
       val set = words.map(w => s"'$w'").mkString(", ")
       s"CAST(len(list_filter(toks, x -> x IN ($set))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_$lang"
@@ -185,7 +192,7 @@ object TextAnalysis {
     val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
     val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n    ")
     s"""WITH t AS (
-       |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+       |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM $src),
        |s AS (SELECT doc_id, text, toks,
        |  $scores
        |FROM t),

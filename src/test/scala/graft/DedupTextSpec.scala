@@ -759,6 +759,29 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_minhash_compact == fresh full signing of the merged corpus, bit-for-bit") {
+    val corpus = Dedup.withPlantedNearDups(Tables.documents(spark, sf), 25, mutate = true)
+    val kept = Dedup.dedupMinhashDeltaApply(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val compact = Dedup.dedupMinhashCompact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val compactIds = compact.keySet.map(_._1)
+    val deltaIds = corpus.filter(col("doc_id") >= Dedup.PlantOffset || col("doc_id") % 11 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val baseIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet -- deltaIds
+    // compacted table = base ∪ admitted delta, nothing else
+    assert(compactIds == baseIds ++ kept)
+    assert(compact.size == compactIds.size * 64, "64 signature words per doc")
+    // every word equals the fresh signing of the merged corpus — the
+    // IndexMaintenance compact invariant on the dedup side
+    val fresh = Dedup.minhashSignatures(corpus, "doc_id", "text",
+        numPerms = 64, shingleWidth = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    compact.foreach { case ((id, slot), v) =>
+      assert(v == fresh(id)(slot), s"doc $id word $slot diverges from fresh signing")
+    }
+  }
+
   test("multimodal_neardup oracle invariant: exact top-N saturated by planted dups, bucketed == exact, at every gated SF") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.vec_cosine
