@@ -144,7 +144,14 @@ object TextAnalysis {
 
   /** Frame-level core of [[qualitySignals]] (corpus injectable — the
     * scale ramp's handle). */
-  def qualitySignalsOn(docs: DataFrame): DataFrame = {
+  def qualitySignalsOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: signalExprs: _*)
+
+  /** The signal select list over a `text` column — shared between the
+    * batch projections and the streaming maintenance gate
+    * ([[graft.streaming.StreamingSignals]]) so the emitted rows are
+    * the same expressions bit-for-bit. */
+  private[graft] def signalExprs: Seq[Column] = {
     val toks = tokens(col("text"))
     def t4(c: Column) = floor(c * 10000) / 10000
     val scores = StopwordProfiles.map { case (lang, words) =>
@@ -152,8 +159,7 @@ object TextAnalysis {
     val best = greatest(scores.map(_._2): _*)
     val pred = scores.foldRight(lit("und")) { case ((lang, s), els) =>
       when(best > 0.0 && s === best, lit(lang)).otherwise(els) }
-    docs.select(
-      col("doc_id"),
+    Seq(
       length(col("text")).as("n_chars"),
       size(toks).as("n_tokens"),
       t4(aggregate(transform(toks, t => length(t)), lit(0L),
