@@ -39,7 +39,8 @@ object ExplainMain {
         "tokenizer_compare", "lang_id_trained",
         "embed_bq", "ann_bq_topk", "ann_ivfbq_topk", "ivf_stats",
         "data_mix_plan", "corpus_diff", "dedup_minhash_delta_apply",
-        "quality_ablation")) {
+        "quality_ablation",
+        "quality_signals_delta", "dedup_minhash_compact", "ivf_rebalance")) {
       println(s"===== $name =====")
       println(planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sf)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

@@ -26,7 +26,21 @@ import graft.text.TextAnalysis
  * table is a warehouse table written when the base corpus was
  * scored; here [[graft.FixtureExport]] stages it once per JVM per
  * corpus so bench reps time the maintenance plan, not the base
- * build.
+ * build. The entry runs the PRODUCTION shape: it writes the
+ * `corpus_diff` audit table first (staged per invocation — the
+ * curateMaterialized honesty rule, so bench times the diff write a
+ * real merge always pays) and routes maintenance off the staged
+ * diff, so each status filter is a small-table scan and the digest
+ * join runs exactly once. The self-contained [[signalsDelta]] form
+ * (kept for the scale ramp and specs) instead evaluates the diff
+ * subtree once per status filter — bounded by digest-only work but
+ * two extra text scans. Sandbox honesty (SCALE_r09 `signals_delta`):
+ * at KB-sized docs the maintenance plan's joins+md5 scans cost MORE
+ * wall-clock than the map-only full signals pass it avoids
+ * (5.6s vs 1.3s at 200k docs, though both ramp sublinearly); the
+ * win needs per-doc text work to dominate shuffle cost — real
+ * corpora, heavier signal sets, or digests stored at ingest (which
+ * removes the md5 scans entirely).
  *
  * Correctness: the DuckDB oracle recomputes the FULL signals table
  * over the new snapshot ([[TextAnalysis.qualitySignalsSqlFrom]] over
@@ -53,11 +67,12 @@ object SignalsMaintenance {
     spark.read.parquet(path)
   }
 
-  /** The merge over any (doc_id, text) corpus frame given a resident
-    * base signals table (the ramp's handle takes the staged-read out
-    * of the picture by passing the base frame directly). */
-  def signalsDelta(base: DataFrame, oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
-    val diff = CorpusDiff.corpusDiff(oldSnap, newSnap)
+  /** The merge given the MATERIALIZED diff (the production shape:
+    * the merge writes the `corpus_diff` audit table first, then
+    * maintenance routes off it — each status filter is a small-table
+    * scan, and the digest join runs exactly once, upstream). */
+  def signalsDeltaFromDiff(base: DataFrame, newSnap: DataFrame,
+      diff: DataFrame): DataFrame = {
     val keepIds = diff.filter(col("status") === "unchanged").select("doc_id")
     val deltaIds = diff.filter(col("status").isin("added", "changed")).select("doc_id")
     base.join(keepIds, Seq("doc_id"), "left_semi")
@@ -65,10 +80,26 @@ object SignalsMaintenance {
         newSnap.join(deltaIds, Seq("doc_id"), "left_semi")))
   }
 
+  /** Self-contained in-plan form (the scale ramp's handle): the diff
+    * subtree is evaluated once per status filter — bounded by
+    * digest-only work, but two extra text scans next to the staged
+    * form the entry runs. */
+  def signalsDelta(base: DataFrame, oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    signalsDeltaFromDiff(base, newSnap, CorpusDiff.corpusDiff(oldSnap, newSnap))
+
   def qualitySignalsDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val oldSnap = CorpusDiff.carveOld(docs)
-    signalsDelta(residentBase(spark, sfDir, oldSnap), oldSnap, CorpusDiff.carveNew(docs))
+    val newSnap = CorpusDiff.carveNew(docs)
+    // the merge's first act is writing the corpus_diff AUDIT table;
+    // maintenance then reads it back — staged per invocation (mode
+    // overwrite, the curateMaterialized honesty rule: bench reps time
+    // the diff write too, it is part of every real merge)
+    val diffPath = basePath(sfDir) + "_diff"
+    CorpusDiff.corpusDiff(oldSnap, newSnap)
+      .write.mode("overwrite").parquet(diffPath)
+    signalsDeltaFromDiff(residentBase(spark, sfDir, oldSnap), newSnap,
+      spark.read.parquet(diffPath))
   }
 
   /** Full recompute over the new snapshot — equality with the

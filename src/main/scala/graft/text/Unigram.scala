@@ -339,6 +339,21 @@ final class UnigramRuntime(
     if (cache.size < CacheCap) cache.put(word, n)
     n
   }
+
+  @transient private lazy val covCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long](1 << 10)
+
+  /** Packed (pieces << 32 | fallback) per pretoken, cached like
+    * [[countCached]] (the coverage report's kernel — off the
+    * token-count hot path). */
+  def coverageCached(word: String): Long = {
+    val hit = covCache.get(word)
+    if (hit != null) return hit
+    val key = if (spmStyle) UnigramKernels.SpmSpace + word else word
+    val v = UnigramKernels.coverageWord(key, this)
+    if (covCache.size < CacheCap) covCache.put(word, v)
+    v
+  }
 }
 
 object UnigramKernels {
@@ -398,6 +413,79 @@ object UnigramKernels {
       end += 1
     }
     cnt(n)
+  }
+
+  /**
+   * Packed (total pieces << 32 | fallback pieces) of one pretoken's
+   * best path — the SAME DP, scan order, and tie-breaks as
+   * [[countWord]] (so the total always agrees with it bit-for-bit),
+   * with the fallback emissions (flat-unk pieces, or per-byte pieces
+   * under an SPM byte-fallback model) counted in lockstep. The
+   * coverage report exists to surface exactly these: a fallback piece
+   * means the serving vocab never saw that character, the token-budget
+   * fidelity the import path is for.
+   */
+  def coverageWord(word: String, rt: UnigramRuntime): Long = {
+    val n = word.length
+    if (n == 0) return 0L
+    val best = new Array[Double](n + 1)
+    val cnt = new Array[Int](n + 1)
+    val fb = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) { best(i) = NegInf; i += 1 }
+    var end = 1
+    while (end <= n) {
+      var len = 1
+      val lo = math.min(rt.maxLen, end)
+      while (len <= lo) {
+        if (best(end - len) != NegInf) {
+          val lp = rt.logp.get(word.substring(end - len, end))
+          if (lp != null) {
+            val cand = best(end - len) + lp.doubleValue
+            if (cand > best(end)) {
+              best(end) = cand
+              cnt(end) = cnt(end - len) + 1
+              fb(end) = fb(end - len)
+            }
+          }
+        }
+        len += 1
+      }
+      if (best(end) == NegInf) {
+        if (rt.byteScores == null) {
+          best(end) = best(end - 1) + rt.unkScore
+          cnt(end) = cnt(end - 1) + 1
+          fb(end) = fb(end - 1) + 1
+        } else {
+          val bytes = word.substring(end - 1, end)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var pen = 0.0
+          var j = 0
+          while (j < bytes.length) { pen += rt.byteScores(bytes(j) & 0xff); j += 1 }
+          best(end) = best(end - 1) + pen
+          cnt(end) = cnt(end - 1) + bytes.length
+          fb(end) = fb(end - 1) + bytes.length
+        }
+      }
+      end += 1
+    }
+    (cnt(n).toLong << 32) | fb(n).toLong
+  }
+
+  /** Packed (pieces << 32 | fallback) summed over `text`'s pretokens
+    * (doc-level sums stay far below 2^31 for any real document). */
+  def coverageTokens(s: UTF8String, rt: UnigramRuntime): Long = {
+    val str = if (rt.spmStyle) s.toString
+              else s.toString.toLowerCase(java.util.Locale.ROOT)
+    val m = rt.pattern.matcher(str)
+    var tot = 0L
+    var f = 0L
+    while (m.find()) {
+      val p = rt.coverageCached(m.group())
+      tot += (p >>> 32)
+      f += (p & 0xffffffffL)
+    }
+    (tot << 32) | f
   }
 
   /** Best-path pieces of one word (trainer-side EM counts; not hot). */
@@ -467,6 +555,34 @@ case class UnigramCountTokens(child: Expression, runtime: UnigramRuntime)
       classOf[UnigramRuntime].getName)
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.text.UnigramKernels.countTokens($s, $rtRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd packed (pieces << 32 | fallback) per text — the coverage
+  * report's per-doc kernel ([[UnigramKernels.coverageTokens]]). */
+case class UnigramCoverageTokens(child: Expression, runtime: UnigramRuntime)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"unigram_coverage expects STRING, got ${child.dataType.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    UnigramKernels.coverageTokens(s.asInstanceOf[UTF8String], runtime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rtRef = ctx.addReferenceObj("unigramRuntime", runtime,
+      classOf[UnigramRuntime].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.text.UnigramKernels.coverageTokens($s, $rtRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
