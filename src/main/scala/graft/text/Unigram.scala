@@ -311,6 +311,118 @@ object Unigram {
        |SELECT d.doc_id, CAST(COALESCE(s.t, 0) AS INTEGER) AS unigram_tokens
        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
   }
+
+  // ---- vocab coverage report ----
+
+  def unigram_coverage(text: Column, model: UnigramModel): Column =
+    ColumnBridge.column(UnigramCoverageTokens(
+      ColumnBridge.expression(text.cast(StringType)), model.runtime))
+
+  /** word → (n_sub, n_fb) dictionary for the coverage oracle. */
+  val CoverageDictExportPath =
+    "/root/repo/tmp/oracle_fixtures/unigram_coverage_dict.parquet"
+
+  /** Vocab-external probe documents appended under their own lang so
+    * the coverage report always carries a deterministic nonzero-
+    * fallback row (the synthetic corpus itself is ASCII-covered by
+    * the corpus fit). BMP-only non-ASCII: identical code-point
+    * semantics for Java regex and RE2, and `lower()` is identity on
+    * every planted char in both engines. */
+  val OovProbes: Seq[(Long, String, String)] = Seq(
+    (900001L, "xx", "café résumé naïve words the model never saw"),
+    (900002L, "xx", "tokyo 東京 stream ストリーム tokens"),
+    (900003L, "xx", "snowman ☃ mixed with plain ascii words"))
+
+  private def probesSqlValues: String =
+    OovProbes.map { case (_, l, t) => s"('$l', '$t')" }.mkString(", ")
+
+  private def withProbes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("lang"), col("text"))
+      .unionByName(OovProbes.map { case (_, l, t) => (l, t) }.toDF("lang", "text"))
+  }
+
+  /** Export the distinct-word → (pieces, fallback) dictionary over
+    * corpus ∪ probes (the [[ensureVocabExported]] discipline). */
+  def ensureCoverageExported(spark: SparkSession, sfDir: String,
+      cfg: graft.config.GraftConfig = graft.config.GraftConfig.active): UnigramModel = {
+    val model = modelFor(spark, sfDir, cfg)
+    val vocabKey = cfg.bpe.unigramVocabPath match {
+      case "" => s"cov|$sfDir"
+      case p => s"cov|$sfDir|$p"
+    }
+    graft.FixtureExport.ensure(vocabKey, CoverageDictExportPath) {
+      val pat = if (model.spmStyle) NonWsPattern else TextAnalysis.BpeishPattern
+      val src = if (model.spmStyle) col("text") else lower(col("text"))
+      withProbes(Tables.documents(spark, sfDir))
+        .select(explode(regexp_extract_all(src, lit(pat), lit(0))).as("word"))
+        .distinct()
+        .select(col("word"), unigram_coverage(col("word"), model).as("c"))
+        .select(col("word"),
+          shiftright(col("c"), 32).as("n_sub"),
+          col("c").bitwiseAND(lit(0xffffffffL)).as("n_fb"))
+        .coalesce(1).write.mode("overwrite").parquet(CoverageDictExportPath)
+    }
+    model
+  }
+
+  /**
+   * `tokenizer_coverage`: per-language vocab-coverage report under
+   * the active unigram model — total pieces, FALLBACK pieces (flat
+   * unk, or per-UTF-8-byte under an SPM byte-fallback import), and
+   * the fallback share. This is the fidelity number the byte-fallback
+   * import path exists to surface: a nonzero share means token
+   * budgets for that language are partly priced by fallback, so
+   * packing and cost estimates drift from the trainer tokenizer
+   * exactly there. The `xx` probe row (vocab-external chars planted
+   * in-query) pins a deterministic nonzero-fallback witness at every
+   * SF; real languages report their true share.
+   *
+   * Plan: one map-only pass with the packed coverage expression
+   * (pieces<<32|fallback per doc), then a langs-sized partial agg —
+   * the `token_count_unigram` shape with a second counter riding the
+   * same kernel DP (same scan order and tie-breaks, so the piece
+   * total agrees with `unigram_count` bit-for-bit; spec-asserted).
+   */
+  def tokenizerCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = ensureCoverageExported(spark, sfDir)
+    withProbes(Tables.documents(spark, sfDir))
+      .select(col("lang"), unigram_coverage(col("text"), model).as("c"))
+      .select(col("lang"),
+        shiftright(col("c"), 32).as("p"),
+        col("c").bitwiseAND(lit(0xffffffffL)).as("f"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum("p").as("pieces_sum"),
+        sum("f").as("fallback_sum"))
+      .withColumn("fallback_share",
+        floor(col("fallback_sum").cast("double") /
+          greatest(col("pieces_sum"), lit(1L)) * 10000) / 10000)
+  }
+
+  /** Oracle: dictionary replay over corpus ∪ probes — the word join
+    * checks pretokenization + routing cross-engine, the Viterbi
+    * coverage itself is fixture-anchored (KernelPropertySpec /
+    * UnigramSpec discipline). */
+  def tokenizerCoverageSql: String = {
+    val spm = graft.config.GraftConfig.active.bpe.unigramVocabPath.nonEmpty
+    val pat = if (spm) NonWsPattern else TextAnalysis.BpeishPattern
+    val src = if (spm) "text" else "lower(text)"
+    s"""WITH v AS (SELECT * FROM read_parquet('$CoverageDictExportPath/*.parquet')),
+       |docs AS (SELECT lang, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $probesSqlValues) t(lang, text)),
+       |w AS (SELECT lang, unnest(regexp_extract_all($src, '$pat')) AS word FROM docs),
+       |g AS (SELECT w.lang, SUM(v.n_sub) AS p, SUM(v.n_fb) AS f
+       |      FROM w JOIN v USING (word) GROUP BY w.lang),
+       |d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs FROM docs GROUP BY lang)
+       |SELECT d.lang, d.docs,
+       |  CAST(COALESCE(g.p, 0) AS BIGINT) AS pieces_sum,
+       |  CAST(COALESCE(g.f, 0) AS BIGINT) AS fallback_sum,
+       |  FLOOR(CAST(COALESCE(g.f, 0) AS DOUBLE)
+       |        / GREATEST(COALESCE(g.p, 0), 1) * 10000) / 10000 AS fallback_share
+       |FROM d LEFT JOIN g ON d.lang = g.lang""".stripMargin
+  }
 }
 
 /** Executor-side piece table + Viterbi scratch + the capped

@@ -171,6 +171,55 @@ class UnigramSpec extends SparkSpecBase {
     assert(UnigramKernels.countTokens(UTF8String.fromString("é"), flat) == 2)
   }
 
+  test("coverage kernel: totals agree with countWord; fallback counts flat vs per-byte") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("unigram-cov")
+    val path = dir.resolve("bytes.vocab")
+    java.nio.file.Files.write(path,
+      ("<unk>\t0\n<s>\t0\n</s>\t0\n<pad>\t0\n" +
+        "▁hi\t-1.0\n" +
+        "<0xE2>\t-8.0\n<0x96>\t-8.0\n<0x81>\t-8.0\n" +
+        "<0xC3>\t-9.0\n<0xA9>\t-9.0\n<0x7A>\t-7.0\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val r = Unigram.loadVocab(path.toString).runtime
+    def cov(s: String): (Long, Long) = {
+      val p = UnigramKernels.coverageTokens(UTF8String.fromString(s), r)
+      (p >>> 32, p & 0xffffffffL)
+    }
+    // the total ALWAYS equals the countTokens path (same DP, same ties)
+    for (s <- Seq("hi", "z", "é", "hi z é"))
+      assert(cov(s)._1 == UnigramKernels.countTokens(UTF8String.fromString(s), r),
+        s"total must match countTokens for '$s'")
+    assert(cov("hi") == ((1L, 0L)), "vocab word: one piece, zero fallback")
+    // ▁z = 3 bytes of ▁ + 1 byte of z, all fallback under byte pieces
+    assert(cov("z") == ((4L, 4L)))
+    // flat model: ▁é = 2 unk pieces, both fallback
+    val flat = Unigram.UnigramModel(Array("▁hi" -> -1.0), spmStyle = true).runtime
+    val pf = UnigramKernels.coverageTokens(UTF8String.fromString("é"), flat)
+    assert(((pf >>> 32), pf & 0xffffffffL) == ((2L, 2L)))
+  }
+
+  test("tokenizer_coverage entry: xx probe row has nonzero fallback, real langs report truly") {
+    val rows = Unigram.tokenizerCoverage(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val (docs, pieces, fb, share) = rows("xx")
+    assert(docs == Unigram.OovProbes.length.toLong)
+    assert(fb > 0 && share > 0.0, "the probe row must witness fallback")
+    assert(pieces > fb, "probe docs also contain covered ascii words")
+    // every real language's share is strictly below the probe's (the
+    // synthetic corpus is ascii; fallback there is rare or zero)
+    rows.filterNot(_._1 == "xx").foreach { case (lang, (_, p, f, s)) =>
+      assert(s < share, s"$lang share $s must sit below the probe's $share")
+      assert(f <= p)
+    }
+    // totals agree with the token_count_unigram entry per construction
+    val tot = Unigram.tokenCountUnigram(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("unigram_tokens")).collect().head.getLong(0)
+    val realPieces = rows.filterNot(_._1 == "xx").values.map(_._2).sum
+    assert(realPieces == tot, "per-lang piece totals must reconcile with per-doc counts")
+  }
+
   test("tokenizer_compare: families genuinely diverge; whitespace row is the 1.0 baseline") {
     val rows = Tokenizers.tokenizerCompare(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(2)) ->
