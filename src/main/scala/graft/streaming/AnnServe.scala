@@ -47,7 +47,8 @@ object AnnServe {
    * its own partition instead of appending duplicates.
    */
   private def servedSink(source: DataFrame, outPath: String, checkpoint: String,
-      trigger: Trigger)(plan: DataFrame => DataFrame): StreamingQuery =
+      trigger: Trigger, afterBatch: Long => Unit = _ => ())(
+      plan: DataFrame => DataFrame): StreamingQuery =
     source.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -61,6 +62,10 @@ object AnnServe {
             .partitionBy("batch_id")
             .parquet(outPath)
         }
+        // synchronous post-commit hook: the maintenance swap point
+        // ([[serveIvf]]) — runs AFTER the batch's results are durable,
+        // BEFORE the next batch plans
+        afterBatch(batchId)
       }
       .start()
 
@@ -137,6 +142,44 @@ object AnnServe {
       graft.query.PqSearch.topKForQueries(batch.sparkSession,
         batch.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
         idx.cells, idx.codes, idx.fetch, idx.cents, idx.cb, k)
+    }
+
+  /**
+   * Mutable IVF layout handle for ZERO-DOWNTIME maintenance swaps:
+   * the serving closure reads the current centroids at each
+   * micro-batch, so a maintenance job (an [[graft.query.IvfSearch
+   * .rebalancePlan]] split, a re-train) publishes a new layout
+   * between micro-batches — queries in flight finish under the
+   * layout they planned with, the next batch probes the new one.
+   * The serving twin of the batch `ivf_rebalance` entry: the report
+   * says WHAT the new layout is, this is HOW it ships without
+   * stopping the query stream.
+   */
+  final class IvfLayoutRef(@volatile var cents: Array[Array[Float]])
+
+  /**
+   * Serve a query stream through the IVF engine against a SWAPPABLE
+   * cell layout: each micro-batch's (vec_id, embedding) queries run
+   * [[graft.query.IvfSearch.ivfTopK]] under `layout.cents` as of
+   * that batch. `afterBatch` fires synchronously after each batch's
+   * results are durable and before the next batch plans — the
+   * deterministic maintenance swap point (specs swap to a rebalanced
+   * layout there and assert per-batch equality with the matching
+   * batch plan).
+   */
+  def serveIvf(
+      queries: DataFrame,
+      data: DataFrame,
+      layout: IvfLayoutRef,
+      k: Int,
+      nProbe: Int,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+    servedSink(queries, outPath, checkpoint, trigger, afterBatch) { batch =>
+      graft.query.IvfSearch.ivfTopK(batch.sparkSession, data,
+        batch.select(col("vec_id"), col("embedding")), k, nProbe, layout.cents)
     }
 
   /**

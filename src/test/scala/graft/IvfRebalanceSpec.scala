@@ -65,4 +65,42 @@ class IvfRebalanceSpec extends SparkSpecBase {
     // cell ids are dense 0..n-1 (the new layout is a valid index)
     assert(out.map(_._1).sorted.toSeq == out.indices.toSeq)
   }
+
+  test("serving hot-swap: rebalanced layout ships between micro-batches, zero downtime") {
+    import graft.query.IvfSearch
+    import graft.streaming.AnnServe
+    def tmp(name: String): String = {
+      val d = s"/root/repo/target/tmp/serveivf/$name"
+      graft.util.Io.deleteRecursively(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      d
+    }
+    val data = Tables.embeddings(spark, sf)
+    val cents = IvfSearch.fitCentroids(data, 8)
+    val rebal = IvfSearch.rebalancePlan(data, cents, budget = 1).map(_._1)
+    val qA = data.filter(col("vec_id") < 10).select("vec_id", "embedding")
+    val qB = data.filter(col("vec_id").between(10, 19)).select("vec_id", "embedding")
+    val in = tmp("in"); val out = tmp("out"); val ckpt = tmp("ckpt")
+    qA.coalesce(1).write.mode("overwrite").parquet(s"$in/b=000")
+    qB.coalesce(1).write.mode("overwrite").parquet(s"$in/b=001")
+    val layout = new AnnServe.IvfLayoutRef(cents)
+    val stream = spark.readStream.schema(qA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/b=*")
+    val q = AnnServe.serveIvf(stream.toDF(), data, layout,
+      k = 5, nProbe = 3, out, ckpt,
+      afterBatch = id => if (id == 0) layout.cents = rebal)
+    q.awaitTermination(180000)
+    def served(batch: Int) = spark.read.parquet(out)
+      .filter(col("batch_id") === batch).drop("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    def batchPlan(qs: org.apache.spark.sql.DataFrame, cs: Array[Array[Float]]) =
+      IvfSearch.ivfTopK(spark, data, qs, 5, 3, cs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // batch 0 served under the ORIGINAL layout, batch 1 under the
+    // rebalanced one — each equal to its batch-plan twin
+    assert(served(0) == batchPlan(qA, cents))
+    assert(served(1) == batchPlan(qB, rebal))
+    // the swap genuinely changes the layout the plan probes
+    assert(rebal.length == cents.length + 1)
+  }
 }
