@@ -156,11 +156,11 @@ object SemDedup {
     semanticDedupPlan(corpus, cents, maxCell = sd.maxCell)
   }
 
-  /** DuckDB twin: planted corpus -> literal-centroid assignment with
-    * centroid cosine -> within-cell pairs at 4-dp tau -> recursive-CTE
-    * transitive closure -> per-component SemDeDup keeper. */
-  val dedupSemanticSql: String =
-    s"""WITH RECURSIVE corpus AS (
+  /** The planted corpus → assignment → guarded-cell CTE prefix,
+    * shared verbatim between the decision oracle and the tau-grid
+    * planner oracle (the funnel-CTE discipline: one chain, no drift). */
+  private def semChainCtes: String =
+    s"""corpus AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + ${Dedup.PlantOffset}, embedding FROM embeddings WHERE vec_id < 10
@@ -182,7 +182,13 @@ object SemDedup {
        |guarded AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, COUNT(*) OVER (PARTITION BY cell) AS csz FROM assign)
-       |  WHERE csz <= $SemMaxCell),
+       |  WHERE csz <= $SemMaxCell)""".stripMargin
+
+  /** DuckDB twin: planted corpus -> literal-centroid assignment with
+    * centroid cosine -> within-cell pairs at 4-dp tau -> recursive-CTE
+    * transitive closure -> per-component SemDeDup keeper. */
+  val dedupSemanticSql: String =
+    s"""WITH RECURSIVE $semChainCtes,
        |edges AS (
        |  SELECT x.vec_id AS a, y.vec_id AS b
        |  FROM guarded x JOIN guarded y ON x.cell = y.cell AND x.vec_id < y.vec_id
@@ -202,4 +208,97 @@ object SemDedup {
        |    COUNT(*) OVER (PARTITION BY cc.comp) AS n_comp,
        |    ROW_NUMBER() OVER (PARTITION BY cc.comp ORDER BY a.csim, a.vec_id) AS kr
        |  FROM assign a JOIN cc ON cc.id = a.vec_id)""".stripMargin
+
+  /** The tau grid the planner sweeps (the SemDeDup paper's eps axis;
+    * DOUBLE literals compared against 4-dp ROUNDED cosines — the
+    * minhashTune compare-on-rounded rule). */
+  val TuneTaus: Seq[Double] = Seq(0.9, 0.95, 0.99, 0.995, 0.999)
+
+  /**
+   * `dedup_semantic_tune`: the tau (eps) PLANNER for [[dedupSemantic]]
+   * — the SemDeDup paper's threshold sweep as one entry: within-cell
+   * pair cosines are computed ONCE (unthresholded — the same guarded
+   * cell join the decision plan prunes with), then every grid tau
+   * reads off its duplicate-edge count, the number of distinct
+   * vectors flagged, and the flagged share of the corpus. The
+   * `quality_ablation` posture applied to semantic dedup: five
+   * threshold candidates, one corpus pass, no five re-clusterings
+   * (the exact kept-fraction at the chosen tau is then one
+   * [[dedupSemantic]] run — components need the threshold fixed).
+   *
+   * Scale posture: the one data-sized shuffle is the within-cell
+   * self-join the decision plan already pays, quadratic term bounded
+   * by the cell guard; the grid explode multiplies the PAIR table
+   * (cells-bounded, corpus-sliver) by 5, and the flagged-count
+   * distinct runs per tau over those exploded pair endpoints, never
+   * over the corpus.
+   */
+  def dedupSemanticTune(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = semCorpus(spark, sfDir)
+    val sd = graft.config.GraftConfig.active.semdedup
+    val c = resolveCells(IvfSearch.memoCount(corpus, s"semdedup:$sfDir"), sd)
+    val cents = IvfSearch.fitCentroids(corpus, c, Some(s"semdedup:$sfDir"))
+    exportCentroids(spark, s"semdedup:$sfDir|c=$c", cents)
+    val assigned = assignWithCentSim(corpus, cents)
+    // unthresholded pair cosines: semanticEdges' join with the filter
+    // lifted to the grid stage
+    val wCell = Window.partitionBy("cell")
+    val guarded = assigned
+      .withColumn("csz", count(lit(1)).over(wCell))
+      .filter(col("csz") <= sd.maxCell)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val pairs = guarded.as("x").join(guarded.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(vec_cosine(col("x.embedding"), col("y.embedding")), 4).as("cos"))
+    val grid = array(TuneTaus.map(lit): _*)
+    val byTau = pairs.withColumn("tau", explode(grid))
+      .filter(col("cos") >= col("tau"))
+    val edges = byTau.groupBy("tau").agg(count(lit(1)).as("n_edges"))
+    val flagged = byTau
+      .select(col("tau"), explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("tau").agg(countDistinct("id").as("n_flagged"))
+    val total = corpus.agg(count(lit(1)).as("n_total"))
+    // every tau appears even when nothing crosses it (LEFT from the grid)
+    val spark2 = spark
+    import spark2.implicits._
+    TuneTaus.toDF("tau")
+      .join(edges, Seq("tau"), "left")
+      .join(flagged, Seq("tau"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("tau"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        (floor(coalesce(col("n_flagged"), lit(0L)).cast("double") /
+          col("n_total") * 10000) / 10000).as("flag_share"))
+  }
+
+  /** Oracle: the shared chain CTEs + the unthresholded pair cosines +
+    * the same grid legs. */
+  def dedupSemanticTuneSql: String = {
+    val gridValues = TuneTaus.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH $semChainCtes,
+       |pairs AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+       |                                 CAST(ey.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM guarded x JOIN guarded y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN corpus ex ON ex.vec_id = x.vec_id
+       |  JOIN corpus ey ON ey.vec_id = y.vec_id),
+       |grid AS (SELECT * FROM (VALUES $gridValues) g(tau)),
+       |bytau AS (SELECT g.tau, p.a, p.b FROM grid g JOIN pairs p ON p.cos >= g.tau),
+       |e AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_edges FROM bytau GROUP BY tau),
+       |f AS (SELECT tau, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_flagged FROM (
+       |  SELECT tau, a AS id FROM bytau UNION ALL SELECT tau, b FROM bytau)
+       |  GROUP BY tau),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM corpus)
+       |SELECT g.tau,
+       |  COALESCE(e.n_edges, 0) AS n_edges,
+       |  COALESCE(f.n_flagged, 0) AS n_flagged,
+       |  FLOOR(CAST(COALESCE(f.n_flagged, 0) AS DOUBLE)
+       |        / (SELECT n_total FROM t) * 10000) / 10000 AS flag_share
+       |FROM grid g
+       |LEFT JOIN e ON e.tau = g.tau
+       |LEFT JOIN f ON f.tau = g.tau""".stripMargin
+  }
 }

@@ -84,4 +84,25 @@ class SemDedupSpec extends SparkSpecBase {
     val cfg = GraftConfig.parse("""{"semdedup": {"cells": 0, "maxCell": 1024}}""")
     assert(cfg.semdedup == SemDedupConfig(cells = 0, maxCell = 1024))
   }
+
+  test("dedup_semantic_tune: monotone over tau, reconciles with the decision plan at SemTau") {
+    val rows = SemDedup.dedupSemanticTune(spark, sf).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows.keySet == SemDedup.TuneTaus.toSet)
+    // tightening tau can only shed edges and flagged docs
+    val ordered = SemDedup.TuneTaus.sorted.map(rows)
+    ordered.sliding(2).foreach { case Seq((e1, f1, s1), (e2, f2, s2)) =>
+      assert(e2 <= e1 && f2 <= f1 && s2 <= s1, "grid must be monotone")
+    case _ => ()
+    }
+    // the planted 10 exact + 10 jittered copies are flagged at EVERY
+    // grid tau (cosine 1.0 and ~1-1e-8 both round to 1.0)
+    assert(rows.values.forall(_._2 >= 20L))
+    // at the library default SemTau the flagged set equals the docs
+    // the decision plan puts in non-singleton components
+    val nonSingleton = result.filter(_._3 > 1).map(_._1).toSet
+    assert(rows(SemDedup.SemTau)._2 == nonSingleton.size.toLong,
+      "planner's flagged count at SemTau must reconcile with the decision plan")
+  }
 }
