@@ -51,6 +51,66 @@ object CorpusStats {
   def corpusStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
     corpusStats(Tables.documents(spark, sfDir))
 
+  /**
+   * `dataset_card`: the dataset-card rollup — per (source, lang), the
+   * volume numbers [[corpusStats]] reports PLUS the quality-signal
+   * summary a data statement ships: mean stopword/punctuation/
+   * duplicate-token ratios, language-ID agreement with the declared
+   * lang, and mean lang-ID confidence. Built straight off
+   * [[graft.text.TextAnalysis.signalExprs]] carried next to the
+   * (source, lang) keys — one map-only signal pass into one
+   * sources×langs partial agg, NO join (the signals-as-data payoff
+   * again: at 100 TB this reads the materialized signals table
+   * joined to doc metadata instead).
+   *
+   * Cross-engine: signal values are 4-dp FLOORed; each mean
+   * re-scales them to exact integers (`round(x*10000)`), sums as
+   * BIGINT, and divides with integer `div` — no float accumulation
+   * order anywhere, the [[derive]] discipline.
+   */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val sigDocs = docs.select(
+      Seq(col("source"), col("lang")) ++ graft.text.TextAnalysis.signalExprs: _*)
+    def s4(c: String): org.apache.spark.sql.Column =
+      sum(round(col(c) * 10000).cast("long")).as(s"${c}_s")
+    def mean4(c: String): org.apache.spark.sql.Column =
+      (expr(s"${c}_s div n_docs") / 10000.0).as(s"avg_$c")
+    sigDocs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("tokens_sum"),
+        s4("stopword_ratio"), s4("punct_ratio"), s4("dup_token_frac"),
+        s4("lang_score"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("agree"))
+      .select(col("source"), col("lang"), col("n_docs"), col("tokens_sum"),
+        mean4("stopword_ratio"), mean4("punct_ratio"), mean4("dup_token_frac"),
+        mean4("lang_score"),
+        (expr("agree * 10000L div n_docs") / 10000.0).as("lang_agree_share"))
+  }
+
+  def datasetCardQuery(spark: SparkSession, sfDir: String): DataFrame =
+    datasetCard(Tables.documents(spark, sfDir))
+
+  /** Oracle: the signals chain as a CTE joined back to doc metadata
+    * (the join-free Spark plan and the join replay agree row-wise by
+    * construction), every mean the same scaled-integer division. */
+  def datasetCardSql: String = {
+    def s4(c: String) = s"SUM(CAST(ROUND($c * 10000) AS BIGINT))"
+    def mean4(c: String) = s"(${s4(c)} // COUNT(*)) / 10000.0 AS avg_$c"
+    s"""WITH sig AS (${graft.text.TextAnalysis.qualitySignalsSql}),
+       |d AS (SELECT doc_id, source, lang FROM documents)
+       |SELECT d.source, d.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CAST(sig.n_tokens AS BIGINT)) AS BIGINT) AS tokens_sum,
+       |  ${mean4("stopword_ratio")},
+       |  ${mean4("punct_ratio")},
+       |  ${mean4("dup_token_frac")},
+       |  ${mean4("lang_score")},
+       |  ((SUM(CASE WHEN sig.pred_lang = d.lang THEN 1 ELSE 0 END) * 10000)
+       |    // COUNT(*)) / 10000.0 AS lang_agree_share
+       |FROM d JOIN sig USING (doc_id)
+       |GROUP BY d.source, d.lang""".stripMargin
+  }
+
   // ---- corpus-level n-gram heavy hitters ----
 
   /** Gram width / result size of the demo entry (trigram boilerplate
