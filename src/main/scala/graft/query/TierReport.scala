@@ -242,4 +242,148 @@ object TierReport {
               s"(SELECT LEAST(n, ${BqSearch.HamKeep}) * $nq FROM meta)",
               "(SELECT (dim + 7) // 8 FROM meta)")}""".stripMargin
     }
+
+  // ---- the probe-budget curve (the OTHER serving knob) ----
+
+  /** nProbe grid the curve sweeps (the FAISS bench's nprobe axis;
+    * the library default `ivf.probes = 4` sits inside it so the
+    * report grades the shipped setting against its neighbors). */
+  val ProbeGrid: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /**
+   * `ann_probe_curve`: recall@{1,k} and candidate cost as a function
+   * of the IVF probe budget — the knob curve a serving owner reads
+   * NEXT TO [[annTierReport]]: the tier report fixes nProbe and
+   * varies the representation, this fixes the representation (the
+   * plain IVF serving plan every celled tier routes through) and
+   * varies nProbe. Together they are the two axes of the FAISS bench
+   * table.
+   *
+   * Scale posture: the four probe evaluations run as CONCURRENT
+   * Spark jobs over the SAME resident centroids and cell assignment
+   * (the fits are per-corpus memos), each a cells×probes equi-join
+   * bounded by the candidate cap; metric aggregation is driver-side
+   * over numQueries×k rows (the evalMetricsLocal discipline).
+   * `cand_rows` = Σ_q min(candidates(q), maxCandidates) — the real
+   * capped scan the plan pays; `scan_share` = cand_rows / (N×queries)
+   * is the fraction of brute-force work the probe budget buys back.
+   */
+  def annProbeCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val nVecs = data.count()
+    val nq = NumQueries.toLong
+    val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
+    val queries = data.filter(col("vec_id") < NumQueries)
+    val maxCand = cfg.ivf.maxCandidates
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
+    val gtF = Future(graft.query.AnnQuery.annBruteTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))))
+    val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents))
+    val perProbe = ProbeGrid.map { p => p -> Future {
+      val topk = IvfSearch.ivfTopK(spark, data, queries, K, p, cents).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      // candidate rows the capped scan reads at this budget
+      val cand = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .join(broadcast(IvfSearch.centroidsDf(spark, cents)))
+        .withColumn("cdist", graft.functions.VectorFunctions.vec_l2(col("qv"), col("cv")))
+        .withColumn("crnk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("cdist"), col("cell"))))
+        .filter(col("crnk") <= p)
+        .join(cells, "cell")
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+        .agg(sum(least(col("n"), lit(maxCand.toLong))).as("c"))
+        .head().getLong(0)
+      (topk, cand)
+    }}
+    val gt = Await.result(gtF, Duration.Inf)
+    val gtRnkByPair = gt.map(t => (t._1, t._2) -> t._4).toMap
+    val queryIds = gt.map(_._1).distinct.sorted
+    def roundAt(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+    val rows = perProbe.map { case (p, f) =>
+      val (ann, cand) = Await.result(f, Duration.Inf)
+      def recallAt(k: Int): Double = {
+        val hits = ann.filter { case (q, v, _, rnk) =>
+          rnk <= k && gtRnkByPair.get((q, v)).exists(_ <= k)
+        }.groupBy(_._1).view.mapValues(_.size).toMap
+        roundAt(queryIds.map(q => hits.getOrElse(q, 0).toDouble / k).sum / queryIds.length, 4)
+      }
+      Row(p, recallAt(1), recallAt(K), cand,
+        math.floor(cand.toDouble / (nVecs * nq) * 10000) / 10000)
+    }
+    val schema = StructType(Seq(
+      StructField("n_probe", IntegerType), StructField("recall_at_1", DoubleType),
+      StructField("recall_at_10", DoubleType), StructField("cand_rows", LongType),
+      StructField("scan_share", DoubleType)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Oracle: ground truth + one IVF chain per grid probe budget (the
+    * `simsearchIvfSql` shape parameterized by nProbe), recall replayed
+    * with the shared grid fragment, candidate counts as
+    * Σ min(per-query candidates, cap). */
+  def annProbeCurveSql: String = {
+    val k = K
+    val maxCand = cfg.ivf.maxCandidates
+    def chain(p: Int): String =
+      s"""probes_$p AS (
+         |  SELECT query_id, cell, crnk FROM (
+         |    SELECT q.vec_id AS query_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS crnk
+         |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < $NumQueries)
+         |  WHERE crnk <= $p),
+         |cnt_$p AS (
+         |  SELECT CAST(SUM(LEAST(n, $maxCand)) AS BIGINT) AS cand_rows FROM (
+         |    SELECT p.query_id, COUNT(*) AS n
+         |    FROM probes_$p p JOIN assign a ON a.cell = p.cell
+         |    GROUP BY p.query_id)),
+         |topk_$p AS (
+         |  SELECT query_id, vec_id, rnk FROM (
+         |    SELECT cand.query_id, cand.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.query_id
+         |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                               CAST(q.embedding AS DOUBLE[])), cand.vec_id) AS rnk
+         |    FROM (
+         |      SELECT query_id, vec_id FROM (
+         |        SELECT p.query_id, a.vec_id,
+         |          ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY p.crnk, a.vec_id) AS cap_rank
+         |        FROM probes_$p p JOIN assign a ON a.cell = p.cell)
+         |      WHERE cap_rank <= $maxCand) cand
+         |    JOIN embeddings e ON e.vec_id = cand.vec_id
+         |    JOIN embeddings q ON q.vec_id = cand.query_id)
+         |  WHERE rnk <= $k)""".stripMargin
+    def recallSql(p: Int, kk: Int): String =
+      s"""(SELECT ROUND(AVG(CAST(h AS DOUBLE) / $kk), 4) FROM (
+         |   SELECT g.query_id, COUNT(j.query_id) AS h
+         |   FROM (SELECT DISTINCT query_id FROM gt) g LEFT JOIN (
+         |     SELECT a.query_id FROM topk_$p a JOIN gt g2
+         |       ON a.query_id = g2.query_id AND a.vec_id = g2.vec_id
+         |     WHERE a.rnk <= $kk AND g2.rnk <= $kk) j ON j.query_id = g.query_id
+         |   GROUP BY g.query_id))""".stripMargin
+    def leg(p: Int): String =
+      s"""SELECT $p AS n_probe,
+         |  ${recallSql(p, 1)} AS recall_at_1,
+         |  ${recallSql(p, k)} AS recall_at_10,
+         |  (SELECT cand_rows FROM cnt_$p) AS cand_rows,
+         |  FLOOR(CAST((SELECT cand_rows FROM cnt_$p) AS DOUBLE)
+         |        / (SELECT n * $NumQueries FROM meta) * 10000) / 10000 AS scan_share""".stripMargin
+    s"""WITH gt AS (${graft.query.AnnQuery.annBruteTopKSql}),
+       |c AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1),
+       |meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |${ProbeGrid.map(chain).mkString(",\n")}
+       |${ProbeGrid.map(leg).mkString("\nUNION ALL\n")}""".stripMargin
+  }
 }

@@ -114,4 +114,30 @@ class SqSpec extends SparkSpecBase {
     assert(rows("bq_hamming")._4 == n * graft.query.TierReport.NumQueries, "bq scans N per query")
     assert(rows("bq_hamming")._1 == 1.0, "bq self-match recall@1")
   }
+
+  test("ann_probe_curve: recall and cost both monotone in the probe budget") {
+    val rows = graft.query.TierReport.annProbeCurve(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows.keySet == graft.query.TierReport.ProbeGrid.toSet)
+    val ordered = graft.query.TierReport.ProbeGrid.sorted.map(rows)
+    ordered.foreach { case (r1, r10, cand, share) =>
+      assert(r1 >= 0.0 && r1 <= 1.0 && r10 >= 0.0 && r10 <= 1.0)
+      assert(cand > 0 && share > 0.0 && share <= 1.0)
+    }
+    // more probes can only widen the candidate set: recall and cost
+    // are both non-decreasing in the budget
+    ordered.sliding(2).foreach {
+      case Seq((r1a, r10a, ca, sa), (r1b, r10b, cb, sb)) =>
+        assert(r1b >= r1a && r10b >= r10a, "recall must not drop with more probes")
+        assert(cb >= ca && sb >= sa, "cost must not drop with more probes")
+      case _ => ()
+    }
+    // a probed scan must stay a sliver of brute force at the widest
+    // budget on this corpus (cells ~ sqrt N, 8 of them probed)
+    assert(ordered.last._4 < 1.0, "widest budget must still prune")
+    // self-match survives any budget >= 1 (the query's own cell is
+    // always probed first)
+    assert(ordered.head._1 > 0.99, "self-match recall@1 at nProbe=1")
+  }
 }
