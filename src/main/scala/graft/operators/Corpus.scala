@@ -580,6 +580,75 @@ object Corpus {
        |        / 4294967296.0 AS u
        |    FROM documents))""".stripMargin
 
+  /** Curriculum seed — distinct from the IID shuffle's so the two
+    * orders are independent draws. */
+  val CurriculumSeed = "curriculum9"
+
+  /**
+   * `curriculum_order`: one GLOBAL training position per document for
+   * quality-curriculum schedules (clean-first annealing — Bengio et
+   * al. 2009's curriculum posture with the CCNet buckets as the
+   * difficulty axis): every `head` doc trains before every `middle`
+   * doc before every `tail` doc, and WITHIN a bucket the order is an
+   * IID seeded shuffle (a curriculum that preserves in-bucket
+   * randomness, so batches stay mixed).
+   *
+   * Scale posture: [[corpusShuffle]]'s two-level layout with the
+   * curriculum bucket LEADING the key — window partitions are
+   * (bucket × hash-subbucket)-sized, bucket starting offsets are a
+   * (3 × nBuckets)-row broadcast prefix sum, no global sort anywhere;
+   * the (bord, sub, u, id) order equals the global (bord, u, id)
+   * order because `sub` is a monotone function of `u` (the shuffle
+   * entry's equivalence, with the bucket prefix in front). The
+   * windowed twin is the spec's cross-check oracle.
+   */
+  def curriculumOrder(scored: DataFrame, seed: String, nBuckets: Int): DataFrame = {
+    val bord = when(col("bucket") === "head", 0)
+      .when(col("bucket") === "middle", 1).otherwise(2)
+    val base = scored.select(col("doc_id"), col("bucket"), bord.as("bord"),
+      hashUniform(concat(lit(seed), lit(":"), col("doc_id"))).as("u"))
+    val bucketed = base.withColumn("sub",
+      least(floor(col("u") * nBuckets), lit((nBuckets - 1).toLong)).cast("int"))
+    val wOff = Window.orderBy("bord", "sub").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bord", "sub").agg(count(lit(1)).as("_n"))
+      .withColumn("_base", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .select(col("bord").as("_bord"), col("sub").as("_sub"), col("_base"))
+    val wIn = Window.partitionBy("bord", "sub").orderBy(col("u"), col("doc_id"))
+    bucketed.join(broadcast(offsets),
+        col("bord") === col("_bord") && col("sub") === col("_sub"))
+      .withColumn("train_pos", col("_base") + row_number().over(wIn))
+      .select(col("doc_id"), col("bucket"), col("u"), col("train_pos"))
+  }
+
+  /** Global-window twin (cross-check oracle; serializes at scale). */
+  private[graft] def curriculumOrderWindowed(scored: DataFrame, seed: String): DataFrame = {
+    val bord = when(col("bucket") === "head", 0)
+      .when(col("bucket") === "middle", 1).otherwise(2)
+    val w = Window.orderBy(col("bord"), col("u"), col("doc_id"))
+    scored.select(col("doc_id"), col("bucket"), bord.as("bord"),
+        hashUniform(concat(lit(seed), lit(":"), col("doc_id"))).as("u"))
+      .withColumn("train_pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("bucket"), col("u"), col("train_pos"))
+  }
+
+  def curriculumOrderQuery(spark: SparkSession, sfDir: String): DataFrame =
+    curriculumOrder(
+      graft.operators.Quantiles.perplexityBucketQuery(spark, sfDir),
+      CurriculumSeed, spark.sparkContext.defaultParallelism)
+
+  /** Oracle: the perplexity-bucket chain nested verbatim, then the
+    * windowed global order (the bucketed plan equals it by the
+    * monotone-subbucket argument above). */
+  def curriculumOrderSql: String =
+    s"""WITH pb AS (${graft.operators.Quantiles.perplexityBucketSql})
+       |SELECT doc_id, bucket, u, CAST(ROW_NUMBER() OVER (ORDER BY bord, u, doc_id) AS BIGINT) AS train_pos
+       |FROM (
+       |  SELECT doc_id, bucket,
+       |    CASE bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1 ELSE 2 END AS bord,
+       |    ('0x' || substr(sha256('$CurriculumSeed:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      / 4294967296.0 AS u
+       |  FROM pb)""".stripMargin
+
   /**
    * [[seqPack]] budgeted by SUBWORD tokens (the r5-verdict integration:
    * a whitespace count mispacks real text 2-4x against tokenizer

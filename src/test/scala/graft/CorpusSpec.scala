@@ -242,4 +242,48 @@ class CorpusSpec extends SparkSpecBase {
     assert(packs.filter(col("hi") =!= col("n_packs") - 1).count() == 0)
     p.unpersist()
   }
+
+  test("curriculum_order: bucketed == windowed twin; buckets contiguous head->middle->tail") {
+    import spark.implicits._
+    // synthetic scored corpus: 3 buckets, uneven sizes
+    val scored = (0L until 300L).map { i =>
+      val b = if (i < 150) "head" else if (i < 250) "middle" else "tail"
+      (i, 0.0, b)
+    }.toDF("doc_id", "lm_score", "bucket")
+    val got = Corpus.curriculumOrder(scored, Corpus.CurriculumSeed, 32)
+    val want = Corpus.curriculumOrderWindowed(scored, Corpus.CurriculumSeed)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "bucketed order must equal the global-window twin")
+    // bucket-count invariance (the shuffle entry's invariant)
+    val got5 = Corpus.curriculumOrder(scored, Corpus.CurriculumSeed, 5)
+    assert(got5.exceptAll(want).isEmpty)
+    val rows = got.collect().map(r => (r.getString(1), r.getLong(3))).sortBy(_._2)
+    // positions are a dense 1..N permutation
+    assert(rows.map(_._2).toSeq == (1L to 300L))
+    // curriculum contract: every head position < every middle < every tail
+    val maxOf = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val minOf = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    assert(maxOf("head") < minOf("middle") && maxOf("middle") < minOf("tail"))
+    // in-bucket order is the seeded shuffle, not doc_id order
+    val headIds = rows.filter(_._1 == "head").map(_._2)
+    val headDocs = got.filter(col("bucket") === "head")
+      .orderBy("train_pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(headDocs != headDocs.sorted, "in-bucket order must be shuffled")
+    assert(headIds.length == 150)
+  }
+
+  test("curriculum_order corpus entry: covers the corpus, reconciles with perplexity_bucket") {
+    val entry = Corpus.curriculumOrderQuery(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(entry.count() == n)
+    assert(entry.agg(min("train_pos"), max("train_pos")).collect().head.toSeq ==
+      Seq(1L, n))
+    // bucket labels agree with the perplexity_bucket entry doc-for-doc
+    val pb = graft.operators.Quantiles.perplexityBucketQuery(spark, sf)
+      .select(col("doc_id"), col("bucket").as("pb_bucket"))
+    assert(entry.join(pb, "doc_id")
+      .filter(col("bucket") =!= col("pb_bucket")).count() == 0)
+    entry.unpersist()
+    ()
+  }
 }
