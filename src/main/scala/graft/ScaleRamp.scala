@@ -243,7 +243,22 @@ object ScaleRamp {
         mat(graft.operators.SignalsMaintenance.signalsDelta(
           spark.read.parquet(dir), old,
           graft.operators.CorpusDiff.carveNew(d)))
-      }))
+      }),
+      // the card: one signal pass + a sources×langs agg — must ramp
+      // with the signals pass (quality_ablation's twin shape)
+      "dataset_card" -> (() =>
+        mat(graft.operators.CorpusStats.datasetCard(
+          docs.withColumn("source", col("lang"))))),
+      // curriculum positions: lm_score pass + the two-level bucketed
+      // prefix-sum order — ramps with the score pass, never a global
+      // sort (synthetic buckets keep the row independent of the LM)
+      "curriculum_order" -> (() =>
+        mat(graft.operators.Corpus.curriculumOrder(
+          docs.select(col("doc_id"), lit(0.0).as("lm_score"),
+            when(col("doc_id") % 3 === 0, "head")
+              .when(col("doc_id") % 3 === 1, "middle")
+              .otherwise("tail").as("bucket")),
+          graft.operators.Corpus.CurriculumSeed, 32))))
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the ramp (iteration aid; the
     // Bench convention)
