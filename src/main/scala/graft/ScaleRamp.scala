@@ -258,7 +258,12 @@ object ScaleRamp {
             when(col("doc_id") % 3 === 0, "head")
               .when(col("doc_id") % 3 === 1, "middle")
               .otherwise("tail").as("bucket")),
-          graft.operators.Corpus.CurriculumSeed, 32))))
+          graft.operators.Corpus.CurriculumSeed, 32))),
+      // the one-call merge: digest diff + delta band probe + verdict
+      // joins — must ramp with dedup_minhash_delta (the gate dominates)
+      "corpus_merge" -> (() =>
+        mat(graft.operators.CorpusMerge.corpusMergeOn(
+          docs.select(col("doc_id"), col("text"))))))
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the ramp (iteration aid; the
     // Bench convention)

@@ -50,7 +50,7 @@ object Dedup {
   // pair plan, not the fixture write), re-exported on corpus change
   // (graft.FixtureExport)
 
-  private def exportFixture(key: String, path: String)(df: => DataFrame): Unit =
+  private[graft] def exportFixture(key: String, path: String)(df: => DataFrame): Unit =
     graft.FixtureExport.ensure(key, path) {
       df.coalesce(1).write.mode("overwrite").parquet(path)
     }
@@ -574,7 +574,7 @@ object Dedup {
   }
 
   /** The planted demo corpus (mutate=true) as a DuckDB CTE body. */
-  private def mutatedCorpusSql(nPlanted: Int): String =
+  private[graft] def mutatedCorpusSql(nPlanted: Int): String =
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+
+/**
+ * `corpus_merge`: the ONE-CALL snapshot merge — the composition a
+ * pipeline owner actually runs when a recrawl lands. Round 9 built
+ * the incremental pieces separately ([[CorpusDiff]] classifies by
+ * digest, [[Dedup.minhashPairsDelta]] near-dedups the delta against
+ * the resident signature table, [[SignalsMaintenance]] carries
+ * signal rows for unchanged docs); this entry chains them into one
+ * per-document MERGE VERDICT:
+ *
+ *   - `removed`        — in the old snapshot only (index-deletion feed)
+ *   - `carried`        — digest-unchanged; resident rows (signals,
+ *                        signatures) ride, the doc pays NOTHING
+ *   - `dup_of_base`    — new/changed doc that near-matches a resident
+ *                        doc (base wins — the batch analogue of
+ *                        [[graft.streaming.StreamingNearDup]]'s
+ *                        arrival gate)
+ *   - `dup_in_delta`   — near-matches another doc inside the crawl;
+ *                        lowest id wins ([[Dedup.dedupMinhashDeltaApply]]'s
+ *                        pairwise-greedy keeper)
+ *   - `admitted_added` / `admitted_changed` — enters the corpus; the
+ *                        signals delta scores it, the compact step
+ *                        folds its signature into the resident table
+ *
+ * Base-claim precedence: a delta doc dropped by BOTH legs reports
+ * `dup_of_base` (the resident claim is the stronger fact — it means
+ * the content already exists in the served corpus).
+ *
+ * Scale posture: the diff moves 16-byte digests; the dedup gate signs
+ * ONLY the delta and probes the resident signature table (delta-sized
+ * band probe against a corpus-sized build side); verdict assembly is
+ * id-only joins. Total text work = one map pass over the crawl plus
+ * exact-verify on candidate pairs — the base corpus is never re-read.
+ * The decontamination rung composes downstream the same way (admitted
+ * docs vs the resident Bloom bitset, a map-only verdict —
+ * [[graft.streaming.StreamingIntake]] already runs that composition);
+ * it keeps its own entry because its bitset fixture tells a separate
+ * plant story.
+ *
+ * Demo carve (both engines replay it from the planted corpus of
+ * [[Dedup.withPlantedNearDups]], so every verdict arm is exercised):
+ * OLD = originals minus `id % 13 == 0` (→ `added`), with a stale
+ * ` legacy` suffix on `id % 5 == 0` (→ `changed`); NEW = everything
+ * except originals with `id % 7 == 0` (→ `removed`). The planted
+ * copies are all new: a copy whose original is resident drops as
+ * `dup_of_base`, a copy whose original is itself new drops as
+ * `dup_in_delta` (lower id — the original — wins), and a copy whose
+ * original was REMOVED is admitted: the recrawl legitimately
+ * re-introduces content the old corpus lost.
+ */
+object CorpusMerge {
+
+  /** Old-snapshot carve over the planted corpus. */
+  private def carveOld(corpus: DataFrame): DataFrame =
+    corpus.filter(col("doc_id") < Dedup.PlantOffset && col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")).as("text"))
+
+  /** New-snapshot carve: all copies + originals except `% 7 == 0`. */
+  private def carveNew(corpus: DataFrame): DataFrame =
+    corpus.filter(!(col("doc_id") < Dedup.PlantOffset && col("doc_id") % 7 === 0))
+
+  /**
+   * The merge verdict given the resident signature table. `corpus` is
+   * the PLANTED full corpus (carves derive from it); `residentSigs`
+   * is (id, sig) for base docs — on disk in production, exported once
+   * here.
+   */
+  def mergeVerdicts(corpus: DataFrame, residentSigs: DataFrame): DataFrame = {
+    val oldSnap = carveOld(corpus)
+    val newSnap = carveNew(corpus)
+    // digests only ride this join; small (doc_id, status) result
+    val diff = CorpusDiff.corpusDiff(oldSnap, newSnap)
+    val deltaIds = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"))
+    // resident rows for docs still unchanged — stale signatures of
+    // `changed` docs must NOT probe (the delta re-signs them)
+    val baseSigs = residentSigs
+      .join(diff.filter(col("status") === "unchanged")
+        .select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("sig"))
+    val deltaDocs = newSnap.join(deltaIds, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.minhashPairsDelta(baseSigs, deltaDocs, newSnap,
+      "doc_id", "text")
+    // delta_base: drop the delta side (exactly one side is delta)
+    val dropsBase = pairs.filter(col("leg") === "delta_base")
+      .join(deltaIds.select(col("doc_id").as("a"), lit(1).as("da")),
+        Seq("a"), "left")
+      .select(when(col("da").isNotNull, col("a")).otherwise(col("b"))
+        .as("doc_id"))
+      .distinct()
+    // delta_delta: pairs arrive oriented a < b — drop b, keep the keeper
+    val dropsDelta = pairs.filter(col("leg") === "delta_delta")
+      .select(col("b").as("doc_id")).distinct()
+    diff
+      .join(dropsBase.withColumn("dob", lit(1)), Seq("doc_id"), "left")
+      .join(dropsDelta.withColumn("did", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"),
+        when(col("status") === "removed", "removed")
+          .when(col("status") === "unchanged", "carried")
+          .when(col("dob").isNotNull, "dup_of_base")
+          .when(col("did").isNotNull, "dup_in_delta")
+          .otherwise(concat(lit("admitted_"), col("status"))).as("verdict"))
+  }
+
+  /** The entry: planted corpus, resident signatures from the shared
+    * fixture export (the SAME fresh-signing ground truth the other
+    * minhash entries anchor on — the resident table premise). */
+  def corpusMergeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Dedup.withPlantedNearDups(
+      Tables.documents(spark, sfDir), 25, mutate = true)
+    Dedup.exportFixture(s"minhash:$sfDir", Dedup.MinhashSigExportPath) {
+      Dedup.minhashSignatures(graft.index.LshIndex.spread(corpus),
+        "doc_id", "text", numPerms = 64, shingleWidth = 3)
+    }
+    mergeVerdicts(corpus,
+      spark.read.parquet(Dedup.MinhashSigExportPath))
+  }
+
+  /** Self-contained form for the scale ramp: resident signatures are
+    * signed in-plan (one extra map pass — the ramp measures how the
+    * merge SCALES, and the fixture path would hide the base size). */
+  def corpusMergeOn(docs: DataFrame): DataFrame = {
+    val corpus = Dedup.withPlantedNearDups(docs, 25, mutate = true)
+    mergeVerdicts(corpus,
+      Dedup.minhashSignatures(graft.index.LshIndex.spread(corpus),
+        "doc_id", "text", numPerms = 64, shingleWidth = 3))
+  }
+
+  /** Full SQL replay: carves + digest diff + the delta band chain off
+    * the signature fixture + the verdict ladder. Shares the planted
+    * corpus CTE and band constants (16 bands of 4 slots, maxBucket
+    * 1000, threshold 0.5) with the other minhash oracles. */
+  val corpusMergeSql: String = {
+    val off = Dedup.PlantOffset
+    s"""WITH ${Dedup.mutatedCorpusSql(25)},
+       |o AS (
+       |  SELECT doc_id,
+       |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' legacy' ELSE text END) AS fp_old
+       |  FROM corpus WHERE doc_id < $off AND doc_id % 13 <> 0),
+       |n AS (
+       |  SELECT doc_id, md5(text) AS fp_new FROM corpus
+       |  WHERE NOT (doc_id < $off AND doc_id % 7 = 0)),
+       |diff AS (
+       |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |    CASE WHEN o.fp_old IS NULL THEN 'added'
+       |         WHEN n.fp_new IS NULL THEN 'removed'
+       |         WHEN o.fp_old <> n.fp_new THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+       |d AS (SELECT doc_id AS id FROM diff WHERE status IN ('added', 'changed')),
+       |probe AS (SELECT doc_id AS id FROM diff WHERE status <> 'removed'),
+       |sigs AS (
+       |  SELECT id, sig FROM read_parquet('${Dedup.MinhashSigExportPath}/*.parquet')
+       |  WHERE id IN (SELECT id FROM probe)),
+       |bands AS (
+       |  SELECT id, t.band AS band, sig[t.band*4+1:t.band*4+4] AS bh
+       |  FROM sigs, generate_series(0, 15) t(band)),
+       |guarded AS (
+       |  SELECT id, band, bh FROM bands
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= 1000),
+       |cands AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM guarded x JOIN guarded y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
+       |  WHERE x.id IN (SELECT id FROM d) OR y.id IN (SELECT id FROM d)),
+       |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+       |sets AS (SELECT doc_id, ${Dedup.shingleSetSql} AS sh FROM tok),
+       |verify AS (
+       |  SELECT c.a, c.b,
+       |    CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(xa.sh, xb.sh))) AS j
+       |  FROM cands c
+       |  JOIN sets xa ON xa.doc_id = c.a
+       |  JOIN sets xb ON xb.doc_id = c.b),
+       |pairs AS (
+       |  SELECT a, b,
+       |    CASE WHEN a IN (SELECT id FROM d) AND b IN (SELECT id FROM d)
+       |         THEN 'delta_delta' ELSE 'delta_base' END AS leg
+       |  FROM verify WHERE j >= 0.5),
+       |drops_base AS (
+       |  SELECT DISTINCT CASE WHEN a IN (SELECT id FROM d) THEN a ELSE b END AS doc_id
+       |  FROM pairs WHERE leg = 'delta_base'),
+       |drops_delta AS (
+       |  SELECT DISTINCT b AS doc_id FROM pairs WHERE leg = 'delta_delta')
+       |SELECT doc_id, status,
+       |  CASE WHEN status = 'removed' THEN 'removed'
+       |       WHEN status = 'unchanged' THEN 'carried'
+       |       WHEN doc_id IN (SELECT doc_id FROM drops_base) THEN 'dup_of_base'
+       |       WHEN doc_id IN (SELECT doc_id FROM drops_delta) THEN 'dup_in_delta'
+       |       ELSE 'admitted_' || status END AS verdict
+       |FROM diff""".stripMargin
+  }
+}

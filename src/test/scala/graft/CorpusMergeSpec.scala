@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.operators.CorpusMerge
+
+class CorpusMergeSpec extends SparkSpecBase {
+
+  private lazy val verdicts =
+    CorpusMerge.corpusMergeQuery(spark, sf).cache()
+
+  private def byVerdict: Map[String, Long] =
+    verdicts.groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("every document in either snapshot gets exactly one verdict") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = Dedup.withPlantedNearDups(docs, 25, mutate = true)
+    // diff domain: old ∪ new = everything except originals hit by BOTH
+    // carves (%13 removes from old, %7 removes from new)
+    val expected = corpus.filter(
+      !(col("doc_id") < Dedup.PlantOffset &&
+        col("doc_id") % 13 === 0 && col("doc_id") % 7 === 0)).count()
+    assert(verdicts.count() == expected)
+    assert(verdicts.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("verdict ladder: carried==unchanged, drops only on delta docs") {
+    val m = verdicts.groupBy("status", "verdict").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // carried iff unchanged; removed iff removed
+    assert(m.keys.filter(_._2 == "carried").forall(_._1 == "unchanged"))
+    assert(m.keys.filter(_._2 == "removed").forall(_._1 == "removed"))
+    // dup verdicts only on added/changed docs
+    assert(m.keys.filter(k => k._2.startsWith("dup_"))
+      .forall(k => k._1 == "added" || k._1 == "changed"))
+    // all six arms genuinely occur on the demo carve
+    val v = byVerdict
+    for (arm <- Seq("carried", "removed", "admitted_added",
+        "admitted_changed", "dup_of_base", "dup_in_delta"))
+      assert(v.getOrElse(arm, 0L) > 0, s"verdict arm $arm never occurs")
+  }
+
+  test("planted copies: resident original claims the copy, removed original frees it") {
+    val copies = verdicts.filter(col("doc_id") >= Dedup.PlantOffset)
+      .select(col("doc_id"), col("verdict")).collect()
+      .map(r => (r.getLong(0) - Dedup.PlantOffset) -> r.getString(1)).toMap
+    // original 13 is itself new (added): its copy loses inside the
+    // crawl (lowest id wins), NOT against the base
+    assert(copies(13L) == "dup_in_delta")
+    // originals 5/10/15/20 are changed → delta: their copies lose in-delta
+    for (i <- Seq(5L, 10L, 15L, 20L)) assert(copies(i) == "dup_in_delta")
+    // originals 7/14/21 were REMOVED: the recrawl re-introduces that
+    // content — copies must be admitted, not dropped against a ghost
+    for (i <- Seq(7L, 14L, 21L)) assert(copies(i) == "admitted_added")
+    // a copy whose original stayed resident drops as dup_of_base
+    for (i <- Seq(1L, 2L, 3L, 4L, 6L)) assert(copies(i) == "dup_of_base")
+  }
+
+  test("base is never re-read: verdicts for base docs need no text join") {
+    // carried + removed verdicts derive from the digest diff alone —
+    // assert the counts match a digest-only recomputation
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = Dedup.withPlantedNearDups(docs, 25, mutate = true)
+    val nUnchanged = corpus.filter(col("doc_id") < Dedup.PlantOffset &&
+      col("doc_id") % 13 =!= 0 && col("doc_id") % 7 =!= 0 &&
+      col("doc_id") % 5 =!= 0).count()
+    val nRemoved = corpus.filter(col("doc_id") < Dedup.PlantOffset &&
+      col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0).count()
+    val v = byVerdict
+    assert(v.getOrElse("carried", 0L) == nUnchanged)
+    assert(v.getOrElse("removed", 0L) == nRemoved)
+  }
+
+  test("self-contained ramp form agrees with the fixture-backed entry") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val onForm = CorpusMerge.corpusMergeOn(docs)
+    assert(onForm.exceptAll(verdicts).isEmpty &&
+      verdicts.exceptAll(onForm).isEmpty,
+      "in-plan resident signing must not change any verdict")
+  }
+}
