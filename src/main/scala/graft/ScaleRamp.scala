@@ -263,7 +263,11 @@ object ScaleRamp {
       // joins — must ramp with dedup_minhash_delta (the gate dominates)
       "corpus_merge" -> (() =>
         mat(graft.operators.CorpusMerge.corpusMergeOn(
-          docs.select(col("doc_id"), col("text"))))))
+          docs.select(col("doc_id"), col("text"))))),
+      // packing report: one sizing pass + shard-bounded greedy folds —
+      // must ramp with the seq_pack rows (the folds are window-shaped)
+      "pack_efficiency" -> (() =>
+        mat(graft.operators.Packing.packEfficiency(docs, "lang"))))
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the ramp (iteration aid; the
     // Bench convention)

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * `pack_efficiency`: the packing-waste report — for one corpus and one
+ * sequence budget, how many training sequences does each packing
+ * strategy emit, and how much of the token grid is padding? This is
+ * the number that prices a packing decision at 100 TB: padding share
+ * IS wasted accelerator hours, and document splitting IS truncated
+ * attention context, so the choice between them should come from a
+ * table, not a guess (the same knob-table posture as
+ * `dedup_minhash_tune` / `ann_tier_report`).
+ *
+ * Three strategies over identical inputs:
+ *  - `concat_chunk` — [[Corpus.seqPack]]'s production semantics: token
+ *    streams laid end to end, a cut every `budget` tokens. ZERO
+ *    padding except the final partial sequence per stratum — but docs
+ *    straddle cuts (`n_split_docs`), which costs attention context.
+ *  - `greedy_docwise` — document-preserving greedy fill in doc_id
+ *    order: a doc that doesn't fit closes the sequence and opens the
+ *    next. No splits; padding = budget minus each closed fill.
+ *  - `greedy_sorted` — the same greedy fold over docs ordered
+ *    length-DESCENDING (the classic sorted-packing improvement:
+ *    similar lengths pack adjacently, so boundary waste shrinks; the
+ *    trade is losing document order inside a shard).
+ *
+ * Docs longer than the budget (`n_overlong`) are excluded from the
+ * document-preserving strategies and reported — a real pipeline runs
+ * [[Chunking]] over them first; silently truncating them here would
+ * fake the padding number.
+ *
+ * Scale posture: one map-only sizing pass (token counts off
+ * length arithmetic, no token arrays), then per-strategy aggregates.
+ * The greedy fold is inherently sequential, so it runs EXACTLY GREEDY
+ * inside each (stratum × doc_id-range-bucket) shard — the corpus
+ * layout's two-level discipline ([[Corpus.seqPack]]'s bucketing, a
+ * FIXED 32-bucket engine-portable carve here): each shard folds its
+ * own bounded doc list (the `*_window_rows` bound in SCALE_r09), at
+ * the cost of at most one partially-filled sequence per shard —
+ * amortized to nothing at corpus scale, and exactly what a
+ * distributed packer does (each output shard packs independently).
+ * The fold state rides ONE long (`packs * 1e6 + fill`), so the whole
+ * strategy is collect_list + one codegen'd `aggregate` per shard —
+ * no UDF, no driver loop.
+ *
+ * Cross-engine: the fold replays in DuckDB as `list_reduce` over the
+ * same encoded-long arithmetic; bucket bounds use the equal-width
+ * double arithmetic both engines evaluate identically; shares are
+ * FLOORed to 4dp.
+ */
+object Packing {
+
+  /** Sequence budget for the report entry — sized to the synthetic
+    * corpus (docs are 10-99 whitespace tokens) so packs hold ~2 docs
+    * and the strategies genuinely diverge; a real pretraining run
+    * passes its context length. */
+  val PackBudget = 128L
+
+  /** Fixed shard count for the greedy strategies (engine-portable,
+    * unlike defaultParallelism). */
+  val PackBuckets = 32
+
+  private val StateMult = 1000000L
+
+  /** The greedy fold over an ordered length array: state = packs *
+    * [[StateMult]] + fill, seeded with fill == budget so the first doc
+    * opens sequence 1. */
+  private def greedyPacks(lens: Column, budget: Long): Column =
+    floor(aggregate(lens, lit(budget),
+      (acc, x) => when(acc % StateMult + x <= budget, acc + x)
+        .otherwise(acc - (acc % StateMult) + StateMult + x)) / StateMult)
+      .cast("long")
+
+  /** One report row per strategy. `docs` needs (doc_id, stratum, text). */
+  def packEfficiency(docs: DataFrame, stratumCol: String,
+      budget: Long = PackBudget): DataFrame = {
+    val sized = docs.select(col("doc_id"), col(stratumCol).as("stratum"),
+      Corpus.nTokens(col("text")).as("n"))
+
+    // ---- concat_chunk: per-stratum ceil + boundary-straddle count ----
+    val concatStats = sized
+      .groupBy("stratum")
+      .agg(sum("n").as("tok"))
+      .agg(sum(ceil(col("tok").cast("double") / budget).cast("long")).as("n_seqs"),
+        sum("tok").as("packed_tokens"))
+    // straddlers off the PRODUCTION packer's bucketed numbering
+    // (pack_offset == cum_before % budget, Corpus.seqPack scaladoc);
+    // the oracle replays the windowed twin, which equals it
+    val splits = Corpus.seqPack(docs, stratumCol, budget.toInt)
+      .filter(col("pack_offset") + col("n_tokens") > budget)
+      .agg(count(lit(1)).as("n_split"))
+    val concatRow = concatStats.crossJoin(splits)
+      .select(lit("concat_chunk").as("strategy"), col("n_seqs"),
+        col("packed_tokens"), col("n_split").as("n_split_docs"),
+        lit(0L).as("n_overlong"))
+
+    // ---- document-preserving greedy strategies ----
+    val overlong = sized.filter(col("n") > budget)
+      .agg(count(lit(1)).as("n_overlong"))
+    val kept = sized.filter(col("n") <= budget)
+    val sharded = Corpus.withRangeBucketWidth(kept, "stratum", PackBuckets)
+
+    def greedyRow(name: String, ordered: Column): DataFrame =
+      sharded.groupBy("stratum", "bkt")
+        .agg(transform(ordered, s => s.getField("n")).as("lens"),
+          sum("n").as("tok"))
+        .select(greedyPacks(col("lens"), budget).as("packs"), col("tok"))
+        .agg(sum("packs").as("n_seqs"), sum("tok").as("packed_tokens"))
+        .crossJoin(overlong)
+        .select(lit(name).as("strategy"), col("n_seqs"),
+          col("packed_tokens"), lit(0L).as("n_split_docs"), col("n_overlong"))
+
+    // doc_id order: struct sorts lexicographically on (doc_id, n)
+    val byDoc = sort_array(collect_list(struct(col("doc_id"), col("n"))))
+    // length-descending: leading -n makes the lexicographic sort
+    // descend on length, doc_id breaks ties deterministically
+    val byLenDesc = sort_array(collect_list(
+      struct((-col("n")).as("negn"), col("doc_id"), col("n"))))
+
+    concatRow
+      .unionByName(greedyRow("greedy_docwise", byDoc))
+      .unionByName(greedyRow("greedy_sorted", byLenDesc))
+      .select(col("strategy"), col("n_seqs"), col("packed_tokens"),
+        (col("n_seqs") * budget - col("packed_tokens")).as("pad_tokens"),
+        (floor((col("n_seqs") * budget - col("packed_tokens")).cast("double") /
+          (col("n_seqs") * budget).cast("double") * 10000) / 10000).as("pad_share"),
+        col("n_split_docs"), col("n_overlong"))
+  }
+
+  def packEfficiencyQuery(spark: SparkSession, sfDir: String): DataFrame =
+    packEfficiency(Tables.documents(spark, sfDir), "lang")
+
+  val packEfficiencySql: String = {
+    val b = PackBudget
+    val m = StateMult
+    s"""WITH sized AS (
+       |  SELECT doc_id, lang AS stratum,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n
+       |  FROM documents),
+       |concat_per AS (
+       |  SELECT stratum, SUM(n) AS tok FROM sized GROUP BY stratum),
+       |concat_tot AS (
+       |  SELECT CAST(SUM(CAST(CEIL(CAST(tok AS DOUBLE) / $b) AS BIGINT)) AS BIGINT) AS n_seqs,
+       |    CAST(SUM(tok) AS BIGINT) AS packed_tokens
+       |  FROM concat_per),
+       |cum AS (
+       |  SELECT n, COALESCE(SUM(n) OVER (
+       |      PARTITION BY stratum ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM sized),
+       |splits AS (
+       |  SELECT COUNT(*) FILTER (WHERE cb % $b + n > $b) AS n_split FROM cum),
+       |ol AS (SELECT COUNT(*) AS n_overlong FROM sized WHERE n > $b),
+       |kept AS (SELECT * FROM sized WHERE n <= $b),
+       |bounds AS (
+       |  SELECT stratum AS _sk, MIN(doc_id) AS _lo, MAX(doc_id) AS _hi
+       |  FROM kept GROUP BY stratum),
+       |sharded AS (
+       |  SELECT k.doc_id, k.stratum, k.n,
+       |    CAST(LEAST(FLOOR((CAST(k.doc_id AS DOUBLE) - CAST(b._lo AS DOUBLE))
+       |        * $PackBuckets /
+       |        (CAST(b._hi AS DOUBLE) - CAST(b._lo AS DOUBLE) + 1.0)),
+       |      ${PackBuckets - 1}) AS INTEGER) AS bkt
+       |  FROM kept k JOIN bounds b ON k.stratum = b._sk),
+       |fold_doc AS (
+       |  SELECT stratum, bkt, SUM(n) AS tok,
+       |    list_reduce(list_prepend(CAST($b AS BIGINT), list(n ORDER BY doc_id)),
+       |      (a, x) -> CASE WHEN a % $m + x <= $b THEN a + x
+       |                     ELSE a - (a % $m) + $m + x END) // $m AS packs
+       |  FROM sharded GROUP BY stratum, bkt),
+       |fold_len AS (
+       |  SELECT stratum, bkt, SUM(n) AS tok,
+       |    list_reduce(list_prepend(CAST($b AS BIGINT), list(n ORDER BY n DESC, doc_id)),
+       |      (a, x) -> CASE WHEN a % $m + x <= $b THEN a + x
+       |                     ELSE a - (a % $m) + $m + x END) // $m AS packs
+       |  FROM sharded GROUP BY stratum, bkt),
+       |rows3 AS (
+       |  SELECT 'concat_chunk' AS strategy, n_seqs, packed_tokens,
+       |    (SELECT CAST(n_split AS BIGINT) FROM splits) AS n_split_docs,
+       |    CAST(0 AS BIGINT) AS n_overlong
+       |  FROM concat_tot
+       |  UNION ALL
+       |  SELECT 'greedy_docwise', CAST(SUM(packs) AS BIGINT),
+       |    CAST(SUM(tok) AS BIGINT), CAST(0 AS BIGINT),
+       |    (SELECT CAST(n_overlong AS BIGINT) FROM ol)
+       |  FROM fold_doc
+       |  UNION ALL
+       |  SELECT 'greedy_sorted', CAST(SUM(packs) AS BIGINT),
+       |    CAST(SUM(tok) AS BIGINT), CAST(0 AS BIGINT),
+       |    (SELECT CAST(n_overlong AS BIGINT) FROM ol)
+       |  FROM fold_len)
+       |SELECT strategy, n_seqs, packed_tokens,
+       |  n_seqs * $b - packed_tokens AS pad_tokens,
+       |  FLOOR(CAST(n_seqs * $b - packed_tokens AS DOUBLE) /
+       |    CAST(n_seqs * $b AS DOUBLE) * 10000) / 10000 AS pad_share,
+       |  n_split_docs, n_overlong
+       |FROM rows3""".stripMargin
+  }
+}

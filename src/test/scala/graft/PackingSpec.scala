@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def report(rows: Seq[(Long, String, Int)], budget: Long) = {
+    val docs = rows.toDF("doc_id", "lang", "nt")
+      .select(col("doc_id"), col("lang"),
+        // nt whitespace tokens exactly (nt-1 spaces)
+        concat_ws(" ", array_repeat(lit("w"), col("nt").cast("int"))).as("text"))
+    Packing.packEfficiency(docs, "lang", budget)
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  /** Reference: the same shard carve + exact greedy, sequentially. */
+  private def refGreedy(rows: Seq[(Long, String, Int)], budget: Long,
+      sortByLen: Boolean): Long = {
+    val kept = rows.filter(_._3 <= budget)
+    kept.groupBy(_._2).iterator.flatMap { case (_, docs) =>
+      val lo = docs.map(_._1).min.toDouble
+      val hi = docs.map(_._1).max.toDouble
+      val span = hi - lo + 1.0
+      docs.groupBy(d => math.min(
+        math.floor((d._1 - lo) * Packing.PackBuckets / span).toLong,
+        (Packing.PackBuckets - 1).toLong)).valuesIterator.map { shard =>
+        val ordered =
+          if (sortByLen) shard.sortBy(d => (-d._3, d._1)) else shard.sortBy(_._1)
+        var packs = 0L; var fill = budget
+        for (d <- ordered) {
+          if (fill + d._3 <= budget) fill += d._3
+          else { packs += 1; fill = d._3 }
+        }
+        packs
+      }
+    }.sum
+  }
+
+  test("greedy fold equals the sequential reference, both orders") {
+    // lengths engineered so doc order vs length order genuinely differ
+    val rows = (0L until 90L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", (7 + (i * 13) % 60).toInt))
+    val rep = report(rows, budget = 64)
+    assert(rep("greedy_docwise").getAs[Long]("n_seqs") ==
+      refGreedy(rows, 64, sortByLen = false))
+    assert(rep("greedy_sorted").getAs[Long]("n_seqs") ==
+      refGreedy(rows, 64, sortByLen = true))
+  }
+
+  test("overlong docs are excluded from greedy, kept by concat, and counted") {
+    val rows = Seq((0L, "en", 10), (1L, "en", 200), (2L, "en", 20),
+      (3L, "en", 30), (4L, "en", 15))
+    val rep = report(rows, budget = 64)
+    assert(rep("greedy_docwise").getAs[Long]("n_overlong") == 1L)
+    assert(rep("greedy_sorted").getAs[Long]("n_overlong") == 1L)
+    assert(rep("concat_chunk").getAs[Long]("n_overlong") == 0L)
+    // concat packs ALL tokens; greedy skips the overlong doc's 200
+    assert(rep("concat_chunk").getAs[Long]("packed_tokens") -
+      rep("greedy_docwise").getAs[Long]("packed_tokens") == 200L)
+  }
+
+  test("accounting invariants: pad = grid - tokens; concat splits, greedy never") {
+    val rep = report((0L until 200L).map(i =>
+      (i, "en", (5 + (i * 7) % 40).toInt)), budget = 50)
+    for ((_, r) <- rep) {
+      assert(r.getAs[Long]("pad_tokens") ==
+        r.getAs[Long]("n_seqs") * 50 - r.getAs[Long]("packed_tokens"))
+      assert(r.getAs[Long]("pad_tokens") >= 0)
+    }
+    assert(rep("concat_chunk").getAs[Long]("n_split_docs") > 0)
+    assert(rep("greedy_docwise").getAs[Long]("n_split_docs") == 0)
+    // concat's padding is bounded by one partial sequence per stratum
+    assert(rep("concat_chunk").getAs[Long]("pad_tokens") < 50)
+  }
+
+  test("entry corpus: trade-off table is coherent at sf0.001") {
+    val rep = Packing.packEfficiencyQuery(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val concat = rep("concat_chunk"); val greedy = rep("greedy_docwise")
+    val sorted = rep("greedy_sorted")
+    // concat: near-zero pad, many splits; greedy: real pad, zero splits
+    assert(concat.getAs[Double]("pad_share") < 0.05)
+    assert(concat.getAs[Long]("n_split_docs") > 0)
+    assert(greedy.getAs[Double]("pad_share") > concat.getAs[Double]("pad_share"))
+    // sorted packing is the better document-preserving layout here
+    assert(sorted.getAs[Long]("n_seqs") <= greedy.getAs[Long]("n_seqs"))
+    // n_seqs can never beat the token lower bound
+    val lb = math.ceil(greedy.getAs[Long]("packed_tokens").toDouble /
+      Packing.PackBudget).toLong
+    assert(greedy.getAs[Long]("n_seqs") >= lb)
+  }
+}
