@@ -369,6 +369,72 @@ object Embeddings {
        |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), m.w), 4) + 0.0 AS v
        |FROM embeddings e, read_parquet('$ProjExportPath/*.parquet') m""".stripMargin
 
+  /**
+   * `embed_diagnostics`: per-dimension health report for an embedding
+   * table — the "did my encoder regress" check a pipeline owner runs
+   * after every model swap or fine-tune, BEFORE spending a corpus pass
+   * on re-indexing. Per dimension: mean, variance, min/max, dead share
+   * (|x| < 1e-6), and a `collapsed` flag (4dp variance == 0) —
+   * collapsed or dead dimensions mean the encoder is wasting capacity
+   * and every distance computation is paying for coordinates that
+   * carry no signal (the representation-collapse failure mode).
+   *
+   * Scale posture: one posexplode pass (rows × dim) whose partial
+   * aggregation reduces each task to `dim` rows before the shuffle —
+   * shuffle keys are the DIMENSION COUNT regardless of corpus size
+   * (the CMS-sketch bounded-key argument). No fit, no fixture, no
+   * join.
+   *
+   * Cross-engine: float→double casts are exact; cross-row double sums
+   * are order-sensitive in the last bits, absorbed by the suite's
+   * ROUND-4dp doctrine (the `ann_recall_eval` precedent); variance
+   * uses the SAME `s2/n - (s/n)²` expression in both engines;
+   * `collapsed` compares the ROUNDED variance so both engines flag
+   * off identical 4dp values.
+   */
+  def embedDiagnostics(emb: DataFrame): DataFrame = {
+    val d = emb.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+    val mean = col("s") / col("n")
+    val variance = col("s2") / col("n") - mean * mean
+    d.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("s"),
+        sum(col("x") * col("x")).as("s2"),
+        min("x").as("mn"),
+        max("x").as("mx"),
+        sum(when(abs(col("x")) < 1e-6, 1L).otherwise(0L)).as("nz"))
+      .select(col("dim"),
+        round(mean, 4).as("mean"),
+        round(variance, 4).as("variance"),
+        round(col("mn"), 4).as("vmin"),
+        round(col("mx"), 4).as("vmax"),
+        round(col("nz").cast("double") / col("n"), 4).as("dead_share"),
+        (round(variance, 4) === 0.0).cast("int").as("collapsed"))
+  }
+
+  def embedDiagnosticsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    embedDiagnostics(Tables.embeddings(spark, sfDir))
+
+  val embedDiagnosticsSql: String =
+    """WITH d AS (
+      |  SELECT unnest(range(len(embedding))) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT dim, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS s2,
+      |    MIN(x) AS mn, MAX(x) AS mx,
+      |    COUNT(*) FILTER (WHERE ABS(x) < 1e-6) AS nz
+      |  FROM d GROUP BY dim)
+      |SELECT CAST(dim AS INTEGER) AS dim,
+      |  ROUND(s / n, 4) + 0.0 AS mean,
+      |  ROUND(s2 / n - (s / n) * (s / n), 4) + 0.0 AS variance,
+      |  ROUND(mn, 4) + 0.0 AS vmin,
+      |  ROUND(mx, 4) + 0.0 AS vmax,
+      |  ROUND(CAST(nz AS DOUBLE) / n, 4) + 0.0 AS dead_share,
+      |  CAST(ROUND(s2 / n - (s / n) * (s / n), 4) = 0.0 AS INTEGER) AS collapsed
+      |FROM a""".stripMargin
+
   val embedQuantizeSql: String =
     """WITH s AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -85,4 +85,27 @@ class EmbeddingsSpec extends SparkSpecBase {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
     out.unpersist()
   }
+  test("embed_diagnostics flags collapsed and dead dims, clears healthy ones") {
+    import spark.implicits._
+    // dim 0 healthy, dim 1 constant nonzero (collapsed), dim 2 all-zero
+    // (collapsed AND dead), dim 3 mostly zero (dead-share 0.75, alive)
+    val emb = Seq(
+      (0L, Seq(0.5f, 2.0f, 0.0f, 0.0f)),
+      (1L, Seq(-0.5f, 2.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.25f, 2.0f, 0.0f, 0.0f)),
+      (3L, Seq(-0.25f, 2.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val rep = Embeddings.embedDiagnostics(emb)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(rep(0).getAs[Int]("collapsed") == 0)
+    assert(rep(0).getAs[Double]("dead_share") == 0.0)
+    assert(rep(1).getAs[Int]("collapsed") == 1)
+    assert(rep(1).getAs[Double]("mean") == 2.0)
+    assert(rep(2).getAs[Int]("collapsed") == 1)
+    assert(rep(2).getAs[Double]("dead_share") == 1.0)
+    assert(rep(3).getAs[Int]("collapsed") == 0)
+    assert(rep(3).getAs[Double]("dead_share") == 0.75)
+    // report is one row per dimension, n vectors each
+    assert(Embeddings.embedDiagnostics(emb).count() == 4)
+  }
 }
