@@ -69,16 +69,18 @@ object CorpusMerge {
     corpus.filter(!(col("doc_id") < Dedup.PlantOffset && col("doc_id") % 7 === 0))
 
   /**
-   * The merge verdict given the resident signature table. `corpus` is
-   * the PLANTED full corpus (carves derive from it); `residentSigs`
-   * is (id, sig) for base docs — on disk in production, exported once
-   * here.
+   * The merge verdict given the new snapshot, the resident signature
+   * table, and the (doc_id, status) digest diff. The diff feeds FOUR
+   * legs (resident semi-join, delta carve, drop-side orientation,
+   * final verdict join) — the entry STAGES it as the `corpus_diff`
+   * audit parquet first (a real merge writes that table anyway —
+   * [[SignalsMaintenance.qualitySignalsDelta]]'s rule), so each leg
+   * is a small-table scan and the md5 text passes run exactly once.
+   * Leaving the diff in-plan instead re-evaluates the digest subtree
+   * inside the band chain (measured ~2.5× the whole entry at sf0.1).
    */
-  def mergeVerdicts(corpus: DataFrame, residentSigs: DataFrame): DataFrame = {
-    val oldSnap = carveOld(corpus)
-    val newSnap = carveNew(corpus)
-    // digests only ride this join; small (doc_id, status) result
-    val diff = CorpusDiff.corpusDiff(oldSnap, newSnap)
+  def mergeVerdictsFromDiff(newSnap: DataFrame, residentSigs: DataFrame,
+      diff: DataFrame): DataFrame = {
     val deltaIds = diff.filter(col("status").isin("added", "changed"))
       .select(col("doc_id"))
     // resident rows for docs still unchanged — stale signatures of
@@ -111,9 +113,23 @@ object CorpusMerge {
           .otherwise(concat(lit("admitted_"), col("status"))).as("verdict"))
   }
 
+  /** In-plan form (the scale ramp's and spec's handle): diff stays a
+    * subtree, resident signatures signed in-plan — measures how the
+    * merge SCALES without hiding the base behind fixtures. */
+  def corpusMergeOn(docs: DataFrame): DataFrame = {
+    val corpus = Dedup.withPlantedNearDups(docs, 25, mutate = true)
+    mergeVerdictsFromDiff(carveNew(corpus),
+      Dedup.minhashSignatures(graft.index.LshIndex.spread(corpus),
+        "doc_id", "text", numPerms = 64, shingleWidth = 3),
+      CorpusDiff.corpusDiff(carveOld(corpus), carveNew(corpus)))
+  }
+
   /** The entry: planted corpus, resident signatures from the shared
     * fixture export (the SAME fresh-signing ground truth the other
-    * minhash entries anchor on — the resident table premise). */
+    * minhash entries anchor on — the resident table premise), diff
+    * staged per invocation as the audit table a real merge writes
+    * anyway (mode overwrite — bench reps time the diff write too,
+    * the curateMaterialized honesty rule). */
   def corpusMergeQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Dedup.withPlantedNearDups(
       Tables.documents(spark, sfDir), 25, mutate = true)
@@ -121,18 +137,13 @@ object CorpusMerge {
       Dedup.minhashSignatures(graft.index.LshIndex.spread(corpus),
         "doc_id", "text", numPerms = 64, shingleWidth = 3)
     }
-    mergeVerdicts(corpus,
-      spark.read.parquet(Dedup.MinhashSigExportPath))
-  }
-
-  /** Self-contained form for the scale ramp: resident signatures are
-    * signed in-plan (one extra map pass — the ramp measures how the
-    * merge SCALES, and the fixture path would hide the base size). */
-  def corpusMergeOn(docs: DataFrame): DataFrame = {
-    val corpus = Dedup.withPlantedNearDups(docs, 25, mutate = true)
-    mergeVerdicts(corpus,
-      Dedup.minhashSignatures(graft.index.LshIndex.spread(corpus),
-        "doc_id", "text", numPerms = 64, shingleWidth = 3))
+    val diffPath = "/root/repo/tmp/stage/corpus_merge_diff_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    CorpusDiff.corpusDiff(carveOld(corpus), carveNew(corpus))
+      .write.mode("overwrite").parquet(diffPath)
+    mergeVerdictsFromDiff(carveNew(corpus),
+      spark.read.parquet(Dedup.MinhashSigExportPath),
+      spark.read.parquet(diffPath))
   }
 
   /** Full SQL replay: carves + digest diff + the delta band chain off
