@@ -58,14 +58,14 @@ import graft.dedup.Dedup
 object CorpusMerge {
 
   /** Old-snapshot carve over the planted corpus. */
-  private def carveOld(corpus: DataFrame): DataFrame =
+  private[graft] def carveOld(corpus: DataFrame): DataFrame =
     corpus.filter(col("doc_id") < Dedup.PlantOffset && col("doc_id") % 13 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" legacy")))
           .otherwise(col("text")).as("text"))
 
   /** New-snapshot carve: all copies + originals except `% 7 == 0`. */
-  private def carveNew(corpus: DataFrame): DataFrame =
+  private[graft] def carveNew(corpus: DataFrame): DataFrame =
     corpus.filter(!(col("doc_id") < Dedup.PlantOffset && col("doc_id") % 7 === 0))
 
   /**

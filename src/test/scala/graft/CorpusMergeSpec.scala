@@ -73,6 +73,53 @@ class CorpusMergeSpec extends SparkSpecBase {
     assert(v.getOrElse("removed", 0L) == nRemoved)
   }
 
+  test("the streaming intake gate agrees with the batch merge on every drop") {
+    // the same merge, run the way a CONTINUOUS pipeline would: the
+    // resident base streams in first (seeding the near-dup gate's
+    // state), the crawl delta arrives in a later micro-batch; the
+    // streamed pair report + the merge's drop ladder must reproduce
+    // the batch verdicts doc-for-doc. Pair emission is split-invariant
+    // (StreamingNearDupSpec), so this pins the LADDER's consistency
+    // across the batch/streaming boundary.
+    import java.nio.file.{Files, Paths}
+    val dir = "/root/repo/target/tmp/mergegate"
+    graft.util.Io.deleteRecursively(dir)
+    Files.createDirectories(Paths.get(dir))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = Dedup.withPlantedNearDups(docs, 25, mutate = true)
+    val newSnap = CorpusMerge.carveNew(corpus)
+    val status = verdicts.select("doc_id", "status")
+    val deltaIds = status.filter(col("status").isin("added", "changed"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 0: the resident base (unchanged docs); batch 1: the delta
+    newSnap.join(status.filter(col("status") === "unchanged"), Seq("doc_id"), "left_semi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in/b=000")
+    newSnap.join(status.filter(col("status").isin("added", "changed")), Seq("doc_id"), "left_semi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in/b=001")
+    val stream = spark.readStream.schema(newSnap.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/b=*")
+    val q = graft.streaming.StreamingNearDup.neardupStream(spark, stream.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$dir/out").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+    // the merge's drop ladder over the STREAMED pairs
+    val dropsBase = streamed.filter(p => deltaIds(p._1) ^ deltaIds(p._2))
+      .map(p => if (deltaIds(p._1)) p._1 else p._2)
+    val dropsDelta = streamed.filter(p => deltaIds(p._1) && deltaIds(p._2)).map(_._2)
+    val streamVerdicts = (dropsBase.map(_ -> "dup_of_base") ++
+      (dropsDelta -- dropsBase).map(_ -> "dup_in_delta")).toMap
+    val batchVerdicts = verdicts.filter(col("verdict").startsWith("dup_"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(streamVerdicts == batchVerdicts,
+      "intake-gate drops must equal the batch merge verdicts")
+  }
+
   test("self-contained ramp form agrees with the fixture-backed entry") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val onForm = CorpusMerge.corpusMergeOn(docs)
