@@ -318,6 +318,32 @@ class PlanPostureSpec extends SparkSpecBase {
     assert(!bq.contains("CartesianProduct"), bq)
   }
 
+  test("round-9 entries: merge stays on equi/broadcast joins; packing never sorts globally; diagnostics is one bounded agg") {
+    // corpus_merge: staged-diff legs broadcast, band join is an
+    // equi-join, nothing cartesian (plan built AFTER the entry stages
+    // the diff + fixture — the write is part of the entry's contract)
+    val cm = plan("corpus_merge")
+    assert(!cm.contains("CartesianProduct") && !cm.contains("BroadcastNestedLoopJoin"),
+      s"corpus_merge must stay on equi/broadcast joins:\n$cm")
+    assert(cm.contains("BroadcastHashJoin"),
+      s"the staged-diff id legs must broadcast:\n$cm")
+    // pack_efficiency: the greedy folds group on (stratum, bkt) hash
+    // aggregation; no global sort anywhere (list sorting happens
+    // inside per-shard arrays, not as a Sort exchange)
+    val pe = plan("pack_efficiency")
+    assert(!pe.contains("rangepartitioning"),
+      s"pack_efficiency must not globally sort:\n$pe")
+    assert(!pe.contains("CartesianProduct"), pe)
+    // embed_diagnostics: no join at all; the one exchange keys on the
+    // dimension index (bounded by dim count, never corpus size)
+    val ed = plan("embed_diagnostics")
+    assert(!ed.contains("Join"), s"embed_diagnostics must be join-free:\n$ed")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(ed).length
+    assert(exchanges == 1, s"embed_diagnostics must shuffle exactly once:\n$ed")
+    assert(ed.contains("hashpartitioning(dim"),
+      s"the one exchange must key on the dim index:\n$ed")
+  }
+
   test("ivf_stats / data_mix_plan: one corpus agg, bounded-table windows, broadcast totals") {
     val iv = plan("ivf_stats")
     // the only window input is the nlist-row size table; the corpus
