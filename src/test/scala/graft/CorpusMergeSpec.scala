@@ -120,6 +120,23 @@ class CorpusMergeSpec extends SparkSpecBase {
       "intake-gate drops must equal the batch merge verdicts")
   }
 
+  test("post-merge signals table equals the full recompute over kept docs") {
+    val inc = CorpusMerge.corpusMergeSignalsQuery(spark, sf)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = Dedup.withPlantedNearDups(docs, 25, mutate = true)
+    val kept = verdicts.filter(col("verdict") === "carried" ||
+      col("verdict").startsWith("admitted")).select("doc_id")
+    val full = graft.text.TextAnalysis.qualitySignalsOn(
+      CorpusMerge.carveNew(corpus).join(kept, Seq("doc_id"), "left_semi"))
+    val cols = full.columns.map(col)
+    assert(inc.select(cols: _*).exceptAll(full).isEmpty &&
+      full.exceptAll(inc.select(cols: _*)).isEmpty,
+      "carry ∪ delta-score must equal the full recompute on the merged corpus")
+    // dropped and removed docs must have NO signal row
+    assert(inc.join(verdicts.filter(col("verdict").isin(
+      "removed", "dup_of_base", "dup_in_delta")), Seq("doc_id"), "left_semi").isEmpty)
+  }
+
   test("self-contained ramp form agrees with the fixture-backed entry") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val onForm = CorpusMerge.corpusMergeOn(docs)
