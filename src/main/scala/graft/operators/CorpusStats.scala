@@ -111,6 +111,115 @@ object CorpusStats {
        |GROUP BY d.source, d.lang""".stripMargin
   }
 
+  // ---- snapshot-to-snapshot signal drift ----
+
+  /** The [0,1] ratio signals the drift report histograms (all 4-dp
+    * FLOORed by `quality_signals`, so the re-scale to integers is
+    * exact). */
+  val DriftSignals: Seq[String] = Seq("punct_ratio", "stopword_ratio",
+    "digit_ratio", "upper_ratio", "dup_token_frac", "top_bigram_frac",
+    "lang_score")
+
+  /**
+   * `quality_drift`: per-signal distribution shift between the
+   * resident base and an incoming crawl delta — the monitoring row a
+   * merge owner checks BEFORE admitting: a large L1 distance on
+   * `punct_ratio` or `lang_score` means the new crawl is a different
+   * kind of text than the corpus being served (crawler regression,
+   * new seed list, spam wave), and no per-document filter threshold
+   * catches a distribution-level shift. Per signal: doc counts, means,
+   * and the L1 histogram distance over ten fixed decile bins in basis
+   * points (`l1_bp` = Σ|p_base − p_delta|, = 2 × total variation).
+   *
+   * Scale posture: two bounded signal passes (at 100 TB: two scans of
+   * the materialized signals table — the signals-as-data payoff) into
+   * per-(signal, bin) partial aggs; everything downstream operates on
+   * the ≤ 7×10-row histogram tables. Cross-engine: the [[datasetCard]]
+   * discipline — 4-dp signals re-scale to exact integers, bins are
+   * integer `div` deciles, shares are integer `div` basis points, so
+   * no float accumulation order exists anywhere.
+   */
+  def qualityDrift(baseSignals: DataFrame, deltaSignals: DataFrame): DataFrame = {
+    def hist(df: DataFrame, n: String, s: String): DataFrame =
+      df.select(explode(array(DriftSignals.map(c =>
+          struct(lit(c).as("signal"),
+            round(col(c) * 10000).cast("long").as("v4"))): _*)).as("sv"))
+        .select(col("sv.signal").as("signal"), col("sv.v4").as("v4"))
+        .withColumn("bin", least(expr("v4 div 1000"), lit(9L)).cast("int"))
+        .groupBy("signal", "bin")
+        .agg(count(lit(1)).as(n), sum("v4").as(s))
+    val j = hist(baseSignals, "nb", "sb")
+      .join(hist(deltaSignals, "nd", "sd"), Seq("signal", "bin"), "full_outer")
+      .select(col("signal"), col("bin"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("nd"), lit(0L)).as("nd"),
+        coalesce(col("sb"), lit(0L)).as("sb"),
+        coalesce(col("sd"), lit(0L)).as("sd"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("signal")
+    j.withColumn("tb", sum("nb").over(w))
+      .withColumn("td", sum("nd").over(w))
+      .groupBy("signal")
+      .agg(max("tb").as("n_base"), max("td").as("n_delta"),
+        sum("sb").as("ssb"), sum("sd").as("ssd"),
+        sum(abs(expr("nb * 10000L div tb") - expr("nd * 10000L div td")))
+          .as("l1_bp"))
+      .select(col("signal"), col("n_base"), col("n_delta"),
+        (expr("ssb div n_base") / 10000.0).as("base_mean"),
+        (expr("ssd div n_delta") / 10000.0).as("delta_mean"),
+        col("l1_bp"))
+  }
+
+  /** Entry carve: base = the old snapshot ([[CorpusDiff.carveOld]],
+    * stale text included — that IS what the resident signals were
+    * computed over); delta = added ∪ changed docs of the new snapshot,
+    * derivable as pure id predicates both engines replay. */
+  def qualityDriftQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val delta = docs.filter(col("doc_id") % 7 =!= 0 &&
+      (col("doc_id") % 13 === 0 || col("doc_id") % 5 === 0))
+    qualityDrift(
+      graft.text.TextAnalysis.qualitySignalsOn(CorpusDiff.carveOld(docs)),
+      graft.text.TextAnalysis.qualitySignalsOn(delta))
+  }
+
+  def qualityDriftSql: String = {
+    def union(src: String): String = DriftSignals.map(c =>
+      s"SELECT '$c' AS signal, CAST(ROUND($c * 10000) AS BIGINT) AS v4 FROM $src")
+      .mkString("\n  UNION ALL ")
+    val oldSrc = "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' legacy' " +
+      "ELSE text END AS text FROM documents WHERE doc_id % 13 <> 0) o"
+    val deltaSrc = "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0 " +
+      "AND (doc_id % 13 = 0 OR doc_id % 5 = 0)) dl"
+    s"""WITH base AS (SELECT * FROM (
+       |  ${graft.text.TextAnalysis.qualitySignalsSqlFrom(oldSrc)}) q1),
+       |delta AS (SELECT * FROM (
+       |  ${graft.text.TextAnalysis.qualitySignalsSqlFrom(deltaSrc)}) q2),
+       |ub AS (${union("base")}),
+       |ud AS (${union("delta")}),
+       |hb AS (SELECT signal, LEAST(v4 // 1000, 9) AS bin,
+       |         COUNT(*) AS nb, SUM(v4) AS sb FROM ub GROUP BY 1, 2),
+       |hd AS (SELECT signal, LEAST(v4 // 1000, 9) AS bin,
+       |         COUNT(*) AS nd, SUM(v4) AS sd FROM ud GROUP BY 1, 2),
+       |j AS (
+       |  SELECT COALESCE(hb.signal, hd.signal) AS signal,
+       |    COALESCE(hb.bin, hd.bin) AS bin,
+       |    COALESCE(nb, 0) AS nb, COALESCE(nd, 0) AS nd,
+       |    COALESCE(sb, 0) AS sb, COALESCE(sd, 0) AS sd
+       |  FROM hb FULL OUTER JOIN hd
+       |    ON hb.signal = hd.signal AND hb.bin = hd.bin),
+       |t AS (SELECT *,
+       |    SUM(nb) OVER (PARTITION BY signal) AS tb,
+       |    SUM(nd) OVER (PARTITION BY signal) AS td
+       |  FROM j)
+       |SELECT signal,
+       |  CAST(MAX(tb) AS BIGINT) AS n_base,
+       |  CAST(MAX(td) AS BIGINT) AS n_delta,
+       |  (SUM(sb) // MAX(tb)) / 10000.0 AS base_mean,
+       |  (SUM(sd) // MAX(td)) / 10000.0 AS delta_mean,
+       |  CAST(SUM(ABS(nb * 10000 // tb - nd * 10000 // td)) AS BIGINT) AS l1_bp
+       |FROM t GROUP BY signal""".stripMargin
+  }
+
   // ---- corpus-level n-gram heavy hitters ----
 
   /** Gram width / result size of the demo entry (trigram boilerplate
