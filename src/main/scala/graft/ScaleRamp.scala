@@ -267,7 +267,18 @@ object ScaleRamp {
       // packing report: one sizing pass + shard-bounded greedy folds —
       // must ramp with the seq_pack rows (the folds are window-shaped)
       "pack_efficiency" -> (() =>
-        mat(graft.operators.Packing.packEfficiency(docs, "lang"))))
+        mat(graft.operators.Packing.packEfficiency(docs, "lang"))),
+      // drift report: two signal passes + tiny histogram aggs — must
+      // ramp with quality_ablation (same signals-pass shape, twice)
+      "quality_drift" -> (() => {
+        val d = docs.select(col("doc_id"), col("text"))
+        mat(graft.operators.CorpusStats.qualityDrift(
+          graft.text.TextAnalysis.qualitySignalsOn(
+            graft.operators.CorpusDiff.carveOld(d)),
+          graft.text.TextAnalysis.qualitySignalsOn(
+            d.filter(col("doc_id") % 7 =!= 0 &&
+              (col("doc_id") % 13 === 0 || col("doc_id") % 5 === 0)))))
+      }))
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the ramp (iteration aid; the
     // Bench convention)

@@ -57,7 +57,7 @@ object CorpusStats {
    * summary a data statement ships: mean stopword/punctuation/
    * duplicate-token ratios, language-ID agreement with the declared
    * lang, and mean lang-ID confidence. Built straight off
-   * [[graft.text.TextAnalysis.signalExprs]] carried next to the
+   * [[graft.text.TextAnalysis.signalsOver]] carried next to the
    * (source, lang) keys — one map-only signal pass into one
    * sources×langs partial agg, NO join (the signals-as-data payoff
    * again: at 100 TB this reads the materialized signals table
@@ -69,8 +69,7 @@ object CorpusStats {
    * order anywhere, the [[derive]] discipline.
    */
   def datasetCard(docs: DataFrame): DataFrame = {
-    val sigDocs = docs.select(
-      Seq(col("source"), col("lang")) ++ graft.text.TextAnalysis.signalExprs: _*)
+    val sigDocs = graft.text.TextAnalysis.signalsOver(docs, Seq("source", "lang"))
     def s4(c: String): org.apache.spark.sql.Column =
       sum(round(col(c) * 10000).cast("long")).as(s"${c}_s")
     def mean4(c: String): org.apache.spark.sql.Column =

@@ -18,7 +18,7 @@ import graft.text.TextAnalysis
  * recrawl emits one signal row tagged `added` / `changed` — exactly
  * the rows a downstream merge upserts into the resident table.
  *
- * The signal expressions are [[TextAnalysis.signalExprs]] — the SAME
+ * The signal expressions are [[TextAnalysis.signalsOver]] — the SAME
  * select list the batch projections use, applied AFTER the gate: only
  * emitted (added/changed) arrivals pay the regex-heavy extraction,
  * the batch entry's "only the delta pays the text pass" posture
@@ -78,7 +78,7 @@ object StreamingSignals {
     gateTtl(0L)(docId, rows, state)
 
   /** (doc_id, text) stream → signal rows for added/changed docs only
-    * (`status` first, then the [[TextAnalysis.signalExprs]] columns).
+    * (`status` first, then the [[TextAnalysis.signalsOver]] columns).
     * With `tsCol` + a configured `stream.stateTtlSec`, digests expire
     * per [[gateTtl]]; otherwise state is retained forever (exact
     * batch-delta equivalence). */
@@ -99,7 +99,6 @@ object StreamingSignals {
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(
         gateTtl(if (withTtl) ttlSec * 1000L else 0L))
-    changed.toDF().select(
-      col("doc_id") +: col("status") +: TextAnalysis.signalExprs: _*)
+    TextAnalysis.signalsOver(changed.toDF(), Seq("doc_id", "status"))
   }
 }

@@ -145,39 +145,73 @@ object TextAnalysis {
   /** Frame-level core of [[qualitySignals]] (corpus injectable — the
     * scale ramp's handle). */
   def qualitySignalsOn(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id") +: signalExprs: _*)
+    signalsOver(docs, Seq("doc_id"))
 
-  /** The signal select list over a `text` column — shared between the
-    * batch projections and the streaming maintenance gate
-    * ([[graft.streaming.StreamingSignals]]) so the emitted rows are
-    * the same expressions bit-for-bit. */
-  private[graft] def signalExprs: Seq[Column] = {
-    val toks = tokens(col("text"))
+  /**
+   * `keys ++ signal columns` over a `text` column — shared between the
+   * batch projections ([[qualitySignalsOn]],
+   * [[graft.operators.CorpusStats.datasetCard]]) and the streaming
+   * maintenance gate ([[graft.streaming.StreamingSignals]]) so the
+   * emitted rows are the same expressions bit-for-bit.
+   *
+   * The shared subtrees — the token array, the per-language stopword
+   * scores, and their max — are STAGED as real columns across
+   * separate projections instead of being repeated inside every
+   * signal expression. Higher-order functions evaluate interpreted
+   * (outside codegen), so codegen subexpression elimination never
+   * sees them: the single-projection form re-ran the split per signal
+   * and the whole score block per language arm of `pred_lang` —
+   * measured 20s vs 2s for the full 12-column pass over 200k docs.
+   * CollapseProject preserves the staged boundaries because inlining
+   * would duplicate non-cheap expressions referenced many times —
+   * the same optimizer contract [[graft.operators.Corpus]] relies on
+   * for its bucket columns. Still map-only: a chain of projections,
+   * no exchange (plan-asserted).
+   */
+  private[graft] def signalsOver(docs: DataFrame, keys: Seq[String]): DataFrame = {
+    val langs = StopwordProfiles.map(_._1)
+    val scored = docs
+      .withColumn("__toks", tokens(col("text")))
+      .select(keys.map(col) ++ Seq(col("text"), col("__toks")) ++
+        StopwordProfiles.map { case (lang, words) =>
+          stopwordScore(col("__toks"), words).as(s"__s_$lang") }: _*)
+      .withColumn("__best", greatest(langs.map(l => col(s"__s_$l")): _*))
+    val toks = col("__toks")
+    val best = col("__best")
     def t4(c: Column) = floor(c * 10000) / 10000
-    val scores = StopwordProfiles.map { case (lang, words) =>
-      lang -> stopwordScore(toks, words) }
-    val best = greatest(scores.map(_._2): _*)
-    val pred = scores.foldRight(lit("und")) { case ((lang, s), els) =>
-      when(best > 0.0 && s === best, lit(lang)).otherwise(els) }
-    Seq(
+    val pred = langs.foldRight(lit("und")) { (lang, els) =>
+      when(best > 0.0 && col(s"__s_$lang") === best, lit(lang)).otherwise(els) }
+    // Character-class ratios count via translate-deletion, NOT
+    // regexp_replace: the counts are identical (ASCII classes — the
+    // DuckDB oracle keeps its regex form and the hash gate proves the
+    // equality), but mixing heterogeneous regex patterns in one
+    // codegen'd projection pollutes java.util.regex's JIT profiles
+    // (positive-class and negated-class patterns drive the same
+    // Pattern internals megamorphic) — measured 20s vs 0.8s for this
+    // exact three-column set over 200k docs. The nTokens discipline,
+    // applied to the signal pass.
+    def charCount(chars: String) =
+      length(col("text")) - length(translate(col("text"), chars, ""))
+    val lowerDigitSpace = ('a' to 'z').mkString + "0123456789 "
+    scored.select(keys.map(col) ++ Seq(
       length(col("text")).as("n_chars"),
       size(toks).as("n_tokens"),
       t4(aggregate(transform(toks, t => length(t)), lit(0L),
         (acc, x) => acc + x).cast("double") / greatest(size(toks), lit(1)))
         .as("avg_token_len"),
-      t4(length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+      t4((length(col("text")) - charCount(lowerDigitSpace)).cast("double") /
         greatest(length(col("text")), lit(1))).as("punct_ratio"),
       t4(size(filter(toks, t => t.isin(QualityStopwords.map(w => w: Any): _*))).cast("double") /
         greatest(size(toks), lit(1))).as("stopword_ratio"),
-      t4(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+      t4(charCount("0123456789").cast("double") /
         greatest(length(col("text")), lit(1))).as("digit_ratio"),
-      t4(length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
+      t4(charCount(('A' to 'Z').mkString).cast("double") /
         greatest(length(col("text")), lit(1))).as("upper_ratio"),
       t4(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
         .as("dup_token_frac"),
       topRunFrac(bigramsOf(toks)).as("top_bigram_frac"),
       pred.as("pred_lang"),
-      t4(best).as("lang_score"))
+      t4(best).as("lang_score")): _*)
   }
 
   /** DuckDB twin: the same fragments as the per-signal oracles,
