@@ -138,17 +138,29 @@ object CorpusStats {
    * integer `div` deciles, shares are integer `div` basis points, so
    * no float accumulation order exists anywhere.
    */
-  def qualityDrift(baseSignals: DataFrame, deltaSignals: DataFrame): DataFrame = {
-    def hist(df: DataFrame, n: String, s: String): DataFrame =
-      df.select(explode(array(DriftSignals.map(c =>
-          struct(lit(c).as("signal"),
-            round(col(c) * 10000).cast("long").as("v4"))): _*)).as("sv"))
-        .select(col("sv.signal").as("signal"), col("sv.v4").as("v4"))
-        .withColumn("bin", least(expr("v4 div 1000"), lit(9L)).cast("int"))
-        .groupBy("signal", "bin")
-        .agg(count(lit(1)).as(n), sum("v4").as(s))
-    val j = hist(baseSignals, "nb", "sb")
-      .join(hist(deltaSignals, "nd", "sd"), Seq("signal", "bin"), "full_outer")
+  def qualityDrift(baseSignals: DataFrame, deltaSignals: DataFrame): DataFrame =
+    driftFromHists(signalHist(baseSignals, "nb", "sb"),
+      signalHist(deltaSignals, "nd", "sd"))
+
+  /** The per-(signal, decile-bin) histogram of a signals frame —
+    * shared by the batch drift and its streaming twin
+    * ([[graft.streaming.StreamingDrift]]): as a STREAMING aggregation
+    * its state is these ≤ 7×10 rows, constant in the stream length
+    * (the StreamingCms bounded-state argument). */
+  private[graft] def signalHist(df: DataFrame, n: String, s: String): DataFrame =
+    df.select(explode(array(DriftSignals.map(c =>
+        struct(lit(c).as("signal"),
+          round(col(c) * 10000).cast("long").as("v4"))): _*)).as("sv"))
+      .select(col("sv.signal").as("signal"), col("sv.v4").as("v4"))
+      .withColumn("bin", least(expr("v4 div 1000"), lit(9L)).cast("int"))
+      .groupBy("signal", "bin")
+      .agg(count(lit(1)).as(n), sum("v4").as(s))
+
+  /** The drift finish over two histogram tables (base columns nb/sb,
+    * delta columns nd/sd) — tiny-table joins and integer arithmetic
+    * only; the streaming twin calls this per micro-batch. */
+  private[graft] def driftFromHists(hb: DataFrame, hd: DataFrame): DataFrame = {
+    val j = hb.join(hd, Seq("signal", "bin"), "full_outer")
       .select(col("signal"), col("bin"),
         coalesce(col("nb"), lit(0L)).as("nb"),
         coalesce(col("nd"), lit(0L)).as("nd"),
