@@ -416,24 +416,98 @@ object Embeddings {
   def embedDiagnosticsQuery(spark: SparkSession, sfDir: String): DataFrame =
     embedDiagnostics(Tables.embeddings(spark, sfDir))
 
-  val embedDiagnosticsSql: String =
-    """WITH d AS (
-      |  SELECT unnest(range(len(embedding))) AS dim,
-      |    CAST(unnest(embedding) AS DOUBLE) AS x
-      |  FROM embeddings),
-      |a AS (
-      |  SELECT dim, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS s2,
-      |    MIN(x) AS mn, MAX(x) AS mx,
-      |    COUNT(*) FILTER (WHERE ABS(x) < 1e-6) AS nz
-      |  FROM d GROUP BY dim)
-      |SELECT CAST(dim AS INTEGER) AS dim,
-      |  ROUND(s / n, 4) + 0.0 AS mean,
-      |  ROUND(s2 / n - (s / n) * (s / n), 4) + 0.0 AS variance,
-      |  ROUND(mn, 4) + 0.0 AS vmin,
-      |  ROUND(mx, 4) + 0.0 AS vmax,
-      |  ROUND(CAST(nz AS DOUBLE) / n, 4) + 0.0 AS dead_share,
-      |  CAST(ROUND(s2 / n - (s / n) * (s / n), 4) = 0.0 AS INTEGER) AS collapsed
-      |FROM a""".stripMargin
+  /** [[embedDiagnosticsSql]] over any `(vec_id, embedding)` source
+    * clause — shared with the drift oracle. */
+  def embedDiagnosticsSqlFrom(src: String): String =
+    s"""WITH d AS (
+       |  SELECT unnest(range(len(embedding))) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM $src),
+       |a AS (
+       |  SELECT dim, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS s2,
+       |    MIN(x) AS mn, MAX(x) AS mx,
+       |    COUNT(*) FILTER (WHERE ABS(x) < 1e-6) AS nz
+       |  FROM d GROUP BY dim)
+       |SELECT CAST(dim AS INTEGER) AS dim,
+       |  ROUND(s / n, 4) + 0.0 AS mean,
+       |  ROUND(s2 / n - (s / n) * (s / n), 4) + 0.0 AS variance,
+       |  ROUND(mn, 4) + 0.0 AS vmin,
+       |  ROUND(mx, 4) + 0.0 AS vmax,
+       |  ROUND(CAST(nz AS DOUBLE) / n, 4) + 0.0 AS dead_share,
+       |  CAST(ROUND(s2 / n - (s / n) * (s / n), 4) = 0.0 AS INTEGER) AS collapsed
+       |FROM a""".stripMargin
+
+  val embedDiagnosticsSql: String = embedDiagnosticsSqlFrom("embeddings")
+
+  /**
+   * `embed_drift`: per-dimension comparison of the RESIDENT embedding
+   * table against a new batch — the "did the encoder silently change"
+   * check that pairs with [[embedDiagnostics]] (one snapshot's health)
+   * and `quality_drift` (the text side). An encoder swap, a
+   * normalization change, or a fine-tune shows up as per-dim mean
+   * shifts, sign flips, or freshly-collapsed dimensions LONG before
+   * recall degrades enough to notice — and re-indexing 100 TB against
+   * a drifted encoder poisons every distance in the store.
+   *
+   * The entry's demo plant simulates an encoder regression on the
+   * delta carve (`vec_id % 5 == 0`): dim 1 collapses to 0, dim 2
+   * flips sign — both EXACT float ops (literal zero, negation), so
+   * the plant replays bit-identically in both engines with no float
+   * hazard beyond the diagnostics' existing ROUND-4dp doctrine.
+   * `drifted` compares ROUNDED values only (the minhashTune rule).
+   *
+   * Scale posture: two [[embedDiagnostics]] passes (each one bounded
+   * partial agg keyed on dim) + a dim-sized join — nothing scales
+   * with corpus size except the map-side scans.
+   */
+  def embedDrift(base: DataFrame, delta: DataFrame): DataFrame = {
+    val b = embedDiagnostics(base).select(col("dim"),
+      col("mean").as("base_mean"), col("variance").as("base_variance"),
+      col("collapsed").as("cb"))
+    val d = embedDiagnostics(delta).select(col("dim"),
+      col("mean").as("delta_mean"), col("variance").as("delta_variance"),
+      col("collapsed").as("collapsed_delta"))
+    b.join(d, Seq("dim"))
+      .select(col("dim"), col("base_mean"), col("delta_mean"),
+        round(col("delta_mean") - col("base_mean"), 4).as("mean_shift"),
+        col("base_variance"), col("delta_variance"), col("collapsed_delta"),
+        (abs(round(col("delta_mean") - col("base_mean"), 4)) > 0.1 ||
+          (col("collapsed_delta") === 1 && col("cb") === 0)).cast("int")
+          .as("drifted"))
+  }
+
+  def embedDriftQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    // the planted "regressed encoder": dim 1 collapses, dim 2 flips
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 1, lit(0.0f)).when(i === 2, -x).otherwise(x))
+          .as("embedding"))
+    embedDrift(base, delta)
+  }
+
+  val embedDriftSql: String = {
+    val baseSrc = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0) eb"
+    // DuckDB's list_transform index is 1-based (Spark's is 0-based)
+    val deltaSrc =
+      """(SELECT vec_id,
+        |   list_transform(embedding, (x, i) ->
+        |     CASE WHEN i = 2 THEN CAST(0.0 AS FLOAT)
+        |          WHEN i = 3 THEN -x ELSE x END) AS embedding
+        | FROM embeddings WHERE vec_id % 5 = 0) ed""".stripMargin
+    s"""WITH b AS (SELECT * FROM (${embedDiagnosticsSqlFrom(baseSrc)}) x),
+       |d AS (SELECT * FROM (${embedDiagnosticsSqlFrom(deltaSrc)}) y)
+       |SELECT b.dim,
+       |  b.mean AS base_mean, d.mean AS delta_mean,
+       |  ROUND(d.mean - b.mean, 4) + 0.0 AS mean_shift,
+       |  b.variance AS base_variance, d.variance AS delta_variance,
+       |  d.collapsed AS collapsed_delta,
+       |  CAST(ABS(ROUND(d.mean - b.mean, 4) + 0.0) > 0.1
+       |    OR (d.collapsed = 1 AND b.collapsed = 0) AS INTEGER) AS drifted
+       |FROM b JOIN d USING (dim)""".stripMargin
+  }
 
   val embedQuantizeSql: String =
     """WITH s AS (

@@ -108,4 +108,32 @@ class EmbeddingsSpec extends SparkSpecBase {
     // report is one row per dimension, n vectors each
     assert(Embeddings.embedDiagnostics(emb).count() == 4)
   }
+  test("embed_drift flags mean shifts and fresh collapses, clears stable dims") {
+    import spark.implicits._
+    // base: dim0 mean ~0.5, dim1 healthy, dim2 healthy
+    val base = Seq(
+      (0L, Seq(0.4f, 1.0f, -1.0f)), (1L, Seq(0.6f, -1.0f, 1.0f)),
+      (2L, Seq(0.5f, 0.5f, -0.5f)), (3L, Seq(0.5f, -0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    // delta: dim0 shifted by +0.5 (drift), dim1 collapsed to 2.0
+    // (fresh collapse), dim2 same distribution (stable)
+    val delta = Seq(
+      (10L, Seq(0.9f, 2.0f, -1.0f)), (11L, Seq(1.1f, 2.0f, 1.0f)),
+      (12L, Seq(1.0f, 2.0f, -0.5f)), (13L, Seq(1.0f, 2.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val rep = Embeddings.embedDrift(base, delta)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(rep(0).getAs[Int]("drifted") == 1 &&
+      rep(0).getAs[Double]("mean_shift") == 0.5)
+    assert(rep(1).getAs[Int]("drifted") == 1 &&
+      rep(1).getAs[Int]("collapsed_delta") == 1)
+    assert(rep(2).getAs[Int]("drifted") == 0)
+    // entry plant: dim 1 collapses on the delta carve at sf0.001
+    val entry = Embeddings.embedDriftQuery(spark, sf)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(entry(1).getAs[Int]("collapsed_delta") == 1)
+    assert(entry(1).getAs[Int]("drifted") == 1)
+    assert(entry.values.count(_.getAs[Int]("drifted") == 1) < entry.size / 4,
+      "most dims must read stable on a same-encoder carve")
+  }
 }
