@@ -172,11 +172,15 @@ object CorpusStats {
       .groupBy("signal")
       .agg(max("tb").as("n_base"), max("td").as("n_delta"),
         sum("sb").as("ssb"), sum("sd").as("ssd"),
-        sum(abs(expr("nb * 10000L div tb") - expr("nd * 10000L div td")))
-          .as("l1_bp"))
+        // nullif guards: Spark 4 runs ANSI mode, where integer div by
+        // zero THROWS — an empty merge delta must yield a null-bearing
+        // report, not a crashed job (DuckDB's // already nulls;
+        // NULLIF keeps the two engines' degenerate semantics aligned)
+        sum(abs(expr("nb * 10000L div nullif(tb, 0L)") -
+          expr("nd * 10000L div nullif(td, 0L)"))).as("l1_bp"))
       .select(col("signal"), col("n_base"), col("n_delta"),
-        (expr("ssb div n_base") / 10000.0).as("base_mean"),
-        (expr("ssd div n_delta") / 10000.0).as("delta_mean"),
+        (expr("ssb div nullif(n_base, 0L)") / 10000.0).as("base_mean"),
+        (expr("ssd div nullif(n_delta, 0L)") / 10000.0).as("delta_mean"),
         col("l1_bp"))
   }
 
@@ -225,9 +229,9 @@ object CorpusStats {
        |SELECT signal,
        |  CAST(MAX(tb) AS BIGINT) AS n_base,
        |  CAST(MAX(td) AS BIGINT) AS n_delta,
-       |  (SUM(sb) // MAX(tb)) / 10000.0 AS base_mean,
-       |  (SUM(sd) // MAX(td)) / 10000.0 AS delta_mean,
-       |  CAST(SUM(ABS(nb * 10000 // tb - nd * 10000 // td)) AS BIGINT) AS l1_bp
+       |  (SUM(sb) // NULLIF(MAX(tb), 0)) / 10000.0 AS base_mean,
+       |  (SUM(sd) // NULLIF(MAX(td), 0)) / 10000.0 AS delta_mean,
+       |  CAST(SUM(ABS(nb * 10000 // NULLIF(tb, 0) - nd * 10000 // NULLIF(td, 0))) AS BIGINT) AS l1_bp
        |FROM t GROUP BY signal""".stripMargin
   }
 

@@ -92,4 +92,15 @@ class PackingSpec extends SparkSpecBase {
       Packing.PackBudget).toLong
     assert(greedy.getAs[Long]("n_seqs") >= lb)
   }
+  test("degenerate inputs: all-overlong and single-doc corpora stay well-defined") {
+    // every doc overlong: greedy packs nothing, concat still chunks
+    val allOver = report(Seq((0L, "en", 500), (1L, "en", 600)), budget = 64)
+    assert(allOver("greedy_docwise").getAs[Long]("n_overlong") == 2L)
+    assert(allOver("greedy_docwise").getAs[Long]("packed_tokens") == 0L)
+    assert(allOver("concat_chunk").getAs[Long]("packed_tokens") == 1100L)
+    // a single tiny doc: one sequence everywhere, no splits
+    val one = report(Seq((0L, "en", 5)), budget = 64)
+    for ((_, r) <- one) assert(r.getAs[Long]("n_seqs") == 1L)
+    assert(one("concat_chunk").getAs[Long]("n_split_docs") == 0L)
+  }
 }
