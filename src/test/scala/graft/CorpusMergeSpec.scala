@@ -144,4 +144,17 @@ class CorpusMergeSpec extends SparkSpecBase {
       verdicts.exceptAll(onForm).isEmpty,
       "in-plan resident signing must not change any verdict")
   }
+  test("degenerate merge: an empty delta yields only carried/removed verdicts") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(50)
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 64, 3)
+    // a diff where nothing was added or changed
+    val diff = docs.select(col("doc_id"),
+      when(col("doc_id") % 9 === 0, "removed").otherwise("unchanged").as("status"))
+    val v = CorpusMerge.mergeVerdictsFromDiff(docs, sigs, diff)
+      .groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v.keySet.subsetOf(Set("carried", "removed")))
+    assert(v.values.sum == 50)
+  }
 }
