@@ -134,6 +134,129 @@ object Packing {
   def packEfficiencyQuery(spark: SparkSession, sfDir: String): DataFrame =
     packEfficiency(Tables.documents(spark, sfDir), "lang")
 
+  // ---- the greedy ASSIGNMENT: executing the chosen strategy ----
+
+  /**
+   * `seq_pack_greedy`: per-document pack assignment under
+   * DOCUMENT-PRESERVING greedy fill — the operator a pipeline runs
+   * after [[packEfficiency]]'s knob table says splitting documents is
+   * unacceptable ([[Corpus.seqPack]] is the concat-chunk assignment;
+   * this is its greedy sibling). Docs are packed in doc_id order —
+   * the order [[Corpus.corpusShuffle]]/`curriculum_order` established
+   * upstream, which is exactly why the doc-order variant (and not the
+   * length-sorted one) is the assignment operator: sorting here would
+   * undo the curriculum.
+   *
+   * Scale posture: exactly greedy inside each (stratum ×
+   * fixed-32-range-bucket) shard; global pack ids = shard-local ids +
+   * a broadcast prefix-sum base over the tiny shard table (the
+   * [[Corpus.seqPack]] offsets discipline). The per-shard fold builds
+   * the assignment array with one `aggregate` — appends cost
+   * O(shard²) element copies, bounded by the same shard-size bound
+   * the windowed twins carry in SCALE_r09 (`*_window_rows`); raise
+   * the bucket count for corpora where shards outgrow it. Docs longer
+   * than the budget are EXCLUDED (run [[Chunking]] first — silently
+   * truncating would corrupt the packs).
+   *
+   * Cross-engine: the oracle replays the identical recurrence as a
+   * recursive CTE stepping one doc per shard per iteration (bounded
+   * by the max shard size) — DuckDB's `list_reduce` drops list-valued
+   * accumulator fields, so the fold itself cannot be mirrored, but
+   * the RECURRENCE can, which is what the hash gate actually needs.
+   */
+  def seqPackGreedy(docs: DataFrame, stratumCol: String,
+      budget: Long = PackBudget): DataFrame = {
+    val sized = docs.select(col("doc_id"), col(stratumCol).as("stratum"),
+      Corpus.nTokens(col("text")).as("n"))
+      .filter(col("n") <= budget)
+    val sharded = Corpus.withRangeBucketWidth(sized, "stratum", PackBuckets)
+    val emptyA = expr(
+      "CAST(array() AS array<struct<d:bigint,pk:bigint,off:bigint>>)")
+    val folded = sharded.groupBy("stratum", "bkt")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("d"),
+        col("n").as("n")))).as("docs"))
+      .select(col("stratum"), col("bkt"),
+        aggregate(col("docs"),
+          struct(emptyA.as("a"), lit(-1L).as("p"), lit(budget).as("f")),
+          (acc, x) => {
+            val fits = acc.getField("f") + x.getField("n") <= budget
+            val pk = when(fits, acc.getField("p"))
+              .otherwise(acc.getField("p") + 1)
+            val off = when(fits, acc.getField("f")).otherwise(lit(0L))
+            struct(
+              concat(acc.getField("a"),
+                array(struct(x.getField("d").as("d"), pk.as("pk"),
+                  off.as("off")))).as("a"),
+              pk.as("p"),
+              (off + x.getField("n")).as("f"))
+          }).as("st"))
+      .select(col("stratum"), col("bkt"),
+        col("st.a").as("assigns"),
+        (col("st.p") + 1).as("n_packs"))
+    // tiny shard table -> global pack bases (single-partition window
+    // over strata x 32 rows, the corpusShuffle offsets discipline)
+    val wBase = org.apache.spark.sql.expressions.Window
+      .orderBy("stratum", "bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    folded
+      .withColumn("base", coalesce(sum("n_packs").over(wBase), lit(0L)))
+      .select(col("stratum"), col("base"), explode(col("assigns")).as("x"))
+      .select(col("x.d").as("doc_id"), col("stratum"),
+        (col("base") + col("x.pk")).as("pack_id"),
+        col("x.off").as("pack_offset"))
+  }
+
+  def seqPackGreedyQuery(spark: SparkSession, sfDir: String): DataFrame =
+    seqPackGreedy(Tables.documents(spark, sfDir), "lang")
+
+  val seqPackGreedySql: String = {
+    val b = PackBudget
+    s"""WITH RECURSIVE sized AS (
+       |  SELECT doc_id, lang AS stratum,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n
+       |  FROM documents
+       |  WHERE length(text) - length(replace(text, ' ', '')) + 1 <= $b),
+       |bounds AS (
+       |  SELECT stratum AS _sk, MIN(doc_id) AS _lo, MAX(doc_id) AS _hi
+       |  FROM sized GROUP BY stratum),
+       |sharded AS (
+       |  SELECT k.doc_id, k.stratum, k.n,
+       |    CAST(LEAST(FLOOR((CAST(k.doc_id AS DOUBLE) - CAST(b._lo AS DOUBLE))
+       |        * $PackBuckets /
+       |        (CAST(b._hi AS DOUBLE) - CAST(b._lo AS DOUBLE) + 1.0)),
+       |      ${PackBuckets - 1}) AS INTEGER) AS bkt,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY k.stratum,
+       |        CAST(LEAST(FLOOR((CAST(k.doc_id AS DOUBLE) - CAST(b._lo AS DOUBLE))
+       |            * $PackBuckets /
+       |            (CAST(b._hi AS DOUBLE) - CAST(b._lo AS DOUBLE) + 1.0)),
+       |          ${PackBuckets - 1}) AS INTEGER)
+       |      ORDER BY k.doc_id) AS rn
+       |  FROM sized k JOIN bounds b ON k.stratum = b._sk),
+       |step(stratum, bkt, rn, doc_id, pk, off, f) AS (
+       |  SELECT stratum, bkt, rn, doc_id,
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), n
+       |  FROM sharded WHERE rn = 1
+       |  UNION ALL
+       |  SELECT nxt.stratum, nxt.bkt, nxt.rn, nxt.doc_id,
+       |    CASE WHEN s.f + nxt.n <= $b THEN s.pk ELSE s.pk + 1 END,
+       |    CASE WHEN s.f + nxt.n <= $b THEN s.f ELSE CAST(0 AS BIGINT) END,
+       |    CASE WHEN s.f + nxt.n <= $b THEN s.f + nxt.n ELSE nxt.n END
+       |  FROM step s JOIN sharded nxt
+       |    ON nxt.stratum = s.stratum AND nxt.bkt = s.bkt AND nxt.rn = s.rn + 1),
+       |shard_packs AS (
+       |  SELECT stratum, bkt, MAX(pk) + 1 AS n_packs
+       |  FROM step GROUP BY stratum, bkt),
+       |bases AS (
+       |  SELECT stratum, bkt,
+       |    CAST(COALESCE(SUM(n_packs) OVER (ORDER BY stratum, bkt
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+       |  FROM shard_packs)
+       |SELECT s.doc_id, s.stratum, CAST(b.base + s.pk AS BIGINT) AS pack_id,
+       |  s.off AS pack_offset
+       |FROM step s JOIN bases b ON s.stratum = b.stratum AND s.bkt = b.bkt""".stripMargin
+  }
+
   val packEfficiencySql: String = {
     val b = PackBudget
     val m = StateMult

@@ -103,4 +103,30 @@ class PackingSpec extends SparkSpecBase {
     for ((_, r) <- one) assert(r.getAs[Long]("n_seqs") == 1L)
     assert(one("concat_chunk").getAs[Long]("n_split_docs") == 0L)
   }
+  test("seq_pack_greedy: capacity respected, no splits, report-consistent") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val assign = Packing.seqPackGreedy(docs, "lang").cache()
+    val sized = docs.select(col("doc_id"),
+      graft.operators.Corpus.nTokens(col("text")).as("n"))
+    val withN = assign.join(sized, Seq("doc_id"))
+    // every pack holds at most the budget; offsets are the exact
+    // within-pack running sum (offset + n never exceeds the budget)
+    assert(withN.filter(col("pack_offset") + col("n") > Packing.PackBudget).isEmpty)
+    val fills = withN.groupBy("pack_id").agg(sum("n").as("fill"))
+    assert(fills.filter(col("fill") > Packing.PackBudget).isEmpty)
+    // each kept doc assigned exactly once; overlong docs absent
+    assert(assign.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+    assert(assign.count() == sized.filter(col("n") <= Packing.PackBudget).count())
+    // cross-entry invariant: the assignment's pack count equals the
+    // knob table's greedy_docwise row (same corpus, same shards)
+    val nPacks = assign.agg(max("pack_id")).head().getLong(0) + 1
+    val reported = Packing.packEfficiencyQuery(spark, sf)
+      .filter(col("strategy") === "greedy_docwise")
+      .head().getAs[Long]("n_seqs")
+    assert(nPacks == reported,
+      s"assignment packs $nPacks must equal the report's $reported")
+    // pack ids are globally dense: every id in [0, nPacks) occurs
+    assert(assign.select("pack_id").distinct().count() == nPacks)
+    assign.unpersist()
+  }
 }
