@@ -268,6 +268,14 @@ object ScaleRamp {
       // must ramp with the seq_pack rows (the folds are window-shaped)
       "pack_efficiency" -> (() =>
         mat(graft.operators.Packing.packEfficiency(docs, "lang"))),
+      // greedy pack assignment: the O(shard^2) fold under PRODUCTION
+      // sizing — buckets scale with the corpus so shards stay ~256
+      // docs and the total fold work stays linear (the scaladoc's
+      // sizing rule, proven here rather than asserted)
+      "seq_pack_greedy" -> (() =>
+        mat(graft.operators.Packing.seqPackGreedy(docs, "lang",
+          graft.operators.Packing.PackBudget,
+          math.max(32, (docs.count() / 256).toInt)))),
       // drift report: two signal passes + tiny histogram aggs — must
       // ramp with quality_ablation (same signals-pass shape, twice)
       "quality_drift" -> (() => {

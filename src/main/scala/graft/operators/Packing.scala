@@ -152,9 +152,10 @@ object Packing {
    * a broadcast prefix-sum base over the tiny shard table (the
    * [[Corpus.seqPack]] offsets discipline). The per-shard fold builds
    * the assignment array with one `aggregate` — appends cost
-   * O(shard²) element copies, bounded by the same shard-size bound
-   * the windowed twins carry in SCALE_r09 (`*_window_rows`); raise
-   * the bucket count for corpora where shards outgrow it. Docs longer
+   * O(shard²) element copies, so `buckets` MUST scale with the corpus
+   * (keep shards at a few hundred docs; the entry fixes 32 only so
+   * the oracle replays one carve at gate SFs — the ramp row scales
+   * buckets ∝ corpus and stays linear, SCALE_r09). Docs longer
    * than the budget are EXCLUDED (run [[Chunking]] first — silently
    * truncating would corrupt the packs).
    *
@@ -165,11 +166,11 @@ object Packing {
    * the RECURRENCE can, which is what the hash gate actually needs.
    */
   def seqPackGreedy(docs: DataFrame, stratumCol: String,
-      budget: Long = PackBudget): DataFrame = {
+      budget: Long = PackBudget, buckets: Int = PackBuckets): DataFrame = {
     val sized = docs.select(col("doc_id"), col(stratumCol).as("stratum"),
       Corpus.nTokens(col("text")).as("n"))
       .filter(col("n") <= budget)
-    val sharded = Corpus.withRangeBucketWidth(sized, "stratum", PackBuckets)
+    val sharded = Corpus.withRangeBucketWidth(sized, "stratum", buckets)
     val emptyA = expr(
       "CAST(array() AS array<struct<d:bigint,pk:bigint,off:bigint>>)")
     val folded = sharded.groupBy("stratum", "bkt")
