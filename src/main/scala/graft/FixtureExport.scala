@@ -5,9 +5,11 @@ package graft
  * signatures, centroids exported so the oracle SQL can replay a
  * driver-side fit).
  *
- * Fixture paths are STATIC — the oracle SQL strings embed them — so
- * two corpus dirs processed in one JVM share each path
- * last-writer-wins. The guard therefore keys on WHAT the path
+ * Fixture paths are fixed WITHIN a JVM (run-scoped via
+ * [[FixturePaths]] — concurrent processes never share them) and the
+ * oracle SQL strings embed them, so two corpus dirs processed in one
+ * JVM share each path last-writer-wins. The guard therefore keys on
+ * WHAT the path
  * currently holds, not on which corpus already exported once: a
  * request with a different key (corpus dir, dim, config) re-exports,
  * and a repeat of the current key skips the write (bench reps must

@@ -39,12 +39,12 @@ object Dedup {
     * the one genuinely non-SQL step — covered by KernelPropertySpec
     * (properties + fused/string-shingle parity) and DedupTextSpec
     * (planted-dup recall); everything downstream hash-checks. */
-  val MinhashSigExportPath = "/root/repo/tmp/oracle_fixtures/minhash_sigs.parquet"
+  val MinhashSigExportPath = graft.FixturePaths.fixture("minhash_sigs.parquet")
 
   /** Per-doc 64-bit SimHash of the planted demo corpus (same split:
     * XXH64-weighted bit votes are spec-checked, chunking/banding/
     * Hamming verify hash-check in DuckDB). */
-  val SimhashSigExportPath = "/root/repo/tmp/oracle_fixtures/simhash_sigs.parquet"
+  val SimhashSigExportPath = graft.FixturePaths.fixture("simhash_sigs.parquet")
 
   // fixture export once per JVM per corpus (bench reps must time the
   // pair plan, not the fixture write), re-exported on corpus change

@@ -62,7 +62,7 @@ object SemDedup {
     * would contribute O(cell^2) join rows). */
   val SemMaxCell: Int = 4096
 
-  val SemCentroidExportPath = "/root/repo/tmp/oracle_fixtures/semdedup_centroids.parquet"
+  val SemCentroidExportPath = graft.FixturePaths.fixture("semdedup_centroids.parquet")
 
   private def exportCentroids(spark: SparkSession, key: String,
       cents: Array[Array[Float]]): Unit =

@@ -51,9 +51,9 @@ object BloomDecontaminate {
   /** n-gram width (matches [[Decontaminate.decontaminateQuery]]). */
   val GramWidth = 5
 
-  val BitsExportPath = "/root/repo/tmp/oracle_fixtures/bloom_bits.parquet"
-  val GramHashExportPath = "/root/repo/tmp/oracle_fixtures/bloom_gram_hashes.parquet"
-  val ParamsExportPath = "/root/repo/tmp/oracle_fixtures/bloom_params.parquet"
+  val BitsExportPath = graft.FixturePaths.fixture("bloom_bits.parquet")
+  val GramHashExportPath = graft.FixturePaths.fixture("bloom_gram_hashes.parquet")
+  val ParamsExportPath = graft.FixturePaths.fixture("bloom_params.parquet")
 
   /** First/second 64-bit gram hashes — Spark `xxhash64` expressions,
     * used identically for the bitset build, the membership probe, and

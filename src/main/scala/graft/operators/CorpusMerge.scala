@@ -137,8 +137,8 @@ object CorpusMerge {
       Dedup.minhashSignatures(graft.index.LshIndex.spread(corpus),
         "doc_id", "text", numPerms = 64, shingleWidth = 3)
     }
-    val diffPath = "/root/repo/tmp/stage/corpus_merge_diff_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val diffPath = graft.FixturePaths.stage("corpus_merge_diff_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]+", "_"))
     CorpusDiff.corpusDiff(carveOld(corpus), carveNew(corpus))
       .write.mode("overwrite").parquet(diffPath)
     mergeVerdictsFromDiff(carveNew(corpus),
@@ -224,12 +224,12 @@ object CorpusMerge {
   /** Staged-verdicts path (the production premise: `corpus_merge`
     * already ran and persisted its verdict table). */
   private def verdictsPath(sfDir: String): String =
-    "/root/repo/tmp/stage/corpus_merge_verdicts_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.FixturePaths.stage("corpus_merge_verdicts_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]+", "_"))
 
   private def signalsBasePath(sfDir: String): String =
-    "/root/repo/tmp/stage/qsignals_mergebase_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.FixturePaths.stage("qsignals_mergebase_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]+", "_"))
 
   /**
    * `corpus_merge_signals`: the signals table AFTER the merge — the

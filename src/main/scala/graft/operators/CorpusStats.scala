@@ -308,8 +308,8 @@ object CorpusStats {
   def CmsDepth: Int = graft.config.GraftConfig.active.cms.depth
   def CmsWidth: Int = graft.config.GraftConfig.active.cms.width
 
-  val CmsSketchExportPath = "/root/repo/tmp/oracle_fixtures/cms_sketch.parquet"
-  val CmsCellsExportPath = "/root/repo/tmp/oracle_fixtures/cms_cells.parquet"
+  val CmsSketchExportPath = graft.FixturePaths.fixture("cms_sketch.parquet")
+  val CmsCellsExportPath = graft.FixturePaths.fixture("cms_cells.parquet")
 
   /** Row-j cell of a gram: xxhash64 seeded by the row index (the
     * pairwise-independent family stand-in), folded to [0, width). */

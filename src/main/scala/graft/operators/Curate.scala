@@ -155,7 +155,7 @@ object Curate {
     * the oracle-fixture discipline; at scale this is a warehouse
     * table, not a scratch file). */
   private def cleanStagePath(sfDir: String): String =
-    "/root/repo/tmp/stage/curate_clean_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.FixturePaths.stage("curate_clean_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_"))
 
   /**
    * `corpus_curate_materialized`: the funnel as a STAGED pipeline —

@@ -123,7 +123,7 @@ object Decontaminate {
     * column 't'/'b'), exported so the DuckDB oracle replays the band
     * join from the same signatures. */
   val FuzzySigExportPath =
-    "/root/repo/tmp/oracle_fixtures/decontam_minhash_sigs.parquet"
+    graft.FixturePaths.fixture("decontam_minhash_sigs.parquet")
 
   /**
    * Fuzzy benchmark decontamination via MinHash banding — the middle
@@ -282,7 +282,7 @@ object Decontaminate {
   val SemCells: Int = 16
 
   val SemCentroidExportPath =
-    "/root/repo/tmp/oracle_fixtures/decontam_centroids.parquet"
+    graft.FixturePaths.fixture("decontam_centroids.parquet")
 
   /**
    * Embedding-space benchmark decontamination — the semantic

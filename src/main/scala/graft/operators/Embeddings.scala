@@ -40,7 +40,7 @@ object Embeddings {
 
   /** Fixture: the projection matrix (tgtDim x srcDim doubles — KBs),
     * so the DuckDB oracle replays the exact dot products. */
-  val ProjExportPath = "/root/repo/tmp/oracle_fixtures/proj_matrix.parquet"
+  val ProjExportPath = graft.FixturePaths.fixture("proj_matrix.parquet")
 
   /** Deterministic N(0,1)/sqrt(tgtDim) rows (the polar-Box-Muller +
     * SplittableRandom recipe of `Lsh.fitG` — reproducible across JVMs
@@ -118,7 +118,7 @@ object Embeddings {
     * baked in — y_r = dot(x, w_r) + b_r — so the DuckDB oracle replays
     * the transform with one list_dot_product, exactly like the JL
     * fixture above. */
-  val PcaExportPath = "/root/repo/tmp/oracle_fixtures/pca_matrix.parquet"
+  val PcaExportPath = graft.FixturePaths.fixture("pca_matrix.parquet")
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
     * deterministic (fixed sweep order, no pivoting on magnitude), so
@@ -318,7 +318,7 @@ object Embeddings {
 
   /** Fixture for the FULL-dimension unwhitened rotation (the ANN
     * chain's isometry — distinct from the whitened [[PcaExportPath]]). */
-  val PcaRotExportPath = "/root/repo/tmp/oracle_fixtures/pca_rotation.parquet"
+  val PcaRotExportPath = graft.FixturePaths.fixture("pca_rotation.parquet")
 
   /** Full-d, unwhitened (isometric) OPQ-allocated rotation — memoized
     * + exported like [[fittedPca]]. Rotation preserves every pairwise

@@ -53,7 +53,7 @@ import graft.text.TextAnalysis
 object SignalsMaintenance {
 
   private def basePath(sfDir: String): String =
-    "/root/repo/tmp/stage/qsignals_base_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.FixturePaths.stage("qsignals_base_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_"))
 
   /** Resident signals table for the OLD snapshot (staged once per
     * JVM per corpus — the production premise is that it already

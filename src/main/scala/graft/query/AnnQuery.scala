@@ -1030,7 +1030,7 @@ object AnnQuery {
       .select(col("id")).distinct()
 
   /** Where [[lshCode]] exports the fitted model for the DuckDB oracle. */
-  val ModelExportPath = "/root/repo/tmp/oracle_fixtures/lsh_model.parquet"
+  val ModelExportPath = graft.FixturePaths.fixture("lsh_model.parquet")
 
   /**
    * Export the fitted model constants — one row per (t, d, projection j)

@@ -48,7 +48,7 @@ import graft.functions.VectorFunctions.vec_l2
  */
 object BqSearch {
 
-  val ThresholdsExportPath = "/root/repo/tmp/oracle_fixtures/bq_thresholds.parquet"
+  val ThresholdsExportPath = graft.FixturePaths.fixture("bq_thresholds.parquet")
 
   /** Bits packed per code word (see scaladoc: 32 inside a BIGINT keeps
     * both engines' shift/sum semantics trivially identical). */

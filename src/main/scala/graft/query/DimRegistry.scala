@@ -138,7 +138,7 @@ object DimRegistry {
 
   /** Where the registry exports all per-dim fitted models (one row per
     * (vdim, t, d, j)) for the DuckDB oracle. */
-  val MultidimModelExportPath = "/root/repo/tmp/oracle_fixtures/lsh_models_multidim.parquet"
+  val MultidimModelExportPath = graft.FixturePaths.fixture("lsh_models_multidim.parquet")
 
   private def exportModels(spark: SparkSession, registry: Map[Int, Entry]): Unit = {
     import spark.implicits._

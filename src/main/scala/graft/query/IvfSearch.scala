@@ -173,7 +173,7 @@ object IvfSearch {
 
   /** Where [[simsearchIvf]] exports the fitted centroids for the
     * DuckDB oracle (cells x dim floats — KBs by construction). */
-  val CentroidExportPath = "/root/repo/tmp/oracle_fixtures/ivf_centroids.parquet"
+  val CentroidExportPath = graft.FixturePaths.fixture("ivf_centroids.parquet")
 
   // fixture export once per JVM per corpus (bench reps must time the
   // probe plan, not the fixture write)
@@ -584,7 +584,7 @@ object IvfSearch {
 
   // ---- IVF cell rebalance (the maintenance round ivf_stats triages for) ----
 
-  val RebalanceExportPath = "/root/repo/tmp/oracle_fixtures/ivf_rebalanced.parquet"
+  val RebalanceExportPath = graft.FixturePaths.fixture("ivf_rebalanced.parquet")
 
   /** Share of cells split per maintenance round (budgeted heaviest-
     * first — the tail-latency posture: the imbalance factor IS the

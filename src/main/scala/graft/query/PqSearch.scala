@@ -61,7 +61,7 @@ object PqSearch {
   def NumQueries: Int = cfg.query.numQueries
   def NumProbes: Int = cfg.ivf.probes
 
-  val CodebookExportPath = "/root/repo/tmp/oracle_fixtures/pq_codebook.parquet"
+  val CodebookExportPath = graft.FixturePaths.fixture("pq_codebook.parquet")
 
   // fitted codebooks die with their session (the IvfSearch memo shape)
   private val codebookCache =
@@ -299,7 +299,7 @@ object PqSearch {
 
   /** Fixture path for the whitened-space codebook (distinct from the
     * raw-space [[CodebookExportPath]]). */
-  val PcaCodebookExportPath = "/root/repo/tmp/oracle_fixtures/pq_pca_codebook.parquet"
+  val PcaCodebookExportPath = graft.FixturePaths.fixture("pq_pca_codebook.parquet")
 
   /**
    * `ann_pcapq_topk`: exhaustive-ADC PQ search under an OPQ rotation —

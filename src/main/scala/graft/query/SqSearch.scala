@@ -38,7 +38,7 @@ import graft.functions.VectorFunctions.vec_l2
  */
 object SqSearch {
 
-  val ParamsExportPath = "/root/repo/tmp/oracle_fixtures/sq_params.parquet"
+  val ParamsExportPath = graft.FixturePaths.fixture("sq_params.parquet")
 
   def K: Int = PqSearch.K
   def NumQueries: Int = PqSearch.NumQueries

@@ -135,7 +135,10 @@ object TierReport {
       val distRatio =
         if (perQueryRatio.isEmpty) -1.0
         else roundAt(perQueryRatio.sum / perQueryRatio.size, 4)
-      Row(tier, recallAt(1), recallAt(10), distRatio, cand, refine,
+      // recall@K (column named recall_at_10 for the shipped k=10
+      // default; the VALUE tracks query.k like the oracle's recallSql(k),
+      // so a k override keeps both sides parameter-aligned)
+      Row(tier, recallAt(1), recallAt(K), distRatio, cand, refine,
         cand * codeBytes + refine * dim * 4L)
     }}), Duration.Inf)
     val schema = StructType(Seq(
@@ -167,7 +170,7 @@ object TierReport {
        |       SUM(CASE WHEN p.d_gt > 0 THEN p.d_ann / p.d_gt END) /
        |         COUNT(CASE WHEN p.d_gt > 0 THEN 1 END) AS pr
        |     FROM (SELECT a.query_id, a.dist AS d_ann, g.dist AS d_gt
-       |           FROM $tk a JOIN gt g ON a.query_id = g.query_id AND a.rnk = g.rnk
+       |           FROM $tk a LEFT JOIN gt g ON a.query_id = g.query_id AND a.rnk = g.rnk
        |           WHERE a.rnk <= $k) p
        |     GROUP BY p.query_id
        |     HAVING COUNT(*) = $k AND COUNT(CASE WHEN p.d_gt > 0 THEN 1 END) > 0)) AS dist_ratio,

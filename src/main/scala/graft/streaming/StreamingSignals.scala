@@ -64,12 +64,15 @@ object StreamingSignals {
       if (fp == null) out += ChangedDoc(r.doc_id, r.text, "added")
       else if (fp != r.fp) out += ChangedDoc(r.doc_id, r.text, "changed")
       fp = r.fp
-      lastSeenMs = tsMs(r)
+      // monotonic, like UrlIntake: a wholly-late micro-batch must not
+      // move lastSeen backward (which would let a later arrival see a
+      // spurious TTL expiry and re-emit as 'added')
+      lastSeenMs = math.max(lastSeenMs, tsMs(r))
     }
     state.update(DocDigest(fp, lastSeenMs))
     if (ttlMs > 0)
       state.setTimeoutTimestamp(
-        math.max(arrivals.map(tsMs).max + ttlMs, state.getCurrentWatermarkMs + 1))
+        math.max(lastSeenMs + ttlMs, state.getCurrentWatermarkMs + 1))
     out.result().iterator
   }
 

@@ -43,7 +43,7 @@ object Bpe {
   /** Where [[tokenCountBpe]] exports the distinct-word dictionary for
     * the DuckDB oracle (a VERIFY fixture, not part of the operator:
     * the per-doc count path never materializes it). */
-  val VocabExportPath = "/root/repo/tmp/oracle_fixtures/bpe_vocab.parquet"
+  val VocabExportPath = graft.FixturePaths.fixture("bpe_vocab.parquet")
 
   private val Sep = '\u0001'
 

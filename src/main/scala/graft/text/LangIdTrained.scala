@@ -45,8 +45,8 @@ object LangIdTrained {
   val NumBuckets = 1024
   val GramLen = 3
 
-  val GramBucketsExportPath = "/root/repo/tmp/oracle_fixtures/langid_gram_buckets.parquet"
-  val WeightsExportPath = "/root/repo/tmp/oracle_fixtures/langid_weights.parquet"
+  val GramBucketsExportPath = graft.FixturePaths.fixture("langid_gram_buckets.parquet")
+  val WeightsExportPath = graft.FixturePaths.fixture("langid_weights.parquet")
 
   /** Romanized zh function words for the plant — the class the
     * stopword heuristic structurally cannot predict (no profile). */

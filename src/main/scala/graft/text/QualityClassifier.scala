@@ -41,8 +41,8 @@ object QualityClassifier {
   val Epochs = 30
   val LearningRate = 30.0
 
-  val TokenBucketsExportPath = "/root/repo/tmp/oracle_fixtures/qc_token_buckets.parquet"
-  val WeightsExportPath = "/root/repo/tmp/oracle_fixtures/qc_weights.parquet"
+  val TokenBucketsExportPath = graft.FixturePaths.fixture("qc_token_buckets.parquet")
+  val WeightsExportPath = graft.FixturePaths.fixture("qc_weights.parquet")
 
   /** Hashed feature-bucket array of a text column (1-based buckets are
     * applied at lookup; stored 0-based). */

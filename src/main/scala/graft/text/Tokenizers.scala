@@ -58,7 +58,7 @@ object Tokenizers {
   /** Word->count dictionary fixture for BOTH families over the
     * planted comparison corpus (the per-entry export discipline:
     * the shared raw-corpus fixtures cannot describe planted words). */
-  val CompareDictPath = "/root/repo/tmp/oracle_fixtures/tokcmp_dict.parquet"
+  val CompareDictPath = graft.FixturePaths.fixture("tokcmp_dict.parquet")
 
   /** Vocab-external words PLANTED into the comparison corpus (the
     * synthetic corpus has only ~31 distinct words, which every

@@ -84,7 +84,7 @@ object Unigram {
   /** Distinct-word -> piece-count dictionary fixture for the DuckDB
     * oracle (the [[Bpe.VocabExportPath]] discipline; separate path so
     * the BPE and unigram oracles never clobber each other). */
-  val VocabExportPath = "/root/repo/tmp/oracle_fixtures/unigram_vocab.parquet"
+  val VocabExportPath = graft.FixturePaths.fixture("unigram_vocab.parquet")
 
   /** Fitted or imported model: (piece, logprob) in deterministic
     * order, plus the pretokenization style it was built for.
@@ -320,7 +320,7 @@ object Unigram {
 
   /** word → (n_sub, n_fb) dictionary for the coverage oracle. */
   val CoverageDictExportPath =
-    "/root/repo/tmp/oracle_fixtures/unigram_coverage_dict.parquet"
+    graft.FixturePaths.fixture("unigram_coverage_dict.parquet")
 
   /** Vocab-external probe documents appended under their own lang so
     * the coverage report always carries a deterministic nonzero-
@@ -509,23 +509,38 @@ object UnigramKernels {
         len += 1
       }
       if (best(end) == NegInf) { // unknown char: penalized fallback
+        // step by CODE POINT: a low surrogate closing a pair falls
+        // back over both UTF-16 units, so a supplementary-plane char
+        // encodes its real 4 UTF-8 bytes (not a lone surrogate's '?')
+        // — SentencePiece byte_fallback operates on code points
+        val st = fallbackStart(word, end)
         if (rt.byteScores == null) { // one flat-penalty piece
-          best(end) = best(end - 1) + rt.unkScore
-          cnt(end) = cnt(end - 1) + 1
-        } else { // one byte piece per UTF-8 byte of the char
-          val bytes = word.substring(end - 1, end)
+          best(end) = best(st) + rt.unkScore
+          cnt(end) = cnt(st) + 1
+        } else { // one byte piece per UTF-8 byte of the code point
+          val bytes = word.substring(st, end)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           var pen = 0.0
           var j = 0
           while (j < bytes.length) { pen += rt.byteScores(bytes(j) & 0xff); j += 1 }
-          best(end) = best(end - 1) + pen
-          cnt(end) = cnt(end - 1) + bytes.length
+          best(end) = best(st) + pen
+          cnt(end) = cnt(st) + bytes.length
         }
       }
       end += 1
     }
     cnt(n)
   }
+
+  /** Start index of the code point whose fallback closes at `end`:
+    * `end-2` when positions end-2..end hold a surrogate pair, else
+    * `end-1`. (Positions inside a pair still get DP values — via the
+    * lone-surrogate fallback — but no well-formed vocab piece can
+    * start mid-pair, so the final path never routes through them.) */
+  private def fallbackStart(word: String, end: Int): Int =
+    if (end >= 2 && Character.isLowSurrogate(word.charAt(end - 1))
+        && Character.isHighSurrogate(word.charAt(end - 2))) end - 2
+    else end - 1
 
   /**
    * Packed (total pieces << 32 | fallback pieces) of one pretoken's
@@ -564,19 +579,20 @@ object UnigramKernels {
         len += 1
       }
       if (best(end) == NegInf) {
+        val st = fallbackStart(word, end) // code-point step, as countWord
         if (rt.byteScores == null) {
-          best(end) = best(end - 1) + rt.unkScore
-          cnt(end) = cnt(end - 1) + 1
-          fb(end) = fb(end - 1) + 1
+          best(end) = best(st) + rt.unkScore
+          cnt(end) = cnt(st) + 1
+          fb(end) = fb(st) + 1
         } else {
-          val bytes = word.substring(end - 1, end)
+          val bytes = word.substring(st, end)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           var pen = 0.0
           var j = 0
           while (j < bytes.length) { pen += rt.byteScores(bytes(j) & 0xff); j += 1 }
-          best(end) = best(end - 1) + pen
-          cnt(end) = cnt(end - 1) + bytes.length
-          fb(end) = fb(end - 1) + bytes.length
+          best(end) = best(st) + pen
+          cnt(end) = cnt(st) + bytes.length
+          fb(end) = fb(st) + bytes.length
         }
       }
       end += 1
