@@ -414,7 +414,7 @@ object Dedup {
     * is also new, i ≡ 0 mod 11 — both occur); the rest is the
     * already-deduped resident base. */
   private[graft] def deltaSplit(id: Column): Column =
-    id >= PlantOffset || id % 11 === 0
+    graft.Carves.deltaSplit(id, PlantOffset)
 
   /** `dedup_minhash_delta`: merge-time near-dedup of a new crawl
     * against the resident base signature table — the signatures are
@@ -443,7 +443,7 @@ object Dedup {
   private def deltaChainCtes: String =
     s"""${mutatedCorpusSql(25)},
        |sigs AS (SELECT id, sig FROM read_parquet('$MinhashSigExportPath/*.parquet')),
-       |d AS (SELECT id FROM sigs WHERE id >= $PlantOffset OR id % 11 = 0),
+       |d AS (SELECT id FROM sigs WHERE ${graft.Carves.deltaSplitSql("id", PlantOffset)}),
        |bands AS (
        |  SELECT id, t.band AS band, sig[t.band*4+1:t.band*4+4] AS bh
        |  FROM sigs, generate_series(0, 15) t(band)),

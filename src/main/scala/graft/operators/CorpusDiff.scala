@@ -49,22 +49,22 @@ object CorpusDiff {
   def corpusDiffQuery(spark: SparkSession, sfDir: String): DataFrame =
     corpusDiffOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
 
-  /** The deterministic OLD-snapshot carve (shared with the
-    * incremental-maintenance entry, [[SignalsMaintenance]], so both
-    * tell one merge story over the same snapshots). */
+  /** The deterministic OLD-snapshot carve (constants from
+    * [[graft.Carves]]; shared with the incremental-maintenance entry,
+    * [[SignalsMaintenance]], so both tell one merge story over the
+    * same snapshots). */
   def carveOld(docs: DataFrame): DataFrame =
-    docs.filter(col("doc_id") % 13 =!= 0)
+    docs.filter(graft.Carves.inOld(col("doc_id")))
       .select(col("doc_id"),
-        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" legacy")))
-          .otherwise(col("text")).as("text"))
+        graft.Carves.oldText(col("doc_id"), col("text")).as("text"))
 
   /** The deterministic NEW-snapshot carve. */
   def carveNew(docs: DataFrame): DataFrame =
-    docs.filter(col("doc_id") % 7 =!= 0)
+    docs.filter(graft.Carves.inNew(col("doc_id")))
 
   /** The NEW-snapshot carve as a DuckDB source clause. */
   val carveNewSql: String =
-    "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) newsnap"
+    s"(SELECT doc_id, text FROM documents WHERE ${graft.Carves.inNewSql("doc_id")}) newsnap"
 
   /** The entry's carve + diff over any (doc_id, text) frame (the
     * ramp's handle). */
@@ -74,9 +74,9 @@ object CorpusDiff {
   val corpusDiffSql: String =
     s"""WITH o AS (
        |  SELECT doc_id,
-       |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' legacy' ELSE text END) AS fp_old
-       |  FROM documents WHERE doc_id % 13 <> 0),
-       |n AS (SELECT doc_id, md5(text) AS fp_new FROM documents WHERE doc_id % 7 <> 0)
+       |    md5(${graft.Carves.oldTextSql("doc_id", "text")}) AS fp_old
+       |  FROM documents WHERE ${graft.Carves.inOldSql("doc_id")}),
+       |n AS (SELECT doc_id, md5(text) AS fp_new FROM documents WHERE ${graft.Carves.inNewSql("doc_id")})
        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
        |  CASE WHEN o.fp_old IS NULL THEN 'added'
        |       WHEN n.fp_new IS NULL THEN 'removed'

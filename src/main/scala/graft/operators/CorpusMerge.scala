@@ -57,16 +57,19 @@ import graft.dedup.Dedup
  */
 object CorpusMerge {
 
-  /** Old-snapshot carve over the planted corpus. */
+  /** Old-snapshot carve over the planted corpus (constants from
+    * [[graft.Carves]] — the one carve vocabulary). */
   private[graft] def carveOld(corpus: DataFrame): DataFrame =
-    corpus.filter(col("doc_id") < Dedup.PlantOffset && col("doc_id") % 13 =!= 0)
+    corpus.filter(col("doc_id") < Dedup.PlantOffset &&
+        graft.Carves.inOld(col("doc_id")))
       .select(col("doc_id"),
-        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" legacy")))
-          .otherwise(col("text")).as("text"))
+        graft.Carves.oldText(col("doc_id"), col("text")).as("text"))
 
-  /** New-snapshot carve: all copies + originals except `% 7 == 0`. */
+  /** New-snapshot carve: all copies + originals except the removed
+    * modulus. */
   private[graft] def carveNew(corpus: DataFrame): DataFrame =
-    corpus.filter(!(col("doc_id") < Dedup.PlantOffset && col("doc_id") % 7 === 0))
+    corpus.filter(col("doc_id") >= Dedup.PlantOffset ||
+      graft.Carves.inNew(col("doc_id")))
 
   /**
    * The merge verdict given the new snapshot, the resident signature
@@ -156,11 +159,11 @@ object CorpusMerge {
     s"""${Dedup.mutatedCorpusSql(25)},
        |o AS (
        |  SELECT doc_id,
-       |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' legacy' ELSE text END) AS fp_old
-       |  FROM corpus WHERE doc_id < $off AND doc_id % 13 <> 0),
+       |    md5(${graft.Carves.oldTextSql("doc_id", "text")}) AS fp_old
+       |  FROM corpus WHERE doc_id < $off AND ${graft.Carves.inOldSql("doc_id")}),
        |n AS (
        |  SELECT doc_id, md5(text) AS fp_new FROM corpus
-       |  WHERE NOT (doc_id < $off AND doc_id % 7 = 0)),
+       |  WHERE NOT (doc_id < $off AND ${graft.Carves.droppedFromNewSql("doc_id")})),
        |diff AS (
        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
        |    CASE WHEN o.fp_old IS NULL THEN 'added'

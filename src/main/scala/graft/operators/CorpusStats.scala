@@ -190,8 +190,7 @@ object CorpusStats {
     * derivable as pure id predicates both engines replay. */
   def qualityDriftQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
-    val delta = docs.filter(col("doc_id") % 7 =!= 0 &&
-      (col("doc_id") % 13 === 0 || col("doc_id") % 5 === 0))
+    val delta = docs.filter(graft.Carves.isDelta(col("doc_id")))
     qualityDrift(
       graft.text.TextAnalysis.qualitySignalsOn(CorpusDiff.carveOld(docs)),
       graft.text.TextAnalysis.qualitySignalsOn(delta))
@@ -201,10 +200,10 @@ object CorpusStats {
     def union(src: String): String = DriftSignals.map(c =>
       s"SELECT '$c' AS signal, CAST(ROUND($c * 10000) AS BIGINT) AS v4 FROM $src")
       .mkString("\n  UNION ALL ")
-    val oldSrc = "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' legacy' " +
-      "ELSE text END AS text FROM documents WHERE doc_id % 13 <> 0) o"
-    val deltaSrc = "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0 " +
-      "AND (doc_id % 13 = 0 OR doc_id % 5 = 0)) dl"
+    val oldSrc = s"(SELECT doc_id, ${graft.Carves.oldTextSql("doc_id", "text")}" +
+      s" AS text FROM documents WHERE ${graft.Carves.inOldSql("doc_id")}) o"
+    val deltaSrc = s"(SELECT doc_id, text FROM documents WHERE ${graft.Carves.inNewSql("doc_id")} " +
+      s"AND (${graft.Carves.isAddedSql("doc_id")} OR ${graft.Carves.isChangedSql("doc_id")})) dl"
     s"""WITH base AS (SELECT * FROM (
        |  ${graft.text.TextAnalysis.qualitySignalsSqlFrom(oldSrc)}) q1),
        |delta AS (SELECT * FROM (

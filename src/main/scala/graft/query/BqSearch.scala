@@ -252,6 +252,106 @@ object BqSearch {
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
   }
 
+  /**
+   * `ann_ivfbq_filtered_topk`: metadata-filtered IVF+BQ — the
+   * [[SqSearch.annIvfsqFilteredTopK]] discipline on the 32x 1-bit
+   * tier: label on the cell assignment, predicate between the cell
+   * cut and the xor+popcount work, probe budget widened by
+   * [[IvfSearch.FilterOverProbe]].
+   */
+  def annIvfbqFilteredTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
+    val thr = fittedThresholds(spark, sfDir)
+    val cells = IvfSearch.assignCellsWith(data,
+      IvfSearch.centroidsDf(spark, cents), Seq("label"))
+    val codes = data.select(col("vec_id"), bqWords(col("embedding"), thr).as("words"))
+    val nProbe = NumProbes * IvfSearch.FilterOverProbe
+    val prep = data.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        bqWords(col("embedding"), thr).as("qwords"),
+        col("embedding").as("qraw"),
+        col("label").as("qlabel"),
+        PqSearch.topProbeCells(col("embedding"), cents, nProbe).as("pcells"))
+      .withColumn("cell", explode(col("pcells"))).drop("pcells")
+    val probeSide = spark.createDataFrame(
+      java.util.Arrays.asList(prep.collect(): _*), prep.schema)
+    val fetch = data.select(col("vec_id"), col("embedding"))
+    val wHam = Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id"))
+    val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    cells
+      .join(broadcast(probeSide), Seq("cell"))
+      .filter(col("label") === col("qlabel")) // BEFORE the Hamming scan
+      .join(codes, Seq("vec_id"))
+      .withColumn("hamming", hamming(col("qwords"), col("words")))
+      .withColumn("ham_rank", row_number().over(wHam))
+      .filter(col("ham_rank") <= HamKeep)
+      .join(fetch, Seq("vec_id"))
+      .withColumn("dist", vec_l2(col("embedding"), col("qraw")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  /** The [[annIvfbqTopKSql]] chain with the label threaded through —
+    * the Spark stage order (filter after the cell cut, before the
+    * Hamming aggregation). */
+  def annIvfbqFilteredTopKSql: String = {
+    val nProbe = NumProbes * IvfSearch.FilterOverProbe
+    s"""WITH cc AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
+       |p AS (SELECT d, thr FROM read_parquet('$ThresholdsExportPath/*.parquet')),
+       |x AS (SELECT vec_id,
+       |        generate_subscripts(embedding, 1) - 1 AS d,
+       |        CAST(unnest(embedding) AS DOUBLE) AS v
+       |      FROM embeddings),
+       |words AS (
+       |  SELECT x.vec_id, CAST(x.d // $WordBits AS INTEGER) AS w,
+       |    CAST(SUM(CASE WHEN x.v > p.thr
+       |                  THEN CAST(1 AS BIGINT) << CAST(x.d % $WordBits AS INTEGER)
+       |                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS word
+       |  FROM x JOIN p ON x.d = p.d
+       |  GROUP BY x.vec_id, x.d // $WordBits),
+       |assign AS (
+       |  SELECT vec_id, label, cell FROM (
+       |    SELECT e.vec_id, e.label, cc.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(cc.cv AS DOUBLE[])), cc.cell) AS r
+       |    FROM embeddings e CROSS JOIN cc)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qlabel, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.label AS qlabel, cc.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(cc.cv AS DOUBLE[])), cc.cell) AS crnk
+       |    FROM embeddings q CROSS JOIN cc WHERE q.vec_id < $NumQueries)
+       |  WHERE crnk <= $nProbe),
+       |cand AS (
+       |  SELECT pr.query_id, a.vec_id
+       |  FROM probes pr JOIN assign a ON a.cell = pr.cell AND a.label = pr.qlabel),
+       |ham AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    CAST(SUM(bit_count(xor(qw.word, cw.word))) AS INTEGER) AS hamming
+       |  FROM cand c
+       |  JOIN words qw ON qw.vec_id = c.query_id
+       |  JOIN words cw ON cw.vec_id = c.vec_id AND cw.w = qw.w
+       |  GROUP BY c.query_id, c.vec_id),
+       |shortlist AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS ham_rank
+       |    FROM ham)
+       |  WHERE ham_rank <= $HamKeep)
+       |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rnk
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.query_id)
+       |WHERE rnk <= $K""".stripMargin
+  }
+
   def annIvfbqTopKSql: String =
     s"""WITH cc AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
        |p AS (SELECT d, thr FROM read_parquet('$ThresholdsExportPath/*.parquet')),

@@ -38,6 +38,15 @@ object IvfSearch {
   /** Default cell count when the corpus size is not consulted (near-dup path). */
   val DefaultCells = 16
 
+  /** Probe-budget widening for metadata-FILTERED search on the celled
+    * tiers: a selectivity-s predicate eats (1-s) of every probed
+    * cell's candidates, so the filtered entries probe
+    * `NumProbes * FilterOverProbe` cells to keep the post-filter
+    * candidate pool near the unfiltered one — the
+    * [[AnnQuery.lshTopKSameLabel]] overProbe discipline applied to
+    * cells instead of LSH probe sequences. */
+  val FilterOverProbe = 2
+
   /**
    * C ~ ceil(sqrt(N)), clamped to [4, 4096] and to >= 32 vectors per
    * cell on average (tiny corpora get few cells; 1e9 vectors get the
@@ -132,9 +141,19 @@ object IvfSearch {
    * vectors. Tie-break on (dist, cell) keeps it deterministic.
    */
   def assignCells(data: DataFrame, centroids: DataFrame): DataFrame =
+    assignCellsWith(data, centroids, Nil)
+
+  /** [[assignCells]] carrying extra metadata columns through the SAME
+    * single partial-agg shuffle (vec_id is unique, so adding
+    * functionally-dependent columns to the key changes nothing but
+    * what rides along) — the filtered celled tiers use this to land
+    * the label predicate on the assignment table itself, below every
+    * candidate join. */
+  def assignCellsWith(data: DataFrame, centroids: DataFrame,
+      carry: Seq[String]): DataFrame =
     data.join(broadcast(centroids))
       .withColumn("cdist", vec_l2(col("embedding"), col("cv")))
-      .groupBy(col("vec_id"))
+      .groupBy(col("vec_id") +: carry.map(col): _*)
       .agg(min_by(col("cell"), struct(col("cdist"), col("cell"))).as("cell"))
 
   def ivfTopK(spark: SparkSession, data: DataFrame, queries: DataFrame,

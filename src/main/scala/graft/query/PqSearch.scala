@@ -259,6 +259,49 @@ object PqSearch {
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
   }
 
+  /**
+   * `ann_ivfpq_filtered_topk`: metadata-filtered IVF-PQ — the
+   * [[SqSearch.annIvfsqFilteredTopK]] discipline on the 32x tier:
+   * label rides the cell assignment ([[IvfSearch.assignCellsWith]]),
+   * the predicate prunes candidates AFTER the cell cut and BEFORE the
+   * ADC lookup/rank (codes are never summed for a row the filter
+   * would discard; the AdcKeep shortlist is all matching rows), and
+   * the probe budget widens by [[IvfSearch.FilterOverProbe]] against
+   * the predicate's selectivity.
+   */
+  def annIvfpqFilteredTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val (cents, cb) = fittedFor(spark, sfDir, data)
+    val cells = IvfSearch.assignCellsWith(data,
+      IvfSearch.centroidsDf(spark, cents), Seq("label"))
+    val codes = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), pqCodes(col("embedding"), cb).as("codes"))
+    val nProbe = NumProbes * IvfSearch.FilterOverProbe
+    val prep = Tables.embeddings(spark, sfDir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"),
+        adcLuts(col("embedding"), cb).as("luts"),
+        topProbeCells(col("embedding"), cents, nProbe).as("pcells"))
+      .withColumn("cell", explode(col("pcells"))).drop("pcells")
+    val probeSide = spark.createDataFrame(
+      java.util.Arrays.asList(prep.collect(): _*), prep.schema)
+    val fetch = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    cells
+      .join(broadcast(probeSide), Seq("cell"))
+      .filter(col("label") === col("qlabel")) // BEFORE the ADC lookup
+      .join(codes, Seq("vec_id"))
+      .withColumn("adc", adcCol)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= AdcKeep)
+      .join(fetch, Seq("vec_id"))
+      .withColumn("dist", vec_l2(col("embedding"), col("qv")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
   /** Resident IVF-PQ index for a corpus: cell routing + codes (cached
     * — together ~13 bytes/vector, the point of PQ), the full-precision
     * fetch table, and the fitted models. The streaming server holds
@@ -412,6 +455,58 @@ object PqSearch {
        |  JOIN embeddings e ON e.vec_id = s.vec_id
        |  JOIN embeddings q ON q.vec_id = s.query_id)
        |WHERE rnk <= $K""".stripMargin
+
+  /** The [[annIvfpqTopKSql]] chain with the label threaded through
+    * (assignment carries it, probes carry the query's, the candidate
+    * join filters before the LUT sum) — the Spark stage order. */
+  def annIvfpqFilteredTopKSql: String = {
+    val nProbe = NumProbes * IvfSearch.FilterOverProbe
+    s"""WITH c AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
+       |$codesCte,
+       |assign AS (
+       |  SELECT vec_id, label, cell FROM (
+       |    SELECT e.vec_id, e.label, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qlabel, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.label AS qlabel, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS crnk
+       |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < $NumQueries)
+       |  WHERE crnk <= $nProbe),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, cb.m, cb.code,
+       |    list_distance(CAST(q.embedding AS DOUBLE[])[cb.m * sub.sd + 1 : (cb.m + 1) * sub.sd],
+       |      CAST(cb.cv AS DOUBLE[]))
+       |    * list_distance(CAST(q.embedding AS DOUBLE[])[cb.m * sub.sd + 1 : (cb.m + 1) * sub.sd],
+       |      CAST(cb.cv AS DOUBLE[])) AS d2
+       |  FROM embeddings q CROSS JOIN cb CROSS JOIN sub WHERE q.vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT p.query_id, a.vec_id, FLOOR(SUM(l.d2) * 10000) / 10000 AS adc
+       |  FROM probes p
+       |  JOIN assign a ON a.cell = p.cell AND a.label = p.qlabel
+       |  JOIN codes cd ON cd.vec_id = a.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
+       |  GROUP BY p.query_id, a.vec_id),
+       |shortlist AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS adc_rank
+       |    FROM adc)
+       |  WHERE adc_rank <= $AdcKeep)
+       |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rnk
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.query_id)
+       |WHERE rnk <= $K""".stripMargin
+  }
 
   /** Shared oracle CTEs: encode argmin over the codebook fixture. */
   private def codesCte: String =

@@ -206,6 +206,63 @@ object SqSearch {
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
   }
 
+  /**
+   * `ann_ivfsq_filtered_topk`: metadata-filtered search on the
+   * IVF+SQ8 serving tier — nearest neighbors AMONG rows sharing the
+   * query's `label`, the predicate path the compressed production
+   * tiers were missing (exact and LSH had it; the tier a 100 TB
+   * corpus actually serves did not). The discipline is
+   * [[AnnQuery.lshTopKSameLabel]]'s, applied to cells:
+   *  - the label rides the CELL ASSIGNMENT itself
+   *    ([[IvfSearch.assignCellsWith]] — same one-shuffle aggregate),
+   *    so the predicate lands directly on the candidate table, below
+   *    the dequantized-distance work and both rank windows: ADC is
+   *    never computed for a row the filter would discard, and the
+   *    AdcKeep shortlist budget is spent entirely on matching rows;
+   *  - the probe budget widens against selectivity
+   *    ([[IvfSearch.FilterOverProbe]]): a 10%-selective label keeps
+   *    ~nProbe*overProbe/10 of the unfiltered candidate pool, which
+   *    is what preserves recall without touching unprobed cells.
+   * At 100 TB the plan shape is unchanged from [[annIvfsqTopK]] —
+   * cells-bucketed scan, code-sized candidate rows, bounded refine —
+   * with one extra byte-sized column on the assignment table.
+   */
+  def annIvfsqFilteredTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
+    val (vmin, delta) = fittedParams(spark, sfDir)
+    val cells = IvfSearch.assignCellsWith(data,
+      IvfSearch.centroidsDf(spark, cents), Seq("label"))
+    val dvecs = data.select(col("vec_id"),
+      sqRecon(sqCodes(col("embedding"), vmin, delta), vmin, delta).as("dvec"))
+    val nProbe = NumProbes * IvfSearch.FilterOverProbe
+    val prep = data.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"),
+        col("embedding").as("qraw"),
+        col("label").as("qlabel"),
+        PqSearch.topProbeCells(col("embedding"), cents, nProbe).as("pcells"))
+      .withColumn("cell", explode(col("pcells"))).drop("pcells")
+    val probeSide = spark.createDataFrame(
+      java.util.Arrays.asList(prep.collect(): _*), prep.schema)
+    val fetch = data.select(col("vec_id"), col("embedding"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    cells
+      .join(broadcast(probeSide), Seq("cell"))
+      .filter(col("label") === col("qlabel")) // BEFORE any distance work
+      .join(dvecs, Seq("vec_id"))
+      .withColumn("adc",
+        floor(vec_l2(col("qv"), col("dvec")) * vec_l2(col("qv"), col("dvec")) * 10000) / 10000)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= AdcKeep)
+      .join(fetch, Seq("vec_id"))
+      .withColumn("dist", vec_l2(col("embedding"), col("qraw")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
   def annIvfsqTopKSql: String =
     s"""WITH c AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
        |p AS (SELECT d, vmin, delta FROM read_parquet('$ParamsExportPath/*.parquet')),
@@ -258,6 +315,65 @@ object SqSearch {
        |  JOIN embeddings e ON e.vec_id = s.vec_id
        |  JOIN embeddings q ON q.vec_id = s.query_id)
        |WHERE rnk <= $K""".stripMargin
+
+  /** The [[annIvfsqTopKSql]] chain with the label threaded through:
+    * assignment carries the row label, probes carry the query label,
+    * and the candidate join applies the predicate before ADC — the
+    * same stage order as the Spark plan. */
+  def annIvfsqFilteredTopKSql: String = {
+    val nProbe = NumProbes * IvfSearch.FilterOverProbe
+    s"""WITH c AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
+       |p AS (SELECT d, vmin, delta FROM read_parquet('$ParamsExportPath/*.parquet')),
+       |x AS (SELECT vec_id,
+       |        generate_subscripts(embedding, 1) - 1 AS d,
+       |        CAST(unnest(embedding) AS DOUBLE) AS v
+       |      FROM embeddings),
+       |recon AS (
+       |  SELECT x.vec_id, x.d,
+       |    CASE WHEN p.delta = 0 THEN p.vmin
+       |         ELSE p.vmin + LEAST(CAST(255.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+       |                FLOOR((x.v - p.vmin) / p.delta + 0.5))) * p.delta
+       |    END AS rv
+       |  FROM x JOIN p ON x.d = p.d),
+       |dvecs AS (SELECT vec_id, list(rv ORDER BY d) AS dvec FROM recon GROUP BY vec_id),
+       |assign AS (
+       |  SELECT vec_id, label, cell FROM (
+       |    SELECT e.vec_id, e.label, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qlabel, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.label AS qlabel, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS crnk
+       |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < $NumQueries)
+       |  WHERE crnk <= $nProbe),
+       |adc AS (
+       |  SELECT pr.query_id, a.vec_id,
+       |    FLOOR(list_distance(CAST(q.embedding AS DOUBLE[]), dv.dvec)
+       |          * list_distance(CAST(q.embedding AS DOUBLE[]), dv.dvec) * 10000) / 10000 AS adc
+       |  FROM probes pr
+       |  JOIN assign a ON a.cell = pr.cell AND a.label = pr.qlabel
+       |  JOIN dvecs dv ON dv.vec_id = a.vec_id
+       |  JOIN embeddings q ON q.vec_id = pr.query_id),
+       |shortlist AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS adc_rank
+       |    FROM adc)
+       |  WHERE adc_rank <= $AdcKeep)
+       |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rnk
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.query_id)
+       |WHERE rnk <= $K""".stripMargin
+  }
 
   def annSqTopKSql: String =
     s"""WITH p AS (SELECT d, vmin, delta FROM read_parquet('$ParamsExportPath/*.parquet')),

@@ -85,4 +85,30 @@ class StreamingSignalsSpec extends SparkSpecBase {
     assert(got.length == 2, "first sighting + the aged refetch, nothing else")
     assert(got.forall(_.getString(1) == "added"), "an aged refetch is a fresh add")
   }
+
+  test("a wholly-late micro-batch cannot move lastSeen backward (no spurious TTL refetch)") {
+    import graft.streaming.StreamingSignals._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def arr(tsMs: Long) =
+      DocArrival(7L, "a stable document", "fp-a", new java.sql.Timestamp(tsMs))
+    def stateOf(d: DocDigest) = TestGroupState.create[DocDigest](
+      org.apache.spark.api.java.Optional.of(d),
+      GroupStateTimeout.EventTimeTimeout(), 0L,
+      org.apache.spark.api.java.Optional.of(0L), false)
+    val ttl = 500L
+    // digest last sighted at t=1000; a wholly-late batch (t=200) arrives
+    val s = stateOf(DocDigest("fp-a", 1000L))
+    assert(gateTtl(ttl)(7L, Iterator(arr(200L)), s).isEmpty,
+      "late duplicate must stay suppressed")
+    assert(s.get.lastSeenMs == 1000L,
+      "lastSeen must not move backward on a late batch")
+    // next in-order arrival at t=1400 (400ms after the true lastSeen):
+    // inside the TTL window -> still suppressed. Under the pre-fix
+    // behavior lastSeen would read 200 and 1400-200 > ttl would
+    // fabricate an 'added' re-emit.
+    val s2 = stateOf(s.get)
+    assert(gateTtl(ttl)(7L, Iterator(arr(1400L)), s2).isEmpty,
+      "in-window re-arrival after a late batch must stay suppressed")
+    assert(s2.get.lastSeenMs == 1400L)
+  }
 }

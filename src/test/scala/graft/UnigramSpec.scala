@@ -171,6 +171,34 @@ class UnigramSpec extends SparkSpecBase {
     assert(UnigramKernels.countTokens(UTF8String.fromString("é"), flat) == 2)
   }
 
+  test("byte fallback steps by code point: non-BMP chars encode their real UTF-8 bytes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // full byte table so EVERY byte has a score (a real byte_fallback
+    // export carries all 256 <0xNN> rows)
+    val allBytes = (0 until 256).map(b => f"<0x$b%02X>\t-8.0").mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("unigram-nonbmp")
+    val path = dir.resolve("bytes.vocab")
+    java.nio.file.Files.write(path,
+      ("<unk>\t0\n<s>\t0\n</s>\t0\n<pad>\t0\n▁hi\t-1.0\n" + allBytes + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val r = Unigram.loadVocab(path.toString).runtime
+    // U+1D11E MUSICAL SYMBOL G CLEF: a surrogate pair in UTF-16, 4
+    // bytes in UTF-8. SentencePiece byte_fallback emits 4 byte pieces
+    // for it — a UTF-16-code-unit step would instead produce 2 lone
+    // surrogates, each encoding to the 1-byte replacement '?' (2
+    // pieces, and the WRONG bytes). Word = ▁(3) + clef(4) = 7.
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(UnigramKernels.countTokens(UTF8String.fromString(clef), r) == 7,
+      "supplementary-plane char must fall back as one code point of 4 UTF-8 bytes")
+    // coverage kernel agrees piece-for-piece (total == count, all fallback)
+    val p = UnigramKernels.coverageTokens(UTF8String.fromString(clef), r)
+    assert(((p >>> 32), p & 0xffffffffL) == ((7L, 7L)))
+    // flat-unk model: the pair is ONE unk piece (one code point), not two
+    val flat = UnigramModel(Array("▁hi" -> -1.0), spmStyle = true).runtime
+    assert(UnigramKernels.countTokens(UTF8String.fromString(clef), flat) == 2,
+      "flat fallback: ▁ + clef = 2 unk pieces (code-point steps)")
+  }
+
   test("coverage kernel: totals agree with countWord; fallback counts flat vs per-byte") {
     import org.apache.spark.unsafe.types.UTF8String
     val dir = java.nio.file.Files.createTempDirectory("unigram-cov")
