@@ -188,7 +188,8 @@ object BqSearch {
     * embedding) query batch against a resident [[BqIndex]] — the
     * serving form [[graft.streaming.AnnServe.serveBq]] runs per
     * micro-batch. */
-  def topKForQueries(queries: DataFrame, idx: BqIndex): DataFrame = {
+  def topKForQueries(queries: DataFrame, idx: BqIndex,
+      deletedIds: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val prep = queries
       .select(col("vec_id").as("query_id"),
@@ -198,7 +199,10 @@ object BqSearch {
       java.util.Arrays.asList(prep.collect(): _*), prep.schema)
     val wHam = Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id"))
     val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    idx.codes.crossJoin(broadcast(probeSide))
+    // tombstones before the Hamming rank (never eat HamKeep budget)
+    val liveCodes = deletedIds.fold(idx.codes)(del =>
+      idx.codes.join(broadcast(del.select(col("id").as("vec_id"))), Seq("vec_id"), "left_anti"))
+    liveCodes.crossJoin(broadcast(probeSide))
       .withColumn("hamming", hamming(col("qwords"), col("words")))
       .withColumn("ham_rank", row_number().over(wHam))
       .filter(col("ham_rank") <= HamKeep)

@@ -235,7 +235,7 @@ object PqSearch {
   def topKForQueries(spark: SparkSession, queries: DataFrame,
       cells: DataFrame, codes: DataFrame, fetch: DataFrame,
       cents: Array[Array[Float]], cb: Array[Array[Array[Float]]],
-      k: Int): DataFrame = {
+      k: Int, deletedIds: Option[DataFrame] = None): DataFrame = {
     val prep = queries
       .select(col("query_id"), col("qv"),
         adcLuts(col("qv"), cb).as("luts"),
@@ -246,7 +246,14 @@ object PqSearch {
 
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
     val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    cells
+    // tombstones anti-join BEFORE the ADC work and the AdcKeep cap
+    // (the IndexMaintenance discipline: a post-top-k anti-join would
+    // let deleted ids consume shortlist budget and leave rnk holes);
+    // with frozen models this makes tombstone serving EQUAL to serving
+    // an index physically rebuilt without the deleted rows
+    val liveCells = deletedIds.fold(cells)(del =>
+      cells.join(broadcast(del.select(col("id").as("vec_id"))), Seq("vec_id"), "left_anti"))
+    liveCells
       .join(broadcast(probeSide), Seq("cell"))
       .join(codes, Seq("vec_id"))
       .withColumn("adc", adcCol)

@@ -181,7 +181,22 @@ object SqSearch {
     val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents))
     val dvecs = data.select(col("vec_id"),
       sqRecon(sqCodes(col("embedding"), vmin, delta), vmin, delta).as("dvec"))
-    val prep = data.filter(col("vec_id") < NumQueries)
+    val fetch = data.select(col("vec_id"), col("embedding"))
+    ivfsqTopKForQueries(spark, data.filter(col("vec_id") < NumQueries),
+      cells, dvecs, fetch, cents)
+  }
+
+  /** The IVF+SQ8 serving chain for a (vec_id, embedding) query batch
+    * against resident cell/dequantized-code tables — the frame-level
+    * core of [[annIvfsqTopK]], with the same tombstone contract as
+    * [[PqSearch.topKForQueries]]: `deletedIds` (column `id`)
+    * anti-joins the candidate table BEFORE the ADC work and the
+    * AdcKeep cap, so tombstone serving equals serving an index
+    * physically rebuilt without the deleted rows (frozen params). */
+  def ivfsqTopKForQueries(spark: SparkSession, queries: DataFrame,
+      cells: DataFrame, dvecs: DataFrame, fetch: DataFrame,
+      cents: Array[Array[Float]], deletedIds: Option[DataFrame] = None): DataFrame = {
+    val prep = queries
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"),
         col("embedding").as("qraw"),
@@ -189,10 +204,11 @@ object SqSearch {
       .withColumn("cell", explode(col("pcells"))).drop("pcells")
     val probeSide = spark.createDataFrame(
       java.util.Arrays.asList(prep.collect(): _*), prep.schema)
-    val fetch = data.select(col("vec_id"), col("embedding"))
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
     val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    cells
+    val liveCells = deletedIds.fold(cells)(del =>
+      cells.join(broadcast(del.select(col("id").as("vec_id"))), Seq("vec_id"), "left_anti"))
+    liveCells
       .join(broadcast(probeSide), Seq("cell"))
       .join(dvecs, Seq("vec_id"))
       .withColumn("adc",

@@ -79,6 +79,73 @@ class PqLifecycleSpec extends SparkSpecBase {
     assert(life.stagedVectors == 0 && life.compactions == 1)
   }
 
+  test("delete: tombstoned ids never served; delete + staged insert combined equals compacted") {
+    val life = freshLifecycle("delete", compactEvery = 1000000L)
+    val arrivals = all.filter(col("vec_id") >= n - 50)
+    life.ingest(arrivals, batchId = 0L)
+    import spark.implicits._
+    val deadIds = Seq(0L, 3L, n - 49) // two resident rows + one staged row
+    life.delete(deadIds.toDF("id"))
+    val queries = all.filter(col("vec_id") < 5 || col("vec_id") >= n - 2)
+    // tombstones effective immediately, before any compaction
+    val before = life.serve(queries, k = 10).cache()
+    assert(before.filter(col("vec_id").isin(deadIds: _*)).count() == 0,
+      "deleted ids served before compaction")
+    assert(before.groupBy("query_id").count().collect().forall(_.getLong(1) == 10),
+      "tombstones must not eat the shortlist budget")
+    val beforeSet = before.collect().toSet
+    before.unpersist()
+    // the compaction consumes tombstones physically; serving unchanged
+    life.compactNow()
+    assert(life.compactions == 1 && life.deletedIds.isEmpty)
+    val after = life.serve(queries, k = 10).collect().toSet
+    assert(beforeSet == after,
+      "delete + staged insert combined must equal the compacted index")
+    // bit-for-bit: compacted state == fresh encode of (all minus dead)
+    val surviving = all.filter(!col("vec_id").isin(deadIds: _*))
+    val (fCells, _) = PqSearch.encode(spark, surviving, cents, cb)
+    val idx = life.current
+    assert(idx.cells.exceptAll(fCells).count() == 0
+      && fCells.exceptAll(idx.cells).count() == 0)
+  }
+
+  test("applyDiff: the corpus_merge removed/changed feed lands on the serving tier") {
+    // OLD snapshot (the lifecycle's resident corpus): the Carves story
+    // over vectors — missing the `added` ids, STALE vectors (negated)
+    // for the `changed` ids; NEW snapshot: true vectors, minus `removed`
+    val ids = all.select("vec_id", "embedding")
+    val oldSnap = ids.filter(graft.Carves.inOld(col("vec_id")))
+      .select(col("vec_id"),
+        when(col("vec_id") % graft.Carves.ChangedMod === 0,
+          transform(col("embedding"), x => -x)).otherwise(col("embedding"))
+          .as("embedding"))
+    val newSnap = ids.filter(graft.Carves.inNew(col("vec_id")))
+    // the digest diff over the same carve (text stands in for the
+    // vector payload — CorpusDiff is payload-agnostic)
+    val asDocs = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("vec_id").as("doc_id"), col("embedding").cast("string").as("text"))
+    val diff = graft.operators.CorpusDiff.corpusDiff(asDocs(oldSnap), asDocs(newSnap))
+    // resident index over the OLD snapshot, frozen models
+    val (oCells, oCodes) = PqSearch.encode(spark, oldSnap, cents, cb)
+    val life = new PqLifecycle(spark, oldSnap,
+      PqIndex(oCells.cache(), oCodes.cache(), oldSnap, cents, cb),
+      tmp("applydiff"), 1000000L)
+    life.applyDiff(diff, newSnap)
+    // serving now equals a fresh frozen-model index over the NEW snapshot
+    val queries = newSnap.filter(col("vec_id") < 30)
+    val got = life.serve(queries, k = 10).collect().toSet
+    val (fCells, fCodes) = PqSearch.encode(spark, newSnap, cents, cb)
+    val want = PqSearch.topKForQueries(spark,
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      fCells, fCodes, newSnap, cents, cb, 10).collect().toSet
+    assert(got == want,
+      "after applyDiff, serving must equal a fresh index over the new snapshot")
+    // removed ids are really gone; changed ids serve their NEW vectors
+    val removed = diff.filter(col("status") === "removed")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => !removed.contains(r.getLong(1))))
+  }
+
   test("streaming sink: arrivals land through foreachBatch and serve afterwards") {
     val life = freshLifecycle("sink", compactEvery = 1000000L)
     val in = tmp("sink-in"); val ckpt = tmp("sink-ckpt")
