@@ -23,10 +23,20 @@ import graft.Tables
  *  - `greedy_docwise` — document-preserving greedy fill in doc_id
  *    order: a doc that doesn't fit closes the sequence and opens the
  *    next. No splits; padding = budget minus each closed fill.
- *  - `greedy_sorted` — the same greedy fold over docs ordered
- *    length-DESCENDING (the classic sorted-packing improvement:
- *    similar lengths pack adjacently, so boundary waste shrinks; the
- *    trade is losing document order inside a shard).
+ *  - `greedy_sorted` — the same NEXT-FIT fold over docs ordered
+ *    length-DESCENDING: a doc that doesn't fit still closes the
+ *    current sequence forever. Sorting shrinks boundary waste a
+ *    little, but this is NOT the classic sorted packer — next-fit
+ *    never reopens a bin, so its pad_share is a loose upper bound on
+ *    what a real packer ships.
+ *  - `ffd_bounded` — first-fit-DECREASING with a bounded open-bin
+ *    list (the classic production packer, 11/9·OPT+6/9 bound in the
+ *    unbounded limit): each doc goes to the LOWEST-indexed open bin
+ *    with room; when none fits, the FULLEST open bin is closed (it is
+ *    the least likely to take any later doc under a descending order)
+ *    and a fresh bin takes the doc. [[FfdOpenBins]] bins bound the
+ *    fold state, the spill-to-closed rule bounds memory exactly like
+ *    a streaming packer's.
  *
  * Docs longer than the budget (`n_overlong`) are excluded from the
  * document-preserving strategies and reported — a real pipeline runs
@@ -75,6 +85,51 @@ object Packing {
         .otherwise(acc - (acc % StateMult) + StateMult + x)) / StateMult)
       .cast("long")
 
+  // ---- bounded first-fit-decreasing ----
+
+  /** Open bins the FFD fold keeps live. The whole state bit-packs into
+    * ONE long — 8 bits of fill per open bin (so `budget` must stay <=
+    * 255; widen the slots before raising [[PackBudget]] past that) +
+    * the closed-bin count above [[FfdClosedShift]] — which is what
+    * lets DuckDB's `list_reduce` replay the fold as the IDENTICAL
+    * scalar arithmetic (its lambda accumulator drops list-valued
+    * fields, the r9 seq_pack_greedy lesson; a scalar long has nothing
+    * to drop). */
+  val FfdOpenBins = 6
+  private val FfdClosedShift = 8 * FfdOpenBins
+
+  private def ffdSlot(acc: Column, i: Int): Column =
+    shiftrightunsigned(acc, 8 * i).bitwiseAND(lit(255L))
+
+  /** One FFD step: first-fit into the lowest open bin with room; on no
+    * fit, close the FULLEST bin (first index on ties — both engines
+    * take the first max) and restart it with `x`. */
+  private def ffdStep(acc: Column, x: Column, budget: Long): Column = {
+    val maxFill = greatest((0 until FfdOpenBins).map(ffdSlot(acc, _)): _*)
+    // eviction chain: the first slot holding the max fill
+    val evict = (0 until FfdOpenBins).foldRight(lit(0L)) { (i, rest) =>
+      val closed = acc + shiftleft(lit(1L), FfdClosedShift) -
+        shiftleft(ffdSlot(acc, i), 8 * i) + shiftleft(x, 8 * i)
+      if (i == FfdOpenBins - 1) closed // last slot: unconditionally the max
+      else when(ffdSlot(acc, i) === maxFill, closed).otherwise(rest)
+    }
+    (0 until FfdOpenBins).foldRight(evict) { (i, rest) =>
+      when(ffdSlot(acc, i) + x <= budget,
+        acc + shiftleft(x, 8 * i)).otherwise(rest)
+    }
+  }
+
+  /** Pack count of the bounded-FFD fold over an ordered length array:
+    * closed bins + still-open nonempty bins. */
+  private def ffdPacks(lens: Column, budget: Long): Column = {
+    require(budget <= 255, s"FFD slot width is 8 bits; budget $budget > 255")
+    aggregate(lens, lit(0L),
+      (acc, x) => ffdStep(acc, x, budget),
+      acc => shiftrightunsigned(acc, FfdClosedShift) +
+        (0 until FfdOpenBins).map(i =>
+          when(ffdSlot(acc, i) > 0, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
   /** One report row per strategy. `docs` needs (doc_id, stratum, text). */
   def packEfficiency(docs: DataFrame, stratumCol: String,
       budget: Long = PackBudget): DataFrame = {
@@ -104,11 +159,12 @@ object Packing {
     val kept = sized.filter(col("n") <= budget)
     val sharded = Corpus.withRangeBucketWidth(kept, "stratum", PackBuckets)
 
-    def greedyRow(name: String, ordered: Column): DataFrame =
+    def greedyRow(name: String, ordered: Column,
+        packsOf: Column => Column = greedyPacks(_, budget)): DataFrame =
       sharded.groupBy("stratum", "bkt")
         .agg(transform(ordered, s => s.getField("n")).as("lens"),
           sum("n").as("tok"))
-        .select(greedyPacks(col("lens"), budget).as("packs"), col("tok"))
+        .select(packsOf(col("lens")).as("packs"), col("tok"))
         .agg(sum("packs").as("n_seqs"), sum("tok").as("packed_tokens"))
         .crossJoin(overlong)
         .select(lit(name).as("strategy"), col("n_seqs"),
@@ -124,6 +180,7 @@ object Packing {
     concatRow
       .unionByName(greedyRow("greedy_docwise", byDoc))
       .unionByName(greedyRow("greedy_sorted", byLenDesc))
+      .unionByName(greedyRow("ffd_bounded", byLenDesc, ffdPacks(_, budget)))
       .select(col("strategy"), col("n_seqs"), col("packed_tokens"),
         (col("n_seqs") * budget - col("packed_tokens")).as("pad_tokens"),
         (floor((col("n_seqs") * budget - col("packed_tokens")).cast("double") /
@@ -258,6 +315,31 @@ object Packing {
        |FROM step s JOIN bases b ON s.stratum = b.stratum AND s.bkt = b.bkt""".stripMargin
   }
 
+  /** The FFD step as the identical DuckDB CASE chain (generated from
+    * the same constants so the two engines cannot drift). */
+  private def ffdStepSql(budget: Long): String = {
+    def slot(i: Int) = s"((a >> ${8 * i}) & 255)"
+    val mx = s"GREATEST(${(0 until FfdOpenBins).map(slot).mkString(", ")})"
+    def closed(i: Int) =
+      s"a + (CAST(1 AS BIGINT) << $FfdClosedShift) - (${slot(i)} << ${8 * i}) + (x << ${8 * i})"
+    val evict = {
+      val branches = (0 until FfdOpenBins - 1)
+        .map(i => s"WHEN ${slot(i)} = $mx THEN ${closed(i)}")
+      s"CASE ${branches.mkString(" ")} ELSE ${closed(FfdOpenBins - 1)} END"
+    }
+    val fits = (0 until FfdOpenBins)
+      .map(i => s"WHEN ${slot(i)} + x <= $budget THEN a + (x << ${8 * i})")
+    s"CASE ${fits.mkString(" ")} ELSE $evict END"
+  }
+
+  /** packs-from-final-state, mirroring [[ffdPacks]]'s finish lambda. */
+  private def ffdFinishSql: String = {
+    val open = (0 until FfdOpenBins)
+      .map(i => s"CASE WHEN ((st >> ${8 * i}) & 255) > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"(st >> $FfdClosedShift) + $open"
+  }
+
   val packEfficiencySql: String = {
     val b = PackBudget
     val m = StateMult
@@ -302,6 +384,14 @@ object Packing {
        |      (a, x) -> CASE WHEN a % $m + x <= $b THEN a + x
        |                     ELSE a - (a % $m) + $m + x END) // $m AS packs
        |  FROM sharded GROUP BY stratum, bkt),
+       |fold_ffd AS (
+       |  SELECT stratum, bkt, SUM(n) AS tok,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(n ORDER BY n DESC, doc_id)),
+       |      (a, x) -> ${ffdStepSql(b)}) AS st
+       |  FROM sharded GROUP BY stratum, bkt),
+       |ffd AS (
+       |  SELECT stratum, bkt, tok, CAST($ffdFinishSql AS BIGINT) AS packs
+       |  FROM fold_ffd),
        |rows3 AS (
        |  SELECT 'concat_chunk' AS strategy, n_seqs, packed_tokens,
        |    (SELECT CAST(n_split AS BIGINT) FROM splits) AS n_split_docs,
@@ -316,7 +406,12 @@ object Packing {
        |  SELECT 'greedy_sorted', CAST(SUM(packs) AS BIGINT),
        |    CAST(SUM(tok) AS BIGINT), CAST(0 AS BIGINT),
        |    (SELECT CAST(n_overlong AS BIGINT) FROM ol)
-       |  FROM fold_len)
+       |  FROM fold_len
+       |  UNION ALL
+       |  SELECT 'ffd_bounded', CAST(SUM(packs) AS BIGINT),
+       |    CAST(SUM(tok) AS BIGINT), CAST(0 AS BIGINT),
+       |    (SELECT CAST(n_overlong AS BIGINT) FROM ol)
+       |  FROM ffd)
        |SELECT strategy, n_seqs, packed_tokens,
        |  n_seqs * $b - packed_tokens AS pad_tokens,
        |  FLOOR(CAST(n_seqs * $b - packed_tokens AS DOUBLE) /

@@ -39,6 +39,68 @@ class PackingSpec extends SparkSpecBase {
     }.sum
   }
 
+  /** Reference bounded-FFD: same shard carve, first-fit over
+    * length-descending docs, FfdOpenBins live bins, fullest-first
+    * eviction (first index on ties) — asserting every bin-capacity
+    * invariant as it runs. */
+  private def refFfd(rows: Seq[(Long, String, Int)], budget: Long): Long = {
+    val kept = rows.filter(_._3 <= budget)
+    kept.groupBy(_._2).iterator.flatMap { case (_, docs) =>
+      val lo = docs.map(_._1).min.toDouble
+      val hi = docs.map(_._1).max.toDouble
+      val span = hi - lo + 1.0
+      docs.groupBy(d => math.min(
+        math.floor((d._1 - lo) * Packing.PackBuckets / span).toLong,
+        (Packing.PackBuckets - 1).toLong)).valuesIterator.map { shard =>
+        val bins = Array.fill(Packing.FfdOpenBins)(0L)
+        var closed = 0L
+        for (d <- shard.sortBy(x => (-x._3, x._1))) {
+          val i = bins.indexWhere(_ + d._3 <= budget)
+          if (i >= 0) bins(i) += d._3
+          else {
+            val m = bins.indexOf(bins.max)
+            closed += 1
+            bins(m) = d._3.toLong
+          }
+          assert(bins.forall(_ <= budget), "bin capacity invariant violated")
+          assert(bins.count(_ > 0) <= Packing.FfdOpenBins)
+        }
+        closed + bins.count(_ > 0)
+      }
+    }.sum
+  }
+
+  test("ffd fold equals the sequential reference; capacity invariants hold") {
+    val rows = (0L until 120L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de", (7 + (i * 13) % 60).toInt))
+    val rep = report(rows, budget = 64)
+    assert(rep("ffd_bounded").getAs[Long]("n_seqs") == refFfd(rows, 64),
+      "Spark FFD fold must replay the sequential bounded-FFD exactly")
+    // adversarial: many docs just over half-budget force evictions
+    val tight = (0L until 80L).map(i => (i, "en", (33 + i % 31).toInt))
+    val repT = report(tight, budget = 64)
+    assert(repT("ffd_bounded").getAs[Long]("n_seqs") == refFfd(tight, 64))
+    // and the token lower bound still holds
+    val lb = math.ceil(repT("ffd_bounded").getAs[Long]("packed_tokens").toDouble / 64).toLong
+    assert(repT("ffd_bounded").getAs[Long]("n_seqs") >= lb)
+  }
+
+  test("ffd_bounded never packs worse than next-fit-decreasing") {
+    // entry corpus + two synthetic shapes
+    val entry = Packing.packEfficiencyQuery(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(entry("ffd_bounded").getAs[Double]("pad_share") <=
+      entry("greedy_sorted").getAs[Double]("pad_share"),
+      "FFD must dominate the next-fit sorted strategy on the entry corpus")
+    for (seed <- Seq(7, 23)) {
+      val rows = (0L until 150L).map(i =>
+        (i, "en", (5 + (i * seed) % 59).toInt))
+      val rep = report(rows, budget = 64)
+      assert(rep("ffd_bounded").getAs[Long]("n_seqs") <=
+        rep("greedy_sorted").getAs[Long]("n_seqs"), s"seed $seed")
+    }
+  }
+
   test("greedy fold equals the sequential reference, both orders") {
     // lengths engineered so doc order vs length order genuinely differ
     val rows = (0L until 90L).map(i =>
