@@ -460,11 +460,20 @@ object Embeddings {
    * partial agg keyed on dim) + a dim-sized join — nothing scales
    * with corpus size except the map-side scans.
    */
-  def embedDrift(base: DataFrame, delta: DataFrame): DataFrame = {
-    val b = embedDiagnostics(base).select(col("dim"),
+  def embedDrift(base: DataFrame, delta: DataFrame): DataFrame =
+    driftFromDiags(embedDiagnostics(base), embedDiagnostics(delta))
+
+  /** The drift comparison given two ALREADY-AGGREGATED diagnostics
+    * tables ([[embedDiagnostics]] shape) — split out so the streaming
+    * twin ([[graft.streaming.StreamingEmbedDrift]]) applies the
+    * IDENTICAL arithmetic to its running dim-keyed aggregation
+    * against a resident base diagnostics table (the
+    * [[CorpusStats.driftFromHists]] discipline). */
+  def driftFromDiags(baseDiag: DataFrame, deltaDiag: DataFrame): DataFrame = {
+    val b = baseDiag.select(col("dim"),
       col("mean").as("base_mean"), col("variance").as("base_variance"),
       col("collapsed").as("cb"))
-    val d = embedDiagnostics(delta).select(col("dim"),
+    val d = deltaDiag.select(col("dim"),
       col("mean").as("delta_mean"), col("variance").as("delta_variance"),
       col("collapsed").as("collapsed_delta"))
     b.join(d, Seq("dim"))
