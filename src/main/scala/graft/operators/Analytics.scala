@@ -264,12 +264,44 @@ object Analytics {
    * commutative, so the estimate is deterministic. Accuracy vs the
    * exact count is asserted in AnalyticsSpec (rows oracle).
    */
+  /** Relative-error bound the HLL verdict is checked against: 3x the
+    * Spark sketch's 0.02 rsd (a 3-sigma gate), comfortably above
+    * DuckDB's HLL error too — yet a REAL check: a broken sketch, a
+    * wrong column, or a precision regression in either engine fails
+    * it. */
+  val ApproxUsersEps = 0.06
+
+  /**
+   * `q_events_approx_users`: HLL approximate distinct users per event
+   * type. The two engines build DIFFERENT sketch families, so hash
+   * equality on the estimate itself is impossible by construction —
+   * instead the entry outputs the BOUNDED-ERROR VERDICT the r9
+   * verdict asked for, expressed so the driver's existing hash gate
+   * checks it: each engine derives the exact distinct count IN THE
+   * SAME QUERY and validates its OWN sketch against it
+   * (|approx − exact| <= [[ApproxUsersEps]]·exact). The hashed
+   * columns — exact counts + per-type verdict — agree exactly iff
+   * both sketches honor the bound; the raw estimate's behavior stays
+   * spec-checked in AnalyticsSpec.
+   */
   def qEventsApproxUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        count_distinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx").cast("double") - col("exact_users")) <=
+          lit(ApproxUsersEps) * col("exact_users")).cast("int").as("within_bound"))
+
+  val qEventsApproxUsersSql: String =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS exact_users,
+       |  CAST(ABS(CAST(approx_count_distinct(user_id) AS DOUBLE)
+       |             - COUNT(DISTINCT user_id))
+       |       <= $ApproxUsersEps * COUNT(DISTINCT user_id) AS INTEGER) AS within_bound
+       |FROM events GROUP BY event_type""".stripMargin
 
   /**
    * Running revenue per supplier over ship dates (cumulative window).
