@@ -267,6 +267,89 @@ object Packing {
   def seqPackGreedyQuery(spark: SparkSession, sfDir: String): DataFrame =
     seqPackGreedy(Tables.documents(spark, sfDir), "lang")
 
+  /**
+   * `seq_pack_ffd`: the per-document pack ASSIGNMENT under bounded
+   * first-fit-decreasing — the operator a pipeline runs after
+   * [[packEfficiency]]'s knob table shows `ffd_bounded` winning the
+   * padding column (it does, at every gated SF): [[seqPackGreedy]]
+   * preserves curriculum order at next-fit waste; this spends the
+   * order (length-descending inside each shard) to buy the FFD
+   * packing bound. Same shard carve, same global-id discipline.
+   *
+   * The fold carries (assignment list, [[FfdOpenBins]] bin fills, the
+   * bins' pack ids, next-pack counter) as a struct; a doc goes to the
+   * LOWEST-indexed open bin with room (an empty slot always fits —
+   * eviction only happens with all bins live and none fitting), a new
+   * bin takes the next shard-local pack id, eviction closes the
+   * FULLEST bin (first index on ties — the [[ffdStep]] rule, so the
+   * pack COUNT reconciles with the knob table's `ffd_bounded` row
+   * exactly, spec-asserted). The oracle replays the identical
+   * recurrence as a recursive CTE stepping one doc per shard per
+   * iteration with the fills/ids as scalar state columns (the
+   * [[seqPackGreedySql]] pattern — list-valued `list_reduce`
+   * accumulators don't survive DuckDB, scalar columns do).
+   */
+  def seqPackFfd(docs: DataFrame, stratumCol: String,
+      budget: Long = PackBudget, buckets: Int = PackBuckets): DataFrame = {
+    require(budget <= 255, s"FFD slot width is 8 bits; budget $budget > 255")
+    val sized = docs.select(col("doc_id"), col(stratumCol).as("stratum"),
+      Corpus.nTokens(col("text")).as("n"))
+      .filter(col("n") <= budget)
+    val sharded = Corpus.withRangeBucketWidth(sized, "stratum", buckets)
+    val emptyA = expr(
+      "CAST(array() AS array<struct<d:bigint,pk:bigint,off:bigint>>)")
+    val zeroF = array((0 until FfdOpenBins).map(_ => lit(0L)): _*)
+    val init = struct(emptyA.as("a"), zeroF.as("f"), zeroF.as("pid"),
+      lit(0L).as("nx"))
+    def step(acc: Column, x: Column): Column = {
+      val n = x.getField("n"); val d = x.getField("d")
+      val f = acc.getField("f"); val pid = acc.getField("pid")
+      val nx = acc.getField("nx")
+      def fi(i: Int) = element_at(f, i + 1)
+      // first-fit index, -1 = no fit (eviction)
+      val fitIdx = (0 until FfdOpenBins).foldRight(lit(-1)) { (i, rest) =>
+        when(fi(i) + n <= budget, lit(i)).otherwise(rest)
+      }
+      val maxFill = greatest((0 until FfdOpenBins).map(fi): _*)
+      val evictIdx = (0 until FfdOpenBins - 1).foldRight(
+        lit(FfdOpenBins - 1)) { (i, rest) =>
+        when(fi(i) === maxFill, lit(i)).otherwise(rest)
+      }
+      val idx = when(fitIdx >= 0, fitIdx).otherwise(evictIdx)
+      // a new pack opens on eviction or on a never-used (fill 0) slot
+      val opens = fitIdx < 0 || element_at(f, idx + 1) === 0L
+      val pk = when(opens, nx).otherwise(element_at(pid, idx + 1))
+      val off = when(fitIdx < 0, lit(0L)).otherwise(element_at(f, idx + 1))
+      struct(
+        concat(acc.getField("a"),
+          array(struct(d.as("d"), pk.as("pk"), off.as("off")))).as("a"),
+        transform(f, (v, j) =>
+          when(j === idx, when(fitIdx < 0, n).otherwise(v + n))
+            .otherwise(v)).as("f"),
+        transform(pid, (v, j) => when(j === idx, pk).otherwise(v)).as("pid"),
+        when(opens, nx + 1).otherwise(nx).as("nx"))
+    }
+    val folded = sharded.groupBy("stratum", "bkt")
+      .agg(sort_array(collect_list(struct((-col("n")).as("negn"),
+        col("doc_id").as("d"), col("n").as("n")))).as("docs"))
+      .select(col("stratum"), col("bkt"),
+        aggregate(col("docs"), init, step).as("st"))
+      .select(col("stratum"), col("bkt"),
+        col("st.a").as("assigns"), col("st.nx").as("n_packs"))
+    val wBase = org.apache.spark.sql.expressions.Window
+      .orderBy("stratum", "bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    folded
+      .withColumn("base", coalesce(sum("n_packs").over(wBase), lit(0L)))
+      .select(col("stratum"), col("base"), explode(col("assigns")).as("x"))
+      .select(col("x.d").as("doc_id"), col("stratum"),
+        (col("base") + col("x.pk")).as("pack_id"),
+        col("x.off").as("pack_offset"))
+  }
+
+  def seqPackFfdQuery(spark: SparkSession, sfDir: String): DataFrame =
+    seqPackFfd(Tables.documents(spark, sfDir), "lang")
+
   val seqPackGreedySql: String = {
     val b = PackBudget
     s"""WITH RECURSIVE sized AS (
@@ -338,6 +421,93 @@ object Packing {
       .map(i => s"CASE WHEN ((st >> ${8 * i}) & 255) > 0 THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"(st >> $FfdClosedShift) + $open"
+  }
+
+  /** [[seqPackFfd]]'s oracle: the identical recurrence as a recursive
+    * CTE, one doc per shard per iteration, with the bin fills / pack
+    * ids as scalar state columns and the per-doc (pk, off) emitted on
+    * each step. Nested subqueries stage the derived values (fit index,
+    * max fill, chosen slot) exactly as the Spark fold's when-chains. */
+  val seqPackFfdSql: String = {
+    val b = PackBudget
+    val R = FfdOpenBins
+    val fCols = (0 until R).map(i => s"f$i")
+    val idCols = (0 until R).map(i => s"id$i")
+    val stateCols = (fCols ++ idCols).mkString(", ")
+    val fitCase = "CASE " + (0 until R)
+      .map(i => s"WHEN f$i + n <= $b THEN $i").mkString(" ") + " ELSE -1 END"
+    val mx = s"GREATEST(${fCols.mkString(", ")})"
+    val evCase = "CASE " + (0 until R - 1)
+      .map(i => s"WHEN f$i = mx THEN $i").mkString(" ") + s" ELSE ${R - 1} END"
+    def pick(prefix: String) = "CASE ix " + (0 until R)
+      .map(i => s"WHEN $i THEN $prefix$i").mkString(" ") + " END"
+    val newFs = (0 until R).map(i =>
+      s"CASE WHEN ix = $i THEN (CASE WHEN fit < 0 THEN n ELSE f$i + n END) ELSE f$i END AS f$i")
+      .mkString(",\n       |    ")
+    val newIds = (0 until R).map(i =>
+      s"CASE WHEN ix = $i THEN pk ELSE id$i END AS id$i").mkString(", ")
+    val baseState = (s"n AS f0" +: (1 until R).map(i => s"CAST(0 AS BIGINT) AS f$i")) ++
+      (0 until R).map(i => s"CAST(0 AS BIGINT) AS id$i")
+    s"""WITH RECURSIVE sized AS (
+       |  SELECT doc_id, lang AS stratum,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n
+       |  FROM documents
+       |  WHERE length(text) - length(replace(text, ' ', '')) + 1 <= $b),
+       |bounds AS (
+       |  SELECT stratum AS _sk, MIN(doc_id) AS _lo, MAX(doc_id) AS _hi
+       |  FROM sized GROUP BY stratum),
+       |sharded AS (
+       |  SELECT k.doc_id, k.stratum, k.n,
+       |    CAST(LEAST(FLOOR((CAST(k.doc_id AS DOUBLE) - CAST(b._lo AS DOUBLE))
+       |        * $PackBuckets /
+       |        (CAST(b._hi AS DOUBLE) - CAST(b._lo AS DOUBLE) + 1.0)),
+       |      ${PackBuckets - 1}) AS INTEGER) AS bkt,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY k.stratum,
+       |        CAST(LEAST(FLOOR((CAST(k.doc_id AS DOUBLE) - CAST(b._lo AS DOUBLE))
+       |            * $PackBuckets /
+       |            (CAST(b._hi AS DOUBLE) - CAST(b._lo AS DOUBLE) + 1.0)),
+       |          ${PackBuckets - 1}) AS INTEGER)
+       |      ORDER BY k.n DESC, k.doc_id) AS rn
+       |  FROM sized k JOIN bounds b ON k.stratum = b._sk),
+       |step(stratum, bkt, rn, doc_id, pk, off, nxt, ${stateCols}) AS (
+       |  SELECT stratum, bkt, rn, doc_id,
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+       |    ${baseState.mkString(", ")}
+       |  FROM sharded WHERE rn = 1
+       |  UNION ALL
+       |  SELECT stratum, bkt, rn, doc_id, pk, off,
+       |    CASE WHEN opens THEN nxt + 1 ELSE nxt END,
+       |    $newFs,
+       |    $newIds
+       |  FROM (
+       |    SELECT l3.*, (fit < 0 OR fix = 0) AS opens,
+       |      CASE WHEN fit < 0 OR fix = 0 THEN nxt ELSE idix END AS pk,
+       |      CASE WHEN fit < 0 THEN CAST(0 AS BIGINT) ELSE fix END AS off
+       |    FROM (
+       |      SELECT l2.*, ${pick("f")} AS fix, ${pick("id")} AS idix
+       |      FROM (
+       |        SELECT l1.*,
+       |          CASE WHEN fit >= 0 THEN fit ELSE $evCase END AS ix
+       |        FROM (
+       |          SELECT l0.*, $fitCase AS fit, $mx AS mx
+       |          FROM (
+       |            SELECT nx.stratum, nx.bkt, nx.rn, nx.doc_id, nx.n,
+       |              s.nxt, ${(fCols ++ idCols).map(c => s"s.$c AS $c").mkString(", ")}
+       |            FROM step s JOIN sharded nx
+       |              ON nx.stratum = s.stratum AND nx.bkt = s.bkt
+       |              AND nx.rn = s.rn + 1) l0) l1) l2) l3) l4),
+       |shard_packs AS (
+       |  SELECT stratum, bkt, MAX(nxt) AS n_packs
+       |  FROM step GROUP BY stratum, bkt),
+       |bases AS (
+       |  SELECT stratum, bkt,
+       |    CAST(COALESCE(SUM(n_packs) OVER (ORDER BY stratum, bkt
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+       |  FROM shard_packs)
+       |SELECT s.doc_id, s.stratum, CAST(b.base + s.pk AS BIGINT) AS pack_id,
+       |  s.off AS pack_offset
+       |FROM step s JOIN bases b ON s.stratum = b.stratum AND s.bkt = b.bkt""".stripMargin
   }
 
   val packEfficiencySql: String = {

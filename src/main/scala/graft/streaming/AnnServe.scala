@@ -131,17 +131,34 @@ object AnnServe {
    * The third serving engine next to LSH ([[serve]]) and the per-dim
    * registry ([[serveMultidim]]), with the same idempotent sink.
    */
+  /**
+   * Mutable tombstone handle for LIVE deletion propagation to the
+   * quantized serving engines — the deletion twin of [[IvfLayoutRef]]:
+   * the serving closure reads the current deleted-id set at each
+   * micro-batch, so a maintenance job (a GDPR purge, a
+   * [[graft.operators.CorpusDiff]] `removed` feed, a
+   * [[PqLifecycle.delete]]) publishes between micro-batches with zero
+   * downtime. `deleted` carries a bounded id table (column `id`) —
+   * the serving plans broadcast-anti-join it BEFORE their shortlist
+   * caps, so a published tombstone is never served from the next
+   * batch on, and never eats shortlist budget.
+   */
+  final class TombstoneRef(@volatile var deleted: Option[DataFrame] = None)
+
   def servePq(
       queries: DataFrame,
       idx: graft.query.PqSearch.PqIndex,
       k: Int,
       outPath: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    servedSink(queries, outPath, checkpoint, trigger) { batch =>
+      trigger: Trigger = Trigger.AvailableNow(),
+      tombstones: TombstoneRef = new TombstoneRef(),
+      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+    servedSink(queries, outPath, checkpoint, trigger, afterBatch) { batch =>
       graft.query.PqSearch.topKForQueries(batch.sparkSession,
         batch.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-        idx.cells, idx.codes, idx.fetch, idx.cents, idx.cb, k)
+        idx.cells, idx.codes, idx.fetch, idx.cents, idx.cb, k,
+        tombstones.deleted)
     }
 
   /**
@@ -197,10 +214,13 @@ object AnnServe {
       idx: graft.query.BqSearch.BqIndex,
       outPath: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    servedSink(queries, outPath, checkpoint, trigger) { batch =>
+      trigger: Trigger = Trigger.AvailableNow(),
+      tombstones: TombstoneRef = new TombstoneRef(),
+      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+    servedSink(queries, outPath, checkpoint, trigger, afterBatch) { batch =>
       graft.query.BqSearch.topKForQueries(
-        batch.select(col("vec_id"), col("embedding")), idx)
+        batch.select(col("vec_id"), col("embedding")), idx,
+        tombstones.deleted)
     }
 
   /**

@@ -101,6 +101,40 @@ class PackingSpec extends SparkSpecBase {
     }
   }
 
+  test("seq_pack_ffd: capacity respected, dense ids, count reconciles with the knob table") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val assigned = Packing.seqPackFfd(docs, "lang").cache()
+    val sized = docs.select(col("doc_id"),
+      graft.operators.Corpus.nTokens(col("text")).as("n"))
+    // every pack's fill <= budget; no doc split (each doc exactly one row)
+    val fills = assigned.join(sized, "doc_id")
+      .groupBy("pack_id").agg(sum("n").as("fill"))
+    assert(fills.filter(col("fill") > Packing.PackBudget).count() == 0,
+      "a pack exceeds the budget")
+    assert(assigned.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    // dense global pack ids 0..n_packs-1
+    val ids = assigned.select("pack_id").distinct()
+    val nPacks = ids.count()
+    assert(ids.agg(min("pack_id"), max("pack_id")).head() ==
+      org.apache.spark.sql.Row(0L, nPacks - 1))
+    // the assignment's pack count IS the knob table's ffd_bounded row
+    val knob = Packing.packEfficiencyQuery(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_seqs")).toMap
+    assert(nPacks == knob("ffd_bounded"),
+      s"assignment packs $nPacks != knob-table ffd_bounded ${knob("ffd_bounded")}")
+    // offsets: within a pack, offset ranges tile without overlap
+    val overlap = assigned.join(sized, "doc_id")
+      .select(col("pack_id"), col("pack_offset"), (col("pack_offset") + col("n")).as("end"))
+      .as("a").join(assigned.join(sized, "doc_id")
+        .select(col("pack_id"), col("pack_offset"), (col("pack_offset") + col("n")).as("end")).as("b"),
+        col("a.pack_id") === col("b.pack_id") &&
+          col("a.pack_offset") < col("b.pack_offset") &&
+          col("a.end") > col("b.pack_offset"))
+      .count()
+    assert(overlap == 0, "documents overlap inside a pack")
+    assigned.unpersist()
+  }
+
   test("greedy fold equals the sequential reference, both orders") {
     // lengths engineered so doc order vs length order genuinely differ
     val rows = (0L until 90L).map(i =>

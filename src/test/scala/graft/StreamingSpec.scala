@@ -112,6 +112,42 @@ class StreamingSpec extends SparkSpecBase {
     ()
   }
 
+  test("a tombstone published between micro-batches takes effect from the next batch") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = graft.query.PqSearch.buildIndex(spark, sf)
+    val in = tmp("tomb-in"); val out = tmp("tomb-out"); val ckpt = tmp("tomb-ckpt")
+    val queries = emb.filter(col("vec_id") < 6)
+    // one file per micro-batch; batch 0 = queries 0-2, batch 1 = 3-5
+    queries.filter(col("vec_id") < 3).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/q/b=000")
+    queries.filter(col("vec_id") >= 3).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/q/b=001")
+    import spark.implicits._
+    val dead = Seq(4L, 7L, 11L).toDF("id")
+    val ref = new graft.streaming.AnnServe.TombstoneRef()
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/q/b=*")
+    val q = graft.streaming.AnnServe.servePq(stream, idx, 10, out, ckpt,
+      tombstones = ref,
+      afterBatch = { id => if (id == 0) ref.deleted = Some(dead) })
+    assert(q.awaitTermination(120000), "tombstone serve stream did not finish")
+    val served = spark.read.parquet(out)
+    // batch 0 planned BEFORE the publish: the live index, dead ids servable
+    val b0 = served.filter(col("batch_id") === 0)
+    assert(b0.select("query_id").distinct().count() == 3)
+    // batch 1 planned AFTER: no dead id appears, results == tombstoned batch plan
+    val b1 = served.filter(col("batch_id") === 1).drop("batch_id")
+    assert(b1.filter(col("vec_id").isin(4L, 7L, 11L)).count() == 0,
+      "published tombstones must not be served from the next batch on")
+    val want = graft.query.PqSearch.topKForQueries(spark,
+      queries.filter(col("vec_id") >= 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      idx.cells, idx.codes, idx.fetch, idx.cents, idx.cb, 10, Some(dead))
+    assert(b1.exceptAll(want).count() == 0 && want.exceptAll(b1).count() == 0)
+    idx.cells.unpersist(); idx.codes.unpersist()
+    ()
+  }
+
   test("streaming token serving equals batch tokenTopK across micro-batches") {
     val emb = Tables.embeddings(spark, sf)
     val model = Lsh.fit(emb, "embedding", LshParams())
