@@ -186,6 +186,29 @@ object SqSearch {
       cells, dvecs, fetch, cents)
   }
 
+  /** Resident IVF-SQ8 index: cell routing + dequantized codes (the
+    * 4x-compressed candidate representation), the full-precision fetch
+    * table, and the fitted frozen models — the SQ8 twin of
+    * [[PqSearch.PqIndex]], giving the tier a maintenance state the
+    * [[graft.streaming.SqLifecycle]] can carry. */
+  final case class SqIndex(cells: DataFrame, dvecs: DataFrame, fetch: DataFrame,
+      cents: Array[Array[Float]], vmin: Array[Double], delta: Array[Double])
+
+  /** Frozen-model encode of a (vec_id, embedding) row set into a
+    * servable [[SqIndex]] — a deterministic map of the row set (the
+    * lifecycle contract: staged-delta encode, and compaction equals a
+    * fresh encode of the survivors, bit-for-bit). */
+  def buildIndexOn(spark: SparkSession, data: DataFrame,
+      cents: Array[Array[Float]], vmin: Array[Double],
+      delta: Array[Double]): SqIndex = {
+    val d = data.select(col("vec_id"), col("embedding"))
+    SqIndex(
+      IvfSearch.assignCells(d, IvfSearch.centroidsDf(spark, cents)),
+      d.select(col("vec_id"),
+        sqRecon(sqCodes(col("embedding"), vmin, delta), vmin, delta).as("dvec")),
+      d, cents, vmin, delta)
+  }
+
   /** The IVF+SQ8 serving chain for a (vec_id, embedding) query batch
     * against resident cell/dequantized-code tables — the frame-level
     * core of [[annIvfsqTopK]], with the same tombstone contract as

@@ -389,4 +389,68 @@ object TierReport {
        |${ProbeGrid.map(chain).mkString(",\n")}
        |${ProbeGrid.map(leg).mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  /** Recall targets `ann_probe_autotune` provisions for — the SLO
+    * ladder a serving owner actually negotiates (80/90/95/99). */
+  val RecallTargets: Seq[Double] = Seq(0.80, 0.90, 0.95, 0.99)
+
+  /**
+   * `ann_probe_autotune`: close the loop on [[annProbeCurve]] — given
+   * a recall SLO, CHOOSE the probe budget instead of printing the
+   * curve and making the operator read it. One row per target in
+   * [[RecallTargets]]: the minimal grid `n_probe` whose measured
+   * recall@k meets the target (`met = 1`), or the maximal grid budget
+   * with `met = 0` when even full probing misses the SLO — the
+   * honest "this index cannot serve that target; re-train or change
+   * tier" answer, with the chosen point's measured recall, capped
+   * candidate rows, and brute-force scan share carried so the cost of
+   * the SLO is priced in the same row.
+   *
+   * Scale posture: identical to the curve's — the selection itself is
+   * driver-side arithmetic over the |ProbeGrid| == 4 measured points
+   * (bounded by construction); all corpus-sized work is the curve's
+   * concurrent capped cell scans.
+   */
+  def annProbeAutotune(spark: SparkSession, sfDir: String): DataFrame = {
+    val curve = annProbeCurve(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val rows = RecallTargets.map { t =>
+      // first (= minimal, curve sorted by n_probe) meeting budget;
+      // fallback = the max-grid leg, flagged unmet
+      val chosen = curve.find(_._2 >= t).getOrElse(curve.last)
+      Row(t, chosen._1, if (chosen._2 >= t) 1 else 0, chosen._2, chosen._3, chosen._4)
+    }
+    val schema = StructType(Seq(
+      StructField("target", DoubleType), StructField("n_probe", IntegerType),
+      StructField("met", IntegerType), StructField("recall_at_10", DoubleType),
+      StructField("cand_rows", LongType), StructField("scan_share", DoubleType)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Oracle: the full probe-curve query as a CTE referenced exactly
+    * ONCE (referencing it twice doubles the curve's 4-chain work in
+    * the replay engine — it spilled past temp disk at sf0.1), targets
+    * as DOUBLE literals (not DECIMAL — the cross-engine literal-type
+    * hazard). Selection = one window over targets × the 4 curve rows:
+    * met legs first, minimal budget among met, maximal among unmet
+    * (the max-grid fallback). */
+  def annProbeAutotuneSql: String = {
+    val targets = RecallTargets.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH curve AS (
+       |${annProbeCurveSql}
+       |),
+       |targets(target) AS (VALUES $targets),
+       |ranked AS (
+       |  SELECT t.target, c.n_probe,
+       |    CASE WHEN c.recall_at_10 >= t.target THEN 1 ELSE 0 END AS met,
+       |    c.recall_at_10, c.cand_rows, c.scan_share
+       |  FROM targets t CROSS JOIN curve c)
+       |SELECT target, n_probe, met, recall_at_10, cand_rows, scan_share FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY target
+       |    ORDER BY met DESC,
+       |             CASE WHEN met = 1 THEN n_probe ELSE -n_probe END) AS pick
+       |  FROM ranked)
+       |WHERE pick = 1""".stripMargin
+  }
 }

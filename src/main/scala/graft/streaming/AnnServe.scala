@@ -162,6 +162,29 @@ object AnnServe {
     }
 
   /**
+   * Serve a query stream through the IVF-SQ8 engine: each
+   * micro-batch's (vec_id, embedding) queries run
+   * [[graft.query.SqSearch.ivfsqTopKForQueries]] against a resident
+   * [[graft.query.SqSearch.SqIndex]] (cell routing + dequantized
+   * 4x codes), completing the streaming serving symmetry across the
+   * quantized tiers (PQ [[servePq]], BQ [[serveBq]], SQ8 here) — each
+   * with the live-tombstone contract via [[TombstoneRef]].
+   */
+  def serveSq(
+      queries: DataFrame,
+      idx: graft.query.SqSearch.SqIndex,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      tombstones: TombstoneRef = new TombstoneRef(),
+      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+    servedSink(queries, outPath, checkpoint, trigger, afterBatch) { batch =>
+      graft.query.SqSearch.ivfsqTopKForQueries(batch.sparkSession,
+        batch.select(col("vec_id"), col("embedding")),
+        idx.cells, idx.dvecs, idx.fetch, idx.cents, tombstones.deleted)
+    }
+
+  /**
    * Mutable IVF layout handle for ZERO-DOWNTIME maintenance swaps:
    * the serving closure reads the current centroids at each
    * micro-batch, so a maintenance job (an [[graft.query.IvfSearch

@@ -1,0 +1,299 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+import graft.query.{BqSearch, IvfSearch, PqSearch, SqSearch}
+
+/**
+ * A quantized serving tier as the insert/delete/compact lifecycle sees
+ * it: frozen models captured in the adapter instance, an index value
+ * `I` that is a DETERMINISTIC encode of a (vec_id, embedding) row set.
+ * That determinism is the whole contract — it is what makes
+ * main ∪ staged-delta the same serving plan as one index over the
+ * union, and a compaction bit-identical to a fresh encode of the
+ * surviving rows (FAISS `add()` semantics: adding never refits;
+ * refitting is an offline decision that re-encodes the corpus anyway).
+ *
+ * One adapter per tier ([[PqTier]], [[SqTier]], [[BqTier]]) closes the
+ * r9 gap where the maintenance story (staged inserts, tombstones,
+ * compaction, the corpus-merge diff feed) existed for PQ only — the
+ * machinery is written ONCE in [[QuantLifecycle]] and the tiers
+ * differ exactly where they should: the encode, the union, the
+ * cacheable artifacts, and the serving chain.
+ */
+trait QuantTier[I] {
+  /** Frozen-model encode of a (vec_id, embedding) row set. */
+  def encode(data: DataFrame): I
+
+  /** Serve main ∪ delta as one index (legal because encode is a
+    * deterministic map of the row set). */
+  def union(main: I, delta: I): I
+
+  /** The artifacts worth caching across triggers after a compaction
+    * (codes / cells — the small tables the tier exists to keep small;
+    * never the full-precision fetch side). */
+  def parts(i: I): Seq[DataFrame]
+
+  /** The tier's serving chain for a (vec_id, embedding) query batch,
+    * with the tombstone contract: `deleted` (column `id`) anti-joins
+    * the candidate table BEFORE the shortlist cap. */
+  def serve(i: I, queries: DataFrame, k: Int, deleted: Option[DataFrame]): DataFrame
+}
+
+/**
+ * Tier-generic auto-compacting insert/delete lifecycle — the machinery
+ * behind [[PqLifecycle]], [[SqLifecycle]] and [[BqLifecycle]].
+ *
+ * Replay safety: a batch lands its raw vectors at
+ * `stagedRoot/batch=<batchId>` with overwrite (idempotent under
+ * foreachBatch redelivery); compaction never deletes FILES — it
+ * advances the `compactedThrough` / `deletedThrough` high-water marks,
+ * so a replayed already-compacted batch (or an already-consumed
+ * tombstone set) is ignored by the listings. The
+ * [[InsertLifecycle]]/[[StreamingIntake]] sink discipline.
+ *
+ * Deletion ([[delete]]/[[applyDiff]]): tombstones are effective
+ * immediately on the serving path (anti-join before the shortlist cap
+ * inside the tier's serve) and consumed physically at the next
+ * compaction — the landing place for the merge trilogy's
+ * `removed`/`changed` feed ([[graft.operators.CorpusDiff]]).
+ *
+ * Scale posture: ingest is one small parquet write + one count; the
+ * staged delta is a lazy encode plan over the staged dirs, realized
+ * only when served (k tiny inserts never cost O(k²) re-encodes);
+ * compaction is one map-only encode pass over the vector union plus
+ * the artifact caches.
+ */
+class QuantLifecycle[I](
+    spark: SparkSession,
+    initialData: DataFrame,
+    initial: I,
+    tier: QuantTier[I],
+    stagedRoot: String,
+    compactEveryVectors: Long) {
+
+  @volatile private var mainData: DataFrame =
+    initialData.select(col("vec_id"), col("embedding"))
+  @volatile private var mainIndex: I = initial
+  @volatile private var compactedThrough: Long = -1L
+  @volatile private var maxSeen: Long = -1L
+  @volatile private var nCompactions: Int = 0
+  @volatile private var deleteSeq: Long = -1L
+  @volatile private var deletedThrough: Long = -1L
+
+  /** Compactions performed so far (observable for specs/monitoring). */
+  def compactions: Int = nCompactions
+
+  private def deletedDirs: Seq[String] =
+    ((deletedThrough + 1) to deleteSeq)
+      .map(i => s"$stagedRoot/deleted=$i")
+      .filter(d => new java.io.File(d).exists())
+
+  /** Outstanding tombstones (ids deleted since the last compaction),
+    * or None when the index is tombstone-free. */
+  def deletedIds: Option[DataFrame] = {
+    val dirs = deletedDirs
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*).select("id"))
+  }
+
+  /**
+   * Soft-delete a set of vector ids (column `id` or `vec_id`). The
+   * tombstone takes effect immediately on [[serve]] and is CONSUMED by
+   * the next compaction, which drops the rows physically and clears
+   * the tombstone set. Until that compaction a tombstone kills its id
+   * everywhere — re-inserting a deleted id becomes visible only after
+   * the compaction that consumes the tombstone (the [[applyDiff]]
+   * changed-doc sequencing handles this by compacting between the
+   * delete and the re-ingest).
+   */
+  def delete(ids: DataFrame): Unit = synchronized {
+    deleteSeq += 1
+    val idCol = if (ids.columns.contains("id")) col("id") else col("vec_id").as("id")
+    ids.select(idCol).write.mode("overwrite").parquet(s"$stagedRoot/deleted=$deleteSeq")
+  }
+
+  /**
+   * Apply a corpus-merge diff ([[graft.operators.CorpusDiff]] rows:
+   * doc_id, status) to the serving tier:
+   *  - `removed` and `changed` ids tombstone the resident rows (a
+   *    changed doc's OLD vector is stale);
+   *  - a compaction consumes the tombstones (physical drop, frozen
+   *    models — deterministic encode of the surviving row set);
+   *  - `added` + `changed` rows of the NEW snapshot ingest as a
+   *    staged batch, servable immediately via the delta path.
+   * After this call, serving equals a fresh index built over the new
+   * snapshot's vectors with the same frozen models (spec-asserted per
+   * tier).
+   */
+  def applyDiff(diff: DataFrame, newVectors: DataFrame): Unit = synchronized {
+    delete(diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id").as("id")))
+    compactNow()
+    val fresh = newVectors.select(col("vec_id"), col("embedding"))
+      .join(diff.filter(col("status").isin("added", "changed"))
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    ingest(fresh, maxSeen + 1)
+  }
+
+  private def stagedDirs: Seq[String] =
+    ((compactedThrough + 1) to maxSeen)
+      .map(i => s"$stagedRoot/batch=$i")
+      .filter(d => new java.io.File(d).exists())
+
+  /** The uncompacted staged arrivals, if any. */
+  def stagedData: Option[DataFrame] = {
+    val dirs = stagedDirs
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).select("vec_id", "embedding"))
+  }
+
+  def stagedVectors: Long = stagedData.map(_.count()).getOrElse(0L)
+
+  /** The serving index: main-only after a compaction, main + lazily
+    * encoded staged delta between them — same frozen models either
+    * way, so search semantics never depend on compaction timing. */
+  def current: I = stagedData match {
+    case None => mainIndex
+    case Some(staged) => tier.union(mainIndex, tier.encode(staged))
+  }
+
+  /** foreachBatch entry: land the batch idempotently, then compact if
+    * the staged set reached the threshold. */
+  def ingest(batch: DataFrame, batchId: Long): Unit = synchronized {
+    batch.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$stagedRoot/batch=$batchId")
+    maxSeen = math.max(maxSeen, batchId)
+    if (stagedVectors >= compactEveryVectors) compactNow()
+  }
+
+  /** Fold the staged set into the main index and CONSUME outstanding
+    * tombstones: ONE frozen-model encode over the surviving vector
+    * union (main ∪ staged, minus deleted), cached and materialized
+    * before the swap. A no-op only when there is nothing staged AND
+    * nothing deleted. */
+  def compactNow(): Unit = synchronized {
+    val staged = stagedData
+    val deleted = deletedIds
+    if (staged.nonEmpty || deleted.nonEmpty) {
+      val union = staged.fold(mainData)(mainData.unionByName(_))
+      val newData = deleted.fold(union)(del =>
+        union.join(broadcast(del.select(col("id").as("vec_id"))), Seq("vec_id"), "left_anti"))
+      val newIndex = tier.encode(newData)
+      val cached = tier.parts(newIndex)
+      cached.foreach(_.cache())
+      cached.foreach(_.count()) // materialize before swapping the serving index
+      val old = mainIndex
+      mainData = newData
+      mainIndex = newIndex
+      compactedThrough = maxSeen
+      deletedThrough = deleteSeq
+      nCompactions += 1
+      tier.parts(old).foreach(_.unpersist())
+    }
+  }
+
+  /** Serve a (vec_id, embedding) query batch from the current state —
+    * outstanding tombstones are excluded before the shortlist cap. */
+  def serve(queries: DataFrame, k: Int): DataFrame =
+    tier.serve(current, queries, k, deletedIds)
+
+  /** Attach to a raw (vec_id, embedding) arrival stream. */
+  def sink(arrivalStream: DataFrame, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    arrivalStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) => ingest(batch, batchId) }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}
+
+/** IVF-PQ tier adapter: cells + subspace codes, ADC serving
+  * ([[PqSearch.topKForQueries]]). */
+final class PqTier(spark: SparkSession,
+    cents: Array[Array[Float]], cb: Array[Array[Array[Float]]])
+    extends QuantTier[PqSearch.PqIndex] {
+  def encode(data: DataFrame): PqSearch.PqIndex = {
+    val d = data.select(col("vec_id"), col("embedding"))
+    val (cells, codes) = PqSearch.encode(spark, d, cents, cb)
+    PqSearch.PqIndex(cells, codes, d, cents, cb)
+  }
+  def union(main: PqSearch.PqIndex, delta: PqSearch.PqIndex): PqSearch.PqIndex =
+    PqSearch.PqIndex(main.cells.unionByName(delta.cells),
+      main.codes.unionByName(delta.codes),
+      main.fetch.unionByName(delta.fetch), cents, cb)
+  def parts(i: PqSearch.PqIndex): Seq[DataFrame] = Seq(i.cells, i.codes)
+  def serve(i: PqSearch.PqIndex, queries: DataFrame, k: Int,
+      deleted: Option[DataFrame]): DataFrame =
+    PqSearch.topKForQueries(spark,
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      i.cells, i.codes, i.fetch, i.cents, i.cb, k, deleted)
+}
+
+/** IVF-SQ8 tier adapter: cells + dequantized per-dim codes, ADC
+  * serving ([[SqSearch.ivfsqTopKForQueries]]). */
+final class SqTier(spark: SparkSession, cents: Array[Array[Float]],
+    vmin: Array[Double], delta: Array[Double])
+    extends QuantTier[SqSearch.SqIndex] {
+  def encode(data: DataFrame): SqSearch.SqIndex =
+    SqSearch.buildIndexOn(spark, data, cents, vmin, delta)
+  def union(main: SqSearch.SqIndex, delta0: SqSearch.SqIndex): SqSearch.SqIndex =
+    SqSearch.SqIndex(main.cells.unionByName(delta0.cells),
+      main.dvecs.unionByName(delta0.dvecs),
+      main.fetch.unionByName(delta0.fetch), cents, vmin, delta)
+  def parts(i: SqSearch.SqIndex): Seq[DataFrame] = Seq(i.cells, i.dvecs)
+  def serve(i: SqSearch.SqIndex, queries: DataFrame, k: Int,
+      deleted: Option[DataFrame]): DataFrame =
+    SqSearch.ivfsqTopKForQueries(spark, queries,
+      i.cells, i.dvecs, i.fetch, i.cents, deleted)
+}
+
+/** 1-bit BQ tier adapter: packed sign words, Hamming-shortlist serving
+  * ([[BqSearch.topKForQueries]]). The flat (exhaustive-Hamming) form —
+  * BQ's code table IS the scan; cells compose in front of it at the
+  * entry level, not in the maintenance state. */
+final class BqTier(thr: Array[Double]) extends QuantTier[BqSearch.BqIndex] {
+  def encode(data: DataFrame): BqSearch.BqIndex = {
+    val d = data.select(col("vec_id"), col("embedding"))
+    BqSearch.BqIndex(
+      d.select(col("vec_id"), BqSearch.bqWords(col("embedding"), thr).as("words")),
+      d, thr)
+  }
+  def union(main: BqSearch.BqIndex, delta: BqSearch.BqIndex): BqSearch.BqIndex =
+    BqSearch.BqIndex(main.codes.unionByName(delta.codes),
+      main.fetch.unionByName(delta.fetch), thr)
+  def parts(i: BqSearch.BqIndex): Seq[DataFrame] = Seq(i.codes)
+  def serve(i: BqSearch.BqIndex, queries: DataFrame, k: Int,
+      deleted: Option[DataFrame]): DataFrame =
+    BqSearch.topKForQueries(queries, i, deleted)
+}
+
+/**
+ * IVF-SQ8 insert/delete/compact lifecycle — [[QuantLifecycle]] over
+ * [[SqTier]]: the maintenance story the SQ8 serving tier was missing
+ * (tombstone serving landed r10; this adds staged inserts, compaction,
+ * and the corpus-merge diff feed, symmetric with [[PqLifecycle]]).
+ */
+final class SqLifecycle(
+    spark: SparkSession,
+    initialData: DataFrame,
+    initial: SqSearch.SqIndex,
+    stagedRoot: String,
+    compactEveryVectors: Long)
+  extends QuantLifecycle[SqSearch.SqIndex](spark, initialData, initial,
+    new SqTier(spark, initial.cents, initial.vmin, initial.delta),
+    stagedRoot, compactEveryVectors)
+
+/**
+ * 1-bit BQ insert/delete/compact lifecycle — [[QuantLifecycle]] over
+ * [[BqTier]], completing the maintenance symmetry across all three
+ * quantized serving tiers.
+ */
+final class BqLifecycle(
+    spark: SparkSession,
+    initialData: DataFrame,
+    initial: BqSearch.BqIndex,
+    stagedRoot: String,
+    compactEveryVectors: Long)
+  extends QuantLifecycle[BqSearch.BqIndex](spark, initialData, initial,
+    new BqTier(initial.thr), stagedRoot, compactEveryVectors)

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.query.MrlSearch
+
+/** The progressive prefix-dimension tier (`ann_mrl_topk`). */
+class MrlSpec extends SparkSpecBase {
+
+  private lazy val data = Tables.embeddings(spark, sf)
+    .select("vec_id", "embedding", "label").cache()
+  private lazy val n = data.count()
+  private lazy val dim = data.select(size(col("embedding"))).head().getInt(0)
+
+  test("keep >= N degenerates to exact brute force (refine is exact)") {
+    val small = data.filter(col("vec_id") < 300)
+    val queries = small.filter(col("vec_id") < 5)
+    val got = MrlSearch.mrlTopKOn(small, queries, dim / 4, keep = 1000)
+      .collect().toSet
+    // brute force over the same frames: exact L2, same tie-break
+    val want = MrlSearch.mrlTopKOn(small, queries, dim, keep = 1000)
+      .collect().toSet
+    assert(got == want,
+      "with the whole corpus shortlisted, the prefix metric must not matter")
+  }
+
+  test("ann_mrl_topk: self-match at rank 1, full k per query, recall vs brute") {
+    val res = MrlSearch.annMrlTopK(spark, sf).cache()
+    val perQ = res.groupBy("query_id").count().collect()
+    assert(perQ.length == MrlSearch.NumQueries
+      && perQ.forall(_.getLong(1) == MrlSearch.K), "k rows per query")
+    // a query's own vector has prefix distance 0 — it always survives
+    // the shortlist and refines to rank 1
+    val self = res.filter(col("rnk") === 1).collect()
+    assert(self.forall(r => r.getLong(0) == r.getLong(1)), "self-match at rank 1")
+    // recall floor: the synthetic embeddings are the WORST case for a
+    // prefix tier — near-iid dimensions, nothing front-loaded (a real
+    // MRL-trained or PCA-rotated encoder concentrates information in
+    // the leading coordinates; embed_project's PCA rotation is the
+    // in-library way to buy that curve). Measured ~0.52 at sf0.01;
+    // the floor asserts the shortlist still does real work (random
+    // AdcKeep-of-N would land near AdcKeep/N ≈ 0.01)
+    val gt = graft.query.AnnQuery.annBruteTopK(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = res.select("query_id", "vec_id").collect()
+      .count(r => gt.contains((r.getLong(0), r.getLong(1))))
+    val recall = hits.toDouble / gt.size
+    assert(recall >= 0.4, s"prefix-tier recall@10 too low: $recall")
+  }
+
+  test("prefix length is a real knob: longer prefixes cannot lose recall on average") {
+    val small = data.filter(col("vec_id") < 500)
+    val queries = small.filter(col("vec_id") < 10)
+    val exact = MrlSearch.mrlTopKOn(small, queries, dim, keep = 1000)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(pd: Int): Double = {
+      val got = MrlSearch.mrlTopKOn(small, queries, pd, keep = 50)
+        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      got.count(exact.contains).toDouble / exact.size
+    }
+    val r16 = recallAt(dim / 4)
+    val rFull = recallAt(dim)
+    assert(rFull >= r16, s"full-dim shortlist recall $rFull below prefix $r16")
+    assert(rFull == 1.0, "full-dim shortlist at keep=50 must recover the exact top-10")
+  }
+}

@@ -140,4 +140,35 @@ class SqSpec extends SparkSpecBase {
     // always probed first)
     assert(ordered.head._1 > 0.99, "self-match recall@1 at nProbe=1")
   }
+
+  test("ann_probe_autotune: minimal budget per met target, max-grid fallback flagged") {
+    val curve = graft.query.TierReport.annProbeCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val rows = graft.query.TierReport.annProbeAutotune(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == graft.query.TierReport.RecallTargets,
+      "one row per target, target order")
+    rows.foreach { case (t, np, met, r10, cand, share) =>
+      val point = curve.find(_._1 == np).get
+      assert((r10, cand, share) == ((point._2, point._3, point._4)),
+        "carried metrics must be the chosen curve point's")
+      if (met == 1) {
+        assert(r10 >= t, s"met row below target: $r10 < $t")
+        // minimality: no smaller grid budget meets the target
+        curve.filter(_._1 < np).foreach(p =>
+          assert(p._2 < t, s"smaller budget ${p._1} already met $t"))
+      } else {
+        // unmet -> the max-grid leg is served and no budget meets
+        assert(np == curve.last._1, "unmet target must fall back to max grid")
+        assert(curve.forall(_._2 < t), "unmet flag requires no leg meeting")
+      }
+    }
+    // the SLO ladder is ordered: chosen budgets are non-decreasing in
+    // the target (a stricter SLO can never need fewer probes)
+    rows.sliding(2).foreach {
+      case Array((_, a, _, _, _, _), (_, b, _, _, _, _)) => assert(b >= a)
+      case _ => ()
+    }
+  }
 }

@@ -112,6 +112,29 @@ class StreamingSpec extends SparkSpecBase {
     ()
   }
 
+  test("streaming SQ8 serving equals the batch serving plan across micro-batches") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = graft.query.IvfSearch.fitCentroids(emb, 16, Some("sqserve-cents"))
+    val (vmin, delta) = graft.query.SqSearch.fittedParams(spark, sf)
+    val idx = graft.query.SqSearch.buildIndexOn(spark, emb, cents, vmin, delta)
+    val in = tmp("sqserve-in")
+    val out = tmp("sqserve-out")
+    val ckpt = tmp("sqserve-ckpt")
+    val queries = emb.filter(col("vec_id") < 8)
+    queries.filter(col("vec_id") < 4).write.mode("overwrite").parquet(s"$in/q")
+    queries.filter(col("vec_id") >= 4).write.mode("append").parquet(s"$in/q")
+    val q = graft.streaming.AnnServe.serveSq(
+      graft.streaming.AnnServe.queryStream(spark, s"$in/q", emb.schema),
+      idx, out, ckpt)
+    assert(q.awaitTermination(120000), "sq serve stream did not finish in time")
+    val served = spark.read.parquet(out).drop("batch_id")
+    val batch = graft.query.SqSearch.ivfsqTopKForQueries(spark, queries,
+      idx.cells, idx.dvecs, idx.fetch, idx.cents, None)
+    assert(served.count() == batch.count())
+    assert(served.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(served).count() == 0)
+  }
+
   test("a tombstone published between micro-batches takes effect from the next batch") {
     val emb = Tables.embeddings(spark, sf)
     val idx = graft.query.PqSearch.buildIndex(spark, sf)
