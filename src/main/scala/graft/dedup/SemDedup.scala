@@ -159,7 +159,8 @@ object SemDedup {
   /** The planted corpus → assignment → guarded-cell CTE prefix,
     * shared verbatim between the decision oracle and the tau-grid
     * planner oracle (the funnel-CTE discipline: one chain, no drift). */
-  private def semChainCtes: String =
+  /** The planted corpus as a CTE (shared with the delta oracle). */
+  private def semCorpusCte: String =
     s"""corpus AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
@@ -168,7 +169,10 @@ object SemDedup {
        |  SELECT vec_id + ${2 * Dedup.PlantOffset},
        |    list_transform(embedding, (x, i) ->
        |      CASE WHEN i = 1 THEN CAST(x + CAST(0.001 AS FLOAT) AS FLOAT) ELSE x END)
-       |  FROM embeddings WHERE vec_id < 10),
+       |  FROM embeddings WHERE vec_id < 10)""".stripMargin
+
+  private def semChainCtes: String =
+    s"""$semCorpusCte,
        |c AS (SELECT cell, cv FROM read_parquet('$SemCentroidExportPath/*.parquet')),
        |scored AS (
        |  SELECT e.vec_id, c.cell,
@@ -301,4 +305,185 @@ object SemDedup {
        |LEFT JOIN e ON e.tau = g.tau
        |LEFT JOIN f ON f.tau = g.tau""".stripMargin
   }
+
+  // ---- delta semantic dedup (SemDeDup for corpus merges) ----
+
+  val SemDeltaCentroidExportPath =
+    graft.FixturePaths.fixture("semdelta_centroids.parquet")
+  val SemDeltaAssignExportPath =
+    graft.FixturePaths.fixture("semdelta_base_assign.parquet")
+
+  /**
+   * `dedup_semantic_delta`: SemDeDup for CORPUS MERGES — the semantic
+   * counterpart of [[Dedup.minhashPairsDelta]]'s discipline, closing
+   * the incremental-maintenance story on the embedding side: merging
+   * a new crawl into an already-SemDeDup'd base must NOT re-pair the
+   * whole corpus.
+   *
+   * Resident state: the base's CELL ASSIGNMENTS (vec_id, cell) and the
+   * frozen base-fitted centroids — written once when the base was
+   * deduped, read back here (the base is never re-assigned, the exact
+   * twin of minhash's never-re-signed resident signatures). Only the
+   * delta is assigned (one map-only pass with the centroid literal).
+   * ONE within-cell join covers both legs — delta×base and
+   * delta×delta: the delta-side assignment probes the combined cell
+   * table; the `maxCell` guard counts over base∪delta (the full run's
+   * statistics, the hot-bucket-guard rule). Exact-cosine verify
+   * fetches embeddings only for candidate ids. `leg` labels each pair
+   * for the merge report a pipeline owner acts on.
+   *
+   * Scale posture: the only data-sized shuffle is the cell probe join
+   * with a crawl-sized delta side; the quadratic term is bounded by
+   * the cell guard; verify is candidate-bounded.
+   */
+  def dedupSemanticDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = semCorpus(spark, sfDir)
+    val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
+    val base = corpus.filter(!isDelta)
+    val delta = corpus.filter(isDelta)
+    val sd = graft.config.GraftConfig.active.semdedup
+    val c = resolveCells(IvfSearch.memoCount(base, s"semdelta:$sfDir"), sd)
+    val cents = IvfSearch.fitCentroids(base, c, Some(s"semdelta:$sfDir"))
+    graft.FixtureExport.ensure(s"semdelta:$sfDir|c=$c", SemDeltaCentroidExportPath) {
+      IvfSearch.centroidsDf(spark, cents)
+        .coalesce(1).write.mode("overwrite").parquet(SemDeltaCentroidExportPath)
+    }
+    graft.FixtureExport.ensure(s"semdelta:$sfDir|c=$c", SemDeltaAssignExportPath) {
+      assignWithCentSim(base, cents).select(col("vec_id"), col("cell"))
+        .coalesce(1).write.mode("overwrite").parquet(SemDeltaAssignExportPath)
+    }
+    val baseAssign = spark.read.parquet(SemDeltaAssignExportPath)
+    val deltaAssign = assignWithCentSim(delta, cents).select(col("vec_id"), col("cell"))
+    semanticPairsDelta(baseAssign, deltaAssign, corpus,
+      tau = SemTau, maxCell = sd.maxCell)
+  }
+
+  /** Frame-level core of [[dedupSemanticDelta]] (resident base
+    * assignment, freshly-assigned delta, and the embedding fetch side
+    * injectable — the spec's handle for the equals-full-run-restricted
+    * property across carves). */
+  private[graft] def semanticPairsDelta(baseAssign: DataFrame,
+      deltaAssign: DataFrame, corpus: DataFrame,
+      tau: Double, maxCell: Int): DataFrame = {
+    val allAssign = baseAssign.select(col("vec_id"), col("cell"))
+      .unionByName(deltaAssign.select(col("vec_id"), col("cell")))
+    val wCell = Window.partitionBy("cell")
+    val guarded = allAssign
+      .withColumn("csz", count(lit(1)).over(wCell))
+      .filter(col("csz") <= maxCell)
+      .select(col("vec_id"), col("cell"))
+    val deltaIds = deltaAssign.select(col("vec_id")).distinct().cache()
+    val deltaGuarded = guarded.join(deltaIds, Seq("vec_id"), "left_semi")
+    // one probe join covers both legs; least/greatest orients pairs
+    // (a delta×delta pair arrives in both directions — distinct folds it)
+    val cands = deltaGuarded.as("x").join(guarded.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("b"))
+      .distinct()
+      .cache()
+    val candIds = cands.select(col("a").as("vec_id"))
+      .unionByName(cands.select(col("b").as("vec_id"))).distinct()
+    val vecs = corpus.join(candIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    val dFlag = deltaIds.withColumn("__d", lit(1))
+    val result = cands
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .withColumn("cos", round(vec_cosine(col("ea"), col("eb")), 4))
+      .filter(col("cos") >= tau)
+      .join(dFlag.select(col("vec_id").as("a"), col("__d").as("da")), Seq("a"), "left")
+      .join(dFlag.select(col("vec_id").as("b"), col("__d").as("db")), Seq("b"), "left")
+      .select(col("a"), col("b"), col("cos"),
+        when(col("da").isNotNull && col("db").isNotNull, "delta_delta")
+          .otherwise("delta_base").as("leg"))
+      .cache()
+    result.count() // materialize the (small) pair list, release intermediates
+    deltaIds.unpersist()
+    cands.unpersist()
+    result
+  }
+
+  /**
+   * `dedup_semantic_delta_apply`: the drop policy over the delta pair
+   * report — the semantic twin of [[Dedup.dedupMinhashDeltaApply]]:
+   * a `delta_base` pair keeps the base copy (the resident corpus is
+   * authoritative; the arriving near-copy is dropped), a
+   * `delta_delta` pair keeps the lower id (`a`). Emits the SURVIVING
+   * delta — the rows a merge would actually admit — with the
+   * embedding dimension as the hashable payload stand-in.
+   */
+  def dedupSemanticDeltaApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = semCorpus(spark, sfDir)
+    val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
+    val pairs = dedupSemanticDelta(spark, sfDir)
+    val drops = pairs.select(
+        when(col("leg") === "delta_delta", col("b"))
+          .otherwise(when(isDeltaId(col("a")), col("a")).otherwise(col("b")))
+          .as("vec_id"))
+      .distinct()
+    corpus.filter(isDelta)
+      .join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), size(col("embedding")).as("n_dims"))
+  }
+
+  private def isDeltaId(id: org.apache.spark.sql.Column) =
+    graft.Carves.deltaSplit(id, Dedup.PlantOffset)
+
+  /** Oracle: the delta chain (as a nested-WITH CTE) + the same
+    * keep-the-base / keep-lower-id drop policy, anti-joined against
+    * the delta slice. */
+  def dedupSemanticDeltaApplySql: String = {
+    val dPred = (c: String) => graft.Carves.deltaSplitSql(c, Dedup.PlantOffset)
+    s"""WITH pairs AS (
+       |${dedupSemanticDeltaSql}
+       |),
+       |$semCorpusCte
+       |SELECT e.vec_id, CAST(len(e.embedding) AS INTEGER) AS n_dims
+       |FROM corpus e
+       |WHERE (${dPred("e.vec_id")})
+       |  AND e.vec_id NOT IN (
+       |    SELECT CASE WHEN leg = 'delta_delta' THEN b
+       |                WHEN (${dPred("a")}) THEN a ELSE b END
+       |    FROM pairs)""".stripMargin
+  }
+
+  /** Oracle: resident fixtures (base-frozen centroids + base cell
+    * assignment) + delta-only assignment replay + the same one-join
+    * two-leg chain, candidate-bounded exact-cosine verify. */
+  def dedupSemanticDeltaSql: String =
+    s"""WITH $semCorpusCte,
+       |c AS (SELECT cell, cv FROM read_parquet('$SemDeltaCentroidExportPath/*.parquet')),
+       |base_assign AS (SELECT vec_id, cell FROM read_parquet('$SemDeltaAssignExportPath/*.parquet')),
+       |d AS (SELECT vec_id FROM corpus
+       |      WHERE ${graft.Carves.deltaSplitSql("vec_id", Dedup.PlantOffset)}),
+       |delta_assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+       |                               CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM corpus e JOIN d USING (vec_id) CROSS JOIN c)
+       |  WHERE r = 1),
+       |assign_all AS (SELECT * FROM base_assign UNION ALL SELECT * FROM delta_assign),
+       |guarded AS (
+       |  SELECT vec_id, cell FROM assign_all
+       |  QUALIFY COUNT(*) OVER (PARTITION BY cell) <= $SemMaxCell),
+       |cands AS (
+       |  SELECT DISTINCT LEAST(x.vec_id, y.vec_id) AS a,
+       |                  GREATEST(x.vec_id, y.vec_id) AS b
+       |  FROM guarded x JOIN guarded y
+       |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |  WHERE x.vec_id IN (SELECT vec_id FROM d)),
+       |verify AS (
+       |  SELECT c2.a, c2.b,
+       |    ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                 CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM cands c2
+       |  JOIN corpus ea ON ea.vec_id = c2.a
+       |  JOIN corpus eb ON eb.vec_id = c2.b)
+       |SELECT a, b, cos,
+       |  CASE WHEN a IN (SELECT vec_id FROM d) AND b IN (SELECT vec_id FROM d)
+       |       THEN 'delta_delta' ELSE 'delta_base' END AS leg
+       |FROM verify WHERE cos >= $SemTau""".stripMargin
 }

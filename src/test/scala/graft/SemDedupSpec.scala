@@ -105,4 +105,73 @@ class SemDedupSpec extends SparkSpecBase {
     assert(rows(SemDedup.SemTau)._2 == nonSingleton.size.toLong,
       "planner's flagged count at SemTau must reconcile with the decision plan")
   }
+
+  test("dedup_semantic_delta: equals the full pair set restricted to delta-touching, both legs occur") {
+    import org.apache.spark.sql.functions._
+    val got = SemDedup.dedupSemanticDelta(spark, sf)
+      .select("a", "b", "leg").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+    // the full-run twin at the SAME base-frozen centroids: pair every
+    // guarded cell over base∪delta, restrict to delta-touching pairs
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val planted = corpus.unionByName(
+        corpus.filter(col("vec_id") < 10)
+          .select((col("vec_id") + graft.dedup.Dedup.PlantOffset).as("vec_id"), col("embedding")))
+      .unionByName(
+        corpus.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 2 * graft.dedup.Dedup.PlantOffset).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding")))
+    val isDelta = graft.Carves.deltaSplit(col("vec_id"), graft.dedup.Dedup.PlantOffset)
+    val base = planted.filter(!isDelta)
+    val sd = graft.config.GraftConfig.active.semdedup
+    val c = SemDedup.resolveCells(base.count(), sd)
+    val cents = graft.query.IvfSearch.fitCentroids(base, c, Some(s"semdelta:$sf"))
+    val full = SemDedup.semanticEdges(
+        SemDedup.assignWithCentSim(planted, cents), SemDedup.SemTau, sd.maxCell)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deltaIds = planted.filter(isDelta).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = full.filter(p => deltaIds.contains(p._1) || deltaIds.contains(p._2))
+    assert(got.map(_._1).toSet == want,
+      "delta pair set must equal the full run restricted to delta-touching pairs")
+    // leg labels faithful, and the carve makes both legs occur
+    got.foreach { case ((a, b), leg) =>
+      val wantLeg = if (deltaIds.contains(a) && deltaIds.contains(b)) "delta_delta"
+        else "delta_base"
+      assert(leg == wantLeg, s"leg mislabeled for ($a,$b)")
+    }
+    assert(got.exists(_._2 == "delta_delta") && got.exists(_._2 == "delta_base"),
+      "the carve must produce both legs")
+    // every planted copy pairs with something (cosine ~1 survives any
+    // grid tau); the exact copies are in the delta by construction
+    val plantPaired = got.map(_._1).flatMap(p => Seq(p._1, p._2))
+      .count(_ >= graft.dedup.Dedup.PlantOffset)
+    assert(plantPaired > 0, "planted copies must appear in the delta report")
+  }
+
+  test("dedup_semantic_delta_apply: drops are delta-side only, no duplicate pair survives intact") {
+    import org.apache.spark.sql.functions._
+    val isDelta = (id: Long) =>
+      id >= graft.dedup.Dedup.PlantOffset || id % graft.Carves.DeltaMod == 0
+    val pairs = SemDedup.dedupSemanticDelta(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val survivors = SemDedup.dedupSemanticDeltaApply(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // survivors are delta rows; the base is untouched by construction
+    assert(survivors.forall(isDelta), "apply must only emit delta rows")
+    pairs.foreach { case (a, b, leg) =>
+      if (leg == "delta_delta")
+        assert(!(survivors.contains(a) && survivors.contains(b)),
+          s"delta_delta pair ($a,$b) survived intact")
+      else {
+        // keep-the-base policy: the delta side of a delta_base pair
+        // is never admitted
+        val deltaSide = if (isDelta(a)) a else b
+        assert(!survivors.contains(deltaSide),
+          s"delta side $deltaSide of a delta_base pair was admitted")
+      }
+    }
+  }
 }
