@@ -276,6 +276,13 @@ object ScaleRamp {
         mat(graft.operators.Packing.seqPackGreedy(docs, "lang",
           graft.operators.Packing.PackBudget,
           math.max(32, (docs.count() / 256).toInt)))),
+      // r10: the FFD assignment — same shard-fold shape as greedy with
+      // the bounded open-bin state; shard count scales with the corpus
+      // for the same linearity argument
+      "seq_pack_ffd" -> (() =>
+        mat(graft.operators.Packing.seqPackFfd(docs, "lang",
+          graft.operators.Packing.PackBudget,
+          math.max(32, (docs.count() / 256).toInt)))),
       // drift report: two signal passes + tiny histogram aggs — must
       // ramp with quality_ablation (same signals-pass shape, twice)
       "quality_drift" -> (() => {

@@ -192,15 +192,15 @@ object TierReport {
     } yield {
       val nq = NumQueries
       val adcKeep = PqSearch.AdcKeep
-      s"""WITH gt AS (${AnnQuery.annBruteTopKSql}),
-         |lsh AS ($lshSql),
-         |lshc AS ($lshCountSql),
-         |sq AS (${SqSearch.annIvfsqTopKSql}),
-         |pq AS (${PqSearch.annIvfpqTopKSql}),
-         |opq AS (${PqSearch.annPcapqTopKSql}),
-         |bq AS (${BqSearch.annBqTopKSql}),
+      s"""WITH gt AS MATERIALIZED (${AnnQuery.annBruteTopKSql}),
+         |lsh AS MATERIALIZED ($lshSql),
+         |lshc AS MATERIALIZED ($lshCountSql),
+         |sq AS MATERIALIZED (${SqSearch.annIvfsqTopKSql}),
+         |pq AS MATERIALIZED (${PqSearch.annIvfpqTopKSql}),
+         |opq AS MATERIALIZED (${PqSearch.annPcapqTopKSql}),
+         |bq AS MATERIALIZED (${BqSearch.annBqTopKSql}),
          |cc AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
-         |iassign AS (
+         |iassign AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, cc.cell,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -334,7 +334,7 @@ object TierReport {
     val k = K
     val maxCand = cfg.ivf.maxCandidates
     def chain(p: Int): String =
-      s"""probes_$p AS (
+      s"""probes_$p AS MATERIALIZED (
          |  SELECT query_id, cell, crnk FROM (
          |    SELECT q.vec_id AS query_id, c.cell,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -346,7 +346,7 @@ object TierReport {
          |    SELECT p.query_id, COUNT(*) AS n
          |    FROM probes_$p p JOIN assign a ON a.cell = p.cell
          |    GROUP BY p.query_id)),
-         |topk_$p AS (
+         |topk_$p AS MATERIALIZED (
          |  SELECT query_id, vec_id, rnk FROM (
          |    SELECT cand.query_id, cand.vec_id,
          |      ROW_NUMBER() OVER (PARTITION BY cand.query_id
@@ -376,9 +376,9 @@ object TierReport {
          |  (SELECT cand_rows FROM cnt_$p) AS cand_rows,
          |  FLOOR(CAST((SELECT cand_rows FROM cnt_$p) AS DOUBLE)
          |        / (SELECT n * $NumQueries FROM meta) * 10000) / 10000 AS scan_share""".stripMargin
-    s"""WITH gt AS (${graft.query.AnnQuery.annBruteTopKSql}),
+    s"""WITH gt AS MATERIALIZED (${graft.query.AnnQuery.annBruteTopKSql}),
        |c AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
-       |assign AS (
+       |assign AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -453,4 +453,76 @@ object TierReport {
        |  FROM ranked)
        |WHERE pick = 1""".stripMargin
   }
+
+  /** Scan-byte budget ladder for [[annTierAutotune]], as shares of
+    * the brute-force scan (N × queries × dim × 4 bytes). 1.0 is the
+    * everything-fits leg (pure max-recall pick); the small legs are
+    * where the compressed tiers differentiate. */
+  val ByteBudgets: Seq[Double] = Seq(0.02, 0.05, 0.20, 1.0)
+
+  /**
+   * `ann_tier_autotune`: the REPRESENTATION-axis twin of
+   * [[annProbeAutotune]] — together they close both FAISS-bench knobs
+   * into decisions: given a scan-byte budget (as a share of the
+   * brute-force scan), CHOOSE the tier. One row per budget in
+   * [[ByteBudgets]]: among tiers whose measured `scan_bytes` share
+   * fits, the one with max recall@k (ties → fewer bytes, then tier
+   * name); when NOTHING fits (`met = 0`) the cheapest tier is served
+   * flagged — the honest "no representation meets that budget; shrink
+   * k, the probe count, or the corpus slice" answer.
+   *
+   * Scale posture: the selection is driver-side arithmetic over the
+   * 5 measured tier rows; all corpus-sized work is the tier report's
+   * concurrent evaluations.
+   */
+  def annTierAutotune(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val nVecs = data.count()
+    val dim = data.select(size(col("embedding"))).head().getInt(0)
+    val brute = nVecs * NumQueries.toLong * dim * 4L
+    def share(b: Long): Double = math.floor(b.toDouble / brute * 10000) / 10000
+    val tiers = annTierReport(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(6)))
+    val rows = ByteBudgets.map { bud =>
+      val chosen = tiers.sortBy { case (tier, r10, bytes) =>
+        val fit = share(bytes) <= bud
+        (if (fit) 0 else 1, if (fit) -r10 else 0.0, bytes, tier)
+      }.head
+      Row(bud, chosen._1, if (share(chosen._3) <= bud) 1 else 0,
+        chosen._2, chosen._3, share(chosen._3))
+    }
+    val schema = StructType(Seq(
+      StructField("budget_share", DoubleType), StructField("tier", StringType),
+      StructField("met", IntegerType), StructField("recall_at_10", DoubleType),
+      StructField("scan_bytes", LongType), StructField("byte_share", DoubleType)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Oracle: the tier report as a single-reference CTE + one window
+    * pick per budget (fit DESC, max recall among fitting, cheapest
+    * among non-fitting — the same composite key as the driver sort).
+    * Conditional on the tier report's own SQL-expressibility. */
+  def annTierAutotuneSqlOpt: Option[String] =
+    annTierReportSqlOpt.map { reportSql =>
+      val budgets = ByteBudgets.map(b => s"(CAST($b AS DOUBLE))").mkString(", ")
+      s"""WITH report AS MATERIALIZED (
+         |$reportSql
+         |),
+         |m2 AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n,
+         |              (SELECT CAST(len(embedding) AS BIGINT) FROM embeddings LIMIT 1) AS dim),
+         |budgets(budget_share) AS (VALUES $budgets),
+         |shared AS (
+         |  SELECT b.budget_share, r.tier, r.recall_at_10, r.scan_bytes,
+         |    FLOOR(CAST(r.scan_bytes AS DOUBLE)
+         |          / (SELECT n * $NumQueries * dim * 4 FROM m2) * 10000) / 10000 AS byte_share
+         |  FROM budgets b CROSS JOIN report r)
+         |SELECT budget_share, tier, met, recall_at_10, scan_bytes, byte_share FROM (
+         |  SELECT *, CASE WHEN byte_share <= budget_share THEN 1 ELSE 0 END AS met,
+         |    ROW_NUMBER() OVER (PARTITION BY budget_share ORDER BY
+         |      CASE WHEN byte_share <= budget_share THEN 0 ELSE 1 END,
+         |      CASE WHEN byte_share <= budget_share THEN -recall_at_10 ELSE 0 END,
+         |      scan_bytes, tier) AS pick
+         |  FROM shared)
+         |WHERE pick = 1""".stripMargin
+    }
 }

@@ -171,4 +171,54 @@ class SqSpec extends SparkSpecBase {
       case _ => ()
     }
   }
+
+  test("ann_tier_autotune: max-recall tier within each byte budget, cheapest fallback flagged") {
+    val data = Tables.embeddings(spark, sf)
+    val n = data.count()
+    val dim = data.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+    val brute = n * graft.query.TierReport.NumQueries.toLong * dim * 4L
+    def share(b: Long): Double = math.floor(b.toDouble / brute * 10000) / 10000
+    val report = graft.query.TierReport.annTierReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(6)))
+    val rows = graft.query.TierReport.annTierAutotune(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getInt(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == graft.query.TierReport.ByteBudgets,
+      "one row per budget, ladder order")
+    rows.foreach { case (bud, tier, met, r10, bytes, bshare) =>
+      val point = report.find(_._1 == tier).get
+      assert((r10, bytes) == ((point._2, point._3)),
+        "carried metrics must be the chosen report row's")
+      assert(bshare == share(bytes), "byte_share must be the floored share")
+      if (met == 1) {
+        assert(bshare <= bud, "met row over budget")
+        // optimality: no fitting tier strictly beats the choice
+        report.filter(t => share(t._3) <= bud).foreach { t =>
+          assert(t._2 < r10 || (t._2 == r10 &&
+              (t._3 > bytes || (t._3 == bytes && t._1 >= tier))),
+            s"tier ${t._1} beats $tier within budget $bud")
+        }
+      } else {
+        assert(report.forall(t => share(t._3) > bud), "unmet flag requires nothing fits")
+        assert(bytes == report.map(_._3).min, "fallback must be the cheapest tier")
+      }
+    }
+    // the 1.0 leg: at least the sub-brute tiers fit (BQ is ~1/32 of
+    // brute by construction), and the pick is max recall among the
+    // FITTING tiers — NOT the global max: lsh_refine's cand·8 +
+    // refine·dim·4 can exceed the brute-force bytes on a small corpus
+    // (its recall-1.0 row is then honestly out of budget)
+    val full = rows.last
+    assert(full._1 == 1.0 && full._3 == 1)
+    val fitting = report.filter(t => share(t._3) <= 1.0)
+    assert(fitting.nonEmpty && full._4 == fitting.map(_._2).max,
+      "1.0 budget must pick max recall among fitting tiers")
+    // among met legs, a bigger budget can never lose recall
+    val met = rows.filter(_._3 == 1)
+    met.sliding(2).foreach {
+      case Array((_, _, _, a, _, _), (_, _, _, b, _, _)) => assert(b >= a)
+      case _ => ()
+    }
+  }
 }
