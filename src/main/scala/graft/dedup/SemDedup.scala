@@ -448,6 +448,63 @@ object SemDedup {
        |    FROM pairs)""".stripMargin
   }
 
+  /**
+   * `dedup_semantic_compact`: fold the ADMITTED delta into the
+   * resident semantic-dedup state — the semantic twin of
+   * [[Dedup.dedupMinhashCompact]], completing the staged/delta/compact
+   * symmetry for this family. The compacted state is the cell
+   * assignment a future delta probes: every resident base row CARRIED
+   * verbatim from the fixture (never re-assigned — frozen centroids
+   * make re-assignment a no-op, so carrying is exact, spec-asserted),
+   * plus one FRESH assignment row per admitted delta doc (the
+   * [[dedupSemanticDeltaApply]] survivors; dropped near-dups never
+   * enter the resident state). `src` labels the provenance.
+   *
+   * Fixture-honesty: like the minhash compact entry, this re-runs the
+   * delta chain it consumes, so the bench prices the full production
+   * round (sign/assign → pair → admit → fold), not a memoized slice.
+   */
+  def dedupSemanticCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = semCorpus(spark, sfDir)
+    val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
+    val admitted = dedupSemanticDeltaApply(spark, sfDir).select(col("vec_id"))
+    // the delta entry has run inside apply: fixtures are staged
+    val baseAssign = spark.read.parquet(SemDeltaAssignExportPath)
+      .select(col("vec_id"), col("cell"), lit("carried").as("src"))
+    val base = corpus.filter(!isDelta)
+    val sd = graft.config.GraftConfig.active.semdedup
+    val c = resolveCells(IvfSearch.memoCount(base, s"semdelta:$sfDir"), sd)
+    val cents = IvfSearch.fitCentroids(base, c, Some(s"semdelta:$sfDir"))
+    val fresh = assignWithCentSim(corpus.filter(isDelta), cents)
+      .join(admitted, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("cell"), lit("fresh").as("src"))
+    baseAssign.unionByName(fresh)
+  }
+
+  /** Oracle: resident base assignment carried verbatim + the admitted
+    * survivors' fresh assignment (the apply chain nested as a CTE). */
+  def dedupSemanticCompactSql: String =
+    s"""WITH adm AS (
+       |${dedupSemanticDeltaApplySql}
+       |),
+       |$semCorpusCte,
+       |c AS (SELECT cell, cv FROM read_parquet('$SemDeltaCentroidExportPath/*.parquet')),
+       |d AS (SELECT vec_id FROM corpus
+       |      WHERE ${graft.Carves.deltaSplitSql("vec_id", Dedup.PlantOffset)}),
+       |delta_assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+       |                               CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM corpus e JOIN d USING (vec_id) CROSS JOIN c)
+       |  WHERE r = 1)
+       |SELECT vec_id, cell, 'carried' AS src
+       |FROM read_parquet('$SemDeltaAssignExportPath/*.parquet')
+       |UNION ALL
+       |SELECT da.vec_id, da.cell, 'fresh' AS src
+       |FROM delta_assign da JOIN adm ON adm.vec_id = da.vec_id""".stripMargin
+
   /** Oracle: resident fixtures (base-frozen centroids + base cell
     * assignment) + delta-only assignment replay + the same one-join
     * two-leg chain, candidate-bounded exact-cosine verify. */

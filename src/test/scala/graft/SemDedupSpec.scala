@@ -174,4 +174,47 @@ class SemDedupSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("dedup_semantic_compact: carried+fresh equals a fresh frozen-model assignment of the merged corpus") {
+    import org.apache.spark.sql.functions._
+    val compacted = SemDedup.dedupSemanticCompact(spark, sf).cache()
+    val rows = compacted.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val isDelta = (id: Long) =>
+      id >= graft.dedup.Dedup.PlantOffset || id % graft.Carves.DeltaMod == 0
+    // provenance faithful: carried = base rows, fresh = delta rows
+    rows.foreach { case (id, _, src) =>
+      assert((src == "fresh") == isDelta(id), s"provenance mislabeled for $id")
+    }
+    // fresh set == exactly the apply survivors
+    val admitted = SemDedup.dedupSemanticDeltaApply(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows.filter(_._3 == "fresh").map(_._1).toSet == admitted,
+      "fresh rows must be exactly the admitted delta")
+    // frozen centroids make carrying exact: the whole compacted table
+    // equals one fresh assignment of (base ∪ admitted)
+    val planted = {
+      val base = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      base.unionByName(base.filter(col("vec_id") < 10)
+          .select((col("vec_id") + graft.dedup.Dedup.PlantOffset).as("vec_id"), col("embedding")))
+        .unionByName(base.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 2 * graft.dedup.Dedup.PlantOffset).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding")))
+    }
+    val mergedIds = rows.map(_._1).toSet
+    val sd = graft.config.GraftConfig.active.semdedup
+    val baseOnly = planted.filter(!graft.Carves.deltaSplit(col("vec_id"), graft.dedup.Dedup.PlantOffset))
+    val cents = graft.query.IvfSearch.fitCentroids(baseOnly,
+      SemDedup.resolveCells(baseOnly.count(), sd), Some(s"semdelta:$sf"))
+    val fresh = SemDedup.assignWithCentSim(
+        planted.filter(col("vec_id").isInCollection(mergedIds)), cents)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    rows.foreach { case (id, cell, _) =>
+      assert(fresh(id) == cell, s"compacted cell for $id diverges from a fresh assignment")
+    }
+    compacted.unpersist()
+    ()
+  }
 }
