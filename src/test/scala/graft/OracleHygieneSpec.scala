@@ -60,4 +60,28 @@ class OracleHygieneSpec extends SparkSpecBase {
       }
     }
   }
+
+  // The replay engine (DuckDB 1.0) INLINES a CTE once per reference:
+  // the tier-report oracle references the brute-force gt chain ~15x
+  // and each tier chain 3x — without MATERIALIZED the sf0.1 replay
+  // re-ran a 12M-row window sort fifteen times, spilled >75 GB of
+  // temp, and never finished. These pins keep the hint from being
+  // lost in a refactor.
+  test("multi-referenced chain CTEs in the tier/probe oracles stay MATERIALIZED") {
+    val sql = SparkEntry.oracleSql
+    val report = sql("ann_tier_report")
+    Seq("gt AS MATERIALIZED", "lsh AS MATERIALIZED", "sq AS MATERIALIZED",
+      "pq AS MATERIALIZED", "opq AS MATERIALIZED", "bq AS MATERIALIZED",
+      "iassign AS MATERIALIZED").foreach { frag =>
+      assert(report.contains(frag), s"ann_tier_report oracle lost `$frag`")
+    }
+    val curve = sql("ann_probe_curve")
+    Seq("gt AS MATERIALIZED", "assign AS MATERIALIZED",
+      "probes_1 AS MATERIALIZED", "topk_8 AS MATERIALIZED").foreach { frag =>
+      assert(curve.contains(frag), s"ann_probe_curve oracle lost `$frag`")
+    }
+    // the autotunes nest those queries — the hints must survive nesting
+    assert(sql("ann_tier_autotune").contains("gt AS MATERIALIZED"))
+    assert(sql("ann_probe_autotune").contains("gt AS MATERIALIZED"))
+  }
 }
