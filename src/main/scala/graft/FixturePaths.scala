@@ -55,9 +55,19 @@ object FixturePaths {
     runs.foreach { dir =>
       val pid = dir.getName.stripPrefix("run_").toLong
       val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
-      if (!alive && now - dir.lastModified() > StaleAfterMs)
+      // staleness clock = the NEWEST mtime in the tree, not the run
+      // dir's own (which only reflects direct-child creation): a
+      // long-lived JVM that dies right after its last fixture write
+      // must still get the full grace period for the post-mortem
+      // DuckDB replay that reads those fixtures
+      if (!alive && now - maxMtime(dir) > StaleAfterMs)
         try deleteTree(dir) catch { case _: java.io.IOException => () }
     }
+  }
+
+  private def maxMtime(f: java.io.File): Long = {
+    val children = Option(f.listFiles()).getOrElse(Array.empty)
+    (f.lastModified() +: children.map(maxMtime)).max
   }
 
   private def deleteTree(f: java.io.File): Unit = {

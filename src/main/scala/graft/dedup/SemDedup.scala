@@ -59,8 +59,15 @@ object SemDedup {
 
   /** Degenerate-cell guard: cells larger than this skip pairing (the
     * `neardup.maxCell` posture — near-identical boilerplate cells
-    * would contribute O(cell^2) join rows). */
+    * would contribute O(cell^2) join rows). This is the DEFAULT the
+    * config seeds; the entries AND their oracles read the ACTIVE
+    * `semdedup.maxCell` ([[cfgMaxCell]]) so a config override gates
+    * both engines against the same guard (the r7 convention — the r10
+    * VERDICT flagged the oracles for hardcoding this constant). */
   val SemMaxCell: Int = 4096
+
+  /** The active guard, interpolated into plans and oracle SQL alike. */
+  private def cfgMaxCell: Int = graft.config.GraftConfig.active.semdedup.maxCell
 
   val SemCentroidExportPath = graft.FixturePaths.fixture("semdedup_centroids.parquet")
 
@@ -186,12 +193,13 @@ object SemDedup {
        |guarded AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, COUNT(*) OVER (PARTITION BY cell) AS csz FROM assign)
-       |  WHERE csz <= $SemMaxCell)""".stripMargin
+       |  WHERE csz <= $cfgMaxCell)""".stripMargin
 
   /** DuckDB twin: planted corpus -> literal-centroid assignment with
     * centroid cosine -> within-cell pairs at 4-dp tau -> recursive-CTE
-    * transitive closure -> per-component SemDeDup keeper. */
-  val dedupSemanticSql: String =
+    * transitive closure -> per-component SemDeDup keeper. A `def` so
+    * the interpolated cell guard reads the ACTIVE config. */
+  def dedupSemanticSql: String =
     s"""WITH RECURSIVE $semChainCtes,
        |edges AS (
        |  SELECT x.vec_id AS a, y.vec_id AS b
@@ -525,7 +533,7 @@ object SemDedup {
        |assign_all AS (SELECT * FROM base_assign UNION ALL SELECT * FROM delta_assign),
        |guarded AS (
        |  SELECT vec_id, cell FROM assign_all
-       |  QUALIFY COUNT(*) OVER (PARTITION BY cell) <= $SemMaxCell),
+       |  QUALIFY COUNT(*) OVER (PARTITION BY cell) <= $cfgMaxCell),
        |cands AS (
        |  SELECT DISTINCT LEAST(x.vec_id, y.vec_id) AS a,
        |                  GREATEST(x.vec_id, y.vec_id) AS b

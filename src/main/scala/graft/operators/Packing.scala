@@ -119,11 +119,26 @@ object Packing {
     }
   }
 
+  /** Closed-bin counter width: bits [[FfdClosedShift]]..62 of the
+    * signed state long — a shard closing 2^15 bins would overflow into
+    * the sign bit and corrupt the count SILENTLY (both engines replay
+    * the identical arithmetic, so the oracle could not catch it). Each
+    * doc closes at most one bin, so guarding the shard's DOC count
+    * guards the counter; a shard that large means the bucket count
+    * stopped scaling with the corpus ([[graft.ScaleRamp]] scales it). */
+  private val FfdMaxShardDocs = 1 << 15
+
   /** Pack count of the bounded-FFD fold over an ordered length array:
-    * closed bins + still-open nonempty bins. */
+    * closed bins + still-open nonempty bins. Raises loudly on a shard
+    * big enough to overflow the closed-bin counter (see
+    * [[FfdMaxShardDocs]]). */
   private def ffdPacks(lens: Column, budget: Long): Column = {
     require(budget <= 255, s"FFD slot width is 8 bits; budget $budget > 255")
-    aggregate(lens, lit(0L),
+    val guarded = when(size(lens) < FfdMaxShardDocs, lens)
+      .otherwise(raise_error(concat(
+        lit(s"FFD closed-bin counter is 15 bits; shard of "), size(lens).cast("string"),
+        lit(s" docs can overflow it - scale the bucket count with the corpus"))))
+    aggregate(guarded, lit(0L),
       (acc, x) => ffdStep(acc, x, budget),
       acc => shiftrightunsigned(acc, FfdClosedShift) +
         (0 until FfdOpenBins).map(i =>

@@ -187,9 +187,11 @@ object BqSearch {
   /** The Hamming-shortlist + exact-refine chain for a (vec_id,
     * embedding) query batch against a resident [[BqIndex]] — the
     * serving form [[graft.streaming.AnnServe.serveBq]] runs per
-    * micro-batch. */
+    * micro-batch. `k` bounds the final refine window (defaults to the
+    * config K; threaded so QuantTier.serve honors its caller's k on
+    * every tier, not just PQ — the r10 ADVICE alignment). */
   def topKForQueries(queries: DataFrame, idx: BqIndex,
-      deletedIds: Option[DataFrame] = None): DataFrame = {
+      deletedIds: Option[DataFrame] = None, k: Int = K): DataFrame = {
     val spark = queries.sparkSession
     val prep = queries
       .select(col("vec_id").as("query_id"),
@@ -209,7 +211,7 @@ object BqSearch {
       .join(idx.fetch, Seq("vec_id"))
       .withColumn("dist", vec_l2(col("embedding"), col("qraw")))
       .withColumn("rnk", row_number().over(wk))
-      .filter(col("rnk") <= K)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
   }
 

@@ -215,10 +215,14 @@ object SqSearch {
     * [[PqSearch.topKForQueries]]: `deletedIds` (column `id`)
     * anti-joins the candidate table BEFORE the ADC work and the
     * AdcKeep cap, so tombstone serving equals serving an index
-    * physically rebuilt without the deleted rows (frozen params). */
+    * physically rebuilt without the deleted rows (frozen params).
+    * `k` bounds the final refine window (defaults to the config K;
+    * threaded so QuantTier.serve honors its caller's k on every
+    * tier, not just PQ — the r10 ADVICE alignment). */
   def ivfsqTopKForQueries(spark: SparkSession, queries: DataFrame,
       cells: DataFrame, dvecs: DataFrame, fetch: DataFrame,
-      cents: Array[Array[Float]], deletedIds: Option[DataFrame] = None): DataFrame = {
+      cents: Array[Array[Float]], deletedIds: Option[DataFrame] = None,
+      k: Int = K): DataFrame = {
     val prep = queries
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"),
@@ -241,7 +245,7 @@ object SqSearch {
       .join(fetch, Seq("vec_id"))
       .withColumn("dist", vec_l2(col("embedding"), col("qraw")))
       .withColumn("rnk", row_number().over(wk))
-      .filter(col("rnk") <= K)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
   }
 

@@ -84,4 +84,24 @@ class OracleHygieneSpec extends SparkSpecBase {
     assert(sql("ann_tier_autotune").contains("gt AS MATERIALIZED"))
     assert(sql("ann_probe_autotune").contains("gt AS MATERIALIZED"))
   }
+
+  // The r10 VERDICT flagged the semantic oracles for hardcoding the
+  // cell guard (`4096`) while the Spark plans read semdedup.maxCell
+  // from the active config — a config override would silently gate
+  // the plan against a different guard. Both sides now interpolate
+  // the ACTIVE value (round-trip evidence: a GRAFT_CONFIG maxCell=7
+  // Verify run stays hash-green on all five semantic entries).
+  test("semantic oracles interpolate the ACTIVE semdedup.maxCell, not a constant") {
+    val mc = graft.config.GraftConfig.active.semdedup.maxCell
+    val sql = SparkEntry.oracleSql
+    assert(sql("dedup_semantic").contains(s"csz <= $mc"))
+    assert(sql("dedup_semantic_tune").contains(s"csz <= $mc"))
+    // the delta chain (nested verbatim by apply and compact) guards
+    // with a QUALIFY over base ∪ delta
+    Seq("dedup_semantic_delta", "dedup_semantic_delta_apply",
+      "dedup_semantic_compact").foreach { name =>
+      assert(sql(name).contains(s"OVER (PARTITION BY cell) <= $mc"),
+        s"$name oracle must carry the active maxCell guard")
+    }
+  }
 }

@@ -50,8 +50,14 @@ class QuantLifecycleSpec extends SparkSpecBase {
     life.ingest(arrivals, batchId = 0L)
     assert(life.compactions == 0 && life.stagedVectors == 50)
     val q3 = arrivals.orderBy(col("vec_id").desc).limit(3)
-    val self = life.serve(q3, k = 5).filter(col("rnk") === 1)
+    val served5 = life.serve(q3, k = 5).cache()
+    // serve must HONOR its k on this tier, not silently fall back to
+    // the config K (the r10 ADVICE k-threading fix)
+    assert(served5.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5), "serve(k=5) must return exactly 5 rows per query")
+    val self = served5.filter(col("rnk") === 1)
       .select("query_id", "vec_id").collect()
+    served5.unpersist()
     assert(self.length == 3 && self.forall(r => r.getLong(0) == r.getLong(1)),
       "staged arrivals must self-match at rank 1 through the ADC shortlist")
 
@@ -114,8 +120,12 @@ class QuantLifecycleSpec extends SparkSpecBase {
     life.ingest(arrivals, batchId = 0L)
     assert(life.compactions == 0 && life.stagedVectors == 50)
     val q3 = arrivals.orderBy(col("vec_id").desc).limit(3)
-    val self = life.serve(q3, k = 5).filter(col("rnk") === 1)
+    val served5 = life.serve(q3, k = 5).cache()
+    assert(served5.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5), "serve(k=5) must return exactly 5 rows per query")
+    val self = served5.filter(col("rnk") === 1)
       .select("query_id", "vec_id").collect()
+    served5.unpersist()
     assert(self.length == 3 && self.forall(r => r.getLong(0) == r.getLong(1)),
       "staged arrivals must self-match at rank 1 through the Hamming shortlist")
 
@@ -143,5 +153,60 @@ class QuantLifecycleSpec extends SparkSpecBase {
     val got = life.current.codes
     assert(flat(got).exceptAll(flat(freshCodes)).count() == 0
       && flat(freshCodes).exceptAll(flat(got)).count() == 0)
+  }
+
+  test("compaction lineage stays FLAT: plan size constant across repeated compactions") {
+    // the r10 shape kept mainData a lazy union/anti-join chain over
+    // the previous mainData — after N compactions the N+1st encode
+    // re-evaluated an N-deep plan (O(N^2) cumulative over a stream's
+    // lifetime). The materialize-and-re-read fix makes the serving
+    // plan's node count CONSTANT in the compaction count.
+    val life = freshSq("sq-lineage")
+    val queries = base.filter(col("vec_id") < 3)
+    import spark.implicits._
+    def planNodes(): Int = {
+      val lp = life.serve(queries, k = 5).queryExecution.optimizedPlan
+      var n = 0
+      lp.foreach(_ => n += 1)
+      n
+    }
+    val sizes = (0 until 5).map { round =>
+      life.ingest(arrivals.filter(col("vec_id") === n - 50 + round), round.toLong)
+      life.delete(Seq(n - 50 + round - 1).toDF("id")) // tombstone the previous round's insert
+      life.compactNow()
+      planNodes()
+    }
+    assert(life.compactions == 5)
+    assert(sizes.distinct.size == 1,
+      s"serving plan must not grow with compaction count: $sizes")
+    // and the state is still CORRECT: only the last-round insert lives
+    val served = life.serve(
+      arrivals.filter(col("vec_id") === n - 50 + 4), k = 5)
+    assert(served.filter(col("rnk") === 1).head().getLong(1) == n - 50 + 4)
+    val deadServed = life.serve(queries, k = 1000).cache()
+    for (dead <- 0 until 4)
+      assert(deadServed.filter(col("vec_id") === n - 50 + dead).count() == 0,
+        s"tombstoned round-$dead insert still served")
+    deadServed.unpersist()
+  }
+
+  test("applyDiff staging never collides with a streaming batch id (diff= namespace)") {
+    // r10 staged applyDiff vectors at batch=(maxSeen+1); a later
+    // foreachBatch delivery with that SAME id overwrote them. Now the
+    // diff rides its own namespace, so both survive.
+    val life = freshSq("sq-diffns")
+    import spark.implicits._
+    val diffVec = arrivals.filter(col("vec_id") === n - 1)
+    val diff = Seq((n - 1, "added")).toDF("doc_id", "status")
+    life.applyDiff(diff, diffVec)
+    // a stream now delivers batchId = 0 — the id the r10 applyDiff
+    // staging would have used (maxSeen was -1)
+    life.ingest(arrivals.filter(col("vec_id") === n - 2), batchId = 0L)
+    assert(life.stagedVectors == 2,
+      "the diff-staged vector and the batch-0 vector must BOTH be staged")
+    val got = life.serve(all.filter(col("vec_id") >= n - 2), k = 5)
+      .filter(col("rnk") === 1).select("query_id", "vec_id").collect()
+    assert(got.length == 2 && got.forall(r => r.getLong(0) == r.getLong(1)),
+      "both the applyDiff vector and the streamed vector must serve")
   }
 }
