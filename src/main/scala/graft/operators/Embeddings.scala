@@ -347,6 +347,45 @@ object Embeddings {
     comps
   }
 
+  /** Fixture for the MRL prefix rotation: the TOP dim/[[graft.query.MrlSearch.PrefixShare]]
+    * principal components, unwhitened (isometric on the subspace),
+    * in PLAIN descending-eigenvalue order — the variance-front-loading
+    * order the Matryoshka prefix trick needs (deliberately NOT the
+    * OPQ allocation of [[PcaRotExportPath]], which spreads variance
+    * across subspaces; the prefix tier wants it CONCENTRATED in the
+    * leading coordinates). */
+  val MrlRotExportPath = graft.FixturePaths.fixture("mrl_rotation.parquet")
+
+  /** Top-`r` unwhitened components for the rotated-prefix MRL tier
+    * ([[graft.query.MrlSearch.annIvfmrlTopK]]), memoized + exported
+    * like [[fittedPca]]. Projecting onto the top-r principal axes is
+    * the best rank-r L2 approximation of the centered corpus, so the
+    * prefix distance under this rotation dominates the raw-coordinate
+    * prefix on anything with correlated dimensions — the fit that
+    * buys the published MRL recall curves without an MRL-trained
+    * encoder. */
+  private[graft] def fittedMrlRotation(spark: SparkSession, sfDir: String,
+      r: Int): Array[(Array[Double], Double)] = {
+    def fit(): Array[(Array[Double], Double)] = {
+      val sample = Tables.embeddings(spark, sfDir)
+        .orderBy(col("vec_id")).limit(PcaSampleN)
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      fitPca(sample, r, whiten = false)
+    }
+    val comps = pcaCache.synchronized {
+      pcaCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"mrlrot:$r:$sfDir", fit())
+    }
+    graft.FixtureExport.ensure(s"mrlrot:$r:$sfDir", MrlRotExportPath) {
+      import spark.implicits._
+      comps.zipWithIndex.map { case ((w, b), rr) => (rr, w.toSeq, b) }.toSeq
+        .toDF("r", "w", "b")
+        .coalesce(1).write.mode("overwrite").parquet(MrlRotExportPath)
+    }
+    comps
+  }
+
   def embedPca(spark: SparkSession, sfDir: String): DataFrame = {
     val comps = fittedPca(spark, sfDir)
     pcaTransform(Tables.embeddings(spark, sfDir), "embedding", comps)

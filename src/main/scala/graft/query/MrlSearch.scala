@@ -61,16 +61,25 @@ object MrlSearch {
     * length, and shortlist budget injectable — the spec's handle for
     * the keep ≥ N ⇒ exact-equality degenerate case). */
   def mrlTopKOn(data: DataFrame, queries: DataFrame, pd: Int, keep: Int): DataFrame = {
-    val spark = data.sparkSession
     val pvecs = data.select(col("vec_id"),
       slice(col("embedding"), 1, pd).cast("array<double>").as("pvec"))
     val prep = queries
       .select(col("vec_id").as("query_id"),
         slice(col("embedding"), 1, pd).cast("array<double>").as("qp"),
         col("embedding").as("qraw"))
+    prefixTopKOn(pvecs, prep, data.select(col("vec_id"), col("embedding")), keep)
+  }
+
+  /** The exhaustive prefix-shortlist chain over ANY (vec_id, pvec)
+    * representation and (query_id, qp, qraw) batch — shared by the
+    * raw-coordinate form above and the spec's rotated exhaustive twin
+    * (which measures the rotation front's recall contribution apart
+    * from the cell routing). */
+  private[graft] def prefixTopKOn(pvecs: DataFrame, prep: DataFrame,
+      fetch: DataFrame, keep: Int): DataFrame = {
+    val spark = pvecs.sparkSession
     val probeSide = spark.createDataFrame(
       java.util.Arrays.asList(prep.collect(): _*), prep.schema)
-    val fetch = data.select(col("vec_id"), col("embedding"))
     val wp = Window.partitionBy("query_id").orderBy(col("pdist"), col("vec_id"))
     val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     pvecs.crossJoin(broadcast(probeSide))
@@ -84,6 +93,139 @@ object MrlSearch {
       .filter(col("rnk") <= K)
       .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
   }
+
+  def NumProbes: Int = PqSearch.NumProbes
+
+  /**
+   * The rotated prefix representation: the corpus projected onto the
+   * TOP dim/[[PrefixShare]] principal axes
+   * ([[graft.operators.Embeddings.fittedMrlRotation]] — unwhitened,
+   * plain descending-eigenvalue order). Because the matrix literal
+   * holds ONLY the kept components, the rotation costs dim²/4 MACs
+   * per row — the prefix is COMPUTED directly, never a full-dim
+   * rotation sliced after the fact. Canonical representation is the
+   * 4dp-rounded FLOAT (the [[PqSearch.annPcapqTopK]] parity
+   * discipline), widened back to double for the distance kernel.
+   */
+  private[graft] def rotatedPrefix(data: DataFrame,
+      comps: Array[(Array[Double], Double)]): DataFrame =
+    graft.operators.Embeddings.pcaTransform(data, "embedding", comps)
+      .select(col("vec_id"),
+        transform(col("proj"), p => p.getField("v"))
+          .cast("array<float>").cast("array<double>").as("pvec"))
+
+  /**
+   * `ann_ivfmrl_topk`: the CORPUS-SCALE serving form of the Matryoshka
+   * tier — IVF cells bound the scan, the PCA-ROTATED prefix bounds the
+   * bandwidth inside probed cells (dim/4 floats = dim bytes per
+   * candidate row, byte-identical to SQ8's code table), exact refine
+   * bounds the embedding fetch. Same plan skeleton as
+   * [[SqSearch.annIvfsqTopK]] with the rotated-prefix distance as the
+   * per-candidate expression.
+   *
+   * The rotation front is what makes the prefix servable: raw
+   * coordinates carry ~1/4 of the variance in the prefix (the honest
+   * ~0.52 recall@10 of [[annMrlTopK]] on near-iid synthetics), while
+   * the top-quarter principal axes carry the MAXIMUM variance any
+   * rank-dim/4 projection can (~0.38 on this corpus's near-flat
+   * spectrum — still a measured exhaustive-recall lift of ~0.52 →
+   * ~0.71, and the celled form clears the celled-family 0.6 bar;
+   * MrlSpec pins both). Unlike SQ8/PQ/BQ the fit is a SAMPLE-bounded
+   * covariance (no per-dim corpus pass), and the tier keeps the MRL
+   * virtue that motivates it: re-rotating after an encoder swap is a
+   * driver-side refit + one map-only projection, no codebook retrain.
+   *
+   * Scale posture: identical to the SQ8 celled plan — cells-bucketed
+   * candidate scan, prefix rides the candidate rows at dim bytes,
+   * probe join prunes to nProbe cells per query, both rank windows
+   * bounded; no corpus broadcast (plan-asserted in MrlSpec).
+   */
+  def annIvfmrlTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val dim = data.select(size(col("embedding"))).head().getInt(0)
+    val pd = dim / PrefixShare
+    val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
+    val comps = graft.operators.Embeddings.fittedMrlRotation(spark, sfDir, pd)
+    val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents))
+    val pvecs = rotatedPrefix(data, comps)
+    val queries = data.filter(col("vec_id") < NumQueries)
+    val prep = rotatedPrefix(queries, comps)
+      .select(col("vec_id").as("query_id"), col("pvec").as("qp"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qraw"),
+        PqSearch.topProbeCells(col("embedding"), cents, NumProbes).as("pcells")),
+        Seq("query_id"))
+      .withColumn("cell", explode(col("pcells"))).drop("pcells")
+    val probeSide = spark.createDataFrame(
+      java.util.Arrays.asList(prep.collect(): _*), prep.schema)
+    val fetch = data.select(col("vec_id"), col("embedding"))
+    val wp = Window.partitionBy("query_id").orderBy(col("pdist"), col("vec_id"))
+    val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    cells
+      .join(broadcast(probeSide), Seq("cell"))
+      .join(pvecs, Seq("vec_id"))
+      .withColumn("pdist",
+        floor(vec_l2(col("qp"), col("pvec")) * vec_l2(col("qp"), col("pvec")) * 10000) / 10000)
+      .withColumn("p_rank", row_number().over(wp))
+      .filter(col("p_rank") <= AdcKeep)
+      .join(fetch, Seq("vec_id"))
+      .withColumn("dist", vec_l2(col("embedding"), col("qraw")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  /** DuckDB twin of the celled rotated-prefix chain: rotate via the
+    * MRL fixture (ROUND 4 → FLOAT → DOUBLE, the Spark canonicalization
+    * — the fixture holds exactly the kept pd components, so the `rot`
+    * aggregate IS the prefix), assign + probe over the shared centroid
+    * fixture, floored squared prefix distance, AdcKeep shortlist,
+    * bounded exact refine in the original space. */
+  def annIvfmrlTopKSql: String =
+    s"""WITH pm AS (SELECT r, w, b FROM read_parquet('${graft.operators.Embeddings.MrlRotExportPath}/*.parquet')),
+       |c AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
+       |rot AS (
+       |  SELECT e.vec_id,
+       |    CAST(CAST(list(ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), pm.w) + pm.b, 4)
+       |         ORDER BY pm.r) AS FLOAT[]) AS DOUBLE[]) AS pvec
+       |  FROM embeddings e CROSS JOIN pm GROUP BY e.vec_id),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS crnk
+       |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < $NumQueries)
+       |  WHERE crnk <= $NumProbes),
+       |pdist AS (
+       |  SELECT pr.query_id, a.vec_id,
+       |    FLOOR(list_distance(q.pvec, cv.pvec)
+       |          * list_distance(q.pvec, cv.pvec) * 10000) / 10000 AS pdist
+       |  FROM probes pr
+       |  JOIN assign a ON a.cell = pr.cell
+       |  JOIN rot cv ON cv.vec_id = a.vec_id
+       |  JOIN rot q ON q.vec_id = pr.query_id),
+       |shortlist AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pdist, vec_id) AS p_rank
+       |    FROM pdist)
+       |  WHERE p_rank <= $AdcKeep)
+       |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rnk
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.query_id)
+       |WHERE rnk <= $K""".stripMargin
 
   /** Oracle: the identical progressive chain — prefix length derived
     * from the data in-query (`len(embedding) // PrefixShare`, exactly

@@ -10,9 +10,10 @@ import graft.Tables
  * `ann_tier_report`: the compression-tier selection matrix — ONE
  * side-by-side answer to the question a serving owner actually asks:
  * "which index representation do I deploy?" For each tier the library
- * ships (LSH partitions + exact refine at 1x, IVF+SQ8 at 4x, IVF+PQ
- * at ~32x, PCA-rotated PQ, 1-bit binary quantization + Hamming
- * rerank), the report gives recall@{1,10} and the
+ * ships (LSH partitions + exact refine at 1x, IVF+SQ8 at 4x, the
+ * IVF+rotated-prefix MRL tier at the same 4x with a covariance-only
+ * fit, IVF+PQ at ~32x, PCA-rotated PQ, 1-bit binary quantization +
+ * Hamming rerank), the report gives recall@{1,10} and the
  * mean distance ratio against brute-force ground truth (the
  * reference's Aggregates.java:14-21 evaluation posture: recallAtK /
  * avgRatio / avgDistanceRatio, applied across tiers instead of to one
@@ -24,7 +25,7 @@ import graft.Tables
  *
  * Scale posture: every tier's top-k is the tier's OWN serving entry
  * (each individually hash-verified), ground truth is the brute-force
- * entry, the five tier evaluations run as CONCURRENT Spark jobs
+ * entry, the six tier evaluations run as CONCURRENT Spark jobs
  * (wall-clock ~ the slowest tier, not the sum — on a cluster the
  * jobs' stages share executors), and the metric aggregation runs
  * driver-side over bounded rows (numQueries x k per tier — the
@@ -103,7 +104,11 @@ object TierReport {
         nVecs * nq, math.min(nVecs, adcKeep) * nq, PqSearch.M.toLong),
       ("bq_hamming", () => BqSearch.annBqTopK(spark, sfDir),
         nVecs * nq, math.min(nVecs, BqSearch.HamKeep.toLong) * nq,
-        ((dim + 7) / 8).toLong))
+        ((dim + 7) / 8).toLong),
+      // rotated-prefix MRL over the same IVF routing as SQ8/PQ:
+      // dim/4 float prefix = dim bytes per candidate row
+      ("ivf_mrl_rot", () => MrlSearch.annIvfmrlTopK(spark, sfDir),
+        ivfCand, ivfRefine, dim.toLong))
 
     def roundAt(x: Double, s: Int): Double =
       java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
@@ -199,6 +204,7 @@ object TierReport {
          |pq AS MATERIALIZED (${PqSearch.annIvfpqTopKSql}),
          |opq AS MATERIALIZED (${PqSearch.annPcapqTopKSql}),
          |bq AS MATERIALIZED (${BqSearch.annBqTopKSql}),
+         |mrl AS MATERIALIZED (${MrlSearch.annIvfmrlTopKSql}),
          |cc AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
          |iassign AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
@@ -243,7 +249,11 @@ object TierReport {
          |${tierMetricsSql("bq_hamming", "bq",
               s"(SELECT n * $nq FROM meta)",
               s"(SELECT LEAST(n, ${BqSearch.HamKeep}) * $nq FROM meta)",
-              "(SELECT (dim + 7) // 8 FROM meta)")}""".stripMargin
+              "(SELECT (dim + 7) // 8 FROM meta)")}
+         |UNION ALL
+         |${tierMetricsSql("ivf_mrl_rot", "mrl",
+              "(SELECT cand_rows FROM ivfc)", "(SELECT refine_rows FROM ivfc)",
+              "(SELECT dim FROM meta)")}""".stripMargin
     }
 
   // ---- the probe-budget curve (the OTHER serving knob) ----
@@ -472,7 +482,7 @@ object TierReport {
    * k, the probe count, or the corpus slice" answer.
    *
    * Scale posture: the selection is driver-side arithmetic over the
-   * 5 measured tier rows; all corpus-sized work is the tier report's
+   * 6 measured tier rows; all corpus-sized work is the tier report's
    * concurrent evaluations.
    */
   def annTierAutotune(spark: SparkSession, sfDir: String): DataFrame = {

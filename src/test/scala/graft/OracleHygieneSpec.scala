@@ -72,7 +72,7 @@ class OracleHygieneSpec extends SparkSpecBase {
     val report = sql("ann_tier_report")
     Seq("gt AS MATERIALIZED", "lsh AS MATERIALIZED", "sq AS MATERIALIZED",
       "pq AS MATERIALIZED", "opq AS MATERIALIZED", "bq AS MATERIALIZED",
-      "iassign AS MATERIALIZED").foreach { frag =>
+      "mrl AS MATERIALIZED", "iassign AS MATERIALIZED").foreach { frag =>
       assert(report.contains(frag), s"ann_tier_report oracle lost `$frag`")
     }
     val curve = sql("ann_probe_curve")
