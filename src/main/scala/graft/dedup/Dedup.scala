@@ -423,6 +423,13 @@ object Dedup {
     * the delta side. Output = the delta-touching pair report with its
     * `leg` label; equals [[dedupMinhash]] restricted to delta-touching
     * pairs by construction (spec-checked across splits). */
+  /** The staged copy of the delta pair report — what `_apply`/`_compact`
+    * staged twins route off instead of re-running the chain (the
+    * corpus_merge staged-diff discipline brought to the dedup
+    * trilogy). */
+  val MinhashDeltaPairsExportPath =
+    graft.FixturePaths.fixture("minhash_delta_pairs.parquet")
+
   def dedupMinhashDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)
     exportFixture(s"minhash:$sfDir", MinhashSigExportPath) {
@@ -431,8 +438,35 @@ object Dedup {
     val baseSigs = spark.read.parquet(MinhashSigExportPath)
       .filter(!deltaSplit(col("id")))
     val delta = corpus.filter(deltaSplit(col("doc_id")))
-    minhashPairsDelta(baseSigs, delta, corpus, "doc_id", "text")
+    val pairs = minhashPairsDelta(baseSigs, delta, corpus, "doc_id", "text")
+    // stage the (already materialized) pair report ONCE per JVM: the
+    // write is pair-report-sized, and it is what lets the staged
+    // apply/compact twins price a merge's real marginal cost
+    graft.FixtureExport.ensure(s"minhash-delta-pairs:$sfDir", MinhashDeltaPairsExportPath) {
+      pairs.coalesce(1).write.mode("overwrite").parquet(MinhashDeltaPairsExportPath)
+    }
+    pairs
   }
+
+  /** The staged pair report, running the delta chain first only if
+    * this JVM has not staged it yet (nested ensure — reentrant). */
+  private def stagedDeltaPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.FixtureExport.ensure(s"minhash-delta-pairs:$sfDir", MinhashDeltaPairsExportPath) {
+      dedupMinhashDelta(spark, sfDir)
+      ()
+    }
+    spark.read.parquet(MinhashDeltaPairsExportPath)
+  }
+
+  /** The merge drop policy over a pair report: `delta_delta` keeps the
+    * lower id, `delta_base` keeps the base copy. Shared by the in-plan
+    * and staged apply/compact forms. */
+  private def deltaDrops(pairs: DataFrame, outCol: String): DataFrame =
+    pairs.select(
+        when(col("leg") === "delta_delta", col("b"))
+          .otherwise(when(deltaSplit(col("a")), col("a")).otherwise(col("b")))
+          .as(outCol))
+      .distinct()
 
   /** Oracle: the [[dedupMinhashSql]] chain restricted to delta-touching
     * candidate pairs, with the same signature fixture as the resident
@@ -485,16 +519,46 @@ object Dedup {
     * entry's output is delta-sized. */
   def dedupMinhashDeltaApply(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)
-    val pairs = dedupMinhashDelta(spark, sfDir)
-    val drops = pairs.select(
-        when(col("leg") === "delta_delta", col("b"))
-          .otherwise(when(deltaSplit(col("a")), col("a")).otherwise(col("b")))
-          .as("doc_id"))
-      .distinct()
+    val drops = deltaDrops(dedupMinhashDelta(spark, sfDir), "doc_id")
     corpus.filter(deltaSplit(col("doc_id")))
       .join(drops, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), length(col("text")).as("n_chars"))
   }
+
+  /**
+   * `dedup_minhash_apply_staged`: the SAME merge verdict as
+   * [[dedupMinhashDeltaApply]], routed off the STAGED pair report
+   * instead of re-running the sign→band→verify chain — what a
+   * production pipeline actually pays per merge once the delta pass
+   * has run (r10 VERDICT #4: the in-plan trilogy re-priced one chain
+   * 1×/2×/3× by the fixture-honesty rule; these twins show the
+   * marginal cost, the in-plan forms stay as the recompute
+   * cross-check). Spec-asserted verdict-identical to the in-plan
+   * form. Scale posture: one pair-report read (KBs), a broadcast
+   * anti-join of the delta slice against the pair-bounded drop set.
+   */
+  def dedupMinhashApplyStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)
+    val drops = deltaDrops(stagedDeltaPairs(spark, sfDir), "doc_id")
+    corpus.filter(deltaSplit(col("doc_id")))
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+  }
+
+  /** Oracle: the identical drop policy over the STAGED pair parquet —
+    * no chain CTEs at all (that absence IS the point). */
+  def dedupMinhashApplyStagedSql: String =
+    s"""WITH ${mutatedCorpusSql(25)},
+       |pairs AS (SELECT a, b, leg FROM read_parquet('$MinhashDeltaPairsExportPath/*.parquet')),
+       |drops AS (
+       |  SELECT DISTINCT CASE WHEN leg = 'delta_delta' THEN b
+       |                       WHEN ${graft.Carves.deltaSplitSql("a", PlantOffset)} THEN a
+       |                       ELSE b END AS id
+       |  FROM pairs)
+       |SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+       |FROM corpus
+       |WHERE (${graft.Carves.deltaSplitSql("doc_id", PlantOffset)})
+       |  AND doc_id NOT IN (SELECT id FROM drops)""".stripMargin
 
   val dedupMinhashDeltaApplySql: String =
     s"""WITH $deltaChainCtes,
@@ -531,12 +595,8 @@ object Dedup {
     */
   def dedupMinhashCompact(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)
-    val pairs = dedupMinhashDelta(spark, sfDir) // also ensures the fixture export
-    val drops = pairs.select(
-        when(col("leg") === "delta_delta", col("b"))
-          .otherwise(when(deltaSplit(col("a")), col("a")).otherwise(col("b")))
-          .as("id"))
-      .distinct()
+    // also ensures the fixture export
+    val drops = deltaDrops(dedupMinhashDelta(spark, sfDir), "id")
     val baseSigs = spark.read.parquet(MinhashSigExportPath)
       .filter(!deltaSplit(col("id")))
       .select(col("id"), col("sig"))
@@ -564,6 +624,38 @@ object Dedup {
        |     OR (id IN (SELECT id FROM d) AND id NOT IN (SELECT id FROM drops)))
        |SELECT id, CAST(t.i AS INTEGER) AS slot, sig[t.i + 1] AS v
        |FROM kept, generate_series(0, 63) t(i)""".stripMargin
+
+  /**
+   * `dedup_minhash_compact_staged`: fold the admitted delta into the
+   * resident signature table off the STAGED artifacts — drops from
+   * the staged pair report, admitted signatures carried from the
+   * resident store the delta pass already wrote (in production the
+   * delta pass stages its signatures; re-signing admitted docs is the
+   * in-plan [[dedupMinhashCompact]]'s deliberate recompute
+   * cross-check, not a cost a pipeline pays). Spec-asserted
+   * bit-identical to the in-plan form. Scale posture: one signature
+   * scan minus a broadcast pair-bounded drop set — zero text passes.
+   */
+  def dedupMinhashCompactStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    val drops = deltaDrops(stagedDeltaPairs(spark, sfDir), "id")
+    // drops ⊆ delta ids by the policy, so all-minus-drops = base ∪ admitted
+    spark.read.parquet(MinhashSigExportPath)
+      .join(broadcast(drops), Seq("id"), "left_anti")
+      .select(col("id"), posexplode(col("sig")).as(Seq("slot", "v")))
+  }
+
+  /** Oracle: the signature fixture minus the staged drop set. */
+  def dedupMinhashCompactStagedSql: String =
+    s"""WITH sigs AS (SELECT id, sig FROM read_parquet('$MinhashSigExportPath/*.parquet')),
+       |pairs AS (SELECT a, b, leg FROM read_parquet('$MinhashDeltaPairsExportPath/*.parquet')),
+       |drops AS (
+       |  SELECT DISTINCT CASE WHEN leg = 'delta_delta' THEN b
+       |                       WHEN ${graft.Carves.deltaSplitSql("a", PlantOffset)} THEN a
+       |                       ELSE b END AS id
+       |  FROM pairs)
+       |SELECT id, CAST(t.i AS INTEGER) AS slot, sig[t.i + 1] AS v
+       |FROM sigs, generate_series(0, 63) t(i)
+       |WHERE id NOT IN (SELECT id FROM drops)""".stripMargin
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)

@@ -320,6 +320,11 @@ object SemDedup {
     graft.FixturePaths.fixture("semdelta_centroids.parquet")
   val SemDeltaAssignExportPath =
     graft.FixturePaths.fixture("semdelta_base_assign.parquet")
+  /** The staged copy of the delta pair report — what the `_staged`
+    * apply/compact twins route off instead of re-running the chain
+    * (the corpus_merge staged-diff discipline). */
+  val SemDeltaPairsExportPath =
+    graft.FixturePaths.fixture("semdelta_pairs.parquet")
 
   /**
    * `dedup_semantic_delta`: SemDeDup for CORPUS MERGES — the semantic
@@ -362,9 +367,34 @@ object SemDedup {
     }
     val baseAssign = spark.read.parquet(SemDeltaAssignExportPath)
     val deltaAssign = assignWithCentSim(delta, cents).select(col("vec_id"), col("cell"))
-    semanticPairsDelta(baseAssign, deltaAssign, corpus,
+    val pairs = semanticPairsDelta(baseAssign, deltaAssign, corpus,
       tau = SemTau, maxCell = sd.maxCell)
+    // stage the (already materialized) pair report ONCE per JVM — the
+    // read the staged apply/compact twins route off
+    graft.FixtureExport.ensure(s"semdelta-pairs:$sfDir", SemDeltaPairsExportPath) {
+      pairs.coalesce(1).write.mode("overwrite").parquet(SemDeltaPairsExportPath)
+    }
+    pairs
   }
+
+  /** The staged pair report, running the delta chain first only if
+    * this JVM has not staged it yet (nested ensure — reentrant). */
+  private def stagedSemPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.FixtureExport.ensure(s"semdelta-pairs:$sfDir", SemDeltaPairsExportPath) {
+      dedupSemanticDelta(spark, sfDir)
+      ()
+    }
+    spark.read.parquet(SemDeltaPairsExportPath)
+  }
+
+  /** The merge drop policy over a pair report: `delta_delta` keeps
+    * the lower id, `delta_base` keeps the base copy. */
+  private def semDrops(pairs: DataFrame): DataFrame =
+    pairs.select(
+        when(col("leg") === "delta_delta", col("b"))
+          .otherwise(when(isDeltaId(col("a")), col("a")).otherwise(col("b")))
+          .as("vec_id"))
+      .distinct()
 
   /** Frame-level core of [[dedupSemanticDelta]] (resident base
     * assignment, freshly-assigned delta, and the embedding fetch side
@@ -424,15 +454,44 @@ object SemDedup {
   def dedupSemanticDeltaApply(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = semCorpus(spark, sfDir)
     val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
-    val pairs = dedupSemanticDelta(spark, sfDir)
-    val drops = pairs.select(
-        when(col("leg") === "delta_delta", col("b"))
-          .otherwise(when(isDeltaId(col("a")), col("a")).otherwise(col("b")))
-          .as("vec_id"))
-      .distinct()
+    val drops = semDrops(dedupSemanticDelta(spark, sfDir))
     corpus.filter(isDelta)
       .join(drops, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), size(col("embedding")).as("n_dims"))
+  }
+
+  /**
+   * `dedup_semantic_apply_staged`: the SAME admit decision as
+   * [[dedupSemanticDeltaApply]], routed off the STAGED pair report —
+   * a pipeline's real per-merge marginal cost once the delta pass has
+   * run (r10 VERDICT #4; the in-plan form stays as the recompute
+   * cross-check). Spec-asserted verdict-identical. Scale posture: one
+   * pair-report read, broadcast anti-join of the crawl-sized delta
+   * against the pair-bounded drop set — no assignment, no cell join.
+   */
+  def dedupSemanticApplyStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = semCorpus(spark, sfDir)
+    val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
+    val drops = semDrops(stagedSemPairs(spark, sfDir))
+    corpus.filter(isDelta)
+      .join(broadcast(drops), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), size(col("embedding")).as("n_dims"))
+  }
+
+  /** Oracle: the identical drop policy over the STAGED pair parquet —
+    * no chain CTEs (that absence is the point). */
+  def dedupSemanticApplyStagedSql: String = {
+    val dPred = (c: String) => graft.Carves.deltaSplitSql(c, Dedup.PlantOffset)
+    s"""WITH $semCorpusCte,
+       |pairs AS (SELECT a, b, leg FROM read_parquet('$SemDeltaPairsExportPath/*.parquet')),
+       |drops AS (
+       |  SELECT DISTINCT CASE WHEN leg = 'delta_delta' THEN b
+       |                       WHEN (${dPred("a")}) THEN a ELSE b END AS id
+       |  FROM pairs)
+       |SELECT e.vec_id, CAST(len(e.embedding) AS INTEGER) AS n_dims
+       |FROM corpus e
+       |WHERE (${dPred("e.vec_id")})
+       |  AND e.vec_id NOT IN (SELECT id FROM drops)""".stripMargin
   }
 
   private def isDeltaId(id: org.apache.spark.sql.Column) =
@@ -512,6 +571,60 @@ object SemDedup {
        |UNION ALL
        |SELECT da.vec_id, da.cell, 'fresh' AS src
        |FROM delta_assign da JOIN adm ON adm.vec_id = da.vec_id""".stripMargin
+
+  /**
+   * `dedup_semantic_compact_staged`: fold the admitted delta into the
+   * resident semantic state off the STAGED pair report — the
+   * production per-merge cost: resident base assignment carried from
+   * the fixture, drops read from the staged pairs, and ONE map-only
+   * frozen-centroid assignment of the admitted delta rows (the only
+   * corpus-touching work, and it is delta-sized). The in-plan
+   * [[dedupSemanticCompact]] stays as the full-chain recompute
+   * cross-check. Spec-asserted verdict-identical.
+   */
+  def dedupSemanticCompactStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = semCorpus(spark, sfDir)
+    val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
+    val drops = semDrops(stagedSemPairs(spark, sfDir))
+    val baseAssign = spark.read.parquet(SemDeltaAssignExportPath)
+      .select(col("vec_id"), col("cell"), lit("carried").as("src"))
+    val base = corpus.filter(!isDelta)
+    val sd = graft.config.GraftConfig.active.semdedup
+    val c = resolveCells(IvfSearch.memoCount(base, s"semdelta:$sfDir"), sd)
+    val cents = IvfSearch.fitCentroids(base, c, Some(s"semdelta:$sfDir"))
+    val fresh = assignWithCentSim(corpus.filter(isDelta), cents)
+      .join(broadcast(drops), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), lit("fresh").as("src"))
+    baseAssign.unionByName(fresh)
+  }
+
+  /** Oracle: carried base fixture + frozen-centroid assignment of the
+    * delta restricted to the staged-report survivors. */
+  def dedupSemanticCompactStagedSql: String = {
+    val dPred = (c: String) => graft.Carves.deltaSplitSql(c, Dedup.PlantOffset)
+    s"""WITH $semCorpusCte,
+       |c AS (SELECT cell, cv FROM read_parquet('$SemDeltaCentroidExportPath/*.parquet')),
+       |pairs AS (SELECT a, b, leg FROM read_parquet('$SemDeltaPairsExportPath/*.parquet')),
+       |drops AS (
+       |  SELECT DISTINCT CASE WHEN leg = 'delta_delta' THEN b
+       |                       WHEN (${dPred("a")}) THEN a ELSE b END AS id
+       |  FROM pairs),
+       |adm AS (
+       |  SELECT vec_id FROM corpus
+       |  WHERE (${dPred("vec_id")}) AND vec_id NOT IN (SELECT id FROM drops)),
+       |delta_assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+       |                               CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM corpus e JOIN adm USING (vec_id) CROSS JOIN c)
+       |  WHERE r = 1)
+       |SELECT vec_id, cell, 'carried' AS src
+       |FROM read_parquet('$SemDeltaAssignExportPath/*.parquet')
+       |UNION ALL
+       |SELECT vec_id, cell, 'fresh' AS src FROM delta_assign""".stripMargin
+  }
 
   /** Oracle: resident fixtures (base-frozen centroids + base cell
     * assignment) + delta-only assignment replay + the same one-join
