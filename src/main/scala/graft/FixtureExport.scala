@@ -22,12 +22,28 @@ package graft
 object FixtureExport {
   // path -> the key whose export currently sits at that path
   private val current = scala.collection.mutable.Map.empty[String, String]
+  // ONE MONITOR PER PATH: a corpus-scale chain running inside ensure
+  // (e.g. dedup's staged pair report, which wraps the whole delta
+  // chain) blocks only same-path callers, never unrelated fixture
+  // exports on other threads (the r11 ADVICE global-monitor hazard).
+  // REENTRANCY CONTRACT (load-bearing — do not replace these monitors
+  // with non-reentrant locks): `write` MAY call ensure itself.
+  //  - different path → different monitor, no interaction;
+  //  - SAME path (the staged-pair-report shape: the outer ensure's
+  //    chain re-enters ensure with the same key) → same JVM monitor,
+  //    reentrant by definition; the inner call still sees the key
+  //    unrecorded and performs the real write, the outer then records
+  //    the key a second time — so same-path nested writes must be
+  //    idempotent (they are: mode("overwrite") parquet writes).
+  private val locks = scala.collection.mutable.Map.empty[String, Object]
+  private def lockFor(path: String): Object =
+    locks.synchronized(locks.getOrElseUpdate(path, new Object))
 
   def ensure(key: String, path: String)(write: => Unit): Unit =
-    current.synchronized {
-      if (!current.get(path).contains(key)) {
+    lockFor(path).synchronized {
+      if (!current.synchronized(current.get(path).contains(key))) {
         write
-        current(path) = key
+        current.synchronized { current(path) = key }
       }
     }
 }

@@ -416,13 +416,6 @@ object Dedup {
   private[graft] def deltaSplit(id: Column): Column =
     graft.Carves.deltaSplit(id, PlantOffset)
 
-  /** `dedup_minhash_delta`: merge-time near-dedup of a new crawl
-    * against the resident base signature table — the signatures are
-    * READ BACK from the exported store (never recomputed for base
-    * docs), only delta docs are signed, and the band join probes with
-    * the delta side. Output = the delta-touching pair report with its
-    * `leg` label; equals [[dedupMinhash]] restricted to delta-touching
-    * pairs by construction (spec-checked across splits). */
   /** The staged copy of the delta pair report — what `_apply`/`_compact`
     * staged twins route off instead of re-running the chain (the
     * corpus_merge staged-diff discipline brought to the dedup
@@ -430,6 +423,13 @@ object Dedup {
   val MinhashDeltaPairsExportPath =
     graft.FixturePaths.fixture("minhash_delta_pairs.parquet")
 
+  /** `dedup_minhash_delta`: merge-time near-dedup of a new crawl
+    * against the resident base signature table — the signatures are
+    * READ BACK from the exported store (never recomputed for base
+    * docs), only delta docs are signed, and the band join probes with
+    * the delta side. Output = the delta-touching pair report with its
+    * `leg` label; equals [[dedupMinhash]] restricted to delta-touching
+    * pairs by construction (spec-checked across splits). */
   def dedupMinhashDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = withPlantedNearDups(Tables.documents(spark, sfDir), 25, mutate = true)
     exportFixture(s"minhash:$sfDir", MinhashSigExportPath) {

@@ -49,6 +49,16 @@ object TierReport {
     * the id+key row is what the candidate union materializes). */
   val LshCandBytes = 8
 
+  /** THE published tier-row registry — the report's row set in report
+    * order. Every consumer of the report's shape (cross-suite specs,
+    * the byte-budget autotune's expectations) must read THIS list, not
+    * a hand-copied literal: [[annTierReport]] asserts its built rows
+    * match it exactly, so adding a tier without updating the registry
+    * fails the producer loudly instead of silently widening the report
+    * under a stale consumer (the round-11 SqSpec miss). */
+  val TierNames: Seq[String] =
+    Seq("lsh_refine", "ivf_sq8", "ivf_pq", "opq_pq", "bq_hamming", "ivf_mrl_rot")
+
   def annTierReport(spark: SparkSession, sfDir: String): DataFrame = {
     val data = Tables.embeddings(spark, sfDir)
     val nVecs = data.count()
@@ -109,6 +119,8 @@ object TierReport {
       // dim/4 float prefix = dim bytes per candidate row
       ("ivf_mrl_rot", () => MrlSearch.annIvfmrlTopK(spark, sfDir),
         ivfCand, ivfRefine, dim.toLong))
+    require(tiers.map(_._1) == TierNames,
+      s"tier rows ${tiers.map(_._1)} drifted from the TierNames registry $TierNames")
 
     def roundAt(x: Double, s: Int): Double =
       java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue

@@ -86,7 +86,10 @@ class SqSpec extends SparkSpecBase {
     val rows = graft.query.TierReport.annTierReport(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
-    assert(rows.keySet == Set("lsh_refine", "ivf_sq8", "ivf_pq", "opq_pq", "bq_hamming"))
+    // the expected row set comes from the producer's OWN registry —
+    // a new tier row updates TierNames (the producer asserts that) and
+    // this consumer follows automatically instead of going stale
+    assert(rows.keySet == graft.query.TierReport.TierNames.toSet)
     rows.foreach { case (tier, (r1, r10, ratio, cand, refine, bytes)) =>
       assert(r1 >= 0.0 && r1 <= 1.0, s"$tier recall@1 $r1")
       assert(r10 >= 0.0 && r10 <= 1.0, s"$tier recall@10 $r10")
@@ -113,6 +116,14 @@ class SqSpec extends SparkSpecBase {
     // HamKeep refined, dim/8 code bytes; exact refine keeps self-match
     assert(rows("bq_hamming")._4 == n * graft.query.TierReport.NumQueries, "bq scans N per query")
     assert(rows("bq_hamming")._1 == 1.0, "bq self-match recall@1")
+    // the rotated-prefix MRL tier rides the SAME IVF routing as SQ8
+    // and scores dim/4 floats = dim bytes per candidate — identical
+    // candidate counts, identical refine counts, byte-identical scan
+    // cost (the MrlSearch scaladoc claim, pinned here)
+    assert(rows("ivf_mrl_rot")._4 == rows("ivf_sq8")._4, "mrl shares IVF routing with sq8")
+    assert(rows("ivf_mrl_rot")._5 == rows("ivf_sq8")._5, "mrl shares refine budget with sq8")
+    assert(rows("ivf_mrl_rot")._6 == rows("ivf_sq8")._6,
+      s"mrl scan bytes ${rows("ivf_mrl_rot")._6} must equal sq8 ${rows("ivf_sq8")._6}")
   }
 
   test("ann_probe_curve: recall and cost both monotone in the probe budget") {
