@@ -364,15 +364,25 @@ object Embeddings {
     * prefix on anything with correlated dimensions — the fit that
     * buys the published MRL recall curves without an MRL-trained
     * encoder. */
+  /** Sample-bounded rotation fit over an ARBITRARY embedding frame —
+    * the encoder-swap recovery fit: the ONLY corpus-touching work is
+    * the `limit(PcaSampleN)` sample collect (2048 rows regardless of
+    * corpus size; the eigendecomposition is driver-side), in contrast
+    * to SQ8's full-corpus per-dim parameter pass and PQ's multi-pass
+    * codebook k-means. No fixture export — serving-side refits
+    * ([[graft.streaming.MrlLifecycle.reRotate]]) own their state. */
+  private[graft] def mrlRotationOf(data: DataFrame, r: Int): Array[(Array[Double], Double)] = {
+    val sample = data
+      .orderBy(col("vec_id")).limit(PcaSampleN)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    fitPca(sample, r, whiten = false)
+  }
+
   private[graft] def fittedMrlRotation(spark: SparkSession, sfDir: String,
       r: Int): Array[(Array[Double], Double)] = {
-    def fit(): Array[(Array[Double], Double)] = {
-      val sample = Tables.embeddings(spark, sfDir)
-        .orderBy(col("vec_id")).limit(PcaSampleN)
-        .select(col("embedding").cast("array<double>"))
-        .collect().map(_.getSeq[Double](0).toArray)
-      fitPca(sample, r, whiten = false)
-    }
+    def fit(): Array[(Array[Double], Double)] =
+      mrlRotationOf(Tables.embeddings(spark, sfDir), r)
     val comps = pcaCache.synchronized {
       pcaCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
         .getOrElseUpdate(s"mrlrot:$r:$sfDir", fit())

@@ -146,9 +146,49 @@ object MrlSearch {
     val pd = dim / PrefixShare
     val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
     val comps = graft.operators.Embeddings.fittedMrlRotation(spark, sfDir, pd)
-    val cells = IvfSearch.assignCells(data, IvfSearch.centroidsDf(spark, cents))
-    val pvecs = rotatedPrefix(data, comps)
-    val queries = data.filter(col("vec_id") < NumQueries)
+    val idx = buildIndexOn(spark, data, cents, comps)
+    ivfmrlTopKForQueries(spark, data.filter(col("vec_id") < NumQueries),
+      idx.cells, idx.pvecs, idx.fetch, cents, comps)
+  }
+
+  /** Resident rotated-prefix MRL index: cell routing + the rotated
+    * prefix table (dim/4 floats per row — the tier's 4x candidate
+    * representation), the full-precision fetch table, and the frozen
+    * models (centroids + rotation components) — the MRL twin of
+    * [[SqSearch.SqIndex]], giving the tier the maintenance state a
+    * [[graft.streaming.MrlLifecycle]] carries. */
+  final case class MrlIndex(cells: DataFrame, pvecs: DataFrame, fetch: DataFrame,
+      cents: Array[Array[Float]], comps: Array[(Array[Double], Double)])
+
+  /** Frozen-model encode of a (vec_id, embedding) row set into a
+    * servable [[MrlIndex]] — a deterministic map of the row set (the
+    * lifecycle contract: staged-delta encode, and compaction equals a
+    * fresh encode of the survivors, bit-for-bit). Per-row work is the
+    * dim²/4-MAC rotated projection plus the cell assignment; NO model
+    * fit happens here — and unlike every fitted tier, refreshing the
+    * models after an encoder swap is a PcaSampleN-bounded rotation
+    * refit, not a corpus-wide parameter pass. */
+  def buildIndexOn(spark: SparkSession, data: DataFrame,
+      cents: Array[Array[Float]], comps: Array[(Array[Double], Double)]): MrlIndex = {
+    val d = data.select(col("vec_id"), col("embedding"))
+    MrlIndex(
+      IvfSearch.assignCells(d, IvfSearch.centroidsDf(spark, cents)),
+      rotatedPrefix(d, comps), d, cents, comps)
+  }
+
+  /** The IVF+rotated-prefix serving chain for a (vec_id, embedding)
+    * query batch against resident cell/prefix tables — the frame-level
+    * core of [[annIvfmrlTopK]], with the family's tombstone contract
+    * ([[SqSearch.ivfsqTopKForQueries]]): `deletedIds` (column `id`)
+    * anti-joins the candidate table BEFORE the prefix-distance work
+    * and the AdcKeep cap, so tombstone serving equals serving an index
+    * physically rebuilt without the deleted rows (frozen models make
+    * this exact). `k` bounds the final refine window (threaded so
+    * QuantTier.serve honors its caller's k on this tier too). */
+  def ivfmrlTopKForQueries(spark: SparkSession, queries: DataFrame,
+      cells: DataFrame, pvecs: DataFrame, fetch: DataFrame,
+      cents: Array[Array[Float]], comps: Array[(Array[Double], Double)],
+      deletedIds: Option[DataFrame] = None, k: Int = K): DataFrame = {
     val prep = rotatedPrefix(queries, comps)
       .select(col("vec_id").as("query_id"), col("pvec").as("qp"))
       .join(queries.select(col("vec_id").as("query_id"),
@@ -158,11 +198,67 @@ object MrlSearch {
       .withColumn("cell", explode(col("pcells"))).drop("pcells")
     val probeSide = spark.createDataFrame(
       java.util.Arrays.asList(prep.collect(): _*), prep.schema)
+    val wp = Window.partitionBy("query_id").orderBy(col("pdist"), col("vec_id"))
+    val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    val liveCells = deletedIds.fold(cells)(del =>
+      cells.join(broadcast(del.select(col("id").as("vec_id"))), Seq("vec_id"), "left_anti"))
+    liveCells
+      .join(broadcast(probeSide), Seq("cell"))
+      .join(pvecs, Seq("vec_id"))
+      .withColumn("pdist",
+        floor(vec_l2(col("qp"), col("pvec")) * vec_l2(col("qp"), col("pvec")) * 10000) / 10000)
+      .withColumn("p_rank", row_number().over(wp))
+      .filter(col("p_rank") <= AdcKeep)
+      .join(fetch, Seq("vec_id"))
+      .withColumn("dist", vec_l2(col("embedding"), col("qraw")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  /**
+   * `ann_ivfmrl_filtered_topk`: metadata-filtered search on the
+   * rotated-prefix MRL tier — nearest neighbors AMONG rows sharing the
+   * query's `label`, completing the predicate parity with the other
+   * celled tiers ([[SqSearch.annIvfsqFilteredTopK]]'s discipline
+   * verbatim): the label rides the CELL ASSIGNMENT itself
+   * ([[IvfSearch.assignCellsWith]] — the same one-shuffle min_by
+   * aggregate with the functionally-dependent label in the key), so
+   * the predicate lands on the candidate table below the
+   * prefix-distance work and both rank windows — no rotated-distance
+   * MAC is spent on a row the filter discards and the AdcKeep
+   * shortlist budget is all matching rows; the probe budget widens
+   * ×[[IvfSearch.FilterOverProbe]] against selectivity. At 100 TB the
+   * plan shape is unchanged from [[annIvfmrlTopK]] — cells-bucketed
+   * scan, dim-byte prefix rows, bounded refine — with one extra
+   * byte-sized column on the assignment table.
+   */
+  def annIvfmrlFilteredTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val dim = data.select(size(col("embedding"))).head().getInt(0)
+    val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
+    val comps = graft.operators.Embeddings.fittedMrlRotation(spark, sfDir, dim / PrefixShare)
+    val cells = IvfSearch.assignCellsWith(data,
+      IvfSearch.centroidsDf(spark, cents), Seq("label"))
+    val pvecs = rotatedPrefix(data, comps)
+    val nProbe = NumProbes * IvfSearch.FilterOverProbe
+    val queries = data.filter(col("vec_id") < NumQueries)
+    val prep = rotatedPrefix(queries, comps)
+      .select(col("vec_id").as("query_id"), col("pvec").as("qp"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qraw"),
+        col("label").as("qlabel"),
+        PqSearch.topProbeCells(col("embedding"), cents, nProbe).as("pcells")),
+        Seq("query_id"))
+      .withColumn("cell", explode(col("pcells"))).drop("pcells")
+    val probeSide = spark.createDataFrame(
+      java.util.Arrays.asList(prep.collect(): _*), prep.schema)
     val fetch = data.select(col("vec_id"), col("embedding"))
     val wp = Window.partitionBy("query_id").orderBy(col("pdist"), col("vec_id"))
     val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     cells
       .join(broadcast(probeSide), Seq("cell"))
+      .filter(col("label") === col("qlabel")) // BEFORE any distance work
       .join(pvecs, Seq("vec_id"))
       .withColumn("pdist",
         floor(vec_l2(col("qp"), col("pvec")) * vec_l2(col("qp"), col("pvec")) * 10000) / 10000)
@@ -226,6 +322,59 @@ object MrlSearch {
        |  JOIN embeddings e ON e.vec_id = s.vec_id
        |  JOIN embeddings q ON q.vec_id = s.query_id)
        |WHERE rnk <= $K""".stripMargin
+
+  /** The [[annIvfmrlTopKSql]] chain with the label threaded through:
+    * assignment carries the row label, probes carry the query label
+    * (budget ×FilterOverProbe), and the candidate join applies the
+    * predicate before the prefix distance — the same stage order as
+    * the Spark plan. */
+  def annIvfmrlFilteredTopKSql: String = {
+    val nProbe = NumProbes * IvfSearch.FilterOverProbe
+    s"""WITH pm AS (SELECT r, w, b FROM read_parquet('${graft.operators.Embeddings.MrlRotExportPath}/*.parquet')),
+       |c AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
+       |rot AS (
+       |  SELECT e.vec_id,
+       |    CAST(CAST(list(ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), pm.w) + pm.b, 4)
+       |         ORDER BY pm.r) AS FLOAT[]) AS DOUBLE[]) AS pvec
+       |  FROM embeddings e CROSS JOIN pm GROUP BY e.vec_id),
+       |assign AS (
+       |  SELECT vec_id, label, cell FROM (
+       |    SELECT e.vec_id, e.label, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qlabel, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.label AS qlabel, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS crnk
+       |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < $NumQueries)
+       |  WHERE crnk <= $nProbe),
+       |pdist AS (
+       |  SELECT pr.query_id, a.vec_id,
+       |    FLOOR(list_distance(q.pvec, cv.pvec)
+       |          * list_distance(q.pvec, cv.pvec) * 10000) / 10000 AS pdist
+       |  FROM probes pr
+       |  JOIN assign a ON a.cell = pr.cell AND a.label = pr.qlabel
+       |  JOIN rot cv ON cv.vec_id = a.vec_id
+       |  JOIN rot q ON q.vec_id = pr.query_id),
+       |shortlist AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pdist, vec_id) AS p_rank
+       |    FROM pdist)
+       |  WHERE p_rank <= $AdcKeep)
+       |SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), s.vec_id) AS INTEGER) AS rnk
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.query_id)
+       |WHERE rnk <= $K""".stripMargin
+  }
 
   /** Oracle: the identical progressive chain — prefix length derived
     * from the data in-query (`len(embedding) // PrefixShare`, exactly

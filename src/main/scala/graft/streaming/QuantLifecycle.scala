@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col}
 
-import graft.query.{BqSearch, IvfSearch, PqSearch, SqSearch}
+import graft.query.{BqSearch, IvfSearch, MrlSearch, PqSearch, SqSearch}
 
 /**
  * A quantized serving tier as the insert/delete/compact lifecycle sees
@@ -15,12 +15,12 @@ import graft.query.{BqSearch, IvfSearch, PqSearch, SqSearch}
  * surviving rows (FAISS `add()` semantics: adding never refits;
  * refitting is an offline decision that re-encodes the corpus anyway).
  *
- * One adapter per tier ([[PqTier]], [[SqTier]], [[BqTier]]) closes the
- * r9 gap where the maintenance story (staged inserts, tombstones,
- * compaction, the corpus-merge diff feed) existed for PQ only — the
- * machinery is written ONCE in [[QuantLifecycle]] and the tiers
- * differ exactly where they should: the encode, the union, the
- * cacheable artifacts, and the serving chain.
+ * One adapter per tier ([[PqTier]], [[SqTier]], [[BqTier]],
+ * [[MrlTier]]) closes the r9 gap where the maintenance story (staged
+ * inserts, tombstones, compaction, the corpus-merge diff feed) existed
+ * for PQ only — the machinery is written ONCE in [[QuantLifecycle]]
+ * and the tiers differ exactly where they should: the encode, the
+ * union, the cacheable artifacts, and the serving chain.
  */
 trait QuantTier[I] {
   /** Frozen-model encode of a (vec_id, embedding) row set. */
@@ -76,9 +76,16 @@ class QuantLifecycle[I](
     spark: SparkSession,
     initialData: DataFrame,
     initial: I,
-    tier: QuantTier[I],
+    initialTier: QuantTier[I],
     stagedRoot: String,
     compactEveryVectors: Long) {
+
+  /** The active tier adapter (frozen models live inside it). Mutable
+    * ONLY through [[swapTier]] — a model-refresh event (encoder swap,
+    * rotation refit) installs a new adapter and immediately re-encodes,
+    * so a serving snapshot never pairs an index with models that did
+    * not produce it. */
+  @volatile private var tier: QuantTier[I] = initialTier
 
   /** One immutable serving state, swapped in a SINGLE volatile write:
     * a reader that captures it once can never observe a torn
@@ -157,9 +164,18 @@ class QuantLifecycle[I](
    * tier).
    */
   def applyDiff(diff: DataFrame, newVectors: DataFrame): Unit = synchronized {
-    delete(diff.filter(col("status").isin("removed", "changed"))
-      .select(col("doc_id").as("id")))
-    compactNow()
+    val stale = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id").as("id"))
+    // adds-only diffs skip the tombstone write AND the pre-ingest
+    // compaction: an empty deleted=<n> dir would otherwise read as
+    // deleted.nonEmpty and trigger a full corpus rewrite + re-encode
+    // on EVERY applyDiff call (r11 ADVICE) — the stale-row sequencing
+    // (tombstone → compact → re-ingest) only matters when a stale row
+    // actually exists
+    if (!stale.isEmpty) {
+      delete(stale)
+      compactNow()
+    }
     val fresh = newVectors.select(col("vec_id"), col("embedding"))
       .join(diff.filter(col("status").isin("added", "changed"))
         .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
@@ -219,11 +235,26 @@ class QuantLifecycle[I](
     * materialized BEFORE the snapshot swap (a concurrent reader serves
     * the old state until the single volatile write below). A no-op
     * only when there is nothing staged AND nothing deleted. */
-  def compactNow(): Unit = synchronized {
+  def compactNow(): Unit = doCompact(force = false)
+
+  /** Install a new tier adapter (fresh frozen models — the refit an
+    * encoder swap forces) and re-encode the resident state under it in
+    * ONE forced compaction, so serving is immediately consistent with
+    * the new models. The staged/tombstone machinery is untouched: the
+    * compaction consumes outstanding tombstones and folds staged
+    * arrivals exactly as a threshold compaction would, just under the
+    * new adapter. After this call, serving equals a fresh encode of
+    * the surviving rows with the new models. */
+  protected def swapTier(newTier: QuantTier[I]): Unit = synchronized {
+    tier = newTier
+    doCompact(force = true)
+  }
+
+  private def doCompact(force: Boolean): Unit = synchronized {
     val s = snap
     val staged = stagedDataOf(s)
     val deleted = deletedIdsOf(s)
-    if (staged.nonEmpty || deleted.nonEmpty) {
+    if (force || staged.nonEmpty || deleted.nonEmpty) {
       val union = staged.fold(s.mainData)(s.mainData.unionByName(_))
       val survivors = deleted.fold(union)(del =>
         union.join(broadcast(del.select(col("id").as("vec_id"))), Seq("vec_id"), "left_anti"))
@@ -238,6 +269,16 @@ class QuantLifecycle[I](
       val old = s.mainIndex
       snap = new Snapshot(newData, newIndex, maxSeen, diffSeq, deleteSeq, gen)
       tier.parts(old).foreach(_.unpersist())
+      // GC compacted generations: without it a long-lived stream
+      // accumulates O(nCompactions × corpus) on disk (r11 ADVICE).
+      // gen-1 is RETAINED one extra cycle as recompute insurance — the
+      // pre-swap snapshot's mainData and any cache-evicted partition
+      // of its index parts re-scan that directory, and a reader that
+      // captured the snapshot just before this swap may still be
+      // executing against it. Anything ≤ gen-2 is two full
+      // compactions stale; no supported reader reaches that far back.
+      (1 to gen - 2).foreach(g =>
+        graft.util.Io.deleteRecursively(s"$stagedRoot/compacted=$g"))
     }
   }
 
@@ -349,3 +390,63 @@ final class BqLifecycle(
     compactEveryVectors: Long)
   extends QuantLifecycle[BqSearch.BqIndex](spark, initialData, initial,
     new BqTier(initial.thr), stagedRoot, compactEveryVectors)
+
+/** Rotated-prefix MRL tier adapter: IVF cells + the dim/4 rotated
+  * prefix table, prefix-shortlist serving
+  * ([[MrlSearch.ivfmrlTopKForQueries]]). */
+final class MrlTier(spark: SparkSession,
+    cents: Array[Array[Float]], comps: Array[(Array[Double], Double)])
+    extends QuantTier[MrlSearch.MrlIndex] {
+  def encode(data: DataFrame): MrlSearch.MrlIndex =
+    MrlSearch.buildIndexOn(spark, data, cents, comps)
+  def union(main: MrlSearch.MrlIndex, delta: MrlSearch.MrlIndex): MrlSearch.MrlIndex =
+    MrlSearch.MrlIndex(main.cells.unionByName(delta.cells),
+      main.pvecs.unionByName(delta.pvecs),
+      main.fetch.unionByName(delta.fetch), cents, comps)
+  def parts(i: MrlSearch.MrlIndex): Seq[DataFrame] = Seq(i.cells, i.pvecs)
+  def serve(i: MrlSearch.MrlIndex, queries: DataFrame, k: Int,
+      deleted: Option[DataFrame]): DataFrame =
+    MrlSearch.ivfmrlTopKForQueries(spark, queries,
+      i.cells, i.pvecs, i.fetch, i.cents, i.comps, deleted, k)
+}
+
+/**
+ * Rotated-prefix MRL insert/delete/compact lifecycle —
+ * [[QuantLifecycle]] over [[MrlTier]], giving the fourth serving tier
+ * the same maintenance story as SQ8/PQ/BQ. What makes this tier's
+ * lifecycle special is the ENCODER-SWAP path ([[reRotate]]): its only
+ * models are the IVF centroids and the PCA rotation, and the rotation
+ * refit is a PcaSampleN-BOUNDED sample fit (driver-side
+ * eigendecomposition) — not SQ8's full-corpus per-dim parameter pass
+ * and not PQ's multi-pass codebook k-means. After an encoder swap the
+ * recovery is: refit on a bounded sample of the re-embedded corpus,
+ * then ONE map-only re-projection (a compaction under the new tier) —
+ * the cheapest model-refresh of any fitted tier, which is exactly the
+ * scenario [[graft.operators.Embeddings.embedDriftQuery]] exists to
+ * detect (spec: MrlSpec encoder-swap recovery, QuantLifecycleSpec
+ * reRotate serving equality).
+ */
+final class MrlLifecycle(
+    spark: SparkSession,
+    initialData: DataFrame,
+    initial: MrlSearch.MrlIndex,
+    stagedRoot: String,
+    compactEveryVectors: Long)
+  extends QuantLifecycle[MrlSearch.MrlIndex](spark, initialData, initial,
+    new MrlTier(spark, initial.cents, initial.comps),
+    stagedRoot, compactEveryVectors) {
+
+  private var curCents: Array[Array[Float]] = initial.cents
+
+  /** Swap the rotation (and optionally the centroids) in place: one
+    * forced compaction re-encodes main ∪ staged (minus tombstones)
+    * under the new models — a single map-only projection pass over the
+    * resident vectors, no per-dim corpus pass, no codebook k-means.
+    * After this call, serving equals a fresh [[MrlSearch.buildIndexOn]]
+    * over the surviving rows with the new models (spec-asserted). */
+  def reRotate(comps: Array[(Array[Double], Double)],
+      cents: Option[Array[Array[Float]]] = None): Unit = synchronized {
+    curCents = cents.getOrElse(curCents)
+    swapTier(new MrlTier(spark, curCents, comps))
+  }
+}

@@ -32,7 +32,8 @@ class FilteredCelledSpec extends SparkSpecBase {
   private def entries: Seq[(String, DataFrame)] = Seq(
     "ivfsq" -> SqSearch.annIvfsqFilteredTopK(spark, sf),
     "ivfpq" -> PqSearch.annIvfpqFilteredTopK(spark, sf),
-    "ivfbq" -> BqSearch.annIvfbqFilteredTopK(spark, sf))
+    "ivfbq" -> BqSearch.annIvfbqFilteredTopK(spark, sf),
+    "ivfmrl" -> graft.query.MrlSearch.annIvfmrlFilteredTopK(spark, sf))
 
   test("filtered celled tiers: zero label violations; k rows max per query") {
     val emb = Tables.embeddings(spark, sf)

@@ -110,6 +110,54 @@ class MrlSpec extends SparkSpecBase {
       s"rotated-prefix recall ($rRot) must strictly beat raw-prefix ($rRaw)")
   }
 
+  test("encoder swap: the sample-bounded rotation refit restores the tier, stale rotation serves degraded") {
+    // The scenario the MRL tier exists for: the corpus is RE-EMBEDDED
+    // by a new encoder and every fitted tier's models go stale. The
+    // planted swap is a deterministic re-embedding that concentrates
+    // variance in every 8th coordinate (10x) and attenuates the rest
+    // (0.1x) after a circular shift — the stale rotation (fit on the
+    // near-flat ORIGINAL corpus) knows nothing about the new variance
+    // structure, while a refit captures it. The refit's only
+    // corpus-touching work is the PcaSampleN-bounded sample inside
+    // Embeddings.mrlRotationOf (driver-side eigendecomposition) — in
+    // contrast to SQ8's full-corpus per-dim min/max pass
+    // (SqSearch.fitParams) and PQ's multi-pass codebook k-means, which
+    // is the tier's whole maintenance pitch. The lifecycle mechanics
+    // of the swap (reRotate = one forced map-only re-encode) are
+    // proven in QuantLifecycleSpec; this test proves the RECALL story.
+    val emb = Tables.embeddings(spark, sf)
+    val pd = dim / MrlSearch.PrefixShare
+    val jdx = sequence(lit(0), lit(dim - 1))
+    val swapped = emb.select(col("vec_id"),
+      transform(jdx, j =>
+        (element_at(col("embedding"), (j + lit(7)) % dim + 1)
+          * when(j % 8 === 0, lit(10.0)).otherwise(lit(0.1))).cast("float"))
+        .as("embedding")).cache()
+    val queries = swapped.filter(col("vec_id") < MrlSearch.NumQueries)
+    // exact ground truth ON THE NEW EMBEDDINGS (full-dim shortlist
+    // degenerates to exact brute force)
+    val gtSw = MrlSearch.mrlTopKOn(swapped, queries, dim, keep = 1000)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallWith(comps: Array[(Array[Double], Double)]): Double = {
+      val prep = MrlSearch.rotatedPrefix(queries, comps)
+        .select(col("vec_id").as("query_id"), col("pvec").as("qp"))
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("qraw")), Seq("query_id"))
+      val got = MrlSearch.prefixTopKOn(MrlSearch.rotatedPrefix(swapped, comps),
+        prep, swapped.select(col("vec_id"), col("embedding")), MrlSearch.AdcKeep)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      got.count(gtSw.contains).toDouble / gtSw.size
+    }
+    val stale = recallWith(graft.operators.Embeddings.mrlRotationOf(emb, pd))
+    val refit = recallWith(graft.operators.Embeddings.mrlRotationOf(swapped, pd))
+    swapped.unpersist()
+    assert(refit >= 0.6, s"refit rotation must restore the tier: recall $refit")
+    assert(refit > stale,
+      s"refit recall ($refit) must beat the stale rotation's ($stale)")
+  }
+
   test("ann_ivfmrl_topk: no corpus broadcast, no cartesian (plan-asserted)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -4,8 +4,8 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-import graft.query.{BqSearch, IvfSearch, SqSearch}
-import graft.streaming.{BqLifecycle, SqLifecycle}
+import graft.query.{BqSearch, IvfSearch, MrlSearch, SqSearch}
+import graft.streaming.{BqLifecycle, MrlLifecycle, SqLifecycle}
 
 /**
  * The tier-generic lifecycle over the SQ8 and BQ adapters — the
@@ -153,6 +153,83 @@ class QuantLifecycleSpec extends SparkSpecBase {
     val got = life.current.codes
     assert(flat(got).exceptAll(flat(freshCodes)).count() == 0
       && flat(freshCodes).exceptAll(flat(got)).count() == 0)
+  }
+
+  private lazy val dim = all.select(size(col("embedding"))).head().getInt(0)
+  private lazy val mrlComps =
+    graft.operators.Embeddings.mrlRotationOf(base, dim / MrlSearch.PrefixShare)
+
+  private def freshMrl(name: String): MrlLifecycle =
+    new MrlLifecycle(spark, base,
+      MrlSearch.buildIndexOn(spark, base, cents, mrlComps), tmp(name), 1000000L)
+
+  test("mrl: staged arrivals self-match immediately; delete + staged equals compacted, bit-for-bit") {
+    val life = freshMrl("mrl")
+    life.ingest(arrivals, batchId = 0L)
+    assert(life.compactions == 0 && life.stagedVectors == 50)
+    val q3 = arrivals.orderBy(col("vec_id").desc).limit(3)
+    val served5 = life.serve(q3, k = 5).cache()
+    assert(served5.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5), "serve(k=5) must return exactly 5 rows per query")
+    val self = served5.filter(col("rnk") === 1)
+      .select("query_id", "vec_id").collect()
+    served5.unpersist()
+    assert(self.length == 3 && self.forall(r => r.getLong(0) == r.getLong(1)),
+      "staged arrivals must self-match at rank 1 through the prefix shortlist")
+
+    import spark.implicits._
+    val deadIds = Seq(0L, 3L, n - 49)
+    life.delete(deadIds.toDF("id"))
+    val queries = all.filter(col("vec_id") < 5 || col("vec_id") >= n - 2)
+    val before = life.serve(queries, k = 10).cache()
+    assert(before.filter(col("vec_id").isin(deadIds: _*)).count() == 0,
+      "deleted ids served before compaction")
+    assert(before.groupBy("query_id").count().collect().forall(_.getLong(1) == 10),
+      "tombstones must not eat the shortlist budget")
+    val beforeSet = before.collect().toSet
+    before.unpersist()
+    life.compactNow()
+    assert(life.compactions == 1 && life.deletedIds.isEmpty && life.stagedVectors == 0)
+    assert(life.serve(queries, k = 10).collect().toSet == beforeSet,
+      "delete + staged insert combined must equal the compacted index")
+    // bit-for-bit: compacted cells/pvecs == fresh encode of (all minus dead)
+    val fresh = MrlSearch.buildIndexOn(spark,
+      all.filter(!col("vec_id").isin(deadIds: _*)), cents, mrlComps)
+    val idx = life.current
+    assert(idx.cells.exceptAll(fresh.cells).count() == 0
+      && fresh.cells.exceptAll(idx.cells).count() == 0)
+    val flat = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("vec_id"), posexplode(col("pvec")))
+    assert(flat(idx.pvecs).exceptAll(flat(fresh.pvecs)).count() == 0
+      && flat(fresh.pvecs).exceptAll(flat(idx.pvecs)).count() == 0)
+  }
+
+  test("mrl: reRotate re-encodes the resident state under the new rotation in one pass") {
+    val life = freshMrl("mrl-rerot")
+    life.ingest(arrivals, batchId = 0L)
+    import spark.implicits._
+    val deadIds = Seq(2L, n - 48)
+    life.delete(deadIds.toDF("id"))
+    // the refit an encoder swap forces: a DIFFERENT sample-bounded
+    // rotation (here: fit on the arrivals' distribution)
+    val comps2 = graft.operators.Embeddings.mrlRotationOf(
+      all.filter(col("vec_id") >= 100), dim / MrlSearch.PrefixShare)
+    life.reRotate(comps2)
+    // the swap is a forced compaction: staged folded, tombstones consumed
+    assert(life.compactions == 1 && life.deletedIds.isEmpty && life.stagedVectors == 0)
+    val queries = all.filter(col("vec_id") < 5 || col("vec_id") >= n - 2)
+    val fresh = MrlSearch.buildIndexOn(spark,
+      all.filter(!col("vec_id").isin(deadIds: _*)), cents, comps2)
+    val want = MrlSearch.ivfmrlTopKForQueries(spark, queries,
+      fresh.cells, fresh.pvecs, fresh.fetch, cents, comps2).collect().toSet
+    assert(life.serve(queries, k = 10).collect().toSet == want,
+      "after reRotate, serving must equal a fresh index under the new rotation")
+    // and the new rotation is REALLY in effect: the pvec tables match
+    // the new components, not the old ones
+    val flat = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("vec_id"), posexplode(col("pvec")))
+    assert(flat(life.current.pvecs).exceptAll(flat(fresh.pvecs)).count() == 0
+      && flat(fresh.pvecs).exceptAll(flat(life.current.pvecs)).count() == 0)
   }
 
   test("compaction lineage stays FLAT: plan size constant across repeated compactions") {

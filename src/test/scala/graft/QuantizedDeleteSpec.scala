@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.query.{BqSearch, IvfSearch, PqSearch, SqSearch}
+import graft.query.{BqSearch, IvfSearch, MrlSearch, PqSearch, SqSearch}
 
 /**
- * Tombstones on the quantized serving tiers (SQ8 / PQ / BQ): the
- * deletion path the r9 verdict flagged as missing. The contract per
+ * Tombstones on the quantized serving tiers (SQ8 / PQ / BQ / MRL): the
+ * deletion path the r9 verdict flagged as missing (MRL joined in r12,
+ * completing tier parity). The contract per
  * tier is the [[graft.index.IndexMaintenance]] ordering — deletions
  * anti-join BEFORE the shortlist cap — which with frozen models makes
  * tombstone serving EXACTLY equal to serving an index physically
@@ -71,6 +72,18 @@ class QuantizedDeleteSpec extends SparkSpecBase {
         all.select("vec_id", "embedding"), cents, cb, 10, Some(dead)),
       PqSearch.topKForQueries(spark, q, rCells, rCodes,
         survivors.select("vec_id", "embedding"), cents, cb, 10))
+  }
+
+  test("MRL: tombstoned serving == index rebuilt without the rows; deleted never served") {
+    val dim = all.select(size(col("embedding"))).head().getInt(0)
+    val comps = graft.operators.Embeddings.mrlRotationOf(all, dim / MrlSearch.PrefixShare)
+    val idx = MrlSearch.buildIndexOn(spark, all, cents, comps)
+    val rIdx = MrlSearch.buildIndexOn(spark, survivors, cents, comps)
+    assertTombstoneEqualsRebuild("mrl",
+      MrlSearch.ivfmrlTopKForQueries(spark, queries,
+        idx.cells, idx.pvecs, idx.fetch, cents, comps, Some(dead)),
+      MrlSearch.ivfmrlTopKForQueries(spark, queries,
+        rIdx.cells, rIdx.pvecs, rIdx.fetch, cents, comps))
   }
 
   test("BQ: tombstoned serving == index rebuilt without the rows; deleted never served") {
