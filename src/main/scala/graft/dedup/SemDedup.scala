@@ -349,14 +349,27 @@ object SemDedup {
    * with a crawl-sized delta side; the quadratic term is bounded by
    * the cell guard; verify is candidate-bounded.
    */
-  def dedupSemanticDelta(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The merge-time corpus split + frozen models the delta family and
+    * its live intake twin ([[graft.streaming.StreamingSemanticNearDup]])
+    * share: the already-deduped resident base, the arriving delta, and
+    * the base-fitted centroids (memoized — every caller sees the same
+    * frozen fit). */
+  private[graft] def deltaParts(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, Array[Array[Float]]) = {
     val corpus = semCorpus(spark, sfDir)
     val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
     val base = corpus.filter(!isDelta)
     val delta = corpus.filter(isDelta)
     val sd = graft.config.GraftConfig.active.semdedup
     val c = resolveCells(IvfSearch.memoCount(base, s"semdelta:$sfDir"), sd)
-    val cents = IvfSearch.fitCentroids(base, c, Some(s"semdelta:$sfDir"))
+    (base, delta, IvfSearch.fitCentroids(base, c, Some(s"semdelta:$sfDir")))
+  }
+
+  def dedupSemanticDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = semCorpus(spark, sfDir)
+    val (base, delta, cents) = deltaParts(spark, sfDir)
+    val sd = graft.config.GraftConfig.active.semdedup
+    val c = cents.length
     graft.FixtureExport.ensure(s"semdelta:$sfDir|c=$c", SemDeltaCentroidExportPath) {
       IvfSearch.centroidsDf(spark, cents)
         .coalesce(1).write.mode("overwrite").parquet(SemDeltaCentroidExportPath)
