@@ -639,6 +639,168 @@ object SemDedup {
        |SELECT vec_id, cell, 'fresh' AS src FROM delta_assign""".stripMargin
   }
 
+  val SemRefitCentroidExportPath =
+    graft.FixturePaths.fixture("semrefit_centroids.parquet")
+
+  /**
+   * `dedup_semantic_refit`: the centroid-REFRESH round for the
+   * resident semantic state — the thaw decision the delta trilogy
+   * deliberately never takes (its centroids are base-frozen so carried
+   * assignments stay exact). Frozen centroids degrade as merges
+   * accumulate: vectors admitted from a drifted crawl land in cells
+   * whose boundaries were drawn for the old distribution, and a
+   * near-dup pair that stops co-locating is invisible to every future
+   * delta pass (SemDeDup only ever pairs within a cell). The refresh
+   * round is: REFIT centroids over the compacted merged corpus (the
+   * sample-bounded driver fit — `MaxSample` rows regardless of corpus
+   * size), re-assign everything in ONE map-only centroid-literal pass,
+   * re-pair under both assignments, and report PAIR-SET FIDELITY —
+   * the integer report that prices whether the thaw was worth a full
+   * re-pair: `pairs_gained` is what the frozen state was blind to,
+   * `pairs_lost` what the new boundaries split (both all-integer, so
+   * the oracle hash has zero float surface).
+   *
+   * Honest finding on THIS corpus (spec-pinned): the demo merge does
+   * not drift — the delta is carved from the same distribution — so
+   * the refit gains and loses nothing (planted exact/jittered dups
+   * co-locate under any assignment fitted on the corpus; gained =
+   * lost = 0) and the report says KEEP THE FROZEN STATE. That is the
+   * point of shipping the report rather than a policy: refit is a
+   * paid decision (`SemDedupSpec` plants a drifted merge through the
+   * frame-level core and shows `pairs_gained` > 0 there — the
+   * signature that actually justifies a thaw). §4 prices the trigger:
+   * run this report when `embed_drift` fires or every K merges; act
+   * on gained/lost, not on a timer.
+   *
+   * Scale posture: the refit is sample-bounded; the re-assign is one
+   * map-only pass; the two pair passes are the usual cell-guarded
+   * quadratic slivers. Everything downstream of the pair sets is
+   * driver arithmetic over pair-report-sized rows.
+   */
+  def dedupSemanticRefit(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = semCorpus(spark, sfDir)
+    val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
+    val admitted = dedupSemanticDeltaApply(spark, sfDir).select(col("vec_id"))
+    val merged = corpus.filter(!isDelta)
+      .unionByName(corpus.filter(isDelta).join(admitted, Seq("vec_id"), "left_semi"))
+      .cache()
+    val nMerged = merged.count()
+    val sd = graft.config.GraftConfig.active.semdedup
+    // frozen side: the compacted resident assignment (carried + fresh)
+    val frozen = dedupSemanticCompact(spark, sfDir).select(col("vec_id"), col("cell"))
+    val cellsFrozen = deltaParts(spark, sfDir)._3.length
+    // the thaw: refit over the merged corpus, re-assign in one pass
+    val cR = resolveCells(nMerged, sd)
+    val refitCents = IvfSearch.fitCentroids(merged, cR, Some(s"semrefit:$sfDir"))
+    graft.FixtureExport.ensure(s"semrefit:$sfDir|c=$cR", SemRefitCentroidExportPath) {
+      IvfSearch.centroidsDf(spark, refitCents)
+        .coalesce(1).write.mode("overwrite").parquet(SemRefitCentroidExportPath)
+    }
+    val refit = assignWithCentSim(merged, refitCents).select(col("vec_id"), col("cell"))
+    val (nf, nr, common) = pairFidelity(merged, frozen, refit, SemTau, sd.maxCell)
+    merged.unpersist()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n_vectors", LongType), StructField("cells_frozen", LongType),
+      StructField("cells_refit", LongType), StructField("pairs_frozen", LongType),
+      StructField("pairs_refit", LongType), StructField("pairs_common", LongType),
+      StructField("pairs_gained", LongType), StructField("pairs_lost", LongType)))
+    spark.createDataFrame(java.util.Arrays.asList(org.apache.spark.sql.Row(
+      nMerged, cellsFrozen.toLong, refitCents.length.toLong,
+      nf, nr, common, nr - common, nf - common)), schema)
+  }
+
+  /** (pairs under the frozen assignment, pairs under the refit
+    * assignment, common pairs) over one merged corpus — the fidelity
+    * kernel [[dedupSemanticRefit]] reports and the spec drives with a
+    * planted DRIFTED merge (the degradation mode the report exists to
+    * catch: drifted mass piles into few stale cells, crosses the
+    * maxCell guard, and the frozen state goes blind to pairs the
+    * refit assignment sees). */
+  private[graft] def pairFidelity(merged: DataFrame, frozenAssign: DataFrame,
+      refitAssign: DataFrame, tau: Double, maxCell: Int): (Long, Long, Long) = {
+    def pairsUnder(assign: DataFrame): DataFrame =
+      semanticEdges(assign.join(merged, Seq("vec_id")), tau, maxCell)
+    val pf = pairsUnder(frozenAssign).cache()
+    val pr = pairsUnder(refitAssign).cache()
+    val (nf, nr) = (pf.count(), pr.count())
+    val common = pf.join(pr, Seq("a", "b")).count()
+    pf.unpersist(); pr.unpersist()
+    (nf, nr, common)
+  }
+
+  /** Oracle: both assignments replayed from their centroid fixtures
+    * (frozen = carried base fixture + fresh assignment of the admitted
+    * delta — the compact chain; refit = one assignment of the merged
+    * corpus over the refit fixture), both pair sets re-derived under
+    * the same guard + tau, counts joined into the one integer row.
+    * Chain CTEs referenced more than once are MATERIALIZED (the
+    * DuckDB CTE-inlining rule). */
+  def dedupSemanticRefitSql: String = {
+    val dPred = (c: String) => graft.Carves.deltaSplitSql(c, Dedup.PlantOffset)
+    val mc = cfgMaxCell
+    def assignOver(cents: String): String =
+      s"""SELECT vec_id, cell FROM (
+         |    SELECT m.vec_id, $cents.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_distance(CAST(m.embedding AS DOUBLE[]),
+         |                               CAST($cents.cv AS DOUBLE[])), $cents.cell) AS r
+         |    FROM merged m CROSS JOIN $cents)
+         |  WHERE r = 1""".stripMargin
+    def pairsOver(assign: String): String =
+      s"""SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell,
+         |            COUNT(*) OVER (PARTITION BY cell) AS csz FROM $assign)
+         |        WHERE csz <= $mc) x
+         |  JOIN (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell,
+         |            COUNT(*) OVER (PARTITION BY cell) AS csz FROM $assign)
+         |        WHERE csz <= $mc) y
+         |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN merged ex ON ex.vec_id = x.vec_id
+         |  JOIN merged ey ON ey.vec_id = y.vec_id
+         |  WHERE ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+         |                                     CAST(ey.embedding AS DOUBLE[])), 4) >= $SemTau""".stripMargin
+    s"""WITH adm AS MATERIALIZED (SELECT vec_id FROM (
+       |${dedupSemanticDeltaApplySql}
+       |)),
+       |$semCorpusCte,
+       |merged AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM corpus WHERE NOT (${dPred("vec_id")})
+       |  UNION ALL
+       |  SELECT c2.vec_id, c2.embedding FROM corpus c2 JOIN adm USING (vec_id)),
+       |cf AS (SELECT cell, cv FROM read_parquet('$SemDeltaCentroidExportPath/*.parquet')),
+       |cr AS (SELECT cell, cv FROM read_parquet('$SemRefitCentroidExportPath/*.parquet')),
+       |frozen_assign AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM read_parquet('$SemDeltaAssignExportPath/*.parquet')
+       |  UNION ALL
+       |  SELECT vec_id, cell FROM (
+       |    SELECT m.vec_id, cf.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |        ORDER BY list_distance(CAST(m.embedding AS DOUBLE[]),
+       |                               CAST(cf.cv AS DOUBLE[])), cf.cell) AS r
+       |    FROM merged m JOIN adm USING (vec_id) CROSS JOIN cf)
+       |  WHERE r = 1),
+       |refit_assign AS MATERIALIZED (
+       |  ${assignOver("cr")}),
+       |pf AS MATERIALIZED (
+       |  ${pairsOver("frozen_assign")}),
+       |pr AS MATERIALIZED (
+       |  ${pairsOver("refit_assign")}),
+       |common AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM pf JOIN pr ON pf.a = pr.a AND pf.b = pr.b)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM merged) AS n_vectors,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cf) AS cells_frozen,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cr) AS cells_refit,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pf) AS pairs_frozen,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS pairs_refit,
+       |  (SELECT n FROM common) AS pairs_common,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) - (SELECT n FROM common) AS pairs_gained,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pf) - (SELECT n FROM common) AS pairs_lost""".stripMargin
+  }
+
   /** Oracle: resident fixtures (base-frozen centroids + base cell
     * assignment) + delta-only assignment replay + the same one-join
     * two-leg chain, candidate-bounded exact-cosine verify. */

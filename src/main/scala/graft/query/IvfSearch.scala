@@ -296,6 +296,13 @@ object IvfSearch {
       .join(e, "vec_id")
       .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
       .withColumn("dist", vec_l2(col("embedding"), col("qv")))
+      // SKINNY the rank window's input explicitly: the candidate rows
+      // just carried two dim-float embeddings through the refine joins,
+      // and the top-k sort must not pay their bytes again — at N·percell
+      // candidate rows the wide sort is what blows the spill budget
+      // (measured: the x100 ramp's 45M-row window spilled past the
+      // sandbox's disk before this projection)
+      .select(col("query_id"), col("vec_id"), col("dist"))
       .withColumn("rnk", row_number().over(wk))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("nbr_id"),

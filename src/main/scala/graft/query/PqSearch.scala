@@ -283,8 +283,20 @@ object PqSearch {
       IvfSearch.centroidsDf(spark, cents), Seq("label"))
     val codes = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), pqCodes(col("embedding"), cb).as("codes"))
+    val fetch = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    ivfpqFilteredTopKForQueries(spark,
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < NumQueries),
+      cells, codes, fetch, cents, cb)
+  }
+
+  /** Frame-level core of [[annIvfpqFilteredTopK]] — the filtered chain
+    * over resident labeled-cell/code tables for a
+    * (vec_id, embedding, label) query batch (the ScaleRamp handle). */
+  def ivfpqFilteredTopKForQueries(spark: SparkSession, queries: DataFrame,
+      cells: DataFrame, codes: DataFrame, fetch: DataFrame,
+      cents: Array[Array[Float]], cb: Array[Array[Array[Float]]]): DataFrame = {
     val nProbe = NumProbes * IvfSearch.FilterOverProbe
-    val prep = Tables.embeddings(spark, sfDir).filter(col("vec_id") < NumQueries)
+    val prep = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("label").as("qlabel"),
         adcLuts(col("embedding"), cb).as("luts"),
@@ -292,7 +304,6 @@ object PqSearch {
       .withColumn("cell", explode(col("pcells"))).drop("pcells")
     val probeSide = spark.createDataFrame(
       java.util.Arrays.asList(prep.collect(): _*), prep.schema)
-    val fetch = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
     val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     cells

@@ -858,6 +858,221 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
   }
 
+  // ---- interpolated Kneser-Ney trigram LM (the normalized rung) ----
+
+  /** Absolute discount (Kneser & Ney 1995; 0.75 is the classic fixed
+    * value — an exact binary double, so both engines subtract the
+    * identical constant). */
+  val KnDiscount: Double = 0.75
+
+  /**
+   * Interpolated Kneser–Ney trigram surprisal — the NORMALIZED rung
+   * above [[lmScore5gram]]'s stupid backoff: where stupid backoff is
+   * deliberately unnormalized (scores are ratios scaled by α^k — fine
+   * for ranking, meaningless as probabilities), interpolated KN is a
+   * proper distribution, and this implementation is EXACTLY normalized
+   * over the event space (train vocabulary + one OOV bucket):
+   * Σ_w P(w|ctx) = 1 for every context, which the ladder spec proves
+   * by scoring enumeration documents through this very kernel.
+   *
+   * Per position (context `a b`, word `w`):
+   *   P(w|ab)  = max(c(abw) − D, 0)/d(ab·) + D·N1+(ab·)/d(ab·) · Pc(w|b)
+   *   Pc(w|b)  = max(N1+(·bw) − D, 0)/N1+(·b·)
+   *              + D·|{x: N1+(·bx)>0}|/N1+(·b·) · Pc(w)
+   *   Pc(w)    = max(N1+(·w) − D, 0)/B + D·V1/B · 1/(V+1)
+   * with d(ab·) = the trigram-POSITION count of prefix (a,b) — not the
+   * raw bigram count, which over-counts document-final bigrams that
+   * continue nowhere and would leak probability mass (this corpus has
+   * no sentence sentinels); N1+ = continuation type counts (the KN
+   * idea: "how many distinct contexts has w completed", so a word
+   * frequent only inside one collocation gets low unigram backoff
+   * mass); B = total distinct bigram types, V1 = words with any
+   * left-context, V = train vocabulary size; the 1/(V+1) uniform term
+   * holds the OOV bucket's share — an unseen word scores the floor
+   * instead of −∞. Unseen context (a,b) backs off to Pc(w|b); unseen
+   * middle b to Pc(w).
+   *
+   * `lm_kn_score` = mean ln P, floored 4 dp (SURVEY §5); docs with
+   * < 3 tokens report the 0.0 sentinel. Train band = the SAME
+   * hash-banded split as [[lmScore5gram]] so the ladder spec compares
+   * the two models on identical held-out documents.
+   *
+   * Scale posture: identical to the other LM rungs — gram extraction
+   * map-only; the model is four vocab-sized type/position aggregates
+   * over the train band ("continuation counts = one more partial agg
+   * per order"); the corpus-sized score stream meets each model table
+   * exactly once through five merge-hinted LEFT joins; three one-row
+   * constants broadcast.
+   */
+  def lmScoreKn(docs: DataFrame, idCol: String, textCol: String,
+      trainPred: Column): DataFrame = {
+    val toks = tokens(col(textCol))
+    val train = docs.filter(trainPred)
+    val D = lit(KnDiscount)
+
+    def sl(n: Int, off: Int) =
+      slice(toks, lit(off), greatest(size(toks) - (n - 1), lit(0)))
+    // trigram POSITIONS of the train band, carrying every dependent key
+    val triPos = train.select(explode(arrays_zip(
+        sl(3, 1).as("w1"), sl(3, 2).as("w2"), sl(3, 3).as("w3"))).as("z"))
+      .select(
+        xxhash64(col("z.w1"), col("z.w2"), col("z.w3")).as("g123"),
+        xxhash64(col("z.w1"), col("z.w2")).as("g12"),
+        xxhash64(col("z.w2"), col("z.w3")).as("g23"),
+        xxhash64(col("z.w2")).as("g2"))
+    // distinct trigram TYPES (dependent keys ride the group-by)
+    val t3 = triPos.groupBy("g123", "g12", "g23", "g2")
+      .agg(count(lit(1)).as("c123"))
+    val biPos = train.select(explode(arrays_zip(
+        sl(2, 1).as("w1"), sl(2, 2).as("w2"))).as("z"))
+      .select(xxhash64(col("z.w1"), col("z.w2")).as("g12"),
+        xxhash64(col("z.w2")).as("gw2"))
+    val t2 = biPos.groupBy("g12", "gw2").agg(count(lit(1)).as("c2"))
+    val uni = train.select(explode(toks).as("w"))
+      .select(xxhash64(col("w")).as("g")).groupBy("g").agg(count(lit(1)).as("c1"))
+
+    // model tables (each one partial agg over a type/position table)
+    val pre = triPos.groupBy("g12").agg(count(lit(1)).as("d12"))
+      .join(t3.groupBy("g12").agg(count(lit(1)).as("nm")), Seq("g12"))
+    val preBi = t3.groupBy("g23").agg(count(lit(1)).as("np"))
+    val mid = t3.groupBy("g2")
+      .agg(count(lit(1)).as("nma"), countDistinct("g23").as("nsuf"))
+    val endu = t2.groupBy("gw2").agg(count(lit(1)).as("ne"))
+    val consts = t2.agg(count(lit(1)).as("b"))
+      .crossJoin(uni.agg(count(lit(1)).as("v")))
+      .crossJoin(endu.agg(count(lit(1)).as("v1")))
+
+    // score stream over ALL docs, one row per position i >= 3
+    def s3(off: Int) = slice(toks, lit(off), greatest(size(toks) - 2, lit(0)))
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(arrays_zip(s3(1).as("w1"), s3(2).as("w2"), s3(3).as("w3"))).as("z"))
+      .select(col("doc_id"),
+        xxhash64(col("z.w1"), col("z.w2"), col("z.w3")).as("g123"),
+        xxhash64(col("z.w1"), col("z.w2")).as("g12"),
+        xxhash64(col("z.w2"), col("z.w3")).as("g23"),
+        xxhash64(col("z.w2")).as("g2"),
+        xxhash64(col("z.w3")).as("g3"))
+    val joined = grams
+      .join(t3.select("g123", "c123").hint("merge"), Seq("g123"), "left")
+      .join(pre.hint("merge"), Seq("g12"), "left")
+      .join(preBi.hint("merge"), Seq("g23"), "left")
+      .join(mid.hint("merge"), Seq("g2"), "left")
+      .join(endu.withColumnRenamed("gw2", "g3").hint("merge"), Seq("g3"), "left")
+      .crossJoin(broadcast(consts))
+    // the three levels, IDENTICAL float structure on both engines
+    val pcUni = (greatest(coalesce(col("ne"), lit(0L)).cast("double") - D, lit(0.0))
+      + D * col("v1").cast("double") / (col("v").cast("double") + lit(1.0)))
+      ./(col("b").cast("double"))
+    val pcBi = when(col("nma").isNotNull,
+      (greatest(coalesce(col("np"), lit(0L)).cast("double") - D, lit(0.0))
+        + D * col("nsuf").cast("double") * pcUni) / col("nma").cast("double"))
+      .otherwise(pcUni)
+    val p = when(col("d12").isNotNull,
+      (greatest(coalesce(col("c123"), lit(0L)).cast("double") - D, lit(0.0))
+        + D * col("nm").cast("double") * pcBi) / col("d12").cast("double"))
+      .otherwise(pcBi)
+    val scored = joined.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        (floor(avg(log(p)) * 10000) / 10000).as("lm_kn_score"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("lm_kn_score"), lit(0.0)).as("lm_kn_score"))
+  }
+
+  def lmScoreKnQuery(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoreKn(Tables.documents(spark, sfDir), "doc_id", "text",
+      graft.operators.Corpus.hashUniform(
+        concat(lit(Lm5Seed + ":"), col("doc_id").cast("string"))) < Lm5TrainFrac)
+
+  /** DuckDB twin: string grams (counts agree with the hashed keys
+    * modulo a 64-bit collision), the SAME sha-256 train band, type and
+    * position aggregates mirrored, the identical three-level CASE.
+    * Multi-referenced chain CTEs MATERIALIZED (the inlining rule). */
+  def lmScoreKnSql: String = {
+    val d = "chr(1)"
+    val D = KnDiscount
+    val pcUni = s"""(GREATEST(CAST(COALESCE(ne, 0) AS DOUBLE) - $D, 0.0)
+       |      + $D * CAST(v1 AS DOUBLE) / (CAST(v AS DOUBLE) + 1.0)) / CAST(b AS DOUBLE)""".stripMargin
+    val pcBi = s"""CASE WHEN nma IS NOT NULL THEN
+       |      (GREATEST(CAST(COALESCE(np, 0) AS DOUBLE) - $D, 0.0)
+       |       + $D * CAST(nsuf AS DOUBLE) * ($pcUni)) / CAST(nma AS DOUBLE)
+       |      ELSE ($pcUni) END""".stripMargin
+    val pExpr = s"""CASE WHEN d12 IS NOT NULL THEN
+       |      (GREATEST(CAST(COALESCE(c123, 0) AS DOUBLE) - $D, 0.0)
+       |       + $D * CAST(nm AS DOUBLE) * ($pcBi)) / CAST(d12 AS DOUBLE)
+       |      ELSE ($pcBi) END""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       |band AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(sha256('$Lm5Seed:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      / 4294967296.0 AS u
+       |  FROM documents),
+       |trn AS MATERIALIZED (SELECT t.doc_id, ts FROM tok t JOIN band b
+       |        ON t.doc_id = b.doc_id AND b.u < $Lm5TrainFrac),
+       |u3k AS MATERIALIZED (
+       |  SELECT
+       |    unnest(list_transform(range(1, len(ts) - 1), i ->
+       |      ts[i] || $d || ts[i+1] || $d || ts[i+2])) AS g123,
+       |    unnest(list_transform(range(1, len(ts) - 1), i ->
+       |      ts[i] || $d || ts[i+1])) AS g12,
+       |    unnest(list_transform(range(1, len(ts) - 1), i ->
+       |      ts[i+1] || $d || ts[i+2])) AS g23,
+       |    unnest(list_transform(range(1, len(ts) - 1), i -> ts[i+1])) AS g2
+       |  FROM trn),
+       |t3 AS MATERIALIZED (
+       |  SELECT g123, any_value(g12) AS g12, any_value(g23) AS g23,
+       |         any_value(g2) AS g2, COUNT(*) AS c123
+       |  FROM u3k GROUP BY g123),
+       |t2 AS MATERIALIZED (
+       |  SELECT g12, any_value(gw2) AS gw2, COUNT(*) AS c2 FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(ts)), i -> ts[i] || $d || ts[i+1])) AS g12,
+       |      unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS gw2
+       |    FROM trn) GROUP BY g12),
+       |pre AS (
+       |  SELECT p.g12, p.d12, m.nm FROM
+       |    (SELECT g12, COUNT(*) AS d12 FROM u3k GROUP BY g12) p
+       |    JOIN (SELECT g12, COUNT(*) AS nm FROM t3 GROUP BY g12) m USING (g12)),
+       |prebi AS (SELECT g23, COUNT(*) AS np FROM t3 GROUP BY g23),
+       |mid AS (SELECT g2, COUNT(*) AS nma, COUNT(DISTINCT g23) AS nsuf
+       |        FROM t3 GROUP BY g2),
+       |endu AS MATERIALIZED (SELECT gw2, COUNT(*) AS ne FROM t2 GROUP BY gw2),
+       |consts AS (SELECT
+       |    (SELECT COUNT(*) FROM t2) AS b,
+       |    (SELECT COUNT(DISTINCT t) FROM (SELECT unnest(ts) AS t FROM trn)) AS v,
+       |    (SELECT COUNT(*) FROM endu) AS v1),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ts) - 1), i ->
+       |      ts[i] || $d || ts[i+1] || $d || ts[i+2])) AS g123,
+       |    unnest(list_transform(range(1, len(ts) - 1), i ->
+       |      ts[i] || $d || ts[i+1])) AS g12,
+       |    unnest(list_transform(range(1, len(ts) - 1), i ->
+       |      ts[i+1] || $d || ts[i+2])) AS g23,
+       |    unnest(list_transform(range(1, len(ts) - 1), i -> ts[i+1])) AS g2,
+       |    unnest(list_transform(range(1, len(ts) - 1), i -> ts[i+2])) AS g3
+       |  FROM tok),
+       |j AS (
+       |  SELECT doc_id, t3.c123, pre.d12, pre.nm, prebi.np,
+       |         mid.nma, mid.nsuf, endu.ne, consts.b, consts.v, consts.v1
+       |  FROM grams
+       |  LEFT JOIN t3 ON grams.g123 = t3.g123
+       |  LEFT JOIN pre ON grams.g12 = pre.g12
+       |  LEFT JOIN prebi ON grams.g23 = prebi.g23
+       |  LEFT JOIN mid ON grams.g2 = mid.g2
+       |  LEFT JOIN endu ON grams.g3 = endu.gw2
+       |  , consts),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_trigrams,
+       |    FLOOR(AVG(ln($pExpr)) * 10000) / 10000 AS lm_kn_score
+       |  FROM j GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(s.n_trigrams, 0) AS n_trigrams,
+       |  COALESCE(s.lm_kn_score, 0.0) AS lm_kn_score
+       |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
+  }
+
   val lmScoreSql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),

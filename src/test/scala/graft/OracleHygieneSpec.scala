@@ -103,5 +103,21 @@ class OracleHygieneSpec extends SparkSpecBase {
       assert(sql(name).contains(s"OVER (PARTITION BY cell) <= $mc"),
         s"$name oracle must carry the active maxCell guard")
     }
+    // the refit oracle guards BOTH pair passes with the active value
+    assert(sql("dedup_semantic_refit")
+      .sliding(s"csz <= $mc".length).count(_ == s"csz <= $mc") == 4,
+      "dedup_semantic_refit must guard all four pair-pass sides with the active maxCell")
+  }
+
+  // the refit oracle re-derives two full pair sets over the merged
+  // corpus and references merged/adm/pf/pr repeatedly — inlining them
+  // per reference is the tier-report explosion all over again
+  test("the refit oracle's multi-referenced chain CTEs stay MATERIALIZED") {
+    val sql = SparkEntry.oracleSql("dedup_semantic_refit")
+    Seq("adm AS MATERIALIZED", "merged AS MATERIALIZED",
+      "frozen_assign AS MATERIALIZED", "refit_assign AS MATERIALIZED",
+      "pf AS MATERIALIZED", "pr AS MATERIALIZED").foreach { frag =>
+      assert(sql.contains(frag), s"dedup_semantic_refit oracle lost `$frag`")
+    }
   }
 }

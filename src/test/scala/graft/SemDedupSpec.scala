@@ -217,4 +217,42 @@ class SemDedupSpec extends SparkSpecBase {
     compacted.unpersist()
     ()
   }
+
+  test("dedup_semantic_refit: no-drift merge keeps the frozen state (gained = lost = 0)") {
+    val row = SemDedup.dedupSemanticRefit(spark, sf).head()
+    // the demo merge's delta is carved from the SAME distribution, so
+    // the thaw buys nothing — the report must say so (this honest
+    // verdict is the entry's point: refit is a paid decision)
+    assert(row.getLong(6) == 0 && row.getLong(7) == 0,
+      s"non-drifting merge must gain/lose nothing: $row")
+    assert(row.getLong(3) == row.getLong(4) && row.getLong(4) == row.getLong(5),
+      "identical pair sets => frozen == refit == common")
+    assert(row.getLong(3) > 0, "the planted dups must pair under both fits")
+  }
+
+  test("refit fidelity catches a drifted merge: stale cells cross the guard, refit recovers the pairs") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // drifted delta: 200 base vectors NEGATED (a region the base fit
+    // never saw) + 10 exact copies inside the drifted region — the
+    // near-dups a post-drift crawl actually contains
+    val drifted = base.filter(col("vec_id") < 200)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val plants = drifted.filter(col("vec_id") < 1010L)
+      .select((col("vec_id") + 2000L).as("vec_id"), col("embedding"))
+    val merged = base.unionByName(drifted).unionByName(plants).cache()
+    val frozenCents = graft.query.IvfSearch.fitCentroids(base, 16)
+    val refitCents = graft.query.IvfSearch.fitCentroids(merged, 16)
+    def assignOf(cents: Array[Array[Float]]) =
+      SemDedup.assignWithCentSim(merged, cents).select(col("vec_id"), col("cell"))
+    // guard chosen between the stale pile-up (~210 drifted rows in a
+    // handful of stale cells) and the refit's spread cells
+    val (nf, nr, common) = SemDedup.pairFidelity(merged,
+      assignOf(frozenCents), assignOf(refitCents), SemDedup.SemTau, maxCell = 100)
+    merged.unpersist()
+    assert(nr - common > 0,
+      s"refit must recover pairs the guarded stale cells hid: frozen=$nf refit=$nr common=$common")
+    assert(nr >= 10, s"the 10 planted drifted pairs must pair under the refit: $nr")
+  }
 }
