@@ -661,10 +661,10 @@ object SemDedup {
    * the oracle hash has zero float surface).
    *
    * Honest finding on THIS corpus (spec-pinned): the demo merge does
-   * not drift — the delta is carved from the same distribution — so
-   * the refit gains and loses nothing (planted exact/jittered dups
-   * co-locate under any assignment fitted on the corpus; gained =
-   * lost = 0) and the report says KEEP THE FROZEN STATE. That is the
+   * not drift — the delta is carved from the same distribution and the
+   * compacted state is POST-dedup (the apply already dropped every
+   * near-copy), so BOTH pair sets are empty and gained = lost = 0 —
+   * the report says KEEP THE FROZEN STATE. That is the
    * point of shipping the report rather than a policy: refit is a
    * paid decision (`SemDedupSpec` plants a drifted merge through the
    * frame-level core and shows `pairs_gained` > 0 there — the
