@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -255,13 +255,16 @@ object IvfSearch {
    * centroid rows. The ordering is the same (cdist, cell) struct sort
    * as [[assignCells]]' argmin, so probe rank 1 IS the home cell.
    */
-  def probeCellsRanked(data: DataFrame, cents: Array[Array[Float]], nProbe: Int): DataFrame = {
+  def probeCellsRanked(data: DataFrame, cents: Array[Array[Float]], nProbe: Int,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     val centLit = typedLit(cents.zipWithIndex.map { case (cv, cell) => (cell, cv.toSeq) }.toSeq)
-    data.select(col("vec_id").as("query_id"),
+    data.select(col("vec_id").as("query_id") +:
+        carry.map { case (n, c) => c.as(n) } :+
         posexplode(slice(array_sort(transform(centLit,
           c => struct(vec_l2(col("embedding"), c.getField("_2")).as("cdist"),
-            c.getField("_1").as("cell")))), 1, nProbe)))
-      .select(col("query_id"), (col("pos") + 1).as("crnk"), col("col.cell").as("cell"))
+            c.getField("_1").as("cell")))), 1, nProbe)): _*)
+      .select(col("query_id") +: carry.map { case (n, _) => col(n) } :+
+        (col("pos") + 1).as("crnk") :+ col("col.cell").as("cell"): _*)
   }
 
   /**
@@ -275,34 +278,44 @@ object IvfSearch {
    * side IS the corpus.
    *
    * Scale posture: probe selection is map-side ([[probeCellsRanked]]);
-   * the probe→home-cell equi-join is the only data-sized shuffle and
-   * the per-query cap bounds its output at N * maxCandidates rows
-   * regardless of cell skew; the refine fetches both endpoints via
-   * SHUFFLE equi-joins keyed by id (never a corpus broadcast). At
-   * 100 TB the stored table is bucketed by cell, so the candidate
-   * join co-locates without a fresh shuffle of the big side.
+   * the probe→home-cell equi-join is the only data-sized shuffle, and
+   * BOTH endpoint embeddings ride that join's (small) INPUTS — the
+   * home-cell side is one wide row per vector, the probe side nProbe
+   * wide rows per query — so the distance is computed in the join's
+   * STREAMED output and projected down to (query_id, vec_id, crnk,
+   * dist) = tens of bytes before anything is ever sorted or shuffled
+   * again. The alternative (cap first, then fetch endpoints via two
+   * id-keyed equi-joins) re-sorts N·percell CANDIDATE rows carrying
+   * two dim-float vectors each — measured 100+ GB of sort spill at the
+   * 200k-vector ramp, vs ~10 GB of skinny rows here; the ~1.7× extra
+   * distance MACs on beyond-cap candidates are cheap codegen. Both
+   * rank windows (probe-order cap, dist top-k) share one query_id
+   * partitioning — one exchange, two in-partition sorts. Never a
+   * corpus broadcast. At 100 TB the stored table is bucketed by cell,
+   * so the candidate join co-locates without a fresh shuffle of the
+   * big side.
    */
   def knnJoinPlan(data: DataFrame, k: Int, nProbe: Int,
       cents: Array[Array[Float]], maxCandidates: Int): DataFrame = {
     val e = data.select(col("vec_id"), col("embedding"))
-    val cells = assignCells(e, centroidsDf(e.sparkSession, cents))
-    val probes = probeCellsRanked(e, cents, nProbe)
+    // home-cell assignment MAP-SIDE (probe rank 1 IS the home cell —
+    // same (cdist, cell) ordering as assignCells' argmin), with the
+    // vector riding along: no shuffle, and no array-typed grouping key
+    // (carried under a fresh name: an alias that shadows the input
+    // column the generator reads would be a lateral-alias reference)
+    val cells = probeCellsRanked(e, cents, nProbe = 1,
+        carry = Seq("cvec" -> col("embedding")))
+      .select(col("query_id").as("vec_id"), col("cvec").as("embedding"), col("cell"))
+    val probes = probeCellsRanked(e, cents, nProbe,
+      carry = Seq("qv" -> col("embedding")))
     val wCap = Window.partitionBy("query_id").orderBy(col("crnk"), col("vec_id"))
     val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     probes.join(cells, "cell")
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("crnk"),
+        vec_l2(col("embedding"), col("qv")).as("dist"))
       .withColumn("cap_rank", row_number().over(wCap))
       .filter(col("cap_rank") <= maxCandidates)
-      .join(e, "vec_id")
-      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
-      .withColumn("dist", vec_l2(col("embedding"), col("qv")))
-      // SKINNY the rank window's input explicitly: the candidate rows
-      // just carried two dim-float embeddings through the refine joins,
-      // and the top-k sort must not pay their bytes again — at N·percell
-      // candidate rows the wide sort is what blows the spill budget
-      // (measured: the x100 ramp's 45M-row window spilled past the
-      // sandbox's disk before this projection)
-      .select(col("query_id"), col("vec_id"), col("dist"))
       .withColumn("rnk", row_number().over(wk))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("nbr_id"),

@@ -280,4 +280,47 @@ object AnnServe {
     servedSink(queries, outPath, checkpoint, trigger) { batch =>
       graft.query.DimRegistry.topK(batch.sparkSession, data, batch, k, registry)
     }
+
+  /**
+   * Mutable MRL index handle for ZERO-DOWNTIME encoder swaps — the
+   * [[IvfLayoutRef]] discipline applied to the tier whose whole pitch
+   * is surviving an encoder change: the serving closure reads the
+   * current [[graft.query.MrlSearch.MrlIndex]] at each micro-batch, so
+   * when [[graft.operators.Embeddings.embedDriftQuery]]'s alarm fires
+   * and the corpus is re-embedded, a maintenance job refits the
+   * rotation on a PcaSampleN-bounded sample, re-projects the prefixes
+   * in ONE map-only pass ([[graft.query.MrlSearch.buildIndexOn]] /
+   * [[MrlLifecycle.reRotate]]), and publishes the new index between
+   * micro-batches — queries in flight finish under the index they
+   * planned with, the next batch serves the refit one. No codebook
+   * retrain, no per-dim corpus pass, no serving downtime.
+   */
+  final class MrlIndexRef(@volatile var idx: graft.query.MrlSearch.MrlIndex)
+
+  /**
+   * Serve a query stream through the rotated-prefix MRL engine: each
+   * micro-batch's (vec_id, embedding) queries run
+   * [[graft.query.MrlSearch.ivfmrlTopKForQueries]] against the index
+   * currently published in `ref` — completing the streaming serving
+   * symmetry across all FOUR compressed tiers (PQ [[servePq]], BQ
+   * [[serveBq]], SQ8 [[serveSq]], MRL here), each with the
+   * live-tombstone contract via [[TombstoneRef]]. `afterBatch` is the
+   * deterministic swap point for an encoder-change rollout (specs
+   * publish a refit index there and assert per-batch equality with
+   * the matching batch plan).
+   */
+  def serveMrl(
+      queries: DataFrame,
+      ref: MrlIndexRef,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      tombstones: TombstoneRef = new TombstoneRef(),
+      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+    servedSink(queries, outPath, checkpoint, trigger, afterBatch) { batch =>
+      val i = ref.idx
+      graft.query.MrlSearch.ivfmrlTopKForQueries(batch.sparkSession,
+        batch.select(col("vec_id"), col("embedding")),
+        i.cells, i.pvecs, i.fetch, i.cents, i.comps, tombstones.deleted)
+    }
 }

@@ -158,6 +158,77 @@ class MrlSpec extends SparkSpecBase {
       s"refit recall ($refit) must beat the stale rotation's ($stale)")
   }
 
+  test("streaming serving: refit index + tombstone publish between micro-batches, zero downtime") {
+    // The live form of the encoder-swap story: batch 0 serves under
+    // the original rotation; a maintenance hook (the deterministic
+    // afterBatch swap point) publishes the REFIT index (sample-bounded
+    // rotation refit + one map-only re-projection over the re-embedded
+    // corpus) plus a tombstone; batch 1 serves the refit index without
+    // the deleted row — each batch equal to its batch-plan twin, so
+    // zero downtime costs zero correctness.
+    import graft.query.IvfSearch
+    import graft.streaming.AnnServe
+    def tmp(name: String): String = {
+      val d = s"/root/repo/target/tmp/servemrl/$name"
+      graft.util.Io.deleteRecursively(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      d
+    }
+    val emb = data.select("vec_id", "embedding")
+    val pd = dim / MrlSearch.PrefixShare
+    // the planted encoder swap from the recall test: the corpus is
+    // re-embedded with a new variance structure
+    val jdx = sequence(lit(0), lit(dim - 1))
+    val swapped = emb.select(col("vec_id"),
+      transform(jdx, j =>
+        (element_at(col("embedding"), (j + lit(7)) % dim + 1)
+          * when(j % 8 === 0, lit(10.0)).otherwise(lit(0.1))).cast("float"))
+        .as("embedding")).cache()
+    val idx0 = MrlSearch.buildIndexOn(spark, emb,
+      IvfSearch.fitCentroids(emb, 8),
+      graft.operators.Embeddings.mrlRotationOf(emb, pd))
+    val idx1 = MrlSearch.buildIndexOn(spark, swapped,
+      IvfSearch.fitCentroids(swapped, 8),
+      graft.operators.Embeddings.mrlRotationOf(swapped, pd))
+    val qA = emb.filter(col("vec_id") < 5)
+    val qB = swapped.filter(col("vec_id").between(5, 9))
+    val deadId = 7L // in qB's shortlist reach: every query self-matches
+    val tombs = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(deadId)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    val in = tmp("in"); val out = tmp("out"); val ckpt = tmp("ckpt")
+    qA.coalesce(1).write.mode("overwrite").parquet(s"$in/b=000")
+    qB.coalesce(1).write.mode("overwrite").parquet(s"$in/b=001")
+    val ref = new AnnServe.MrlIndexRef(idx0)
+    val live = new AnnServe.TombstoneRef()
+    val stream = spark.readStream.schema(qA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/b=*")
+    val q = AnnServe.serveMrl(stream.toDF(), ref, out, ckpt,
+      afterBatch = id => if (id == 0) { ref.idx = idx1; live.deleted = Some(tombs) },
+      tombstones = live)
+    q.awaitTermination(180000)
+    def served(batch: Int) = spark.read.parquet(out)
+      .filter(col("batch_id") === batch).drop("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    def batchPlan(qs: org.apache.spark.sql.DataFrame, i: MrlSearch.MrlIndex,
+        del: Option[org.apache.spark.sql.DataFrame]) =
+      MrlSearch.ivfmrlTopKForQueries(spark, qs, i.cells, i.pvecs, i.fetch,
+        i.cents, i.comps, del).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // batch 0 under the ORIGINAL index, no tombstones; batch 1 under
+    // the refit index with the tombstone live — each the batch plan
+    assert(served(0) == batchPlan(qA, idx0, None))
+    assert(served(1) == batchPlan(qB, idx1, Some(tombs)))
+    // the tombstone is real: the id self-matched in batch 0's world
+    // and is never served in batch 1's
+    assert(!served(1).exists(_._2 == deadId), "tombstoned id served")
+    assert(served(1).groupBy(_._1).forall(_._2.size == MrlSearch.K),
+      "tombstone must not eat the served k")
+    swapped.unpersist()
+  }
+
   test("ann_ivfmrl_topk: no corpus broadcast, no cartesian (plan-asserted)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
