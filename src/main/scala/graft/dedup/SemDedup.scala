@@ -681,13 +681,25 @@ object SemDedup {
     val corpus = semCorpus(spark, sfDir)
     val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
     val admitted = dedupSemanticDeltaApply(spark, sfDir).select(col("vec_id"))
+    // localCheckpoint (not cache) on the three composed tables: the
+    // fidelity kernel SELF-JOINS each assignment against the merged
+    // corpus and then JOINS the two pair sets — with the apply/compact
+    // chains still in the logical plan, every composition step
+    // MULTIPLIES the shared subtrees (measured before the truncation:
+    // the common-join plan string was 1.8e9 chars carrying ~21k
+    // cached-scan nodes, and the entry spent ~95 of its 108 s in pure
+    // driver-side planning of 2000 rows). Each table is corpus-row-
+    // sized or smaller; truncating their lineage makes every
+    // downstream plan leaf-rooted and the entry's cost the actual
+    // chain work.
     val merged = corpus.filter(!isDelta)
       .unionByName(corpus.filter(isDelta).join(admitted, Seq("vec_id"), "left_semi"))
-      .cache()
+      .localCheckpoint()
     val nMerged = merged.count()
     val sd = graft.config.GraftConfig.active.semdedup
     // frozen side: the compacted resident assignment (carried + fresh)
     val frozen = dedupSemanticCompact(spark, sfDir).select(col("vec_id"), col("cell"))
+      .localCheckpoint()
     val cellsFrozen = deltaParts(spark, sfDir)._3.length
     // the thaw: refit over the merged corpus, re-assign in one pass
     val cR = resolveCells(nMerged, sd)
@@ -697,8 +709,8 @@ object SemDedup {
         .coalesce(1).write.mode("overwrite").parquet(SemRefitCentroidExportPath)
     }
     val refit = assignWithCentSim(merged, refitCents).select(col("vec_id"), col("cell"))
+      .localCheckpoint()
     val (nf, nr, common) = pairFidelity(merged, frozen, refit, SemTau, sd.maxCell)
-    merged.unpersist()
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("n_vectors", LongType), StructField("cells_frozen", LongType),
