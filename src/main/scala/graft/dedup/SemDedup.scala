@@ -677,37 +677,51 @@ object SemDedup {
    * quadratic slivers. Everything downstream of the pair sets is
    * driver arithmetic over pair-report-sized rows.
    */
-  def dedupSemanticRefit(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The post-merge corpus the refresh round runs on: base snapshot ∪
+    * the delta survivors the apply admitted — `localCheckpoint`ed so
+    * every consumer composes a LEAF, not the apply chain (the fidelity
+    * kernel self-joins this table and then joins the two pair sets;
+    * with the chain still in the logical plan every composition step
+    * MULTIPLIED the shared subtrees — measured before the truncation:
+    * a 1.8e9-char plan string carrying ~21k cached-scan nodes, ~95 of
+    * the entry's 108 s spent in pure driver-side planning of 2000
+    * rows). */
+  private def mergedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = semCorpus(spark, sfDir)
     val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
     val admitted = dedupSemanticDeltaApply(spark, sfDir).select(col("vec_id"))
-    // localCheckpoint (not cache) on the three composed tables: the
-    // fidelity kernel SELF-JOINS each assignment against the merged
-    // corpus and then JOINS the two pair sets — with the apply/compact
-    // chains still in the logical plan, every composition step
-    // MULTIPLIES the shared subtrees (measured before the truncation:
-    // the common-join plan string was 1.8e9 chars carrying ~21k
-    // cached-scan nodes, and the entry spent ~95 of its 108 s in pure
-    // driver-side planning of 2000 rows). Each table is corpus-row-
-    // sized or smaller; truncating their lineage makes every
-    // downstream plan leaf-rooted and the entry's cost the actual
-    // chain work.
-    val merged = corpus.filter(!isDelta)
+    corpus.filter(!isDelta)
       .unionByName(corpus.filter(isDelta).join(admitted, Seq("vec_id"), "left_semi"))
       .localCheckpoint()
+  }
+
+  /** Refit centroids over the merged corpus (sample-bounded driver
+    * fit), exported once per JVM for the oracle replays — shared by
+    * the fidelity report and the thaw execution so both read the SAME
+    * fixture. */
+  private def refitCentroidsFor(spark: SparkSession, sfDir: String,
+      merged: DataFrame, nMerged: Long): Array[Array[Float]] = {
+    val sd = graft.config.GraftConfig.active.semdedup
+    val cR = resolveCells(nMerged, sd)
+    val cents = IvfSearch.fitCentroids(merged, cR, Some(s"semrefit:$sfDir"))
+    graft.FixtureExport.ensure(s"semrefit:$sfDir|c=$cR", SemRefitCentroidExportPath) {
+      IvfSearch.centroidsDf(spark, cents)
+        .coalesce(1).write.mode("overwrite").parquet(SemRefitCentroidExportPath)
+    }
+    cents
+  }
+
+  def dedupSemanticRefit(spark: SparkSession, sfDir: String): DataFrame = {
+    val merged = mergedCorpus(spark, sfDir)
     val nMerged = merged.count()
     val sd = graft.config.GraftConfig.active.semdedup
     // frozen side: the compacted resident assignment (carried + fresh)
+    // — localCheckpoint'ed for the same composition reason as merged
     val frozen = dedupSemanticCompact(spark, sfDir).select(col("vec_id"), col("cell"))
       .localCheckpoint()
     val cellsFrozen = deltaParts(spark, sfDir)._3.length
     // the thaw: refit over the merged corpus, re-assign in one pass
-    val cR = resolveCells(nMerged, sd)
-    val refitCents = IvfSearch.fitCentroids(merged, cR, Some(s"semrefit:$sfDir"))
-    graft.FixtureExport.ensure(s"semrefit:$sfDir|c=$cR", SemRefitCentroidExportPath) {
-      IvfSearch.centroidsDf(spark, refitCents)
-        .coalesce(1).write.mode("overwrite").parquet(SemRefitCentroidExportPath)
-    }
+    val refitCents = refitCentroidsFor(spark, sfDir, merged, nMerged)
     val refit = assignWithCentSim(merged, refitCents).select(col("vec_id"), col("cell"))
       .localCheckpoint()
     val (nf, nr, common) = pairFidelity(merged, frozen, refit, SemTau, sd.maxCell)
@@ -811,6 +825,87 @@ object SemDedup {
        |  (SELECT n FROM common) AS pairs_common,
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) - (SELECT n FROM common) AS pairs_gained,
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pf) - (SELECT n FROM common) AS pairs_lost""".stripMargin
+  }
+
+  /**
+   * `dedup_semantic_refit_apply`: EXECUTE the thaw the
+   * [[dedupSemanticRefit]] report prices — the full SemDeDup
+   * re-cluster of the merged corpus under the REFIT centroids
+   * ([[semanticDedupPlan]] verbatim: refit assignment → guarded
+   * within-cell pairs → connected components → keep-the-atypical
+   * keeper), producing the NEXT-GENERATION resident decision table
+   * (one row per merged vector: comp, n_comp, keep, csim — csim now
+   * against the refit centroid, the value future delta rounds' keeper
+   * policy reads). This is the paid operation the report gates: run it
+   * when `pairs_gained` says the frozen state has gone blind, skip it
+   * when the report reads 0/0 — on the demo merge the honest result is
+   * exactly that no-op (the compacted state is post-dedup, so every
+   * vector is its own singleton keeper; spec-pinned), while
+   * SemDedupSpec's planted DRIFTED merge shows the payoff: after the
+   * thaw, every pair the frozen state was blind to shares a component
+   * and loses exactly its non-keeper (the dups a frozen resident state
+   * would have admitted forever).
+   *
+   * Scale posture: identical to [[dedupSemantic]] — the thaw IS a full
+   * re-pair (one map-only refit assignment, the cell-guarded pair
+   * join, component closure on the pair sliver), which is precisely
+   * why the report exists to gate it.
+   */
+  def dedupSemanticRefitApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val merged = mergedCorpus(spark, sfDir)
+    val sd = graft.config.GraftConfig.active.semdedup
+    val refitCents = refitCentroidsFor(spark, sfDir, merged, merged.count())
+    semanticDedupPlan(merged, refitCents, SemTau, sd.maxCell)
+  }
+
+  /** Oracle: the [[dedupSemanticSql]] decision chain (assignment with
+    * centroid cosine → guarded pairs → recursive-CTE closure →
+    * keeper window) replayed over the MERGED corpus (base ∪ admitted
+    * delta, the apply chain nested once) and the REFIT centroid
+    * fixture. */
+  def dedupSemanticRefitApplySql: String = {
+    val dPred = graft.Carves.deltaSplitSql("vec_id", Dedup.PlantOffset)
+    s"""WITH RECURSIVE adm AS MATERIALIZED (SELECT vec_id FROM (
+       |${dedupSemanticDeltaApplySql}
+       |)),
+       |$semCorpusCte,
+       |merged AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM corpus WHERE NOT ($dPred)
+       |  UNION ALL
+       |  SELECT c2.vec_id, c2.embedding FROM corpus c2 JOIN adm USING (vec_id)),
+       |cr AS (SELECT cell, cv FROM read_parquet('$SemRefitCentroidExportPath/*.parquet')),
+       |scored AS (
+       |  SELECT m.vec_id, cr.cell,
+       |    ROUND(list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
+       |                                 CAST(cr.cv AS DOUBLE[])), 4) + 0.0 AS csim,
+       |    ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |      ORDER BY list_distance(CAST(m.embedding AS DOUBLE[]),
+       |                             CAST(cr.cv AS DOUBLE[])), cr.cell) AS r
+       |  FROM merged m CROSS JOIN cr),
+       |assign AS MATERIALIZED (SELECT vec_id, cell, csim FROM scored WHERE r = 1),
+       |guarded AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, COUNT(*) OVER (PARTITION BY cell) AS csz FROM assign)
+       |  WHERE csz <= $cfgMaxCell),
+       |edges AS MATERIALIZED (
+       |  SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM guarded x JOIN guarded y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN merged ex ON ex.vec_id = x.vec_id
+       |  JOIN merged ey ON ey.vec_id = y.vec_id
+       |  WHERE ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+       |                                     CAST(ey.embedding AS DOUBLE[])), 4) >= $SemTau),
+       |sym AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b, a FROM edges),
+       |walk(id, label) AS (
+       |  SELECT vec_id, vec_id FROM merged
+       |  UNION
+       |  SELECT s.src, w.label FROM walk w JOIN sym s ON s.dst = w.id),
+       |cc AS (SELECT id, MIN(label) AS comp FROM walk GROUP BY id)
+       |SELECT vec_id, comp, n_comp, (kr = 1) AS keep, csim FROM (
+       |  SELECT a.vec_id, cc.comp, a.csim,
+       |    COUNT(*) OVER (PARTITION BY cc.comp) AS n_comp,
+       |    ROW_NUMBER() OVER (PARTITION BY cc.comp ORDER BY a.csim, a.vec_id) AS kr
+       |  FROM assign a JOIN cc ON cc.id = a.vec_id)""".stripMargin
   }
 
   /** Oracle: resident fixtures (base-frozen centroids + base cell

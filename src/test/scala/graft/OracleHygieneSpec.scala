@@ -107,6 +107,24 @@ class OracleHygieneSpec extends SparkSpecBase {
     assert(sql("dedup_semantic_refit")
       .sliding(s"csz <= $mc".length).count(_ == s"csz <= $mc") == 4,
       "dedup_semantic_refit must guard all four pair-pass sides with the active maxCell")
+    // the thaw execution replays the decision chain over the merged
+    // corpus: one guarded pair pass + the nested delta chain's QUALIFY
+    assert(sql("dedup_semantic_refit_apply").contains(s"csz <= $mc"),
+      "dedup_semantic_refit_apply must guard its pair pass with the active maxCell")
+    assert(sql("dedup_semantic_refit_apply")
+      .contains(s"OVER (PARTITION BY cell) <= $mc"),
+      "dedup_semantic_refit_apply's nested delta chain must carry the active maxCell")
+  }
+
+  // the thaw-execution oracle references merged in the pair pass, the
+  // closure seed, and the keeper join — inline-per-reference would
+  // replay the apply chain each time
+  test("the refit-apply oracle's multi-referenced chain CTEs stay MATERIALIZED") {
+    val sql = SparkEntry.oracleSql("dedup_semantic_refit_apply")
+    Seq("adm AS MATERIALIZED", "merged AS MATERIALIZED",
+      "assign AS MATERIALIZED", "edges AS MATERIALIZED").foreach { m =>
+      assert(sql.contains(m), s"refit-apply oracle must keep '$m'")
+    }
   }
 
   // the refit oracle re-derives two full pair sets over the merged

@@ -234,6 +234,23 @@ class SemDedupSpec extends SparkSpecBase {
     assert(row.getLong(0) > 0 && row.getLong(1) > 0 && row.getLong(2) > 0)
   }
 
+  test("dedup_semantic_refit_apply: the no-drift thaw is a no-op re-cluster (all singleton keepers)") {
+    val out = SemDedup.dedupSemanticRefitApply(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0)
+    // the merged state is POST-dedup and the demo delta does not
+    // drift, so the refit finds no pairs: every vector is its own
+    // singleton keeper — executing a thaw the report said to skip
+    // must change nothing (the honest no-op, the gate's other half)
+    assert(out.filter(!col("keep")).count() == 0, "no-drift thaw dropped a vector")
+    assert(out.filter(col("n_comp") =!= 1).count() == 0, "no-drift thaw built a component")
+    // same merged corpus as the report prices
+    val nv = SemDedup.dedupSemanticRefit(spark, sf).head().getLong(0)
+    assert(n == nv, s"thaw row count $n != report n_vectors $nv")
+    out.unpersist()
+    ()
+  }
+
   test("refit fidelity catches a drifted merge: stale cells cross the guard, refit recovers the pairs") {
     import org.apache.spark.sql.functions._
     val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
@@ -271,9 +288,28 @@ class SemDedupSpec extends SparkSpecBase {
     val guard = refitMax.toInt // keeps every refit cell, drops the pile-up
     val (nf, nr, common) = SemDedup.pairFidelity(merged,
       frozenAssign, refitAssign, SemDedup.SemTau, maxCell = guard)
-    frozenAssign.unpersist(); refitAssign.unpersist(); merged.unpersist()
     assert(nr >= 10, s"the 10 planted drifted pairs must pair under the refit: $nr")
     assert(nr - common > 0,
       s"refit must recover pairs the guarded stale cells hid: frozen=$nf refit=$nr common=$common")
+    // the thaw EXECUTION payoff: re-clustering under the refit fit
+    // actually dedupes what the frozen state was blind to — every
+    // planted (drifted original, exact copy) pair co-clusters and the
+    // pair never keeps both members; globally each component keeps
+    // exactly one
+    val out = SemDedup.semanticDedupPlan(merged, refitCents, SemDedup.SemTau, guard).cache()
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    (1000L until 1010L).foreach { d =>
+      val (c1, k1) = byId(d); val (c2, k2) = byId(d + 2000L)
+      assert(c1 == c2, s"planted drifted pair $d not co-clustered after the thaw")
+      assert(!(k1 && k2), s"planted drifted pair $d kept both members after the thaw")
+    }
+    val badComps = out.groupBy("comp")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("nk"))
+      .filter(col("nk") =!= 1).count()
+    assert(badComps == 0, "every component must keep exactly one member")
+    out.unpersist()
+    frozenAssign.unpersist(); refitAssign.unpersist(); merged.unpersist()
+    ()
   }
 }
