@@ -169,8 +169,34 @@ object EmbedScaleRamp {
         System.err.println(f"[embscale] $tag $op ${secs}%.2f s")
         op -> secs
       }
+      // cell-sharded knn_join — the 100 TB form measured (r12 VERDICT
+      // #3): shard count scales with N so each shard homes ~20k
+      // vectors (the x10 corpus size); each shard is an INDEPENDENT
+      // job (probe-adjacency manifest → bounded join + windows), so
+      // the per-shard wall time is the number a 1000-executor cluster
+      // pays per shard — the claim is that it stays bounded while N
+      // grows 400x, where the unsharded single job died of sort spill
+      // past x100. Shards timed sequentially here; a cluster runs
+      // them in parallel.
+      val shardStats: Seq[(String, Double)] =
+        if (only.forall(_.contains("knn_join_sharded"))) {
+          val nShards = math.max(1, math.ceil(n / 20000.0).toInt)
+          val perShard = (0 until nShards).map { i =>
+            val t0 = System.nanoTime()
+            mat(IvfSearch.knnJoinShard(corpus, 10, IvfSearch.NumProbes, cents,
+              graft.config.GraftConfig.active.ivf.maxCandidates, nShards, i))
+            val s = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[embscale] $tag knn shard $i/$nShards ${s}%.2f s")
+            s
+          }.sorted
+          Seq("knn_shards" -> nShards.toDouble,
+            "knn_shard_min" -> perShard.head,
+            "knn_shard_med" -> perShard(perShard.length / 2),
+            "knn_shard_max" -> perShard.last,
+            "knn_sharded_total" -> perShard.sum)
+        } else Nil
       queries.unpersist()
-      (tag, n, nCells, maxFill, times)
+      (tag, n, nCells, maxFill, times ++ shardStats)
     }
 
     // warm-up at the smallest scale (JIT + codegen outside timings)
@@ -182,7 +208,7 @@ object EmbedScaleRamp {
       val ts = times.map { case (op, s) => f""""$op":$s%.3f""" }.mkString(",")
       s""""$tag":{"vecs":$n,"cells":$c,"max_cell_fill":$mf,$ts}"""
     }.mkString(
-      s"""{"note":"embedding-side ramp: sf0.1 embeddings replicated 10x/100x/400x with per-(replica,dim) coordinate rescale in [0.5,1.5) (replicas are NOT near-dups, measured cos ~0.96 < tau 0.995) and +10M vec_id strides; 10 planted exact copies per corpus; models fitted and index tables staged OUTSIDE timers (resident-index shape); min of $reps reps; knn_join DELIBERATELY absent at x400 — it is N*sqrt(N) by design (every vector queries, cell fill grows ~sqrt(N)) and past x100 a single box measures its own spill disk, not the plan; production shards it by cell","scales":{""",
+      s"""{"note":"embedding-side ramp: sf0.1 embeddings replicated 10x/100x/400x with per-(replica,dim) coordinate rescale in [0.5,1.5) (replicas are NOT near-dups, measured cos ~0.96 < tau 0.995) and +10M vec_id strides; 10 planted exact copies per corpus; models fitted and index tables staged OUTSIDE timers (resident-index shape); min of $reps reps; knn_join (unsharded) DELIBERATELY absent at x400 — it is N*sqrt(N) by design (every vector queries, cell fill grows ~sqrt(N)) and past x100 a single box measures its own spill disk, not the plan; the knn_shard_* rows ARE that production form measured: cells hashed into ceil(N/20k) shards, each shard an independent job (probe-adjacency manifest -> bounded join+windows, union == unsharded graph, spec-asserted), timed sequentially here, run in parallel on a cluster; per-shard wall time is the per-executor cost and total spill state per job stays bounded at every scale","scales":{""",
       ",", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)

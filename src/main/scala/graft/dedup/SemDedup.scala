@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,17 +85,22 @@ object SemDedup {
    * [[IvfSearch.probeCellsRanked]] shape with the keeper signal
    * (4-dp rounded cosine-to-centroid) carried along.
    */
-  private[graft] def assignWithCentSim(e: DataFrame,
-      cents: Array[Array[Float]]): DataFrame = {
+  /** The head-of-sorted-struct assignment EXPRESSION itself, exposed
+    * so the streaming gate routes with the identical expression (its
+    * ts column rides outside it) — `h.cell` / `h.csim` are the fields. */
+  private[graft] def centAssignStruct(cents: Array[Array[Float]]): Column = {
     val centLit = typedLit(cents.zipWithIndex.map { case (cv, cell) => (cell, cv.toSeq) }.toSeq)
-    e.select(col("vec_id"), col("embedding"),
-        element_at(array_sort(transform(centLit,
-          c => struct(vec_l2(col("embedding"), c.getField("_2")).as("cdist"),
-            c.getField("_1").as("cell"),
-            round(vec_cosine(col("embedding"), c.getField("_2")), 4).as("csim")))), 1).as("h"))
+    element_at(array_sort(transform(centLit,
+      c => struct(vec_l2(col("embedding"), c.getField("_2")).as("cdist"),
+        c.getField("_1").as("cell"),
+        round(vec_cosine(col("embedding"), c.getField("_2")), 4).as("csim")))), 1)
+  }
+
+  private[graft] def assignWithCentSim(e: DataFrame,
+      cents: Array[Array[Float]]): DataFrame =
+    e.select(col("vec_id"), col("embedding"), centAssignStruct(cents).as("h"))
       .select(col("vec_id"), col("embedding"),
         col("h.cell").as("cell"), col("h.csim").as("csim"))
-  }
 
   /**
    * The full decision plan over an (vec_id, embedding) corpus: one row
@@ -686,14 +691,42 @@ object SemDedup {
     * a 1.8e9-char plan string carrying ~21k cached-scan nodes, ~95 of
     * the entry's 108 s spent in pure driver-side planning of 2000
     * rows). */
-  private def mergedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = semCorpus(spark, sfDir)
-    val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
-    val admitted = dedupSemanticDeltaApply(spark, sfDir).select(col("vec_id"))
-    corpus.filter(!isDelta)
-      .unionByName(corpus.filter(isDelta).join(admitted, Seq("vec_id"), "left_semi"))
-      .localCheckpoint()
-  }
+  // ONE checkpointed merged corpus (+ its count) per (session, sfDir),
+  // shared by the refit report and the thaw execution so the gate's
+  // report+execute sequence pays the merge once — the IvfSearch
+  // resident-fit discipline applied to the refresh round's input.
+  // Caveat: localCheckpoint blocks are NOT recomputable on executor
+  // loss (unlike cache()); acceptable here because the corpus is
+  // fixture-derived and a lost block just means re-running the entry.
+  private val mergedCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (DataFrame, Long)]]()
+
+  private def mergedCorpusWithCount(spark: SparkSession, sfDir: String): (DataFrame, Long) =
+    mergedCache.synchronized {
+      mergedCache.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(sfDir, {
+          val corpus = semCorpus(spark, sfDir)
+          val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
+          val admitted = dedupSemanticDeltaApply(spark, sfDir).select(col("vec_id"))
+          val df = corpus.filter(!isDelta)
+            .unionByName(corpus.filter(isDelta).join(admitted, Seq("vec_id"), "left_semi"))
+            .localCheckpoint()
+          (df, df.count())
+        })
+    }
+
+  /** Release a `localCheckpoint`'s persisted RDD blocks once the
+    * consumer has materialized its result — the checkpointed frame is
+    * a [[org.apache.spark.sql.execution.LogicalRDD]] leaf whose RDD
+    * otherwise stays at MEMORY_AND_DISK until RDD GC, accumulating in
+    * long-lived bench/serving sessions. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Refit centroids over the merged corpus (sample-bounded driver
     * fit), exported once per JVM for the oracle replays — shared by
@@ -712,8 +745,7 @@ object SemDedup {
   }
 
   def dedupSemanticRefit(spark: SparkSession, sfDir: String): DataFrame = {
-    val merged = mergedCorpus(spark, sfDir)
-    val nMerged = merged.count()
+    val (merged, nMerged) = mergedCorpusWithCount(spark, sfDir)
     val sd = graft.config.GraftConfig.active.semdedup
     // frozen side: the compacted resident assignment (carried + fresh)
     // — localCheckpoint'ed for the same composition reason as merged
@@ -725,6 +757,18 @@ object SemDedup {
     val refit = assignWithCentSim(merged, refitCents).select(col("vec_id"), col("cell"))
       .localCheckpoint()
     val (nf, nr, common) = pairFidelity(merged, frozen, refit, SemTau, sd.maxCell)
+    // the report row is driver-side integers from here on: release the
+    // two assignment checkpoints (merged stays resident in the memo
+    // for the thaw execution to reuse)
+    releaseLocalCheckpoint(frozen); releaseLocalCheckpoint(refit)
+    fidelityReportRow(spark, nMerged, cellsFrozen.toLong,
+      refitCents.length.toLong, nf, nr, common)
+  }
+
+  /** The all-integer fidelity report row both refit forms emit. */
+  private def fidelityReportRow(spark: SparkSession, nMerged: Long,
+      cellsFrozen: Long, cellsRefit: Long,
+      nf: Long, nr: Long, common: Long): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("n_vectors", LongType), StructField("cells_frozen", LongType),
@@ -732,7 +776,7 @@ object SemDedup {
       StructField("pairs_refit", LongType), StructField("pairs_common", LongType),
       StructField("pairs_gained", LongType), StructField("pairs_lost", LongType)))
     spark.createDataFrame(java.util.Arrays.asList(org.apache.spark.sql.Row(
-      nMerged, cellsFrozen.toLong, refitCents.length.toLong,
+      nMerged, cellsFrozen, cellsRefit,
       nf, nr, common, nr - common, nf - common)), schema)
   }
 
@@ -762,7 +806,30 @@ object SemDedup {
     * the same guard + tau, counts joined into the one integer row.
     * Chain CTEs referenced more than once are MATERIALIZED (the
     * DuckDB CTE-inlining rule). */
-  def dedupSemanticRefitSql: String = {
+  def dedupSemanticRefitSql: String =
+    refitReportSqlWith(
+      s"""adm AS MATERIALIZED (SELECT vec_id FROM (
+         |${dedupSemanticDeltaApplySql}
+         |))""".stripMargin)
+
+  /** The staged-pairs CTEs both `_staged` refit oracles share: the
+    * admitted delta derived from the STAGED pair report fixture (the
+    * drop-policy CASE), no apply-chain nesting. */
+  private def stagedAdmCte: String = {
+    val dPred = (c: String) => graft.Carves.deltaSplitSql(c, Dedup.PlantOffset)
+    s"""spairs AS (SELECT a, b, leg FROM read_parquet('$SemDeltaPairsExportPath/*.parquet')),
+       |sdrops AS (
+       |  SELECT DISTINCT CASE WHEN leg = 'delta_delta' THEN b
+       |                       WHEN (${dPred("a")}) THEN a ELSE b END AS id
+       |  FROM spairs),
+       |adm AS MATERIALIZED (
+       |  SELECT vec_id FROM corpus
+       |  WHERE (${dPred("vec_id")}) AND vec_id NOT IN (SELECT id FROM sdrops))""".stripMargin
+  }
+
+  def dedupSemanticRefitStagedSql: String = refitReportSqlWith(stagedAdmCte)
+
+  private def refitReportSqlWith(admCte: String): String = {
     val dPred = (c: String) => graft.Carves.deltaSplitSql(c, Dedup.PlantOffset)
     val mc = cfgMaxCell
     def assignOver(cents: String): String =
@@ -788,10 +855,8 @@ object SemDedup {
          |  JOIN merged ey ON ey.vec_id = y.vec_id
          |  WHERE ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
          |                                     CAST(ey.embedding AS DOUBLE[])), 4) >= $SemTau""".stripMargin
-    s"""WITH adm AS MATERIALIZED (SELECT vec_id FROM (
-       |${dedupSemanticDeltaApplySql}
-       |)),
-       |$semCorpusCte,
+    s"""WITH $semCorpusCte,
+       |$admCte,
        |merged AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM corpus WHERE NOT (${dPred("vec_id")})
        |  UNION ALL
@@ -852,9 +917,66 @@ object SemDedup {
    * why the report exists to gate it.
    */
   def dedupSemanticRefitApply(spark: SparkSession, sfDir: String): DataFrame = {
-    val merged = mergedCorpus(spark, sfDir)
+    val (merged, nMerged) = mergedCorpusWithCount(spark, sfDir)
     val sd = graft.config.GraftConfig.active.semdedup
-    val refitCents = refitCentroidsFor(spark, sfDir, merged, merged.count())
+    val refitCents = refitCentroidsFor(spark, sfDir, merged, nMerged)
+    semanticDedupPlan(merged, refitCents, SemTau, sd.maxCell)
+  }
+
+  /** The staged merged corpus: base snapshot ∪ delta survivors read
+    * off the STAGED pair report — one broadcast anti-join over
+    * map-only scans, NO delta-apply chain anywhere in the plan
+    * (spec-asserted). This is the refresh family's marginal-cost
+    * input: what a pipeline that already ran the per-merge staged
+    * twins actually pays to open the refresh round. */
+  private[graft] def mergedCorpusStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = semCorpus(spark, sfDir)
+    val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
+    val drops = semDrops(stagedSemPairs(spark, sfDir))
+    corpus.filter(!isDelta)
+      .unionByName(corpus.filter(isDelta)
+        .join(broadcast(drops), Seq("vec_id"), "left_anti"))
+  }
+
+  /**
+   * `dedup_semantic_refit_staged`: the refresh round's fidelity report
+   * priced at MARGINAL cost — the [[dedupSemanticRefit]] report
+   * routed off the resident tables the staged twins already maintain
+   * (staged pair report → admitted delta; carried base-assignment
+   * fixture + one delta-sized frozen assignment for the frozen side)
+   * instead of recomputing the delta-apply and compact chains in-plan.
+   * Verdict-identical to the in-plan form (spec-asserted); the two
+   * cell-guarded pair passes remain — they ARE the report's content —
+   * so the staged cost is fit + one merged assignment pass + the
+   * re-pair, not the merge chains.
+   */
+  def dedupSemanticRefitStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    val merged = mergedCorpusStaged(spark, sfDir)
+    val nMerged = IvfSearch.memoCount(merged, s"semrefitstaged:$sfDir")
+    val sd = graft.config.GraftConfig.active.semdedup
+    val frozen = dedupSemanticCompactStaged(spark, sfDir)
+      .select(col("vec_id"), col("cell"))
+    val cellsFrozen = deltaParts(spark, sfDir)._3.length
+    val refitCents = refitCentroidsFor(spark, sfDir, merged, nMerged)
+    val refit = assignWithCentSim(merged, refitCents).select(col("vec_id"), col("cell"))
+    val (nf, nr, common) = pairFidelity(merged, frozen, refit, SemTau, sd.maxCell)
+    fidelityReportRow(spark, nMerged, cellsFrozen.toLong,
+      refitCents.length.toLong, nf, nr, common)
+  }
+
+  /**
+   * `dedup_semantic_refit_apply_staged`: the thaw EXECUTED at marginal
+   * cost — [[semanticDedupPlan]] (the full next-generation re-cluster,
+   * which IS the paid operation) over the staged merged corpus, so the
+   * only non-inherent work the in-plan twin carries (the delta-apply
+   * chain recompute inside its merge) disappears. Verdict-identical to
+   * [[dedupSemanticRefitApply]] (spec-asserted).
+   */
+  def dedupSemanticRefitApplyStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    val merged = mergedCorpusStaged(spark, sfDir)
+    val nMerged = IvfSearch.memoCount(merged, s"semrefitstaged:$sfDir")
+    val sd = graft.config.GraftConfig.active.semdedup
+    val refitCents = refitCentroidsFor(spark, sfDir, merged, nMerged)
     semanticDedupPlan(merged, refitCents, SemTau, sd.maxCell)
   }
 
@@ -863,12 +985,18 @@ object SemDedup {
     * keeper window) replayed over the MERGED corpus (base ∪ admitted
     * delta, the apply chain nested once) and the REFIT centroid
     * fixture. */
-  def dedupSemanticRefitApplySql: String = {
+  def dedupSemanticRefitApplySql: String =
+    refitApplySqlWith(
+      s"""adm AS MATERIALIZED (SELECT vec_id FROM (
+         |${dedupSemanticDeltaApplySql}
+         |))""".stripMargin)
+
+  def dedupSemanticRefitApplyStagedSql: String = refitApplySqlWith(stagedAdmCte)
+
+  private def refitApplySqlWith(admCte: String): String = {
     val dPred = graft.Carves.deltaSplitSql("vec_id", Dedup.PlantOffset)
-    s"""WITH RECURSIVE adm AS MATERIALIZED (SELECT vec_id FROM (
-       |${dedupSemanticDeltaApplySql}
-       |)),
-       |$semCorpusCte,
+    s"""WITH RECURSIVE $semCorpusCte,
+       |$admCte,
        |merged AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM corpus WHERE NOT ($dPred)
        |  UNION ALL

@@ -328,6 +328,72 @@ object IvfSearch {
     knnJoinPlan(data, K, NumProbes, cents, cfg.ivf.maxCandidates)
   }
 
+  /**
+   * ONE cell-shard of the k-NN graph — the unit the 100 TB form runs
+   * as an independent job per shard: queries are the vectors HOMED in
+   * the shard's cells (`cell % nShards == shard`), the corpus side is
+   * restricted to the shard's PROBE-ADJACENCY MANIFEST (the distinct
+   * cells those queries probe — driver-sized: bounded by C cells, not
+   * by vectors), and the join/cap/top-k tail is [[knnJoinPlan]]'s
+   * verbatim. Every candidate of a shard query lives in its probe
+   * cells, so per-query results are EXACTLY the unsharded plan's and
+   * the union over shards is the whole graph (spec-asserted; the
+   * harness entry is oracle-checked against the same DuckDB twin as
+   * `knn_join`).
+   *
+   * Scale posture: each shard's working set is its home-cell vectors
+   * plus their probe halo (~(1 + nProbe·avgFill/shardFill)× the shard)
+   * — per-shard shuffle and window state stay bounded as N grows with
+   * N/nShards fixed, which is what lets 1000 executors take one shard
+   * each instead of one job sorting N·√N candidate rows. On a
+   * cell-bucketed store the manifest `isin` filter partition-prunes
+   * the big-side scan; here it rides the map-side home assignment.
+   */
+  private[graft] def knnJoinShard(data: DataFrame, k: Int, nProbe: Int,
+      cents: Array[Array[Float]], maxCandidates: Int,
+      nShards: Int, shard: Int): DataFrame = {
+    val e = data.select(col("vec_id"), col("embedding"))
+    val homes = probeCellsRanked(e, cents, nProbe = 1,
+        carry = Seq("cvec" -> col("embedding")))
+      .select(col("query_id").as("vec_id"), col("cvec").as("embedding"), col("cell"))
+    val shardQueries = homes.filter(pmod(col("cell"), lit(nShards)) === shard)
+      .select(col("vec_id"), col("embedding"))
+    val probes = probeCellsRanked(shardQueries, cents, nProbe,
+      carry = Seq("qv" -> col("embedding")))
+    // the probe-adjacency manifest: ≤ C cells, one tiny distinct job
+    val manifest = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val cellsSide = homes.filter(col("cell").isin(manifest.map(Integer.valueOf): _*))
+    val wCap = Window.partitionBy("query_id").orderBy(col("crnk"), col("vec_id"))
+    val wk = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    probes.join(cellsSide, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("crnk"),
+        vec_l2(col("embedding"), col("qv")).as("dist"))
+      .withColumn("cap_rank", row_number().over(wCap))
+      .filter(col("cap_rank") <= maxCandidates)
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        round(col("dist"), 4).as("dist"), col("rnk"))
+  }
+
+  /** The sharded k-NN graph: union of [[knnJoinShard]] over all
+    * shards — identical rows to [[knnJoinPlan]], demonstrably. */
+  def knnJoinShardedPlan(data: DataFrame, k: Int, nProbe: Int,
+      cents: Array[Array[Float]], maxCandidates: Int, nShards: Int): DataFrame =
+    (0 until nShards)
+      .map(s => knnJoinShard(data, k, nProbe, cents, maxCandidates, nShards, s))
+      .reduce(_.unionByName(_))
+
+  /** `knn_join_sharded`: the cell-sharded 100 TB form as a harness
+    * entry — 4 shards at test SFs; oracle = [[knnJoinSql]] verbatim
+    * (the sharded union must hash-match the unsharded graph). */
+  def knnJoinSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = fittedCorpusCentroids(spark, sfDir, data)
+    knnJoinShardedPlan(data, K, NumProbes, cents, cfg.ivf.maxCandidates, nShards = 4)
+  }
+
   /** DuckDB twin of [[knnJoin]]: the [[simsearchIvfSql]] chain with
     * every vector as a query and the self candidate excluded. */
   def knnJoinSql: String =

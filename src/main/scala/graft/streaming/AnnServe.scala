@@ -316,11 +316,12 @@ object AnnServe {
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       tombstones: TombstoneRef = new TombstoneRef(),
-      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+      afterBatch: Long => Unit = _ => (),
+      k: Int = graft.query.MrlSearch.K): StreamingQuery =
     servedSink(queries, outPath, checkpoint, trigger, afterBatch) { batch =>
       val i = ref.idx
       graft.query.MrlSearch.ivfmrlTopKForQueries(batch.sparkSession,
         batch.select(col("vec_id"), col("embedding")),
-        i.cells, i.pvecs, i.fetch, i.cents, i.comps, tombstones.deleted)
+        i.cells, i.pvecs, i.fetch, i.cents, i.comps, tombstones.deleted, k)
     }
 }

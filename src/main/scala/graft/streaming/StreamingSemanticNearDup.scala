@@ -52,11 +52,25 @@ import graft.dedup.SemDedup
  * corpus-independent work (centroid literal, no join); the verify is
  * claimant-bounded. The resident seed is one pass over the base
  * assignment table at stream start, never re-read.
+ *
+ * TTL parity with the sibling gates ([[StreamingNearDup]],
+ * [[StreamingDedup]]): with a `tsCol` and a configured
+ * `stream.stateTtlSec`, the gate runs under an event-time watermark
+ * with [[org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout]]
+ * — claimants older than TTL relative to an ARRIVAL's event time
+ * (resident base members included, per their `baseTs` snapshot time)
+ * are ignored and trimmed, each cell's GC deadline extends to
+ * last-sighting + TTL, and a timed-out invocation removes the state —
+ * which is also how a FROZEN cell thaws and resumes emitting.
+ * Retain-forever (the default, `ttlSec = 0`) keeps exact batch
+ * equivalence.
  */
 object StreamingSemanticNearDup {
 
-  final case class CellDoc(cell: Int, vec_id: Long, emb: Seq[Float])
-  final case class Claimant(vec_id: Long, emb: Seq[Float], isBase: Boolean)
+  final case class CellDoc(cell: Int, vec_id: Long, emb: Seq[Float],
+      ts: java.sql.Timestamp)
+  final case class Claimant(vec_id: Long, emb: Seq[Float], isBase: Boolean,
+      tsMs: Long)
   final case class CellState(claimants: List[Claimant], frozen: Boolean)
   final case class SemPair(a: Long, b: Long, cos: Double, leg: String)
 
@@ -83,19 +97,33 @@ object StreamingSemanticNearDup {
   /** Verify one cell's arrivals against its claimants (resident base +
     * earlier arrivals, then each other in vec_id order), fold them in,
     * or freeze the cell once base∪arrivals crosses `maxCell` — the
-    * batch guard's count, applied causally. */
-  def verifyCell(tau: Double, maxCell: Int)(
+    * batch guard's count, applied causally. With `ttlMs > 0`:
+    * claimants older than TTL relative to the ARRIVAL's event time are
+    * ignored and trimmed, the cell's timeout extends to
+    * last-sighting + TTL, and a timed-out invocation removes the state
+    * (frozen cells thaw this way) — [[StreamingNearDup.verifyBucketTtl]]'s
+    * discipline on the cell key. */
+  def verifyCellTtl(tau: Double, maxCell: Int, ttlMs: Long)(
       key: Int,
       rows: Iterator[CellDoc],
       state: GroupState[CellState]): Iterator[SemPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val st = state.getOption.getOrElse(CellState(Nil, frozen = false))
-    if (st.frozen) { rows.foreach(_ => ()); return Iterator.empty }
     val arrivals = rows.toArray.sortBy(_.vec_id)
+    def tsMs(d: CellDoc): Long = if (d.ts == null) 0L else d.ts.getTime
+    // extend the GC deadline to last sighting + TTL (floored above the
+    // watermark — setTimeoutTimestamp rejects timestamps at/behind it)
+    def touchTimeout(): Unit =
+      if (ttlMs > 0 && arrivals.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(arrivals.map(tsMs).max + ttlMs, state.getCurrentWatermarkMs + 1))
+    if (st.frozen) { touchTimeout(); return Iterator.empty }
     val out = Vector.newBuilder[SemPair]
     var claimants = st.claimants
     var frozen = false
     arrivals.foreach { d =>
       if (!frozen) {
+        if (ttlMs > 0) claimants = claimants.filter(c => tsMs(d) - c.tsMs <= ttlMs)
         claimants.foreach { c =>
           if (c.vec_id != d.vec_id) {
             val cos = cosine4(c.emb, d.emb)
@@ -105,48 +133,80 @@ object StreamingSemanticNearDup {
                 if (c.isBase) "delta_base" else "delta_delta")
           }
         }
-        claimants = Claimant(d.vec_id, d.emb, isBase = false) :: claimants
+        claimants = Claimant(d.vec_id, d.emb, isBase = false, tsMs(d)) :: claimants
         if (claimants.size > maxCell) frozen = true
       }
     }
     state.update(if (frozen) CellState(Nil, frozen = true)
       else CellState(claimants, frozen = false))
+    touchTimeout()
     if (frozen) Iterator.empty else out.result().iterator
   }
+
+  /** The TTL-less verify (retain-forever default), kept as the named
+    * batch-equivalence kernel the specs exercise directly. */
+  def verifyCell(tau: Double, maxCell: Int)(
+      key: Int,
+      rows: Iterator[CellDoc],
+      state: GroupState[CellState]): Iterator[SemPair] =
+    verifyCellTtl(tau, maxCell, 0L)(key, rows, state)
 
   /** Map-side cell routing for a (vec_id, embedding) frame — the batch
     * path's assignment expression verbatim, reduced to the gate's
     * key + payload columns. */
-  private def routed(frame: DataFrame, cents: Array[Array[Float]]): DataFrame =
-    SemDedup.assignWithCentSim(frame, cents)
-      .select(col("cell"), col("vec_id"), col("embedding").as("emb"))
+  private def routed(frame: DataFrame, cents: Array[Array[Float]],
+      tsCol: Option[String] = None): DataFrame = {
+    val tsExpr = tsCol.map(c => col(c).cast("timestamp"))
+      .getOrElse(lit(null).cast("timestamp"))
+    frame
+      .select(col("vec_id"), col("embedding"), tsExpr.as("ts"),
+        SemDedup.centAssignStruct(cents).as("h"))
+      .select(col("h.cell").as("cell"), col("vec_id"),
+        col("embedding").as("emb"), col("ts"))
+  }
 
   /** The resident base, grouped into the state store's initial state:
     * one [[CellState]] per cell holding the base members as claimants
-    * — what the batch path calls the resident assignment fixture. */
+    * — what the batch path calls the resident assignment fixture.
+    * Under TTL, residents carry `baseTsMs` (the corpus snapshot's
+    * event time) and age out of claims like any other claimant. */
   def seedState(spark: SparkSession, base: DataFrame,
-      cents: Array[Array[Float]]): Dataset[(Int, CellState)] = {
+      cents: Array[Array[Float]], baseTsMs: Long = 0L): Dataset[(Int, CellState)] = {
     import spark.implicits._
     routed(base, cents).as[CellDoc]
       .groupByKey(_.cell)
       .mapGroups((cell, it) => (cell,
-        CellState(it.map(d => Claimant(d.vec_id, d.emb, isBase = true)).toList,
+        CellState(it.map(d => Claimant(d.vec_id, d.emb, isBase = true, baseTsMs)).toList,
           frozen = false)))
   }
 
   /** arrivals stream with (vec_id, embedding) → verified semantic
     * near-dup pairs (a < b, 4dp HALF_UP cosine, `leg` label), against
-    * resident state seeded from `base` under the frozen `cents`. */
+    * resident state seeded from `base` under the frozen `cents`.
+    * With `tsCol` + a configured `stream.stateTtlSec`, the gate runs
+    * under an event-time watermark and ages claimants/cells out per
+    * [[verifyCellTtl]]; otherwise state is retained forever (exact
+    * batch equivalence). */
   def semanticStream(spark: SparkSession, arrivals: Dataset[org.apache.spark.sql.Row],
       base: DataFrame, cents: Array[Array[Float]],
       tau: Double = SemDedup.SemTau,
-      maxCell: Int = graft.config.GraftConfig.active.semdedup.maxCell): Dataset[SemPair] = {
+      maxCell: Int = graft.config.GraftConfig.active.semdedup.maxCell,
+      tsCol: Option[String] = None,
+      ttlSec: Int = graft.config.GraftConfig.active.stream.stateTtlSec,
+      baseTsMs: Long = 0L): Dataset[SemPair] = {
     import spark.implicits._
-    val init = seedState(spark, base, cents)
+    val withTtl = tsCol.nonEmpty && ttlSec > 0
+    val timeout = if (withTtl) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    val init = seedState(spark, base, cents, if (withTtl) baseTsMs else 0L)
       .groupByKey(_._1).mapValues(_._2)
-    routed(arrivals.toDF(), cents).as[CellDoc]
+    val src0 = routed(arrivals.toDF(), cents, tsCol)
+    // watermark on the PROJECTED ts attribute (a cast/alias sheds the
+    // event-time tag, so tagging the source column would not survive)
+    val src = if (withTtl) src0.withWatermark("ts", "0 seconds") else src0
+    src.as[CellDoc]
       .groupByKey(_.cell)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout(),
-        init)(verifyCell(tau, maxCell))
+      .flatMapGroupsWithState(OutputMode.Append(), timeout,
+        init)(verifyCellTtl(tau, maxCell, if (withTtl) ttlSec * 1000L else 0L))
   }
 }

@@ -135,6 +135,27 @@ class DedupTextSpec extends SparkSpecBase {
     assert(rDup.head.getLong(1) == 7L && rDup.head.getDouble(2) == 0.0)
   }
 
+  test("cell-sharded knn_join: the shard union equals the unsharded graph row-for-row") {
+    val e = Tables.embeddings(spark, sf)
+    val cents = IvfSearch.fitCentroids(e, 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val whole = rows(IvfSearch.knnJoinPlan(e, 5, 3, cents, 20000))
+    for (s <- Seq(2, 5)) {
+      val sharded = IvfSearch.knnJoinShardedPlan(e, 5, 3, cents, 20000, nShards = s)
+      assert(rows(sharded) == whole,
+        s"$s-way sharded union must equal the unsharded k-NN graph")
+    }
+    // shards partition the queries: every query answered exactly once
+    val perShard = (0 until 3).map(s =>
+      IvfSearch.knnJoinShard(e, 5, 3, cents, 20000, 3, s)
+        .select("query_id").distinct().collect().map(_.getLong(0)).toSet)
+    assert(perShard.reduce(_ ++ _) == whole.map(_._1),
+      "shards must cover every query")
+    assert(perShard.map(_.size).sum == whole.map(_._1).size,
+      "shard query sets must be disjoint")
+  }
+
   test("mixed-dimension corpus fails the LSH fit loudly") {
     import spark.implicits._
     val mixed = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(6)(1.0f)))

@@ -208,7 +208,7 @@ class MrlSpec extends SparkSpecBase {
     val q = AnnServe.serveMrl(stream.toDF(), ref, out, ckpt,
       afterBatch = id => if (id == 0) { ref.idx = idx1; live.deleted = Some(tombs) },
       tombstones = live)
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "stream did not finish")
     def served(batch: Int) = spark.read.parquet(out)
       .filter(col("batch_id") === batch).drop("batch_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet

@@ -62,4 +62,31 @@ class StagedTwinsSpec extends SparkSpecBase {
     assert(mhPhys.contains("minhash_delta_pairs") && semPhys.contains("semdelta_pairs"),
       "staged twins must read the staged pair parquet")
   }
+
+  test("refit: staged report and staged thaw verdict-identical to the in-plan forms") {
+    val reportInPlan = SemDedup.dedupSemanticRefit(spark, sf).collect().toSeq
+    val reportStaged = SemDedup.dedupSemanticRefitStaged(spark, sf).collect().toSeq
+    assert(reportStaged == reportInPlan,
+      "the staged fidelity report must read the in-plan report's exact integers")
+
+    val applyInPlan = SemDedup.dedupSemanticRefitApply(spark, sf).collect().toSet
+    val applyStaged = SemDedup.dedupSemanticRefitApplyStaged(spark, sf).collect().toSet
+    assert(applyStaged == applyInPlan,
+      "the staged thaw must produce the in-plan next-generation decision table")
+  }
+
+  test("refit staged twins run WITHOUT the delta-apply/compact chains") {
+    // prime the stage (idempotent if the prior tests ran)
+    SemDedup.dedupSemanticDelta(spark, sf)
+    // the staged merged corpus is the refresh family's input: its plan
+    // must derive the admitted delta from the staged pair parquet, not
+    // the delta-apply chain (whose pair computation carries the
+    // least/greatest pair orientation and the csim assignment chain)
+    val merged = SemDedup.mergedCorpusStaged(spark, sf)
+    val opt = merged.queryExecution.optimizedPlan.toString()
+    assert(!opt.contains("least(") && !opt.contains("csim"),
+      s"staged merged corpus must not re-run the delta pair chain:\n$opt")
+    assert(merged.queryExecution.executedPlan.toString().contains("semdelta_pairs"),
+      "staged merged corpus must read the staged pair parquet")
+  }
 }

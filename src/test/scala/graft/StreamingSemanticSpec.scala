@@ -139,4 +139,121 @@ class StreamingSemanticSpec extends SparkSpecBase {
     // cell B is independent: its pair emits normally
     assert(got.contains((100L, 101L)), s"cell B pair missing: $got")
   }
+
+  // ---- TTL parity with the minhash gate (StreamingNearDupSpec) ----
+
+  private val ttlDim = 4
+  private def fv(xs: Float*): Seq[Float] = xs.toSeq.padTo(ttlDim, 0.0f)
+  private def embDf(rows: Seq[(Long, Seq[Float], Long)], t0: Long) = {
+    import spark.implicits._
+    rows.map { case (id, v, plusSec) =>
+      (id, v, new java.sql.Timestamp(t0 + plusSec * 1000)) }
+      .toDF("vec_id", "embedding", "ts")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("ts"))
+  }
+
+  test("event-time TTL: in-window copies pair, aged claimants (residents included) stop matching, state is GC'd") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val ttlSec = 3600
+    // three far-apart cells: A holds the resident original, B takes
+    // watermark-advancing filler, C takes one early one-off arrival
+    // whose state must be GC'd by timeout
+    val cents3 = Array(Array(1.0f, 0.0f, 0.0f, 0.0f),
+      Array(-1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f))
+    val base = embDf(Seq((0L, fv(1.0f), 0L)), t0).drop("ts")
+    def mkBatches(in: String): Unit = {
+      // b0: in-window near-copy of the resident (t+100) + the cell-C one-off (t+50)
+      embDf(Seq((1L, fv(1.0f, 1e-5f), 100L), (5L, fv(0.0f, 1.0f), 50L)), t0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b=000")
+      // b1: cell-B filler 2h later — advances the watermark past cell
+      // A's and C's deadlines (arrival + ttl)
+      embDf(Seq((200L, fv(-1.0f, 0.0f, 0.5f), 7200L)), t0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b=001")
+      // b2: late near-copy at 2h+100s — resident (t0) and copy (t+100)
+      // are both outside its window: NO pair may surface
+      embDf(Seq((2L, fv(1.0f, 2e-5f), 7300L)), t0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b=002")
+    }
+    def run(name: String, ttl: Int): (Set[(Long, Long)], Long) = {
+      val in = tmp(s"$name-in"); val ckpt = tmp(s"$name-ck"); val out = tmp(s"$name-out")
+      mkBatches(in)
+      val schema = embDf(Seq((0L, fv(1.0f), 0L)), t0).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/b=*")
+      val q = StreamingSemanticNearDup.semanticStream(spark, stream.toDF(),
+          base, cents3, tsCol = Some("ts"), ttlSec = ttl, baseTsMs = t0)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "stream did not finish")
+      val rowsTotal = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsTotal)
+        .getOrElse(-1L)
+      (spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet, rowsTotal)
+    }
+    val (ttlPairs, ttlState) = run("ttl", ttlSec)
+    assert(ttlPairs.contains((0L, 1L)), s"in-window pair must surface: $ttlPairs")
+    assert(!ttlPairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"aged claimants (the t0 resident included) must not match the late copy: $ttlPairs")
+    // batch-equivalence INSIDE the window: the retain-forever twin
+    // pairs the late copy against both aged claimants
+    val (keepPairs, keepState) = run("keep", 0)
+    assert(keepPairs == Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"retain-forever twin must pair all copies: $keepPairs")
+    // and the TTL run's final state is strictly smaller: cell C was
+    // timed out and removed, the retain-forever twin keeps every cell
+    assert(ttlState >= 0 && keepState > ttlState,
+      s"TTL state $ttlState must be below retain-forever state $keepState")
+  }
+
+  test("a frozen cell thaws by timeout and resumes emitting") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val ttlSec = 3600
+    val cents2 = Array(Array(1.0f, 0.0f, 0.0f, 0.0f), Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    val base = embDf(Seq((0L, fv(1.0f), 0L)), t0).drop("ts")
+    val in = tmp("thaw-in"); val ckpt = tmp("thaw-ck"); val out = tmp("thaw-out")
+    // b0: one near-copy pairs with the resident (cell A at 2 claimants)
+    embDf(Seq((1L, fv(1.0f, 1e-5f), 100L)), t0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b=000")
+    // b1: two more near-copies tip cell A past maxCell=3 → the tipping
+    // batch's output is suppressed and the cell FREEZES
+    embDf(Seq((2L, fv(1.0f, 2e-5f), 150L), (3L, fv(1.0f, 3e-5f), 160L)), t0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b=001")
+    // b2: an arrival into the frozen cell is swallowed (extends the
+    // cell's GC deadline to t+200+ttl)
+    embDf(Seq((4L, fv(1.0f, 4e-5f), 200L)), t0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b=002")
+    // b3: cell-B filler 2h later advances the watermark past that
+    // deadline; b4: more filler triggers the timed-out invocation that
+    // REMOVES the frozen cell (the thaw)
+    embDf(Seq((200L, fv(-1.0f, 0.0f, 0.5f), 7200L)), t0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b=003")
+    embDf(Seq((201L, fv(-1.0f, 0.2f, 0.5f), 7300L)), t0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b=004")
+    // b5: two fresh near-copies in the thawed cell pair again
+    embDf(Seq((10L, fv(1.0f, 5e-5f), 7400L), (11L, fv(1.0f, 6e-5f), 7400L)), t0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b=005")
+    val schema = embDf(Seq((0L, fv(1.0f), 0L)), t0).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/b=*")
+    val q = StreamingSemanticNearDup.semanticStream(spark, stream.toDF(),
+        base, cents2, maxCell = 3, tsCol = Some("ts"), ttlSec = ttlSec, baseTsMs = t0)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), s"pre-freeze pair must stand: $got")
+    assert(!got.exists(p => Set(2L, 3L, 4L).contains(p._1) || Set(2L, 3L, 4L).contains(p._2)),
+      s"frozen-cell arrivals must stay suppressed: $got")
+    assert(got.contains((10L, 11L)),
+      s"the thawed cell must resume emitting: $got")
+  }
 }
