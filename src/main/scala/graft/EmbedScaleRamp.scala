@@ -181,19 +181,30 @@ object EmbedScaleRamp {
       val shardStats: Seq[(String, Double)] =
         if (only.forall(_.contains("knn_join_sharded"))) {
           val nShards = math.max(1, math.ceil(n / 20000.0).toInt)
-          val perShard = (0 until nShards).map { i =>
+          // NO SILENT CAPS: shards are independent identical jobs, so
+          // the per-shard wall-time distribution is measured on an
+          // evenly-spaced SAMPLE (≤ SPARK_GRAFT_SHARD_SAMPLE, default
+          // 8) and the sampled/total counts ship in the artifact —
+          // timing all 41 x400 shards sequentially would measure 90
+          // minutes of queueing on one box, not the per-job cost a
+          // cluster pays.
+          val cap = sys.env.getOrElse("SPARK_GRAFT_SHARD_SAMPLE", "8").toInt
+          val picks = if (nShards <= cap) (0 until nShards).toSeq
+            else (0 until cap).map(j => j * nShards / cap)
+          val perShard = picks.map { i =>
             val t0 = System.nanoTime()
             mat(IvfSearch.knnJoinShard(corpus, 10, IvfSearch.NumProbes, cents,
               graft.config.GraftConfig.active.ivf.maxCandidates, nShards, i))
             val s = (System.nanoTime() - t0) / 1e9
-            System.err.println(f"[embscale] $tag knn shard $i/$nShards ${s}%.2f s")
+            System.err.println(
+              f"[embscale] $tag knn shard $i/$nShards ${s}%.2f s (sampling ${picks.length})")
             s
           }.sorted
           Seq("knn_shards" -> nShards.toDouble,
+            "knn_shards_sampled" -> picks.length.toDouble,
             "knn_shard_min" -> perShard.head,
             "knn_shard_med" -> perShard(perShard.length / 2),
-            "knn_shard_max" -> perShard.last,
-            "knn_sharded_total" -> perShard.sum)
+            "knn_shard_max" -> perShard.last)
         } else Nil
       queries.unpersist()
       (tag, n, nCells, maxFill, times ++ shardStats)
@@ -208,7 +219,7 @@ object EmbedScaleRamp {
       val ts = times.map { case (op, s) => f""""$op":$s%.3f""" }.mkString(",")
       s""""$tag":{"vecs":$n,"cells":$c,"max_cell_fill":$mf,$ts}"""
     }.mkString(
-      s"""{"note":"embedding-side ramp: sf0.1 embeddings replicated 10x/100x/400x with per-(replica,dim) coordinate rescale in [0.5,1.5) (replicas are NOT near-dups, measured cos ~0.96 < tau 0.995) and +10M vec_id strides; 10 planted exact copies per corpus; models fitted and index tables staged OUTSIDE timers (resident-index shape); min of $reps reps; knn_join (unsharded) DELIBERATELY absent at x400 — it is N*sqrt(N) by design (every vector queries, cell fill grows ~sqrt(N)) and past x100 a single box measures its own spill disk, not the plan; the knn_shard_* rows ARE that production form measured: cells hashed into ceil(N/20k) shards, each shard an independent job (probe-adjacency manifest -> bounded join+windows, union == unsharded graph, spec-asserted), timed sequentially here, run in parallel on a cluster; per-shard wall time is the per-executor cost and total spill state per job stays bounded at every scale","scales":{""",
+      s"""{"note":"embedding-side ramp: sf0.1 embeddings replicated 10x/100x/400x with per-(replica,dim) coordinate rescale in [0.5,1.5) (replicas are NOT near-dups, measured cos ~0.96 < tau 0.995) and +10M vec_id strides; 10 planted exact copies per corpus; models fitted and index tables staged OUTSIDE timers (resident-index shape); min of $reps reps; knn_join (unsharded) DELIBERATELY absent at x400 — it is N*sqrt(N) by design (every vector queries, cell fill grows ~sqrt(N)) and past x100 a single box measures its own spill disk, not the plan; the knn_shard_* rows ARE that production form measured: cells hashed into ceil(N/20k) shards, each shard an independent job (probe-adjacency manifest -> bounded join+windows, union == unsharded graph, spec-asserted), run in parallel on a cluster; per-shard wall time is the per-job cost, measured on an evenly-spaced sample of knn_shards_sampled of knn_shards shards (shards are identical independent jobs; timing all of them sequentially would measure one box's queueing, not the plan)","scales":{""",
       ",", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)

@@ -1073,6 +1073,370 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
   }
 
+  // ---- modified Kneser-Ney 5-gram (Chen-Goodman 1999) ----
+
+  /**
+   * Modified-Kneser–Ney 5-gram surprisal — the top of the LM ladder:
+   * [[lmScore5gram]]'s order-5 reach with [[lmScoreKn]]'s exact
+   * normalization, plus the Chen–Goodman refinement both lack:
+   * ORDER-SPECIFIC, COUNT-SPECIFIC discounts. Instead of one fixed
+   * D = 0.75 everywhere, each order o estimates THREE discounts from
+   * its own count-of-counts (n_i = types at that order seen exactly i
+   * times):
+   *   Y = n1/(n1 + 2·n2),  D1 = 1 − 2Y·n2/n1,
+   *   D2 = 2 − 3Y·n3/n2,   D3+ = 3 − 4Y·n4/n3
+   * applied by the type's own count (c=1 → D1, c=2 → D2, c≥3 → D3+).
+   * Discounts are clamped into [0, c-class] so the removed mass equals
+   * the redistributed mass EXACTLY, and degenerate count-of-counts
+   * (n_i = 0 at tiny corpora) fall back to fixed constants — the
+   * clamps and fallbacks are what keep Σ_w P(w|ctx) = 1 at every
+   * backoff level over the event space (train vocab + one OOV bucket),
+   * which the ladder spec proves through this very kernel.
+   *
+   * Structure per position (context w1..w4, target w5):
+   *   P5 uses RAW 5-gram counts over 4-gram-prefix POSITION
+   *   denominators (the [[lmScoreKn]] trigram-position rule, order 5);
+   *   P4..P1 use CONTINUATION type counts, each order k reading the
+   *   distinct (k+1)-gram types of the train band ("how many distinct
+   *   left contexts complete this k-gram"); the base is the uniform
+   *   1/(V+1) holding the OOV bucket's share. Unseen context at any
+   *   level backs off to the full lower-order probability.
+   *
+   * `lm_kn5_score` = mean ln P, floored 4 dp; docs with < 5 tokens
+   * report the 0.0 sentinel. Train band = the SAME hash-banded split
+   * as the whole ladder, so the spec compares all rungs on identical
+   * held-out documents.
+   *
+   * Scale posture: the model is the five per-order type/position
+   * aggregates (the shardable Brants-style artifact) plus FIVE one-row
+   * count-of-counts aggregates (the discounts are corpus constants —
+   * broadcast, never a shuffle); the corpus-sized score stream meets
+   * each model table exactly once through nine merge-hinted LEFT
+   * joins keyed by the gram hashes it extracted map-side.
+   */
+  def lmScoreKn5(docs: DataFrame, idCol: String, textCol: String,
+      trainPred: Column): DataFrame = {
+    val toks = tokens(col(textCol))
+    val train = docs.filter(trainPred)
+
+    def sl(off: Int, span: Int) =
+      slice(toks, lit(off), greatest(size(toks) - (span - 1), lit(0)))
+    def posK(k: Int): DataFrame =
+      train.select(explode(arrays_zip((1 to k).map(o =>
+        sl(o, k).as(s"w$o")): _*)).as("z"))
+    def w(o: Int) = col(s"z.w$o")
+    def h(cs: Column*) = xxhash64(cs: _*)
+
+    // order 5: raw position counts; context keys ride the group-by
+    val pos5 = posK(5).select(
+      h(w(1), w(2), w(3), w(4), w(5)).as("g12345"),
+      h(w(1), w(2), w(3), w(4)).as("g1234"),
+      h(w(2), w(3), w(4), w(5)).as("g2345"),
+      h(w(2), w(3), w(4)).as("g234"))
+    val t5 = pos5.groupBy("g12345", "g1234", "g2345", "g234")
+      .agg(count(lit(1)).as("c5"))
+    def classes(t: DataFrame, key: String, c: String, p: String) =
+      t.groupBy(key).agg(
+        sum(when(col(c) === 1, 1L).otherwise(0L)).as(s"${p}1"),
+        sum(when(col(c) === 2, 1L).otherwise(0L)).as(s"${p}2"),
+        sum(when(col(c) >= 3, 1L).otherwise(0L)).as(s"${p}3"))
+    val o5 = pos5.groupBy("g1234").agg(count(lit(1)).as("d5"))
+      .join(classes(t5, "g1234", "c5", "k5"), Seq("g1234"))
+    // order 4: continuation counts from distinct 5-gram types
+    val c4 = t5.groupBy("g2345", "g234").agg(count(lit(1)).as("cc4"))
+    val o4 = t5.groupBy("g234").agg(count(lit(1)).as("d4"))
+      .join(classes(c4, "g234", "cc4", "k4"), Seq("g234"))
+    // order 3: from distinct 4-gram types (suffix = the score row's w3 w4 w5)
+    val t4 = posK(4).select(h(w(1), w(2), w(3), w(4)).as("t4"),
+      h(w(2), w(3), w(4)).as("g345"), h(w(2), w(3)).as("g34")).distinct()
+    val c3 = t4.groupBy("g345", "g34").agg(count(lit(1)).as("cc3"))
+    val o3 = t4.groupBy("g34").agg(count(lit(1)).as("d3"))
+      .join(classes(c3, "g34", "cc3", "k3"), Seq("g34"))
+    // order 2: from distinct trigram types
+    val t3 = posK(3).select(h(w(1), w(2), w(3)).as("t3"),
+      h(w(2), w(3)).as("g45"), h(w(2)).as("g4")).distinct()
+    val c2 = t3.groupBy("g45", "g4").agg(count(lit(1)).as("cc2"))
+    val o2 = t3.groupBy("g4").agg(count(lit(1)).as("d2"))
+      .join(classes(c2, "g4", "cc2", "k2"), Seq("g4"))
+    // order 1: from distinct bigram types (the KN continuation unigram)
+    val t2 = posK(2).select(h(w(1), w(2)).as("t2"), h(w(2)).as("g5")).distinct()
+    val c1 = t2.groupBy("g5").agg(count(lit(1)).as("cc1"))
+    val uni = train.select(explode(toks).as("t"))
+      .select(xxhash64(col("t")).as("g")).distinct()
+
+    // five one-row count-of-counts (the discount estimators) + globals
+    def coc(t: DataFrame, c: String, p: String) = t.agg(
+      sum(when(col(c) === 1, 1L).otherwise(0L)).as(s"${p}1"),
+      sum(when(col(c) === 2, 1L).otherwise(0L)).as(s"${p}2"),
+      sum(when(col(c) === 3, 1L).otherwise(0L)).as(s"${p}3"),
+      sum(when(col(c) === 4, 1L).otherwise(0L)).as(s"${p}4"))
+    val consts = coc(t5, "c5", "a").crossJoin(coc(c4, "cc4", "b"))
+      .crossJoin(coc(c3, "cc3", "e")).crossJoin(coc(c2, "cc2", "f"))
+      .crossJoin(coc(c1, "cc1", "m"))
+      .crossJoin(c1.agg(sum("cc1").as("btot"),
+        sum(when(col("cc1") === 1, 1L).otherwise(0L)).as("k11"),
+        sum(when(col("cc1") === 2, 1L).otherwise(0L)).as("k12"),
+        sum(when(col("cc1") >= 3, 1L).otherwise(0L)).as("k13")))
+      .crossJoin(uni.agg(count(lit(1)).as("v")))
+
+    // score stream over ALL docs, one row per position i >= 5
+    def s5(off: Int) = slice(toks, lit(off), greatest(size(toks) - 4, lit(0)))
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(arrays_zip(s5(1).as("w1"), s5(2).as("w2"), s5(3).as("w3"),
+          s5(4).as("w4"), s5(5).as("w5"))).as("z"))
+      .select(col("doc_id"),
+        h(w(1), w(2), w(3), w(4), w(5)).as("g12345"),
+        h(w(1), w(2), w(3), w(4)).as("g1234"),
+        h(w(2), w(3), w(4), w(5)).as("g2345"),
+        h(w(2), w(3), w(4)).as("g234"),
+        h(w(3), w(4), w(5)).as("g345"),
+        h(w(3), w(4)).as("g34"),
+        h(w(4), w(5)).as("g45"),
+        h(w(4)).as("g4"),
+        h(w(5)).as("g5"))
+    val joined = grams
+      .join(t5.select("g12345", "c5").hint("merge"), Seq("g12345"), "left")
+      .join(o5.hint("merge"), Seq("g1234"), "left")
+      .join(c4.select("g2345", "cc4").hint("merge"), Seq("g2345"), "left")
+      .join(o4.hint("merge"), Seq("g234"), "left")
+      .join(c3.select("g345", "cc3").hint("merge"), Seq("g345"), "left")
+      .join(o3.hint("merge"), Seq("g34"), "left")
+      .join(c2.select("g45", "cc2").hint("merge"), Seq("g45"), "left")
+      .join(o2.hint("merge"), Seq("g4"), "left")
+      .join(c1.hint("merge"), Seq("g5"), "left")
+      .crossJoin(broadcast(consts))
+
+    // Chen-Goodman discounts per order, clamped + degenerate-count
+    // fallbacks (exact constants, identical on both engines)
+    def dbl(c: Column) = c.cast("double")
+    def disc(n1: Column, n2: Column, n3: Column, n4: Column) = {
+      val y = dbl(n1) / (dbl(n1) + lit(2.0) * dbl(n2))
+      (when(n1 > 0, least(greatest(
+          lit(1.0) - lit(2.0) * y * dbl(n2) / dbl(n1), lit(0.0)), lit(1.0)))
+          .otherwise(lit(0.5)),
+        when(n1 > 0 && n2 > 0, least(greatest(
+          lit(2.0) - lit(3.0) * y * dbl(n3) / dbl(n2), lit(0.0)), lit(2.0)))
+          .otherwise(lit(1.0)),
+        when(n1 > 0 && n3 > 0, least(greatest(
+          lit(3.0) - lit(4.0) * y * dbl(n4) / dbl(n3), lit(0.0)), lit(3.0)))
+          .otherwise(lit(1.5)))
+    }
+    val (d51, d52, d53) = disc(col("a1"), col("a2"), col("a3"), col("a4"))
+    val (d41, d42, d43) = disc(col("b1"), col("b2"), col("b3"), col("b4"))
+    val (d31, d32, d33) = disc(col("e1"), col("e2"), col("e3"), col("e4"))
+    val (d21, d22, d23) = disc(col("f1"), col("f2"), col("f3"), col("f4"))
+    val (d11, d12, d13) = disc(col("m1"), col("m2"), col("m3"), col("m4"))
+    def numOf(c: Column, dd: (Column, Column, Column)) = {
+      val cz = coalesce(c, lit(0L))
+      greatest(dbl(cz) - when(cz === 1, dd._1).when(cz === 2, dd._2)
+        .otherwise(dd._3), lit(0.0))
+    }
+    def gma(dd: (Column, Column, Column), k1: Column, k2: Column, k3: Column) =
+      dd._1 * dbl(k1) + dd._2 * dbl(k2) + dd._3 * dbl(k3)
+    val p1 = (numOf(col("cc1"), (d11, d12, d13))
+      + gma((d11, d12, d13), col("k11"), col("k12"), col("k13"))
+        * (lit(1.0) / (dbl(col("v")) + lit(1.0)))) / dbl(col("btot"))
+    def lvl(d: Column, c: Column, dd: (Column, Column, Column),
+        k1: Column, k2: Column, k3: Column, lower: Column) =
+      when(d.isNotNull,
+        (numOf(c, dd) + gma(dd, k1, k2, k3) * lower) / dbl(d))
+        .otherwise(lower)
+    val p2 = lvl(col("d2"), col("cc2"), (d21, d22, d23),
+      col("k21"), col("k22"), col("k23"), p1)
+    val p3 = lvl(col("d3"), col("cc3"), (d31, d32, d33),
+      col("k31"), col("k32"), col("k33"), p2)
+    val p4 = lvl(col("d4"), col("cc4"), (d41, d42, d43),
+      col("k41"), col("k42"), col("k43"), p3)
+    val p5 = lvl(col("d5"), col("c5"), (d51, d52, d53),
+      col("k51"), col("k52"), col("k53"), p4)
+
+    val scored = joined.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_5grams"),
+        (floor(avg(log(p5)) * 10000) / 10000).as("lm_kn5_score"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_5grams"), lit(0L)).as("n_5grams"),
+        coalesce(col("lm_kn5_score"), lit(0.0)).as("lm_kn5_score"))
+  }
+
+  def lmScoreKn5Query(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoreKn5(Tables.documents(spark, sfDir), "doc_id", "text",
+      graft.operators.Corpus.hashUniform(
+        concat(lit(Lm5Seed + ":"), col("doc_id").cast("string"))) < Lm5TrainFrac)
+
+  /** DuckDB twin: string grams, the shared sha-256 train band, the
+    * per-order type/position aggregates and one-row count-of-counts
+    * mirrored, the identical clamp + fallback discount arithmetic and
+    * five-level CASE chain. Multi-referenced CTEs MATERIALIZED. */
+  def lmScoreKn5Sql: String = {
+    val d = "chr(1)"
+    def g(parts: Seq[String]) = parts.mkString(s" || $d || ")
+    def discSql(n1: String, n2: String, n3: String, n4: String)
+        : (String, String, String) = {
+      val y = s"CAST($n1 AS DOUBLE) / (CAST($n1 AS DOUBLE) + 2.0 * CAST($n2 AS DOUBLE))"
+      (s"CASE WHEN $n1 > 0 THEN LEAST(GREATEST(1.0 - 2.0 * $y * CAST($n2 AS DOUBLE) / CAST($n1 AS DOUBLE), 0.0), 1.0) ELSE 0.5 END",
+       s"CASE WHEN $n1 > 0 AND $n2 > 0 THEN LEAST(GREATEST(2.0 - 3.0 * $y * CAST($n3 AS DOUBLE) / CAST($n2 AS DOUBLE), 0.0), 2.0) ELSE 1.0 END",
+       s"CASE WHEN $n1 > 0 AND $n3 > 0 THEN LEAST(GREATEST(3.0 - 4.0 * $y * CAST($n4 AS DOUBLE) / CAST($n3 AS DOUBLE), 0.0), 3.0) ELSE 1.5 END")
+    }
+    val (d51, d52, d53) = discSql("a1", "a2", "a3", "a4")
+    val (d41, d42, d43) = discSql("b1", "b2", "b3", "b4")
+    val (d31, d32, d33) = discSql("e1", "e2", "e3", "e4")
+    val (d21, d22, d23) = discSql("f1", "f2", "f3", "f4")
+    val (d11, d12, d13) = discSql("m1", "m2", "m3", "m4")
+    def num(c: String, dd: (String, String, String)) =
+      s"""GREATEST(CAST(COALESCE($c, 0) AS DOUBLE) - CASE WHEN COALESCE($c, 0) = 1 THEN ${dd._1}
+         |        WHEN COALESCE($c, 0) = 2 THEN ${dd._2} ELSE ${dd._3} END, 0.0)""".stripMargin
+    def gm(dd: (String, String, String), k1: String, k2: String, k3: String) =
+      s"(${dd._1} * CAST($k1 AS DOUBLE) + ${dd._2} * CAST($k2 AS DOUBLE) + ${dd._3} * CAST($k3 AS DOUBLE))"
+    val p1 =
+      s"""((${num("cc1", (d11, d12, d13))}
+         | + ${gm((d11, d12, d13), "k11", "k12", "k13")} * (1.0 / (CAST(v AS DOUBLE) + 1.0)))
+         | / CAST(btot AS DOUBLE))""".stripMargin
+    def lvl(dn: String, c: String, dd: (String, String, String),
+        k1: String, k2: String, k3: String, lower: String) =
+      s"""CASE WHEN $dn IS NOT NULL THEN
+         | (${num(c, dd)} + ${gm(dd, k1, k2, k3)} * ($lower)) / CAST($dn AS DOUBLE)
+         | ELSE ($lower) END""".stripMargin
+    val p2 = lvl("d2", "cc2", (d21, d22, d23), "k21", "k22", "k23", p1)
+    val p3 = lvl("d3", "cc3", (d31, d32, d33), "k31", "k32", "k33", p2)
+    val p4 = lvl("d4", "cc4", (d41, d42, d43), "k41", "k42", "k43", p3)
+    val p5 = lvl("d5", "c5", (d51, d52, d53), "k51", "k52", "k53", p4)
+    def coc(src: String, c: String, p: String) =
+      s"""(SELECT COUNT(*) FILTER (WHERE $c = 1) AS ${p}1,
+         |  COUNT(*) FILTER (WHERE $c = 2) AS ${p}2,
+         |  COUNT(*) FILTER (WHERE $c = 3) AS ${p}3,
+         |  COUNT(*) FILTER (WHERE $c = 4) AS ${p}4 FROM $src)""".stripMargin
+    def cls(src: String, key: String, c: String, p: String) =
+      s"""SELECT $key, COUNT(*) FILTER (WHERE $c = 1) AS ${p}1,
+         |  COUNT(*) FILTER (WHERE $c = 2) AS ${p}2,
+         |  COUNT(*) FILTER (WHERE $c >= 3) AS ${p}3 FROM $src GROUP BY $key"""
+        .stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       |band AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(sha256('$Lm5Seed:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      / 4294967296.0 AS u
+       |  FROM documents),
+       |trn AS MATERIALIZED (SELECT t.doc_id, ts FROM tok t JOIN band b
+       |        ON t.doc_id = b.doc_id AND b.u < $Lm5TrainFrac),
+       |p5x AS MATERIALIZED (
+       |  SELECT
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${g(Seq("ts[i]", "ts[i+1]", "ts[i+2]", "ts[i+3]", "ts[i+4]"))})) AS g12345,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${g(Seq("ts[i]", "ts[i+1]", "ts[i+2]", "ts[i+3]"))})) AS g1234,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${g(Seq("ts[i+1]", "ts[i+2]", "ts[i+3]", "ts[i+4]"))})) AS g2345,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${g(Seq("ts[i+1]", "ts[i+2]", "ts[i+3]"))})) AS g234
+       |  FROM trn),
+       |t5 AS MATERIALIZED (
+       |  SELECT g12345, any_value(g1234) AS g1234, any_value(g2345) AS g2345,
+       |         any_value(g234) AS g234, COUNT(*) AS c5
+       |  FROM p5x GROUP BY g12345),
+       |o5 AS (SELECT dn.g1234, dn.d5, k.k51, k.k52, k.k53 FROM
+       |  (SELECT g1234, COUNT(*) AS d5 FROM p5x GROUP BY g1234) dn
+       |  JOIN (${cls("t5", "g1234", "c5", "k5")}) k USING (g1234)),
+       |c4 AS MATERIALIZED (
+       |  SELECT g2345, any_value(g234) AS g234, COUNT(*) AS cc4
+       |  FROM t5 GROUP BY g2345),
+       |o4 AS (SELECT dn.g234, dn.d4, k.k41, k.k42, k.k43 FROM
+       |  (SELECT g234, COUNT(*) AS d4 FROM t5 GROUP BY g234) dn
+       |  JOIN (${cls("c4", "g234", "cc4", "k4")}) k USING (g234)),
+       |t4 AS MATERIALIZED (
+       |  SELECT DISTINCT * FROM (SELECT
+       |    unnest(list_transform(range(1, len(ts) - 2), i ->
+       |      ${g(Seq("ts[i]", "ts[i+1]", "ts[i+2]", "ts[i+3]"))})) AS t4,
+       |    unnest(list_transform(range(1, len(ts) - 2), i ->
+       |      ${g(Seq("ts[i+1]", "ts[i+2]", "ts[i+3]"))})) AS g345,
+       |    unnest(list_transform(range(1, len(ts) - 2), i ->
+       |      ${g(Seq("ts[i+1]", "ts[i+2]"))})) AS g34
+       |  FROM trn)),
+       |c3 AS MATERIALIZED (
+       |  SELECT g345, any_value(g34) AS g34, COUNT(*) AS cc3
+       |  FROM t4 GROUP BY g345),
+       |o3 AS (SELECT dn.g34, dn.d3, k.k31, k.k32, k.k33 FROM
+       |  (SELECT g34, COUNT(*) AS d3 FROM t4 GROUP BY g34) dn
+       |  JOIN (${cls("c3", "g34", "cc3", "k3")}) k USING (g34)),
+       |t3 AS MATERIALIZED (
+       |  SELECT DISTINCT * FROM (SELECT
+       |    unnest(list_transform(range(1, len(ts) - 1), i ->
+       |      ${g(Seq("ts[i]", "ts[i+1]", "ts[i+2]"))})) AS t3,
+       |    unnest(list_transform(range(1, len(ts) - 1), i ->
+       |      ${g(Seq("ts[i+1]", "ts[i+2]"))})) AS g45,
+       |    unnest(list_transform(range(1, len(ts) - 1), i -> ts[i+1])) AS g4
+       |  FROM trn)),
+       |c2 AS MATERIALIZED (
+       |  SELECT g45, any_value(g4) AS g4, COUNT(*) AS cc2
+       |  FROM t3 GROUP BY g45),
+       |o2 AS (SELECT dn.g4, dn.d2, k.k21, k.k22, k.k23 FROM
+       |  (SELECT g4, COUNT(*) AS d2 FROM t3 GROUP BY g4) dn
+       |  JOIN (${cls("c2", "g4", "cc2", "k2")}) k USING (g4)),
+       |t2 AS MATERIALIZED (
+       |  SELECT DISTINCT * FROM (SELECT
+       |    unnest(list_transform(range(1, len(ts)), i ->
+       |      ${g(Seq("ts[i]", "ts[i+1]"))})) AS t2,
+       |    unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS g5
+       |  FROM trn)),
+       |c1 AS MATERIALIZED (SELECT g5, COUNT(*) AS cc1 FROM t2 GROUP BY g5),
+       |consts AS (SELECT * FROM
+       |  ${coc("t5", "c5", "a")} ca,
+       |  ${coc("c4", "cc4", "b")} cb,
+       |  ${coc("c3", "cc3", "e")} ce,
+       |  ${coc("c2", "cc2", "f")} cf,
+       |  ${coc("c1", "cc1", "m")} cm,
+       |  (SELECT SUM(cc1) AS btot,
+       |     COUNT(*) FILTER (WHERE cc1 = 1) AS k11,
+       |     COUNT(*) FILTER (WHERE cc1 = 2) AS k12,
+       |     COUNT(*) FILTER (WHERE cc1 >= 3) AS k13 FROM c1) cg,
+       |  (SELECT COUNT(DISTINCT t) AS v FROM
+       |     (SELECT unnest(ts) AS t FROM trn)) cv),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${g(Seq("ts[i]", "ts[i+1]", "ts[i+2]", "ts[i+3]", "ts[i+4]"))})) AS g12345,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${g(Seq("ts[i]", "ts[i+1]", "ts[i+2]", "ts[i+3]"))})) AS g1234,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${g(Seq("ts[i+1]", "ts[i+2]", "ts[i+3]", "ts[i+4]"))})) AS g2345,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${g(Seq("ts[i+1]", "ts[i+2]", "ts[i+3]"))})) AS g234,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${g(Seq("ts[i+2]", "ts[i+3]", "ts[i+4]"))})) AS g345,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${g(Seq("ts[i+2]", "ts[i+3]"))})) AS g34,
+       |    unnest(list_transform(range(1, len(ts) - 3), i ->
+       |      ${g(Seq("ts[i+3]", "ts[i+4]"))})) AS g45,
+       |    unnest(list_transform(range(1, len(ts) - 3), i -> ts[i+3])) AS g4,
+       |    unnest(list_transform(range(1, len(ts) - 3), i -> ts[i+4])) AS g5
+       |  FROM tok),
+       |j AS (
+       |  SELECT doc_id, t5.c5, o5.d5, o5.k51, o5.k52, o5.k53,
+       |         c4.cc4, o4.d4, o4.k41, o4.k42, o4.k43,
+       |         c3.cc3, o3.d3, o3.k31, o3.k32, o3.k33,
+       |         c2.cc2, o2.d2, o2.k21, o2.k22, o2.k23,
+       |         c1.cc1, consts.*
+       |  FROM grams
+       |  LEFT JOIN t5 ON grams.g12345 = t5.g12345
+       |  LEFT JOIN o5 ON grams.g1234 = o5.g1234
+       |  LEFT JOIN c4 ON grams.g2345 = c4.g2345
+       |  LEFT JOIN o4 ON grams.g234 = o4.g234
+       |  LEFT JOIN c3 ON grams.g345 = c3.g345
+       |  LEFT JOIN o3 ON grams.g34 = o3.g34
+       |  LEFT JOIN c2 ON grams.g45 = c2.g45
+       |  LEFT JOIN o2 ON grams.g4 = o2.g4
+       |  LEFT JOIN c1 ON grams.g5 = c1.g5
+       |  , consts),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_5grams,
+       |    FLOOR(AVG(ln($p5)) * 10000) / 10000 AS lm_kn5_score
+       |  FROM j GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(s.n_5grams, 0) AS n_5grams,
+       |  COALESCE(s.lm_kn5_score, 0.0) AS lm_kn5_score
+       |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
+  }
+
   val lmScoreSql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
