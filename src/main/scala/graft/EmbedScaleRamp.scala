@@ -191,10 +191,22 @@ object EmbedScaleRamp {
           val cap = sys.env.getOrElse("SPARK_GRAFT_SHARD_SAMPLE", "8").toInt
           val picks = if (nShards <= cap) (0 until nShards).toSeq
             else (0 until cap).map(j => j * nShards / cap)
+          // SPARK_GRAFT_SHARD_STAGED=1: shards read the RESIDENT
+          // home-assignment table (staged once per corpus generation —
+          // the production posture) instead of re-assigning all N
+          // map-side per shard; the in-plan default prices the
+          // self-contained job
+          val homes = if (sys.env.get("SPARK_GRAFT_SHARD_STAGED").contains("1"))
+            Some(staged("homes")(IvfSearch.probeCellsRanked(
+                corpus.select(col("vec_id"), col("embedding")), cents, nProbe = 1,
+                carry = Seq("cvec" -> col("embedding")))
+              .select(col("query_id").as("vec_id"),
+                col("cvec").as("embedding"), col("cell"))))
+          else None
           val perShard = picks.map { i =>
             val t0 = System.nanoTime()
             mat(IvfSearch.knnJoinShard(corpus, 10, IvfSearch.NumProbes, cents,
-              graft.config.GraftConfig.active.ivf.maxCandidates, nShards, i))
+              graft.config.GraftConfig.active.ivf.maxCandidates, nShards, i, homes))
             val s = (System.nanoTime() - t0) / 1e9
             System.err.println(
               f"[embscale] $tag knn shard $i/$nShards ${s}%.2f s (sampling ${picks.length})")

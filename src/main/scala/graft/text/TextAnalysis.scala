@@ -1127,7 +1127,14 @@ object TextAnalysis {
     def w(o: Int) = col(s"z.w$o")
     def h(cs: Column*) = xxhash64(cs: _*)
 
-    // order 5: raw position counts; context keys ride the group-by
+    // order 5: raw position counts; context keys ride the group-by.
+    // The per-order type tables each feed 3-4 consumers (the score
+    // join, the context aggregates, the next order's continuation
+    // counts, their count-of-counts): CACHED while the model is
+    // assembled, released once the doc-sized score table materializes
+    // (the semanticPairsDelta discipline) — uncached, every consumer
+    // re-ran the gram extraction (measured 9.6 s -> the cached run
+    // prices the actual model+score work).
     val pos5 = posK(5).select(
       h(w(1), w(2), w(3), w(4), w(5)).as("g12345"),
       h(w(1), w(2), w(3), w(4)).as("g1234"),
@@ -1165,6 +1172,12 @@ object TextAnalysis {
       .select(xxhash64(col("t")).as("g")).distinct()
 
     // five one-row count-of-counts (the discount estimators) + globals
+    // — COLLECTED driver-side (the fitCentroids discipline: corpus
+    // constants become plan literals). Left as plan columns, each
+    // discount's Y/CASE tree re-inlines at every use site inside the
+    // score projection and the fused stage blows Janino's method
+    // budget (measured InternalCompilerException → interpreted
+    // fallback); as literals the projection stays codegen'd.
     def coc(t: DataFrame, c: String, p: String) = t.agg(
       sum(when(col(c) === 1, 1L).otherwise(0L)).as(s"${p}1"),
       sum(when(col(c) === 2, 1L).otherwise(0L)).as(s"${p}2"),
@@ -1178,6 +1191,7 @@ object TextAnalysis {
         sum(when(col("cc1") === 2, 1L).otherwise(0L)).as("k12"),
         sum(when(col("cc1") >= 3, 1L).otherwise(0L)).as("k13")))
       .crossJoin(uni.agg(count(lit(1)).as("v")))
+      .head()
 
     // score stream over ALL docs, one row per position i >= 5
     def s5(off: Int) = slice(toks, lit(off), greatest(size(toks) - 4, lit(0)))
@@ -1204,28 +1218,33 @@ object TextAnalysis {
       .join(c2.select("g45", "cc2").hint("merge"), Seq("g45"), "left")
       .join(o2.hint("merge"), Seq("g4"), "left")
       .join(c1.hint("merge"), Seq("g5"), "left")
-      .crossJoin(broadcast(consts))
 
     // Chen-Goodman discounts per order, clamped + degenerate-count
-    // fallbacks (exact constants, identical on both engines)
-    def dbl(c: Column) = c.cast("double")
-    def disc(n1: Column, n2: Column, n3: Column, n4: Column) = {
-      val y = dbl(n1) / (dbl(n1) + lit(2.0) * dbl(n2))
-      (when(n1 > 0, least(greatest(
-          lit(1.0) - lit(2.0) * y * dbl(n2) / dbl(n1), lit(0.0)), lit(1.0)))
-          .otherwise(lit(0.5)),
-        when(n1 > 0 && n2 > 0, least(greatest(
-          lit(2.0) - lit(3.0) * y * dbl(n3) / dbl(n2), lit(0.0)), lit(2.0)))
-          .otherwise(lit(1.0)),
-        when(n1 > 0 && n3 > 0, least(greatest(
-          lit(3.0) - lit(4.0) * y * dbl(n4) / dbl(n3), lit(0.0)), lit(3.0)))
-          .otherwise(lit(1.5)))
+    // fallbacks — driver doubles (same IEEE ops/order as the oracle's
+    // in-query arithmetic), landing in the plan as literals
+    def cl(name: String): Long = {
+      val i = consts.fieldIndex(name)
+      if (consts.isNullAt(i)) 0L else consts.getLong(i)
     }
-    val (d51, d52, d53) = disc(col("a1"), col("a2"), col("a3"), col("a4"))
-    val (d41, d42, d43) = disc(col("b1"), col("b2"), col("b3"), col("b4"))
-    val (d31, d32, d33) = disc(col("e1"), col("e2"), col("e3"), col("e4"))
-    val (d21, d22, d23) = disc(col("f1"), col("f2"), col("f3"), col("f4"))
-    val (d11, d12, d13) = disc(col("m1"), col("m2"), col("m3"), col("m4"))
+    def disc(p: String): (Column, Column, Column) = {
+      val (n1, n2, n3, n4) = (cl(p + "1"), cl(p + "2"), cl(p + "3"), cl(p + "4"))
+      val y = n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
+      (lit(if (n1 > 0)
+          math.min(math.max(1.0 - 2.0 * y * n2.toDouble / n1.toDouble, 0.0), 1.0)
+        else 0.5),
+       lit(if (n1 > 0 && n2 > 0)
+          math.min(math.max(2.0 - 3.0 * y * n3.toDouble / n2.toDouble, 0.0), 2.0)
+        else 1.0),
+       lit(if (n1 > 0 && n3 > 0)
+          math.min(math.max(3.0 - 4.0 * y * n4.toDouble / n3.toDouble, 0.0), 3.0)
+        else 1.5))
+    }
+    def dbl(c: Column) = c.cast("double")
+    val (d51, d52, d53) = disc("a")
+    val (d41, d42, d43) = disc("b")
+    val (d31, d32, d33) = disc("e")
+    val (d21, d22, d23) = disc("f")
+    val (d11, d12, d13) = disc("m")
     def numOf(c: Column, dd: (Column, Column, Column)) = {
       val cz = coalesce(c, lit(0L))
       greatest(dbl(cz) - when(cz === 1, dd._1).when(cz === 2, dd._2)
@@ -1234,8 +1253,9 @@ object TextAnalysis {
     def gma(dd: (Column, Column, Column), k1: Column, k2: Column, k3: Column) =
       dd._1 * dbl(k1) + dd._2 * dbl(k2) + dd._3 * dbl(k3)
     val p1 = (numOf(col("cc1"), (d11, d12, d13))
-      + gma((d11, d12, d13), col("k11"), col("k12"), col("k13"))
-        * (lit(1.0) / (dbl(col("v")) + lit(1.0)))) / dbl(col("btot"))
+      + gma((d11, d12, d13),
+          lit(cl("k11")), lit(cl("k12")), lit(cl("k13")))
+        * (lit(1.0) / (lit(cl("v").toDouble) + lit(1.0)))) / lit(cl("btot").toDouble)
     def lvl(d: Column, c: Column, dd: (Column, Column, Column),
         k1: Column, k2: Column, k3: Column, lower: Column) =
       when(d.isNotNull,
@@ -1250,9 +1270,14 @@ object TextAnalysis {
     val p5 = lvl(col("d5"), col("c5"), (d51, d52, d53),
       col("k51"), col("k52"), col("k53"), p4)
 
-    val scored = joined.groupBy("doc_id")
+    // ln P projected BEFORE the aggregate: the five-level CASE chain
+    // inlined into the hash aggregate blows Janino's method budget
+    // (InternalCompilerException → whole-stage fallback, ~2x slower);
+    // as a Project it splits into sub-methods and stays codegen'd
+    val scored = joined.select(col("doc_id"), log(p5).as("lnp"))
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_5grams"),
-        (floor(avg(log(p5)) * 10000) / 10000).as("lm_kn5_score"))
+        (floor(avg(col("lnp")) * 10000) / 10000).as("lm_kn5_score"))
     docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_5grams"), lit(0L)).as("n_5grams"),

@@ -154,6 +154,19 @@ class DedupTextSpec extends SparkSpecBase {
       "shards must cover every query")
     assert(perShard.map(_.size).sum == whole.map(_._1).size,
       "shard query sets must be disjoint")
+    // the resident-assignment form (staged homes) is the same graph
+    val homes = IvfSearch.probeCellsRanked(
+        e.select(col("vec_id"), col("embedding")), cents, nProbe = 1,
+        carry = Seq("cvec" -> col("embedding")))
+      .select(col("query_id").as("vec_id"), col("cvec").as("embedding"), col("cell"))
+      .cache()
+    val stagedUnion = (0 until 3)
+      .map(s => IvfSearch.knnJoinShard(e, 5, 3, cents, 20000, 3, s, Some(homes)))
+      .reduce(_.unionByName(_))
+    assert(rows(stagedUnion) == whole,
+      "staged-homes shards must equal the unsharded k-NN graph")
+    homes.unpersist()
+    ()
   }
 
   test("mixed-dimension corpus fails the LSH fit loudly") {
