@@ -138,4 +138,31 @@ class OracleHygieneSpec extends SparkSpecBase {
       assert(sql.contains(frag), s"dedup_semantic_refit oracle lost `$frag`")
     }
   }
+
+  // the staged refit oracles share the refit bodies with only the adm
+  // CTE swapped to the staged-pairs drop policy — same inlining hazard
+  test("the staged refit oracles keep the shared MATERIALIZED chain") {
+    for (name <- Seq("dedup_semantic_refit_staged", "dedup_semantic_refit_apply_staged")) {
+      val sql = SparkEntry.oracleSql(name)
+      Seq("adm AS MATERIALIZED", "merged AS MATERIALIZED").foreach { frag =>
+        assert(sql.contains(frag), s"$name oracle lost `$frag`")
+      }
+      assert(sql.contains("read_parquet") && sql.contains("semdelta_pairs"),
+        s"$name oracle must derive adm from the staged pair fixture")
+    }
+  }
+
+  // the MKN-5 oracle's per-order type tables each feed 3+ consumers
+  // (the score join, the context aggregates, the next order's
+  // continuation counts, the count-of-counts) — inline-per-reference
+  // would re-extract the gram stream per consumer
+  test("the MKN-5 oracle's multi-referenced type tables stay MATERIALIZED") {
+    val sql = SparkEntry.oracleSql("lm_score_kn5")
+    Seq("p5x AS MATERIALIZED", "t5 AS MATERIALIZED", "c4 AS MATERIALIZED",
+      "t4 AS MATERIALIZED", "c3 AS MATERIALIZED", "t3 AS MATERIALIZED",
+      "c2 AS MATERIALIZED", "t2 AS MATERIALIZED", "c1 AS MATERIALIZED")
+      .foreach { frag =>
+        assert(sql.contains(frag), s"lm_score_kn5 oracle lost `$frag`")
+      }
+  }
 }
