@@ -355,4 +355,30 @@ class PlanPostureSpec extends SparkSpecBase {
       s"the one-row total must broadcast:\n$mp")
     assert(!mp.contains("Sort"), s"the plan table needs no sort:\n$mp")
   }
+
+  test("knn_join_sharded: every shard plan is cell-equi-join only — no cartesian, no corpus broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("knn_join_sharded")
+      assert(!p.contains("CartesianProduct"), s"sharded knn has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"sharded knn must not fall back to a nested-loop broadcast:\n$p")
+      // the probe->home join keys on cell (the manifest-pruned side)
+      assert(p.contains("hashpartitioning(cell") || p.contains("SortMergeJoin"),
+        s"the candidate join must be a cell equi-join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("lm_score_kn5: equi-joins only; discount constants are plan literals") {
+    val p = plan("lm_score_kn5")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"kn5 scoring must stay equi-join only:\n$p")
+    // the discount constants landed as literals: no one-row cross join
+    // of the count-of-counts aggregates survives into the score plan
+    // (in-plan they re-inlined per use site and blew Janino's method
+    // budget — the bench guards the codegen fallback; the plan guards
+    // the structure that caused it)
+    assert(!p.contains("CrossJoin"), s"kn5 constants must be plan literals:\n$p")
+  }
 }
