@@ -1284,6 +1284,65 @@ object TextAnalysis {
         coalesce(col("lm_kn5_score"), lit(0.0)).as("lm_kn5_score"))
   }
 
+  /**
+   * `lm_ladder_eval`: the LM ladder's held-out scoreboard — per
+   * held-out document (the shared hash band's complement, restricted
+   * to docs long enough to carry a 5-gram), which NORMALIZED rung
+   * assigns it the higher per-position log-likelihood: the
+   * interpolated-KN trigram or the modified-KN 5-gram. Both scores are
+   * proper mean-ln-probabilities over the SAME train band, so the
+   * per-doc comparison is the standard held-out surprisal contest;
+   * stupid backoff is deliberately absent (its scores are α-scaled
+   * ratios, not likelihoods — ordering-only, which the specs compare
+   * separately). ALL-INTEGER output (win/tie counts), so the oracle
+   * hash has zero float surface — the per-doc scores themselves are
+   * bit-identical across engines (both entries hash-green), making the
+   * comparisons exact.
+   *
+   * Scale posture: two already-bounded scoring plans joined doc-keyed,
+   * one global integer aggregate.
+   */
+  def lmLadderEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val trainPred = graft.operators.Corpus.hashUniform(
+      concat(lit(Lm5Seed + ":"), col("doc_id").cast("string"))) < Lm5TrainFrac
+    val kn = lmScoreKn(docs, "doc_id", "text", trainPred)
+      .select(col("doc_id"), col("lm_kn_score"))
+    val kn5 = lmScoreKn5(docs, "doc_id", "text", trainPred)
+      .filter(col("n_5grams") > 0)
+      .select(col("doc_id"), col("lm_kn5_score"))
+    docs.filter(!trainPred).select(col("doc_id"))
+      .join(kn, Seq("doc_id")).join(kn5, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_held_out"),
+        sum(when(col("lm_kn5_score") > col("lm_kn_score"), 1L).otherwise(0L))
+          .as("kn5_wins"),
+        sum(when(col("lm_kn_score") > col("lm_kn5_score"), 1L).otherwise(0L))
+          .as("kn3_wins"),
+        sum(when(col("lm_kn5_score") === col("lm_kn_score"), 1L).otherwise(0L))
+          .as("ties"))
+  }
+
+  /** Oracle: both rung chains nested verbatim, the shared sha-256
+    * band's complement, the same integer win/tie aggregate. */
+  def lmLadderEvalSql: String =
+    s"""WITH kn AS MATERIALIZED (
+       |  SELECT doc_id, lm_kn_score FROM (
+       |${lmScoreKnSql}
+       |  )),
+       |kn5 AS MATERIALIZED (
+       |  SELECT doc_id, lm_kn5_score FROM (
+       |${lmScoreKn5Sql}
+       |  ) WHERE n_5grams > 0),
+       |held AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE ('0x' || substr(sha256('$Lm5Seed:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      / 4294967296.0 >= $Lm5TrainFrac)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_held_out,
+       |  CAST(COUNT(*) FILTER (WHERE kn5.lm_kn5_score > kn.lm_kn_score) AS BIGINT) AS kn5_wins,
+       |  CAST(COUNT(*) FILTER (WHERE kn.lm_kn_score > kn5.lm_kn5_score) AS BIGINT) AS kn3_wins,
+       |  CAST(COUNT(*) FILTER (WHERE kn.lm_kn_score = kn5.lm_kn5_score) AS BIGINT) AS ties
+       |FROM held JOIN kn USING (doc_id) JOIN kn5 USING (doc_id)""".stripMargin
+
   def lmScoreKn5Query(spark: SparkSession, sfDir: String): DataFrame =
     lmScoreKn5(Tables.documents(spark, sfDir), "doc_id", "text",
       graft.operators.Corpus.hashUniform(

@@ -112,6 +112,16 @@ class LmKn5Spec extends SparkSpecBase {
       s"raw-count backoff should tie on equal unigram counts: $sboAcc")
   }
 
+  test("lm_ladder_eval: partition invariant, non-trivial both ways, deterministic") {
+    val r1 = TextAnalysis.lmLadderEval(spark, sf).head()
+    val (n, w5, w3, t) = (r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
+    assert(n > 0 && w5 + w3 + t == n,
+      s"every held-out doc lands in exactly one bucket: $n = $w5 + $w3 + $t")
+    assert(w5 > 0, "the 5-gram rung must win somewhere or the ladder adds nothing")
+    val r2 = TextAnalysis.lmLadderEval(spark, sf).head()
+    assert(r1 == r2, "the scoreboard must be deterministic")
+  }
+
   test("held-out ordering: order-5 reach beats the trigram KN where the last trigram ties") {
     // long-range disambiguation the trigram window cannot see: the
     // continuation after "x y" is determined two tokens further back
