@@ -698,22 +698,50 @@ object SemDedup {
   // Caveat: localCheckpoint blocks are NOT recomputable on executor
   // loss (unlike cache()); acceptable here because the corpus is
   // fixture-derived and a lost block just means re-running the entry.
+  // Keyed by sessionUUID (a String), NOT by the SparkSession itself: a
+  // WeakHashMap[SparkSession, DataFrame] defeats its own weak keying
+  // because the memoized DataFrame strongly references its session, so
+  // entries (and their pinned localCheckpoint blocks) would live for
+  // the JVM. With the string key the session is only reachable through
+  // the value, and `releaseMergedCheckpoint` is the explicit eviction
+  // hook: it unpersists the checkpoint blocks and drops the entry (a
+  // long-lived serving JVM calls it when a corpus generation retires;
+  // Verify/Bench runs simply let the one active session's entries ride).
   private val mergedCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (DataFrame, Long)]]()
+    scala.collection.mutable.Map.empty[(String, String), (DataFrame, Long)]
+
+  // a session key with no strong reference to the session object
+  // (sessionUUID lives on the classic subclass only)
+  private def sessionKey(spark: SparkSession): String =
+    System.identityHashCode(spark).toHexString
 
   private def mergedCorpusWithCount(spark: SparkSession, sfDir: String): (DataFrame, Long) =
     mergedCache.synchronized {
-      mergedCache.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(sfDir, {
-          val corpus = semCorpus(spark, sfDir)
-          val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
-          val admitted = dedupSemanticDeltaApply(spark, sfDir).select(col("vec_id"))
-          val df = corpus.filter(!isDelta)
-            .unionByName(corpus.filter(isDelta).join(admitted, Seq("vec_id"), "left_semi"))
-            .localCheckpoint()
-          (df, df.count())
-        })
+      mergedCache.getOrElseUpdate((sessionKey(spark), sfDir), {
+        val corpus = semCorpus(spark, sfDir)
+        val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
+        val admitted = dedupSemanticDeltaApply(spark, sfDir).select(col("vec_id"))
+        val df = corpus.filter(!isDelta)
+          .unionByName(corpus.filter(isDelta).join(admitted, Seq("vec_id"), "left_semi"))
+          .localCheckpoint()
+        (df, df.count())
+      })
+    }
+
+  /** Explicit eviction for the memoized merged checkpoint: unpersists
+    * its RDD blocks and forgets the entry (all corpus dirs of `spark`,
+    * or just `sfDir` when given). The release hook the memo needs in a
+    * long-lived JVM — without it the checkpoint blocks stay pinned at
+    * MEMORY_AND_DISK until session exit. */
+  def releaseMergedCheckpoint(spark: SparkSession, sfDir: Option[String] = None): Unit =
+    mergedCache.synchronized {
+      val doomed = mergedCache.keys.filter { case (sid, dir) =>
+        sid == sessionKey(spark) && sfDir.forall(_ == dir)
+      }.toSeq
+      doomed.foreach { k =>
+        releaseLocalCheckpoint(mergedCache(k)._1)
+        mergedCache.remove(k)
+      }
     }
 
   /** Release a `localCheckpoint`'s persisted RDD blocks once the
@@ -721,7 +749,7 @@ object SemDedup {
     * a [[org.apache.spark.sql.execution.LogicalRDD]] leaf whose RDD
     * otherwise stays at MEMORY_AND_DISK until RDD GC, accumulating in
     * long-lived bench/serving sessions. */
-  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.optimizedPlan.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -369,4 +369,116 @@ object BinaryMeta {
        |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
        |ORDER BY cosine DESC, a, b LIMIT $topN""".stripMargin
   }
+
+  // ---- incremental multimodal dedup (the recrawl delta) ----
+
+  val MmDeltaCentroidExportPath: String =
+    graft.FixturePaths.fixture("mm_delta_centroids.parquet")
+  val MmDeltaAssignExportPath: String =
+    graft.FixturePaths.fixture("mm_delta_base_assign.parquet")
+
+  /** Exact-dup verify threshold for the delta twin: recrawl copies of
+    * identical media bytes read cosine 1.0 through the stub features;
+    * uncorrelated background pairs sit near 0 at [[EmbedDim]] dims. */
+  val MmDeltaTau: Double = 0.99
+
+  /**
+   * `multimodal_neardup_delta`: incremental multimodal dedup for
+   * RECRAWLS — the [[graft.dedup.SemDedup]] delta discipline applied
+   * to the media embedding stack, so a recrawl with images pays
+   * delta-sized work instead of the full [[multimodalNeardup]]
+   * re-pair. Resident state: the base's cell assignments + the frozen
+   * base-fitted centroids, staged once when the base corpus was
+   * deduped (the base is never re-assigned — the never-re-signed
+   * rule). Only the recrawl delta (every [[graft.Carves.DeltaMod]]-th
+   * doc) is embedded-and-assigned map-side; ONE within-cell probe
+   * join covers both legs (delta×base and delta×delta) under the
+   * base∪delta `maxCell` guard; exact-cosine verify is
+   * candidate-bounded; `leg` labels feed the merge report.
+   *
+   * Scale posture: identical to `dedup_semantic_delta` — the only
+   * data-sized shuffle is the cell probe join with a recrawl-sized
+   * delta side; the quadratic term is cell-guard-bounded; embeddings
+   * are fetched only for candidate ids.
+   */
+  def multimodalNeardupDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), mediaPlant.as("media"))
+    val e = embedStubCentered(media)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val isDelta = col("vec_id") % graft.Carves.DeltaMod === 0
+    val base = e.filter(!isDelta)
+    val delta = e.filter(isDelta)
+    val cells = graft.query.IvfSearch.scaledCells(
+      graft.query.IvfSearch.memoCount(base, s"mmdelta:$sfDir"))
+    val cents = graft.query.IvfSearch.fitCentroids(
+      base, cells, Some(s"mmdelta:$cells:$sfDir"))
+    graft.FixtureExport.ensure(s"mmdelta:$sfDir|c=$cells", MmDeltaCentroidExportPath) {
+      graft.query.IvfSearch.centroidsDf(spark, cents)
+        .coalesce(1).write.mode("overwrite").parquet(MmDeltaCentroidExportPath)
+    }
+    graft.FixtureExport.ensure(s"mmdelta:$sfDir|c=$cells", MmDeltaAssignExportPath) {
+      graft.dedup.SemDedup.assignWithCentSim(base, cents)
+        .select(col("vec_id"), col("cell"))
+        .coalesce(1).write.mode("overwrite").parquet(MmDeltaAssignExportPath)
+    }
+    val baseAssign = spark.read.parquet(MmDeltaAssignExportPath)
+    val deltaAssign = graft.dedup.SemDedup.assignWithCentSim(delta, cents)
+      .select(col("vec_id"), col("cell"))
+    graft.dedup.SemDedup.semanticPairsDelta(baseAssign, deltaAssign, e,
+      tau = MmDeltaTau,
+      maxCell = graft.config.GraftConfig.active.semdedup.maxCell)
+  }
+
+  /** DuckDB twin: the `dedup_semantic_delta` decision chain over the
+    * media stub corpus — media plant + FLOAT stub features, resident
+    * base-assignment fixture, map-side delta assignment replayed from
+    * the centroid fixture (L2 argmin, cell tiebreak), base∪delta
+    * guard, one probe join, exact cosine ≥ τ, leg labels. */
+  def multimodalNeardupDeltaSql: String = {
+    val feats = (0 until EmbedDim).map(j =>
+      s"CAST(CAST(('0x' || substr(sha256(media), ${j * 8 + 1}, 8))::UBIGINT / 4294967296.0 - 0.5 AS FLOAT) AS DOUBLE)")
+    val maxCell = graft.config.GraftConfig.active.semdedup.maxCell
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN source || '-dup-' || (doc_id % 40)
+       |         ELSE source || '-' || doc_id END AS media
+       |  FROM documents),
+       |corpus AS MATERIALIZED (SELECT doc_id AS vec_id,
+       |  [${feats.mkString(",\n   ")}] AS embedding
+       |  FROM m),
+       |c AS (SELECT cell, cv FROM read_parquet('$MmDeltaCentroidExportPath/*.parquet')),
+       |base_assign AS (SELECT vec_id, cell FROM read_parquet('$MmDeltaAssignExportPath/*.parquet')),
+       |d AS MATERIALIZED (SELECT vec_id FROM corpus
+       |      WHERE vec_id % ${graft.Carves.DeltaMod} = 0),
+       |delta_assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+       |                               CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM corpus e JOIN d USING (vec_id) CROSS JOIN c)
+       |  WHERE r = 1),
+       |assign_all AS (SELECT * FROM base_assign UNION ALL SELECT * FROM delta_assign),
+       |guarded AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM assign_all
+       |  QUALIFY COUNT(*) OVER (PARTITION BY cell) <= $maxCell),
+       |cands AS (
+       |  SELECT DISTINCT LEAST(x.vec_id, y.vec_id) AS a,
+       |                  GREATEST(x.vec_id, y.vec_id) AS b
+       |  FROM guarded x JOIN guarded y
+       |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |  WHERE x.vec_id IN (SELECT vec_id FROM d)),
+       |verify AS (
+       |  SELECT c2.a, c2.b,
+       |    ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                 CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM cands c2
+       |  JOIN corpus ea ON ea.vec_id = c2.a
+       |  JOIN corpus eb ON eb.vec_id = c2.b)
+       |SELECT a, b, cos,
+       |  CASE WHEN a IN (SELECT vec_id FROM d) AND b IN (SELECT vec_id FROM d)
+       |       THEN 'delta_delta' ELSE 'delta_base' END AS leg
+       |FROM verify WHERE cos >= $MmDeltaTau""".stripMargin
+  }
 }

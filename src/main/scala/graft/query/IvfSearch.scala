@@ -404,6 +404,43 @@ object IvfSearch {
     knnJoinShardedPlan(data, K, NumProbes, cents, cfg.ivf.maxCandidates, nShards = 4)
   }
 
+  /** Where [[knnJoinShardedStaged]] stages the (vec_id, embedding,
+    * cell) home-assignment table — once per corpus generation, the
+    * thing a cell-bucketed 100 TB store already is. */
+  val KnnHomesStagePath: String = graft.FixturePaths.stage("knn_homes.parquet")
+
+  /** Stage the home-assignment table once per (JVM, corpus) and read
+    * it back RESIDENT — each shard job then scans only this table
+    * (manifest-pruned) instead of re-assigning all N vectors map-side
+    * per shard (the in-plan form's dominant per-shard cost at large
+    * nShards: 139.6 s vs 16.6 s staged at the x400 ramp). */
+  private def stagedKnnHomes(spark: SparkSession, sfDir: String,
+      data: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    graft.FixtureExport.ensure(s"knnhomes:$sfDir|c=${cents.length}", KnnHomesStagePath) {
+      probeCellsRanked(data.select(col("vec_id"), col("embedding")), cents,
+          nProbe = 1, carry = Seq("cvec" -> col("embedding")))
+        .select(col("query_id").as("vec_id"), col("cvec").as("embedding"), col("cell"))
+        .write.mode("overwrite").parquet(KnnHomesStagePath)
+    }
+    spark.read.parquet(KnnHomesStagePath)
+  }
+
+  /** `knn_join_sharded_staged`: the PRODUCTION sharded form as a
+    * first-class entry — shards route off the resident staged
+    * home-assignment table ([[knnJoinShard]]'s `stagedHomes` path), so
+    * per-shard cost is the bounded join/cap/top-k work only. Oracle =
+    * [[knnJoinSql]] VERBATIM: the staged sharded union must hash-match
+    * the unsharded graph. */
+  def knnJoinShardedStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = fittedCorpusCentroids(spark, sfDir, data)
+    val homes = stagedKnnHomes(spark, sfDir, data, cents)
+    (0 until 4)
+      .map(s => knnJoinShard(data, K, NumProbes, cents, cfg.ivf.maxCandidates,
+        nShards = 4, shard = s, stagedHomes = Some(homes)))
+      .reduce(_.unionByName(_))
+  }
+
   /** DuckDB twin of [[knnJoin]]: the [[simsearchIvfSql]] chain with
     * every vector as a query and the self candidate excluded. */
   def knnJoinSql: String =

@@ -121,8 +121,14 @@ object StreamingNearDup {
     var frozen = false
     arrivals.foreach { d =>
       if (!frozen) {
-        if (ttlMs > 0) claimants = claimants.filter(c => tsMs(d) - c.tsMs <= ttlMs)
-        claimants.foreach { c =>
+        // non-destructive TTL view per arrival (see
+        // [[StreamingSemanticNearDup.verifyCellTtl]]): an out-of-order
+        // sibling in the same trigger must not drop a claimant that is
+        // still inside an older-ts arrival's window; state compacts
+        // once below against the batch's max event time
+        val live = if (ttlMs > 0) claimants.filter(c => tsMs(d) - c.tsMs <= ttlMs)
+                   else claimants
+        live.foreach { c =>
           if (c.doc_id != d.doc_id) {
             val j = jaccard(c.sh, d.sh)
             if (j >= Threshold)
@@ -131,8 +137,14 @@ object StreamingNearDup {
           }
         }
         claimants = Claimant(d.doc_id, d.sh, tsMs(d)) :: claimants
-        if (claimants.size > MaxBucket) frozen = true
+        val liveCount = if (ttlMs > 0) claimants.count(c => tsMs(d) - c.tsMs <= ttlMs)
+                        else claimants.size
+        if (liveCount > MaxBucket) frozen = true
       }
+    }
+    if (!frozen && ttlMs > 0 && arrivals.nonEmpty) {
+      val maxTs = arrivals.map(tsMs).max
+      claimants = claimants.filter(c => maxTs - c.tsMs <= ttlMs)
     }
     state.update(if (frozen) BucketState(Nil, frozen = true)
       else BucketState(claimants, frozen = false))

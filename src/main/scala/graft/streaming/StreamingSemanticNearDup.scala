@@ -98,8 +98,11 @@ object StreamingSemanticNearDup {
     * earlier arrivals, then each other in vec_id order), fold them in,
     * or freeze the cell once base∪arrivals crosses `maxCell` — the
     * batch guard's count, applied causally. With `ttlMs > 0`:
-    * claimants older than TTL relative to the ARRIVAL's event time are
-    * ignored and trimmed, the cell's timeout extends to
+    * claimants older than TTL relative to EACH arrival's own event
+    * time are ignored for that arrival (non-destructively — state
+    * compacts once per trigger against the max event time, so
+    * out-of-order rows within a batch keep their windows), the cell's
+    * timeout extends to
     * last-sighting + TTL, and a timed-out invocation removes the state
     * (frozen cells thaw this way) — [[StreamingNearDup.verifyBucketTtl]]'s
     * discipline on the cell key. */
@@ -123,8 +126,16 @@ object StreamingSemanticNearDup {
     var frozen = false
     arrivals.foreach { d =>
       if (!frozen) {
-        if (ttlMs > 0) claimants = claimants.filter(c => tsMs(d) - c.tsMs <= ttlMs)
-        claimants.foreach { c =>
+        // TTL view is NON-DESTRUCTIVE per arrival: each arrival matches
+        // against the claimants inside ITS OWN event-time window, so an
+        // out-of-order sibling in the same trigger (newer ts, lower
+        // vec_id — arrivals fold in vec_id order for batch equality)
+        // cannot permanently drop a claimant a still-in-window sibling
+        // should pair with; state is compacted ONCE below, against the
+        // batch's max event time.
+        val live = if (ttlMs > 0) claimants.filter(c => tsMs(d) - c.tsMs <= ttlMs)
+                   else claimants
+        live.foreach { c =>
           if (c.vec_id != d.vec_id) {
             val cos = cosine4(c.emb, d.emb)
             if (cos >= tau)
@@ -134,8 +145,14 @@ object StreamingSemanticNearDup {
           }
         }
         claimants = Claimant(d.vec_id, d.emb, isBase = false, tsMs(d)) :: claimants
-        if (claimants.size > maxCell) frozen = true
+        val liveCount = if (ttlMs > 0) claimants.count(c => tsMs(d) - c.tsMs <= ttlMs)
+                        else claimants.size
+        if (liveCount > maxCell) frozen = true
       }
+    }
+    if (!frozen && ttlMs > 0 && arrivals.nonEmpty) {
+      val maxTs = arrivals.map(tsMs).max
+      claimants = claimants.filter(c => maxTs - c.tsMs <= ttlMs)
     }
     state.update(if (frozen) CellState(Nil, frozen = true)
       else CellState(claimants, frozen = false))

@@ -1115,10 +1115,46 @@ object TextAnalysis {
    * joins keyed by the gram hashes it extracted map-side.
    */
   def lmScoreKn5(docs: DataFrame, idCol: String, textCol: String,
-      trainPred: Column): DataFrame = {
-    val toks = tokens(col(textCol))
-    val train = docs.filter(trainPred)
+      trainPred: Column): DataFrame =
+    lm5ScorePlan(docs, idCol, textCol, lm5Fit(docs.filter(trainPred), textCol))
 
+  /** The fitted MKN-5 model: the nine score-ready per-order tables
+    * (hash-keyed counts / position denominators / count-classes) plus
+    * the one-row constants frame (per-order count-of-counts,
+    * continuation total, vocab) — what [[lm5ScorePlan]] joins the
+    * gram stream against. Built in-plan by [[lm5Fit]], or read
+    * RESIDENT off the [[lmModelExport]] fixtures by
+    * [[lm5StagedModel]]. */
+  private[graft] case class Lm5Model(t5: DataFrame, o5: DataFrame,
+      c4: DataFrame, o4: DataFrame, c3: DataFrame, o3: DataFrame,
+      c2: DataFrame, o2: DataFrame, c1: DataFrame, consts: DataFrame)
+
+  /** The five per-order TYPE tables (orders 5..1) — the shardable
+    * Brants-style model artifact: every [[Lm5Model]] table is a
+    * bounded MODEL-sized aggregate of these, so they (plus the one-row
+    * count-of-counts) are exactly what [[lmModelExport]] stages. */
+  private[graft] case class Lm5Types(t5: DataFrame, t4: DataFrame,
+      t3: DataFrame, t2: DataFrame, uni: DataFrame)
+
+  private def lm5Classes(t: DataFrame, key: String, c: String, p: String) =
+    t.groupBy(key).agg(
+      sum(when(col(c) === 1, 1L).otherwise(0L)).as(s"${p}1"),
+      sum(when(col(c) === 2, 1L).otherwise(0L)).as(s"${p}2"),
+      sum(when(col(c) >= 3, 1L).otherwise(0L)).as(s"${p}3"))
+
+  private def lm5Coc(t: DataFrame, c: String, p: String) = t.agg(
+    sum(when(col(c) === 1, 1L).otherwise(0L)).as(s"${p}1"),
+    sum(when(col(c) === 2, 1L).otherwise(0L)).as(s"${p}2"),
+    sum(when(col(c) === 3, 1L).otherwise(0L)).as(s"${p}3"),
+    sum(when(col(c) === 4, 1L).otherwise(0L)).as(s"${p}4"))
+
+  /** Extract the five type tables from the train band — the ONLY
+    * corpus-sized passes in the model build (order 5 keeps raw
+    * position counts `c5`; orders 4..2 are DISTINCT type sets; order 1
+    * is the train vocabulary, NOT derivable from t2 whose g5 misses
+    * each document's first token). */
+  private[graft] def lm5TypeTables(train: DataFrame, textCol: String): Lm5Types = {
+    val toks = tokens(col(textCol))
     def sl(off: Int, span: Int) =
       slice(toks, lit(off), greatest(size(toks) - (span - 1), lit(0)))
     def posK(k: Int): DataFrame =
@@ -1126,72 +1162,91 @@ object TextAnalysis {
         sl(o, k).as(s"w$o")): _*)).as("z"))
     def w(o: Int) = col(s"z.w$o")
     def h(cs: Column*) = xxhash64(cs: _*)
-
-    // order 5: raw position counts; context keys ride the group-by.
-    // The per-order type tables each feed 3-4 consumers (the score
-    // join, the context aggregates, the next order's continuation
-    // counts, their count-of-counts): CACHED while the model is
-    // assembled, released once the doc-sized score table materializes
-    // (the semanticPairsDelta discipline) — uncached, every consumer
-    // re-ran the gram extraction (measured 9.6 s -> the cached run
-    // prices the actual model+score work).
-    val pos5 = posK(5).select(
-      h(w(1), w(2), w(3), w(4), w(5)).as("g12345"),
-      h(w(1), w(2), w(3), w(4)).as("g1234"),
-      h(w(2), w(3), w(4), w(5)).as("g2345"),
-      h(w(2), w(3), w(4)).as("g234"))
-    val t5 = pos5.groupBy("g12345", "g1234", "g2345", "g234")
+    // order 5: raw position counts; context keys ride the group-by
+    val t5 = posK(5).select(
+        h(w(1), w(2), w(3), w(4), w(5)).as("g12345"),
+        h(w(1), w(2), w(3), w(4)).as("g1234"),
+        h(w(2), w(3), w(4), w(5)).as("g2345"),
+        h(w(2), w(3), w(4)).as("g234"))
+      .groupBy("g12345", "g1234", "g2345", "g234")
       .agg(count(lit(1)).as("c5"))
-    def classes(t: DataFrame, key: String, c: String, p: String) =
-      t.groupBy(key).agg(
-        sum(when(col(c) === 1, 1L).otherwise(0L)).as(s"${p}1"),
-        sum(when(col(c) === 2, 1L).otherwise(0L)).as(s"${p}2"),
-        sum(when(col(c) >= 3, 1L).otherwise(0L)).as(s"${p}3"))
-    val o5 = pos5.groupBy("g1234").agg(count(lit(1)).as("d5"))
-      .join(classes(t5, "g1234", "c5", "k5"), Seq("g1234"))
-    // order 4: continuation counts from distinct 5-gram types
-    val c4 = t5.groupBy("g2345", "g234").agg(count(lit(1)).as("cc4"))
-    val o4 = t5.groupBy("g234").agg(count(lit(1)).as("d4"))
-      .join(classes(c4, "g234", "cc4", "k4"), Seq("g234"))
-    // order 3: from distinct 4-gram types (suffix = the score row's w3 w4 w5)
     val t4 = posK(4).select(h(w(1), w(2), w(3), w(4)).as("t4"),
       h(w(2), w(3), w(4)).as("g345"), h(w(2), w(3)).as("g34")).distinct()
-    val c3 = t4.groupBy("g345", "g34").agg(count(lit(1)).as("cc3"))
-    val o3 = t4.groupBy("g34").agg(count(lit(1)).as("d3"))
-      .join(classes(c3, "g34", "cc3", "k3"), Seq("g34"))
-    // order 2: from distinct trigram types
     val t3 = posK(3).select(h(w(1), w(2), w(3)).as("t3"),
       h(w(2), w(3)).as("g45"), h(w(2)).as("g4")).distinct()
-    val c2 = t3.groupBy("g45", "g4").agg(count(lit(1)).as("cc2"))
-    val o2 = t3.groupBy("g4").agg(count(lit(1)).as("d2"))
-      .join(classes(c2, "g4", "cc2", "k2"), Seq("g4"))
-    // order 1: from distinct bigram types (the KN continuation unigram)
     val t2 = posK(2).select(h(w(1), w(2)).as("t2"), h(w(2)).as("g5")).distinct()
-    val c1 = t2.groupBy("g5").agg(count(lit(1)).as("cc1"))
     val uni = train.select(explode(toks).as("t"))
       .select(xxhash64(col("t")).as("g")).distinct()
+    Lm5Types(t5, t4, t3, t2, uni)
+  }
 
-    // five one-row count-of-counts (the discount estimators) + globals
-    // — COLLECTED driver-side (the fitCentroids discipline: corpus
-    // constants become plan literals). Left as plan columns, each
-    // discount's Y/CASE tree re-inlines at every use site inside the
-    // score projection and the fused stage blows Janino's method
+  /** Assemble the score-ready [[Lm5Model]] from the type tables —
+    * bounded model-sized aggregates only (the order-5 position
+    * denominator d5 is Σc5 over t5, identical to counting positions
+    * directly). `stagedConsts` substitutes the fixture-read
+    * count-of-counts row on the staged path so the resident model is
+    * self-consistent with its own staged type tables. */
+  private[graft] def lm5ModelFromTypes(ty: Lm5Types,
+      stagedConsts: Option[DataFrame] = None): Lm5Model = {
+    val o5 = ty.t5.groupBy("g1234").agg(sum("c5").as("d5"))
+      .join(lm5Classes(ty.t5, "g1234", "c5", "k5"), Seq("g1234"))
+    // order 4: continuation counts from distinct 5-gram types
+    val c4 = ty.t5.groupBy("g2345", "g234").agg(count(lit(1)).as("cc4"))
+    val o4 = ty.t5.groupBy("g234").agg(count(lit(1)).as("d4"))
+      .join(lm5Classes(c4, "g234", "cc4", "k4"), Seq("g234"))
+    // order 3: from distinct 4-gram types (suffix = the score row's w3 w4 w5)
+    val c3 = ty.t4.groupBy("g345", "g34").agg(count(lit(1)).as("cc3"))
+    val o3 = ty.t4.groupBy("g34").agg(count(lit(1)).as("d3"))
+      .join(lm5Classes(c3, "g34", "cc3", "k3"), Seq("g34"))
+    // order 2: from distinct trigram types
+    val c2 = ty.t3.groupBy("g45", "g4").agg(count(lit(1)).as("cc2"))
+    val o2 = ty.t3.groupBy("g4").agg(count(lit(1)).as("d2"))
+      .join(lm5Classes(c2, "g4", "cc2", "k2"), Seq("g4"))
+    // order 1: from distinct bigram types (the KN continuation unigram)
+    val c1 = ty.t2.groupBy("g5").agg(count(lit(1)).as("cc1"))
+    val consts = stagedConsts.getOrElse(
+      lm5Coc(ty.t5, "c5", "a").crossJoin(lm5Coc(c4, "cc4", "b"))
+        .crossJoin(lm5Coc(c3, "cc3", "e")).crossJoin(lm5Coc(c2, "cc2", "f"))
+        .crossJoin(lm5Coc(c1, "cc1", "m"))
+        .crossJoin(c1.agg(sum("cc1").as("btot"),
+          sum(when(col("cc1") === 1, 1L).otherwise(0L)).as("k11"),
+          sum(when(col("cc1") === 2, 1L).otherwise(0L)).as("k12"),
+          sum(when(col("cc1") >= 3, 1L).otherwise(0L)).as("k13")))
+        .crossJoin(ty.uni.agg(count(lit(1)).as("v"))))
+    Lm5Model(ty.t5.select("g12345", "c5"), o5,
+      c4.select("g2345", "cc4"), o4, c3.select("g345", "cc3"), o3,
+      c2.select("g45", "cc2"), o2, c1, consts)
+  }
+
+  /** Fit the MKN-5 model over `train` in-plan. The model tables stay
+    * UNCACHED — recomputing the map-side gram extraction measured
+    * CHEAPER than MEMORY_AND_DISK cache round-trips at this size — so
+    * the in-plan entry pays the model build roughly TWICE (once for
+    * the one-row `consts` head() job, once inside the score DAG); the
+    * structural fix is the staged path ([[lm5StagedModel]] /
+    * `lm_score_kn5_staged`), which reads the resident fixtures and
+    * pays one corpus scoring pass, no model build at all. */
+  private[graft] def lm5Fit(train: DataFrame, textCol: String): Lm5Model =
+    lm5ModelFromTypes(lm5TypeTables(train, textCol))
+
+  /** Score `docs` against a fitted [[Lm5Model]]: the corpus-sized gram
+    * stream meets each model table exactly once through nine
+    * merge-hinted LEFT joins keyed by the hashes it extracted
+    * map-side; the discount arithmetic lands as driver literals. */
+  private def lm5ScorePlan(docs: DataFrame, idCol: String, textCol: String,
+      m: Lm5Model): DataFrame = {
+    val toks = tokens(col(textCol))
+    def h(cs: Column*) = xxhash64(cs: _*)
+    def w(o: Int) = col(s"z.w$o")
+
+    // the five one-row count-of-counts (the discount estimators) +
+    // globals — COLLECTED driver-side (the fitCentroids discipline:
+    // corpus constants become plan literals). Left as plan columns,
+    // each discount's Y/CASE tree re-inlines at every use site inside
+    // the score projection and the fused stage blows Janino's method
     // budget (measured InternalCompilerException → interpreted
     // fallback); as literals the projection stays codegen'd.
-    def coc(t: DataFrame, c: String, p: String) = t.agg(
-      sum(when(col(c) === 1, 1L).otherwise(0L)).as(s"${p}1"),
-      sum(when(col(c) === 2, 1L).otherwise(0L)).as(s"${p}2"),
-      sum(when(col(c) === 3, 1L).otherwise(0L)).as(s"${p}3"),
-      sum(when(col(c) === 4, 1L).otherwise(0L)).as(s"${p}4"))
-    val consts = coc(t5, "c5", "a").crossJoin(coc(c4, "cc4", "b"))
-      .crossJoin(coc(c3, "cc3", "e")).crossJoin(coc(c2, "cc2", "f"))
-      .crossJoin(coc(c1, "cc1", "m"))
-      .crossJoin(c1.agg(sum("cc1").as("btot"),
-        sum(when(col("cc1") === 1, 1L).otherwise(0L)).as("k11"),
-        sum(when(col("cc1") === 2, 1L).otherwise(0L)).as("k12"),
-        sum(when(col("cc1") >= 3, 1L).otherwise(0L)).as("k13")))
-      .crossJoin(uni.agg(count(lit(1)).as("v")))
-      .head()
+    val consts = m.consts.head()
 
     // score stream over ALL docs, one row per position i >= 5
     def s5(off: Int) = slice(toks, lit(off), greatest(size(toks) - 4, lit(0)))
@@ -1209,15 +1264,15 @@ object TextAnalysis {
         h(w(4)).as("g4"),
         h(w(5)).as("g5"))
     val joined = grams
-      .join(t5.select("g12345", "c5").hint("merge"), Seq("g12345"), "left")
-      .join(o5.hint("merge"), Seq("g1234"), "left")
-      .join(c4.select("g2345", "cc4").hint("merge"), Seq("g2345"), "left")
-      .join(o4.hint("merge"), Seq("g234"), "left")
-      .join(c3.select("g345", "cc3").hint("merge"), Seq("g345"), "left")
-      .join(o3.hint("merge"), Seq("g34"), "left")
-      .join(c2.select("g45", "cc2").hint("merge"), Seq("g45"), "left")
-      .join(o2.hint("merge"), Seq("g4"), "left")
-      .join(c1.hint("merge"), Seq("g5"), "left")
+      .join(m.t5.hint("merge"), Seq("g12345"), "left")
+      .join(m.o5.hint("merge"), Seq("g1234"), "left")
+      .join(m.c4.hint("merge"), Seq("g2345"), "left")
+      .join(m.o4.hint("merge"), Seq("g234"), "left")
+      .join(m.c3.hint("merge"), Seq("g345"), "left")
+      .join(m.o3.hint("merge"), Seq("g34"), "left")
+      .join(m.c2.hint("merge"), Seq("g45"), "left")
+      .join(m.o2.hint("merge"), Seq("g4"), "left")
+      .join(m.c1.hint("merge"), Seq("g5"), "left")
 
     // Chen-Goodman discounts per order, clamped + degenerate-count
     // fallbacks — driver doubles (same IEEE ops/order as the oracle's
@@ -1284,6 +1339,90 @@ object TextAnalysis {
         coalesce(col("lm_kn5_score"), lit(0.0)).as("lm_kn5_score"))
   }
 
+  /** The ladder's shared train-band predicate over `doc_id`. */
+  private[graft] def lm5TrainPredCol: Column =
+    graft.operators.Corpus.hashUniform(
+      concat(lit(Lm5Seed + ":"), col("doc_id").cast("string"))) < Lm5TrainFrac
+
+  /** Where [[lmModelExport]] stages the MKN-5 model artifact (five
+    * type tables + the one-row count-of-counts) for the resident-model
+    * scoring path — the embed_sq/centroid fixture discipline on the
+    * one fitted family that still refit per scoring run. */
+  val Lm5ModelExportBase: String = graft.FixturePaths.fixture("lm5_model")
+  private def lm5PartPath(part: String): String =
+    s"$Lm5ModelExportBase/$part.parquet"
+
+  private def lm5StagedTypes(spark: SparkSession): Lm5Types =
+    Lm5Types(spark.read.parquet(lm5PartPath("t5")),
+      spark.read.parquet(lm5PartPath("t4")),
+      spark.read.parquet(lm5PartPath("t3")),
+      spark.read.parquet(lm5PartPath("t2")),
+      spark.read.parquet(lm5PartPath("uni")))
+
+  /** Stage the model ONCE per (JVM, corpus): the five type tables are
+    * each written from their single corpus pass, then the
+    * count-of-counts row is derived FROM THE STAGED READS, so the
+    * fixture set is self-consistent by construction (a reader
+    * recomputing consts from the staged tables gets the same row). */
+  private def ensureLm5Export(spark: SparkSession, sfDir: String): Unit =
+    graft.FixtureExport.ensure(s"lm5:$sfDir|f=$Lm5TrainFrac", Lm5ModelExportBase) {
+      val train = Tables.documents(spark, sfDir).filter(lm5TrainPredCol)
+      val ty = lm5TypeTables(train, "text")
+      Seq("t5" -> ty.t5, "t4" -> ty.t4, "t3" -> ty.t3, "t2" -> ty.t2,
+          "uni" -> ty.uni).foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(lm5PartPath(n))
+      }
+      lm5ModelFromTypes(lm5StagedTypes(spark)).consts
+        .coalesce(1).write.mode("overwrite").parquet(lm5PartPath("consts"))
+    }
+
+  /** The RESIDENT model: staged type tables + the staged consts row —
+    * no corpus pass, no count-of-counts job over fresh extraction. */
+  private[graft] def lm5StagedModel(spark: SparkSession, sfDir: String): Lm5Model = {
+    ensureLm5Export(spark, sfDir)
+    lm5ModelFromTypes(lm5StagedTypes(spark),
+      stagedConsts = Some(spark.read.parquet(lm5PartPath("consts"))))
+  }
+
+  /**
+   * `lm_model_export`: stage the MKN-5 model and report the artifact's
+   * shape — one ALL-INTEGER row per staged part (row count + a content
+   * total: Σc5 for the order-5 table, the continuation total for the
+   * consts row, the type/vocab count for the distinct tables), READ
+   * BACK from the fixtures so the entry checks what is actually on
+   * disk. The per-row content check is `lm_score_kn5_staged`, whose
+   * staged-scoring output must hash-match the full-chain oracle.
+   *
+   * Scale posture: the model artifact is Brants-style shardable (plain
+   * hash-keyed parquet); the export is five corpus passes paid once
+   * per corpus generation, after which every scoring run is one pass.
+   */
+  def lmModelExport(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureLm5Export(spark, sfDir)
+    def stat(part: String, total: DataFrame => Column): DataFrame = {
+      val df = spark.read.parquet(lm5PartPath(part))
+      df.agg(count(lit(1)).as("n_rows"), total(df).as("total"))
+        .select(lit(part).as("part"), col("n_rows"), col("total"))
+    }
+    val nRows = (df: DataFrame) => count(lit(1))
+    stat("t5", _ => sum("c5"))
+      .unionByName(stat("t4", nRows))
+      .unionByName(stat("t3", nRows))
+      .unionByName(stat("t2", nRows))
+      .unionByName(stat("uni", nRows))
+      .unionByName(stat("consts", _ => max("btot")))
+  }
+
+  /** `lm_score_kn5_staged`: the MKN-5 rung at MARGINAL cost — the
+    * [[lm5ScorePlan]] scoring tail over the RESIDENT staged model, so
+    * a scoring run pays one corpus gram pass + the nine model joins
+    * instead of ~two full model builds. Oracle = [[lmScoreKn5Sql]]
+    * VERBATIM (the staged scores must hash-match the full chain — the
+    * knn_join_sharded discipline). */
+  def lmScoreKn5Staged(spark: SparkSession, sfDir: String): DataFrame =
+    lm5ScorePlan(Tables.documents(spark, sfDir), "doc_id", "text",
+      lm5StagedModel(spark, sfDir))
+
   /**
    * `lm_ladder_eval`: the LM ladder's held-out scoreboard — per
    * held-out document (the shared hash band's complement, restricted
@@ -1308,7 +1447,10 @@ object TextAnalysis {
       concat(lit(Lm5Seed + ":"), col("doc_id").cast("string"))) < Lm5TrainFrac
     val kn = lmScoreKn(docs, "doc_id", "text", trainPred)
       .select(col("doc_id"), col("lm_kn_score"))
-    val kn5 = lmScoreKn5(docs, "doc_id", "text", trainPred)
+    // the 5-gram rung reads the STAGED scores (resident model — the
+    // r13 ladder rebuilt BOTH rungs' models from scratch per eval);
+    // the trigram rung's in-plan build is the cheap one (~1.6 s)
+    val kn5 = lmScoreKn5Staged(spark, sfDir)
       .filter(col("n_5grams") > 0)
       .select(col("doc_id"), col("lm_kn5_score"))
     docs.filter(!trainPred).select(col("doc_id"))
@@ -1321,6 +1463,51 @@ object TextAnalysis {
         sum(when(col("lm_kn5_score") === col("lm_kn_score"), 1L).otherwise(0L))
           .as("ties"))
   }
+
+  /**
+   * `lm_rung_autotune`: close the ladder's loop the way probe/tier
+   * did — per corpus, CHOOSE the scoring rung from the
+   * [[lmLadderEval]] scoreboard instead of printing it. Policy:
+   * majority of decided (non-tie) held-out contests WITH a margin —
+   * the winner must lead by more than 10% of the decided count
+   * (`|kn5 − kn3| · 10 > kn5 + kn3`, integer arithmetic: zero float
+   * surface) — else the board is near-tied and the pick falls back to
+   * the TRIGRAM rung flagged `met = 0` (the cheapest-tier fallback
+   * rule: kn3's model build is ~5× cheaper, so an undecidable board
+   * never pays the 5-gram). Pins the honest sf-dependent flip the
+   * ladder measured: the 5-gram wins at sf0.01, the trigram at sf0.1
+   * — higher order needs more data (spec-asserted).
+   */
+  def lmRungAutotune(spark: SparkSession, sfDir: String): DataFrame =
+    lm5RungPick(lmLadderEval(spark, sfDir))
+
+  /** The pick itself over a (n_held_out, kn5_wins, kn3_wins, ties)
+    * board — exposed so the spec pins the policy on synthetic boards
+    * (margin met both ways, near-tied fallback). */
+  private[graft] def lm5RungPick(board: DataFrame): DataFrame = {
+    val decided = col("kn5_wins") + col("kn3_wins")
+    val margin = abs(col("kn5_wins") - col("kn3_wins")) * lit(10L) > decided
+    board.select(
+      col("n_held_out"), col("kn5_wins"), col("kn3_wins"), col("ties"),
+      when(margin, when(col("kn5_wins") > col("kn3_wins"), lit("kn5"))
+          .otherwise(lit("kn3")))
+        .otherwise(lit("kn3")).as("chosen_rung"),
+      when(margin, lit(1L)).otherwise(lit(0L)).as("met"))
+  }
+
+  /** Oracle: the ladder chain referenced once + the identical integer
+    * margin pick (the `ann_tier_autotune` pattern). */
+  def lmRungAutotuneSql: String =
+    s"""WITH board AS MATERIALIZED (
+       |${lmLadderEvalSql}
+       |)
+       |SELECT n_held_out, kn5_wins, kn3_wins, ties,
+       |  CASE WHEN ABS(kn5_wins - kn3_wins) * 10 > (kn5_wins + kn3_wins)
+       |       THEN CASE WHEN kn5_wins > kn3_wins THEN 'kn5' ELSE 'kn3' END
+       |       ELSE 'kn3' END AS chosen_rung,
+       |  CAST(CASE WHEN ABS(kn5_wins - kn3_wins) * 10 > (kn5_wins + kn3_wins)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS met
+       |FROM board""".stripMargin
 
   /** Oracle: both rung chains nested verbatim, the shared sha-256
     * band's complement, the same integer win/tie aggregate. */
@@ -1344,47 +1531,29 @@ object TextAnalysis {
        |FROM held JOIN kn USING (doc_id) JOIN kn5 USING (doc_id)""".stripMargin
 
   def lmScoreKn5Query(spark: SparkSession, sfDir: String): DataFrame =
-    lmScoreKn5(Tables.documents(spark, sfDir), "doc_id", "text",
-      graft.operators.Corpus.hashUniform(
-        concat(lit(Lm5Seed + ":"), col("doc_id").cast("string"))) < Lm5TrainFrac)
+    lmScoreKn5(Tables.documents(spark, sfDir), "doc_id", "text", lm5TrainPredCol)
 
-  /** DuckDB twin: string grams, the shared sha-256 train band, the
-    * per-order type/position aggregates and one-row count-of-counts
-    * mirrored, the identical clamp + fallback discount arithmetic and
-    * five-level CASE chain. Multi-referenced CTEs MATERIALIZED. */
-  def lmScoreKn5Sql: String = {
+  /** Oracle for `lm_model_export`: the model CTEs replayed, the same
+    * six ALL-INTEGER (part, n_rows, total) rows. */
+  def lmModelExportSql: String =
+    s"""WITH ${lm5ModelSqlCtes}
+       |SELECT part, n_rows, total FROM (
+       |  SELECT 't5' AS part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |         CAST(SUM(c5) AS BIGINT) AS total FROM t5
+       |  UNION ALL SELECT 't4', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM t4
+       |  UNION ALL SELECT 't3', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM t3
+       |  UNION ALL SELECT 't2', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM t2
+       |  UNION ALL SELECT 'uni', CAST(v AS BIGINT), CAST(v AS BIGINT) FROM consts
+       |  UNION ALL SELECT 'consts', CAST(1 AS BIGINT), CAST(btot AS BIGINT) FROM consts)""".stripMargin
+
+  /** The model-CTE block shared by [[lmScoreKn5Sql]] and
+    * [[lmModelExportSql]]: tok/band/train extraction, the five
+    * per-order type tables (t5 raw counts, t4/t3/t2 distinct, vocab
+    * inside `consts`), the context/continuation aggregates, and the
+    * one-row count-of-counts `consts`. */
+  private def lm5ModelSqlCtes: String = {
     val d = "chr(1)"
     def g(parts: Seq[String]) = parts.mkString(s" || $d || ")
-    def discSql(n1: String, n2: String, n3: String, n4: String)
-        : (String, String, String) = {
-      val y = s"CAST($n1 AS DOUBLE) / (CAST($n1 AS DOUBLE) + 2.0 * CAST($n2 AS DOUBLE))"
-      (s"CASE WHEN $n1 > 0 THEN LEAST(GREATEST(1.0 - 2.0 * $y * CAST($n2 AS DOUBLE) / CAST($n1 AS DOUBLE), 0.0), 1.0) ELSE 0.5 END",
-       s"CASE WHEN $n1 > 0 AND $n2 > 0 THEN LEAST(GREATEST(2.0 - 3.0 * $y * CAST($n3 AS DOUBLE) / CAST($n2 AS DOUBLE), 0.0), 2.0) ELSE 1.0 END",
-       s"CASE WHEN $n1 > 0 AND $n3 > 0 THEN LEAST(GREATEST(3.0 - 4.0 * $y * CAST($n4 AS DOUBLE) / CAST($n3 AS DOUBLE), 0.0), 3.0) ELSE 1.5 END")
-    }
-    val (d51, d52, d53) = discSql("a1", "a2", "a3", "a4")
-    val (d41, d42, d43) = discSql("b1", "b2", "b3", "b4")
-    val (d31, d32, d33) = discSql("e1", "e2", "e3", "e4")
-    val (d21, d22, d23) = discSql("f1", "f2", "f3", "f4")
-    val (d11, d12, d13) = discSql("m1", "m2", "m3", "m4")
-    def num(c: String, dd: (String, String, String)) =
-      s"""GREATEST(CAST(COALESCE($c, 0) AS DOUBLE) - CASE WHEN COALESCE($c, 0) = 1 THEN ${dd._1}
-         |        WHEN COALESCE($c, 0) = 2 THEN ${dd._2} ELSE ${dd._3} END, 0.0)""".stripMargin
-    def gm(dd: (String, String, String), k1: String, k2: String, k3: String) =
-      s"(${dd._1} * CAST($k1 AS DOUBLE) + ${dd._2} * CAST($k2 AS DOUBLE) + ${dd._3} * CAST($k3 AS DOUBLE))"
-    val p1 =
-      s"""((${num("cc1", (d11, d12, d13))}
-         | + ${gm((d11, d12, d13), "k11", "k12", "k13")} * (1.0 / (CAST(v AS DOUBLE) + 1.0)))
-         | / CAST(btot AS DOUBLE))""".stripMargin
-    def lvl(dn: String, c: String, dd: (String, String, String),
-        k1: String, k2: String, k3: String, lower: String) =
-      s"""CASE WHEN $dn IS NOT NULL THEN
-         | (${num(c, dd)} + ${gm(dd, k1, k2, k3)} * ($lower)) / CAST($dn AS DOUBLE)
-         | ELSE ($lower) END""".stripMargin
-    val p2 = lvl("d2", "cc2", (d21, d22, d23), "k21", "k22", "k23", p1)
-    val p3 = lvl("d3", "cc3", (d31, d32, d33), "k31", "k32", "k33", p2)
-    val p4 = lvl("d4", "cc4", (d41, d42, d43), "k41", "k42", "k43", p3)
-    val p5 = lvl("d5", "c5", (d51, d52, d53), "k51", "k52", "k53", p4)
     def coc(src: String, c: String, p: String) =
       s"""(SELECT COUNT(*) FILTER (WHERE $c = 1) AS ${p}1,
          |  COUNT(*) FILTER (WHERE $c = 2) AS ${p}2,
@@ -1395,7 +1564,7 @@ object TextAnalysis {
          |  COUNT(*) FILTER (WHERE $c = 2) AS ${p}2,
          |  COUNT(*) FILTER (WHERE $c >= 3) AS ${p}3 FROM $src GROUP BY $key"""
         .stripMargin
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
        |band AS (
        |  SELECT doc_id,
@@ -1475,7 +1644,57 @@ object TextAnalysis {
        |     COUNT(*) FILTER (WHERE cc1 = 2) AS k12,
        |     COUNT(*) FILTER (WHERE cc1 >= 3) AS k13 FROM c1) cg,
        |  (SELECT COUNT(DISTINCT t) AS v FROM
-       |     (SELECT unnest(ts) AS t FROM trn)) cv),
+       |     (SELECT unnest(ts) AS t FROM trn)) cv)""".stripMargin
+  }
+
+  /** DuckDB twin: string grams, the shared sha-256 train band, the
+    * per-order type/position aggregates and one-row count-of-counts
+    * mirrored, the identical clamp + fallback discount arithmetic and
+    * five-level CASE chain. Multi-referenced CTEs MATERIALIZED. */
+  def lmScoreKn5Sql: String = {
+    val d = "chr(1)"
+    def g(parts: Seq[String]) = parts.mkString(s" || $d || ")
+    def discSql(n1: String, n2: String, n3: String, n4: String)
+        : (String, String, String) = {
+      val y = s"CAST($n1 AS DOUBLE) / (CAST($n1 AS DOUBLE) + 2.0 * CAST($n2 AS DOUBLE))"
+      (s"CASE WHEN $n1 > 0 THEN LEAST(GREATEST(1.0 - 2.0 * $y * CAST($n2 AS DOUBLE) / CAST($n1 AS DOUBLE), 0.0), 1.0) ELSE 0.5 END",
+       s"CASE WHEN $n1 > 0 AND $n2 > 0 THEN LEAST(GREATEST(2.0 - 3.0 * $y * CAST($n3 AS DOUBLE) / CAST($n2 AS DOUBLE), 0.0), 2.0) ELSE 1.0 END",
+       s"CASE WHEN $n1 > 0 AND $n3 > 0 THEN LEAST(GREATEST(3.0 - 4.0 * $y * CAST($n4 AS DOUBLE) / CAST($n3 AS DOUBLE), 0.0), 3.0) ELSE 1.5 END")
+    }
+    val (d51, d52, d53) = discSql("a1", "a2", "a3", "a4")
+    val (d41, d42, d43) = discSql("b1", "b2", "b3", "b4")
+    val (d31, d32, d33) = discSql("e1", "e2", "e3", "e4")
+    val (d21, d22, d23) = discSql("f1", "f2", "f3", "f4")
+    val (d11, d12, d13) = discSql("m1", "m2", "m3", "m4")
+    def num(c: String, dd: (String, String, String)) =
+      s"""GREATEST(CAST(COALESCE($c, 0) AS DOUBLE) - CASE WHEN COALESCE($c, 0) = 1 THEN ${dd._1}
+         |        WHEN COALESCE($c, 0) = 2 THEN ${dd._2} ELSE ${dd._3} END, 0.0)""".stripMargin
+    def gm(dd: (String, String, String), k1: String, k2: String, k3: String) =
+      s"(${dd._1} * CAST($k1 AS DOUBLE) + ${dd._2} * CAST($k2 AS DOUBLE) + ${dd._3} * CAST($k3 AS DOUBLE))"
+    val p1 =
+      s"""((${num("cc1", (d11, d12, d13))}
+         | + ${gm((d11, d12, d13), "k11", "k12", "k13")} * (1.0 / (CAST(v AS DOUBLE) + 1.0)))
+         | / CAST(btot AS DOUBLE))""".stripMargin
+    def lvl(dn: String, c: String, dd: (String, String, String),
+        k1: String, k2: String, k3: String, lower: String) =
+      s"""CASE WHEN $dn IS NOT NULL THEN
+         | (${num(c, dd)} + ${gm(dd, k1, k2, k3)} * ($lower)) / CAST($dn AS DOUBLE)
+         | ELSE ($lower) END""".stripMargin
+    val p2 = lvl("d2", "cc2", (d21, d22, d23), "k21", "k22", "k23", p1)
+    val p3 = lvl("d3", "cc3", (d31, d32, d33), "k31", "k32", "k33", p2)
+    val p4 = lvl("d4", "cc4", (d41, d42, d43), "k41", "k42", "k43", p3)
+    val p5 = lvl("d5", "c5", (d51, d52, d53), "k51", "k52", "k53", p4)
+    def coc(src: String, c: String, p: String) =
+      s"""(SELECT COUNT(*) FILTER (WHERE $c = 1) AS ${p}1,
+         |  COUNT(*) FILTER (WHERE $c = 2) AS ${p}2,
+         |  COUNT(*) FILTER (WHERE $c = 3) AS ${p}3,
+         |  COUNT(*) FILTER (WHERE $c = 4) AS ${p}4 FROM $src)""".stripMargin
+    def cls(src: String, key: String, c: String, p: String) =
+      s"""SELECT $key, COUNT(*) FILTER (WHERE $c = 1) AS ${p}1,
+         |  COUNT(*) FILTER (WHERE $c = 2) AS ${p}2,
+         |  COUNT(*) FILTER (WHERE $c >= 3) AS ${p}3 FROM $src GROUP BY $key"""
+        .stripMargin
+    s"""WITH ${lm5ModelSqlCtes},
        |grams AS (
        |  SELECT doc_id,
        |    unnest(list_transform(range(1, len(ts) - 3), i ->

@@ -730,6 +730,47 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal_neardup_delta == the full τ-pair run at the same frozen fit restricted to delta-touching pairs; legs faithful") {
+    import graft.dedup.SemDedup
+    val media = Tables.documents(spark, sf)
+      .select(col("doc_id"), BinaryMeta.mediaPlant.as("media"))
+    val e = BinaryMeta.embedStubCentered(media)
+      .select(col("doc_id").as("vec_id"), col("embedding")).cache()
+    val isDelta = col("vec_id") % graft.Carves.DeltaMod === 0
+    val base = e.filter(!isDelta)
+    val cells = IvfSearch.scaledCells(base.count())
+    // the SAME memo key as the entry: the identical frozen fit
+    val cents = IvfSearch.fitCentroids(base, cells, Some(s"mmdelta:$cells:$sf"))
+    val maxCell = graft.config.GraftConfig.active.semdedup.maxCell
+    // the FULL τ-pair run under the frozen fit: every vector on the
+    // probe side of the one-join kernel (empty base side)
+    val allAssign = SemDedup.assignWithCentSim(e, cents)
+      .select(col("vec_id"), col("cell")).cache()
+    val full = SemDedup.semanticPairsDelta(allAssign.limit(0), allAssign, e,
+        BinaryMeta.MmDeltaTau, maxCell).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val restricted = full.filter(p =>
+      p._1 % graft.Carves.DeltaMod == 0 || p._2 % graft.Carves.DeltaMod == 0)
+    val entry = BinaryMeta.multimodalNeardupDelta(spark, sf).collect()
+    val entryPairs = entry.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(entryPairs == restricted,
+      s"delta run must equal the full run's delta-touching pairs: " +
+        s"${entryPairs.size} vs ${restricted.size}")
+    assert(restricted.size < full.size,
+      "the carve must leave base-only pairs behind or the property is vacuous")
+    // legs faithful to the carve
+    entry.foreach { r =>
+      val bothDelta = r.getLong(0) % graft.Carves.DeltaMod == 0 &&
+        r.getLong(1) % graft.Carves.DeltaMod == 0
+      assert(r.getString(3) == (if (bothDelta) "delta_delta" else "delta_base"),
+        s"leg label unfaithful on (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    assert(entry.exists(_.getString(3) == "delta_base"),
+      "the recrawl must re-see at least one resident's media")
+    allAssign.unpersist(); e.unpersist()
+    ()
+  }
+
   test("dedup_minhash_delta == full run restricted to delta-touching pairs, across splits; both legs occur") {
     val corpus = Dedup.withPlantedNearDups(Tables.documents(spark, sf), 25, mutate = true)
       .cache()

@@ -194,4 +194,42 @@ class GraftSystemSpec extends SparkSpecBase {
       .select("query_id", "vec_id", "rnk").collect().toSet
     assert(live == restored, "restore diverged from live serving")
   }
+
+  test("refresh loop (production API): a healthy merge keeps the frozen state, publish swaps serving") {
+    import graft.operators.Embeddings
+    import graft.query.{IvfSearch, MrlSearch}
+    import graft.streaming.{AnnServe, MrlLifecycle, RefreshLoop}
+    val base = corpus.cache()
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val cents1 = IvfSearch.fitCentroids(base, 16, Some("gs-refresh-c1"))
+    val comps1 = Embeddings.mrlRotationOf(base, dim / MrlSearch.PrefixShare)
+    val idx1 = MrlSearch.buildIndexOn(spark, base, cents1, comps1)
+    val dir = "/root/repo/target/tmp/gs-refresh"
+    graft.util.Io.deleteRecursively(dir)
+    val life = new MrlLifecycle(spark, base, idx1, dir, 1000000L)
+    val ref = new AnnServe.MrlIndexRef(idx1)
+    val loop = new RefreshLoop(spark, life, ref)
+    // a HEALTHY merge: 5 exact recrawl copies of residents — identical
+    // vectors land in the original's cell under ANY fit, so both the
+    // frozen and the refit assignment see exactly the same 5 pairs
+    // (guard pinned wide so neither side's cell statistics interfere)
+    val delta = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val merged = base.unionByName(delta).cache()
+    val cents2 = loop.refit(merged, delta)
+    val rep = loop.report(merged, cents1, cents2, guardOverride = Some(100000))
+    assert(rep.pairsFrozen == 5 && rep.pairsRefit == 5 && rep.pairsCommon == 5,
+      s"both fits must see exactly the 5 recrawl pairs: $rep")
+    assert(!rep.shouldThaw && rep.gained == 0 && rep.lost == 0,
+      s"a healthy merge must read keep-frozen: $rep")
+    assert(loop.thawIfGained(merged, cents2, rep).isEmpty,
+      "no thaw may execute on a keep-frozen report")
+    // zero-downtime publish: the serving ref flips to the lifecycle's
+    // gen-2 index only when the caller says so
+    assert(ref.idx eq idx1, "publish must not happen implicitly in refit")
+    loop.publish()
+    assert(ref.idx eq life.current, "publish must point serving at gen-2")
+    merged.unpersist(); base.unpersist()
+    ()
+  }
 }

@@ -150,4 +150,35 @@ class LmKn5Spec extends SparkSpecBase {
           s"(${kn5(1000L + j)} vs ${kn5(2000L + j)})")
     }
   }
+
+  test("staged MKN-5 scoring equals the in-plan chain bit-for-bit") {
+    val inPlan = TextAnalysis.lmScoreKn5Query(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val staged = TextAnalysis.lmScoreKn5Staged(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(staged == inPlan,
+      "resident-model scores must equal the in-plan chain bit-for-bit")
+  }
+
+  test("lm_rung_autotune: the pick is the integer margin policy over the board") {
+    import spark.implicits._
+    def pick(b: (Long, Long, Long, Long)): (String, Long) = {
+      val r = TextAnalysis.lm5RungPick(
+        Seq(b).toDF("n_held_out", "kn5_wins", "kn3_wins", "ties")).head()
+      (r.getString(4), r.getLong(5))
+    }
+    assert(pick((100L, 90L, 5L, 5L)) == ("kn5", 1L), "kn5 landslide")
+    assert(pick((100L, 5L, 90L, 5L)) == ("kn3", 1L), "kn3 landslide")
+    assert(pick((100L, 52L, 48L, 0L)) == ("kn3", 0L),
+      "near-tied board falls back to the cheap rung, flagged unmet")
+    assert(pick((100L, 55L, 45L, 0L)) == ("kn3", 0L),
+      "margin boundary is strict: lead*10 == decided is NOT met")
+    assert(pick((101L, 56L, 45L, 0L)) == ("kn5", 1L), "just over the margin")
+    // the entry row IS the policy applied to the measured board
+    val b = TextAnalysis.lmLadderEval(spark, sf).head()
+    val e = TextAnalysis.lmRungAutotune(spark, sf).head()
+    assert((e.getString(4), e.getLong(5)) ==
+      pick((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))),
+      "the entry must be the pick over its own ladder board")
+  }
 }

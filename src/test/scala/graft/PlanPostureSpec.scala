@@ -370,6 +370,31 @@ class PlanPostureSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("knn_join_sharded_staged: shards route off the resident homes table — no per-shard re-assignment subtree") {
+    val p = plan("knn_join_sharded_staged")
+    assert(p.contains("knn_homes"),
+      s"staged shards must scan the staged home-assignment table:\n$p")
+    // the production posture: NO shard re-assigns the corpus — the
+    // embeddings table never appears under any shard's subtree (the
+    // in-plan twin pays one full map-side re-assignment per shard)
+    assert(!p.contains("embeddings.parquet"),
+      s"no shard may re-assign the corpus (no embeddings scan):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"staged sharded knn must stay equi-join only:\n$p")
+  }
+
+  test("lm_score_kn5_staged: the score plan reads the resident model — no gram re-extraction of the train band") {
+    val p = plan("lm_score_kn5_staged")
+    assert(p.contains("lm5_model"),
+      s"staged scoring must scan the staged model fixtures:\n$p")
+    // exactly TWO documents scans survive: the score stream and the
+    // doc_id spine of the final left join. The in-plan twin re-extracts
+    // train grams once per model table (6+ further corpus scans).
+    val docScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(docScans == 2,
+      s"staged scoring must touch documents exactly twice (score stream + doc_id spine), saw $docScans:\n$p")
+  }
+
   test("lm_score_kn5: equi-joins only; discount constants are plan literals") {
     val p = plan("lm_score_kn5")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.SemDedup
 import graft.operators.Embeddings
 import graft.query.{IvfSearch, MrlSearch}
-import graft.streaming.{AnnServe, MrlLifecycle, StreamingEmbedDrift}
+import graft.streaming.{AnnServe, MrlLifecycle, RefreshLoop, StreamingEmbedDrift}
 
 /**
  * The §4 model-refresh POLICY wired end-to-end (r12 VERDICT #4) — one
@@ -99,25 +99,27 @@ class RefreshLoopSpec extends SparkSpecBase {
     assert(alarmed > dim / 2,
       s"the swap's bias must fire the alarm across dims in its own trigger: $alarmed of $dim")
 
-    // ---- 2) the alarm's maintenance action: refit on the merged
-    // corpus, swap the resident tier in place (one forced map-only
-    // re-encode), gen-2 index published FROM the lifecycle
-    val merged = base.unionByName(delta).cache()
-    // the refit re-resolves the cell count for the GROWN corpus (the
-    // production √N policy) and draws its fit sample HASH-SHUFFLED:
-    // fitCentroids seeds k-means from the head of vec_id order, and a
-    // head made entirely of pre-swap vectors never seeds a centroid
-    // inside the new off-distribution cluster — Lloyd then
+    // ---- 2) the alarm's maintenance action, through the PRODUCTION
+    // entry point (graft.streaming.RefreshLoop — r13 VERDICT #1): the
+    // loop owns the √N cell re-resolution AND the hash-shuffled fit
+    // sample (fitCentroids seeds k-means from the head of vec_id
+    // order, and a head made entirely of pre-swap vectors never seeds
+    // a centroid inside the new off-distribution cluster — Lloyd then
     // single-captures the whole cluster into one oversized cell no
-    // matter the cell count (measured: 410-fill), and no guard could
-    // separate the assignments. Re-keying by hash is the refit job's
-    // uniform sample.
-    val cents2 = IvfSearch.fitCentroids(
-      merged.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
-      IvfSearch.scaledCells(merged.count()), Some("refresh-cents2"))
+    // matter the cell count, measured 410-fill; the LOOP re-keys by
+    // hash so no caller has to know this)
+    val merged = base.unionByName(delta).cache()
+    val loop = new RefreshLoop(spark, life, ref, SemDedup.SemTau,
+      guardHeadroom = 16)
+    val cents2 = loop.refit(merged, delta, batchId = 0L,
+      fitKey = Some("refresh-cents2"))
+    // un-memoized recompute (None key forces a fresh fit): the loop's
+    // refit must equal the published hash-shuffled √N rule bit-for-bit
+    assert(java.util.Arrays.deepEquals(
+        cents2.asInstanceOf[Array[AnyRef]],
+        RefreshLoop.refitCentroids(merged, None).asInstanceOf[Array[AnyRef]]),
+      "the loop's refit fit must be the published hash-shuffled √N rule")
     val comps2 = Embeddings.mrlRotationOf(merged, pd)
-    life.ingest(delta, batchId = 0L)
-    life.reRotate(comps2, Some(cents2))
     val idx2 = life.current
     val queries = merged.filter(col("vec_id").isin(0L, 7L, 10005L, 12003L)).cache()
     def topk(qs: DataFrame, i: MrlSearch.MrlIndex,
@@ -141,7 +143,7 @@ class RefreshLoopSpec extends SparkSpecBase {
     val qStream = spark.readStream.schema(qA.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$sIn/b=*")
     val serve = AnnServe.serveMrl(qStream.toDF(), ref, sOut, sCkpt,
-      afterBatch = id => if (id == 0) ref.idx = idx2)
+      afterBatch = id => if (id == 0) loop.publish())
     assert(serve.awaitTermination(180000), "serving stream did not finish")
     def served(batch: Int) = spark.read.parquet(sOut)
       .filter(col("batch_id") === batch).drop("batch_id").collect()
@@ -154,11 +156,9 @@ class RefreshLoopSpec extends SparkSpecBase {
     // ---- 4) the refresh report prices the thaw: gained > 0
     def assignOf(cents: Array[Array[Float]], corpus: DataFrame) =
       SemDedup.assignWithCentSim(corpus, cents).select(col("vec_id"), col("cell"))
+    val rep = loop.report(merged, cents1, cents2)
+    val guard = rep.guard
     val frozenAssign = assignOf(cents1, merged).cache()
-    val refitAssign = assignOf(cents2, merged).cache()
-    def maxFill(a: DataFrame): Long =
-      a.groupBy("cell").count().agg(max("count")).head().getLong(0)
-    val guard = maxFill(refitAssign).toInt + 16 // headroom for the next round's arrivals
     val plantCells = frozenAssign.filter(col("vec_id") >= 12000L)
       .select(col("cell")).distinct()
     val hottestPlantCell = frozenAssign
@@ -167,14 +167,15 @@ class RefreshLoopSpec extends SparkSpecBase {
     assert(hottestPlantCell > guard,
       s"planted geometry failed: hottest frozen plant cell $hottestPlantCell " +
         s"must exceed the guard $guard — grow the drift plant")
-    val (nf, nr, common) = SemDedup.pairFidelity(merged,
-      frozenAssign, refitAssign, SemDedup.SemTau, maxCell = guard)
-    assert(nr >= 10, s"the 10 planted drifted pairs must pair under the refit: $nr")
-    assert(nr - common > 0,
-      s"the report must read gained > 0: frozen=$nf refit=$nr common=$common")
+    assert(rep.pairsRefit >= 10,
+      s"the 10 planted drifted pairs must pair under the refit: ${rep.pairsRefit}")
+    assert(rep.gained > 0 && rep.shouldThaw,
+      s"the report must read gained > 0: frozen=${rep.pairsFrozen} " +
+        s"refit=${rep.pairsRefit} common=${rep.pairsCommon}")
 
     // ---- 5) the thaw executes: gen-2 resident state
-    val gen2 = SemDedup.semanticDedupPlan(merged, cents2, SemDedup.SemTau, guard).cache()
+    val gen2 = loop.thawIfGained(merged, cents2, rep)
+      .getOrElse(fail("gained > 0 must execute the thaw")).cache()
     val survivors = merged.join(gen2.filter(col("keep")).select("vec_id"),
       Seq("vec_id"), "left_semi").cache()
     (10000L until 10010L).foreach { d =>
@@ -197,7 +198,7 @@ class RefreshLoopSpec extends SparkSpecBase {
     assert(deltaRound(cents1).isEmpty,
       "the gen-1 frozen state must be blind to the same arrivals — the loop's payoff")
 
-    Seq(frozenAssign, refitAssign, gen2, survivors, next, queries, merged,
+    Seq(frozenAssign, gen2, survivors, next, queries, merged,
       delta, baseDiag, base).foreach(_.unpersist())
     ()
   }

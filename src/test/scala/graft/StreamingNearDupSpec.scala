@@ -152,4 +152,49 @@ class StreamingNearDupSpec extends SparkSpecBase {
     assert(ttlState >= 0 && keepState > ttlState,
       s"TTL state $ttlState must be below retain-forever state $keepState")
   }
+
+  test("out-of-order rows within one trigger keep their own TTL windows (non-destructive trim)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ts(plusSec: Long) = new java.sql.Timestamp(t0 + plusSec * 1000)
+    val ttlSec = 7200
+    val in = tmp("ooo-in"); val ckpt = tmp("ooo-ckpt"); val out = tmp("ooo-out")
+    // b0: the original claimant at t=0
+    docs.filter(col("doc_id") === 3).withColumn("ts", lit(ts(0)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b=000")
+    // b1: ONE trigger with two edited copies OUT OF EVENT-TIME ORDER —
+    // 900010 is newer (t+8000 s: the original is outside ITS window)
+    // but folds first (doc_id order); 900020 is older (t+7000 s: the
+    // original is inside ITS window and must still pair). The
+    // destructive trim would have 900010 drop the original first.
+    docs.filter(col("doc_id") === 3)
+      .select(lit(900010L).as("doc_id"), Dedup.mutatedText(col("text")).as("text"),
+        lit(ts(8000)).as("ts"))
+      .unionByName(docs.filter(col("doc_id") === 3)
+        .select(lit(900020L).as("doc_id"), Dedup.mutatedText(col("text")).as("text"),
+          lit(ts(7000)).as("ts")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b=001")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/b=*")
+    val q = StreamingNearDup.neardupStream(spark, stream.toDF(),
+        tsCol = Some("ts"), ttlSec = ttlSec)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+    val got = spark.read.parquet(out).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((3L, 900020L)),
+      s"the older sibling's in-window pair must survive the newer sibling's aging: $got")
+    assert(!got.contains((3L, 900010L)),
+      s"the original is outside the newer copy's own window: $got")
+    assert(got.contains((900010L, 900020L)),
+      s"the siblings are inside each other's windows: $got")
+  }
 }

@@ -256,4 +256,42 @@ class StreamingSemanticSpec extends SparkSpecBase {
     assert(got.contains((10L, 11L)),
       s"the thawed cell must resume emitting: $got")
   }
+
+  test("out-of-order rows within one trigger keep their own TTL windows (non-destructive trim)") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val ttlSec = 7200
+    val cents1 = Array(fv(1.0f).toArray)
+    // resident original at t0
+    val base = embDf(Seq((0L, fv(1.0f), 0L)), t0).drop("ts")
+    val in = tmp("ooo-in"); val ckpt = tmp("ooo-ck"); val out = tmp("ooo-out")
+    // ONE trigger carrying two near-copies OUT OF EVENT-TIME ORDER:
+    // vec_id 10 is NEWER (t+8000 s — the resident is outside ITS
+    // window) but folds FIRST (arrivals fold in vec_id order for
+    // batch equality); vec_id 20 is OLDER (t+7000 s — the resident is
+    // inside ITS window). A destructive per-arrival trim would let 10
+    // permanently drop the resident before 20 runs (the r13 ADVICE
+    // hazard); the TTL view is a per-arrival filter now, with ONE
+    // state compaction against the batch's max event time.
+    embDf(Seq((10L, fv(1.0f, 1e-5f), 8000L), (20L, fv(1.0f, 2e-5f), 7000L)), t0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/b=000")
+    val schema = embDf(Seq((0L, fv(1.0f), 0L)), t0).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/b=*")
+    val q = StreamingSemanticNearDup.semanticStream(spark, stream.toDF(),
+        base, cents1, tsCol = Some("ts"), ttlSec = ttlSec, baseTsMs = t0)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 20L)),
+      s"the older sibling's in-window resident pair must survive the newer sibling's aging: $got")
+    assert(!got.contains((0L, 10L)),
+      s"the resident is outside the newer arrival's own window: $got")
+    assert(got.contains((10L, 20L)),
+      s"the siblings are inside each other's windows: $got")
+  }
 }
