@@ -430,6 +430,52 @@ object BinaryMeta {
       maxCell = graft.config.GraftConfig.active.semdedup.maxCell)
   }
 
+  /**
+   * `multimodal_neardup_delta_apply`: the merge drop policy over the
+   * multimodal delta pair report — the [[graft.dedup.SemDedup]] admit
+   * rule verbatim: a `delta_base` pair keeps the BASE copy (the
+   * resident corpus is authoritative; the arriving re-crawl of the
+   * same media is dropped), a `delta_delta` pair keeps the lower id.
+   * Emits the SURVIVING delta — the media rows a merge actually
+   * admits — with the media byte length as the hashable payload
+   * stand-in. Scale posture: the pair report is pair-bounded, so the
+   * drop set broadcasts; one anti-join over the recrawl-sized delta.
+   */
+  def multimodalNeardupDeltaApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), mediaPlant.as("media"))
+    val isDeltaId = (c: org.apache.spark.sql.Column) =>
+      c % graft.Carves.DeltaMod === 0
+    val drops = multimodalNeardupDelta(spark, sfDir).select(
+        when(col("leg") === "delta_delta", col("b"))
+          .otherwise(when(isDeltaId(col("a")), col("a")).otherwise(col("b")))
+          .as("doc_id"))
+      .distinct()
+    media.filter(isDeltaId(col("doc_id")))
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        octet_length(col("media")).cast("long").as("media_bytes"))
+  }
+
+  /** Oracle: the delta chain nested once (nested-WITH CTE — the
+    * semantic apply discipline) + the identical drop policy. */
+  def multimodalNeardupDeltaApplySql: String =
+    s"""WITH pairs AS (
+       |${multimodalNeardupDeltaSql}
+       |),
+       |m2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN source || '-dup-' || (doc_id % 40)
+       |         ELSE source || '-' || doc_id END AS media
+       |  FROM documents)
+       |SELECT doc_id, CAST(strlen(media) AS BIGINT) AS media_bytes
+       |FROM m2
+       |WHERE doc_id % ${graft.Carves.DeltaMod} = 0
+       |  AND doc_id NOT IN (
+       |    SELECT CASE WHEN leg = 'delta_delta' THEN b
+       |                WHEN a % ${graft.Carves.DeltaMod} = 0 THEN a ELSE b END
+       |    FROM pairs)""".stripMargin
+
   /** DuckDB twin: the `dedup_semantic_delta` decision chain over the
     * media stub corpus — media plant + FLOAT stub features, resident
     * base-assignment fixture, map-side delta assignment replayed from

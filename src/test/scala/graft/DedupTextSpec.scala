@@ -767,8 +767,31 @@ class DedupTextSpec extends SparkSpecBase {
     }
     assert(entry.exists(_.getString(3) == "delta_base"),
       "the recrawl must re-see at least one resident's media")
+    assert(entry.exists(_.getString(3) == "delta_delta"),
+      "the recrawl must carry at least one within-crawl duplicate class")
     allAssign.unpersist(); e.unpersist()
     ()
+  }
+
+  test("multimodal_neardup_delta_apply: base wins, lowest delta id wins, verdicts reconcile with the pair report") {
+    val pairs = BinaryMeta.multimodalNeardupDelta(spark, sf).collect()
+    val survivors = BinaryMeta.multimodalNeardupDeltaApply(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val deltaIds = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % graft.Carves.DeltaMod == 0).toSet
+    assert(survivors.subsetOf(deltaIds), "apply must emit delta rows only")
+    val expectedDrops = pairs.map { r =>
+      if (r.getString(3) == "delta_delta") r.getLong(1)
+      else if (r.getLong(0) % graft.Carves.DeltaMod == 0) r.getLong(0)
+      else r.getLong(1)
+    }.toSet
+    assert(survivors == deltaIds -- expectedDrops,
+      "the drop policy must reconcile with the pair report")
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(!(survivors.contains(a) && survivors.contains(b)),
+        s"pair ($a,$b) survived intact")
+    }
   }
 
   test("dedup_minhash_delta == full run restricted to delta-touching pairs, across splits; both legs occur") {
