@@ -1263,16 +1263,25 @@ object TextAnalysis {
         h(w(4), w(5)).as("g45"),
         h(w(4)).as("g4"),
         h(w(5)).as("g5"))
+    // UNHINTED joins: the model tables are type-count-sized, so at
+    // bench SFs AQE broadcasts all nine and the corpus-sized gram
+    // stream flows through ZERO shuffles until the doc_id aggregate —
+    // the r14 bench measured the previous merge-hinted form paying
+    // nine consecutive exchange+sort passes of the gram stream (7.2 s
+    // vs 2.5 s unhinted at sf0.1). At 100 TB model tables outgrow the
+    // broadcast threshold and AQE falls back to the same sort-merge
+    // joins the hint forced — the hint only ever removed the cheap
+    // case, never added the scale case.
     val joined = grams
-      .join(m.t5.hint("merge"), Seq("g12345"), "left")
-      .join(m.o5.hint("merge"), Seq("g1234"), "left")
-      .join(m.c4.hint("merge"), Seq("g2345"), "left")
-      .join(m.o4.hint("merge"), Seq("g234"), "left")
-      .join(m.c3.hint("merge"), Seq("g345"), "left")
-      .join(m.o3.hint("merge"), Seq("g34"), "left")
-      .join(m.c2.hint("merge"), Seq("g45"), "left")
-      .join(m.o2.hint("merge"), Seq("g4"), "left")
-      .join(m.c1.hint("merge"), Seq("g5"), "left")
+      .join(m.t5, Seq("g12345"), "left")
+      .join(m.o5, Seq("g1234"), "left")
+      .join(m.c4, Seq("g2345"), "left")
+      .join(m.o4, Seq("g234"), "left")
+      .join(m.c3, Seq("g345"), "left")
+      .join(m.o3, Seq("g34"), "left")
+      .join(m.c2, Seq("g45"), "left")
+      .join(m.o2, Seq("g4"), "left")
+      .join(m.c1, Seq("g5"), "left")
 
     // Chen-Goodman discounts per order, clamped + degenerate-count
     // fallbacks — driver doubles (same IEEE ops/order as the oracle's
