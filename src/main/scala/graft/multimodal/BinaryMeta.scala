@@ -476,6 +476,76 @@ object BinaryMeta {
        |                WHEN a % ${graft.Carves.DeltaMod} = 0 THEN a ELSE b END
        |    FROM pairs)""".stripMargin
 
+  /**
+   * `multimodal_neardup_delta_compact`: fold the ADMITTED recrawl into
+   * the resident multimodal dedup state — the `dedup_semantic_compact`
+   * discipline, completing the delta/apply/compact trilogy on the
+   * multimodal family: every resident base row CARRIED verbatim from
+   * the assignment fixture (frozen centroids make re-assignment a
+   * no-op, so carrying is exact — spec-asserted), plus one FRESH
+   * frozen-centroid assignment row per admitted media doc (dropped
+   * near-dups never enter the resident state); `src` labels
+   * provenance. The compacted table is what the NEXT recrawl's delta
+   * probes. Scale posture: the only corpus-touching work is the
+   * delta-sized map-only assignment; the base is never rescanned.
+   */
+  def multimodalNeardupDeltaCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    // the delta entry has run inside apply: fixtures are staged
+    val admitted = multimodalNeardupDeltaApply(spark, sfDir)
+      .select(col("doc_id").as("vec_id"))
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), mediaPlant.as("media"))
+    val e = embedStubCentered(media)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val isDelta = col("vec_id") % graft.Carves.DeltaMod === 0
+    val base = e.filter(!isDelta)
+    val cells = graft.query.IvfSearch.scaledCells(
+      graft.query.IvfSearch.memoCount(base, s"mmdelta:$sfDir"))
+    val cents = graft.query.IvfSearch.fitCentroids(
+      base, cells, Some(s"mmdelta:$cells:$sfDir"))
+    val carried = spark.read.parquet(MmDeltaAssignExportPath)
+      .select(col("vec_id").as("doc_id"), col("cell"), lit("carried").as("src"))
+    val fresh = graft.dedup.SemDedup.assignWithCentSim(e.filter(isDelta), cents)
+      .join(broadcast(admitted), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("doc_id"), col("cell"), lit("fresh").as("src"))
+    carried.unionByName(fresh)
+  }
+
+  /** Oracle: resident base assignment carried verbatim from the
+    * fixture + the admitted survivors' fresh frozen-centroid
+    * assignment (the apply chain nested once). */
+  def multimodalNeardupDeltaCompactSql: String = {
+    val feats = (0 until EmbedDim).map(j =>
+      s"CAST(CAST(('0x' || substr(sha256(media), ${j * 8 + 1}, 8))::UBIGINT / 4294967296.0 - 0.5 AS FLOAT) AS DOUBLE)")
+    s"""WITH adm AS MATERIALIZED (
+       |${multimodalNeardupDeltaApplySql}
+       |),
+       |m3 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN source || '-dup-' || (doc_id % 40)
+       |         ELSE source || '-' || doc_id END AS media
+       |  FROM documents),
+       |ecorp AS (SELECT doc_id AS vec_id,
+       |  [${feats.mkString(",\n   ")}] AS embedding
+       |  FROM m3),
+       |cc AS (SELECT cell, cv FROM read_parquet('$MmDeltaCentroidExportPath/*.parquet')),
+       |dd AS (SELECT vec_id FROM ecorp
+       |      WHERE vec_id % ${graft.Carves.DeltaMod} = 0),
+       |delta_assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cc.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+       |                               CAST(cc.cv AS DOUBLE[])), cc.cell) AS r
+       |    FROM ecorp e JOIN dd USING (vec_id) CROSS JOIN cc)
+       |  WHERE r = 1)
+       |SELECT vec_id AS doc_id, cell, 'carried' AS src
+       |FROM read_parquet('$MmDeltaAssignExportPath/*.parquet')
+       |UNION ALL
+       |SELECT da.vec_id AS doc_id, da.cell, 'fresh' AS src
+       |FROM delta_assign da JOIN adm ON adm.doc_id = da.vec_id""".stripMargin
+  }
+
   /** DuckDB twin: the `dedup_semantic_delta` decision chain over the
     * media stub corpus — media plant + FLOAT stub features, resident
     * base-assignment fixture, map-side delta assignment replayed from

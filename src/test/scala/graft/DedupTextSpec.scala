@@ -794,6 +794,37 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal_neardup_delta_compact == fresh frozen-model assignment of base ∪ admitted; fresh == apply survivors") {
+    import graft.dedup.SemDedup
+    val media = Tables.documents(spark, sf)
+      .select(col("doc_id"), BinaryMeta.mediaPlant.as("media"))
+    val e = BinaryMeta.embedStubCentered(media)
+      .select(col("doc_id").as("vec_id"), col("embedding")).cache()
+    val isDelta = col("vec_id") % graft.Carves.DeltaMod === 0
+    val base = e.filter(!isDelta)
+    val cells = IvfSearch.scaledCells(base.count())
+    val cents = IvfSearch.fitCentroids(base, cells, Some(s"mmdelta:$cells:$sf"))
+    val compact = BinaryMeta.multimodalNeardupDeltaCompact(spark, sf).collect()
+    val survivors = BinaryMeta.multimodalNeardupDeltaApply(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(compact.filter(_.getString(2) == "fresh").map(_.getLong(0)).toSet
+      == survivors, "fresh rows must be exactly the apply survivors")
+    assert(compact.filter(_.getString(2) == "carried").map(_.getLong(0)).toSet
+      == base.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "carried rows must be exactly the resident base")
+    // frozen centroids make carrying exact: carried + fresh equals ONE
+    // fresh frozen-model assignment of base ∪ admitted
+    val merged = base.unionByName(
+      e.filter(isDelta).filter(col("vec_id").isin(survivors.toSeq: _*)))
+    val expect = SemDedup.assignWithCentSim(merged, cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(compact.map(r => (r.getLong(0), r.getInt(1))).toSet == expect,
+      "compacted state must equal a fresh frozen-model assignment of the merged corpus")
+    e.unpersist()
+    ()
+  }
+
   test("dedup_minhash_delta == full run restricted to delta-touching pairs, across splits; both legs occur") {
     val corpus = Dedup.withPlantedNearDups(Tables.documents(spark, sf), 25, mutate = true)
       .cache()
