@@ -424,10 +424,20 @@ object SemDedup {
     val allAssign = baseAssign.select(col("vec_id"), col("cell"))
       .unionByName(deltaAssign.select(col("vec_id"), col("cell")))
     val wCell = Window.partitionBy("cell")
+    // guarded is CACHED (released below with the other intermediates)
+    // for two reasons: it feeds BOTH sides of the probe self-join, so
+    // the union + window-count guard otherwise computes twice; and the
+    // InMemoryRelation leaf keeps the self-join's constraint
+    // propagation away from the union subtree — Spark 4.1's
+    // UnionBase.rewriteConstraints trips on a child constraint
+    // referencing a pruned-away upstream attribute when the union is
+    // self-joined through DeduplicateRelations (observed as
+    // `key not found: source#N` with a CASE-planted corpus under it)
     val guarded = allAssign
       .withColumn("csz", count(lit(1)).over(wCell))
       .filter(col("csz") <= maxCell)
       .select(col("vec_id"), col("cell"))
+      .cache()
     val deltaIds = deltaAssign.select(col("vec_id")).distinct().cache()
     val deltaGuarded = guarded.join(deltaIds, Seq("vec_id"), "left_semi")
     // one probe join covers both legs; least/greatest orients pairs
@@ -455,6 +465,7 @@ object SemDedup {
           .otherwise("delta_base").as("leg"))
       .cache()
     result.count() // materialize the (small) pair list, release intermediates
+    guarded.unpersist()
     deltaIds.unpersist()
     cands.unpersist()
     result
@@ -698,22 +709,46 @@ object SemDedup {
   // Caveat: localCheckpoint blocks are NOT recomputable on executor
   // loss (unlike cache()); acceptable here because the corpus is
   // fixture-derived and a lost block just means re-running the entry.
-  // Keyed by sessionUUID (a String), NOT by the SparkSession itself: a
-  // WeakHashMap[SparkSession, DataFrame] defeats its own weak keying
-  // because the memoized DataFrame strongly references its session, so
-  // entries (and their pinned localCheckpoint blocks) would live for
-  // the JVM. With the string key the session is only reachable through
-  // the value, and `releaseMergedCheckpoint` is the explicit eviction
-  // hook: it unpersists the checkpoint blocks and drops the entry (a
-  // long-lived serving JVM calls it when a corpus generation retires;
-  // Verify/Bench runs simply let the one active session's entries ride).
+  // Keyed by a per-session UUID (a String), NOT by the SparkSession
+  // itself: a WeakHashMap[SparkSession, DataFrame] defeats its own
+  // weak keying because the memoized DataFrame strongly references its
+  // session, so entries (and their pinned localCheckpoint blocks)
+  // would live for the JVM. With the string key the session is only
+  // reachable through the value; `releaseMergedCheckpoint` is the
+  // explicit eviction hook (a long-lived serving JVM calls it when a
+  // corpus generation retires), and a SparkListener registered at key
+  // assignment auto-evicts the session's entries on application end —
+  // so a stopped session's entries, blocks, and the session itself
+  // (reachable only via the cached DataFrame) never outlive it.
   private val mergedCache =
     scala.collection.mutable.Map.empty[(String, String), (DataFrame, Long)]
 
-  // a session key with no strong reference to the session object
-  // (sessionUUID lives on the classic subclass only)
+  // GUARANTEED-unique session key: a random UUID assigned per session
+  // in a side WeakHashMap (the value is a plain String with no strong
+  // reference back to the key, so weak collection actually works —
+  // unlike identityHashCode, which can collide across two live
+  // sessions and recur after an unreleased stopped session is GC'd).
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+
   private def sessionKey(spark: SparkSession): String =
-    System.identityHashCode(spark).toHexString
+    sessionIds.synchronized {
+      Option(sessionIds.get(spark)).getOrElse {
+        val id = java.util.UUID.randomUUID().toString
+        sessionIds.put(spark, id)
+        // auto-evict on session end; the listener captures only the
+        // String id, never the session
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              mergedCache.synchronized {
+                mergedCache.keys.filter(_._1 == id).toSeq
+                  .foreach(mergedCache.remove)
+              }
+          })
+        id
+      }
+    }
 
   private def mergedCorpusWithCount(spark: SparkSession, sfDir: String): (DataFrame, Long) =
     mergedCache.synchronized {

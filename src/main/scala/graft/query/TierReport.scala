@@ -482,29 +482,59 @@ object TierReport {
     * where the compressed tiers differentiate. */
   val ByteBudgets: Seq[Double] = Seq(0.02, 0.05, 0.20, 1.0)
 
+  /** Where [[tierReportExport]] stages the measured tier board — the
+    * `lm_model_export` fixture discipline applied to the DECISION
+    * BOARDS: in production the expensive measurement runs once per
+    * corpus generation and every re-tune re-reads the resident rows. */
+  val TierReportExportPath: String =
+    graft.FixturePaths.fixture("tier_report.parquet")
+
+  private def ensureTierReportExport(spark: SparkSession, sfDir: String): Unit =
+    graft.FixtureExport.ensure(s"tierreport:$sfDir", TierReportExportPath) {
+      annTierReport(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(TierReportExportPath)
+    }
+
   /**
-   * `ann_tier_autotune`: the REPRESENTATION-axis twin of
-   * [[annProbeAutotune]] — together they close both FAISS-bench knobs
-   * into decisions: given a scan-byte budget (as a share of the
-   * brute-force scan), CHOOSE the tier. One row per budget in
-   * [[ByteBudgets]]: among tiers whose measured `scan_bytes` share
-   * fits, the one with max recall@k (ties → fewer bytes, then tier
-   * name); when NOTHING fits (`met = 0`) the cheapest tier is served
-   * flagged — the honest "no representation meets that budget; shrink
-   * k, the probe count, or the corpus slice" answer.
-   *
-   * Scale posture: the selection is driver-side arithmetic over the
-   * 6 measured tier rows; all corpus-sized work is the tier report's
-   * concurrent evaluations.
+   * `tier_report_export`: stage the measured tier-selection board once
+   * per (JVM, corpus) and read it back — what the staged autotune
+   * re-tunes against. Oracle = [[annTierReportSqlOpt]] VERBATIM (the
+   * staged rows must hash-match the full measured chain — the
+   * `knn_join_sharded_staged` discipline), so the fixture's content is
+   * value-checked, not just its shape.
    */
-  def annTierAutotune(spark: SparkSession, sfDir: String): DataFrame = {
+  def tierReportExport(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureTierReportExport(spark, sfDir)
+    spark.read.parquet(TierReportExportPath)
+  }
+
+  /**
+   * `ann_tier_autotune_staged`: the byte-budget tier pick at its real
+   * MARGINAL cost — the identical [[annTierAutotune]] policy over the
+   * RESIDENT staged board (6 rows) instead of re-measuring all six
+   * tiers per invocation (the r14 verdict's missing #2: the in-plan
+   * autotune re-runs the 3.7 s report inside a 4.7 s pick). The only
+   * corpus-touching work left is the brute-scan denominator (one
+   * parquet COUNT + one head row for dim). The in-plan form stays as
+   * the measure-and-pick cross-check.
+   */
+  def annTierAutotuneStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureTierReportExport(spark, sfDir)
+    val tiers = spark.read.parquet(TierReportExportPath).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(6)))
+    tierPickRows(spark, sfDir, tiers)
+  }
+
+  /** The pick itself over measured (tier, recall@k, scan_bytes) rows —
+    * shared by the in-plan and staged autotunes so the policy cannot
+    * drift between them. */
+  private def tierPickRows(spark: SparkSession, sfDir: String,
+      tiers: Array[(String, Double, Long)]): DataFrame = {
     val data = Tables.embeddings(spark, sfDir)
     val nVecs = data.count()
     val dim = data.select(size(col("embedding"))).head().getInt(0)
     val brute = nVecs * NumQueries.toLong * dim * 4L
     def share(b: Long): Double = math.floor(b.toDouble / brute * 10000) / 10000
-    val tiers = annTierReport(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getDouble(2), r.getLong(6)))
     val rows = ByteBudgets.map { bud =>
       val chosen = tiers.sortBy { case (tier, r10, bytes) =>
         val fit = share(bytes) <= bud
@@ -520,31 +550,63 @@ object TierReport {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
-  /** Oracle: the tier report as a single-reference CTE + one window
+  /**
+   * `ann_tier_autotune`: the REPRESENTATION-axis twin of
+   * [[annProbeAutotune]] — together they close both FAISS-bench knobs
+   * into decisions: given a scan-byte budget (as a share of the
+   * brute-force scan), CHOOSE the tier. One row per budget in
+   * [[ByteBudgets]]: among tiers whose measured `scan_bytes` share
+   * fits, the one with max recall@k (ties → fewer bytes, then tier
+   * name); when NOTHING fits (`met = 0`) the cheapest tier is served
+   * flagged — the honest "no representation meets that budget; shrink
+   * k, the probe count, or the corpus slice" answer.
+   *
+   * Scale posture: the selection is driver-side arithmetic over the
+   * 6 measured tier rows; all corpus-sized work is the tier report's
+   * concurrent evaluations.
+   */
+  def annTierAutotune(spark: SparkSession, sfDir: String): DataFrame =
+    tierPickRows(spark, sfDir, annTierReport(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(6))))
+
+  /** The pick SQL over a `report` CTE already in scope — one window
     * pick per budget (fit DESC, max recall among fitting, cheapest
     * among non-fitting — the same composite key as the driver sort).
-    * Conditional on the tier report's own SQL-expressibility. */
+    * Shared verbatim by the in-plan and staged autotune oracles. */
+  private def tierAutotunePickSql: String = {
+    val budgets = ByteBudgets.map(b => s"(CAST($b AS DOUBLE))").mkString(", ")
+    s"""m2 AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n,
+       |              (SELECT CAST(len(embedding) AS BIGINT) FROM embeddings LIMIT 1) AS dim),
+       |budgets(budget_share) AS (VALUES $budgets),
+       |shared AS (
+       |  SELECT b.budget_share, r.tier, r.recall_at_10, r.scan_bytes,
+       |    FLOOR(CAST(r.scan_bytes AS DOUBLE)
+       |          / (SELECT n * $NumQueries * dim * 4 FROM m2) * 10000) / 10000 AS byte_share
+       |  FROM budgets b CROSS JOIN report r)
+       |SELECT budget_share, tier, met, recall_at_10, scan_bytes, byte_share FROM (
+       |  SELECT *, CASE WHEN byte_share <= budget_share THEN 1 ELSE 0 END AS met,
+       |    ROW_NUMBER() OVER (PARTITION BY budget_share ORDER BY
+       |      CASE WHEN byte_share <= budget_share THEN 0 ELSE 1 END,
+       |      CASE WHEN byte_share <= budget_share THEN -recall_at_10 ELSE 0 END,
+       |      scan_bytes, tier) AS pick
+       |  FROM shared)
+       |WHERE pick = 1""".stripMargin
+  }
+
+  /** Oracle: the tier report as a single-reference CTE + the shared
+    * pick SQL. Conditional on the report's own SQL-expressibility. */
   def annTierAutotuneSqlOpt: Option[String] =
     annTierReportSqlOpt.map { reportSql =>
-      val budgets = ByteBudgets.map(b => s"(CAST($b AS DOUBLE))").mkString(", ")
       s"""WITH report AS MATERIALIZED (
          |$reportSql
          |),
-         |m2 AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n,
-         |              (SELECT CAST(len(embedding) AS BIGINT) FROM embeddings LIMIT 1) AS dim),
-         |budgets(budget_share) AS (VALUES $budgets),
-         |shared AS (
-         |  SELECT b.budget_share, r.tier, r.recall_at_10, r.scan_bytes,
-         |    FLOOR(CAST(r.scan_bytes AS DOUBLE)
-         |          / (SELECT n * $NumQueries * dim * 4 FROM m2) * 10000) / 10000 AS byte_share
-         |  FROM budgets b CROSS JOIN report r)
-         |SELECT budget_share, tier, met, recall_at_10, scan_bytes, byte_share FROM (
-         |  SELECT *, CASE WHEN byte_share <= budget_share THEN 1 ELSE 0 END AS met,
-         |    ROW_NUMBER() OVER (PARTITION BY budget_share ORDER BY
-         |      CASE WHEN byte_share <= budget_share THEN 0 ELSE 1 END,
-         |      CASE WHEN byte_share <= budget_share THEN -recall_at_10 ELSE 0 END,
-         |      scan_bytes, tier) AS pick
-         |  FROM shared)
-         |WHERE pick = 1""".stripMargin
+         |$tierAutotunePickSql""".stripMargin
     }
+
+  /** Oracle for the staged autotune: the STAGED board parquet + the
+    * identical pick SQL — no measurement chain (that absence is the
+    * point), and unconditional (the fixture needs no SQL replay). */
+  def annTierAutotuneStagedSql: String =
+    s"""WITH report AS (SELECT * FROM read_parquet('$TierReportExportPath/*.parquet')),
+       |$tierAutotunePickSql""".stripMargin
 }

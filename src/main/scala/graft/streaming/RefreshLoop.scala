@@ -91,14 +91,22 @@ final class RefreshLoop(
       .select(col("vec_id"), col("cell")).localCheckpoint()
     val refit = SemDedup.assignWithCentSim(merged, refitCents)
       .select(col("vec_id"), col("cell")).localCheckpoint()
-    val guard = guardOverride.getOrElse(
-      refit.groupBy("cell").count().agg(max("count")).head().getLong(0).toInt
-        + guardHeadroom)
-    val (nf, nr, common) = SemDedup.pairFidelity(merged, frozen, refit, tau, guard)
-    // the report is driver-side integers from here on
-    SemDedup.releaseLocalCheckpoint(frozen)
-    SemDedup.releaseLocalCheckpoint(refit)
-    RefitReport(guard, nf, nr, common)
+    try {
+      val guard = guardOverride.getOrElse {
+        // max over an EMPTY merged corpus is a null cell — degenerate
+        // but not a crash: the guard collapses to the headroom alone
+        val maxFill = Option(refit.groupBy("cell").count()
+          .agg(max("count")).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        maxFill.toInt + guardHeadroom
+      }
+      val (nf, nr, common) = SemDedup.pairFidelity(merged, frozen, refit, tau, guard)
+      RefitReport(guard, nf, nr, common)
+    } finally {
+      // the report is driver-side integers from here on; release even
+      // when the guard/fidelity jobs throw
+      SemDedup.releaseLocalCheckpoint(frozen)
+      SemDedup.releaseLocalCheckpoint(refit)
+    }
   }
 
   /** The thaw, executed ONLY when the report prices it in: the full
@@ -123,6 +131,50 @@ final class RefreshLoop(
     val rep = report(merged, frozenCents, refitCents)
     (refitCents, rep, thawIfGained(merged, refitCents, rep))
   }
+
+  /** The result of the last monitor-triggered round ([[alarmHook]]):
+    * (refit centroids, fidelity report, the executed thaw when gained
+    * > 0) — what the pipeline owner reads after the stream drains. */
+  @volatile var lastRound
+      : Option[(Array[Array[Float]], RefitReport, Option[DataFrame])] = None
+
+  private val alarmTaken = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /**
+   * Wire a [[StreamingEmbedDrift]] monitor to this loop — the r14
+   * verdict's last hand-wired step, closed: pass the returned function
+   * as `driftStream(..., onAlarm = Some(loop.alarmHook(...)))` and the
+   * alarm row fired in trigger T runs the refresh round BETWEEN T and
+   * T+1 (foreachBatch is synchronous within its trigger — the same
+   * boundary discipline [[publish]] uses on the serving stream).
+   *
+   * The round the hook runs is refit → report → thaw-iff-gained —
+   * deliberately WITHOUT [[publish]]: the serving swap's timing
+   * belongs to the SERVING stream's own afterBatch hook (this class's
+   * header contract), and the lifecycle serves gen-2 from the moment
+   * refit returns. A caller with no serving stream uses
+   * [[onDriftAlarm]] instead, which publishes inline.
+   *
+   * @param base        the resident corpus the arrivals merge into
+   * @param frozenCents the gen-1 semantic fit the report grades
+   * @param arrivals    the delta accumulated when batch `id` fired —
+   *                    for a file-source intake, a static read of the
+   *                    landed files
+   * Fires ONCE per loop instance (an alarm storm must not re-enter
+   * k-means refits concurrently); re-arm by constructing a new loop
+   * for the next corpus generation.
+   */
+  def alarmHook(base: DataFrame, frozenCents: Array[Array[Float]],
+      arrivals: Long => DataFrame, fitKey: Option[String] = None)
+      : (Long, DataFrame) => Unit =
+    (batchId, _) =>
+      if (alarmTaken.compareAndSet(false, true)) {
+        val delta = arrivals(batchId)
+        val merged = base.unionByName(delta)
+        val refitCents = refit(merged, delta, batchId, fitKey)
+        val rep = report(merged, frozenCents, refitCents)
+        lastRound = Some((refitCents, rep, thawIfGained(merged, refitCents, rep)))
+      }
 }
 
 object RefreshLoop {

@@ -31,6 +31,14 @@ import graft.operators.Embeddings
  */
 object StreamingEmbedDrift {
 
+  /** The default alarm predicate for [[driftStream]]'s `onAlarm`
+    * hook: ANY drifted dimension trips it — per-dim drift flags are
+    * already thresholded by [[Embeddings.driftFromDiags]], so one
+    * flagged dim is a real encoder-behavior change, not noise. */
+  def defaultAlarm(report: DataFrame): Boolean =
+    report.filter(org.apache.spark.sql.functions.col("drifted") === 1)
+      .limit(1).count() > 0
+
   /**
    * @param vecs      streaming (vec_id, embedding) arrivals
    * @param baseDiag  [[Embeddings.embedDiagnostics]] of the resident
@@ -42,11 +50,21 @@ object StreamingEmbedDrift {
    *                  lands at `history/batch=<id>` (what lets a spec —
    *                  or an incident review — see the alarm fire
    *                  mid-stream)
+   * @param onAlarm   maintenance hook invoked INSIDE the trigger whose
+   *                  report trips `alarmWhen` — foreachBatch completes
+   *                  before the next trigger starts, so whatever the
+   *                  hook does (e.g. [[RefreshLoop.alarmHook]]'s
+   *                  refit round) lands between trigger T and T+1,
+   *                  the same boundary discipline publish uses
+   * @param alarmWhen the alarm predicate over a trigger's report
+   *                  ([[defaultAlarm]]: any drifted dim)
    */
   def driftStream(vecs: DataFrame, baseDiag: DataFrame, outPath: String,
       checkpoint: String,
       history: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      onAlarm: Option[(Long, DataFrame) => Unit] = None,
+      alarmWhen: DataFrame => Boolean = defaultAlarm): StreamingQuery = {
     val deltaDiag = Embeddings.embedDiagnostics(vecs)
     deltaDiag.writeStream
       .outputMode(OutputMode.Complete())
@@ -60,6 +78,9 @@ object StreamingEmbedDrift {
             report.write.mode("overwrite").parquet(outPath)
             history.foreach(h =>
               report.write.mode("overwrite").parquet(f"$h/batch=$batchId%03d"))
+            onAlarm.foreach { hook =>
+              if (alarmWhen(report)) hook(batchId, report)
+            }
           } finally report.unpersist()
         }
       }

@@ -44,11 +44,14 @@ import graft.dedup.Dedup
  * (`stream.stateTtlSec` + an event-time column — dup windows in
  * crawl pipelines are weeks, not forever, the same bound Spark's own
  * watermarked dropDuplicates uses): an arrival only ever matches
- * claimants seen within the TTL of its own event time (deterministic
- * window semantics, independent of micro-batch boundaries), expired
- * claimants are trimmed from state on the spot, and a bucket idle
- * past the TTL — frozen ones included — is garbage-collected by the
- * state store's event-time timeout.
+ * claimants seen within the TTL of its own event time — a
+ * NON-DESTRUCTIVE per-arrival view (deterministic window semantics,
+ * independent of micro-batch boundaries: an out-of-order arrival
+ * within the same trigger still sees every claimant its own event
+ * time allows) — state then compacts ONCE per trigger against the
+ * batch's max event time, and a bucket idle past the TTL — frozen
+ * ones included — is garbage-collected by the state store's
+ * event-time timeout.
  */
 object StreamingNearDup {
 

@@ -181,4 +181,29 @@ class LmKn5Spec extends SparkSpecBase {
       pick((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))),
       "the entry must be the pick over its own ladder board")
   }
+
+  test("lm_rung_autotune_staged: the staged pick equals the in-plan pick row-for-row") {
+    val inPlan = TextAnalysis.lmRungAutotune(spark, sf).collect().toSeq
+    val staged = TextAnalysis.lmRungAutotuneStaged(spark, sf).collect().toSeq
+    assert(staged == inPlan,
+      "the staged board pick must equal the measure-and-pick form exactly")
+    // and the staged board itself carries the measured contest
+    val board = TextAnalysis.lmBoardExport(spark, sf).collect().toSeq
+    val live = TextAnalysis.lmLadderEval(spark, sf).collect().toSeq
+    assert(board == live, "the staged board must hold the measured ladder row")
+  }
+
+  test("lm_model_delta: the merged model scores the corpus bit-for-bit like a full rebuild") {
+    // the strongest form of merged == refit: not just the stat rows
+    // (the oracle's check) but the SCORES a model assembled from the
+    // merged type tables assigns — discounts, denominators, and
+    // count-of-counts all re-derive from the merged tables, so any
+    // merge defect would move a score
+    val full = TextAnalysis.lmScoreKn5Query(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val merged = TextAnalysis.lm5ScoreFromMergedTypes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(merged == full,
+      "delta-merged model scores must equal the full-rebuild scores bit-for-bit")
+  }
 }

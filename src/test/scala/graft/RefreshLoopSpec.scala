@@ -81,16 +81,24 @@ class RefreshLoopSpec extends SparkSpecBase {
       .select((col("vec_id") + 2000L).as("vec_id"), col("embedding"))
     val delta = drifted.unionByName(plants).cache()
 
-    // ---- 1) the monitor fires in the trigger the rollout lands
+    // ---- 1) the monitor fires in the trigger the rollout lands, and
+    // the loop is ATTACHED before the stream starts (r14 VERDICT #4:
+    // the wiring is the library's now — the spec plants the swap and
+    // reads the result; NO hand-detection invokes the loop below)
     val in = tmp("drift-in"); val dOut = tmp("drift-out")
     val dCkpt = tmp("drift-ckpt"); val hist = tmp("drift-hist")
     clean.coalesce(1).write.mode("overwrite").parquet(s"$in/b=000")
     delta.coalesce(1).write.mode("overwrite").parquet(s"$in/b=001")
     val stream = spark.readStream.schema(clean.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$in/b=*")
+    val loop = new RefreshLoop(spark, life, ref, SemDedup.SemTau,
+      guardHeadroom = 16)
     val mon = StreamingEmbedDrift.driftStream(stream.toDF(), baseDiag, dOut, dCkpt,
-      history = Some(hist))
-    assert(mon.awaitTermination(180000), "drift monitor did not finish")
+      history = Some(hist),
+      onAlarm = Some(loop.alarmHook(base, cents1,
+        arrivals = bid => spark.read.parquet(f"$in/b=$bid%03d"),
+        fitKey = Some("refresh-cents2"))))
+    assert(mon.awaitTermination(300000), "drift monitor did not finish")
     assert(spark.read.parquet(s"$hist/batch=000")
       .filter(col("drifted") === 1).isEmpty,
       "healthy arrivals must not trip the alarm")
@@ -99,20 +107,18 @@ class RefreshLoopSpec extends SparkSpecBase {
     assert(alarmed > dim / 2,
       s"the swap's bias must fire the alarm across dims in its own trigger: $alarmed of $dim")
 
-    // ---- 2) the alarm's maintenance action, through the PRODUCTION
-    // entry point (graft.streaming.RefreshLoop — r13 VERDICT #1): the
-    // loop owns the √N cell re-resolution AND the hash-shuffled fit
-    // sample (fitCentroids seeds k-means from the head of vec_id
-    // order, and a head made entirely of pre-swap vectors never seeds
-    // a centroid inside the new off-distribution cluster — Lloyd then
-    // single-captures the whole cluster into one oversized cell no
-    // matter the cell count, measured 410-fill; the LOOP re-keys by
-    // hash so no caller has to know this)
+    // ---- 2) the alarm's maintenance action ran INSIDE trigger 1,
+    // through the PRODUCTION wiring (alarmHook → refit → report →
+    // thaw-iff-gained): the loop owns the √N cell re-resolution AND
+    // the hash-shuffled fit sample (fitCentroids seeds k-means from
+    // the head of vec_id order, and a head made entirely of pre-swap
+    // vectors never seeds a centroid inside the new off-distribution
+    // cluster — Lloyd then single-captures the whole cluster into one
+    // oversized cell no matter the cell count, measured 410-fill; the
+    // LOOP re-keys by hash so no caller has to know this)
     val merged = base.unionByName(delta).cache()
-    val loop = new RefreshLoop(spark, life, ref, SemDedup.SemTau,
-      guardHeadroom = 16)
-    val cents2 = loop.refit(merged, delta, batchId = 0L,
-      fitKey = Some("refresh-cents2"))
+    val (cents2, rep, thawOpt) = loop.lastRound.getOrElse(
+      fail("the alarm must have run the refresh round inside its own trigger"))
     // un-memoized recompute (None key forces a fresh fit): the loop's
     // refit must equal the published hash-shuffled √N rule bit-for-bit
     assert(java.util.Arrays.deepEquals(
@@ -153,10 +159,10 @@ class RefreshLoopSpec extends SparkSpecBase {
     assert(served(1) == topk(qB, idx2, None),
       "batch 1 must serve the lifecycle's published gen-2 index")
 
-    // ---- 4) the refresh report prices the thaw: gained > 0
+    // ---- 4) the refresh report (computed by the hook, in-trigger)
+    // prices the thaw: gained > 0
     def assignOf(cents: Array[Array[Float]], corpus: DataFrame) =
       SemDedup.assignWithCentSim(corpus, cents).select(col("vec_id"), col("cell"))
-    val rep = loop.report(merged, cents1, cents2)
     val guard = rep.guard
     val frozenAssign = assignOf(cents1, merged).cache()
     val plantCells = frozenAssign.filter(col("vec_id") >= 12000L)
@@ -173,8 +179,9 @@ class RefreshLoopSpec extends SparkSpecBase {
       s"the report must read gained > 0: frozen=${rep.pairsFrozen} " +
         s"refit=${rep.pairsRefit} common=${rep.pairsCommon}")
 
-    // ---- 5) the thaw executes: gen-2 resident state
-    val gen2 = loop.thawIfGained(merged, cents2, rep)
+    // ---- 5) the thaw executed (in-trigger, because gained > 0):
+    // gen-2 resident state
+    val gen2 = thawOpt
       .getOrElse(fail("gained > 0 must execute the thaw")).cache()
     val survivors = merged.join(gen2.filter(col("keep")).select("vec_id"),
       Seq("vec_id"), "left_semi").cache()

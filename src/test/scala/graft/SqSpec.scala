@@ -232,4 +232,18 @@ class SqSpec extends SparkSpecBase {
       case _ => ()
     }
   }
+
+  test("ann_tier_autotune_staged: staged board + staged pick equal the in-plan forms") {
+    // the staged board holds the measured tier rows verbatim ...
+    val board = graft.query.TierReport.tierReportExport(spark, sf).collect().toSeq
+    val live = graft.query.TierReport.annTierReport(spark, sf).collect().toSeq
+    assert(board.toSet == live.toSet,
+      "the staged board must hold the measured tier rows")
+    // ... and the staged pick applies the identical policy to them —
+    // the production re-tune never re-measures (r14 VERDICT missing #2)
+    val inPlan = graft.query.TierReport.annTierAutotune(spark, sf).collect().toSeq
+    val staged = graft.query.TierReport.annTierAutotuneStaged(spark, sf).collect().toSeq
+    assert(staged == inPlan,
+      "the staged pick must equal the measure-and-pick form row-for-row")
+  }
 }

@@ -89,4 +89,47 @@ class StagedTwinsSpec extends SparkSpecBase {
     assert(merged.queryExecution.executedPlan.toString().contains("semdelta_pairs"),
       "staged merged corpus must read the staged pair parquet")
   }
+
+  test("multimodal: staged apply/compact verdict-identical to the in-plan forms") {
+    import graft.multimodal.BinaryMeta
+    val applyInPlan = BinaryMeta.multimodalNeardupDeltaApply(spark, sf).collect().toSet
+    val applyStaged = BinaryMeta.multimodalNeardupApplyStaged(spark, sf).collect().toSet
+    assert(applyStaged == applyInPlan,
+      "staged multimodal apply must admit exactly the in-plan survivors")
+
+    val compactInPlan = BinaryMeta.multimodalNeardupDeltaCompact(spark, sf).collect().toSet
+    val compactStaged = BinaryMeta.multimodalNeardupCompactStaged(spark, sf).collect().toSet
+    assert(compactStaged == compactInPlan,
+      "staged multimodal compact must carry/admit exactly the in-plan rows")
+  }
+
+  test("multimodal staged twins run WITHOUT the delta chain; compact broadcasts the PAIR-BOUNDED drop set") {
+    import graft.multimodal.BinaryMeta
+    // prime the stage (idempotent if the prior test ran)
+    BinaryMeta.multimodalNeardupDelta(spark, sf)
+    // the staged apply must not re-run the pair chain (no cell
+    // self-join / pair orientation anywhere in its plan) and must read
+    // the staged pair parquet
+    val ap = BinaryMeta.multimodalNeardupApplyStaged(spark, sf)
+    val apOpt = ap.queryExecution.optimizedPlan.toString()
+    assert(!apOpt.contains("least(") && !apOpt.contains("csim"),
+      s"staged multimodal apply must not re-run the pair chain:\n$apOpt")
+    assert(ap.queryExecution.executedPlan.toString().contains("mm_delta_pairs"),
+      "staged multimodal apply must read the staged pair parquet")
+    // the staged compact's only corpus-touching subtree is the
+    // delta-sized map-only assignment: no pair chain, and the ONLY
+    // broadcast is the pair-bounded drop set (the What's-wrong-#1 fix:
+    // an admitted-set semi-join would broadcast ~the whole recrawl)
+    val cp = BinaryMeta.multimodalNeardupCompactStaged(spark, sf)
+    val cpOpt = cp.queryExecution.optimizedPlan.toString()
+    assert(!cpOpt.contains("least("),
+      s"staged multimodal compact must not re-run the pair chain:\n$cpOpt")
+    val cpPhys = cp.queryExecution.executedPlan.toString()
+    assert(cpPhys.contains("mm_delta_pairs"),
+      "staged multimodal compact must read the staged pair parquet")
+    // the anti-join against drops is the broadcast; the carried side
+    // streams from the assignment fixture
+    assert(cpPhys.contains("BroadcastHashJoin") && cpPhys.contains("LeftAnti"),
+      s"compact's drop set must broadcast into a left-anti join:\n$cpPhys")
+  }
 }

@@ -12,10 +12,15 @@ def load(p):
 a, b = load(sys.argv[1]), load(sys.argv[2])
 cal_a, cal_b = a.pop("_calibration", None), b.pop("_calibration", None)
 common = sorted(set(a) & set(b))
+if not common:
+    sys.exit("no common entries between the two artifacts — nothing to compare")
 sa, sb = sum(a[k] for k in common), sum(b[k] for k in common)
 ratios = {k: (b[k] / a[k] if a[k] > 0 else float("inf")) for k in common}
 med = statistics.median(ratios.values())
-print(f"calibration: {cal_a} -> {cal_b} (x{cal_b/cal_a:.3f})")
+if cal_a and cal_b:
+    print(f"calibration: {cal_a} -> {cal_b} (x{cal_b/cal_a:.3f})")
+else:
+    print("calibration: missing in at least one artifact — raw seconds only")
 print(f"common-{len(common)} subtotal: {sa:.1f} -> {sb:.1f} s = x{sb/sa:.3f}")
 print(f"median per-entry ratio: {med:.3f}")
 print(f"entries >1.25: {sum(1 for r in ratios.values() if r > 1.25)}")
