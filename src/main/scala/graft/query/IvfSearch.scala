@@ -368,7 +368,21 @@ object IvfSearch {
         .select(col("query_id").as("vec_id"), col("cvec").as("embedding"), col("cell")))
     val shardQueries = homes.filter(pmod(col("cell"), lit(nShards)) === shard)
       .select(col("vec_id"), col("embedding"))
-    val probes = probeCellsRanked(shardQueries, cents, nProbe,
+    knnForQueries(shardQueries, homes, k, nProbe, cents, maxCandidates)
+  }
+
+  /** The bounded per-query-set kernel every restricted graph job runs
+    * — [[knnJoinPlan]]'s join/cap/top-k tail over an explicit query
+    * set and a (vec_id, embedding, cell) home table, corpus side
+    * manifest-pruned to the queries' probe cells. A query's candidates
+    * all live in its probe cells, so the restricted rows are EXACTLY
+    * the full plan's for those queries (the shard-equality argument);
+    * shards ([[knnJoinShard]]) and the incremental patch
+    * ([[knnJoinDeltaPlan]]) are both instances. */
+  private[graft] def knnForQueries(queries: DataFrame, homes: DataFrame,
+      k: Int, nProbe: Int, cents: Array[Array[Float]],
+      maxCandidates: Int): DataFrame = {
+    val probes = probeCellsRanked(queries, cents, nProbe,
       carry = Seq("qv" -> col("embedding")))
     // the probe-adjacency manifest: ≤ C cells, one tiny distinct job
     val manifest = probes.select("cell").distinct().collect().map(_.getInt(0))
@@ -439,6 +453,117 @@ object IvfSearch {
       .map(s => knnJoinShard(data, K, NumProbes, cents, cfg.ivf.maxCandidates,
         nShards = 4, shard = s, stagedHomes = Some(homes)))
       .reduce(_.unionByName(_))
+  }
+
+  /**
+   * Frame-level core of `knn_join_delta` — incremental k-NN graph
+   * maintenance for a corpus merge (the r14 verdict's missing #5,
+   * completing the delta discipline on the graph family). Resident
+   * state: the base generation's home-assignment table and its frozen
+   * centroid fit (never refit by a merge — the never-re-signed rule).
+   * Two bounded legs, each [[knnForQueries]]:
+   *
+   *  - FORWARD edges: the arriving delta vectors as queries against
+   *    base ∪ delta homes — exactly the staged-homes shard path with
+   *    the delta as the query set;
+   *  - REVERSE patch: the base queries whose top-k can have changed
+   *    are precisely those PROBING a delta-homed cell (a candidate
+   *    only ever enters through a probe cell), found with one
+   *    map-only probe expansion against the ≤C delta-cell list; their
+   *    rows are re-cut against base ∪ delta homes under the identical
+   *    cap/top-k kernel, so cap-boundary shifts the delta causes are
+   *    reproduced exactly (a merge-existing-top-k shortcut would not
+   *    survive a binding candidate cap).
+   *
+   * Every other base query's resident rows are CARRIED verbatim — the
+   * spec proves carried ∪ output == the full merged rebuild
+   * row-for-row. Scale posture: the corpus-sized work is one map-only
+   * probe expansion (no shuffle) + two query-restricted kernel runs
+   * whose shuffles are (affected + delta)-sized; on a cell-bucketed
+   * store the resident probe manifests would be staged next to the
+   * homes, making even the expansion delta-sized.
+   */
+  private[graft] def knnJoinDeltaPlan(k: Int, nProbe: Int,
+      cents: Array[Array[Float]], maxCandidates: Int,
+      baseHomes: DataFrame, deltaHomes: DataFrame): DataFrame = {
+    val homes = baseHomes.unionByName(deltaHomes)
+    val fwd = knnForQueries(deltaHomes.select(col("vec_id"), col("embedding")),
+      homes, k, nProbe, cents, maxCandidates)
+    // the delta's home-cell list: driver-sized (≤ C cells)
+    val deltaCells = deltaHomes.select("cell").distinct().collect().map(_.getInt(0))
+    val affected = probeCellsRanked(
+        baseHomes.select(col("vec_id"), col("embedding")), cents, nProbe)
+      .filter(col("cell").isin(deltaCells.map(Integer.valueOf): _*))
+      .select(col("query_id").as("vec_id")).distinct()
+    val patched = knnForQueries(
+      baseHomes.join(affected, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding")),
+      homes, k, nProbe, cents, maxCandidates)
+    fwd.unionByName(patched)
+  }
+
+  /** `knn_join_delta`: the incremental graph rows for a merge — the
+    * resident staged homes split at the [[graft.Carves.DeltaMod]]
+    * carve stand in for the base generation's table; the delta is
+    * assigned map-side against the frozen fit. Output = forward edges
+    * ∪ reverse-patched base rows (the TOUCHED slice of the merged
+    * graph); oracle = [[knnJoinSql]]'s chain restricted to the probes-
+    * a-delta-cell query set, so the incremental rows must hash-match
+    * the full rebuild's. */
+  def knnJoinDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = fittedCorpusCentroids(spark, sfDir, data)
+    val isDelta = col("vec_id") % graft.Carves.DeltaMod === 0
+    val baseHomes = stagedKnnHomes(spark, sfDir, data, cents).filter(!isDelta)
+    val deltaHomes = probeCellsRanked(data.filter(isDelta), cents, nProbe = 1,
+        carry = Seq("cvec" -> col("embedding")))
+      .select(col("query_id").as("vec_id"), col("cvec").as("embedding"), col("cell"))
+    knnJoinDeltaPlan(K, NumProbes, cents, cfg.ivf.maxCandidates,
+      baseHomes, deltaHomes)
+  }
+
+  /** DuckDB twin of [[knnJoinDelta]]: the [[knnJoinSql]] chain over
+    * the merged corpus, restricted to the queries that probe a
+    * delta-homed cell (forward edges' query side — every delta vector
+    * probes its own home cell — plus the reverse-patched base rows). */
+  def knnJoinDeltaSql: String = {
+    val dm = graft.Carves.DeltaMod
+    s"""WITH c AS (SELECT cell, cv FROM read_parquet('$CentroidExportPath/*.parquet')),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS r
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE r = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, cell, crnk FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS crnk
+       |    FROM embeddings q CROSS JOIN c)
+       |  WHERE crnk <= $NumProbes),
+       |dcells AS (SELECT DISTINCT cell FROM assign WHERE vec_id % $dm = 0),
+       |touched AS MATERIALIZED (
+       |  SELECT DISTINCT query_id FROM probes JOIN dcells USING (cell)),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT p.query_id, a.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY p.crnk, a.vec_id) AS cap_rank
+       |    FROM probes p JOIN touched USING (query_id)
+       |    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+       |  WHERE cap_rank <= ${cfg.ivf.maxCandidates}),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist
+       |  FROM cand
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  JOIN embeddings q ON q.vec_id = cand.query_id)
+       |SELECT query_id, nbr_id, ROUND(dist, 4) AS dist, rnk FROM (
+       |  SELECT query_id, vec_id AS nbr_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INTEGER) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $K""".stripMargin
   }
 
   /** DuckDB twin of [[knnJoin]]: the [[simsearchIvfSql]] chain with

@@ -169,6 +169,42 @@ class DedupTextSpec extends SparkSpecBase {
     ()
   }
 
+  test("knn_join_delta: touched rows ∪ carried resident rows == the full merged rebuild, with real carried rows") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cents = IvfSearch.fitCentroids(e, 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val homes = IvfSearch.probeCellsRanked(e, cents, nProbe = 1,
+        carry = Seq("cvec" -> col("embedding")))
+      .select(col("query_id").as("vec_id"), col("cvec").as("embedding"), col("cell"))
+      .cache()
+    // a LOCALIZED recrawl (the scale story's shape): the delta lands
+    // in two cells, so the reverse patch touches only the queries
+    // probing them and everyone else's resident rows carry
+    val deltaHomes = homes.filter(col("cell") < 2)
+    val baseHomes = homes.filter(col("cell") >= 2)
+    assert(deltaHomes.count() > 0 && baseHomes.count() > 0, "carve must split")
+    val touched = IvfSearch.knnJoinDeltaPlan(5, 3, cents, 20000,
+      baseHomes, deltaHomes)
+    val touchedRows = rows(touched)
+    val touchedQ = touchedRows.map(_._1)
+    // the resident base-generation graph (what a pipeline already has)
+    val resident = rows(IvfSearch.knnForQueries(
+      baseHomes.select(col("vec_id"), col("embedding")), baseHomes,
+      5, 3, cents, 20000))
+    val carried = resident.filter(r => !touchedQ.contains(r._1))
+    // non-vacuous: the patch must touch SOME base queries and carry others
+    val baseIds = baseHomes.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(touchedQ.exists(baseIds.contains), "some base queries must be patched")
+    assert(carried.nonEmpty, "some resident rows must carry untouched")
+    // the delta discipline's whole claim: carried ∪ touched == rebuild
+    val full = rows(IvfSearch.knnJoinPlan(e, 5, 3, cents, 20000))
+    assert(carried ++ touchedRows == full,
+      "delta-patched graph must equal the full merged rebuild row-for-row")
+    homes.unpersist()
+    ()
+  }
+
   test("mixed-dimension corpus fails the LSH fit loudly") {
     import spark.implicits._
     val mixed = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(6)(1.0f)))
