@@ -573,25 +573,37 @@ object TierReport {
     * pick per budget (fit DESC, max recall among fitting, cheapest
     * among non-fitting — the same composite key as the driver sort).
     * Shared verbatim by the in-plan and staged autotune oracles. */
-  private def tierAutotunePickSql: String = {
-    val budgets = ByteBudgets.map(b => s"(CAST($b AS DOUBLE))").mkString(", ")
+  /** The pick as a CTE chain over a `report` CTE already in scope,
+    * parameterized by the budget grid — shared verbatim by both
+    * autotune oracles (full [[ByteBudgets]] grid) and by
+    * `ann_search_autotuned`'s (the one [[ServeBudgetShare]] leg), so
+    * the decision SQL cannot drift between the pick and its
+    * execution. Ends with the `picked` CTE. */
+  private def tierAutotunePickCtes(budgets: Seq[Double]): String = {
+    val vals = budgets.map(b => s"(CAST($b AS DOUBLE))").mkString(", ")
     s"""m2 AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n,
        |              (SELECT CAST(len(embedding) AS BIGINT) FROM embeddings LIMIT 1) AS dim),
-       |budgets(budget_share) AS (VALUES $budgets),
+       |budgets(budget_share) AS (VALUES $vals),
        |shared AS (
        |  SELECT b.budget_share, r.tier, r.recall_at_10, r.scan_bytes,
        |    FLOOR(CAST(r.scan_bytes AS DOUBLE)
        |          / (SELECT n * $NumQueries * dim * 4 FROM m2) * 10000) / 10000 AS byte_share
-       |  FROM budgets b CROSS JOIN report r)
-       |SELECT budget_share, tier, met, recall_at_10, scan_bytes, byte_share FROM (
-       |  SELECT *, CASE WHEN byte_share <= budget_share THEN 1 ELSE 0 END AS met,
-       |    ROW_NUMBER() OVER (PARTITION BY budget_share ORDER BY
-       |      CASE WHEN byte_share <= budget_share THEN 0 ELSE 1 END,
-       |      CASE WHEN byte_share <= budget_share THEN -recall_at_10 ELSE 0 END,
-       |      scan_bytes, tier) AS pick
-       |  FROM shared)
-       |WHERE pick = 1""".stripMargin
+       |  FROM budgets b CROSS JOIN report r),
+       |picked AS (
+       |  SELECT budget_share, tier, met, recall_at_10, scan_bytes, byte_share FROM (
+       |    SELECT *, CASE WHEN byte_share <= budget_share THEN 1 ELSE 0 END AS met,
+       |      ROW_NUMBER() OVER (PARTITION BY budget_share ORDER BY
+       |        CASE WHEN byte_share <= budget_share THEN 0 ELSE 1 END,
+       |        CASE WHEN byte_share <= budget_share THEN -recall_at_10 ELSE 0 END,
+       |        scan_bytes, tier) AS pick
+       |    FROM shared)
+       |  WHERE pick = 1)""".stripMargin
   }
+
+  private def tierAutotunePickSql: String =
+    s"""${tierAutotunePickCtes(ByteBudgets)}
+       |SELECT budget_share, tier, met, recall_at_10, scan_bytes, byte_share
+       |FROM picked""".stripMargin
 
   /** Oracle: the tier report as a single-reference CTE + the shared
     * pick SQL. Conditional on the report's own SQL-expressibility. */
@@ -609,4 +621,95 @@ object TierReport {
   def annTierAutotuneStagedSql: String =
     s"""WITH report AS (SELECT * FROM read_parquet('$TierReportExportPath/*.parquet')),
        |$tierAutotunePickSql""".stripMargin
+
+  /** The production serving budget `ann_search_autotuned` executes at:
+    * 5% of the brute-force scan — the [[ByteBudgets]] leg where the
+    * compressed tiers genuinely differentiate (1.0 is the
+    * everything-fits pure-recall pick; 0.02 usually forces the
+    * fallback). */
+  val ServeBudgetShare: Double = 0.05
+
+  /**
+   * `ann_search_autotuned`: the tier loop's measure → decide →
+   * EXECUTE capstone — serve the query batch with the tier the
+   * RESIDENT staged board picked at [[ServeBudgetShare]]
+   * ([[annTierAutotuneStaged]]'s decision row verbatim, so the pick
+   * policy is shared code, not a copy). The dispatch covers all six
+   * measured representations; output is each tier's uniform
+   * (query_id, vec_id, dist, rnk) surface tagged with the serving
+   * tier and the board's `met` flag (an unmet budget serves the
+   * cheapest tier FLAGGED — the honest degraded mode, never a silent
+   * one).
+   *
+   * Scale posture: the decision is driver-side arithmetic over the
+   * 6-row resident board (plus the brute-scan denominator: one COUNT
+   * + one head row); the corpus work is exactly the chosen tier's
+   * serving plan — the expensive measurement never re-runs on the
+   * serving path.
+   */
+  def annSearchAutotuned(spark: SparkSession, sfDir: String): DataFrame = {
+    val pick = annTierAutotuneStaged(spark, sfDir)
+      .filter(col("budget_share") === ServeBudgetShare).head()
+    val tier = pick.getAs[String]("tier")
+    val served = tier match {
+      case "lsh_refine"  => AnnQuery.annLshTopK(spark, sfDir)
+      case "ivf_sq8"     => SqSearch.annIvfsqTopK(spark, sfDir)
+      case "ivf_pq"      => PqSearch.annIvfpqTopK(spark, sfDir)
+      case "opq_pq"      => PqSearch.annPcapqTopK(spark, sfDir)
+      case "bq_hamming"  => BqSearch.annBqTopK(spark, sfDir)
+      case "ivf_mrl_rot" => MrlSearch.annIvfmrlTopK(spark, sfDir)
+      case other => throw new IllegalStateException(
+        s"tier board row names unknown tier '$other' — TierNames drifted")
+    }
+    served.withColumn("tier", lit(tier))
+      .withColumn("met", lit(pick.getAs[Int]("met")))
+  }
+
+  /** Oracle: the staged board + the shared pick CTEs at the one
+    * serving budget, then all six tier chains nested once each with a
+    * cross-joined pick filter — the engine-side dispatch re-expressed
+    * as data-dependent SQL, so whichever tier the board picks, the
+    * served rows must match that tier's full chain. Conditional on
+    * the LSH chain's SQL-expressibility (like the report's). */
+  def annSearchAutotunedSqlOpt: Option[String] =
+    AnnQuery.annLshTopKSqlOpt.map { lshSql =>
+      // NOTE: the pick row's CTE name must not collide with any name
+      // the nested tier chains define for themselves (sq's/bq's `p`
+      // param rows bind against the outer `p` otherwise)
+      def leg(cte: String, tierName: String): String =
+        s"""SELECT t.query_id, t.vec_id, t.dist, t.rnk, pickrow.tier, pickrow.met
+           |FROM $cte t CROSS JOIN pickrow WHERE pickrow.tier = '$tierName'""".stripMargin
+      s"""WITH report AS (SELECT * FROM read_parquet('$TierReportExportPath/*.parquet')),
+         |${tierAutotunePickCtes(Seq(ServeBudgetShare))},
+         |pickrow AS MATERIALIZED (SELECT tier, met FROM picked),
+         |lsh AS (SELECT query_id, vec_id, dist, rnk FROM (
+         |$lshSql
+         |)),
+         |sq AS (SELECT query_id, vec_id, dist, rnk FROM (
+         |${SqSearch.annIvfsqTopKSql}
+         |)),
+         |pq AS (SELECT query_id, vec_id, dist, rnk FROM (
+         |${PqSearch.annIvfpqTopKSql}
+         |)),
+         |opq AS (SELECT query_id, vec_id, dist, rnk FROM (
+         |${PqSearch.annPcapqTopKSql}
+         |)),
+         |bq AS (SELECT query_id, vec_id, dist, rnk FROM (
+         |${BqSearch.annBqTopKSql}
+         |)),
+         |mrl AS (SELECT query_id, vec_id, dist, rnk FROM (
+         |${MrlSearch.annIvfmrlTopKSql}
+         |))
+         |${leg("lsh", "lsh_refine")}
+         |UNION ALL
+         |${leg("sq", "ivf_sq8")}
+         |UNION ALL
+         |${leg("pq", "ivf_pq")}
+         |UNION ALL
+         |${leg("opq", "opq_pq")}
+         |UNION ALL
+         |${leg("bq", "bq_hamming")}
+         |UNION ALL
+         |${leg("mrl", "ivf_mrl_rot")}""".stripMargin
+    }
 }

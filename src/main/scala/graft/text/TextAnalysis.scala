@@ -1632,17 +1632,22 @@ object TextAnalysis {
       when(margin, lit(1L)).otherwise(lit(0L)).as("met"))
   }
 
-  /** The margin-pick SQL over a `board` CTE already in scope — shared
-    * verbatim by the in-plan and staged rung-autotune oracles. */
-  private def lmRungPickSql(boardCte: String): String =
-    s"""WITH $boardCte
-       |SELECT n_held_out, kn5_wins, kn3_wins, ties,
+  /** The margin-pick SELECT over a `board` CTE already in scope —
+    * shared verbatim by the in-plan and staged rung-autotune oracles
+    * AND (as the `picked` CTE) by `lm_score_autotuned`'s, so the
+    * policy cannot drift between the decision and its execution. */
+  private def lmRungPickBody: String =
+    s"""SELECT n_held_out, kn5_wins, kn3_wins, ties,
        |  CASE WHEN ABS(kn5_wins - kn3_wins) * 10 > (kn5_wins + kn3_wins)
        |       THEN CASE WHEN kn5_wins > kn3_wins THEN 'kn5' ELSE 'kn3' END
        |       ELSE 'kn3' END AS chosen_rung,
        |  CAST(CASE WHEN ABS(kn5_wins - kn3_wins) * 10 > (kn5_wins + kn3_wins)
        |       THEN 1 ELSE 0 END AS BIGINT) AS met
        |FROM board""".stripMargin
+
+  private def lmRungPickSql(boardCte: String): String =
+    s"""WITH $boardCte
+       |$lmRungPickBody""".stripMargin
 
   /** Oracle: the ladder chain referenced once + the identical integer
     * margin pick (the `ann_tier_autotune` pattern). */
@@ -1655,6 +1660,59 @@ object TextAnalysis {
   def lmRungAutotuneStagedSql: String =
     lmRungPickSql(
       s"board AS (SELECT * FROM read_parquet('$LmBoardExportPath/*.parquet'))")
+
+  /**
+   * `lm_score_autotuned`: the ladder's measure → decide → EXECUTE loop
+   * closed — score the corpus with the rung the RESIDENT staged board
+   * picked ([[lm5RungPick]] over [[LmBoardExportPath]], the
+   * `lm_rung_autotune_staged` decision verbatim), kn5 served off the
+   * staged model ([[lmScoreKn5Staged]]), kn3 as the in-plan trigram
+   * chain. One uniform (doc_id, n_grams, lm_score, rung) surface so a
+   * perplexity-filter consumer is rung-agnostic. The honest
+   * sf-dependent flip the board pins means BOTH branches are exercised
+   * by the 3-SF gate (kn5 at sf0.01, the kn3 fallback at sf0.1).
+   *
+   * Scale posture: the decision is one resident-board row head(); the
+   * corpus work is exactly the chosen rung's scoring pass — the 5-gram
+   * model is only ever built (once, staged) when the board says it
+   * earns its cost.
+   */
+  def lmScoreAutotuned(spark: SparkSession, sfDir: String): DataFrame = {
+    val rung = lmRungAutotuneStaged(spark, sfDir).head().getAs[String]("chosen_rung")
+    val scores =
+      if (rung == "kn5")
+        lmScoreKn5Staged(spark, sfDir).select(col("doc_id"),
+          col("n_5grams").as("n_grams"), col("lm_kn5_score").as("lm_score"))
+      else
+        lmScoreKnQuery(spark, sfDir).select(col("doc_id"),
+          col("n_trigrams").as("n_grams"), col("lm_kn_score").as("lm_score"))
+    scores.withColumn("rung", lit(rung))
+  }
+
+  /** Oracle: the staged board + the pick SELECT as the `picked` CTE
+    * (shared verbatim with both autotune oracles), then both rung
+    * chains nested once each with a cross-joined pick filter — the
+    * engine-side branch re-expressed as data-dependent SQL, so
+    * whichever rung the board picks, the values must match that
+    * rung's full chain. */
+  def lmScoreAutotunedSql: String =
+    s"""WITH board AS (SELECT * FROM read_parquet('$LmBoardExportPath/*.parquet')),
+       |picked AS MATERIALIZED (
+       |$lmRungPickBody
+       |),
+       |kn AS (SELECT doc_id, n_trigrams, lm_kn_score FROM (
+       |${lmScoreKnSql}
+       |)),
+       |kn5 AS (SELECT doc_id, n_5grams, lm_kn5_score FROM (
+       |${lmScoreKn5Sql}
+       |))
+       |SELECT k.doc_id, k.n_trigrams AS n_grams, k.lm_kn_score AS lm_score,
+       |       p.chosen_rung AS rung
+       |FROM kn k CROSS JOIN picked p WHERE p.chosen_rung = 'kn3'
+       |UNION ALL
+       |SELECT k5.doc_id, k5.n_5grams AS n_grams, k5.lm_kn5_score AS lm_score,
+       |       p.chosen_rung AS rung
+       |FROM kn5 k5 CROSS JOIN picked p WHERE p.chosen_rung = 'kn5'""".stripMargin
 
   /** Oracle: both rung chains nested verbatim, the shared sha-256
     * band's complement, the same integer win/tie aggregate. */

@@ -193,6 +193,21 @@ class LmKn5Spec extends SparkSpecBase {
     assert(board == live, "the staged board must hold the measured ladder row")
   }
 
+  test("lm_score_autotuned: the scores ARE the picked rung's own scoring surface") {
+    val rung = TextAnalysis.lmRungAutotuneStaged(spark, sf).head().getString(4)
+    val auto = TextAnalysis.lmScoreAutotuned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    // tag faithfulness: one rung, the board's own pick
+    assert(auto.nonEmpty && auto.forall(_._4 == rung),
+      s"every scored row must carry the board's pick ($rung)")
+    // value identity with the picked rung's first-class surface
+    val expected = (if (rung == "kn5") TextAnalysis.lmScoreKn5Staged(spark, sf)
+      else TextAnalysis.lmScoreKnQuery(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto.map(t => (t._1, t._2, t._3)).toSet == expected,
+      s"the autotuned scores must equal the $rung rung's own output")
+  }
+
   test("lm_model_delta: the merged model scores the corpus bit-for-bit like a full rebuild") {
     // the strongest form of merged == refit: not just the stat rows
     // (the oracle's check) but the SCORES a model assembled from the

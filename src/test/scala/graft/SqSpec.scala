@@ -246,4 +246,28 @@ class SqSpec extends SparkSpecBase {
     assert(staged == inPlan,
       "the staged pick must equal the measure-and-pick form row-for-row")
   }
+
+  test("ann_search_autotuned: the served rows ARE the picked tier's own serving plan") {
+    import graft.query.TierReport
+    val pick = TierReport.annTierAutotuneStaged(spark, sf)
+      .filter(col("budget_share") === TierReport.ServeBudgetShare).head()
+    val tier = pick.getString(1)
+    val served = graft.query.TierReport.annSearchAutotuned(spark, sf).collect().toSeq
+    // tag faithfulness: one serving tier, the board's own met flag
+    assert(served.nonEmpty &&
+      served.forall(r => r.getString(4) == tier && r.getInt(5) == pick.getInt(2)),
+      s"every served row must carry the board's pick ($tier, met=${pick.getInt(2)})")
+    // value identity with the dispatched tier's FIRST-CLASS entry —
+    // through the public registry, so the dispatch cannot drift from
+    // the entries a user of that tier already runs
+    val entryName = Map(
+      "lsh_refine" -> "ann_lsh_topk", "ivf_sq8" -> "ann_ivfsq_topk",
+      "ivf_pq" -> "ann_ivfpq_topk", "opq_pq" -> "ann_pcapq_topk",
+      "bq_hamming" -> "ann_bq_topk", "ivf_mrl_rot" -> "ann_ivfmrl_topk")(tier)
+    val expected = SparkEntry.queries(entryName)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(served.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      == expected,
+      s"the served rows must equal $entryName's own output")
+  }
 }
