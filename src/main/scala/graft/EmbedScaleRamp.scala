@@ -221,8 +221,50 @@ object EmbedScaleRamp {
             "knn_shard_med" -> perShard(perShard.length / 2),
             "knn_shard_max" -> perShard.last)
         } else Nil
+      // DEDICATED MODE, opt-in via SPARK_GRAFT_ONLY=knn_join_delta:
+      // incremental graph maintenance priced at the delta shape it
+      // exists for — a LOCALIZED recrawl (new content concentrated in
+      // a ~1% slice of cells, the real merge shape), against resident
+      // staged homes. The bench entry's id-mod carve is the honest
+      // WORST case (the delta lands in every cell, so the reverse
+      // patch touches ~every base query and the incremental form
+      // costs MORE than a rebuild at sf0.1); this ramp measures the
+      // localized case where the patch is the point — and keeps
+      // running at x400, where the unsharded rebuild cannot.
+      val deltaStats: Seq[(String, Double)] =
+        if (only.exists(_.contains("knn_join_delta"))) {
+          val homes = staged("homes")(IvfSearch.probeCellsRanked(
+              corpus.select(col("vec_id"), col("embedding")), cents, nProbe = 1,
+              carry = Seq("cvec" -> col("embedding")))
+            .select(col("query_id").as("vec_id"),
+              col("cvec").as("embedding"), col("cell")))
+          // deterministic ~1%-of-cells content region (≥1 cell; the
+          // cell list is driver-sized by construction)
+          val allCells = homes.select("cell").distinct().collect()
+            .map(_.getInt(0)).sorted
+          val hashed = allCells.filter(c =>
+            java.lang.Long.remainderUnsigned(
+              scala.util.hashing.MurmurHash3.stringHash(s"deltacell:$c").toLong, 100L) == 0L)
+          val deltaCells = if (hashed.nonEmpty) hashed else allCells.take(1)
+          val isDeltaCell = col("cell").isin(deltaCells.map(Integer.valueOf): _*)
+          val deltaHomes = homes.filter(isDeltaCell).cache()
+          val nDelta = deltaHomes.count()
+          val baseHomes = homes.filter(!isDeltaCell)
+          val secs = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            mat(IvfSearch.knnJoinDeltaPlan(10, IvfSearch.NumProbes, cents,
+              graft.config.GraftConfig.active.ivf.maxCandidates,
+              baseHomes, deltaHomes))
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          System.err.println(
+            f"[embscale] $tag knn_join_delta ${secs}%.2f s ($nDelta delta vecs)")
+          deltaHomes.unpersist()
+          Seq("knn_delta_vecs" -> nDelta.toDouble,
+            "knn_join_delta" -> secs)
+        } else Nil
       queries.unpersist()
-      (tag, n, nCells, maxFill, times ++ shardStats)
+      (tag, n, nCells, maxFill, times ++ shardStats ++ deltaStats)
     }
 
     // warm-up at the smallest scale (JIT + codegen outside timings)
@@ -234,7 +276,7 @@ object EmbedScaleRamp {
       val ts = times.map { case (op, s) => f""""$op":$s%.3f""" }.mkString(",")
       s""""$tag":{"vecs":$n,"cells":$c,"max_cell_fill":$mf,$ts}"""
     }.mkString(
-      s"""{"note":"embedding-side ramp: sf0.1 embeddings replicated 10x/100x/400x with per-(replica,dim) coordinate rescale in [0.5,1.5) (replicas are NOT near-dups, measured cos ~0.96 < tau 0.995) and +10M vec_id strides; 10 planted exact copies per corpus; models fitted and index tables staged OUTSIDE timers (resident-index shape); min of $reps reps; knn_join (unsharded) DELIBERATELY absent at x400 — it is N*sqrt(N) by design (every vector queries, cell fill grows ~sqrt(N)) and past x100 a single box measures its own spill disk, not the plan; the knn_shard_* rows ARE that production form measured: cells hashed into ceil(N/20k) shards, each shard an independent job (probe-adjacency manifest -> bounded join+windows, union == unsharded graph, spec-asserted), run in parallel on a cluster; per-shard wall time is the per-job cost, measured on an evenly-spaced sample of knn_shards_sampled of knn_shards shards (shards are identical independent jobs; timing all of them sequentially would measure one box's queueing, not the plan)","scales":{""",
+      s"""{"note":"embedding-side ramp: sf0.1 embeddings replicated 10x/100x/400x with per-(replica,dim) coordinate rescale in [0.5,1.5) (replicas are NOT near-dups, measured cos ~0.96 < tau 0.995) and +10M vec_id strides; 10 planted exact copies per corpus; models fitted and index tables staged OUTSIDE timers (resident-index shape); min of $reps reps; knn_join (unsharded) DELIBERATELY absent at x400 — it is N*sqrt(N) by design (every vector queries, cell fill grows ~sqrt(N)) and past x100 a single box measures its own spill disk, not the plan; the knn_shard_* rows ARE that production form measured: cells hashed into ceil(N/20k) shards, each shard an independent job (probe-adjacency manifest -> bounded join+windows, union == unsharded graph, spec-asserted), run in parallel on a cluster; per-shard wall time is the per-job cost, measured on an evenly-spaced sample of knn_shards_sampled of knn_shards shards (shards are identical independent jobs; timing all of them sequentially would measure one box's queueing, not the plan); the knn_join_delta rows (opt-in) price INCREMENTAL graph maintenance at the merge shape it exists for: a localized recrawl (all content in a deterministic ~1% slice of cells) patched against the resident staged homes — forward edges + reverse re-cut of the base queries probing a delta cell — vs knn_join's full rebuild at the same scale; the bench entry's id-mod carve is the honest WORST case (delta in every cell -> patch touches ~every query)","scales":{""",
       ",", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)

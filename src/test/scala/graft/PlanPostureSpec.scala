@@ -383,6 +383,16 @@ class PlanPostureSpec extends SparkSpecBase {
       s"staged sharded knn must stay equi-join only:\n$p")
   }
 
+  test("knn_join_delta: both legs stay equi-join kernels off the resident homes — no cartesian, no corpus broadcast") {
+    val p = plan("knn_join_delta")
+    // the resident base homes come from the staged table; the only
+    // embeddings scans are the delta assignment + probe expansion
+    assert(p.contains("knn_homes"),
+      s"the delta patch must read the resident staged homes:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"both delta legs must stay equi-join only:\n$p")
+  }
+
   test("lm_score_kn5_staged: the score plan reads the resident model — no gram re-extraction of the train band") {
     val p = plan("lm_score_kn5_staged")
     assert(p.contains("lm5_model"),
