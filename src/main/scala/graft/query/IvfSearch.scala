@@ -206,7 +206,7 @@ object IvfSearch {
   /** The corpus-sized (or config-overridden) fitted centroids for
     * `sfDir`, fixture-exported for the DuckDB oracles (shared with the
     * IVF-PQ routing in [[PqSearch]]). */
-  private[query] def fittedCorpusCentroids(spark: SparkSession, sfDir: String,
+  private[graft] def fittedCorpusCentroids(spark: SparkSession, sfDir: String,
       data: DataFrame): Array[Array[Float]] = {
     // config override wins; otherwise size cells from the corpus
     val c = if (cfg.ivf.cells > 0) cfg.ivf.cells

@@ -433,10 +433,16 @@ object TierReport {
    * (bounded by construction); all corpus-sized work is the curve's
    * concurrent capped cell scans.
    */
-  def annProbeAutotune(spark: SparkSession, sfDir: String): DataFrame = {
-    val curve = annProbeCurve(spark, sfDir).collect()
-      .map(r => (r.getInt(0), r.getDouble(2), r.getLong(3), r.getDouble(4)))
-      .sortBy(_._1)
+  def annProbeAutotune(spark: SparkSession, sfDir: String): DataFrame =
+    probePickRows(spark, annProbeCurve(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+
+  /** The pick itself over measured (n_probe, recall@k, cand_rows,
+    * scan_share) curve rows — shared by the in-plan and staged
+    * autotunes so the policy cannot drift between them. */
+  private def probePickRows(spark: SparkSession,
+      curveRows: Array[(Int, Double, Long, Double)]): DataFrame = {
+    val curve = curveRows.sortBy(_._1)
     val rows = RecallTargets.map { t =>
       // first (= minimal, curve sorted by n_probe) meeting budget;
       // fallback = the max-grid leg, flagged unmet
@@ -450,6 +456,43 @@ object TierReport {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Where [[probeCurveExport]] stages the measured probe board —
+    * the third decision board staged this round (tier, rung, probe):
+    * the four-chain curve measurement runs once per corpus
+    * generation; every re-tune re-reads the resident rows. */
+  val ProbeCurveExportPath: String =
+    graft.FixturePaths.fixture("probe_curve.parquet")
+
+  private def ensureProbeCurveExport(spark: SparkSession, sfDir: String): Unit =
+    graft.FixtureExport.ensure(s"probecurve:$sfDir", ProbeCurveExportPath) {
+      annProbeCurve(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(ProbeCurveExportPath)
+    }
+
+  /**
+   * `probe_curve_export`: stage the measured probe-budget curve once
+   * per (JVM, corpus) and read it back. Oracle = [[annProbeCurveSql]]
+   * VERBATIM — the staged rows must hash-match the full four-chain
+   * measurement, so the fixture's content is value-checked.
+   */
+  def probeCurveExport(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureProbeCurveExport(spark, sfDir)
+    spark.read.parquet(ProbeCurveExportPath)
+  }
+
+  /**
+   * `ann_probe_autotune_staged`: the recall-SLO probe pick at its
+   * real MARGINAL cost — the identical [[annProbeAutotune]] policy
+   * over the RESIDENT staged curve (4 rows) instead of re-measuring
+   * all four probe budgets per invocation. The in-plan form stays as
+   * the measure-and-pick cross-check.
+   */
+  def annProbeAutotuneStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureProbeCurveExport(spark, sfDir)
+    probePickRows(spark, spark.read.parquet(ProbeCurveExportPath).collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+  }
+
   /** Oracle: the full probe-curve query as a CTE referenced exactly
     * ONCE (referencing it twice doubles the curve's 4-chain work in
     * the replay engine — it spilled past temp disk at sf0.1), targets
@@ -457,23 +500,126 @@ object TierReport {
     * hazard). Selection = one window over targets × the 4 curve rows:
     * met legs first, minimal budget among met, maximal among unmet
     * (the max-grid fallback). */
-  def annProbeAutotuneSql: String = {
-    val targets = RecallTargets.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
-    s"""WITH curve AS (
-       |${annProbeCurveSql}
-       |),
-       |targets(target) AS (VALUES $targets),
+  /** The pick as a CTE chain over a `curve` CTE already in scope,
+    * parameterized by the target grid — shared verbatim by both
+    * autotune oracles (full [[RecallTargets]] grid) and by
+    * `ann_search_probe_autotuned`'s (the one [[ServeRecallTarget]]
+    * leg). Ends with the `ppicked` CTE. */
+  private def probeAutotunePickCtes(targetGrid: Seq[Double]): String = {
+    val targets = targetGrid.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""targets(target) AS (VALUES $targets),
        |ranked AS (
        |  SELECT t.target, c.n_probe,
        |    CASE WHEN c.recall_at_10 >= t.target THEN 1 ELSE 0 END AS met,
        |    c.recall_at_10, c.cand_rows, c.scan_share
-       |  FROM targets t CROSS JOIN curve c)
-       |SELECT target, n_probe, met, recall_at_10, cand_rows, scan_share FROM (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY target
-       |    ORDER BY met DESC,
-       |             CASE WHEN met = 1 THEN n_probe ELSE -n_probe END) AS pick
-       |  FROM ranked)
-       |WHERE pick = 1""".stripMargin
+       |  FROM targets t CROSS JOIN curve c),
+       |ppicked AS (
+       |  SELECT target, n_probe, met, recall_at_10, cand_rows, scan_share FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY target
+       |      ORDER BY met DESC,
+       |               CASE WHEN met = 1 THEN n_probe ELSE -n_probe END) AS pick
+       |    FROM ranked)
+       |  WHERE pick = 1)""".stripMargin
+  }
+
+  def annProbeAutotuneSql: String =
+    s"""WITH curve AS (
+       |${annProbeCurveSql}
+       |),
+       |${probeAutotunePickCtes(RecallTargets)}
+       |SELECT target, n_probe, met, recall_at_10, cand_rows, scan_share
+       |FROM ppicked""".stripMargin
+
+  /** Oracle for the staged probe pick: the STAGED curve parquet + the
+    * identical pick SQL — no measurement chain (that absence is the
+    * point). */
+  def annProbeAutotuneStagedSql: String =
+    s"""WITH curve AS (SELECT * FROM read_parquet('$ProbeCurveExportPath/*.parquet')),
+       |${probeAutotunePickCtes(RecallTargets)}
+       |SELECT target, n_probe, met, recall_at_10, cand_rows, scan_share
+       |FROM ppicked""".stripMargin
+
+  /** The recall SLO `ann_search_probe_autotuned` provisions for: the
+    * 0.90 leg of [[RecallTargets]] — the middle of the SLO ladder,
+    * where the probe budgets genuinely differentiate. */
+  val ServeRecallTarget: Double = 0.90
+
+  /**
+   * `ann_search_probe_autotuned`: the probe loop's measure → decide →
+   * EXECUTE capstone (the `ann_search_autotuned` discipline on the
+   * OTHER FAISS-bench knob) — serve the query batch at the probe
+   * budget the RESIDENT staged curve picks for the
+   * [[ServeRecallTarget]] SLO ([[annProbeAutotuneStaged]]'s decision
+   * row verbatim), through the plain IVF serving plan the curve
+   * measured ([[IvfSearch.ivfTopK]]). Output = the uniform
+   * (query_id, vec_id, dist, rnk) surface tagged with the chosen
+   * budget and the board's `met` flag (an unreachable SLO serves the
+   * max-grid budget FLAGGED — the honest degraded mode).
+   *
+   * Scale posture: the decision is driver-side arithmetic over the
+   * 4-row resident curve; the corpus work is exactly one capped
+   * probe-join serving plan at the chosen budget.
+   */
+  def annSearchProbeAutotuned(spark: SparkSession, sfDir: String): DataFrame = {
+    val pick = annProbeAutotuneStaged(spark, sfDir)
+      .filter(col("target") === ServeRecallTarget).head()
+    val nProbe = pick.getInt(1)
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
+    val queries = data.filter(col("vec_id") < NumQueries)
+    IvfSearch.ivfTopK(spark, data, queries, K, nProbe, cents)
+      .withColumn("n_probe", lit(nProbe))
+      .withColumn("met", lit(pick.getInt(2)))
+  }
+
+  /** Oracle: the staged curve + the shared pick CTEs at the one SLO,
+    * then one IVF serving chain per grid budget (the
+    * [[IvfSearch.simsearchIvfSql]] shape parameterized by nProbe,
+    * sharing one centroid read + one cell assignment) behind a
+    * cross-joined pick filter — whichever budget the board picks, the
+    * served rows must match that budget's full chain. */
+  def annSearchProbeAutotunedSql: String = {
+    val maxCand = cfg.ivf.maxCandidates
+    def serveCtes(np: Int): String =
+      s"""sprobes_$np AS (
+         |  SELECT query_id, cell, crnk FROM (
+         |    SELECT q.vec_id AS query_id, sc.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(sc.cv AS DOUBLE[])), sc.cell) AS crnk
+         |    FROM embeddings q CROSS JOIN sc WHERE q.vec_id < $NumQueries)
+         |  WHERE crnk <= $np),
+         |serve_$np AS (
+         |  SELECT query_id, vec_id, ROUND(dist, 4) AS dist, rnk FROM (
+         |    SELECT query_id, vec_id, dist,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INTEGER) AS rnk
+         |    FROM (
+         |      SELECT cand.query_id, cand.vec_id,
+         |        list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist
+         |      FROM (
+         |        SELECT query_id, vec_id FROM (
+         |          SELECT pb.query_id, a.vec_id,
+         |            ROW_NUMBER() OVER (PARTITION BY pb.query_id ORDER BY pb.crnk, a.vec_id) AS cap_rank
+         |          FROM sprobes_$np pb JOIN sassign a ON a.cell = pb.cell)
+         |        WHERE cap_rank <= $maxCand) cand
+         |      JOIN embeddings e ON e.vec_id = cand.vec_id
+         |      JOIN embeddings q ON q.vec_id = cand.query_id))
+         |  WHERE rnk <= $K)""".stripMargin
+    def leg(np: Int): String =
+      s"""SELECT s.query_id, s.vec_id, s.dist, s.rnk, pk.n_probe, pk.met
+         |FROM serve_$np s CROSS JOIN pk WHERE pk.n_probe = $np""".stripMargin
+    s"""WITH curve AS (SELECT * FROM read_parquet('$ProbeCurveExportPath/*.parquet')),
+       |${probeAutotunePickCtes(Seq(ServeRecallTarget))},
+       |pk AS MATERIALIZED (SELECT n_probe, met FROM ppicked),
+       |sc AS (SELECT cell, cv FROM read_parquet('${IvfSearch.CentroidExportPath}/*.parquet')),
+       |sassign AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, sc.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(sc.cv AS DOUBLE[])), sc.cell) AS r
+       |    FROM embeddings e CROSS JOIN sc)
+       |  WHERE r = 1),
+       |${ProbeGrid.map(serveCtes).mkString(",\n")}
+       |${ProbeGrid.map(leg).mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** Scan-byte budget ladder for [[annTierAutotune]], as shares of

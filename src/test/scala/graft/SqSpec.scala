@@ -247,6 +247,40 @@ class SqSpec extends SparkSpecBase {
       "the staged pick must equal the measure-and-pick form row-for-row")
   }
 
+  test("ann_probe_autotune_staged: staged curve + staged pick equal the in-plan forms") {
+    import graft.query.TierReport
+    val board = TierReport.probeCurveExport(spark, sf).collect().toSeq
+    val live = TierReport.annProbeCurve(spark, sf).collect().toSeq
+    assert(board.toSet == live.toSet,
+      "the staged curve must hold the measured probe rows")
+    val inPlan = TierReport.annProbeAutotune(spark, sf).collect().toSeq
+    val staged = TierReport.annProbeAutotuneStaged(spark, sf).collect().toSeq
+    assert(staged == inPlan,
+      "the staged pick must equal the measure-and-pick form row-for-row")
+  }
+
+  test("ann_search_probe_autotuned: the served rows ARE the picked budget's own serving plan") {
+    import graft.query.TierReport
+    val pick = TierReport.annProbeAutotuneStaged(spark, sf)
+      .filter(col("target") === TierReport.ServeRecallTarget).head()
+    val nProbe = pick.getInt(1)
+    val served = TierReport.annSearchProbeAutotuned(spark, sf).collect().toSeq
+    assert(served.nonEmpty &&
+      served.forall(r => r.getInt(4) == nProbe && r.getInt(5) == pick.getInt(2)),
+      s"every served row must carry the board's pick (n_probe=$nProbe, met=${pick.getInt(2)})")
+    // value identity with the serving plan at that budget (the same
+    // plan the curve measured)
+    val data = Tables.embeddings(spark, sf)
+    val cents = graft.query.IvfSearch.fittedCorpusCentroids(spark, sf, data)
+    val queries = data.filter(col("vec_id") < graft.query.TierReport.NumQueries)
+    val expected = graft.query.IvfSearch.ivfTopK(spark, data, queries,
+        graft.query.TierReport.K, nProbe, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(served.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      == expected,
+      s"the served rows must equal the n_probe=$nProbe serving plan's output")
+  }
+
   test("ann_search_autotuned: the served rows ARE the picked tier's own serving plan") {
     import graft.query.TierReport
     val pick = TierReport.annTierAutotuneStaged(spark, sf)
