@@ -522,6 +522,58 @@ object IvfSearch {
       baseHomes, deltaHomes)
   }
 
+  /** Where the resident base-generation graph is staged for
+    * [[knnJoinDeltaCompact]] — in production the k-NN graph IS
+    * materialized state (it is what recommendation/dedup consumers
+    * read), so the fold's carried side is a fixture scan, not a
+    * recompute. */
+  val KnnBaseGraphStagePath: String =
+    graft.FixturePaths.stage("knn_base_graph.parquet")
+
+  /**
+   * `knn_join_delta_compact`: fold [[knnJoinDelta]]'s patch into the
+   * resident graph — carried rows (every base query the patch did not
+   * touch, anti-joined from the STAGED base-generation graph) ∪ the
+   * patch itself = the COMPLETE merged graph, which is what the next
+   * delta patches. Oracle = [[knnJoinSql]] VERBATIM: the compacted
+   * graph must hash-match a full rebuild over the merged corpus — the
+   * strongest fold check (the `dedup_semantic_compact` discipline with
+   * the rebuild itself as the oracle). An untouched query's rows carry
+   * exactly because none of its probe cells is delta-homed, so its
+   * candidate set — and its top-k — cannot have changed.
+   *
+   * Scale posture: one fixture scan + the delta patch's bounded legs +
+   * an equi-anti-join on the touched query set. The anti-join is NOT
+   * hinted: at the localized recrawl shape `touched` is ~probe-share
+   * of a cell slice and AQE broadcasts it; at the worst-case carve it
+   * approaches corpus size and AQE falls back to a shuffled anti-join
+   * — a forced broadcast here would be the delta-sized-driver-build
+   * anti-pattern the r14 verdict flagged on the multimodal compact.
+   * At this SF's id-mod carve the patch touches ~every query (the
+   * documented worst case), so the carried leg is small here and the
+   * localized payoff is the plan-level spec's and the ramp's evidence.
+   */
+  def knnJoinDeltaCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.embeddings(spark, sfDir)
+    val cents = fittedCorpusCentroids(spark, sfDir, data)
+    val isDelta = col("vec_id") % graft.Carves.DeltaMod === 0
+    val baseHomes = stagedKnnHomes(spark, sfDir, data, cents).filter(!isDelta)
+    graft.FixtureExport.ensure(s"knnbasegraph:$sfDir", KnnBaseGraphStagePath) {
+      knnForQueries(baseHomes.select(col("vec_id"), col("embedding")), baseHomes,
+          K, NumProbes, cents, cfg.ivf.maxCandidates)
+        .write.mode("overwrite").parquet(KnnBaseGraphStagePath)
+    }
+    val baseGraph = spark.read.parquet(KnnBaseGraphStagePath)
+    val deltaHomes = probeCellsRanked(data.filter(isDelta), cents, nProbe = 1,
+        carry = Seq("cvec" -> col("embedding")))
+      .select(col("query_id").as("vec_id"), col("cvec").as("embedding"), col("cell"))
+    val patch = knnJoinDeltaPlan(K, NumProbes, cents, cfg.ivf.maxCandidates,
+      baseHomes, deltaHomes)
+    val touched = patch.select(col("query_id")).distinct()
+    baseGraph.join(touched, Seq("query_id"), "left_anti")
+      .unionByName(patch)
+  }
+
   /** DuckDB twin of [[knnJoinDelta]]: the [[knnJoinSql]] chain over
     * the merged corpus, restricted to the queries that probe a
     * delta-homed cell (forward edges' query side — every delta vector

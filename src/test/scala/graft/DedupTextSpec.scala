@@ -205,6 +205,23 @@ class DedupTextSpec extends SparkSpecBase {
     ()
   }
 
+  test("knn_join_delta_compact: the compacted graph equals the full merged rebuild") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // the entry-level fold (staged base graph anti-joined on the
+    // touched set ∪ the patch) must reproduce knn_join's own output —
+    // the same value identity its oracle (knnJoinSql verbatim) checks
+    val compact = rows(IvfSearch.knnJoinDeltaCompact(spark, sf))
+    val full = rows(IvfSearch.knnJoin(spark, sf))
+    assert(compact == full,
+      "compacted graph must equal the full merged rebuild row-for-row")
+    // and the fold really reads the resident staged graph, not a rebuild
+    val plan = IvfSearch.knnJoinDeltaCompact(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("knn_base_graph"),
+      s"the carried side must scan the staged base-generation graph:\n$plan")
+  }
+
   test("mixed-dimension corpus fails the LSH fit loudly") {
     import spark.implicits._
     val mixed = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(6)(1.0f)))
