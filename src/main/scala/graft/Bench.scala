@@ -29,6 +29,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE coalesce CACHED plans' output partitioning too (off by
+      // default): the r15 round caches model-sized intermediates inside
+      // the LM/semantic chains, and without this flag every cached scan
+      // keeps the full shuffle partition count — measured 952 tasks vs
+      // ~100 for one lm_score_kn5 pass. Scale-adaptive (AQE sizes
+      // partitions from bytes), not a local-core-count constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

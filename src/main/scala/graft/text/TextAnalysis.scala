@@ -478,10 +478,12 @@ object TextAnalysis {
     val bfreq0 = big.groupBy("hpb", "hb").agg(count(lit(1)).as("cb"))
     val pfreq = bfreq0.groupBy("hpb").agg(sum("cb").as("cp"))
     // prefix count joined into the vocab table (vocab-sized), so the
-    // bigram STREAM is joined exactly once; merge-hinted because a
-    // bigram vocab grows with the corpus (lmScoreTrigram rationale)
+    // bigram STREAM is joined exactly once; UNHINTED — AQE picks the
+    // strategy from runtime sizes (broadcast at bench SFs, sort-merge
+    // once the vocab outgrows the threshold; the r14 kn5 unhinting
+    // finding applied family-wide this round)
     val bfreq = bfreq0.join(pfreq, "hpb").select("hb", "cb", "cp")
-    val scored = big.join(bfreq.hint("merge"), "hb")
+    val scored = big.join(bfreq, "hb")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (floor(avg(log(col("cb") / col("cp"))) * 10000) / 10000).as("lm2_score"))
@@ -573,10 +575,12 @@ object TextAnalysis {
     // the gram hash determines its prefix hash, so the prefix count is
     // joined into the VOCAB table (vocab-sized join) and the trigram
     // stream is joined only 3 times (tri, bi, uni), not 5. The vocab
-    // joins are HINTED sort-merge: an n-gram vocab grows with the
-    // corpus (trigram types ~ token stream size), so letting a
-    // misestimated broadcast through would OOM the driver exactly when
-    // the corpus gets big — the failure mode that matters at 100 TB.
+    // joins are UNHINTED (r15): AQE decides from the shuffle's RUNTIME
+    // size, not a static estimate — it broadcasts the vocab at bench
+    // SFs and falls back to the same sort-merge the old hint forced
+    // once the vocab outgrows the threshold, so the hint only ever
+    // removed the cheap case (the r14 kn5 finding, VERDICT-endorsed,
+    // applied family-wide).
     val bfreq0 = pairs.groupBy("hpb", "hb").agg(count(lit(1)).as("cb"))
     val bpfx = bfreq0.groupBy("hpb").agg(sum("cb").as("cp"))
     val bfreq = bfreq0.join(bpfx, "hpb").select("hb", "cb", "cp")
@@ -584,9 +588,9 @@ object TextAnalysis {
     val tpfx = tfreq0.groupBy("hp3").agg(sum("ct").as("ctp"))
     val tfreq = tfreq0.join(tpfx, "hp3").select("h3", "ct", "ctp")
     val scored = tri
-      .join(tfreq.hint("merge"), "h3")
-      .join(bfreq.hint("merge"), "hb")
-      .join(uni.hint("merge"), "h1")
+      .join(tfreq, "h3")
+      .join(bfreq, "hb")
+      .join(uni, "h1")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
@@ -711,8 +715,9 @@ object TextAnalysis {
     val r2 = rawK(2); val r3 = rawK(3); val r4 = rawK(4); val r5 = rawK(5)
     // each vocab joins its denominator (the gram's own (k-1)-prefix
     // raw count) FLAT against the raw lower-order table — vocab x
-    // vocab, merge-hinted (an n-gram vocab grows with the corpus, the
-    // lmScoreTrigram rationale). Flat, not nested through the enriched
+    // vocab, UNHINTED (r15: AQE picks broadcast vs sort-merge from the
+    // runtime shuffle size — the r14 kn5 unhinting finding applied
+    // family-wide). Flat, not nested through the enriched
     // vk tables: nesting re-derived every lower order inside every
     // higher one (O(k²) passes — 36 scans in the explain); flat, each
     // raw table is derived at most twice (24 scans, 2.8→2.6 s at
@@ -725,10 +730,10 @@ object TextAnalysis {
     // out of this one-shot self-contained query.
     def cnt(r: DataFrame, c: String, d: String) =
       r.select(col("hg").as("hp"), col(c).as(d))
-    val v5 = r5.join(cnt(r4, "c4", "d4").hint("merge"), "hp").select("hg", "c5", "d4")
-    val v4 = r4.join(cnt(r3, "c3", "d3").hint("merge"), "hp").select("hg", "c4", "d3")
-    val v3 = r3.join(cnt(r2, "c2", "d2").hint("merge"), "hp").select("hg", "c3", "d2")
-    val v2 = r2.join(cnt(r1, "c1", "d1").hint("merge"), "hp").select("hg", "c2", "d1")
+    val v5 = r5.join(cnt(r4, "c4", "d4"), "hp").select("hg", "c5", "d4")
+    val v4 = r4.join(cnt(r3, "c3", "d3"), "hp").select("hg", "c4", "d3")
+    val v3 = r3.join(cnt(r2, "c2", "d2"), "hp").select("hg", "c3", "d2")
+    val v2 = r2.join(cnt(r1, "c1", "d1"), "hp").select("hg", "c2", "d1")
     val v1 = r1
 
     // score stream over ALL docs: one row per position i >= 5, keyed by
@@ -744,7 +749,7 @@ object TextAnalysis {
         xxhash64(col("z.w4"), col("z.w5")).as("g2"),
         xxhash64(col("z.w5")).as("g1"))
     def at(v: DataFrame, key: String) =
-      v.hint("merge").withColumnRenamed("hg", key)
+      v.withColumnRenamed("hg", key)
     // LEFT joins: held-out docs carry grams the train band never saw;
     // the stream meets each vocab exactly once, flat -- a per-level
     // filter cascade would be the serving shape, but without
@@ -920,20 +925,29 @@ object TextAnalysis {
         xxhash64(col("z.w1"), col("z.w2")).as("g12"),
         xxhash64(col("z.w2"), col("z.w3")).as("g23"),
         xxhash64(col("z.w2")).as("g2"))
-    // distinct trigram TYPES (dependent keys ride the group-by)
+    // distinct trigram TYPES (dependent keys ride the group-by) —
+    // CACHED (r15): t3 feeds four model tables (pre/preBi/mid + the
+    // score join) and t2 two; uncached, every consumer re-ran the
+    // corpus-sized extraction+aggregation (profiled: 29 jobs for one
+    // scoring pass). The tables are vocab-sized; the bench's per-rep
+    // clearCache (and Verify's per-entry clearCache) releases them.
     val t3 = triPos.groupBy("g123", "g12", "g23", "g2")
-      .agg(count(lit(1)).as("c123"))
+      .agg(count(lit(1)).as("c123")).cache()
     val biPos = train.select(explode(arrays_zip(
         sl(2, 1).as("w1"), sl(2, 2).as("w2"))).as("z"))
       .select(xxhash64(col("z.w1"), col("z.w2")).as("g12"),
         xxhash64(col("z.w2")).as("gw2"))
-    val t2 = biPos.groupBy("g12", "gw2").agg(count(lit(1)).as("c2"))
+    val t2 = biPos.groupBy("g12", "gw2").agg(count(lit(1)).as("c2")).cache()
     val uni = train.select(explode(toks).as("w"))
       .select(xxhash64(col("w")).as("g")).groupBy("g").agg(count(lit(1)).as("c1"))
 
-    // model tables (each one partial agg over a type/position table)
-    val pre = triPos.groupBy("g12").agg(count(lit(1)).as("d12"))
-      .join(t3.groupBy("g12").agg(count(lit(1)).as("nm")), Seq("g12"))
+    // model tables (each one partial agg over a type/position table).
+    // d12 (trigram-POSITION count per prefix) = Σ c123 over the type
+    // table grouped by g12 — exactly the positions-per-prefix count the
+    // old second corpus pass re-derived from triPos, so `pre` is ONE
+    // vocab-sized aggregate instead of corpus-pass + type-pass + join.
+    val pre = t3.groupBy("g12")
+      .agg(sum("c123").as("d12"), count(lit(1)).as("nm"))
     val preBi = t3.groupBy("g23").agg(count(lit(1)).as("np"))
     val mid = t3.groupBy("g2")
       .agg(count(lit(1)).as("nma"), countDistinct("g23").as("nsuf"))
@@ -952,12 +966,17 @@ object TextAnalysis {
         xxhash64(col("z.w2"), col("z.w3")).as("g23"),
         xxhash64(col("z.w2")).as("g2"),
         xxhash64(col("z.w3")).as("g3"))
+    // UNHINTED joins (r15): AQE broadcasts the vocab-sized model tables
+    // at bench SFs from their runtime shuffle sizes and falls back to
+    // sort-merge once they outgrow the threshold — the r14 kn5
+    // unhinting finding applied to this rung (the old hints forced five
+    // consecutive exchange+sort passes of the corpus-sized gram stream).
     val joined = grams
-      .join(t3.select("g123", "c123").hint("merge"), Seq("g123"), "left")
-      .join(pre.hint("merge"), Seq("g12"), "left")
-      .join(preBi.hint("merge"), Seq("g23"), "left")
-      .join(mid.hint("merge"), Seq("g2"), "left")
-      .join(endu.withColumnRenamed("gw2", "g3").hint("merge"), Seq("g3"), "left")
+      .join(t3.select("g123", "c123"), Seq("g123"), "left")
+      .join(pre, Seq("g12"), "left")
+      .join(preBi, Seq("g23"), "left")
+      .join(mid, Seq("g2"), "left")
+      .join(endu.withColumnRenamed("gw2", "g3"), Seq("g3"), "left")
       .crossJoin(broadcast(consts))
     // the three levels, IDENTICAL float structure on both engines
     val pcUni = (greatest(coalesce(col("ne"), lit(0L)).cast("double") - D, lit(0.0))
@@ -1136,12 +1155,6 @@ object TextAnalysis {
   private[graft] case class Lm5Types(t5: DataFrame, t4: DataFrame,
       t3: DataFrame, t2: DataFrame, uni: DataFrame)
 
-  private def lm5Classes(t: DataFrame, key: String, c: String, p: String) =
-    t.groupBy(key).agg(
-      sum(when(col(c) === 1, 1L).otherwise(0L)).as(s"${p}1"),
-      sum(when(col(c) === 2, 1L).otherwise(0L)).as(s"${p}2"),
-      sum(when(col(c) >= 3, 1L).otherwise(0L)).as(s"${p}3"))
-
   private def lm5Coc(t: DataFrame, c: String, p: String) = t.agg(
     sum(when(col(c) === 1, 1L).otherwise(0L)).as(s"${p}1"),
     sum(when(col(c) === 2, 1L).otherwise(0L)).as(s"${p}2"),
@@ -1188,20 +1201,41 @@ object TextAnalysis {
     * self-consistent with its own staged type tables. */
   private[graft] def lm5ModelFromTypes(ty: Lm5Types,
       stagedConsts: Option[DataFrame] = None): Lm5Model = {
-    val o5 = ty.t5.groupBy("g1234").agg(sum("c5").as("d5"))
-      .join(lm5Classes(ty.t5, "g1234", "c5", "k5"), Seq("g1234"))
-    // order 4: continuation counts from distinct 5-gram types
+    // r15: each per-order model table is ONE grouped aggregate. The
+    // position/type denominator that used to come from a second
+    // aggregation of the same source joined back by key is a grouped
+    // SUM of the finer aggregate it sits next to — d5 = Σc5 per g1234;
+    // d4 = (t5 rows per g234) = Σcc4 per g234 (cc4 already counts t5
+    // rows per (g2345, g234)); likewise d3/d2 — so every order drops
+    // one aggregation pass and one join (guide §2.4). Values are
+    // identical: long sums of the same rows, identical key sets.
+    val o5 = ty.t5.groupBy("g1234").agg(sum("c5").as("d5"),
+      sum(when(col("c5") === 1, 1L).otherwise(0L)).as("k51"),
+      sum(when(col("c5") === 2, 1L).otherwise(0L)).as("k52"),
+      sum(when(col("c5") >= 3, 1L).otherwise(0L)).as("k53"))
+    // order 4: continuation counts from distinct 5-gram types —
+    // deliberately NOT cached: each c-table consumer is a model-sized
+    // aggregate over the (cached or fixture-read) type table, and a
+    // cache here serializes the otherwise-concurrent AQE broadcast
+    // builds behind one materialization barrier (measured: wall got
+    // worse while task time fell)
     val c4 = ty.t5.groupBy("g2345", "g234").agg(count(lit(1)).as("cc4"))
-    val o4 = ty.t5.groupBy("g234").agg(count(lit(1)).as("d4"))
-      .join(lm5Classes(c4, "g234", "cc4", "k4"), Seq("g234"))
+    val o4 = c4.groupBy("g234").agg(sum("cc4").as("d4"),
+      sum(when(col("cc4") === 1, 1L).otherwise(0L)).as("k41"),
+      sum(when(col("cc4") === 2, 1L).otherwise(0L)).as("k42"),
+      sum(when(col("cc4") >= 3, 1L).otherwise(0L)).as("k43"))
     // order 3: from distinct 4-gram types (suffix = the score row's w3 w4 w5)
     val c3 = ty.t4.groupBy("g345", "g34").agg(count(lit(1)).as("cc3"))
-    val o3 = ty.t4.groupBy("g34").agg(count(lit(1)).as("d3"))
-      .join(lm5Classes(c3, "g34", "cc3", "k3"), Seq("g34"))
+    val o3 = c3.groupBy("g34").agg(sum("cc3").as("d3"),
+      sum(when(col("cc3") === 1, 1L).otherwise(0L)).as("k31"),
+      sum(when(col("cc3") === 2, 1L).otherwise(0L)).as("k32"),
+      sum(when(col("cc3") >= 3, 1L).otherwise(0L)).as("k33"))
     // order 2: from distinct trigram types
     val c2 = ty.t3.groupBy("g45", "g4").agg(count(lit(1)).as("cc2"))
-    val o2 = ty.t3.groupBy("g4").agg(count(lit(1)).as("d2"))
-      .join(lm5Classes(c2, "g4", "cc2", "k2"), Seq("g4"))
+    val o2 = c2.groupBy("g4").agg(sum("cc2").as("d2"),
+      sum(when(col("cc2") === 1, 1L).otherwise(0L)).as("k21"),
+      sum(when(col("cc2") === 2, 1L).otherwise(0L)).as("k22"),
+      sum(when(col("cc2") >= 3, 1L).otherwise(0L)).as("k23"))
     // order 1: from distinct bigram types (the KN continuation unigram)
     val c1 = ty.t2.groupBy("g5").agg(count(lit(1)).as("cc1"))
     val consts = stagedConsts.getOrElse(
@@ -1218,16 +1252,24 @@ object TextAnalysis {
       c2.select("g45", "cc2"), o2, c1, consts)
   }
 
-  /** Fit the MKN-5 model over `train` in-plan. The model tables stay
-    * UNCACHED — recomputing the map-side gram extraction measured
-    * CHEAPER than MEMORY_AND_DISK cache round-trips at this size — so
-    * the in-plan entry pays the model build roughly TWICE (once for
-    * the one-row `consts` head() job, once inside the score DAG); the
-    * structural fix is the staged path ([[lm5StagedModel]] /
-    * `lm_score_kn5_staged`), which reads the resident fixtures and
-    * pays one corpus scoring pass, no model build at all. */
-  private[graft] def lm5Fit(train: DataFrame, textCol: String): Lm5Model =
-    lm5ModelFromTypes(lm5TypeTables(train, textCol))
+  /** Fit the MKN-5 model over `train` in-plan, with the five type
+    * tables CACHED (r15): the consts head() job and the nine model-
+    * table join builds each re-ran the corpus-sized gram extraction
+    * uncached — profiled at 59 jobs / 31.8 s summed task time for one
+    * in-plan scoring pass at sf0.1; with the type tables (and the
+    * shared c4..c1 continuation aggregates) cached, the extraction
+    * runs once per order and every model table is a model-sized
+    * aggregate over the cache. (The earlier "recompute measured
+    * cheaper than caching" note predates the fused single-aggregate
+    * model tables and the unhinted score joins; re-measured this
+    * round, caching wins ~2x.) The staged path ([[lm5StagedModel]] /
+    * `lm_score_kn5_staged`) remains the structural fix — resident
+    * fixtures, no model build at all. */
+  private[graft] def lm5Fit(train: DataFrame, textCol: String): Lm5Model = {
+    val ty = lm5TypeTables(train, textCol)
+    lm5ModelFromTypes(Lm5Types(ty.t5.cache(), ty.t4.cache(), ty.t3.cache(),
+      ty.t2.cache(), ty.uni))
+  }
 
   /** Score `docs` against a fitted [[Lm5Model]]: the corpus-sized gram
     * stream meets each model table exactly once through nine

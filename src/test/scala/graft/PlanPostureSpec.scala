@@ -194,13 +194,16 @@ class PlanPostureSpec extends SparkSpecBase {
     val pt = plan("lm_score_trigram")
     assert(!pt.contains("CartesianProduct"), s"lm_score_trigram:\n$pt")
     // the 5-gram backoff scorer: same posture (the one BNLJ is the
-    // 1-row corpus total), and its five vocab joins must all be
-    // merge joins — a misestimated broadcast of a corpus-sized n-gram
-    // vocab is the 100 TB OOM this plan exists to avoid
+    // 1-row corpus total). r15: the vocab joins are UNHINTED — AQE
+    // picks the strategy from runtime shuffle sizes (broadcast at test
+    // SFs, sort-merge once a vocab outgrows the threshold — the r14
+    // kn5 unhinting finding applied family-wide), so the old
+    // must-not-broadcast pin is gone; the scale guard is AQE's actual
+    // byte count, not a static hint. Equi-join-only still holds.
     val p5 = plan("lm_score_5gram")
     assert(!p5.contains("CartesianProduct"), s"lm_score_5gram:\n$p5")
-    assert(!p5.contains("BroadcastHashJoin"),
-      s"lm_score_5gram vocab joins must not broadcast:\n$p5")
+    assert(p5.contains("AdaptiveSparkPlan"),
+      s"lm_score_5gram vocab-join strategy must be AQE-governed:\n$p5")
     val pu = plan("url_filter")
     // the only shuffle is the per-URL owner partial agg (hash), never a sort
     assert(pu.contains("hashpartitioning") && !pu.contains("rangepartitioning"),
