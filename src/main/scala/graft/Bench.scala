@@ -35,7 +35,8 @@ object Bench {
       // keeps the full shuffle partition count — measured 952 tasks vs
       // ~100 for one lm_score_kn5 pass. Scale-adaptive (AQE sizes
       // partitions from bytes), not a local-core-count constant.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

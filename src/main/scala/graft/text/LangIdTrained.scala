@@ -183,7 +183,12 @@ object LangIdTrained {
       rows.toDF("lang", "bucket", "w_micro")
         .coalesce(1).write.mode("overwrite").parquet(WeightsExportPath)
     }
-    score(planted, model)
+    // r15: spread the serving scan — documents.parquet is one split at
+    // test SFs, so the map-only scoring fold (|text| × classes lookups
+    // per row) ran single-task (profiled: 2 tasks / 2.4 s task time on
+    // 32 cores). LshIndex.spread is a no-op at scale (real corpora
+    // split); map-only, so the row set is partitioning-independent.
+    score(graft.index.LshIndex.spread(planted), model)
   }
 
   def langIdTrainedSql: String = {
