@@ -1,12 +1,14 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 /** Round-15 measurement aid: run registry entries once (after a
   * warmup) and report how the wall time decomposes — job count, stage
   * count, task count, summed task time — so overhead-bound entries
-  * (many tiny jobs) separate from compute-bound ones. Usage:
+  * (many tiny jobs) separate from compute-bound ones. With
+  * SPARK_GRAFT_PROFILE_JOBS=n it also prints the n slowest jobs
+  * (duration + callsite) so the orchestration tail has names. Usage:
   *   runMain graft.Profile <sfDir> name1,name2,...
   */
 object Profile {
@@ -22,8 +24,22 @@ object Profile {
     val jobs = new AtomicInteger(); val stages = new AtomicInteger()
     val tasks = new AtomicInteger(); val taskMs = new AtomicLong()
     val shuffleReadB = new AtomicLong(); val shuffleWriteB = new AtomicLong()
+    val topJobs = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").map(_.toInt).getOrElse(0)
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobDurations = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (topJobs > 0) {
+          val site = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          jobStartNs.put(j.jobId, (System.nanoTime(), site))
+        }
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (topJobs > 0) Option(jobStartNs.remove(j.jobId)).foreach { case (t0, site) =>
+          jobDurations.add(((System.nanoTime() - t0) / 1e9, site))
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
@@ -41,7 +57,7 @@ object Profile {
       spark.catalog.clearCache()
       Thread.sleep(200)
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
-      shuffleReadB.set(0); shuffleWriteB.set(0)
+      shuffleReadB.set(0); shuffleWriteB.set(0); jobDurations.clear()
       val t0 = System.nanoTime()
       materialize(fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
@@ -49,6 +65,12 @@ object Profile {
       println(f"PROFILE $name%-36s wall=$wall%7.3f s  jobs=${jobs.get}%3d  " +
         f"stages=${stages.get}%4d  tasks=${tasks.get}%5d  taskTime=${taskMs.get / 1000.0}%8.2f s  " +
         f"shufR=${shuffleReadB.get / 1e6}%8.2f MB  shufW=${shuffleWriteB.get / 1e6}%8.2f MB")
+      if (topJobs > 0) {
+        import scala.jdk.CollectionConverters._
+        jobDurations.asScala.toSeq.sortBy(-_._1).take(topJobs).foreach {
+          case (d, site) => println(f"  JOB $d%7.3f s  $site")
+        }
+      }
     }
     spark.stop()
   }

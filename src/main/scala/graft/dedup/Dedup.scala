@@ -214,11 +214,16 @@ object Dedup {
     // optimizer to push the join through the planted-corpus union).
     val candIds = cands.select(col("a").as("id"))
       .unionByName(cands.select(col("b").as("id"))).distinct()
+    // CACHED (candidate-bounded, released below): the shingle-set
+    // table feeds BOTH endpoint joins (sh_a and sh_b) whose exchanges
+    // hash on different keys — uncached, the corpus scan + semi-join +
+    // tokenize/shingle subtree evaluated twice per pass (guide §1.2)
     val sets = graft.index.LshIndex.spread(
         docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"),
         array_distinct(shingles(tokens(col("__text")), shingleWidth)).as("sh"))
+      .cache()
     val result = cands
       .join(sets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("sh_b")), "b")
@@ -231,6 +236,7 @@ object Dedup {
     result.count() // materialize the (small) pair list, then release the big intermediates
     sigs.unpersist()
     cands.unpersist()
+    sets.unpersist()
     result
   }
 
@@ -269,7 +275,10 @@ object Dedup {
       .withColumn("bsz", count(lit(1)).over(wBucket))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
-    val deltaIds = deltaSigs.select(col("id")).distinct().cache()
+    // one row per delta doc by construction (signatures are one row
+    // per input doc, callers pass unique-id crawls) — no distinct
+    // needed; dropping it removes a shuffle+aggregate pair
+    val deltaIds = deltaSigs.select(col("id")).cache()
     val deltaBands = bands.join(deltaIds, Seq("id"), "left_semi")
     // one probe join covers both legs; least/greatest orients pairs
     // (a delta×delta pair arrives in both directions — distinct folds it)
@@ -282,11 +291,15 @@ object Dedup {
       .cache()
     val candIds = cands.select(col("a").as("id"))
       .unionByName(cands.select(col("b").as("id"))).distinct()
+    // CACHED (candidate-bounded, released below) — the two endpoint
+    // joins otherwise re-evaluate the corpus scan + semi-join +
+    // shingle subtree, same rationale as [[minhashPairs]]
     val sets = graft.index.LshIndex.spread(
         corpus.select(col(idCol).as("id"), col(textCol).as("__text")))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"),
         array_distinct(shingles(tokens(col("__text")), shingleWidth)).as("sh"))
+      .cache()
     val dFlag = deltaIds.withColumn("__d", lit(1))
     val result = cands
       .join(sets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
@@ -306,6 +319,7 @@ object Dedup {
     deltaSigs.unpersist()
     deltaIds.unpersist()
     cands.unpersist()
+    sets.unpersist()
     result
   }
 

@@ -448,7 +448,11 @@ object SemDedup {
       .filter(col("csz") <= maxCell)
       .select(col("vec_id"), col("cell"))
       .cache()
-    val deltaIds = deltaAssign.select(col("vec_id")).distinct().cache()
+    // one row per delta vector by construction (every caller passes an
+    // assignment, which is one row per vec_id) — no distinct needed,
+    // and dropping it removes a shuffle+aggregate pair (guide §2.4:
+    // "a distinct on data that is already unique")
+    val deltaIds = deltaAssign.select(col("vec_id")).cache()
     val deltaGuarded = guarded.join(deltaIds, Seq("vec_id"), "left_semi")
     // one probe join covers both legs; least/greatest orients pairs
     // (a delta×delta pair arrives in both directions — distinct folds it)
@@ -460,8 +464,14 @@ object SemDedup {
       .cache()
     val candIds = cands.select(col("a").as("vec_id"))
       .unionByName(cands.select(col("b").as("vec_id"))).distinct()
+    // CACHED (candidate-bounded, released below): the embedding fetch
+    // feeds BOTH endpoint joins (ea and eb), and the a-side/b-side
+    // exchanges hash on different keys so nothing is reused — uncached,
+    // the corpus scan + semi-join subtree evaluated twice per pass
+    // (guide §1.2: don't compute things twice)
     val vecs = corpus.join(candIds, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"))
+      .cache()
     val dFlag = deltaIds.withColumn("__d", lit(1))
     val result = cands
       .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
@@ -478,6 +488,7 @@ object SemDedup {
     guarded.unpersist()
     deltaIds.unpersist()
     cands.unpersist()
+    vecs.unpersist()
     result
   }
 
@@ -573,8 +584,18 @@ object SemDedup {
   def dedupSemanticCompact(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = semCorpus(spark, sfDir)
     val isDelta = graft.Carves.deltaSplit(col("vec_id"), Dedup.PlantOffset)
-    val admitted = dedupSemanticDeltaApply(spark, sfDir).select(col("vec_id"))
-    // the delta entry has run inside apply: fixtures are staged
+    // the full in-plan delta chain runs here (fixture-honesty: the
+    // bench prices sign/assign → pair → admit → fold); the admit
+    // decision is applied as an anti-join against the PAIR-BOUNDED
+    // drop set — the same policy the apply entry emits, without
+    // re-deriving the delta corpus slice through the apply subtree a
+    // second time (r15: the semi-join against the apply output re-ran
+    // the corpus scan + anti-join inside this entry's plan; values are
+    // identical because the fresh assignment covers exactly the delta
+    // ids, so delta ∖ drops == admitted). Broadcast is safe at recrawl
+    // scale precisely because drops is pair-bounded, never delta-sized
+    // (the multimodal compact / SemDedup.scala:614 discipline).
+    val drops = semDrops(dedupSemanticDelta(spark, sfDir))
     val baseAssign = spark.read.parquet(SemDeltaAssignExportPath)
       .select(col("vec_id"), col("cell"), lit("carried").as("src"))
     val base = corpus.filter(!isDelta)
@@ -582,7 +603,7 @@ object SemDedup {
     val c = resolveCells(IvfSearch.memoCount(base, s"semdelta:$sfDir"), sd)
     val cents = IvfSearch.fitCentroids(base, c, Some(s"semdelta:$sfDir"))
     val fresh = assignWithCentSim(corpus.filter(isDelta), cents)
-      .join(admitted, Seq("vec_id"), "left_semi")
+      .join(broadcast(drops), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"), lit("fresh").as("src"))
     baseAssign.unionByName(fresh)
   }

@@ -333,8 +333,11 @@ object BinaryMeta {
     // count makes the within-cell pair join quadratic in corpus/cells
     // — at sf0.1 the 16-cell default put ~312 docs in every cell
     // (~780k pair rows, 8.8s); sqrt-sizing keeps pairs ~ N^1.5/cells
-    // bounded (0.9s, and the ratio holds as N grows)
-    val cells = graft.query.IvfSearch.scaledCells(media.count())
+    // bounded (0.9s, and the ratio holds as N grows). Count memoized
+    // per (session, corpus) like every other sqrt-N sizing call site —
+    // repeated invocations should not pay a corpus count job each.
+    val cells = graft.query.IvfSearch.scaledCells(
+      graft.query.IvfSearch.memoCount(media, s"mm-neardup:$sfDir"))
     val cents = graft.query.IvfSearch.fitCentroids(
       e, cells, Some(s"mm-neardup:$cells:$sfDir"))
     graft.dedup.Dedup.neardupPairs(e, cents, graft.dedup.Dedup.NeardupProbes,

@@ -567,8 +567,16 @@ object IvfSearch {
     val deltaHomes = probeCellsRanked(data.filter(isDelta), cents, nProbe = 1,
         carry = Seq("cvec" -> col("embedding")))
       .select(col("query_id").as("vec_id"), col("cvec").as("embedding"), col("cell"))
+    // CACHED: the patch feeds BOTH the touched-query anti-join side and
+    // the union — uncached, the two knnForQueries legs (the entry's
+    // dominant cost) evaluate twice, and nothing is exchange-reusable
+    // between a distinct's exchange and a union into the sink. One
+    // InMemoryRelation materialization serves both consumers within the
+    // one action; (affected + delta) × k rows, the patch's own bounded
+    // size. Released by the session's per-entry/per-rep clearCache like
+    // the other returned-plan caches (semanticDedupPlan discipline).
     val patch = knnJoinDeltaPlan(K, NumProbes, cents, cfg.ivf.maxCandidates,
-      baseHomes, deltaHomes)
+      baseHomes, deltaHomes).cache()
     val touched = patch.select(col("query_id")).distinct()
     baseGraph.join(touched, Seq("query_id"), "left_anti")
       .unionByName(patch)
