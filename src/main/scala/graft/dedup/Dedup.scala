@@ -840,7 +840,12 @@ object Dedup {
    */
   def neardupPairs(data: DataFrame, cents: Array[Array[Float]],
       nProbe: Int, topN: Int): DataFrame = {
-    val e = data.select(col("vec_id"), col("embedding"))
+    // CACHED (released below): the source projection feeds the probe
+    // pass AND both exact-verify endpoint joins — uncached it evaluates
+    // three times per run, which for callers whose embedding column is
+    // itself a computed projection (multimodal_neardup's sha256 stub
+    // features) triples the corpus-sized embed pass (guide §1.2)
+    val e = data.select(col("vec_id"), col("embedding")).cache()
     // materialization boundary: one probe-assignment pass per vector,
     // shared by both self-join sides (projection collapse would inline
     // the C-centroid scan into each side)
@@ -848,6 +853,7 @@ object Dedup {
     val result = neardupPlan(e, probes, topN).cache()
     result.count() // materialize the (tiny) top list, then release the probe table
     probes.unpersist()
+    e.unpersist()
     result
   }
 

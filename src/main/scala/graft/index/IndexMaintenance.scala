@@ -186,8 +186,16 @@ object IndexMaintenance {
   def indexInsert(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val model = AnnQuery.setupModel(spark, sfDir)
+    // CACHED: each LshIndex.build makes TWO passes over its codes
+    // (offset collect + numbering), and this entry builds three indexes
+    // over these two code sets (main, delta, compacted-union) — so the
+    // G-function coding of the corpus evaluated ~6x per run before.
+    // One fill each; released by the session's per-entry clearCache
+    // (the knnJoinDeltaCompact returned-plan-cache discipline).
     val mainCodes = stageCodes(emb.filter(col("vec_id") >= 100), "vec_id", "embedding", model)
+      .cache()
     val stagedCodes = stageCodes(emb.filter(col("vec_id") < 100), "vec_id", "embedding", model)
+      .cache()
     val blockSize = model.params.blockSize
     val main = LshIndex.build(mainCodes, blockSize)
     val delta = buildDelta(stagedCodes, blockSize)

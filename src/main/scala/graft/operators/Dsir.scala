@@ -64,7 +64,12 @@ object Dsir {
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column,
       keepP: Double = DsirKeepP): DataFrame = {
-    val scored = dsirScores(docs, idCol, textCol, targetPred)
+    // CACHED (one row per doc): the weight table feeds BOTH the
+    // quantile cut's aggregate and the verdict projection — uncached,
+    // the whole scoring chain (tokenize + explode + model join)
+    // evaluated twice per run (guide §1.2). Released by the session's
+    // per-entry clearCache like the other returned-plan caches.
+    val scored = dsirScores(docs, idCol, textCol, targetPred).cache()
     // the quantile cut rides back as ONE broadcast row (the
     // thresholdApply shape, inlined to keep n_tokens in the verdict)
     val thr = Quantiles.exactQuantiles(scored, "log_w", Seq(keepP))
@@ -82,24 +87,27 @@ object Dsir {
     val tok = docs.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
         explode(graft.text.TextAnalysis.tokens(col(textCol))).as("t"))
       .select(col("doc_id"), col("is_t"), bucket(col("t")).as("b"))
-    // raw counts over every token; target counts over the target slice.
-    // one partial-agg pass each, both collapsing to <= B rows
-    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgt = tok.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
-    val nr = raw.agg(sum("cr").as("vnr"))
+    // raw + target counts in ONE grouped aggregate over the token
+    // stream (r15, the lm5ModelFromTypes fusion): the target count is a
+    // conditional count in the same pass — previously a second
+    // corpus-sized tokenize+explode+aggregate plus a bucket join.
+    // Values identical: ct counts exactly the is_t rows (0 where the
+    // old LEFT join found no target bucket), cr counts all.
+    val counts = tok.groupBy("b").agg(count(lit(1)).as("cr"),
+      count(when(col("is_t"), lit(1))).as("ct"))
+    val nr = counts.agg(sum("cr").as("vnr"))
     // an EMPTY target set degrades to the pure add-1 prior (uniform
     // target model, every bucket 1/B) instead of a silent all-null
     // weight column: the verdict table still has one row per doc
-    val nt = tgt.agg(coalesce(sum("ct"), lit(0L)).as("vnt"))
+    val nt = counts.agg(coalesce(sum("ct"), lit(0L)).as("vnt"))
     // the importance model: per observed bucket, ln p̂_t − ln p̂_r with
     // add-1 smoothing (identical term order on both engines). Every
-    // scored token's bucket is in `raw` by construction, so a LEFT
-    // join from raw covers the whole stream; absent target buckets
-    // smooth to ct = 0.
-    val lr = raw.join(tgt, Seq("b"), "left")
+    // scored token's bucket is in the counts table by construction;
+    // absent target buckets smooth to ct = 0.
+    val lr = counts
       .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
       .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + 1) / (col("vnt") + lit(DsirBuckets.toDouble))) -
+        (log((col("ct") + 1) / (col("vnt") + lit(DsirBuckets.toDouble))) -
           log((col("cr") + 1) / (col("vnr") + lit(DsirBuckets.toDouble)))).as("lr"))
     val scored = tok.join(broadcast(lr), "b")
       .groupBy("doc_id")
@@ -128,10 +136,13 @@ object Dsir {
     val tok = docs.select(targetPred.as("is_t"),
         explode(graft.text.TextAnalysis.tokens(col(textCol))).as("t"))
       .select(col("is_t"), bucket(col("t")).as("b"))
-    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    val tgt = tok.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    // one corpus-sized aggregate + one collect for both count tables
+    // (r15, the dsirScores fusion — previously two passes)
+    val both = tok.groupBy("b").agg(count(lit(1)).as("cr"),
+        count(when(col("is_t"), lit(1))).as("ct"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+    val raw = both.map { case (b, cr, _) => b -> cr }.toMap
+    val tgt = both.collect { case (b, _, ct) if ct > 0 => b -> ct }.toMap
     val vnr = raw.values.sum.toDouble
     val vnt = tgt.values.sum.toDouble
     val lr = Array.tabulate(DsirBuckets) { b =>
@@ -192,8 +203,11 @@ object Dsir {
       .select("doc_id", "log_w")
     val u = greatest(Corpus.hashUniform(
       concat(lit(DsirSampleSeed + ":"), col("doc_id").cast("string"))), lit(UFloor))
+    // CACHED (one row per doc): feeds both the quantile aggregate and
+    // the verdict — the dsirSelect rationale
     val keyed = weighted.select(col("doc_id"), col("log_w"),
       (floor((col("log_w") - log(-log(u))) * 10000) / 10000).as("gumbel_key"))
+      .cache()
     val thr = Quantiles.exactQuantiles(keyed, "gumbel_key", Seq(keepP))
       .select(col("threshold").as("gthr"))
     keyed.crossJoin(broadcast(thr))

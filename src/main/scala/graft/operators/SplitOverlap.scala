@@ -30,10 +30,18 @@ object SplitOverlap {
       seed: String, trainFrac: Double, valFrac: Double, n: Int = 5): DataFrame = {
     val split = Corpus.corpusSplit(docs.select(col(idCol).as("doc_id")),
       seed, trainFrac, valFrac).select("doc_id", "split")
+    // CACHED: the distinct (split, gram) table feeds three consumers
+    // (the train side of the semi-join and the two eval aggregates),
+    // and the split filters push BELOW the distinct so the subtrees
+    // differ and nothing is exchange-reusable — uncached, the
+    // corpus-sized tokenize + shingle + explode + join + distinct
+    // chain evaluated three times per run (guide §1.2). Released by
+    // the session's per-entry clearCache.
     val grams = docs.select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(tokens(col(textCol)), n))).as("g"))
       .join(split, "doc_id")
       .select("split", "g").distinct()
+      .cache()
     val trainG = grams.filter(col("split") === "train").select("g")
     val evalG = grams.filter(col("split") =!= "train")
     val totals = evalG.groupBy("split").agg(count(lit(1)).as("n_grams"))
