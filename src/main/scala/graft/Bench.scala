@@ -117,13 +117,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the complete per-query artifact in the repo: the
+    // Persist the complete per-query artifact in the repo BEFORE the
+    // stdout lines (so no [bench] stderr chatter lands after them): the
     // driver's BENCH_rNN.json capture truncates its tail at 2000 chars,
     // which silently drops the alphabetically-first rows once the query
     // count is large. Round number = max committed CORRECTNESS_rNN + 1
     // (the current round's file lands only after this run), overridable
     // via SPARK_GRAFT_ROUND. Only full (unfiltered) runs are persisted.
+    // r16: the filename carries the cpu count — the driver benches the
+    // SAME round at two core counts and the unsuffixed name made the
+    // second run overwrite the first (the r15 8-cpu/32-cpu collision).
     if (only.isEmpty) {
       val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
         val rx = "CORRECTNESS_r(\\d+)\\.json".r
@@ -131,10 +134,17 @@ object Bench {
           .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
         if (prev.isEmpty) 1 else prev.max + 1
       }
-      val path = f"bench_full_r$round%02d.json"
+      val path = f"bench_full_r$round%02d_c$cpus.json"
       val w = new java.io.PrintWriter(path); try w.println(line) finally w.close()
       System.err.println(s"[bench] full artifact written to $path")
     }
+    println(line)
+    // Compact always-fits summary as the VERY LAST stdout line: at 193
+    // entries the full per-query line is ~6 KB and the driver keeps a
+    // 2000-char tail, so its head (and the "value" total) was cut off
+    // and the parse failed two rounds running (r15 verdict item 2).
+    // Same methodology, same numbers — one short parseable recap.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"n":${results.size},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

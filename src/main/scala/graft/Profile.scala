@@ -24,7 +24,11 @@ object Profile {
     val jobs = new AtomicInteger(); val stages = new AtomicInteger()
     val tasks = new AtomicInteger(); val taskMs = new AtomicLong()
     val shuffleReadB = new AtomicLong(); val shuffleWriteB = new AtomicLong()
-    val topJobs = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").map(_.toInt).getOrElse(0)
+    // tolerate malformed values (ADVICE r15): a bad env var should mean
+    // "no per-job breakdown", not a NumberFormatException before any
+    // measurement
+    val topJobs = sys.env.get("SPARK_GRAFT_PROFILE_JOBS")
+      .flatMap(_.toIntOption).getOrElse(0)
     val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val jobDurations = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {

@@ -262,6 +262,13 @@ object Dedup {
    * the full path. `leg` labels each surviving pair `delta_base` or
    * `delta_delta` — the merge report a pipeline owner acts on (drop
    * the copy vs pick a keeper inside the new crawl).
+   *
+   * PRECONDITION: `deltaDocs` must carry UNIQUE ids (one row per doc —
+   * every registry caller passes a keyed crawl). The delta-id table is
+   * used un-deduplicated (signatures are one row per input row), so a
+   * duplicated id would duplicate output pairs through the `leg`
+   * LEFT joins; same contract as
+   * [[graft.dedup.SemDedup.semanticPairsDelta]].
    */
   def minhashPairsDelta(baseSigs: DataFrame, deltaDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
@@ -839,13 +846,18 @@ object Dedup {
    * the sf0.1 cutoff — is identical to the exhaustive one).
    */
   def neardupPairs(data: DataFrame, cents: Array[Array[Float]],
-      nProbe: Int, topN: Int): DataFrame = {
-    // CACHED (released below): the source projection feeds the probe
-    // pass AND both exact-verify endpoint joins — uncached it evaluates
-    // three times per run, which for callers whose embedding column is
-    // itself a computed projection (multimodal_neardup's sha256 stub
-    // features) triples the corpus-sized embed pass (guide §1.2)
-    val e = data.select(col("vec_id"), col("embedding")).cache()
+      nProbe: Int, topN: Int, cacheSource: Boolean = false): DataFrame = {
+    // `cacheSource` caches the source projection, which feeds the probe
+    // pass AND both exact-verify endpoint joins — for callers whose
+    // embedding column is a COMPUTED projection (multimodal_neardup's
+    // sha256 stub features) leaving it uncached evaluates the
+    // corpus-sized embed pass three times per run (guide §1.2). For
+    // plain parquet readers (neardup_embedding) the re-scan is cheaper
+    // than the cache fill — r15 measured the unconditional cache as
+    // that entry's only touched-path regression (×0.87) — so the
+    // default is off and only computed-source callers opt in.
+    val src = data.select(col("vec_id"), col("embedding"))
+    val e = if (cacheSource) src.cache() else src
     // materialization boundary: one probe-assignment pass per vector,
     // shared by both self-join sides (projection collapse would inline
     // the C-centroid scan into each side)
@@ -853,7 +865,7 @@ object Dedup {
     val result = neardupPlan(e, probes, topN).cache()
     result.count() // materialize the (tiny) top list, then release the probe table
     probes.unpersist()
-    e.unpersist()
+    if (cacheSource) e.unpersist()
     result
   }
 

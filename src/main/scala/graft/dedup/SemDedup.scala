@@ -427,7 +427,14 @@ object SemDedup {
   /** Frame-level core of [[dedupSemanticDelta]] (resident base
     * assignment, freshly-assigned delta, and the embedding fetch side
     * injectable — the spec's handle for the equals-full-run-restricted
-    * property across carves). */
+    * property across carves).
+    *
+    * PRECONDITION: `deltaAssign` must carry UNIQUE vec_ids (one row
+    * per vector — an assignment is one row per vec_id by
+    * construction). The delta-id table is used un-deduplicated, so a
+    * duplicated id would duplicate output pairs through the `leg`
+    * LEFT joins; same contract as
+    * [[graft.dedup.Dedup.minhashPairsDelta]]. */
   private[graft] def semanticPairsDelta(baseAssign: DataFrame,
       deltaAssign: DataFrame, corpus: DataFrame,
       tau: Double, maxCell: Int): DataFrame = {

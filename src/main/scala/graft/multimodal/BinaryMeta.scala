@@ -340,8 +340,11 @@ object BinaryMeta {
       graft.query.IvfSearch.memoCount(media, s"mm-neardup:$sfDir"))
     val cents = graft.query.IvfSearch.fitCentroids(
       e, cells, Some(s"mm-neardup:$cells:$sfDir"))
+    // cacheSource: the embedding column here is a COMPUTED sha256
+    // stub-feature projection — uncached it would evaluate 3x (probe
+    // pass + both verify endpoints); plain parquet readers skip it
     graft.dedup.Dedup.neardupPairs(e, cents, graft.dedup.Dedup.NeardupProbes,
-      graft.config.GraftConfig.active.neardup.topN)
+      graft.config.GraftConfig.active.neardup.topN, cacheSource = true)
   }
 
   /** DuckDB twin: replay the media plant + stub features (through the

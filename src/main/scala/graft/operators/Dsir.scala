@@ -60,6 +60,15 @@ object Dsir {
    * One verdict row per document: `(doc_id, n_tokens, log_w, keep)`.
    * `targetPred` marks the target-distribution rows (injectable for
    * specs; the entry uses the language proxy).
+   *
+   * NOTE: the returned plan references `cache()`d intermediates (the
+   * per-doc weight table) that are NOT unpersisted here — the repo's
+   * returned-plan-cache convention. Long-lived direct callers should
+   * `spark.catalog.clearCache()` between invocations (Bench/Verify
+   * do), or storage memory accumulates across calls. Same contract:
+   * [[dsirSample]], [[graft.operators.SplitOverlap.splitOverlap]],
+   * [[graft.index.IndexMaintenance]]'s insert entry, and
+   * `knnJoinDeltaCompact`.
    */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column,

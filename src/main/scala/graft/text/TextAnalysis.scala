@@ -931,6 +931,10 @@ object TextAnalysis {
     // corpus-sized extraction+aggregation (profiled: 29 jobs for one
     // scoring pass). The tables are vocab-sized; the bench's per-rep
     // clearCache (and Verify's per-entry clearCache) releases them.
+    // (r16 A/B'd this rung with the kn5 treatment — spread scans,
+    // eager fills, endu cached — and every variant was SLOWER at
+    // sf0.1: 1.49 s as-is vs 2.13-2.42 s; the rung is too light to
+    // amortize extra exchanges/actions. Left exactly as r15.)
     val t3 = triPos.groupBy("g123", "g12", "g23", "g2")
       .agg(count(lit(1)).as("c123")).cache()
     val biPos = train.select(explode(arrays_zip(
@@ -956,7 +960,11 @@ object TextAnalysis {
       .crossJoin(uni.agg(count(lit(1)).as("v")))
       .crossJoin(endu.agg(count(lit(1)).as("v1")))
 
-    // score stream over ALL docs, one row per position i >= 3
+    // score stream over ALL docs, one row per position i >= 3 — NOT
+    // spread (unlike kn5's): this rung's per-position work is 5
+    // hashes + 5 probes, and the round-robin text shuffle cost
+    // exceeded the parallelism gain (A/B'd: 1.49 s unspread vs 2.13 s
+    // spread at sf0.1)
     def s3(off: Int) = slice(toks, lit(off), greatest(size(toks) - 2, lit(0)))
     val grams = docs.select(col(idCol).as("doc_id"),
         explode(arrays_zip(s3(1).as("w1"), s3(2).as("w2"), s3(3).as("w3"))).as("z"))
@@ -1155,18 +1163,18 @@ object TextAnalysis {
   private[graft] case class Lm5Types(t5: DataFrame, t4: DataFrame,
       t3: DataFrame, t2: DataFrame, uni: DataFrame)
 
-  private def lm5Coc(t: DataFrame, c: String, p: String) = t.agg(
-    sum(when(col(c) === 1, 1L).otherwise(0L)).as(s"${p}1"),
-    sum(when(col(c) === 2, 1L).otherwise(0L)).as(s"${p}2"),
-    sum(when(col(c) === 3, 1L).otherwise(0L)).as(s"${p}3"),
-    sum(when(col(c) === 4, 1L).otherwise(0L)).as(s"${p}4"))
-
   /** Extract the five type tables from the train band — the ONLY
     * corpus-sized passes in the model build (order 5 keeps raw
     * position counts `c5`; orders 4..2 are DISTINCT type sets; order 1
     * is the train vocabulary, NOT derivable from t2 whose g5 misses
     * each document's first token). */
-  private[graft] def lm5TypeTables(train: DataFrame, textCol: String): Lm5Types = {
+  private[graft] def lm5TypeTables(train0: DataFrame, textCol: String): Lm5Types = {
+    // spread the few-split corpus scan (no-op at scale): the five
+    // extraction passes are map-heavy tokenize+hash chains that
+    // otherwise run in the source's single test-SF parquet split
+    // (the r15 lang_id_trained finding). All outputs are integer
+    // counts / distinct sets — partitioning cannot change them.
+    val train = graft.index.LshIndex.spread(train0)
     val toks = tokens(col(textCol))
     def sl(off: Int, span: Int) =
       slice(toks, lit(off), greatest(size(toks) - (span - 1), lit(0)))
@@ -1193,12 +1201,32 @@ object TextAnalysis {
     Lm5Types(t5, t4, t3, t2, uni)
   }
 
+  private def lm5Coc(t: DataFrame, c: String, p: String) = t.agg(
+    sum(when(col(c) === 1, 1L).otherwise(0L)).as(s"${p}1"),
+    sum(when(col(c) === 2, 1L).otherwise(0L)).as(s"${p}2"),
+    sum(when(col(c) === 3, 1L).otherwise(0L)).as(s"${p}3"),
+    sum(when(col(c) === 4, 1L).otherwise(0L)).as(s"${p}4"))
+
   /** Assemble the score-ready [[Lm5Model]] from the type tables —
     * bounded model-sized aggregates only (the order-5 position
     * denominator d5 is Σc5 over t5, identical to counting positions
     * directly). `stagedConsts` substitutes the fixture-read
     * count-of-counts row on the staged path so the resident model is
-    * self-consistent with its own staged type tables. */
+    * self-consistent with its own staged type tables.
+    *
+    * r16: the multi-consumer continuation tables c4..c1 are CACHED and
+    * eagerly filled in one action ([[eagerFill]]) — each fed three
+    * consumers (its own score join's build, the next o-table, the
+    * count-of-counts row) and was re-aggregated per consumer before,
+    * with the consumers racing any lazy fill. The single-consumer
+    * o-tables stay uncached lazy aggregates over the filled caches.
+    * The per-order tables deliberately remain SEPARATE cached frames
+    * (not one fused generic union): the score joins' build sides then
+    * carry accurate InMemoryRelation size stats, which is what lets
+    * the planner pick broadcast statically at bench SFs and fall back
+    * to sort-merge when a table outgrows the threshold — a fused
+    * filter-over-union was measured to lose those stats (10 static
+    * SMJ, the gram stream exchanged per join, kn5 7→11 s). */
   private[graft] def lm5ModelFromTypes(ty: Lm5Types,
       stagedConsts: Option[DataFrame] = None): Lm5Model = {
     // r15: each per-order model table is ONE grouped aggregate. The
@@ -1213,31 +1241,36 @@ object TextAnalysis {
       sum(when(col("c5") === 1, 1L).otherwise(0L)).as("k51"),
       sum(when(col("c5") === 2, 1L).otherwise(0L)).as("k52"),
       sum(when(col("c5") >= 3, 1L).otherwise(0L)).as("k53"))
-    // order 4: continuation counts from distinct 5-gram types —
-    // deliberately NOT cached: each c-table consumer is a model-sized
-    // aggregate over the (cached or fixture-read) type table, and a
-    // cache here serializes the otherwise-concurrent AQE broadcast
-    // builds behind one materialization barrier (measured: wall got
-    // worse while task time fell)
-    val c4 = ty.t5.groupBy("g2345", "g234").agg(count(lit(1)).as("cc4"))
+    // order 4: continuation counts from distinct 5-gram types. CACHED
+    // r16: the r15 "cache serializes the concurrent broadcast builds"
+    // finding applied to a LAZY cache, whose fill the first consumer
+    // paid while the others blocked; with the eager pre-fill below the
+    // score-time consumers only read. Three consumers each (join
+    // build, o-table, count-of-counts) — cached, that work runs once.
+    val c4 = ty.t5.groupBy("g2345", "g234").agg(count(lit(1)).as("cc4")).cache()
     val o4 = c4.groupBy("g234").agg(sum("cc4").as("d4"),
       sum(when(col("cc4") === 1, 1L).otherwise(0L)).as("k41"),
       sum(when(col("cc4") === 2, 1L).otherwise(0L)).as("k42"),
       sum(when(col("cc4") >= 3, 1L).otherwise(0L)).as("k43"))
     // order 3: from distinct 4-gram types (suffix = the score row's w3 w4 w5)
-    val c3 = ty.t4.groupBy("g345", "g34").agg(count(lit(1)).as("cc3"))
+    val c3 = ty.t4.groupBy("g345", "g34").agg(count(lit(1)).as("cc3")).cache()
     val o3 = c3.groupBy("g34").agg(sum("cc3").as("d3"),
       sum(when(col("cc3") === 1, 1L).otherwise(0L)).as("k31"),
       sum(when(col("cc3") === 2, 1L).otherwise(0L)).as("k32"),
       sum(when(col("cc3") >= 3, 1L).otherwise(0L)).as("k33"))
     // order 2: from distinct trigram types
-    val c2 = ty.t3.groupBy("g45", "g4").agg(count(lit(1)).as("cc2"))
+    val c2 = ty.t3.groupBy("g45", "g4").agg(count(lit(1)).as("cc2")).cache()
     val o2 = c2.groupBy("g4").agg(sum("cc2").as("d2"),
       sum(when(col("cc2") === 1, 1L).otherwise(0L)).as("k21"),
       sum(when(col("cc2") === 2, 1L).otherwise(0L)).as("k22"),
       sum(when(col("cc2") >= 3, 1L).otherwise(0L)).as("k23"))
     // order 1: from distinct bigram types (the KN continuation unigram)
-    val c1 = ty.t2.groupBy("g5").agg(count(lit(1)).as("cc1"))
+    val c1 = ty.t2.groupBy("g5").agg(count(lit(1)).as("cc1")).cache()
+    // eager one-action fill of the four continuation caches (their
+    // inputs — the type tables — are already filled by lm5Fit on the
+    // in-plan path and are parquet fixtures on the staged one), so the
+    // score-time consumers below never race a lazy fill
+    eagerFill(Seq(c4, c3, c2, c1))
     val consts = stagedConsts.getOrElse(
       lm5Coc(ty.t5, "c5", "a").crossJoin(lm5Coc(c4, "cc4", "b"))
         .crossJoin(lm5Coc(c3, "cc3", "e")).crossJoin(lm5Coc(c2, "cc2", "f"))
@@ -1252,23 +1285,39 @@ object TextAnalysis {
       c2.select("g45", "cc2"), o2, c1, consts)
   }
 
-  /** Fit the MKN-5 model over `train` in-plan, with the five type
-    * tables CACHED (r15): the consts head() job and the nine model-
-    * table join builds each re-ran the corpus-sized gram extraction
-    * uncached — profiled at 59 jobs / 31.8 s summed task time for one
-    * in-plan scoring pass at sf0.1; with the type tables (and the
-    * shared c4..c1 continuation aggregates) cached, the extraction
-    * runs once per order and every model table is a model-sized
-    * aggregate over the cache. (The earlier "recompute measured
-    * cheaper than caching" note predates the fused single-aggregate
-    * model tables and the unhinted score joins; re-measured this
-    * round, caching wins ~2x.) The staged path ([[lm5StagedModel]] /
+  /** Eagerly fill a set of cached tables with ONE action carrying
+    * exactly one count-aggregate branch per cache. Why this exists:
+    * the fused model build ([[fuseModelParts]]) scans each type table
+    * from several concurrent union branches, and a lazily-filled
+    * InMemoryRelation makes those branches RACE to compute the same
+    * partitions — the corpus-sized gram extraction ran once per branch
+    * (profiled at 26.9 s summed task time vs 9.9 s for a sequential
+    * cached build; the "Block already exists; not re-adding"
+    * BlockManager signature). Uncached is no better: column pruning
+    * gives each branch's extraction a different projection, so the
+    * exchanges don't canonicalize equal and nothing is reused
+    * (profiled 18.6 s / 39 MB shuffled). One fill branch per cache
+    * computes each extraction exactly once, concurrently across
+    * tables (guide §2.6), before any consumer touches them. */
+  private def eagerFill(cached: Seq[DataFrame]): Unit =
+    cached.map(_.agg(count(lit(1)).as("n"))).reduce(_.unionByName(_)).count()
+
+  /** Fit the MKN-5 model over `train` in-plan: the five type tables
+    * cached (r15 — the only corpus-sized passes) and eagerly filled in
+    * one action (r16 — see [[eagerFill]]), then the fused one-action
+    * model build over them. The staged path ([[lm5StagedModel]] /
     * `lm_score_kn5_staged`) remains the structural fix — resident
     * fixtures, no model build at all. */
   private[graft] def lm5Fit(train: DataFrame, textCol: String): Lm5Model = {
-    val ty = lm5TypeTables(train, textCol)
-    lm5ModelFromTypes(Lm5Types(ty.t5.cache(), ty.t4.cache(), ty.t3.cache(),
-      ty.t2.cache(), ty.uni))
+    val ty0 = lm5TypeTables(train, textCol)
+    // uni is cached too (r16): its only consumer is the consts row,
+    // but uncached its corpus-sized vocab pass ran SEQUENTIALLY inside
+    // the consts head() action — filled here it runs concurrently
+    // with the other four extraction passes and consts reads a cache
+    val ty = Lm5Types(ty0.t5.cache(), ty0.t4.cache(), ty0.t3.cache(),
+      ty0.t2.cache(), ty0.uni.cache())
+    eagerFill(Seq(ty.t5, ty.t4, ty.t3, ty.t2, ty.uni))
+    lm5ModelFromTypes(ty)
   }
 
   /** Score `docs` against a fitted [[Lm5Model]]: the corpus-sized gram
@@ -1290,9 +1339,16 @@ object TextAnalysis {
     // fallback); as literals the projection stays codegen'd.
     val consts = m.consts.head()
 
-    // score stream over ALL docs, one row per position i >= 5
+    // score stream over ALL docs, one row per position i >= 5. The
+    // scan is SPREAD (no-op at scale): the per-position 9-hash
+    // projection + 9 join probes + the log/CASE chain are the
+    // dominant per-task CPU of the whole entry, and the single
+    // test-SF parquet split ran them on one core. Per-doc float
+    // ordering is unchanged — spreading happens BEFORE the explode,
+    // so every doc's positions stay inside one partition and the
+    // per-doc avg sums in position order exactly as before.
     def s5(off: Int) = slice(toks, lit(off), greatest(size(toks) - 4, lit(0)))
-    val grams = docs.select(col(idCol).as("doc_id"),
+    val grams = graft.index.LshIndex.spread(docs).select(col(idCol).as("doc_id"),
         explode(arrays_zip(s5(1).as("w1"), s5(2).as("w2"), s5(3).as("w3"),
           s5(4).as("w4"), s5(5).as("w5"))).as("z"))
       .select(col("doc_id"),

@@ -204,6 +204,22 @@ class PlanPostureSpec extends SparkSpecBase {
     assert(!p5.contains("CartesianProduct"), s"lm_score_5gram:\n$p5")
     assert(p5.contains("AdaptiveSparkPlan"),
       s"lm_score_5gram vocab-join strategy must be AQE-governed:\n$p5")
+    // r16 (r15 verdict item 8): the AQE pin alone is near-vacuous in
+    // Spark 4. The scale hazard is a SIZE-INDEPENDENT broadcast of a
+    // corpus-sized vocab (a re-added broadcast()/hint). A stats-chosen
+    // static broadcast is size-governed (estimates scale with the
+    // input, so it reverts to SMJ at scale) and legitimately appears
+    // at test SFs — so pin the hazard precisely: with the static
+    // threshold disabled, any BroadcastHashJoin left in the initial
+    // plan can only come from an explicit hint. Assert none; runtime
+    // broadcasts stay AQE's call from real shuffle bytes.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p5nb = plan("lm_score_5gram")
+      assert(!p5nb.contains("BroadcastHashJoin"),
+        "lm_score_5gram vocab joins must not carry a size-independent " +
+          s"(hinted) broadcast:\n$p5nb")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     val pu = plan("url_filter")
     // the only shuffle is the per-URL owner partial agg (hash), never a sort
     assert(pu.contains("hashpartitioning") && !pu.contains("rangepartitioning"),
