@@ -61,8 +61,11 @@ object TierReport {
 
   def annTierReport(spark: SparkSession, sfDir: String): DataFrame = {
     val data = Tables.embeddings(spark, sfDir)
-    val nVecs = data.count()
-    val dim = data.select(size(col("embedding"))).head().getInt(0)
+    // corpus size/dim memoized per (session, corpus) — the sqrt-N
+    // sizing-count rule; repeated report/autotune invocations should
+    // not pay a count job + head job each (r16)
+    val nVecs = IvfSearch.memoCount(data, s"tier-report:$sfDir")
+    val dim = embDim(spark, sfDir, data)
     val nq = NumQueries.toLong
 
     import scala.concurrent.{Await, Future}
@@ -88,6 +91,30 @@ object TierReport {
     }
     val lshF = Future(AnnQuery.lshTierCounts(spark, sfDir))
 
+    // the six tier top-k collects launch IMMEDIATELY, concurrent with
+    // the three prelude collects above (r16 — the r15 shape awaited
+    // the preludes first, so the report ran as two sequential waves:
+    // wall ~ max(prelude) + max(tier) instead of ~ max(all nine);
+    // guide §2.6). Thunks, not frames: each tier's build+collect runs
+    // as its own concurrent Spark job (actions are thread-safe;
+    // local[32] — and a real cluster — schedules the jobs' tasks
+    // together). The model fits behind the thunks are one-time per
+    // corpus and synchronized, so concurrent first-calls compute once
+    // and everyone else waits. The candidate/byte counters join each
+    // tier's metric row AFTER the awaits — driver-side arithmetic,
+    // not part of the Spark jobs.
+    val tierThunks = Seq[(String, () => DataFrame)](
+      ("lsh_refine", () => AnnQuery.annLshTopK(spark, sfDir)),
+      ("ivf_sq8", () => SqSearch.annIvfsqTopK(spark, sfDir)),
+      ("ivf_pq", () => PqSearch.annIvfpqTopK(spark, sfDir)),
+      ("opq_pq", () => PqSearch.annPcapqTopK(spark, sfDir)),
+      ("bq_hamming", () => BqSearch.annBqTopK(spark, sfDir)),
+      ("ivf_mrl_rot", () => MrlSearch.annIvfmrlTopK(spark, sfDir)))
+    require(tierThunks.map(_._1) == TierNames,
+      s"tier rows ${tierThunks.map(_._1)} drifted from the TierNames registry $TierNames")
+    val annF = tierThunks.map { case (tier, mkDf) => tier -> Future(mkDf().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))) }.toMap
+
     val gt = Await.result(gtF, Duration.Inf)
     val ivfPerQ = Await.result(ivfPerQF, Duration.Inf)
     val adcKeep = PqSearch.AdcKeep.toLong
@@ -95,32 +122,18 @@ object TierReport {
     val ivfRefine = ivfPerQ.map(n => math.min(n, adcKeep)).sum
     val (lshCand, lshRefine) = Await.result(lshF, Duration.Inf)
 
-    // (tier, top-k frame THUNK, candidates scored, rows exactly
-    //  refined, bytes per scored candidate). Thunks, not frames: each
-    //  tier's build+collect runs as its own CONCURRENT Spark job below
-    //  (actions are thread-safe; local[32] — and a real cluster —
-    //  schedules the five jobs' tasks together), so the report costs
-    //  ~max(tier) wall-clock instead of the sum. The model fits behind
-    //  the thunks are one-time per corpus and synchronized, so
-    //  concurrent first-calls compute once and everyone else waits.
+    // (tier, candidates scored, rows exactly refined, bytes per scored
+    // candidate) — the cost side of each metric row, in report order
     val tiers = Seq(
-      ("lsh_refine", () => AnnQuery.annLshTopK(spark, sfDir),
-        lshCand, lshRefine, LshCandBytes.toLong),
-      ("ivf_sq8", () => SqSearch.annIvfsqTopK(spark, sfDir),
-        ivfCand, ivfRefine, dim.toLong),
-      ("ivf_pq", () => PqSearch.annIvfpqTopK(spark, sfDir),
-        ivfCand, ivfRefine, PqSearch.M.toLong),
-      ("opq_pq", () => PqSearch.annPcapqTopK(spark, sfDir),
-        nVecs * nq, math.min(nVecs, adcKeep) * nq, PqSearch.M.toLong),
-      ("bq_hamming", () => BqSearch.annBqTopK(spark, sfDir),
-        nVecs * nq, math.min(nVecs, BqSearch.HamKeep.toLong) * nq,
+      ("lsh_refine", lshCand, lshRefine, LshCandBytes.toLong),
+      ("ivf_sq8", ivfCand, ivfRefine, dim.toLong),
+      ("ivf_pq", ivfCand, ivfRefine, PqSearch.M.toLong),
+      ("opq_pq", nVecs * nq, math.min(nVecs, adcKeep) * nq, PqSearch.M.toLong),
+      ("bq_hamming", nVecs * nq, math.min(nVecs, BqSearch.HamKeep.toLong) * nq,
         ((dim + 7) / 8).toLong),
       // rotated-prefix MRL over the same IVF routing as SQ8/PQ:
       // dim/4 float prefix = dim bytes per candidate row
-      ("ivf_mrl_rot", () => MrlSearch.annIvfmrlTopK(spark, sfDir),
-        ivfCand, ivfRefine, dim.toLong))
-    require(tiers.map(_._1) == TierNames,
-      s"tier rows ${tiers.map(_._1)} drifted from the TierNames registry $TierNames")
+      ("ivf_mrl_rot", ivfCand, ivfRefine, dim.toLong))
 
     def roundAt(x: Double, s: Int): Double =
       java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
@@ -128,10 +141,8 @@ object TierReport {
     val gtRnkByPair = gt.map(t => (t._1, t._2) -> t._4).toMap
     val gtDistByRnk = gt.map(t => (t._1, t._4) -> t._3).toMap
     val queries = gt.map(_._1).distinct.sorted
-    val rows = Await.result(Future.sequence(
-      tiers.map { case (tier, mkDf, cand, refine, codeBytes) => Future {
-      val ann = mkDf().collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val rows = tiers.map { case (tier, cand, refine, codeBytes) =>
+      val ann = Await.result(annF(tier), Duration.Inf)
       // recall@k over the full query grid (zero-hit queries count 0),
       // per-query hits/k averaged — the evalMetricsLocal structure
       def recallAt(k: Int): Double = {
@@ -157,7 +168,7 @@ object TierReport {
       // so a k override keeps both sides parameter-aligned)
       Row(tier, recallAt(1), recallAt(K), distRatio, cand, refine,
         cand * codeBytes + refine * dim * 4L)
-    }}), Duration.Inf)
+    }
     val schema = StructType(Seq(
       StructField("tier", StringType), StructField("recall_at_1", DoubleType),
       StructField("recall_at_10", DoubleType), StructField("dist_ratio", DoubleType),
@@ -295,7 +306,7 @@ object TierReport {
    */
   def annProbeCurve(spark: SparkSession, sfDir: String): DataFrame = {
     val data = Tables.embeddings(spark, sfDir)
-    val nVecs = data.count()
+    val nVecs = IvfSearch.memoCount(data, s"tier-report:$sfDir")
     val nq = NumQueries.toLong
     val cents = IvfSearch.fittedCorpusCentroids(spark, sfDir, data)
     val queries = data.filter(col("vec_id") < NumQueries)
@@ -674,11 +685,21 @@ object TierReport {
   /** The pick itself over measured (tier, recall@k, scan_bytes) rows —
     * shared by the in-plan and staged autotunes so the policy cannot
     * drift between them. */
+  /** Embedding width memoized per (session, corpus) — one head() job
+    * per JVM instead of one per board invocation. */
+  private val dimCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Int]]()
+  private def embDim(spark: SparkSession, sfDir: String, data: DataFrame): Int =
+    dimCache.synchronized {
+      dimCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(sfDir, data.select(size(col("embedding"))).head().getInt(0))
+    }
+
   private def tierPickRows(spark: SparkSession, sfDir: String,
       tiers: Array[(String, Double, Long)]): DataFrame = {
     val data = Tables.embeddings(spark, sfDir)
-    val nVecs = data.count()
-    val dim = data.select(size(col("embedding"))).head().getInt(0)
+    val nVecs = IvfSearch.memoCount(data, s"tier-report:$sfDir")
+    val dim = embDim(spark, sfDir, data)
     val brute = nVecs * NumQueries.toLong * dim * 4L
     def share(b: Long): Double = math.floor(b.toDouble / brute * 10000) / 10000
     val rows = ByteBudgets.map { bud =>
