@@ -87,6 +87,50 @@ object Dedup {
   private def shiftedSlices(toks: Column, w: Int): Seq[Column] =
     (0 until w).map(j => slice(toks, lit(j + 1), size(toks) - w + 1).as(s"w$j"))
 
+  /**
+   * Drop every row of a bucket larger than `maxBucket` — the hot-bucket
+   * guard of all pair kernels — via ONE partial-agg count plus a
+   * left-anti join against the (usually tiny, typically empty)
+   * over-cap bucket list. Row-identical to the previous
+   * `count().over(Window.partitionBy(keys))`+filter form, but r16
+   * profiling showed WindowExec paying per-GROUP setup over the very
+   * many tiny buckets this data shape produces (~5.5 s CPU per
+   * evaluation on an 80k-row band table at sf0.1 — and the guard
+   * subtree evaluates once per self-join side), where the hash
+   * aggregate is map-side partial and the anti build side is bounded
+   * by rows/maxBucket. Also removes the window's required sort
+   * (guide §2.4).
+   */
+  private[graft] def dropHotBuckets(df: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .select(keys.map(col): _*)
+    df.join(hot, keys, "left_anti")
+  }
+
+  /**
+   * All unordered within-bucket pairs of a collected element array,
+   * generated by a nested codegen'd array transform — the r16
+   * replacement for the band/chunk self-joins: ONE aggregation
+   * collects each bucket (the exact bytes the old window/self-join
+   * exchange shipped), the size guard is a plain filter on the array
+   * length, and pair expansion is map-side — no WindowExec (whose
+   * per-group setup over the many tiny buckets was the kernels'
+   * hottest CPU), no second shuffle for the join's other side, no
+   * probe-side exchange. `mk(x, y)` builds the output struct for one
+   * unordered element pair (elements are distinct within a bucket —
+   * one row per doc per band — so no self-pair arises); it may return
+   * a NULL literal to drop the pair (the delta kernels' "at least one
+   * delta endpoint" restriction), which `filter(isNotNull)` removes.
+   */
+  private def bucketPairs(xs: Column, mk: (Column, Column) => Column): Column =
+    flatten(transform(xs, (x, i) =>
+      filter(
+        transform(slice(xs, (i + lit(2)).cast("int"), size(xs)), y => mk(x, y)),
+        p => p.isNotNull)))
+
   // ---- MinHash + LSH banding ----
 
   /**
@@ -190,20 +234,20 @@ object Dedup {
     // scale, LshIndex.spread scaladoc).
     val sigs = minhashSignatures(graft.index.LshIndex.spread(docs),
       idCol, textCol, numPerms, shingleWidth).cache()
-    // hot-bucket drop as a count window over (band, band_hash): one
-    // shuffle that both prunes AND lands the rows partitioned by the
-    // self-join key (the identical subplans below share it via
-    // exchange reuse); band hashes recompute from cached sigs (cheap
-    // slices), so no second cache level is needed
-    val wBucket = Window.partitionBy("band", "band_hash")
-    val bands = minhashBands(sigs, numPerms, rowsPerBand)
-      .withColumn("bsz", count(lit(1)).over(wBucket))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+    // r16 candidate kernel: collect each (band, band_hash) bucket in
+    // ONE aggregation, guard on the collected size, expand pairs
+    // map-side ([[bucketPairs]]). The r15 window-guard + self-join
+    // shape shipped the same band rows but paid a WindowExec over the
+    // many tiny buckets per join side plus the join's second exchange.
+    // Pair set identical: x.id < y.id within a bucket == least/
+    // greatest over its distinct ids; the same distinct folds
+    // multi-band collisions.
+    val cands = minhashBands(sigs, numPerms, rowsPerBand)
+      .groupBy("band", "band_hash").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+      .select(explode(bucketPairs(col("ids"), (x, y) =>
+        when(x =!= y, struct(least(x, y).as("a"), greatest(x, y).as("b"))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
       .cache()
     // exact-verify shingle sets only for docs that appear in a candidate
@@ -263,12 +307,13 @@ object Dedup {
    * `delta_delta` — the merge report a pipeline owner acts on (drop
    * the copy vs pick a keeper inside the new crawl).
    *
-   * PRECONDITION: `deltaDocs` must carry UNIQUE ids (one row per doc —
-   * every registry caller passes a keyed crawl). The delta-id table is
-   * used un-deduplicated (signatures are one row per input row), so a
-   * duplicated id would duplicate output pairs through the `leg`
-   * LEFT joins; same contract as
-   * [[graft.dedup.SemDedup.semanticPairsDelta]].
+   * PRECONDITION: `deltaDocs` must carry UNIQUE ids, disjoint from the
+   * resident base's (one row per doc — every registry caller passes a
+   * keyed crawl). Signatures are one row per input row and delta
+   * membership rides the union's provenance tag, so a duplicated id
+   * would duplicate bucket entries (folded by the candidate distinct)
+   * and an id on BOTH sides would be treated as two distinct docs;
+   * same contract as [[graft.dedup.SemDedup.semanticPairsDelta]].
    */
   def minhashPairsDelta(baseSigs: DataFrame, deltaDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
@@ -276,24 +321,37 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val deltaSigs = minhashSignatures(graft.index.LshIndex.spread(deltaDocs),
       idCol, textCol, numPerms, shingleWidth).cache()
-    val allSigs = baseSigs.select(col("id"), col("sig")).unionByName(deltaSigs)
-    val wBucket = Window.partitionBy("band", "band_hash")
-    val bands = minhashBands(allSigs, numPerms, rowsPerBand)
-      .withColumn("bsz", count(lit(1)).over(wBucket))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-    // one row per delta doc by construction (signatures are one row
-    // per input doc, callers pass unique-id crawls) — no distinct
-    // needed; dropping it removes a shuffle+aggregate pair
-    val deltaIds = deltaSigs.select(col("id")).cache()
-    val deltaBands = bands.join(deltaIds, Seq("id"), "left_semi")
-    // one probe join covers both legs; least/greatest orients pairs
-    // (a delta×delta pair arrives in both directions — distinct folds it)
-    val cands = deltaBands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-          col("x.id") =!= col("y.id"))
-      .select(least(col("x.id"), col("y.id")).as("a"),
-        greatest(col("x.id"), col("y.id")).as("b"))
+    // delta membership rides the UNION's provenance as a 0/1 tag (r16)
+    // — the base/delta sides are disjoint id sets by the resident-base
+    // contract, so the tag equals the old deltaIds-join flags without
+    // any join, and the pair expansion below restricts to
+    // delta-touching pairs without the old semi-join leg
+    val allSigs = baseSigs.select(col("id"), col("sig"), lit(0).as("__d"))
+      .unionByName(deltaSigs.select(col("id"), col("sig"), lit(1).as("__d")))
+    // r16 candidate kernel (the [[minhashPairs]] shape): one
+    // aggregation collects each bucket over base∪delta — exactly the
+    // statistics the full run would see — the size guard is a filter,
+    // and map-side expansion keeps pairs with >= 1 delta endpoint
+    // (NULL otherwise, filtered inside [[bucketPairs]]); least/
+    // greatest orients pairs, distinct folds multi-band collisions.
+    val cands = allSigs.select(col("id"), col("__d"),
+        posexplode(array((0 until numPerms / rowsPerBand).map { b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)).as(Seq("band", "band_hash")))
+      .groupBy("band", "band_hash")
+      .agg(collect_list(struct(col("id"), col("__d"))).as("xs"))
+      .filter(size(col("xs")) <= maxBucket)
+      .select(explode(bucketPairs(col("xs"), (x, y) =>
+        when(x.getField("id") =!= y.getField("id") &&
+            (x.getField("__d") === 1 || y.getField("__d") === 1),
+          when(x.getField("id") < y.getField("id"),
+            struct(x.getField("id").as("a"), y.getField("id").as("b"),
+              x.getField("__d").as("da"), y.getField("__d").as("db")))
+            .otherwise(
+              struct(y.getField("id").as("a"), x.getField("id").as("b"),
+                y.getField("__d").as("da"), x.getField("__d").as("db")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.da").as("da"), col("p.db").as("db"))
       .distinct()
       .cache()
     val candIds = cands.select(col("a").as("id"))
@@ -307,7 +365,8 @@ object Dedup {
       .select(col("id"),
         array_distinct(shingles(tokens(col("__text")), shingleWidth)).as("sh"))
       .cache()
-    val dFlag = deltaIds.withColumn("__d", lit(1))
+    // the leg label reads the pair's carried provenance flags — the
+    // r15 dFlag LEFT joins (two joins + the deltaIds cache) are gone
     val result = cands
       .join(sets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("sh_b")), "b")
@@ -315,16 +374,13 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .join(dFlag.select(col("id").as("a"), col("__d").as("da")), Seq("a"), "left")
-      .join(dFlag.select(col("id").as("b"), col("__d").as("db")), Seq("b"), "left")
       .select(col("a"), col("b"),
         (floor(col("jaccard") * 10000) / 10000).as("jaccard"),
-        when(col("da").isNotNull && col("db").isNotNull, "delta_delta")
+        when(col("da") === 1 && col("db") === 1, "delta_delta")
           .otherwise("delta_base").as("leg"))
       .cache()
     result.count() // materialize the (small) pair list, release intermediates
     deltaSigs.unpersist()
-    deltaIds.unpersist()
     cands.unpersist()
     sets.unpersist()
     result
@@ -362,23 +418,27 @@ object Dedup {
     val width = 64 / nChunks
     val mask = (1L << width) - 1
     // same materialization boundary as minhashPairs: one SimHash64
-    // eval per doc, shared across chunk projections and join sides;
-    // the hot-bucket drop is a count window over (chunk, chunk_val) —
-    // one shuffle that prunes AND pre-partitions on the self-join key
+    // eval per doc, shared across chunk projections; candidates via
+    // the r16 collect-bucket + map-side pair expansion kernel (the
+    // minhashPairs shape — simhash values ride the bucket structs so
+    // the Hamming verify needs no extra join)
     val sigs = simhash(graft.index.LshIndex.spread(docs), idCol, textCol).cache()
-    val wBucket = Window.partitionBy("chunk", "chunk_val")
-    val chunks = sigs.select(col("id"), col("simhash"),
-      posexplode(array((0 until nChunks).map(c =>
-        shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))): _*))
-        .as(Seq("chunk", "chunk_val")))
-      .withColumn("bsz", count(lit(1)).over(wBucket))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-    val result = chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+    val result = sigs.select(col("id"), col("simhash"),
+        posexplode(array((0 until nChunks).map(c =>
+          shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))): _*))
+          .as(Seq("chunk", "chunk_val")))
+      .groupBy("chunk", "chunk_val")
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("xs"))
+      .filter(size(col("xs")) <= maxBucket)
+      .select(explode(bucketPairs(col("xs"), (x, y) =>
+        when(x.getField("id") < y.getField("id"),
+          struct(x.getField("id").as("a"), y.getField("id").as("b"),
+            x.getField("simhash").as("sa"), y.getField("simhash").as("sb")))
+          .when(y.getField("id") < x.getField("id"),
+            struct(y.getField("id").as("a"), x.getField("id").as("b"),
+              y.getField("simhash").as("sa"), x.getField("simhash").as("sb"))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.sa").as("sa"), col("p.sb").as("sb"))
       .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
@@ -807,15 +867,11 @@ object Dedup {
     * `maxBucket` posture: a degenerate hot cell — near-identical
     * boilerplate embeddings — would contribute O(cell^2) join rows;
     * with `nProbe` probes per vector a pair dropped with one hot cell
-    * still collides in any other shared cell). The drop is a count
-    * window over `cell` — the same shuffle the self-join needs. */
+    * still collides in any other shared cell). The drop is
+    * [[dropHotBuckets]] on `cell` (r16 — was a count window). */
   private[graft] def neardupPlan(e: DataFrame, probes: DataFrame, topN: Int,
       maxCell: Int = graft.config.GraftConfig.active.neardup.maxCell): DataFrame = {
-    val wCell = Window.partitionBy("cell")
-    val guarded = probes
-      .withColumn("csz", count(lit(1)).over(wCell))
-      .filter(col("csz") <= maxCell)
-      .drop("csz")
+    val guarded = dropHotBuckets(probes, Seq("cell"), maxCell)
     val cands = guarded.as("x").join(guarded.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))

@@ -123,6 +123,14 @@ object SemDedup {
     * can assert its shape — cell equi-join, no cartesian). */
   private[graft] def semanticEdges(assigned: DataFrame,
       tau: Double, maxCell: Int): DataFrame = {
+    // hot-cell drop stays a count WINDOW here (r16 note: the band
+    // guards moved to [[graft.dedup.Dedup.dropHotBuckets]] because
+    // WindowExec pays per-group setup over their many tiny buckets;
+    // cell guards have FEW large groups — ~sqrt(N) cells — where the
+    // window is cheap and, critically, single-pass: dropHotBuckets
+    // references its input twice, and `assigned` is the expensive
+    // uncached argmin pass — A/B'd, the anti-join form regressed the
+    // semantic entries ~1.5-2x)
     val wCell = Window.partitionBy("cell")
     val guarded = assigned
       .withColumn("csz", count(lit(1)).over(wCell))
@@ -268,7 +276,8 @@ object SemDedup {
     exportCentroids(spark, s"semdedup:$sfDir|c=$c", cents)
     val assigned = assignWithCentSim(corpus, cents)
     // unthresholded pair cosines: semanticEdges' join with the filter
-    // lifted to the grid stage
+    // lifted to the grid stage (count-window guard — the semanticEdges
+    // single-pass rationale)
     val wCell = Window.partitionBy("cell")
     val guarded = assigned
       .withColumn("csz", count(lit(1)).over(wCell))
@@ -440,16 +449,18 @@ object SemDedup {
       tau: Double, maxCell: Int): DataFrame = {
     val allAssign = baseAssign.select(col("vec_id"), col("cell"))
       .unionByName(deltaAssign.select(col("vec_id"), col("cell")))
-    val wCell = Window.partitionBy("cell")
     // guarded is CACHED (released below with the other intermediates)
     // for two reasons: it feeds BOTH sides of the probe self-join, so
-    // the union + window-count guard otherwise computes twice; and the
+    // the union + guard otherwise computes twice; and the
     // InMemoryRelation leaf keeps the self-join's constraint
     // propagation away from the union subtree — Spark 4.1's
     // UnionBase.rewriteConstraints trips on a child constraint
     // referencing a pruned-away upstream attribute when the union is
     // self-joined through DeduplicateRelations (observed as
-    // `key not found: source#N` with a CASE-planted corpus under it)
+    // `key not found: source#N` with a CASE-planted corpus under it).
+    // The guard stays a count WINDOW (the semanticEdges single-pass
+    // rationale: few large cell groups, expensive uncached input).
+    val wCell = Window.partitionBy("cell")
     val guarded = allAssign
       .withColumn("csz", count(lit(1)).over(wCell))
       .filter(col("csz") <= maxCell)

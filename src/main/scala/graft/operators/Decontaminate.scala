@@ -153,9 +153,8 @@ object Decontaminate {
     val tSigs = Dedup.minhashSignatures(spreadTrain, idCol, textCol,
       numPerms, shingleWidth).cache()
     val tBands = Dedup.minhashBands(tSigs, numPerms, rowsPerBand)
-    val wBucket = Window.partitionBy("band", "band_hash")
-    val tg = tBands.withColumn("bsz", count(lit(1)).over(wBucket))
-      .filter(col("bsz") <= maxBucket).drop("bsz")
+    // hot-bucket drop via dropHotBuckets (r16 — was a count window)
+    val tg = Dedup.dropHotBuckets(tBands, Seq("band", "band_hash"), maxBucket)
     val bSigs = Dedup.minhashSignatures(bench, idCol, textCol, numPerms, shingleWidth)
     val bBands = Dedup.minhashBands(bSigs, numPerms, rowsPerBand)
       .select(col("id").as("bid"), col("band"), col("band_hash"))
