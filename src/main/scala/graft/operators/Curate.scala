@@ -140,7 +140,15 @@ object Curate {
       .select(col("doc_id"),
         when(col("doc_id") % 23 === 5 && col("p6").isNotNull,
           concat(col("text"), lit(" "), col("p6"))).otherwise(col("text")).as("text"))
-    (planted, bench)
+    // spread the train side (no-op at scale): the funnel is a
+    // regex-heavy map chain (normalize + scrub + quality/repetition
+    // signals + 5-gram decontamination) and the single test-SF parquet
+    // split ran EVERY funnel job on one task (profiled: 23 jobs, 23
+    // tasks, wall 4.3 s for 2.8 s of single-core task time). Per-doc
+    // values are partitioning-independent (map signals; the LM stage's
+    // per-doc float sums ride each doc's own token order — spreading
+    // happens before any explode).
+    (graft.index.LshIndex.spread(planted), bench)
   }
 
   /** Bench = doc_id ≡ 0 (mod 17), leaks planted per the
