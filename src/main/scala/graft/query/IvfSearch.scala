@@ -402,12 +402,22 @@ object IvfSearch {
   }
 
   /** The sharded k-NN graph: union of [[knnJoinShard]] over all
-    * shards — identical rows to [[knnJoinPlan]], demonstrably. */
+    * shards — identical rows to [[knnJoinPlan]], demonstrably. The
+    * shard plans BUILD CONCURRENTLY (r16, guide §2.6): each
+    * construction runs a driver-side probe-manifest collect job
+    * ([[knnForQueries]]), and building sequentially serialized those
+    * four jobs; futures overlap them without changing any plan (the
+    * union keeps shard order). */
   def knnJoinShardedPlan(data: DataFrame, k: Int, nProbe: Int,
-      cents: Array[Array[Float]], maxCandidates: Int, nShards: Int): DataFrame =
-    (0 until nShards)
-      .map(s => knnJoinShard(data, k, nProbe, cents, maxCandidates, nShards, s))
+      cents: Array[Array[Float]], maxCandidates: Int, nShards: Int): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.sequence((0 until nShards).map(s =>
+        Future(knnJoinShard(data, k, nProbe, cents, maxCandidates, nShards, s)))),
+        Duration.Inf)
       .reduce(_.unionByName(_))
+  }
 
   /** `knn_join_sharded`: the cell-sharded 100 TB form as a harness
     * entry — 4 shards at test SFs; oracle = [[knnJoinSql]] verbatim
@@ -449,9 +459,14 @@ object IvfSearch {
     val data = Tables.embeddings(spark, sfDir)
     val cents = fittedCorpusCentroids(spark, sfDir, data)
     val homes = stagedKnnHomes(spark, sfDir, data, cents)
-    (0 until 4)
-      .map(s => knnJoinShard(data, K, NumProbes, cents, cfg.ivf.maxCandidates,
-        nShards = 4, shard = s, stagedHomes = Some(homes)))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // concurrent shard-plan builds — the knnJoinShardedPlan rationale
+    Await.result(Future.sequence((0 until 4).map(s =>
+        Future(knnJoinShard(data, K, NumProbes, cents, cfg.ivf.maxCandidates,
+          nShards = 4, shard = s, stagedHomes = Some(homes))))),
+        Duration.Inf)
       .reduce(_.unionByName(_))
   }
 
@@ -486,9 +501,17 @@ object IvfSearch {
   private[graft] def knnJoinDeltaPlan(k: Int, nProbe: Int,
       cents: Array[Array[Float]], maxCandidates: Int,
       baseHomes: DataFrame, deltaHomes: DataFrame): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val homes = baseHomes.unionByName(deltaHomes)
-    val fwd = knnForQueries(deltaHomes.select(col("vec_id"), col("embedding")),
-      homes, k, nProbe, cents, maxCandidates)
+    // the forward leg's construction (a driver-side probe-manifest
+    // collect inside [[knnForQueries]]) overlaps the reverse leg's
+    // delta-cell collect + construction (r16, guide §2.6 — they were
+    // three sequential driver jobs); plans are unchanged
+    val fwdF = Future(knnForQueries(
+      deltaHomes.select(col("vec_id"), col("embedding")),
+      homes, k, nProbe, cents, maxCandidates))
     // the delta's home-cell list: driver-sized (≤ C cells)
     val deltaCells = deltaHomes.select("cell").distinct().collect().map(_.getInt(0))
     val affected = probeCellsRanked(
@@ -499,7 +522,7 @@ object IvfSearch {
       baseHomes.join(affected, Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("embedding")),
       homes, k, nProbe, cents, maxCandidates)
-    fwd.unionByName(patched)
+    Await.result(fwdF, Duration.Inf).unionByName(patched)
   }
 
   /** `knn_join_delta`: the incremental graph rows for a merge — the
